@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Defaults follow the reference's storage conventions
+  * (`/root/reference/connector-config.json:24-26`: Parquet + Snappy;
+  * `s3-connector-config.json:25`: UTC) and local-mode sizing: shuffle
+  * partitions = cores, AQE on so plans re-split/skew-join at runtime —
+  * the same settings scale to a real cluster where `local[N]` becomes a
+  * cluster master and shuffle partitions grow with executor count.
+  */
+object GraftSession {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2/§2.5): projection,
+  * filter+pushdown, multi-way joins (broadcast + shuffle), windows,
+  * top-k, set ops, rollup, distinct aggregates, scalar/date/JSON
+  * functions, semi/anti joins, arbitrary-SQL pass-through, event-time
+  * windowing, sessionization, the reference's generator arithmetic
+  * (kafka_publisher.py:303-330) and its S3-sink partition-path scheme
+  * (s3-connector-config.json:21-25).
+  *
+  * Scale notes (100 TB design intent, validated via .explain):
+  *  - dimension tables (region/nation/supplier/part ≤ sf·10k rows) are
+  *    broadcast explicitly so fact-fact joins are the only shuffles;
+  *  - aggregations are plain groupBy → Spark plans partial (map-side)
+  *    + final HashAggregate automatically;
+  *  - top-k uses orderBy+limit → TakeOrderedAndProject (no full sort);
+  *  - filters/projections sit directly over the scan so Catalyst pushes
+  *    them into the parquet reader (PushedFilters / ReadSchema).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q00
+  // Canned parquet scan + LIMIT (SURVEY R1/R2; duckdb_rest_server.py:131).
+  private def q00(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+      .limit(5)
+
+  private val q00Sql =
+    """SELECT event_id, event_type, user_id FROM events ORDER BY event_id LIMIT 5"""
+
+  // ---------------------------------------------------------------- q01
+  // Full-table aggregate, TPC-H Q1 shape (Tier B surface, SURVEY §2.5).
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(charge), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // Selective filter + scalar aggregate, TPC-H Q6 shape. The predicate
+  // sits on the scan → parquet PushedFilters prune row groups at scale.
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") <  to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.03 && col("l_discount") < 0.07 &&
+        col("l_quantity") < 25)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q02Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount < 0.07
+      |  AND l_quantity < 25""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // Six-way join, TPC-H Q5 shape. nation/region/supplier broadcast; the
+  // only shuffles are the two fact joins + final agg.
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li   = t(s, dir, "lineitem")
+    val sup  = t(s, dir, "supplier")
+    val nat  = t(s, dir, "nation")
+    val reg  = t(s, dir, "region")
+    cust
+      .join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q03Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // Ranking window: top-3 orders per customer.
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  private val q04Sql =
+    """SELECT o_custkey, rk, o_orderkey, price FROM (
+      |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // Global top-k → TakeOrderedAndProject (no full sort at scale).
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+
+  private val q05Sql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  // Set operations: union / intersect / except on two customer segments.
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val u = a.union(b).distinct.agg(count(lit(1)).as("n"))
+      .select(lit("union").as("op"), col("n"))
+    val i = a.intersect(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val e = a.except(b).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    u.union(i).union(e).orderBy("op")
+  }
+
+  private val q06Sql =
+    """SELECT * FROM (
+      |  SELECT 'union' AS op, count(*) AS n FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |  UNION ALL
+      |  SELECT 'intersect' AS op, count(*) AS n FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |  UNION ALL
+      |  SELECT 'except' AS op, count(*) AS n FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000))
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  // ROLLUP over region → nation customer totals. Runs through spark.sql
+  // (the text below is dialect-shared ANSI): the Dataset `rollup` API on
+  // a multi-join input false-positives Spark 4.1's ambiguous-self-join
+  // detector even with freshly aliased grouping columns, while the SQL
+  // analyzer plans the identical Aggregate+Expand without complaint.
+  // nation/region are auto-broadcast (far under the 10 MB threshold).
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q07Sql)
+  }
+
+  private val q07Sql =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |       coalesce(n_name, 'ALL') AS nation,
+      |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS balance
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // Exact distinct aggregate (expands to a two-phase plan under AQE).
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+
+  private val q08Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // Scalar string/math function battery over part.
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_up8"),
+        lower(col("p_brand")).as("brand_lo"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_u"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        round(col("p_retailprice") * 1.1, 2).as("price_up"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"),
+        reverse(col("p_brand")).as("brand_rev"))
+      .orderBy("p_partkey")
+
+  private val q09Sql =
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 8)) AS name_up8,
+      |  lower(p_brand) AS brand_lo,
+      |  length(p_name) AS name_len,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  replace(p_type, ' ', '_') AS type_u,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  round(p_retailprice * 1.1, 2) AS price_up,
+      |  p_partkey % 7 AS key_mod,
+      |  reverse(p_brand) AS brand_rev
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // Date/time function battery over orders (strings/ints only — no raw
+  // timestamps cross the oracle boundary).
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  private val q10Sql =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y,
+      |  month(o_orderdate) AS m,
+      |  day(o_orderdate) AS d,
+      |  quarter(o_orderdate) AS q,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+      |  date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // Semi / anti joins (EXISTS / NOT EXISTS).
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("op"), col("n"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("op"), col("n"))
+    semi.union(anti).orderBy("op")
+  }
+
+  private val q11Sql =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS op, count(*) AS n FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'without_orders' AS op, count(*) AS n FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // Arbitrary-SQL pass-through (SURVEY R6): the same ANSI text runs
+  // through spark.sql(...) here and through DuckDB as its own oracle.
+  private val q12Sql =
+    """WITH cust_rev AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey)
+      |SELECT seg, rk, ck, rev FROM (
+      |  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck, round(cr.rev, 2) AS rev,
+      |    row_number() OVER (PARTITION BY c.c_mktsegment
+      |                       ORDER BY cr.rev DESC, c.c_custkey) AS rk
+      |  FROM customer c JOIN cust_rev cr ON c.c_custkey = cr.o_custkey)
+      |WHERE rk <= 5
+      |ORDER BY seg, rk""".stripMargin
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q12Sql)
+  }
+
+  // ---------------------------------------------------------------- q13
+  // Event-time tumbling window (hourly) over the events stream table —
+  // batch shape of SURVEY §2.5 "streaming event-time windows".
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour")
+
+  private val q13Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // Sessionization: 30-minute inactivity gap via lag + running sum.
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+             unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q14Sql =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events)
+      |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // The reference producer's derivation arithmetic (G1-G5/G8 of
+  // SURVEY §2.3; kafka_publisher.py:303-330), applied column-wise.
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val userNum = pmod(ms, lit(1000L))
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        concat(lit("user_"), userNum.cast("string")).as("user_id_str"),
+        round((floor(ms / 10).cast("long") % 1000L) / 100.0, 2).as("amount"),
+        (pmod(userNum, lit(50L)) + 18L).as("age"),
+        concat(lit("user"), userNum.cast("string"), lit("@example.com")).as("email"))
+      .orderBy("event_id")
+  }
+
+  private val q15Sql =
+    """SELECT event_id,
+      |  'user_' || CAST(epoch_ms(ts) % 1000 AS VARCHAR) AS user_id_str,
+      |  round(((epoch_ms(ts) // 10) % 1000) / 100.0, 2) AS amount,
+      |  (epoch_ms(ts) % 1000) % 50 + 18 AS age,
+      |  'user' || CAST(epoch_ms(ts) % 1000 AS VARCHAR) || '@example.com' AS email
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // The S3 sink's event-time partition path (SURVEY S7;
+  // s3-connector-config.json:21-25): year=YYYY/month=MM/day=dd/hour=HH.
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(concat(
+        lit("year="), date_format(col("ts"), "yyyy"),
+        lit("/month="), date_format(col("ts"), "MM"),
+        lit("/day="), date_format(col("ts"), "dd"),
+        lit("/hour="), date_format(col("ts"), "HH")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("path")
+
+  private val q16Sql =
+    """SELECT 'year=' || strftime(ts, '%Y') || '/month=' || strftime(ts, '%m')
+      |    || '/day=' || strftime(ts, '%d') || '/hour=' || strftime(ts, '%H') AS path,
+      |  count(*) AS n
+      |FROM events GROUP BY path ORDER BY path""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // JSON extraction from the events.props payload column.
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  private val q17Sql =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(k), 4) AS avg_k, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
+    QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
+    QuerySpec("q02_filter_pushdown", q02, Some(q02Sql)),
+    QuerySpec("q03_join_multiway", q03, Some(q03Sql)),
+    QuerySpec("q04_window_rank", q04, Some(q04Sql)),
+    QuerySpec("q05_topk", q05, Some(q05Sql)),
+    QuerySpec("q06_setops", q06, Some(q06Sql)),
+    QuerySpec("q07_rollup", q07, Some(q07Sql)),
+    QuerySpec("q08_distinct_agg", q08, Some(q08Sql)),
+    QuerySpec("q09_string_fns", q09, Some(q09Sql)),
+    QuerySpec("q10_date_fns", q10, Some(q10Sql)),
+    QuerySpec("q11_semi_anti", q11, Some(q11Sql)),
+    QuerySpec("q12_sql_passthrough", q12, Some(q12Sql)),
+    QuerySpec("q13_event_window", q13, Some(q13Sql)),
+    QuerySpec("q14_sessionize", q14, Some(q14Sql)),
+    QuerySpec("q15_generator", q15, Some(q15Sql)),
+    QuerySpec("q16_partition_paths", q16, Some(q16Sql)),
+    QuerySpec("q17_json_extract", q17, Some(q17Sql)))
+}
