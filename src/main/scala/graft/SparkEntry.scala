@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QuerySpec, Relational}
+import graft.queries.{QuerySpec, Relational, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every implemented capability, each with a DuckDB oracle where the
     * semantics are SQL-expressible.
     */
-  def specs: Seq[QuerySpec] = Relational.specs
+  def specs: Seq[QuerySpec] = Relational.specs ++ TrainingData.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenizing,
+  * shingling, language-ID scoring, quality features, fingerprinting.
+  * All pure `functions._` compositions (codegen'd, no UDFs) with
+  * DuckDB-SQL-expressible semantics so each derived query can be
+  * oracle-checked.
+  */
+object TextFns {
+
+  /** Lowercased alphanumeric tokens; empty strings (leading/trailing
+    * delimiters) removed.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined). Empty when the
+    * document has fewer than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // sequence upper bound clamped to >=1: Spark's sequence(1, 0) counts
+    // DOWN (inferred step -1) and would feed element_at an index 0.
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    array_distinct(when(size(toks) >= n, grams)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Count of tokens that appear in the given vocabulary. Duplicates
+    * count — this is occurrence counting, not set intersection.
+    */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(lit): _*)))
+
+  /** Tiny per-language stopword profiles for heuristic language ID.
+    * Deterministic tie-break: profile order below (en first).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "ein", "nicht"),
+    "es" -> Seq("el", "los", "que", "y", "de", "la", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zhe", "ren", "ta"))
+
+  /** Normalized text: lowercase, non-alphanumerics collapsed to single
+    * spaces, trimmed — the canonical form for fingerprinting.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Deterministic document fingerprint = md5 of the normalized text.
+    * (A rolling/Karp-Rabin content hash lives in `rollingHash` for
+    * chunk-level fingerprinting.)
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Polynomial rolling hash (Karp-Rabin flavor) over the normalized
+    * text's characters: h = Σ ascii(c_i)·31^i mod 2^61-1, folded left.
+    * Pure-column arithmetic; used by the Scala-side dedup API.
+    */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      transform(split(normalized(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, prime))
+  }
+}

@@ -146,7 +146,7 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(s, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
@@ -252,7 +252,7 @@ object Relational {
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 8)).as("name_up8"),
         lower(col("p_brand")).as("brand_lo"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_u"),
         lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
@@ -281,13 +281,13 @@ object Relational {
     t(s, dir, "orders")
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        quarter(col("o_orderdate")).as("q"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
         date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
-        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).as("days_to_2002"))
+        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).cast("long").as("days_to_2002"))
       .orderBy("o_orderkey")
 
   private val q10Sql =
@@ -330,8 +330,8 @@ object Relational {
       |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey)
       |SELECT seg, rk, ck, rev FROM (
       |  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck, round(cr.rev, 2) AS rev,
-      |    row_number() OVER (PARTITION BY c.c_mktsegment
-      |                       ORDER BY cr.rev DESC, c.c_custkey) AS rk
+      |    CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+      |                            ORDER BY cr.rev DESC, c.c_custkey) AS BIGINT) AS rk
       |  FROM customer c JOIN cust_rev cr ON c.c_custkey = cr.o_custkey)
       |WHERE rk <= 5
       |ORDER BY seg, rk""".stripMargin

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables (builder mandate): deduplication (exact /
+  * n-gram Jaccard / MinHash-LSH / SimHash), text analysis (language
+  * ID, quality scoring, token counting, fingerprinting), similarity
+  * search (exact kNN, cosine near-dup, LSH ANN), and multimodal
+  * binary-column plumbing.
+  *
+  * Probabilistic-candidate operators (SimHash bands, sign-LSH ANN)
+  * carry no SQL oracle → the driver records a rows-only check.
+  * MinHash-LSH DOES carry the exact-Jaccard oracle: its candidates are
+  * exact-verified and the banding recall at the dataset's J≥0.9
+  * dup separation is 1−(1−J²)^8 ≈ 1−2e-6 (see Dedup.scaladoc), so its
+  * output equals the exact operator's on any realistically separated
+  * corpus — validated against sf0.01 and sf0.1.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // DuckDB-side tokenization matching TextFns.tokens.
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def duckVocabHits(vocab: Seq[String]): String =
+    s"len(list_filter($duckToks, t -> t IN (${vocab.map("'" + _ + "'").mkString(", ")})))"
+
+  // ---------------------------------------------------------------- t01
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir)).orderBy("fp")
+
+  private val t01Sql =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  // Exact word-3-gram Jaccard near-dup pairs at J >= 0.5 (the planted
+  // near-dups sit at J >= 0.9; background noise tops out ~0.07).
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), n = 3, threshold = 0.5).orderBy("a", "b")
+
+  private val jaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+      |FROM pairs JOIN cnt ca ON pairs.a = ca.doc_id
+      |           JOIN cnt cb ON pairs.b = cb.doc_id
+      |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  // Heuristic language ID: stopword-profile hit counts, argmax with
+  // deterministic profile-order tie-break.
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val profs = TextFns.langProfiles
+    val scored = profs.foldLeft(docs(s, dir)) { case (df, (l, vocab)) =>
+      df.withColumn(s"s_$l", TextFns.vocabHits(col("text"), vocab).cast("long"))
+    }
+    val pred = profs.map(_._1).foldRight(lit("??"): org.apache.spark.sql.Column) {
+      case (l, rest) =>
+        val isMax = profs.map(_._1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(rest)
+    }
+    scored
+      .select(col("doc_id") +: col("lang").as("labeled") +:
+        profs.map { case (l, _) => col(s"s_$l") } :+ pred.as("pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val t03Sql = {
+    val profs = TextFns.langProfiles
+    val scoreCols = profs
+      .map { case (l, v) => s"  ${duckVocabHits(v)} AS s_$l" }
+      .mkString(",\n")
+    val predCase = profs.map(_._1).map { l =>
+      val conds = profs.map(_._1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled,
+       |$scoreCols
+       |  FROM documents)
+       |SELECT doc_id, labeled, ${profs.map("s_" + _._1).mkString(", ")},
+       |  CASE $predCase ELSE '??' END AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  // Quality scoring: token count, average word length, punctuation
+  // ratio, stopword ratio, composite score.
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nToks = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val punct = (length(col("text")) -
+      length(translate(col("text"), ".,!?;:", ""))).cast("long")
+    val nStop = TextFns.vocabHits(col("text"),
+      TextFns.langProfiles.head._2).cast("long")
+    val safeToks = greatest(nToks, lit(1L))
+    val stopRatio = nStop / safeToks
+    val punctRatio = punct / greatest(nChars, lit(1L))
+    docs(s, dir).select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round(length(concat_ws("", toks)).cast("long") / safeToks, 4).as("avg_word_len"),
+      punct.as("n_punct"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(least(nToks, lit(100L)) / 100.0 * (lit(1.0) - punctRatio) *
+        (lit(0.5) + lit(0.5) * stopRatio), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val t04Sql = {
+    val en = TextFns.langProfiles.head._2
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len($duckToks) AS n_tokens,
+       |    length(coalesce(list_aggregate($duckToks, 'string_agg', ''), '')) AS n_tok_chars,
+       |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+       |    length(text) AS n_chars,
+       |    ${duckVocabHits(en)} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  round(n_tok_chars * 1.0 / greatest(n_tokens, 1), 4) AS avg_word_len,
+       |  n_punct,
+       |  round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stop_ratio,
+       |  round(least(n_tokens, 100) / 100.0
+       |        * (1.0 - n_punct * 1.0 / greatest(n_chars, 1))
+       |        * (0.5 + 0.5 * n_stop / greatest(n_tokens, 1)), 4) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t05
+  // Token counting: whitespace tokens + a BPE-ish regex segmentation
+  // (word / number / single non-space symbol).
+  private val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def t05(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long")
+        .as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0))).cast("long")
+        .as("re_tokens"))
+      .orderBy("doc_id")
+
+  private val t05Sql =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '$tokenRegex')) AS re_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t06
+  // Document fingerprint: md5 of normalized text.
+  private def t06(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+
+  private val t06Sql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t07
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(s, dir), n = 3, threshold = 0.5).orderBy("a", "b")
+
+  // ---------------------------------------------------------------- t08
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(s, dir), maxHamming = 3).orderBy("a", "b")
+
+  // ---------------------------------------------------------------- e01
+  // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
+  private def e01(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnExact(e.filter(col("vec_id") < 50), e, k = 5)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  private val e01Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS s
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 50
+      |), r AS (
+      |  SELECT query_id, neighbor_id, s,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM sims)
+      |SELECT query_id, rk, neighbor_id, round(s, 4) AS sim
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- e02
+  // Exact cosine near-dup pairs (threshold tuned to the corpus: max
+  // observed similarity ~0.51).
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embs(s, dir), threshold = 0.45).orderBy("a", "b")
+
+  private val e02Sql =
+    """SELECT x.vec_id AS a, y.vec_id AS b,
+      |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                               CAST(y.embedding AS DOUBLE[])), 4) AS sim
+      |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      |                             CAST(y.embedding AS DOUBLE[])) >= 0.45
+      |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- e03
+  // Sign-LSH ANN (scale path; recall < 1 → rows-only check).
+  private def e03(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLsh(embs(s, dir), k = 5, nPlanes = 4, dim = 64,
+      queryFilter = col("id") < 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
+  // ---------------------------------------------------------------- m01
+  // Multimodal binary-column plumbing with deterministic stub features.
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentFeatures(docs(s, dir)).orderBy("doc_id")
+
+  private val m01Sql =
+    """SELECT doc_id, 'text/plain' AS media_type,
+      |  CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+      |  sha256(text) AS content_sha,
+      |  320 + octet_length(text::BLOB) % 1280 AS width,
+      |  240 + octet_length(text::BLOB) * 7 % 840 AS height,
+      |  1 + doc_id % 30 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
+    QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
+    QuerySpec("t03_lang_id", t03, Some(t03Sql)),
+    QuerySpec("t04_quality_score", t04, Some(t04Sql)),
+    QuerySpec("t05_token_count", t05, Some(t05Sql)),
+    QuerySpec("t06_fingerprint", t06, Some(t06Sql)),
+    QuerySpec("t07_dedup_minhash_lsh", t07, Some(jaccardOracle)),
+    QuerySpec("t08_dedup_simhash", t08, None),
+    QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
+    QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
+    QuerySpec("e03_ann_lsh", e03, None),
+    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
+}
