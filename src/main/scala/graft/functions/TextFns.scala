@@ -60,11 +60,12 @@ object TextFns {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Polynomial rolling hash (Karp-Rabin flavor) over the normalized
-    * text's characters: h = Σ ascii(c_i)·31^i mod 2^61-1, folded left.
+    * text's characters: h = Σ ascii(c_i)·31^i mod 1e9+7, folded left.
     * Pure-column arithmetic; used by the Scala-side dedup API.
     */
   def rollingHash(text: Column): Column = {
-    val prime = lit(2305843009213693951L) // 2^61 - 1
+    // 1e9+7: keeps acc*31+c < 2^35, safe under ANSI long arithmetic
+    val prime = lit(1000000007L)
     aggregate(
       transform(split(normalized(text), ""), c => ascii(c).cast("long")),
       lit(0L),

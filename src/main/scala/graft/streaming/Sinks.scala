@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.catalog.SnapshotCatalog
+
+/** The reference's two sink connectors, re-expressed as Structured
+  * Streaming sinks (SURVEY §2.1 S6/S7, §3.3).
+  *
+  * Offsets/exactly-once: the stream checkpoint directory replaces the
+  * Connect clusters' internal offset topics (docker-compose.yml:126-128)
+  * — on restart the query resumes from the last committed batch.
+  */
+object Sinks {
+
+  /** S6 — Iceberg-like append sink: every trigger (default 5 s, matching
+    * `iceberg.control.commit-interval-ms=5000`,
+    * connector-config.json:27) appends the micro-batch to the snapshot
+    * catalog with auto-create + BACKWARD-gated schema evolution
+    * (connector-config.json:5,19-23). Each micro-batch = one atomic
+    * snapshot commit, mirroring the sink's commit cadence.
+    */
+  def icebergLike(
+      events: DataFrame,
+      catalog: SnapshotCatalog,
+      ns: String,
+      table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!catalog.tableExists(ns, table))          // auto-create-enabled
+          catalog.createTable(ns, table, batch.schema)
+        catalog.append(ns, table, batch): Unit        // evolve inside
+      }
+
+  /** S7 — event-time partitioned parquet sink
+    * (s3-connector-config.json:15-25): paths
+    * `year=YYYY/month=MM/day=dd/hour=HH` derived from the RECORD's
+    * timestamp field (epoch millis, UTC), zero-padded to match the
+    * connector's `path.format`; `flush.size=1000` becomes
+    * maxRecordsPerFile, `rotate.interval.ms=10000` the 10 s trigger.
+    */
+  def partitionedParquet(
+      events: DataFrame,
+      tsMsCol: String,
+      outputDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    withEventTimePartitions(events, tsMsCol).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .option("maxRecordsPerFile", 1000)
+      .trigger(trigger)
+      .partitionBy("year", "month", "day", "hour")
+
+  /** The partition-column derivation, shared with batch writes and
+    * tested against the connector's path.format directly.
+    */
+  def withEventTimePartitions(df: DataFrame, tsMsCol: String): DataFrame = {
+    val ets = timestamp_millis(col(tsMsCol).cast("long"))
+    df.withColumn("year", date_format(ets, "yyyy"))
+      .withColumn("month", date_format(ets, "MM"))
+      .withColumn("day", date_format(ets, "dd"))
+      .withColumn("hour", date_format(ets, "HH"))
+  }
+}

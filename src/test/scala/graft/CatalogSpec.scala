@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.SnapshotCatalog
+import graft.schema.SchemaCompat
+
+class CatalogSpec extends SparkTestBase {
+
+  private def freshCatalog() = new SnapshotCatalog(spark, tmpDir("graft-cat"))
+
+  private val schemaV1 = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  test("create / list namespaces and tables") {
+    val cat = freshCatalog()
+    cat.createNamespace("default_db")
+    cat.createTable("default_db", "purchase_events", schemaV1)
+    assert(cat.listNamespaces() == Seq("default_db"))
+    assert(cat.listTables("default_db") == Seq("purchase_events"))
+    val meta = cat.describe("default_db", "purchase_events")
+    assert(meta.formatVersion == 2)
+    assert(meta.properties("write.format.default") == "parquet")
+    assert(meta.currentSnapshotId.isEmpty)
+  }
+
+  test("append commits snapshots with lineage; read sees current state") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    val meta = cat.describe("db", "t")
+    assert(meta.snapshots.map(_.snapshotId) == Seq(1L, 2L))
+    assert(meta.snapshots.last.parentId.contains(1L))
+    assert(meta.snapshots.last.sequenceNumber == 2L)
+    assert(cat.read("db", "t").count() == 3)
+  }
+
+  test("time travel reads an older snapshot by id") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    assert(cat.read("db", "t", snapshotId = Some(1L)).count() == 1)
+    assert(cat.read("db", "t", snapshotId = Some(2L)).count() == 2)
+    intercept[NoSuchElementException](cat.read("db", "t", Some(99L)).count())
+  }
+
+  test("schema evolution: added column null-pads old files on read") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((2L, 2.0, "x")).toDF("id", "v", "tag"))
+    val out = cat.read("db", "t")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    val old = out.filter(col("id") === 1L).select("tag").collect()
+    assert(old.head.isNullAt(0))
+    assert(out.filter(col("id") === 2L).select("tag").head().getString(0) == "x")
+  }
+
+  test("BACKWARD gate rejects drops and type changes") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // dropped column
+    intercept[IllegalArgumentException](
+      cat.append("db", "t", Seq(Tuple1(1L)).toDF("id")))
+    // type change
+    intercept[IllegalArgumentException](
+      cat.append("db", "t", Seq((1L, "s")).toDF("id", "v")))
+    // direct checker surface
+    val bad = SchemaCompat.evolve(schemaV1,
+      StructType(Seq(StructField("id", StringType))))
+    assert(bad.isLeft && bad.swap.toOption.get.size == 2)
+  }
+
+  test("empty table reads as empty with declared schema") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    val df = cat.read("db", "t")
+    assert(df.count() == 0 && df.schema == schemaV1)
+  }
+
+  test("commit is versioned: losing writer cannot overwrite metadata") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    // v00001 (create) and v00002 (append) both exist; pointer at 2
+    val metaDir = new java.io.File(s"${cat.warehouse}/db/t/metadata")
+    val versions = metaDir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(versions.toSeq == Seq("v00001.metadata.json", "v00002.metadata.json"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.write(
+        metaDir.toPath.resolve("v00002.metadata.json"), "x".getBytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    }
+  }
+}

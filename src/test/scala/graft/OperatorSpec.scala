@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class OperatorSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with other words entirely"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram Jaccard finds near and exact dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhash LSH with exact verification equals the exact operator") {
+    val exact = Dedup.ngramJaccard(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
+    val lsh = Dedup.minHashLsh(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within 3") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 4L)) == 0L)
+  }
+
+  test("cosine math matches hand-computed values") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val v = VectorFns.asDouble(col("embedding"))
+    val out = df.select(VectorFns.dot(v, v).as("d"), VectorFns.norm(v).as("n"))
+      .orderBy(col("d")).collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 1.0, 5.0))
+  }
+
+  test("knnExact ranks by cosine with deterministic tie-break") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnExact(df.filter(col("vec_id") === 1L), df, k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    // identical vec 4 first (sim 1.0), then 2, then orthogonal 3
+    assert(out.toSeq == Seq((1L, 4L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("nearDupPairs finds only the identical pair at high threshold") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(df, 0.99).collect()
+    assert(out.length == 1 &&
+      out.head.getLong(0) == 1L && out.head.getLong(1) == 3L)
+  }
+
+  test("lsh buckets are deterministic and co-locate identical vectors") {
+    val df = Seq(
+      (1L, Seq.fill(64)(1.0f)), (2L, Seq.fill(64)(1.0f)),
+      (3L, Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBuckets(df, 4, 64).orderBy("id").collect().map(_.getAs[Int]("bucket"))
+    val b2 = Similarity.lshBuckets(df, 4, 64).orderBy("id").collect().map(_.getAs[Int]("bucket"))
+    assert(b1.toSeq == b2.toSeq, "deterministic across runs")
+    assert(b1(0) == b1(1), "identical vectors share a bucket")
+  }
+
+  test("text functions: tokens, shingles, fingerprint, rolling hash") {
+    val df = Seq(("The  Quick,  brown FOX!!", "the quick brown fox")).toDF("a", "b")
+    val r = df.select(
+      TextFns.tokens(col("a")).as("ta"),
+      TextFns.fingerprint(col("a")).as("fa"),
+      TextFns.fingerprint(col("b")).as("fb"),
+      TextFns.rollingHash(col("a")).as("ha"),
+      TextFns.rollingHash(col("b")).as("hb"),
+      TextFns.wordShingles(col("b"), 3).as("sh")).head()
+    assert(r.getAs[scala.collection.Seq[String]]("ta").toSeq == Seq("the", "quick", "brown", "fox"))
+    // normalization makes differently-punctuated content hash equal
+    assert(r.getAs[String]("fa") == r.getAs[String]("fb"))
+    assert(r.getAs[Long]("ha") == r.getAs[Long]("hb"))
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq.sorted ==
+      Seq("quick brown fox", "the quick brown"))
+  }
+
+  test("wordShingles on short docs returns empty, not an error") {
+    val r = Seq(Tuple1("two words")).toDF("text")
+      .select(TextFns.wordShingles(col("text"), 3).as("sh")).head()
+    assert(r.getAs[scala.collection.Seq[String]]("sh").isEmpty)
+  }
+
+  test("multimodal mapPartitions plumbing produces deterministic features") {
+    import Multimodal._
+    val ds = Seq(
+      MediaRow(1L, "image/png", "fakebytes-one".getBytes("UTF-8")),
+      MediaRow(2L, "audio/wav", "fakebytes-two-longer".getBytes("UTF-8"))
+    ).toDS()
+    val out = extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(out.map(_.byte_len).toSeq == Seq(13L, 20L))
+    assert(out.forall(_.content_sha.length == 64))
+    assert(out.map(_.n_frames).toSeq == Seq(2, 3))
+    // re-run is identical (stub decode is content-deterministic)
+    val again = extractFeatures(ds).collect().sortBy(_.doc_id)
+    assert(again.toSeq == out.toSeq)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.SnapshotCatalog
+import graft.ingest.PurchaseEvents
+import graft.streaming.Sinks
+
+class StreamingSpec extends SparkTestBase {
+
+  /** File-source micro-batch stream over generated purchase events —
+    * the offline stand-in for the Kafka topic (SURVEY §2.1 S4).
+    */
+  private def startIngest(srcDir: String, cat: SnapshotCatalog, ckpt: String) = {
+    val stream = spark.readStream
+      .schema(PurchaseEvents.schema)
+      .parquet(srcDir)
+    Sinks.icebergLike(stream, cat, "default_db", "purchase_events",
+      checkpointDir = ckpt, trigger = Trigger.AvailableNow()).start()
+  }
+
+  test("iceberg-like sink: micro-batches become atomic snapshot commits") {
+    val src = tmpDir("graft-src")
+    val ckpt = tmpDir("graft-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wh"))
+
+    PurchaseEvents.batch(spark, 1700000000000L, 10).write
+      .mode("append").parquet(src)
+    val q1 = startIngest(src, cat, ckpt)
+    q1.awaitTermination()
+    assert(cat.read("default_db", "purchase_events").count() == 10)
+
+    // second wave of events; checkpoint resume must only ingest the delta
+    PurchaseEvents.batch(spark, 1700000050000L, 5).write
+      .mode("append").parquet(src)
+    val q2 = startIngest(src, cat, ckpt)
+    q2.awaitTermination()
+
+    val meta = cat.describe("default_db", "purchase_events")
+    assert(cat.read("default_db", "purchase_events").count() == 15)
+    assert(meta.snapshots.nonEmpty && meta.snapshots.size >= 2)
+    // lineage intact: every non-first snapshot points at its parent
+    val ids = meta.snapshots.map(_.snapshotId)
+    assert(meta.snapshots.tail.forall(s => ids.contains(s.parentId.get)))
+  }
+
+  test("partitioned parquet sink derives the connector's path format") {
+    // 2024-01-05 07:09:11 UTC → year=2024/month=01/day=05/hour=07
+    val ts = java.time.Instant.parse("2024-01-05T07:09:11Z").toEpochMilli
+    import spark.implicits._
+    val df = Seq((ts, "a"), (ts + 3600000L, "b")).toDF("ts_ms", "payload")
+    val out = tmpDir("graft-part")
+    Sinks.withEventTimePartitions(df, "ts_ms").write
+      .partitionBy("year", "month", "day", "hour")
+      .option("maxRecordsPerFile", 1000)
+      .mode("append").parquet(out)
+    val p1 = new java.io.File(s"$out/year=2024/month=01/day=05/hour=07")
+    val p2 = new java.io.File(s"$out/year=2024/month=01/day=05/hour=08")
+    assert(p1.isDirectory && p2.isDirectory, "zero-padded event-time paths")
+    // read back through partition discovery
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.filter(col("hour") === "07").select("payload").head().getString(0) == "a")
+  }
+
+  test("streamed partitioned sink writes through the same derivation") {
+    val src = tmpDir("graft-src2")
+    val out = tmpDir("graft-out2")
+    val ckpt = tmpDir("graft-ckpt2")
+    PurchaseEvents.batch(spark, 1704438551000L, 8).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(PurchaseEvents.schema).parquet(src)
+    val q = Sinks.partitionedParquet(stream, "timestamp", out, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 8)
+    assert(back.schema.fieldNames.contains("hour"))
+  }
+}
