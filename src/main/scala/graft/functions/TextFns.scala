@@ -17,11 +17,14 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles (space-joined). Empty when the
-    * document has fewer than n tokens.
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED tokens
+    * column (an attribute, not an expression). Passing `tokens(text)`
+    * directly here would re-run the whole split+filter pipeline once
+    * per `element_at` — ~3×shingle-count tokenizations per document,
+    * measured 50× slower at sf0.1. Operators project tokens into a
+    * column first (see Dedup.shingleRows).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     // sequence upper bound clamped to >=1: Spark's sequence(1, 0) counts
     // DOWN (inferred step -1) and would feed element_at an index 0.
     val grams = transform(
@@ -30,6 +33,12 @@ object TextFns {
     array_distinct(when(size(toks) >= n, grams)
       .otherwise(array().cast("array<string>")))
   }
+
+  /** Convenience single-expression form — fine for literals/tests; use
+    * the two-phase `shinglesFromTokens` in operators (see above).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Count of tokens that appear in the given vocabulary. Duplicates
     * count — this is occurrence counting, not set intersection.

@@ -1,0 +1,81 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * Why a custom Catalyst expression (builder preference order (b)):
+  * the `zip_with` + `aggregate` composition is semantically identical
+  * but materializes an intermediate product array and a boxed fold
+  * state per row — at 2M+ vector pairs that dominated the e02 bench
+  * (≈150 s). This expression generates a primitive double loop over
+  * the two `ArrayData`s inside WholeStageCodegen: no allocation, no
+  * boxing, auto-vectorizable by the JIT.
+  *
+  * Semantics: element-wise product summed over the common prefix
+  * length, left-to-right — the same accumulation order as the
+  * `aggregate` fold and DuckDB's list functions, keeping oracle
+  * comparisons bit-stable. Null arrays propagate null (NullIntolerant
+  * via BinaryExpression's default nullSafeEval path); null ELEMENTS are
+  * treated as 0 contribution.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double sum = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    sum += $a.getDouble(i) * $b.getDouble(i);
+         |  }
+         |}
+         |${ev.value} = sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  val FnName = "graft_dot"
+
+  /** Register in the session's function registry (idempotent), so the
+    * expression is reachable through the public Column API
+    * (`call_function`) and SQL alike.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** Column-level handle; requires `register(spark)` once per session. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(FnName, a, b)
+}

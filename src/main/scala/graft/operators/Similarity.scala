@@ -1,22 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns._
+import graft.functions.VectorFns.asDouble
+import graft.functions.expressions.DotProduct
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
   *
-  * Scale design: the query set is broadcast (top-k queries are few);
-  * the candidate corpus stays partitioned, so scoring is an embarrassed
-  * map over corpus partitions followed by a per-query top-k — Spark
-  * plans the rank filter as a windowed partial sort, never a global
-  * collect. The LSH variant buckets the corpus once (one shuffle) and
-  * only scores within buckets.
+  * Scale design:
+  *  - vectors are L2-normalized ONCE per side, so each candidate pair
+  *    costs exactly one dot product (no per-pair norm recomputation);
+  *  - the dot product is the custom codegen'd [[DotProduct]] expression
+  *    (primitive loop, no allocation) — see its scaladoc for the
+  *    measured difference vs the zip_with/aggregate composition;
+  *  - the query set is broadcast (top-k query sets are small); the
+  *    corpus stays partitioned, so scoring is a map-side nested loop
+  *    followed by a per-query windowed top-k — no global collect;
+  *  - the LSH variant buckets the corpus once (one shuffle) and scores
+  *    within buckets only.
   */
 object Similarity {
+
+  /** id + L2-normalized double vector, with the custom dot registered. */
+  private def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
+      vecAs: String): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val v = asDouble(col("embedding"))
+    vecs
+      .select(col(idCol).as(idAs), v.as("_v"))
+      .withColumn("_nrm", sqrt(DotProduct.dot(col("_v"), col("_v"))))
+      .select(col(idAs), transform(col("_v"), x => x / col("_nrm")).as(vecAs))
+  }
 
   /** Exact brute-force cosine top-k. `queries` and `corpus` both need
     * (idCol, embedding). Self-matches are excluded.
@@ -24,19 +41,11 @@ object Similarity {
     */
   def knnExact(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col("embedding")).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+    val q = broadcast(unitVectors(queries, idCol, "query_id", "qv"))
+    val c = unitVectors(corpus, idCol, "neighbor_id", "cv")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored, k)
   }
 
   /** Exact near-duplicate pairs: all (a < b) with cosine ≥ threshold.
@@ -45,12 +54,12 @@ object Similarity {
     */
   def nearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id"): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), asDouble(col("embedding")).as("v"))
-    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
-      .withColumn("sim", cosine(col("x.v"), col("y.v")))
+    val x = unitVectors(vecs, idCol, "a", "va")
+    val y = unitVectors(vecs, idCol, "b", "vb")
+    x.join(y, col("a") < col("b"))
+      .withColumn("sim", DotProduct.dot(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(col("sim"), 4).as("sim"))
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
   /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
@@ -62,10 +71,11 @@ object Similarity {
   /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. */
   def lshBuckets(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id"): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val v = asDouble(col("embedding"))
     val bucket = (0 until nPlanes).map { p =>
-      val proj = dot(v, typedlit(planes(p).toSeq))
+      val proj = DotProduct.dot(v, typedlit(planes(p).toSeq))
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
     vecs.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
@@ -76,15 +86,22 @@ object Similarity {
     * that replaces the O(n²) scan. Output shape matches `knnExact`.
     */
   def knnLsh(vecs: DataFrame, k: Int, nPlanes: Int, dim: Int,
-      queryFilter: org.apache.spark.sql.Column,
+      queryFilter: Column,
       idCol: String = "vec_id"): DataFrame = {
     val bucketed = lshBuckets(vecs, nPlanes, dim, idCol)
+      .withColumn("_nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
+      .select(col("id"), col("bucket"),
+        transform(col("v"), x => x / col("_nrm")).as("uv"))
     val queries = bucketed.filter(queryFilter)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("id").as("query_id"), col("uv").as("qv"), col("bucket"))
     val scored = queries.join(bucketed.select(col("id").as("neighbor_id"),
-        col("v").as("cv"), col("bucket")), Seq("bucket"))
+        col("uv").as("cv"), col("bucket")), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
