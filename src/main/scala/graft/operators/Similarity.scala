@@ -101,6 +101,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-style ANN: the corpus is clustered once into `nCells` cells
+    * (centroids = the first nCells vectors by id — deterministic,
+    * training-free seeding), each query probes its `nProbe` nearest
+    * cells and runs exact top-k inside them. One shuffle to bucket the
+    * corpus + a broadcast of the (tiny) centroid set: the standard
+    * scale path when sign-LSH bucket boundaries lose too much recall.
+    */
+  def knnIvf(vecs: DataFrame, k: Int, nCells: Int, nProbe: Int,
+      queryFilter: Column, idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = broadcast(unit.filter(col("id") < nCells)
+      .select(col("id").as("cid"), col("uv").as("cv")))
+    // rank all centroids per vector: rn=1 -> home cell; rn<=nProbe -> probes
+    val ranked = unit.join(centroids)
+      .withColumn("csim", DotProduct.dot(col("uv"), col("cv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCells = ranked.filter(col("crn") === 1)
+      .select(col("id").as("neighbor_id"), col("cid").as("cell"), col("uv").as("nv"))
+    val queryProbes = ranked.filter(queryFilter && col("crn") <= nProbe)
+      .select(col("id").as("query_id"), col("cid").as("cell"), col("uv").as("qv"))
+    val scored = queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("nv")))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

@@ -455,6 +455,81 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  // CUBE grouping sets — shared ANSI text runs in both engines.
+  private val q18Sql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q18Sql)
+  }
+
+  // ---------------------------------------------------------------- q19
+  // Subquery battery: correlated EXISTS, uncorrelated scalar, IN —
+  // exercises Catalyst decorrelation; shared ANSI text.
+  private val q19Sql =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |       (SELECT count(*) FROM orders) AS total_orders
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+      |  AND c_nationkey IN (
+      |    SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q19Sql)
+  }
+
+  // ---------------------------------------------------------------- q20
+  // As-of join: for each purchase event, the most recent click by the
+  // same user at or before it (AsOfJoin operator: union+window, one
+  // shuffle — see operator scaladoc).
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("pm"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("cm"))
+    AsOfJoin.asOf(purchases, clicks, keys = Seq("user_id"),
+        leftTs = "pm", rightTs = "cm", rightValue = "cm",
+        valueAs = "prev_click_ms")
+      .select("event_id", "user_id", "prev_click_ms")
+      .orderBy("event_id")
+  }
+
+  private val q20Sql =
+    """SELECT p.event_id, p.user_id, max(epoch_ms(c.ts)) AS prev_click_ms
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Sketch aggregates: HLL++ approximate distinct counts. No SQL
+  // oracle (approximation algorithms differ per engine) → rows-only.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        count(lit(1)).as("exact_rows"))
+      .orderBy("l_returnflag")
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -473,5 +548,9 @@ object Relational {
     QuerySpec("q14_sessionize", q14, Some(q14Sql)),
     QuerySpec("q15_generator", q15, Some(q15Sql)),
     QuerySpec("q16_partition_paths", q16, Some(q16Sql)),
-    QuerySpec("q17_json_extract", q17, Some(q17Sql)))
+    QuerySpec("q17_json_extract", q17, Some(q17Sql)),
+    QuerySpec("q18_cube", q18, Some(q18Sql)),
+    QuerySpec("q19_subqueries", q19, Some(q19Sql)),
+    QuerySpec("q20_asof_join", q20, Some(q20Sql)),
+    QuerySpec("q21_approx_distinct", q21, None))
 }

@@ -243,6 +243,15 @@ object TrainingData {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
+  // ---------------------------------------------------------------- e04
+  // IVF ANN (16 cells, 4 probes) — the clustering-based scale path.
+  // Recall < 1 by construction → rows-only check.
+  private def e04(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnIvf(embs(s, dir), k = 5, nCells = 16, nProbe = 4,
+      queryFilter = col("id") < 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
   // ---------------------------------------------------------------- m01
   // Multimodal binary-column plumbing with deterministic stub features.
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -269,5 +278,6 @@ object TrainingData {
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
+    QuerySpec("e04_ann_ivf", e04, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
 }

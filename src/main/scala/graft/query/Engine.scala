@@ -91,6 +91,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         s""""properties":{${props.mkString(",")}}}}"""
     }
 
+  /** R3 — LIMIT-0 schema probe (duckdb_rest_server.py:101-109): cheap
+    * path/schema validation with no job launched (df.schema only reads
+    * the parquet footer).
+    */
+  def schemaProbe(path: String): String =
+    Try(spark.read.parquet(path).schema) match {
+      case Success(schema) =>
+        val fields = schema.fields.map(f =>
+          s"""{"name":${jsonStr(f.name)},"type":${jsonStr(f.dataType.simpleString)}}""")
+        s"""{"schema":[${fields.mkString(",")}],"valid":true}"""
+      case Failure(e) => errorJson(e)
+    }
+
   /** C8 — health probe (duckdb_rest_server.py:62-65). */
   def health(): String = """{"status":"healthy"}"""
 

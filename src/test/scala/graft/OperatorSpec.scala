@@ -87,6 +87,40 @@ class OperatorSpec extends SparkTestBase {
     assert(b1(0) == b1(1), "identical vectors share a bucket")
   }
 
+  test("asOf join picks the latest right row at-or-before each left row") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("B", 160L, 20.0)).toDF("sym", "t", "px")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t", "px", "asof_px")
+      .orderBy("trade_id").collect()
+    // trade 1 at t=100: quote at exactly 100 (inclusive) -> 11.0
+    assert(out(0).getAs[Double]("asof_px") == 11.0)
+    // trade 2 at t=205: latest quote 200 -> 12.0
+    assert(out(1).getAs[Double]("asof_px") == 12.0)
+    // trade 3 (B) at t=150: only quote is at 160 (after) -> null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_px")))
+  }
+
+  test("knnIvf probes cover the home cell: self-cluster neighbors found") {
+    val df = (0L until 40L).map { i =>
+      // two well-separated clusters in 4-d
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Seq(0.0f, 1.0f, 0.0f, 0.0f)
+      (i, base.updated(2, (i % 5).toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.knnIvf(df, k = 3, nCells = 4,
+      nProbe = 2, queryFilter = col("id") < 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor of an even query is even (same cluster)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, ns) =>
+      assert(ns.forall(r => r.getAs[Long]("neighbor_id") % 2 == q % 2))
+    }
+  }
+
   test("text functions: tokens, shingles, fingerprint, rolling hash") {
     val df = Seq(("The  Quick,  brown FOX!!", "the quick brown fox")).toDF("a", "b")
     val r = df.select(
