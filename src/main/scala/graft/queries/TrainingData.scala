@@ -196,6 +196,49 @@ object TrainingData {
   private def t08(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(s, dir), maxHamming = 3).orderBy("a", "b")
 
+  // ---------------------------------------------------------------- t09
+  // TF-IDF: top-3 terms per document. tf × ln(N/df), deterministic
+  // (tfidf desc, term asc) ranking. The scalar corpus size N rides a
+  // broadcast cross join — no driver-side count.
+  private def t09(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("_n") / col("df")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val t09Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($duckToks) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term AS term, tf * ln(n.n * 1.0 / df) AS tfidf
+       |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, round(tfidf, 4) AS tfidf
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -275,6 +318,7 @@ object TrainingData {
     QuerySpec("t06_fingerprint", t06, Some(t06Sql)),
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(jaccardOracle)),
     QuerySpec("t08_dedup_simhash", t08, None),
+    QuerySpec("t09_tfidf", t09, Some(t09Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

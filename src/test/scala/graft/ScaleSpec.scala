@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Scale-mechanism tests: salting equivalence and bucketed co-located
+  * joins (shuffle elimination), per the builder's 100 TB design
+  * mandate.
+  */
+class ScaleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    // one hot key with 50k rows, 100 cold keys
+    val hot = spark.range(50000).select(lit("HOT").as("k"), (col("id") % 7).as("v"))
+    val cold = spark.range(100).select(concat(lit("c"), col("id")).as("k"), col("id").as("v"))
+    val df = hot.union(cold)
+
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAgg(df, keys = Seq("k"), salts = 16, sums = Seq("v"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val left = spark.range(20000).select(lit("HOT").as("k"), col("id"))
+      .union(spark.range(50).select(concat(lit("c"), col("id")).as("k"), col("id")))
+    val right = Seq(("HOT", 1.0), ("c1", 2.0), ("c2", 3.0)).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).agg(
+      count(lit(1)).as("n"), round(sum(col("id") * col("w")), 2).as("s")).collect().toSeq
+    val salted = Skew.saltedJoin(left, right, Seq("k"), salts = 8).agg(
+      count(lit(1)).as("n"), round(sum(col("id") * col("w")), 2).as("s")).collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse dir; managed tables are dropped (data removed) below
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+    val joined = spark.table("li_bucketed").join(spark.table("ord_bucketed"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: bucket layout replaces both shuffle exchanges
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no shuffle exchange in bucketed join plan:\n$plan")
+    assert(joined.count() == li.count())
+
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE ord_bucketed")
+  }
+}
