@@ -78,6 +78,24 @@ object PurchaseEvents {
       prevPurchases(ts).as("previous_purchases"))                        // G8
   }
 
+  /** Live stream of generated events at the reference's cadence (G9:
+    * one event per 5 s loop, kafka_publisher.py:350,376): the
+    * rate-micro-batch source emits `rowsPerBatch` rows per trigger with
+    * event time advancing 5000 ms per batch, and the same derivation
+    * expressions as the batch path produce the events. `startMs`
+    * makes the stream fully deterministic for tests.
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession,
+      rowsPerBatch: Int = 1, startMs: Long = 0L): DataFrame = {
+    val rate = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("advanceMillisPerBatch", "5000")
+      .option("startTimestamp", startMs.toString)
+      .load()
+      .select(unix_millis(col("timestamp")).as("ts_ms"))
+    fromTimestampMs(rate, "ts_ms")
+  }
+
   /** Deterministic batch of events: one per `stepMs` starting at
     * `startMs` — the batch analogue of the 5 s producer loop (G9,
     * kafka_publisher.py:350,376).

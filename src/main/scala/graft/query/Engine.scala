@@ -25,7 +25,25 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     * DuckDB dialect via `rewriteDialect`.
     */
   def sqlQuery(sql: String, limit: Int = 1000): String =
-    envelope(Try(spark.sql(rewriteDialect(sql)).limit(limit)))
+    envelope(Try(spark.sql(rewriteGlob(rewriteDialect(sql))).limit(limit)))
+
+  /** Rewrite DuckDB's `glob('<pattern>')` table function
+    * (duckdb_rest_server.py:111: `SELECT * FROM glob('{path}')`) into
+    * an inline VALUES relation of the matching file names (column
+    * `file`, as DuckDB names it). The listing runs driver-side at
+    * rewrite time — same observable semantics.
+    */
+  private def rewriteGlob(sql: String): String =
+    Engine.GlobRe.replaceAllIn(sql, m => {
+      val p = new HPath(m.group(1))
+      val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+      val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .map(_.getPath.toString).sorted
+      val rows =
+        if (files.isEmpty) "(CAST(NULL AS STRING))"
+        else files.map(f => s"('${f.replace("'", "''")}')").mkString(", ")
+      scala.util.matching.Regex.quoteReplacement(s"(VALUES $rows) AS glob_t(file)")
+    })
 
   /** Canned `SELECT * FROM parquet LIMIT n`
     * (duckdb_rest_server.py:126-135; default 5).
@@ -109,11 +127,30 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
 
   private def envelope(df: Try[DataFrame]): String = df match {
     case Success(d) =>
-      Try(d.toJSON.collect()) match {
+      Try(epochMillisTimestamps(d).toJSON.collect()) match {
         case Success(rows) => s"""{"records":[${rows.mkString(",")}]}"""
         case Failure(e) => errorJson(e)
       }
     case Failure(e) => errorJson(e)
+  }
+
+  /** JSON fidelity (SURVEY §7.4 risk 3): the reference's DuckDB path
+    * renders timestamps as epoch MILLISECONDS (pandas
+    * `to_json(orient='records')` default, duckdb_rest_server.py:81-82);
+    * Spark's toJSON renders ISO strings. Convert top-level timestamp
+    * columns to epoch millis so the wire format matches.
+    */
+  private def epochMillisTimestamps(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val cols = d.schema.fields.map {
+      case f if f.dataType == TimestampType =>
+        unix_millis(col(f.name)).as(f.name)
+      case f if f.dataType == TimestampNTZType =>
+        unix_millis(col(f.name).cast(TimestampType)).as(f.name)
+      case f => col(f.name)
+    }
+    d.select(cols.toSeq: _*)
   }
 }
 
@@ -127,6 +164,9 @@ object Engine {
     */
   private val ReadParquetRe =
     raw"(?i)read_parquet\(\s*'([^']+)'\s*\)".r
+
+  private[query] val GlobRe =
+    raw"(?i)glob\(\s*'([^']+)'\s*\)".r
 
   def rewriteDialect(sql: String): String =
     ReadParquetRe.replaceAllIn(sql, m => s"parquet.`${m.group(1)}`")

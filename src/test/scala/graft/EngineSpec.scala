@@ -83,6 +83,30 @@ class EngineSpec extends SparkTestBase {
     assert("\"timestamp\"".r.findAllIn(snap1).size == 25)
   }
 
+  test("glob() table function rewrite lists matching files") {
+    val out = engine.sqlQuery(
+      s"SELECT count(*) AS n FROM glob('$sf0001/*.parquet')")
+    assert(out == """{"records":[{"n":10}]}""")
+    val named = engine.sqlQuery(
+      s"SELECT file FROM glob('$sf0001/region.parquet')")
+    assert(named.contains("region.parquet"))
+  }
+
+  test("timestamps render as epoch millis in JSON envelopes (pandas parity)") {
+    val out = engine.sqlQuery(
+      s"SELECT o_orderkey, o_orderdate FROM parquet.`$sf0001/orders.parquet` " +
+        "ORDER BY o_orderkey LIMIT 1")
+    // ISO strings would contain '-'; epoch millis are plain digits
+    assert("\"o_orderdate\":\\d+".r.findFirstIn(out).isDefined, out)
+  }
+
+  test("rate-source generator stream has the event schema and streams") {
+    val s = graft.ingest.PurchaseEvents.stream(spark)
+    assert(s.isStreaming)
+    assert(s.schema.fieldNames.toSeq ==
+      graft.ingest.PurchaseEvents.schema.fieldNames.toSeq)
+  }
+
   test("dialect rewrite is literal and idempotent") {
     assert(Engine.rewriteDialect("SELECT * FROM read_parquet('/a/b.parquet')")
       == "SELECT * FROM parquet.`/a/b.parquet`")
