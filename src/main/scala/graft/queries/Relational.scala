@@ -530,6 +530,47 @@ object Relational {
         count(lit(1)).as("exact_rows"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q22
+  // Pivot: event counts per user × event type. The oracle states the
+  // same contract as ANSI conditional aggregation.
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private val q22Sql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // Collection functions: grouped array building (sorted for
+  // determinism), rendered to strings so the comparison format is
+  // engine-neutral; plus array stats over the aggregated values.
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+        size(collect_list(col("event_id"))).cast("long").as("n_ids"),
+        round(aggregate(collect_list(col("value")), lit(0.0), (a, v) => a + v), 2)
+          .as("value_sum"))
+      .orderBy("user_id")
+
+  private val q23Sql =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |  count(event_id) AS n_ids,
+      |  round(sum(value), 2) AS value_sum
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -552,5 +593,7 @@ object Relational {
     QuerySpec("q18_cube", q18, Some(q18Sql)),
     QuerySpec("q19_subqueries", q19, Some(q19Sql)),
     QuerySpec("q20_asof_join", q20, Some(q20Sql)),
-    QuerySpec("q21_approx_distinct", q21, None))
+    QuerySpec("q21_approx_distinct", q21, None),
+    QuerySpec("q22_pivot", q22, Some(q22Sql)),
+    QuerySpec("q23_collection_fns", q23, Some(q23Sql)))
 }

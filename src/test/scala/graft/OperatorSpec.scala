@@ -144,6 +144,19 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getAs[scala.collection.Seq[String]]("sh").isEmpty)
   }
 
+  test("WeightedMean aggregator: typed, mergeable, matches hand computation") {
+    import org.apache.spark.sql.functions.udaf
+    val wm = udaf(graft.functions.WeightedMean)
+    val df = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0)).toDF("x", "w")
+    val got = df.repartition(3) // force partial + merge across partitions
+      .agg(wm(col("x"), col("w")).as("wmean")).head().getDouble(0)
+    assert(math.abs(got - 2.5) < 1e-12) // (1*1 + 3*3 + 10*0) / (1+3+0)
+    // empty weights -> NaN, not divide-by-zero
+    val empty = Seq((1.0, 0.0)).toDF("x", "w")
+      .agg(wm(col("x"), col("w"))).head().getDouble(0)
+    assert(empty.isNaN)
+  }
+
   test("multimodal mapPartitions plumbing produces deterministic features") {
     import Multimodal._
     val ds = Seq(
