@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Each query is executed twice and the faster run reported — the first
+  * Each query is executed three times and the fastest run reported — the first
   * execution of a query pays JIT/codegen warm-up that a long-lived
-  * cluster never sees per-query, and single-shot timings on a shared
-  * 32-thread box showed up to 10× run-to-run variance.
+  * cluster never sees per-query, and single-shot timings on this shared
+  * box showed up to 10× run-to-run variance from external load bursts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,9 +29,8 @@ object Bench {
     }
 
     val results = SparkEntry.specs.map { spec =>
-      val a = once(spec.run)
-      val b = once(spec.run)
-      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val runs = Seq.fill(3)(once(spec.run))
+      val best = if (runs.exists(_ < 0)) -1.0 else runs.min
       spark.catalog.clearCache() // drop operator-internal persists
       spec.name -> best
     }

@@ -25,9 +25,13 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every table as a temp view so `spark.sql` pass-through
-    * (SURVEY.md §2 R6) sees the same relation names as the DuckDB oracle.
+  /** Register tables as temp views so `spark.sql` pass-through
+    * (SURVEY.md §2 R6) sees the same relation names as the DuckDB
+    * oracle. Registering a view reads the parquet footer (schema
+    * inference), so callers that know their relations pass `only` to
+    * avoid ~10 footer reads of fixed cost per query.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String,
+      only: Seq[String] = names): Unit =
+    only.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -213,7 +213,7 @@ object Relational {
   // analyzer plans the identical Aggregate+Expand without complaint.
   // nation/region are auto-broadcast (far under the 10 MB threshold).
   private def q07(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.registerAll(s, dir, Seq("customer", "nation", "region"))
     s.sql(q07Sql)
   }
 
@@ -337,7 +337,7 @@ object Relational {
       |ORDER BY seg, rk""".stripMargin
 
   private def q12(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.registerAll(s, dir, Seq("customer", "orders"))
     s.sql(q12Sql)
   }
 
@@ -466,7 +466,7 @@ object Relational {
       |ORDER BY priority, status""".stripMargin
 
   private def q18(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.registerAll(s, dir, Seq("orders"))
     s.sql(q18Sql)
   }
 
@@ -487,7 +487,7 @@ object Relational {
       |ORDER BY c_mktsegment""".stripMargin
 
   private def q19(s: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(s, dir)
+    Tables.registerAll(s, dir, Seq("customer", "orders", "nation"))
     s.sql(q19Sql)
   }
 
