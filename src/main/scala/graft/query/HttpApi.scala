@@ -1,0 +1,127 @@
+package graft.query
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The reference's two Flask REST servers as real HTTP endpoints over
+  * the engine facade (JDK built-in HttpServer — no extra deps):
+  *
+  *  - `Kind.Sql`     → the DuckDB REST surface (`:8888`,
+  *    duckdb_rest_server.py): `POST /query` {"query","limit"},
+  *    `GET /list_parquet?path=`, `GET /query_parquet?path=&limit=`,
+  *    `GET /health`;
+  *  - `Kind.Catalog` → the PyIceberg REST surface (`:8889`,
+  *    pyiceberg_rest_server.py): `GET /health`, `GET /namespaces`,
+  *    `GET /tables?namespace=`, `GET /table?namespace=&table=`,
+  *    `POST /query` {"namespace","table","limit"}.
+  *
+  * Status codes mirror the reference: 400 on missing body fields
+  * (duckdb_rest_server.py:70-71), 404 on missing table
+  * (pyiceberg_rest_server.py:167-168,230-231), 500 on execution errors
+  * wrapped in the `{"error": …}` envelope.
+  */
+class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
+
+  import HttpApi._
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = {
+    kind match {
+      case Kind.Sql =>
+        route("/health")(_ => (200, engine.health()))
+        route("/query") { ex =>
+          val body = readBody(ex)
+          jsonField(body, "query") match {
+            case None => (400, """{"error":"No query provided"}""")
+            case Some(q) =>
+              val limit = jsonIntField(body, "limit").getOrElse(1000)
+              val out = engine.sqlQuery(q, limit)
+              (if (out.startsWith("""{"error"""")) 500 else 200, out)
+          }
+        }
+        route("/list_parquet") { ex =>
+          val path = queryParam(ex, "path").getOrElse("")
+          val out = engine.listParquet(path)
+          (if (out.startsWith("""{"error"""")) 500 else 200, out)
+        }
+        route("/query_parquet") { ex =>
+          val path = queryParam(ex, "path").getOrElse("")
+          val limit = queryParam(ex, "limit").flatMap(_.toIntOption).getOrElse(5)
+          val out = engine.queryParquet(path, limit)
+          (if (out.startsWith("""{"error"""")) 500 else 200, out)
+        }
+      case Kind.Catalog =>
+        route("/health")(_ => (200, engine.health()))
+        route("/namespaces")(_ => (200, engine.listNamespaces()))
+        route("/tables") { ex =>
+          (200, engine.listTables(
+            queryParam(ex, "namespace").getOrElse("default_db")))
+        }
+        route("/table") { ex =>
+          val out = engine.describeTable(
+            queryParam(ex, "namespace").getOrElse("default_db"),
+            queryParam(ex, "table").getOrElse("purchase_events"))
+          (if (out.startsWith("""{"error"""")) 404 else 200, out)
+        }
+        route("/query") { ex =>
+          val body = readBody(ex)
+          val out = engine.queryTable(
+            jsonField(body, "namespace").getOrElse("default_db"),
+            jsonField(body, "table").getOrElse("purchase_events"),
+            jsonIntField(body, "limit").getOrElse(100))
+          (if (out.startsWith("""{"error"""")) 404 else 200, out)
+        }
+    }
+    server.setExecutor(null)
+    server.start()
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def route(path: String)(handler: HttpExchange => (Int, String)): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val (code, body) =
+        try handler(ex)
+        catch { case e: Throwable => (500, Engine.errorJson(e)) }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+}
+
+object HttpApi {
+
+  sealed trait Kind
+  object Kind {
+    case object Sql extends Kind      // duckdb_rest_server.py surface
+    case object Catalog extends Kind  // pyiceberg_rest_server.py surface
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap(_.split('&').collectFirst {
+      case kv if kv.takeWhile(_ != '=') == name =>
+        java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
+    })
+
+  // Minimal JSON field extraction for the two flat request shapes the
+  // reference accepts ({"query": "...", "limit": n} and
+  // {"namespace": "...", "table": "...", "limit": n}).
+  private[query] def jsonField(body: String, name: String): Option[String] =
+    (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(body)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  private[query] def jsonIntField(body: String, name: String): Option[Int] =
+    (s""""$name"\\s*:\\s*(-?\\d+)""").r
+      .findFirstMatchIn(body).map(_.group(1).toInt)
+}

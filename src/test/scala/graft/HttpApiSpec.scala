@@ -1,0 +1,100 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.catalog.SnapshotCatalog
+import graft.ingest.PurchaseEvents
+import graft.query.{Engine, HttpApi}
+
+/** Drives the real HTTP surface end-to-end: both reference servers'
+  * routes, request bodies, and status codes (duckdb_rest_server.py /
+  * pyiceberg_rest_server.py / rest-api.http).
+  */
+class HttpApiSpec extends SparkTestBase {
+
+  private lazy val engine: Engine = {
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http"))
+    cat.createTable("default_db", "purchase_events", PurchaseEvents.schema)
+    cat.append("default_db", "purchase_events",
+      PurchaseEvents.batch(spark, 1700000000000L, 12))
+    new Engine(spark, cat)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, pathQ: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathQ")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("duckdb-style server: /query, /query_parquet, /list_parquet, /health") {
+    val api = new HttpApi(engine, HttpApi.Kind.Sql)
+    api.start()
+    try {
+      val p = api.boundPort
+      assert(get(p, "/health") == (200, """{"status":"healthy"}"""))
+
+      // arbitrary SQL in the reference's own dialect (README.md:288 shape)
+      val (c1, b1) = post(p, "/query",
+        s"""{"query": "SELECT * FROM read_parquet('$sf0001/region.parquet') LIMIT 3", "limit": 1000}""")
+      assert(c1 == 200 && "\"r_name\"".r.findAllIn(b1).size == 3)
+
+      // missing query -> 400, duckdb_rest_server.py:70-71
+      assert(post(p, "/query", "{}") ==
+        (400, """{"error":"No query provided"}"""))
+
+      // bad SQL -> 500 + error envelope
+      val (c2, b2) = post(p, "/query", """{"query": "SELECT FROM"}""")
+      assert(c2 == 500 && b2.startsWith("""{"error":"""))
+
+      val (c3, b3) = get(p, s"/query_parquet?path=$sf0001/nation.parquet&limit=4")
+      assert(c3 == 200 && "\"n_name\"".r.findAllIn(b3).size == 4)
+
+      val (c4, b4) = get(p, s"/list_parquet?path=$sf0001/*.parquet")
+      assert(c4 == 200 && b4.endsWith(""","count":10}"""))
+    } finally api.stop()
+  }
+
+  test("pyiceberg-style server: catalog routes + table query + 404s") {
+    val api = new HttpApi(engine, HttpApi.Kind.Catalog)
+    api.start()
+    try {
+      val p = api.boundPort
+      assert(get(p, "/health")._1 == 200)
+      assert(get(p, "/namespaces") == (200, """{"namespaces":["default_db"]}"""))
+      assert(get(p, "/tables?namespace=default_db")._2.contains("purchase_events"))
+
+      val (ci, bi) = get(p, "/table?namespace=default_db&table=purchase_events")
+      assert(ci == 200 && bi.contains(""""format_version":2"""))
+
+      // rest-api.http:29-36 — POST /query with limit 10
+      val (cq, bq) = post(p, "/query",
+        """{"namespace": "default_db", "table": "purchase_events", "limit": 10}""")
+      assert(cq == 200 && "\"action\"".r.findAllIn(bq).size == 10)
+
+      // rest-api.http:53-60 — missing table -> 404 + error envelope
+      val (cm, bm) = post(p, "/query",
+        """{"namespace": "default_db", "table": "another_table", "limit": 10}""")
+      assert(cm == 404 &&
+        bm == """{"error":"Table default_db.another_table does not exist"}""")
+      assert(get(p, "/table?namespace=nope&table=missing")._1 == 404)
+
+      // rest-api.http:65-71 — no limit -> default 100 (12 rows exist)
+      val (cd, bd) = post(p, "/query",
+        """{"namespace": "default_db", "table": "purchase_events"}""")
+      assert(cd == 200 && "\"action\"".r.findAllIn(bd).size == 12)
+    } finally api.stop()
+  }
+}
