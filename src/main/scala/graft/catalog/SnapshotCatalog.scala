@@ -106,36 +106,52 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def append(ns: String, name: String, df: DataFrame): TableMeta =
     synchronized {
-      val (version, meta) = loadMeta(ns, name)
-      val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      val evolved = SchemaCompat.evolve(current, df.schema) match {
-        case Right(s) => s
-        case Left(violations) =>
-          throw new IllegalArgumentException(
-            "schema not BACKWARD-compatible: " +
-              violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
-      }
-      val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
-      val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId")
+      // Data files are written once, into a dir keyed by a unique
+      // write id; the commit loop below re-reads table state on each
+      // optimistic-concurrency conflict and re-attaches the same files
+      // — the Iceberg retry protocol (files immutable, metadata
+      // contended).
+      val writeId = java.util.UUID.randomUUID().toString.take(8)
+      val snapDir = dataDir(ns, name).resolve(s"write-$writeId")
       df.write.parquet(snapDir.toString)
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val stats = collectFileStats(df.schema, newFiles)
-      val snap = SnapshotMeta(
-        snapshotId = snapshotId,
-        parentId = meta.currentSnapshotId,
-        sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
-        files = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-        rowCount = stats.map(_.rows).sum,
-        createdAtMs = System.currentTimeMillis(),
-        fileStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
-      val newMeta = meta.copy(
-        schemaJson = evolved.json,
-        currentSnapshotId = Some(snapshotId),
-        snapshots = meta.snapshots :+ snap)
-      commit(ns, name, version + 1, newMeta)
-      newMeta
+
+      var attempt = 0
+      while (true) {
+        val (version, meta) = loadMeta(ns, name)
+        val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        val evolved = SchemaCompat.evolve(current, df.schema) match {
+          case Right(s) => s
+          case Left(violations) =>
+            throw new IllegalArgumentException(
+              "schema not BACKWARD-compatible: " +
+                violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
+        }
+        val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        val snap = SnapshotMeta(
+          snapshotId = snapshotId,
+          parentId = meta.currentSnapshotId,
+          sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
+          files = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          rowCount = stats.map(_.rows).sum,
+          createdAtMs = System.currentTimeMillis(),
+          fileStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
+        val newMeta = meta.copy(
+          schemaJson = evolved.json,
+          currentSnapshotId = Some(snapshotId),
+          snapshots = meta.snapshots :+ snap)
+        try {
+          commit(ns, name, version + 1, newMeta)
+          return newMeta
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
+            attempt += 1 // lost the race: reload state and retry
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
   /** Manifest-style per-file min/max stats for numeric and timestamp
@@ -151,7 +167,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val statCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name -> col(f.name).cast("double")
       case f if f.dataType == TimestampType => f.name -> col(f.name).cast("double")
+      case f if f.dataType == StringType => f.name -> col(f.name)
     }.toSeq
+    val stringCols = schema.fields.collect {
+      case f if f.dataType == StringType => f.name }.toSet
     val aggs = count(lit(1)).as("_rows") +:
       statCols.flatMap { case (n, c) =>
         Seq(min(c).cast("string").as(s"_min_$n"), max(c).cast("string").as(s"_max_$n"))
@@ -170,11 +189,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         path = path,
         rows = r.getAs[Long]("_rows"),
         min = statCols.flatMap { case (n, _) =>
-          Option(r.getAs[String](s"_min_$n")).map(n -> _) }.toMap,
+          Option(r.getAs[String](s"_min_$n"))
+            .map(v => n -> (if (stringCols(n)) truncLower(v) else v)) }.toMap,
         max = statCols.flatMap { case (n, _) =>
-          Option(r.getAs[String](s"_max_$n")).map(n -> _) }.toMap)
+          Option(r.getAs[String](s"_max_$n"))
+            .map(v => n -> (if (stringCols(n)) truncUpper(v) else v)) }.toMap)
     }
   }
+
+  private val StatStringLen = 64
+
+  /** Iceberg-style bound truncation: a truncated LOWER bound rounds
+    * down for free; a truncated UPPER bound must be incremented at its
+    * last character to stay a valid upper bound.
+    */
+  private def truncLower(v: String): String = v.take(StatStringLen)
+
+  private def truncUpper(v: String): String =
+    if (v.length <= StatStringLen) v
+    else {
+      val t = v.take(StatStringLen)
+      t.init + (t.last + 1).toChar
+    }
 
   /** File-pruned read: skip data files whose [min, max] range for
     * `column` cannot intersect [lower, upper] — manifest pruning before
@@ -200,14 +236,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   /** The pruning decision, exposed for tests/inspection. */
   def prunedFiles(snap: SnapshotMeta, column: String,
-      lower: Double, upper: Double): Seq[String] = {
+      lower: Double, upper: Double): Seq[String] =
+    pruneBy(snap, column)((mn, mx) =>
+      !(mx.toDouble < lower || mn.toDouble > upper))
+
+  /** String-column pruning (lexicographic, truncation-safe bounds). */
+  def prunedFilesString(snap: SnapshotMeta, column: String,
+      lower: String, upper: String): Seq[String] =
+    pruneBy(snap, column)((mn, mx) => !(mx < lower || mn > upper))
+
+  private def pruneBy(snap: SnapshotMeta, column: String)(
+      intersects: (String, String) => Boolean): Seq[String] = {
     val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
     snap.files.filter { f =>
       statsByFile.get(f) match {
         case Some(s) =>
           (s.min.get(column), s.max.get(column)) match {
-            case (Some(mn), Some(mx)) =>
-              !(mx.toDouble < lower || mn.toDouble > upper)
+            case (Some(mn), Some(mx)) => intersects(mn, mx)
             case _ => true
           }
         case None => true
@@ -316,6 +361,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 }
 
 object SnapshotCatalog {
+
+  /** Optimistic-concurrency commit retries before giving up. */
+  val MaxCommitRetries = 10
 
   val DefaultProperties: Map[String, String] = Map(
     // mirrors connector-config.json:24-26

@@ -136,6 +136,45 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 4)
   }
 
+  test("string column stats: truncated bounds prune lexicographic ranges") {
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("cat", StringType)))
+    cat.createTable("db", "t", schema)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, "apple"), (2L, "banana")).toDF("id", "cat"))
+    cat.append("db", "t", Seq((3L, "yak" + "z" * 100), (4L, "zebra")).toDF("id", "cat"))
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    // truncated upper bound stays a valid upper bound
+    val longStat = snap.fileStats.flatMap(_.max.get("cat")).find(_.length <= 65)
+    assert(snap.fileStats.flatMap(_.max.get("cat")).forall(_.length <= 65))
+    val kept = cat.prunedFilesString(snap, "cat", "a", "c")
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"files ${snap.files.size} kept ${kept.size} ($longStat)")
+  }
+
+  test("concurrent writers: optimistic commit retry loses no appends") {
+    val wh = tmpDir("graft-race")
+    val catA = new SnapshotCatalog(spark, wh)
+    val catB = new SnapshotCatalog(spark, wh) // separate instance = real FS race
+    catA.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future {
+      (1 to 3).foreach(i => catA.append("db", "t", Seq((i.toLong, 1.0)).toDF("id", "v")))
+    }
+    val fb = Future {
+      (4 to 6).foreach(i => catB.append("db", "t", Seq((i.toLong, 2.0)).toDF("id", "v")))
+    }
+    Await.result(fa, 120.seconds)
+    Await.result(fb, 120.seconds)
+    val meta = catA.describe("db", "t")
+    assert(meta.snapshots.size == 6, meta.snapshots.map(_.snapshotId))
+    assert(catA.read("db", "t").count() == 6)
+  }
+
   test("commit is versioned: losing writer cannot overwrite metadata") {
     val cat = freshCatalog()
     cat.createTable("db", "t", schemaV1)
