@@ -101,30 +101,85 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF-style ANN: the corpus is clustered once into `nCells` cells
-    * (centroids = the first nCells vectors by id — deterministic,
-    * training-free seeding), each query probes its `nProbe` nearest
-    * cells and runs exact top-k inside them. One shuffle to bucket the
-    * corpus + a broadcast of the (tiny) centroid set: the standard
-    * scale path when sign-LSH bucket boundaries lose too much recall.
+  /** Deterministic training-free centroid seeding: the unit vectors of
+    * the first `nCells` ids (tiny driver collect — nCells × dim
+    * doubles).
+    */
+  def seedCentroids(vecs: DataFrame, nCells: Int,
+      idCol: String = "vec_id"): Array[Array[Double]] =
+    unitVectors(vecs, idCol, "id", "uv")
+      .filter(col("id") < nCells).orderBy("id")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("uv").toArray)
+
+  /** Spherical (cosine) k-means over the corpus: Lloyd iterations with
+    * deterministic seed centroids. Each iteration is one assignment
+    * pass (pure column expressions, no join) + one element-wise mean
+    * aggregation (posexplode → groupBy(cell, dim)); only K×dim doubles
+    * ever reach the driver. Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id"): Array[Array[Double]] = {
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = seedCentroids(vecs, k, idCol)
+    for (_ <- 1 to iters) {
+      val assigned = unit.withColumn("cell", homeCell(centroids))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("uv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) = r.getAs[Double]("m")
+      }
+      centroids = next.map { c => // re-normalize to the unit sphere
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) c else c.map(_ / n)
+      }
+    }
+    unit.unpersist()
+    centroids
+  }
+
+  /** argmax-cosine cell id against literal centroids — an expression,
+    * not a join: array of (sim, cid) structs, array_max picks the best
+    * (ties break to the larger cid, deterministically).
+    */
+  private def homeCell(centroids: Array[Array[Double]]): Column =
+    array_max(centroidSims(centroids)).getField("cid")
+
+  private def probeCells(centroids: Array[Array[Double]], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidSims(centroids))), 1, nProbe),
+      x => x.getField("cid"))
+
+  private def centroidSims(centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(DotProduct.dot(col("uv"), typedlit(c.toSeq)).as("s"),
+        lit(i).as("cid"))
+    }: _*)
+
+  /** IVF-style ANN: the corpus is bucketed into cells by argmax-cosine
+    * against a literal centroid set (default: deterministic seeded;
+    * pass `kmeansCentroids` output for trained cells); each query
+    * probes its `nProbe` nearest cells and runs exact top-k inside
+    * them. Cell assignment is a pure expression — the only shuffle is
+    * the probe-cell join. The standard scale path when sign-LSH bucket
+    * boundaries lose too much recall.
     */
   def knnIvf(vecs: DataFrame, k: Int, nCells: Int, nProbe: Int,
-      queryFilter: Column, idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+      queryFilter: Column, idCol: String = "vec_id",
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(vecs, nCells, idCol))
     val unit = unitVectors(vecs, idCol, "id", "uv")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val centroids = broadcast(unit.filter(col("id") < nCells)
-      .select(col("id").as("cid"), col("uv").as("cv")))
-    // rank all centroids per vector: rn=1 -> home cell; rn<=nProbe -> probes
-    val ranked = unit.join(centroids)
-      .withColumn("csim", DotProduct.dot(col("uv"), col("cv")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val corpusCells = ranked.filter(col("crn") === 1)
-      .select(col("id").as("neighbor_id"), col("cid").as("cell"), col("uv").as("nv"))
-    val queryProbes = ranked.filter(queryFilter && col("crn") <= nProbe)
-      .select(col("id").as("query_id"), col("cid").as("cell"), col("uv").as("qv"))
+    val corpusCells = unit
+      .withColumn("cell", homeCell(cents))
+      .select(col("id").as("neighbor_id"), col("cell"), col("uv").as("nv"))
+    val queryProbes = unit.filter(queryFilter)
+      .withColumn("cell", explode(probeCells(cents, nProbe)))
+      .select(col("id").as("query_id"), col("cell"), col("uv").as("qv"))
     val scored = queryProbes.join(corpusCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", DotProduct.dot(col("qv"), col("nv")))

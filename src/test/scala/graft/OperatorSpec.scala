@@ -112,6 +112,14 @@ class OperatorSpec extends SparkTestBase {
     }.toDF("vec_id", "embedding")
     val out = graft.operators.Similarity.knnIvf(df, k = 3, nCells = 4,
       nProbe = 2, queryFilter = col("id") < 4)
+    // trained variant: spherical k-means centroids must land one per
+    // cluster on well-separated data, giving perfect within-cluster ANN
+    val cents = graft.operators.Similarity.kmeansCentroids(df, k = 2, iters = 3)
+    val trained = graft.operators.Similarity.knnIvf(df, k = 3, nCells = 2,
+      nProbe = 1, queryFilter = col("id") < 4, centroids = Some(cents))
+    trained.collect().foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 2 == r.getAs[Long]("query_id") % 2)
+    }
     val rows = out.collect()
     assert(rows.nonEmpty)
     // every returned neighbor of an even query is even (same cluster)
