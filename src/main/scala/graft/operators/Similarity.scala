@@ -62,17 +62,20 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic random hyperplanes (fixed seed) for sign-LSH. */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
+  /** Deterministic random hyperplanes for sign-LSH; `seed` selects the
+    * hash table in multi-table (OR-amplified) search.
+    */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
   /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. */
   def lshBuckets(vecs: DataFrame, nPlanes: Int, dim: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
     DotProduct.register(vecs.sparkSession)
-    val planes = hyperplanes(nPlanes, dim)
+    val planes = hyperplanes(nPlanes, dim, seed)
     val v = asDouble(col("embedding"))
     val bucket = (0 until nPlanes).map { p =>
       val proj = DotProduct.dot(v, typedlit(planes(p).toSeq))
@@ -81,22 +84,28 @@ object Similarity {
     vecs.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
   }
 
-  /** ANN top-k via sign-LSH: score only within the query's bucket.
-    * Recall < 1 by construction (bucket boundaries); the scale path
-    * that replaces the O(n²) scan. Output shape matches `knnExact`.
+  /** ANN top-k via multi-table sign-LSH: `nTables` independent
+    * hyperplane sets (OR-amplification — a pair is a candidate when it
+    * collides in ANY table, recall 1-(1-r)^L), candidates unioned and
+    * scored once. The scale path that replaces the O(n²) scan; output
+    * shape matches `knnExact`.
     */
   def knnLsh(vecs: DataFrame, k: Int, nPlanes: Int, dim: Int,
       queryFilter: Column,
-      idCol: String = "vec_id"): DataFrame = {
-    val bucketed = lshBuckets(vecs, nPlanes, dim, idCol)
-      .withColumn("_nrm", sqrt(DotProduct.dot(col("v"), col("v"))))
-      .select(col("id"), col("bucket"),
-        transform(col("v"), x => x / col("_nrm")).as("uv"))
-    val queries = bucketed.filter(queryFilter)
-      .select(col("id").as("query_id"), col("uv").as("qv"), col("bucket"))
-    val scored = queries.join(bucketed.select(col("id").as("neighbor_id"),
-        col("uv").as("cv"), col("bucket")), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      idCol: String = "vec_id", nTables: Int = 4): DataFrame = {
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = (0 until nTables).map { t =>
+      val b = lshBuckets(vecs, nPlanes, dim, idCol, seed = 42L + t)
+        .select(col("id"), col("bucket"))
+      b.filter(queryFilter).select(col("id").as("query_id"), col("bucket"))
+        .join(b.select(col("id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    }.reduce(_ union _).distinct()
+    val scored = candidates
+      .join(unit.select(col("id").as("query_id"), col("uv").as("qv")), Seq("query_id"))
+      .join(unit.select(col("id").as("neighbor_id"), col("uv").as("cv")), Seq("neighbor_id"))
       .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
     topK(scored, k)
   }
