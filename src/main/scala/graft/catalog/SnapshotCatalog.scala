@@ -205,11 +205,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def truncLower(v: String): String = v.take(StatStringLen)
 
-  private def truncUpper(v: String): String =
+  /** Carries the increment leftward past maxed-out ('\uffff') chars,
+    * like Iceberg's truncate transform: incrementing only the last char
+    * would wrap '\uffff' to u0000 and produce a bound SMALLER than
+    * the data, silently pruning files that contain matching rows. If
+    * every truncated char is '\uffff' there is no valid finite upper
+    * bound — return the untruncated value.
+    */
+  private[graft] def truncUpper(v: String): String =
     if (v.length <= StatStringLen) v
     else {
-      val t = v.take(StatStringLen)
-      t.init + (t.last + 1).toChar
+      val t = v.take(StatStringLen).toCharArray
+      var i = t.length - 1
+      while (i >= 0 && t(i) == '\uffff') i -= 1
+      if (i < 0) v // all '\uffff': no incrementable position; keep full value
+      else {
+        t(i) = (t(i) + 1).toChar
+        new String(t, 0, i + 1)
+      }
     }
 
   /** File-pruned read: skip data files whose [min, max] range for

@@ -31,6 +31,8 @@ object Skew {
       salts: Int,
       sums: Seq[String] = Nil,
       counts: Boolean = true): DataFrame = {
+    require(counts || sums.nonEmpty,
+      "saltedAgg needs at least one aggregate: counts=true or a non-empty sums list")
     val salted = df.withColumn("_salt",
       pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val phase1Aggs =
@@ -57,6 +59,14 @@ object Skew {
       keys: Seq[String],
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // Right rows are replicated once per salt: for right/full outer the
+    // unmatched right rows would appear `salts` times, and right_semi/
+    // right_anti change cardinality the same way — only join types that
+    // never emit unmatched RIGHT rows are sound.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti/cross, not $joinType " +
+        "(replicated right rows would duplicate unmatched right output)")
     val l = left.withColumn("_salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)))
     val r = right.withColumn("_salt",

@@ -63,18 +63,17 @@ class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
             queryParam(ex, "namespace").getOrElse("default_db")))
         }
         route("/table") { ex =>
-          val out = engine.describeTable(
-            queryParam(ex, "namespace").getOrElse("default_db"),
+          val (ns, tbl) = (queryParam(ex, "namespace").getOrElse("default_db"),
             queryParam(ex, "table").getOrElse("purchase_events"))
-          (if (out.startsWith("""{"error"""")) 404 else 200, out)
+          val out = engine.describeTable(ns, tbl)
+          (errorStatus(out, engine, ns, tbl), out)
         }
         route("/query") { ex =>
           val body = readBody(ex)
-          val out = engine.queryTable(
-            jsonField(body, "namespace").getOrElse("default_db"),
-            jsonField(body, "table").getOrElse("purchase_events"),
-            jsonIntField(body, "limit").getOrElse(100))
-          (if (out.startsWith("""{"error"""")) 404 else 200, out)
+          val (ns, tbl) = (jsonField(body, "namespace").getOrElse("default_db"),
+            jsonField(body, "table").getOrElse("purchase_events"))
+          val out = engine.queryTable(ns, tbl, jsonIntField(body, "limit").getOrElse(100))
+          (errorStatus(out, engine, ns, tbl), out)
         }
     }
     server.setExecutor(null)
@@ -104,6 +103,15 @@ object HttpApi {
     case object Catalog extends Kind  // pyiceberg_rest_server.py surface
   }
 
+  /** 404 is reserved for missing tables (pyiceberg_rest_server.py:
+    * 167-168,230-231); an execution failure on an EXISTING table is 500.
+    */
+  private def errorStatus(out: String, engine: Engine,
+      ns: String, tbl: String): Int =
+    if (!out.startsWith("""{"error"""")) 200
+    else if (!engine.catalog.tableExists(ns, tbl)) 404
+    else 500
+
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
@@ -116,12 +124,43 @@ object HttpApi {
   // Minimal JSON field extraction for the two flat request shapes the
   // reference accepts ({"query": "...", "limit": n} and
   // {"namespace": "...", "table": "...", "limit": n}).
-  private[query] def jsonField(body: String, name: String): Option[String] =
+  private[graft] def jsonField(body: String, name: String): Option[String] =
     (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
       .findFirstMatchIn(body)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(m => unescapeJson(m.group(1)))
 
-  private[query] def jsonIntField(body: String, name: String): Option[Int] =
+  /** Full JSON string unescape, left-to-right in one pass (a sequential
+    * `.replace` chain mis-decodes overlaps like `\\"` and drops
+    * \n/\t/\uXXXX entirely).
+    */
+  private[graft] def unescapeJson(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out.append('"');  i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '/'  => out.append('/');  i += 2
+          case 'b'  => out.append('\b'); i += 2
+          case 'f'  => out.append('\f'); i += 2
+          case 'n'  => out.append('\n'); i += 2
+          case 'r'  => out.append('\r'); i += 2
+          case 't'  => out.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            try {
+              out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            } catch { case _: NumberFormatException => out.append(c); i += 1 }
+          case _ => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private[graft] def jsonIntField(body: String, name: String): Option[Int] =
     (s""""$name"\\s*:\\s*(-?\\d+)""").r
       .findFirstMatchIn(body).map(_.group(1).toInt)
 }

@@ -190,4 +190,20 @@ class CatalogSpec extends SparkTestBase {
         java.nio.file.StandardOpenOption.CREATE_NEW)
     }
   }
+
+  test("truncUpper carries past \\uffff so the bound stays >= the data") {
+    val cat = freshCatalog()
+    // plain case: last truncated char incremented
+    assert(cat.truncUpper("a" * 65) == "a" * 63 + "b")
+    // char 64 is uffff: increment must carry LEFT, not wrap to NUL
+    val v = "a" * 63 + "\uffff" + "zzz"
+    val up = cat.truncUpper(v)
+    assert(up == "a" * 62 + "b", s"got ${up.length} chars")
+    assert(up.compareTo(v) > 0, "upper bound must compare above the value")
+    // all-uffff prefix: no finite truncated bound exists; keep full value
+    val all = "\uffff" * 70
+    assert(cat.truncUpper(all) == all)
+    // short strings pass through untouched
+    assert(cat.truncUpper("abc") == "abc")
+  }
 }

@@ -97,4 +97,38 @@ class HttpApiSpec extends SparkTestBase {
       assert(cd == 200 && "\"action\"".r.findAllIn(bd).size == 12)
     } finally api.stop()
   }
+
+  test("execution error on an EXISTING table is 500, not 404") {
+    // Build a table whose metadata points at deleted data files: the
+    // table exists (pointer present) but the scan fails mid-execution.
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http-500"))
+    cat.createTable("default_db", "broken", PurchaseEvents.schema)
+    cat.append("default_db", "broken",
+      PurchaseEvents.batch(spark, 1700000000000L, 3))
+    cat.describe("default_db", "broken").currentSnapshot.get.files
+      .foreach(f => java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    val api = new HttpApi(new Engine(spark, cat), HttpApi.Kind.Catalog)
+    api.start()
+    try {
+      val p = api.boundPort
+      val (c, b) = post(p, "/query", """{"namespace": "default_db", "table": "broken"}""")
+      assert(c == 500 && b.startsWith("""{"error""""), s"$c $b")
+      // missing table still 404
+      assert(post(p, "/query", """{"table": "nope"}""")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("jsonField decodes all JSON string escapes") {
+    import graft.query.HttpApi.{jsonField, unescapeJson}
+    assert(jsonField("""{"query": "line1\nline2\tend"}""", "query")
+      .contains("line1\nline2\tend"))
+    assert(jsonField("""{"query": "quote \" back \\ slash"}""", "query")
+      .contains("""quote " back \ slash"""))
+    assert(jsonField("{\"query\": \"unicode \\u00e9\\u0041\"}", "query")
+      .contains("unicode éA"))
+    // the old sequential-replace bug: \\" must decode to backslash+quote-end,
+    // i.e. the escaped backslash must not swallow the quote escape
+    assert(unescapeJson("""a\\\"b""") == "a\\\"b")
+    assert(unescapeJson("""path\/x""") == "path/x")
+  }
 }

@@ -54,6 +54,30 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getDouble(1)).toSeq == Seq(1.0, 1.0, 5.0))
   }
 
+  test("two DotProducts in one codegen stage compile (freshName locals)") {
+    // CODEGEN_ONLY makes a janino compile failure throw instead of
+    // silently falling back to interpreted eval — the r01 bench showed
+    // 'Redefinition of local variable' when two dots shared a stage.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import graft.functions.expressions.DotProduct
+      DotProduct.register(spark)
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      val row = df.select(
+        DotProduct.dot(col("a"), col("b")).as("ab"),
+        DotProduct.dot(col("a"), col("a")).as("aa"),
+        DotProduct.dot(col("b"), col("b")).as("bb")).head()
+      assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 5.0 &&
+        row.getDouble(2) == 25.0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("knnExact ranks by cosine with deterministic tie-break") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),

@@ -37,6 +37,23 @@ class ScaleSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salted helpers reject unsound configurations") {
+    val df = Seq(("a", 1L)).toDF("k", "id")
+    val right = Seq(("a", 1.0)).toDF("k", "w")
+    // no aggregates at all -> reject instead of NoSuchElementException
+    intercept[IllegalArgumentException](
+      Skew.saltedAgg(df, Seq("k"), salts = 4, sums = Nil, counts = false))
+    // right/full outer would emit each unmatched right row `salts` times
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(df, right, Seq("k"), salts = 4, joinType = "right_outer"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(df, right, Seq("k"), salts = 4, joinType = "full"))
+    // left_anti is sound (unmatched LEFT rows appear once)
+    assert(Skew.saltedJoin(df.withColumnRenamed("id", "x"),
+      right.filter(col("k") =!= "a"), Seq("k"), salts = 4,
+      joinType = "left_anti").count() == 1)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse dir; managed tables are dropped (data removed) below
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
