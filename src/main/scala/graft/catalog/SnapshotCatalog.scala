@@ -258,6 +258,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       lower: String, upper: String): Seq[String] =
     pruneBy(snap, column)((mn, mx) => !(mx < lower || mn > upper))
 
+  /** One- or two-sided numeric pruning (None = unbounded on that side)
+    * — the shape the SQL predicate bridge produces ([[graft.query.Engine]]).
+    */
+  def prunedFilesRange(snap: SnapshotMeta, column: String,
+      lower: Option[Double], upper: Option[Double]): Seq[String] =
+    pruneBy(snap, column)((mn, mx) =>
+      lower.forall(lo => mx.toDouble >= lo) && upper.forall(hi => mn.toDouble <= hi))
+
+  /** One- or two-sided lexicographic pruning for string columns. */
+  def prunedFilesStringRange(snap: SnapshotMeta, column: String,
+      lower: Option[String], upper: Option[String]): Seq[String] =
+    pruneBy(snap, column)((mn, mx) =>
+      lower.forall(lo => mx >= lo) && upper.forall(hi => mn <= hi))
+
   private def pruneBy(snap: SnapshotMeta, column: String)(
       intersects: (String, String) => Boolean): Seq[String] = {
     val statsByFile = snap.fileStats.map(s => s.path -> s).toMap

@@ -22,10 +22,117 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
 
   /** 3.1 — arbitrary SQL pass-through (duckdb_rest_server.py:67-84),
     * default row cap 1000 (line 74). Accepts the reference README's
-    * DuckDB dialect via `rewriteDialect`.
+    * DuckDB dialect via `rewriteDialect`, and resolves snapshot-catalog
+    * tables (`ns.tbl`) with manifest pruning — see [[sqlDataFrame]].
     */
   def sqlQuery(sql: String, limit: Int = 1000): String =
-    envelope(Try(spark.sql(rewriteGlob(rewriteDialect(sql))).limit(limit)))
+    envelope(Try(sqlDataFrame(sql)._1.limit(limit)))
+
+  /** The SQL → snapshot-catalog bridge. Parses the query with
+    * Catalyst's parser (no regex SQL surgery for table detection),
+    * finds `ns.tbl` relations that live in [[SnapshotCatalog]], and for
+    * each extracts the conjunctive range predicates sitting directly
+    * above the relation (through aliases only — a filter there can
+    * only bind to that relation's own columns). The predicate bounds
+    * drive manifest file pruning (`prunedFilesRange`), so at 100 TB a
+    * `WHERE day = x` touches only the files whose min/max stats
+    * intersect — before Spark ever lists or footers them. The original
+    * WHERE stays in the query as the residual predicate, so results
+    * always equal the unpruned read.
+    *
+    * Each matched table is registered as a uniquely-named temp view
+    * over the (pruned) file list with the table's declared schema
+    * (schema evolution: old files null-pad), the reference is
+    * rewritten to the view name, and the view is dropped right after
+    * `spark.sql` analyzes the plan (the analyzed plan no longer needs
+    * the name). Returns the DataFrame plus per-table prune decisions.
+    */
+  private[graft] def sqlDataFrame(sql0: String): (DataFrame, Seq[Engine.PruneInfo]) = {
+    val sql = rewriteGlob(rewriteDialect(sql0))
+    val refs = Try(catalogRefs(sql)).getOrElse(Nil)
+    if (refs.isEmpty) return (spark.sql(sql), Nil)
+
+    var rewritten = sql
+    val views = scala.collection.mutable.ListBuffer.empty[String]
+    val infos = refs.map { ref =>
+      val snap = catalog.describe(ref.ns, ref.table).currentSnapshot
+      val (files, total) = snap match {
+        case None => (Nil, 0)
+        case Some(s) =>
+          val kept = ref.bounds.foldLeft(s.files) { case (acc, b) =>
+            val pruned = b match {
+              case Engine.NumBounds(c, lo, hi) => catalog.prunedFilesRange(s, c, lo, hi)
+              case Engine.StrBounds(c, lo, hi) => catalog.prunedFilesStringRange(s, c, lo, hi)
+            }
+            acc.intersect(pruned)
+          }
+          (kept, s.files.size)
+      }
+      val schema = catalog.schemaOf(ref.ns, ref.table)
+      val df =
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      val view = s"graft_${ref.ns}_${ref.table}_${java.util.UUID.randomUUID().toString.take(8)}"
+      df.createOrReplaceTempView(view)
+      views += view
+      rewritten = Engine.tableRefRe(ref.ns, ref.table)
+        .replaceAllIn(rewritten, scala.util.matching.Regex.quoteReplacement(view))
+      Engine.PruneInfo(s"${ref.ns}.${ref.table}", files.size, total)
+    }
+    try (spark.sql(rewritten), infos) // analyzes eagerly; views safe to drop
+    finally views.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** Catalog-table references in the parsed plan, with merged predicate
+    * bounds. A table referenced anywhere WITHOUT a directly-enclosing
+    * filter gets no bounds at all (the shared view must serve every
+    * occurrence); multiple filtered occurrences keep only columns
+    * bounded in all of them, with the loosest range.
+    */
+  private def catalogRefs(sql: String): Seq[Engine.CatalogRef] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, SubqueryAlias}
+
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    def nameOf(r: UnresolvedRelation): Option[(String, String)] =
+      r.multipartIdentifier match {
+        case Seq(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
+        case _ => None
+      }
+
+    // every occurrence, paired with the filter directly above (if any)
+    val occurrences = scala.collection.mutable.ListBuffer.empty[((String, String), Option[Seq[Engine.ColBounds]])]
+    plan.foreach {
+      case LFilter(cond, child) => strip(child) match {
+        case r: UnresolvedRelation => nameOf(r).foreach { k =>
+          occurrences += k -> Some(Engine.extractBounds(cond, catalog.schemaOf(k._1, k._2)))
+        }
+        case _ => ()
+      }
+      case r: UnresolvedRelation =>
+        // also counts the relations already matched above; reconciled below
+        nameOf(r).foreach(k => occurrences += k -> None)
+      case _ => ()
+    }
+    occurrences.groupBy(_._1).toSeq.sortBy(_._1).map { case ((ns, t), occ) =>
+      val filtered = occ.flatMap(_._2)
+      // plan.foreach visits each UnresolvedRelation once as itself (None)
+      // and possibly once via its Filter parent (Some): `filtered.size`
+      // filtered occurrences out of `bare` total.
+      val bare = occ.count(_._2.isEmpty)
+      val bounds =
+        if (filtered.size < bare || filtered.isEmpty) Nil
+        else filtered.reduce(Engine.mergeBounds)
+      Engine.CatalogRef(ns, t, bounds)
+    }
+  }
 
   /** Rewrite DuckDB's `glob('<pattern>')` table function
     * (duckdb_rest_server.py:111: `SELECT * FROM glob('{path}')`) into
@@ -170,6 +277,132 @@ object Engine {
 
   def rewriteDialect(sql: String): String =
     ReadParquetRe.replaceAllIn(sql, m => s"parquet.`${m.group(1)}`")
+
+  /** One table's prune outcome: `kept` of `total` manifest files. */
+  case class PruneInfo(table: String, kept: Int, total: Int)
+
+  /** Per-column predicate bounds (None = unbounded side). Exclusive
+    * comparisons are widened to inclusive — pruning may only ever keep
+    * EXTRA files, never skip a matching one.
+    */
+  private[graft] sealed trait ColBounds {
+    def column: String
+    def defined: Boolean
+  }
+  private[graft] case class NumBounds(column: String,
+      lower: Option[Double], upper: Option[Double]) extends ColBounds {
+    def defined: Boolean = lower.nonEmpty || upper.nonEmpty
+  }
+  private[graft] case class StrBounds(column: String,
+      lower: Option[String], upper: Option[String]) extends ColBounds {
+    def defined: Boolean = lower.nonEmpty || upper.nonEmpty
+  }
+  private[graft] case class CatalogRef(ns: String, table: String,
+      bounds: Seq[ColBounds])
+
+  /** Matches `ns.tbl` / `` `ns`.`tbl` `` as a table reference token
+    * (guards reject mid-identifier, mid-path, and `x.ns.tbl` hits).
+    */
+  private[graft] def tableRefRe(ns: String, t: String): scala.util.matching.Regex = {
+    val q = scala.util.matching.Regex.quote _
+    (s"(?i)(?<![\\w.`])(?:`${q(ns)}`|${q(ns)})\\s*\\.\\s*(?:`${q(t)}`|${q(t)})(?![\\w`])").r
+  }
+
+  /** Conjunctive range bounds on `schema`'s columns from an UNRESOLVED
+    * filter condition: only bare single-part attributes that name a
+    * column of this relation (a filter directly above the relation
+    * binds such names to it), compared to foldable literals. Anything
+    * else contributes nothing — never wrong, just unpruned.
+    */
+  private[graft] def extractBounds(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: org.apache.spark.sql.types.StructType): Seq[ColBounds] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    def colOf(e: Expression): Option[StructField] = e match {
+      case UnresolvedAttribute(Seq(n)) => schema.fields.find(_.name == n)
+      case _ => None
+    }
+    def numVal(l: Literal): Option[Double] = l.dataType match {
+      case _: NumericType => Option(l.value).map(_.toString.toDouble)
+      // stats store timestamps as epoch seconds (cast to double)
+      case TimestampType | TimestampNTZType =>
+        Option(l.value).map(_.asInstanceOf[Long] / 1e6)
+      case _ => None
+    }
+    def strVal(l: Literal): Option[String] =
+      if (l.dataType == StringType) Option(l.value).map(_.toString) else None
+
+    val num = scala.collection.mutable.Map.empty[String, (Option[Double], Option[Double])]
+    val str = scala.collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    // tightest bound wins inside one condition: max of lowers, min of uppers
+    def addNum(f: StructField, lo: Option[Double], hi: Option[Double]): Unit =
+      if (lo.nonEmpty || hi.nonEmpty) {
+        val (l0, h0) = num.getOrElse(f.name, (None, None))
+        num(f.name) = ((l0 ++ lo).maxOption, (h0 ++ hi).minOption)
+      }
+    def addStr(f: StructField, lo: Option[String], hi: Option[String]): Unit =
+      if (lo.nonEmpty || hi.nonEmpty) {
+        val (l0, h0) = str.getOrElse(f.name, (None, None))
+        str(f.name) = ((l0 ++ lo).maxOption, (h0 ++ hi).minOption)
+      }
+    def add(a: Expression, l: Literal, asLower: Boolean, asUpper: Boolean): Unit =
+      colOf(a).foreach { f =>
+        f.dataType match {
+          case _: NumericType | TimestampType | TimestampNTZType =>
+            numVal(l).foreach(v => addNum(f,
+              if (asLower) Some(v) else None, if (asUpper) Some(v) else None))
+          case StringType =>
+            strVal(l).foreach(v => addStr(f,
+              if (asLower) Some(v) else None, if (asUpper) Some(v) else None))
+          case _ => ()
+        }
+      }
+
+    conj(cond).foreach {
+      case GreaterThan(a, l: Literal)          => add(a, l, asLower = true,  asUpper = false)
+      case GreaterThanOrEqual(a, l: Literal)   => add(a, l, asLower = true,  asUpper = false)
+      case LessThan(a, l: Literal)             => add(a, l, asLower = false, asUpper = true)
+      case LessThanOrEqual(a, l: Literal)      => add(a, l, asLower = false, asUpper = true)
+      case EqualTo(a, l: Literal)              => add(a, l, asLower = true,  asUpper = true)
+      case EqualTo(l: Literal, a)              => add(a, l, asLower = true,  asUpper = true)
+      case GreaterThan(l: Literal, a)          => add(a, l, asLower = false, asUpper = true)
+      case GreaterThanOrEqual(l: Literal, a)   => add(a, l, asLower = false, asUpper = true)
+      case LessThan(l: Literal, a)             => add(a, l, asLower = true,  asUpper = false)
+      case LessThanOrEqual(l: Literal, a)      => add(a, l, asLower = true,  asUpper = false)
+      case _ => ()
+    }
+    (num.toSeq.map { case (c, (lo, hi)) => NumBounds(c, lo, hi) } ++
+      str.toSeq.map { case (c, (lo, hi)) => StrBounds(c, lo, hi) })
+      .filter(_.defined).sortBy(_.column)
+  }
+
+  /** Loosest common bounds across two filtered occurrences of the same
+    * table: only columns bounded in both survive, with min-lower /
+    * max-upper (None absorbs — an unbounded side stays unbounded).
+    */
+  private[graft] def mergeBounds(a: Seq[ColBounds], b: Seq[ColBounds]): Seq[ColBounds] = {
+    val byCol = b.map(x => x.column -> x).toMap
+    a.flatMap { ab =>
+      (ab, byCol.get(ab.column)) match {
+        case (NumBounds(c, lo1, hi1), Some(NumBounds(_, lo2, hi2))) =>
+          Some(NumBounds(c,
+            for { x <- lo1; y <- lo2 } yield math.min(x, y),
+            for { x <- hi1; y <- hi2 } yield math.max(x, y)))
+        case (StrBounds(c, lo1, hi1), Some(StrBounds(_, lo2, hi2))) =>
+          Some(StrBounds(c,
+            for { x <- lo1; y <- lo2 } yield Ordering[String].min(x, y),
+            for { x <- hi1; y <- hi2 } yield Ordering[String].max(x, y)))
+        case _ => None
+      }
+    }.filter(_.defined)
+  }
 
   private[query] def errorJson(e: Throwable): String =
     s"""{"error":${jsonStr(Option(e.getMessage).getOrElse(e.toString).take(500))}}"""

@@ -112,4 +112,83 @@ class EngineSpec extends SparkTestBase {
       == "SELECT * FROM parquet.`/a/b.parquet`")
     assert(Engine.rewriteDialect("SELECT 1") == "SELECT 1")
   }
+
+  // ------------------------- SQL → snapshot-catalog pruning bridge
+
+  private lazy val bridgeEngine: Engine = {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-bridge"))
+    cat.createTable("db", "m",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType))))
+    // three appends with disjoint id ranges -> 3+ prunable file groups
+    cat.append("db", "m", (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
+    cat.append("db", "m", (1000L to 1100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
+    cat.append("db", "m", (5000L to 5100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"))
+    new Engine(spark, cat)
+  }
+
+  test("sqlQuery resolves snapshot-catalog tables (no filter, no pruning)") {
+    val (df, infos) = bridgeEngine.sqlDataFrame("SELECT count(*) AS n FROM db.m")
+    assert(df.head().getLong(0) == 302)
+    assert(infos.size == 1 && infos.head.kept == infos.head.total)
+  }
+
+  test("WHERE range prunes manifest files; result equals unpruned") {
+    val (df, infos) = bridgeEngine.sqlDataFrame(
+      "SELECT count(*) AS n, sum(id) AS s FROM db.m WHERE id >= 1000 AND id <= 1100")
+    val r = df.head()
+    assert(r.getLong(0) == 101 && r.getLong(1) == (1000L to 1100L).sum)
+    val i = infos.head
+    assert(i.kept < i.total, s"expected pruning: $i")
+  }
+
+  test("one-sided + equality predicates prune; residual filter intact") {
+    val (df1, i1) = bridgeEngine.sqlDataFrame(
+      "SELECT count(*) AS n FROM db.m WHERE id > 4000")
+    assert(df1.head().getLong(0) == 101 && i1.head.kept < i1.head.total)
+    val (df2, i2) = bridgeEngine.sqlDataFrame(
+      "SELECT grp FROM db.m WHERE id = 1050")
+    assert(df2.head().getString(0) == "g0" && i2.head.kept < i2.head.total)
+    // residual applies INSIDE kept files: id=1050 pins one row, not a file
+    val (df3, _) = bridgeEngine.sqlDataFrame(
+      "SELECT count(*) AS n FROM db.m WHERE id = 1050")
+    assert(df3.head().getLong(0) == 1)
+  }
+
+  test("a second unfiltered occurrence disables pruning (shared view)") {
+    val (df, infos) = bridgeEngine.sqlDataFrame(
+      "SELECT (SELECT count(*) FROM db.m) AS total, count(*) AS part " +
+        "FROM db.m WHERE id <= 100")
+    val r = df.head()
+    assert(r.getLong(0) == 302 && r.getLong(1) == 100)
+    assert(infos.head.kept == infos.head.total, s"must not prune: ${infos.head}")
+  }
+
+  test("catalog table joins a raw parquet table in one SQL statement") {
+    val (df, _) = bridgeEngine.sqlDataFrame(
+      s"SELECT count(*) AS n FROM db.m m JOIN parquet.`$sf0001/region.parquet` r " +
+        "ON (m.id % 5) = r.r_regionkey WHERE m.id >= 5000")
+    assert(df.head().getLong(0) == 101)
+  }
+
+  test("bounds extraction: conjuncts, mirrored literals, strings, unknowns") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("s", StringType), StructField("other", BinaryType)))
+    val parse = (sql: String) => spark.sessionState.sqlParser.parseExpression(sql)
+    val b1 = Engine.extractBounds(
+      parse("a >= 10 AND a < 20 AND 5 <= a AND s = 'x' AND other = X'00' AND b OR c"), schema)
+    // OR at top level -> single non-And conjunct, nothing extracted from it;
+    // parse: "... AND b OR c" binds OR last, so whole expr is Or -> nothing.
+    assert(b1.isEmpty)
+    val b2 = Engine.extractBounds(
+      parse("a >= 10 AND a < 20 AND 5 <= a AND s = 'x' AND other = X'00'"), schema)
+    assert(b2 == Seq(
+      Engine.NumBounds("a", Some(10.0), Some(20.0)),
+      Engine.StrBounds("s", Some("x"), Some("x"))))
+    // unknown column and non-literal comparisons are ignored
+    assert(Engine.extractBounds(parse("zz > 1 AND a > a"), schema).isEmpty)
+  }
 }
