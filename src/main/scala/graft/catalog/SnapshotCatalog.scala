@@ -149,6 +149,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
             attempt += 1 // lost the race: reload state and retry
+            // the winner may not have moved the pointer yet, in which
+            // case the reload still sees the old version — back off so
+            // the pointer lands instead of burning all retries spinning
+            Thread.sleep(1L << math.min(attempt, 6))
         }
       }
       throw new IllegalStateException("unreachable")

@@ -530,6 +530,24 @@ object Relational {
         count(lit(1)).as("exact_rows"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q24
+  // TypedImperativeAggregate sketch surface: t-digest-style approximate
+  // quantiles (graft.functions.expressions.QuantileDigest) beside the
+  // exact values for self-auditing error bounds. No SQL oracle (digest
+  // algorithms differ per engine) → rows-only; the error bound itself
+  // is pinned in OperatorSpec.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.QuantileDigest.register(s)
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.expressions.QuantileDigest
+          .quantiles(col("l_extendedprice"), Seq(0.5, 0.95, 0.99))
+          .as("approx_price_q"),
+        count(lit(1)).as("exact_rows"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------------- q22
   // Pivot: event counts per user × event type. The oracle states the
   // same contract as ANSI conditional aggregation.
@@ -595,5 +613,6 @@ object Relational {
     QuerySpec("q20_asof_join", q20, Some(q20Sql)),
     QuerySpec("q21_approx_distinct", q21, None),
     QuerySpec("q22_pivot", q22, Some(q22Sql)),
-    QuerySpec("q23_collection_fns", q23, Some(q23Sql)))
+    QuerySpec("q23_collection_fns", q23, Some(q23Sql)),
+    QuerySpec("q24_approx_quantiles", q24, None))
 }

@@ -295,6 +295,51 @@ object TrainingData {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
+  // ---------------------------------------------------------------- e05
+  // LSH candidates → exact verify (round-2 VERDICT item 3): the scale
+  // shape for near-dup mining. e02's 0.45 threshold is LSH-hostile by
+  // the collision math (see Similarity.lshCandidatePairs scaladoc), so
+  // this query demonstrates the realistic HIGH-similarity dedup regime:
+  // the corpus is augmented with deterministically jittered copies
+  // (cosine ≈ 0.999 to their originals — the "same doc, re-encoded"
+  // case), candidates come from 6 sign-LSH tables of 8 planes
+  // (per-pair recall 1−(1−0.88)^6 ≈ 1−3e-6 at that similarity, ~2-6%
+  // of background pairs pass), and the exact codegen'd dot product
+  // runs ONLY over candidates. Hash-checked against the exact
+  // all-pairs DuckDB oracle on the same augmented set.
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // jitter BEFORE renaming vec_id: a lateral `(vec_id+100000).as
+    // ("vec_id")` alias in the same select shadows the input column
+    // inside the lambda (observed on Spark 4.1 — silently used the
+    // new id, breaking oracle parity)
+    val jit = base
+      .withColumn("_j", transform(col("embedding"),
+        x => x * (lit(1.0) + lit(0.05) * sin(x * 1000 + col("vec_id")))))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("_j").as("embedding"))
+    val aug = base.unionAll(jit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Similarity.lshCandidatePairs(aug, nPlanes = 8, dim = 64)
+    Similarity.nearDupPairs(aug, threshold = 0.9, candidates = Some(cand))
+      .orderBy("a", "b")
+  }
+
+  private val e05Sql =
+    """WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> x * (1.0 + 0.05 * sin(x * 1000 + vec_id)))
+      |  FROM embeddings
+      |)
+      |SELECT x.vec_id AS a, y.vec_id AS b,
+      |  round(list_cosine_similarity(x.v, y.v), 4) AS sim
+      |FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+      |WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+      |ORDER BY a, b""".stripMargin
+
   // ---------------------------------------------------------------- m01
   // Multimodal binary-column plumbing with deterministic stub features.
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -323,5 +368,6 @@ object TrainingData {
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
     QuerySpec("e04_ann_ivf", e04, None),
+    QuerySpec("e05_neardup_lsh_verified", e05, Some(e05Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
 }

@@ -72,7 +72,14 @@ class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
           val body = readBody(ex)
           val (ns, tbl) = (jsonField(body, "namespace").getOrElse("default_db"),
             jsonField(body, "table").getOrElse("purchase_events"))
-          val out = engine.queryTable(ns, tbl, jsonIntField(body, "limit").getOrElse(100))
+          // extension: {"filter_column","min","max"} routes the scan
+          // through manifest pruning (Engine.queryTable scaladoc)
+          val filter = jsonField(body, "filter_column").map(c =>
+            Engine.RangeFilter(c,
+              jsonNumField(body, "min"), jsonNumField(body, "max")))
+          val out = engine.queryTable(ns, tbl,
+            jsonIntField(body, "limit").getOrElse(100),
+            snapshotId = None, filter = filter)
           (errorStatus(out, engine, ns, tbl), out)
         }
     }
@@ -163,4 +170,8 @@ object HttpApi {
   private[graft] def jsonIntField(body: String, name: String): Option[Int] =
     (s""""$name"\\s*:\\s*(-?\\d+)""").r
       .findFirstMatchIn(body).map(_.group(1).toInt)
+
+  private[graft] def jsonNumField(body: String, name: String): Option[Double] =
+    (s""""$name"\\s*:\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)""").r
+      .findFirstMatchIn(body).map(_.group(1).toDouble)
 }

@@ -102,6 +102,37 @@ class CatalogSpec extends SparkTestBase {
     assert(pruned.count() == 100 && full.count() == 100)
   }
 
+  test("N concurrent appenders (separate catalog instances) lose no update") {
+    // round-2 VERDICT item 7: `synchronized` only guards ONE instance;
+    // cross-process safety rests on the CREATE_NEW optimistic commit.
+    // Simulate N independent writers with N catalog instances on the
+    // SAME warehouse, appending concurrently.
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext
+    val wh = tmpDir("graft-mw")
+    val n = 6
+    new SnapshotCatalog(spark, wh).createTable("db", "t", schemaV1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writers = (1 to n).map { i =>
+      Future {
+        new SnapshotCatalog(spark, wh) // own instance: no shared lock
+          .append("db", "t", Seq((i.toLong, i * 1.0)).toDF("id", "v"))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    pool.shutdown()
+    val reader = new SnapshotCatalog(spark, wh)
+    val meta = reader.describe("db", "t")
+    // all N commits present, linear snapshot history, no lost update
+    assert(meta.snapshots.map(_.snapshotId).sorted == (1L to n.toLong))
+    assert(meta.snapshots.map(_.parentId).flatten.sorted == (1L until n.toLong))
+    assert(reader.read("db", "t").count() == n)
+    assert(reader.read("db", "t").select(sum("id")).head.getLong(0) == (1 to n).sum)
+  }
+
   test("expireSnapshots retains history window and deletes orphans") {
     val cat = freshCatalog()
     cat.createTable("db", "t", schemaV1)

@@ -166,6 +166,34 @@ class EngineSpec extends SparkTestBase {
     assert(infos.head.kept == infos.head.total, s"must not prune: ${infos.head}")
   }
 
+  test("string literals containing the table name are never rewritten") {
+    // round-2 ADVICE: the old textual rewrite corrupted literals like 'db.m'
+    val (df, _) = bridgeEngine.sqlDataFrame(
+      "SELECT 'db.m' AS tag, count(*) AS n FROM db.m WHERE grp = 'db.m'")
+    val r = df.head()
+    assert(r.getString(0) == "db.m" && r.getLong(1) == 0L)
+  }
+
+  test("EXISTS subquery on the same table sees all rows despite outer filter") {
+    val (df, _) = bridgeEngine.sqlDataFrame(
+      "SELECT count(*) AS n FROM db.m WHERE id <= 100 " +
+        "AND EXISTS (SELECT 1 FROM db.m m2 WHERE m2.id = 5000)")
+    assert(df.head().getLong(0) == 100L) // id=5000 lives outside the outer range
+  }
+
+  test("catalog names with non-identifier characters work (sanitized view)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-hyphen"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    cat.createTable("db", "my-table", schema)
+    cat.append("db", "my-table", (1L to 10L).toDF("id"))
+    val eng = new Engine(spark, cat)
+    val (df, infos) = eng.sqlDataFrame("SELECT count(*) AS n FROM db.`my-table`")
+    assert(df.head().getLong(0) == 10L)
+    assert(infos.head.table == "db.my-table")
+  }
+
   test("catalog table joins a raw parquet table in one SQL statement") {
     val (df, _) = bridgeEngine.sqlDataFrame(
       s"SELECT count(*) AS n FROM db.m m JOIN parquet.`$sf0001/region.parquet` r " +

@@ -98,6 +98,38 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("POST /query filter routes through manifest pruning (kept < total)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http-prune"))
+    cat.createTable("default_db", "ranged",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    // three disjoint id ranges -> three prunable file groups
+    cat.append("default_db", "ranged", (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    cat.append("default_db", "ranged", (1000L to 1100L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    cat.append("default_db", "ranged", (5000L to 5100L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val api = new HttpApi(new Engine(spark, cat), HttpApi.Kind.Catalog)
+    api.start()
+    try {
+      val p = api.boundPort
+      val (c, b) = post(p, "/query",
+        """{"namespace": "default_db", "table": "ranged",
+          | "filter_column": "id", "min": 1000, "max": 1100, "limit": 200}""".stripMargin)
+      assert(c == 200, b)
+      assert("\"id\"".r.findAllIn(b).size == 101, "all 101 in-range rows")
+      val prune = """"pruned":\{"kept":(\d+),"total":(\d+)\}""".r
+        .findFirstMatchIn(b).getOrElse(fail(s"no prune audit in $b"))
+      assert(prune.group(1).toInt < prune.group(2).toInt,
+        s"expected kept < total in $b")
+      // residual applies within kept files: one-sided min pins the tail
+      val (c2, b2) = post(p, "/query",
+        """{"namespace": "default_db", "table": "ranged",
+          | "filter_column": "id", "min": 5050, "limit": 200}""".stripMargin)
+      assert(c2 == 200 && "\"id\"".r.findAllIn(b2).size == 51, b2)
+    } finally api.stop()
+  }
+
   test("execution error on an EXISTING table is 500, not 404") {
     // Build a table whose metadata points at deleted data files: the
     // table exists (pointer present) but the scan fails mid-execution.

@@ -167,6 +167,71 @@ class OperatorSpec extends SparkTestBase {
     assert(recall(ivf) >= 0.55, s"ivf recall ${recall(ivf)}")
   }
 
+  test("QuantileDigest: partial+merge across partitions, pinned error bound") {
+    import graft.functions.expressions.QuantileDigest
+    QuantileDigest.register(spark)
+    // 50k uniform values over 16 partitions -> forces serialize +
+    // partial/final merge through the exchange
+    val df = spark.range(50000).repartition(16)
+      .select((col("id") * 7919 % 50000).cast("double").as("x"))
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val approx = df.agg(QuantileDigest.quantiles(col("x"), ps).as("q"))
+      .head().getAs[scala.collection.Seq[Double]]("q")
+    // values are a permutation of 0..49999 (7919 coprime to 50000), so
+    // the exact quantile at p is ~p*50000; pin rank error <= 0.01
+    ps.zip(approx).foreach { case (p, v) =>
+      assert(math.abs(v / 50000.0 - p) <= 0.01, s"p=$p got $v")
+    }
+    // SQL surface with array(...) percentages parses and runs
+    df.createOrReplaceTempView("qd_t")
+    val viaSql = spark.sql(
+      "SELECT graft_tdigest(x, array(0.5D)) AS q FROM qd_t")
+      .head().getAs[scala.collection.Seq[Double]]("q")
+    assert(math.abs(viaSql.head / 50000.0 - 0.5) <= 0.01)
+  }
+
+  test("QuantileDigest buffer: serialize round-trip and merge = union") {
+    import graft.functions.expressions.QuantileDigest.Digest
+    val a = new Digest(64); val b = new Digest(64); val all = new Digest(64)
+    (1 to 3000).foreach { i =>
+      val v = (i * 131) % 3000 / 3.0
+      if (i % 2 == 0) a.add(v, 1.0) else b.add(v, 1.0)
+      all.add(v, 1.0)
+    }
+    val restored = Digest.fromBytes(a.toBytes, 64)
+    restored.mergeWith(b)
+    assert(math.abs(restored.totalWeight - 3000.0) < 1e-9)
+    Seq(0.25, 0.5, 0.75).foreach { p =>
+      // merged-of-parts tracks the single digest within digest error
+      assert(math.abs(restored.quantile(p) - all.quantile(p)) <= 1000 * 0.03,
+        s"p=$p ${restored.quantile(p)} vs ${all.quantile(p)}")
+    }
+  }
+
+  test("lshCandidatePairs -> exact verify equals all-pairs baseline, sub-quadratically") {
+    // the e05 shape: jittered copies at cosine ~0.999, LSH candidates,
+    // exact dot only on candidates
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val jit = base
+      .withColumn("_j", transform(col("embedding"),
+        x => x * (lit(1.0) + lit(0.05) * sin(x * 1000 + col("vec_id")))))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("_j").as("embedding"))
+    val aug = base.unionAll(jit).persist()
+    val n = aug.count()
+    val cand = Similarity.lshCandidatePairs(aug, nPlanes = 8, dim = 64).persist()
+    val nCand = cand.count()
+    assert(nCand < n * (n - 1) / 2 / 4, // >4x fewer pairs than brute force
+      s"candidates $nCand not sub-quadratic vs ${n * (n - 1) / 2}")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = setOf(Similarity.nearDupPairs(aug, 0.9))
+    val verified = setOf(Similarity.nearDupPairs(aug, 0.9, candidates = Some(cand)))
+    assert(exact.nonEmpty && verified == exact,
+      s"verify path lost ${(exact -- verified).size} of ${exact.size} pairs")
+    cand.unpersist(); aug.unpersist()
+  }
+
   test("text functions: tokens, shingles, fingerprint, rolling hash") {
     val df = Seq(("The  Quick,  brown FOX!!", "the quick brown fox")).toDF("a", "b")
     val r = df.select(
