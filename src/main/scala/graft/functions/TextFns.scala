@@ -80,4 +80,32 @@ object TextFns {
       lit(0L),
       (acc, c) => pmod(acc * lit(31L) + c, prime))
   }
+
+  /** PII patterns every pretraining pipeline scrubs before the
+    * tokenizer sees the text. Deliberately conservative/recall-biased
+    * (emails, international-ish phone shapes, 13-16-digit card runs) —
+    * the POINT is the codegen'd sequential regexp_replace chain, not a
+    * production PII model. Each pattern is Re2-free POSIX-ish syntax
+    * so the same regex runs verbatim in DuckDB for the oracle.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\-\\. ]{7,14}[0-9]" -> "<PHONE>",
+    "[0-9]{13,16}" -> "<NUMBER>")
+
+  /** Redacted text: the PII patterns applied in order. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of redactions applied (length delta per pattern is not
+    * recoverable, so count matches instead): Σ per-pattern match count.
+    */
+  def piiMatchCount(text: Column): Column =
+    PiiPatterns.map { case (re, _) =>
+      // group 0 = whole match: the 2-arg form defaults to group 1 and
+      // throws on group-free patterns
+      size(regexp_extract_all(text, lit(re), lit(0)))
+    }.reduce(_ + _).cast("long")
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Production corpora are sampled by CONTENT-STABLE hash, not RNG:
+  * re-running the pipeline, adding executors, or re-partitioning must
+  * not change which documents are kept (otherwise dedup/train/eval
+  * splits drift between runs). `rand(seed)` is partition-dependent in
+  * Spark; a key hash is not.
+  *
+  * The hash here is the first 4 hex chars of md5(key) compared against
+  * a threshold — 65536 buckets, rate granularity 2^-16. md5 renders
+  * identically in every engine (lowercase hex), so each sample is
+  * reproducible in DuckDB/Trino/pandas byte-for-byte — which is also
+  * what makes the oracle checks possible.
+  *
+  * Scale: a sample is a pure per-row filter — no shuffle, no state,
+  * pushed into the scan stage. Stratified rates ride a broadcast map
+  * expression; the mixture union is N filtered scans.
+  */
+object Sampling {
+
+  /** 4-hex-digit threshold for a keep-rate in [0,1]; "g" (> every hex
+    * digit) means keep-all, so the compare stays a plain string <.
+    */
+  private[graft] def rateThreshold(rate: Double): String = {
+    val n = math.round(rate.max(0).min(1) * 65536).toInt
+    if (n >= 65536) "g" else f"$n%04x"
+  }
+
+  /** Hash-bucket expression: first 4 hex chars of md5(key as string). */
+  def hashBucket(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** Keep ~rate of rows, selected by stable key hash. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit(rateThreshold(rate)))
+
+  /** Per-stratum keep-rates (strata not in the map are dropped —
+    * explicit allow-list, the usual curation posture).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, rate)) =>
+        when(strataCol === stratum, lit(rateThreshold(rate))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold) // null threshold -> dropped
+  }
+
+  /** Weighted mixture of sources: each source is hash-sampled at its
+    * rate and tagged; the union preserves per-source schemas projected
+    * to (source, id, payload). The LLM dataset-mixing primitive — at
+    * 100 TB each source stays a filtered scan, the union is free
+    * (no shuffle), and the mix is reproducible run-over-run.
+    */
+  def mixture(sources: Seq[(String, DataFrame, Double)]): DataFrame =
+    sources.map { case (name, df, rate) =>
+      hashSample(df, "id", rate).withColumn("source", lit(name))
+        .select("source", "id", "payload")
+    }.reduce(_ unionAll _)
+}

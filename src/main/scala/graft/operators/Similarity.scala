@@ -131,10 +131,19 @@ object Similarity {
     * collides in ANY table, recall 1-(1-r)^L), candidates unioned and
     * scored once. The scale path that replaces the O(n²) scan; output
     * shape matches `knnExact`.
+    *
+    * Default (4 planes × 12 tables) comes from the measured sweep in
+    * SCALING.md (`graft.tools.RecallSweep`): top-5 recall 0.82 on the
+    * real embeddings at 2.35× the candidate cost of the old 4×4
+    * config (which only reached 0.41). On corpora whose true
+    * neighbors sit at LOW cosine (like this synthetic set, 0.2-0.5),
+    * sign-LSH needs many tables — when the candidate fraction
+    * approaches ~L/2^planes of all pairs, prefer [[knnIvf]], whose
+    * probed-cell fraction is nProbe/nCells regardless of similarity.
     */
   def knnLsh(vecs: DataFrame, k: Int, nPlanes: Int, dim: Int,
       queryFilter: Column,
-      idCol: String = "vec_id", nTables: Int = 4): DataFrame = {
+      idCol: String = "vec_id", nTables: Int = 12): DataFrame = {
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = (0 until nTables).map { t =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables (builder mandate): deduplication (exact /
@@ -239,6 +239,119 @@ object TrainingData {
        |SELECT doc_id, rk, term, round(tfidf, 4) AS tfidf
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  // Deterministic stratified sampling: strata by length bucket, keep
+  // rates 0.5/0.25/0.125, selection by stable md5 key hash (see
+  // Sampling scaladoc for why never rand()). Fully SQL-expressible →
+  // hash-checked oracle.
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val stratum = when(length(col("text")) < 1000, "short")
+      .when(length(col("text")) < 3000, "mid")
+      .otherwise("long")
+    Sampling.stratifiedSample(
+      docs(s, dir).withColumn("stratum", stratum), col("stratum"), "doc_id",
+      Map("short" -> 0.5, "mid" -> 0.25, "long" -> 0.125))
+      .select(col("doc_id"), col("stratum"))
+      .orderBy("doc_id")
+  }
+
+  private val t10Sql =
+    """WITH strata AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) < 1000 THEN 'short'
+      |         WHEN length(text) < 3000 THEN 'mid'
+      |         ELSE 'long' END AS stratum
+      |  FROM documents)
+      |SELECT doc_id, stratum FROM strata
+      |WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+      |  CASE stratum WHEN 'short' THEN '8000'
+      |               WHEN 'mid' THEN '4000' ELSE '2000' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t11
+  // Weighted dataset mixture: documents at 0.6 + events at 0.05,
+  // hash-sampled per source and unioned with a source tag — the LLM
+  // data-mixing primitive, reproducible run-over-run.
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixture(Seq(
+      ("docs", docs(s, dir).select(col("doc_id").as("id"),
+        col("text").as("payload")), 0.6),
+      ("events", Tables.load(s, dir, "events").select(col("event_id").as("id"),
+        col("event_type").as("payload")), 0.05)))
+      .orderBy("source", "id")
+
+  private val t11Sql =
+    """SELECT * FROM (
+      |  SELECT 'docs' AS source, doc_id AS id, text AS payload
+      |  FROM documents
+      |  WHERE substring(md5(doc_id::VARCHAR), 1, 4) < '999a'
+      |  UNION ALL
+      |  SELECT 'events' AS source, event_id AS id, event_type AS payload
+      |  FROM events
+      |  WHERE substring(md5(event_id::VARCHAR), 1, 4) < '0ccd'
+      |) ORDER BY source, id""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  // Sequence packing (concat-and-chunk into 2048-token windows). The
+  // Spark plan is the two-phase parallel prefix sum (Packing scaladoc);
+  // the oracle states the same contract with a plain global window.
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).as("n_tok"))
+    Packing.packSummary(
+      Packing.packWindows(toks, "doc_id", "n_tok", ctxLen = 2048, bucketSize = 100L),
+      "doc_id", "n_tok")
+  }
+
+  private val t12Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, len($duckToks) AS n FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n,
+       |    COALESCE(sum(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM tok)
+       |SELECT CAST(floor(before / 2048) AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_id
+       |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin
+
+  // ---------------------------------------------------------------- t13
+  // PII redaction (email/phone/number-run scrubbing before anything
+  // reaches a tokenizer). The corpus has no planted PII, so a
+  // deterministic contact footer is appended first — both engines
+  // build the identical string, then redact with the identical
+  // regexes (TextFns.PiiPatterns; DuckDB needs the 'g' flag to match
+  // Spark's replace-all). Output pinned by md5 of the redacted text.
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1 555 010 "), col("doc_id") % 10000).as("text"))
+    withPii.select(
+      col("doc_id"),
+      TextFns.piiMatchCount(col("text")).as("n_pii"),
+      md5(TextFns.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val t13Sql =
+    """WITH withpii AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id ||
+      |    '@example.com or +1 555 010 ' || (doc_id % 10000) AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(text,
+      |         '\+?[0-9][0-9()\-\. ]{7,14}[0-9]'))
+      |     + len(regexp_extract_all(text, '[0-9]{13,16}')) AS BIGINT) AS n_pii,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '\+?[0-9][0-9()\-\. ]{7,14}[0-9]', '<PHONE>', 'g'),
+      |        '[0-9]{13,16}', '<NUMBER>', 'g')) AS redacted_md5
+      |FROM withpii ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -364,6 +477,10 @@ object TrainingData {
     QuerySpec("t07_dedup_minhash_lsh", t07, Some(jaccardOracle)),
     QuerySpec("t08_dedup_simhash", t08, None),
     QuerySpec("t09_tfidf", t09, Some(t09Sql)),
+    QuerySpec("t10_stratified_sample", t10, Some(t10Sql)),
+    QuerySpec("t11_dataset_mixture", t11, Some(t11Sql)),
+    QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
+    QuerySpec("t13_pii_redaction", t13, Some(t13Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -133,6 +133,28 @@ class CatalogSpec extends SparkTestBase {
     assert(reader.read("db", "t").select(sum("id")).head.getLong(0) == (1 to n).sum)
   }
 
+  test("readIncremental returns only post-snapshot rows; rejects rewrites") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    // everything after snapshot 1 = rows 2 and 3
+    val inc = cat.readIncremental("db", "t", fromSnapshotId = 1L)
+    assert(inc.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // bounded window: (1, 2] = row 2 only
+    val win = cat.readIncremental("db", "t", 1L, Some(2L))
+    assert(win.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // from == current -> empty, declared schema intact
+    val none = cat.readIncremental("db", "t", 3L)
+    assert(none.count() == 0 && none.schema.fieldNames.contains("id"))
+    // compaction rewrites files -> incremental across it must refuse
+    cat.compact("db", "t", numFiles = 1)
+    intercept[IllegalStateException](
+      cat.readIncremental("db", "t", 1L).count())
+  }
+
   test("expireSnapshots retains history window and deletes orphans") {
     val cat = freshCatalog()
     cat.createTable("db", "t", schemaV1)

@@ -162,8 +162,9 @@ class OperatorSpec extends SparkTestBase {
     val lsh = pairs(Similarity.knnLsh(e, 5, 4, 64, col("id") < 50))
     val ivf = pairs(Similarity.knnIvf(e, 5, 16, 4, col("id") < 50))
     def recall(s: Set[(Long, Long)]) = (s & exact).size / exact.size.toDouble
-    // measured 0.412 / 0.620 on seed-42 testdata; floors guard regressions
-    assert(recall(lsh) >= 0.35, s"lsh recall ${recall(lsh)}")
+    // measured 0.820 (4 planes × 12 tables, RecallSweep) / 0.620 on
+    // seed-42 testdata; floors guard regressions
+    assert(recall(lsh) >= 0.75, s"lsh recall ${recall(lsh)}")
     assert(recall(ivf) >= 0.55, s"ivf recall ${recall(ivf)}")
   }
 
@@ -230,6 +231,39 @@ class OperatorSpec extends SparkTestBase {
     assert(exact.nonEmpty && verified == exact,
       s"verify path lost ${(exact -- verified).size} of ${exact.size} pairs")
     cand.unpersist(); aug.unpersist()
+  }
+
+  test("hashSample: deterministic, partition-independent, near-rate") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).select(col("id"))
+    val a = Sampling.hashSample(df, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size / 20000.0 - 0.25) < 0.02, s"rate ${a.size / 20000.0}")
+    // nested rates: a 0.125 sample is a subset of the 0.25 sample
+    val c = Sampling.hashSample(df, "id", 0.125).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+    assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.5) == "8000")
+  }
+
+  test("packWindows two-phase prefix sum equals the single-window contract") {
+    import graft.operators.Packing
+    val df = spark.range(1, 2001)
+      .select(col("id"), (col("id") % 97 + 5).as("tok"))
+    val packed = Packing.packWindows(df, "id", "tok", ctxLen = 512, bucketSize = 150L)
+    // naive global-window reference
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = df.withColumn("before", coalesce(sum("tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("before") / 512))
+      .select(col("id"), col("pack_id"))
+    val diff = packed.select("id", "pack_id")
+      .except(ref).union(ref.except(packed.select("id", "pack_id")))
+    assert(diff.isEmpty, "two-phase packing must equal the global-window result")
+    // packs are contiguous in id order and token-bounded at the start
+    val sums = Packing.packSummary(packed, "id", "tok").collect()
+    assert(sums.map(_.getAs[Long]("n_docs")).sum == 2000)
   }
 
   test("text functions: tokens, shingles, fingerprint, rolling hash") {
