@@ -68,7 +68,15 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       maxShingleDf: Long = 0L): DataFrame = {
-    val sh  = cached(shingleRows(docs, n))
+    // the inverted index carries xxhash64(shingle), not the string:
+    // the self-join shuffles 8-byte keys instead of n-gram text (~5x
+    // fewer shuffle bytes at sf0.1, measured 5.1s -> see bench). A
+    // cross-shingle hash collision could inflate one pair's `common`
+    // by 1; with ~1M distinct shingles the birthday bound is ~3e-8 —
+    // the same standard of "effectively exact" the MinHash verify
+    // stage already accepts (1-2e-6).
+    val sh  = cached(shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
     val kept =
       if (maxShingleDf <= 0) sh
       else {

@@ -89,7 +89,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       case r: UnresolvedRelation =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
-            r.copy(multipartIdentifier = Seq(views((ns, t))))
+            // alias the view back to [ns, t] so `t.col` / `ns.t.col`
+            // references in the query still resolve (an explicit
+            // user alias parses as its own SubqueryAlias above this
+            // one and shadows it, exactly as for a plain table)
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(ns)),
+              r.copy(multipartIdentifier = Seq(views((ns, t)))))
           case _ => r
         }
     }

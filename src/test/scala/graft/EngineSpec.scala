@@ -194,6 +194,35 @@ class EngineSpec extends SparkTestBase {
     assert(infos.head.table == "db.my-table")
   }
 
+  test("two catalog tables in one query prune independently") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-two"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    for (t <- Seq("l", "r")) {
+      cat.createTable("db", t, schema)
+      cat.append("db", t, (1L to 100L).toDF("id"))
+      cat.append("db", t, (1000L to 1100L).toDF("id"))
+      cat.append("db", t, (5000L to 5100L).toDF("id"))
+    }
+    val eng = new Engine(spark, cat)
+    // per-relation filters (a WHERE above the JOIN binds to the join,
+    // not the scans, and correctly extracts nothing)
+    val (df, infos) = eng.sqlDataFrame(
+      "SELECT count(*) AS n FROM " +
+        "(SELECT * FROM db.l WHERE id >= 1000 AND id <= 1100) ll JOIN " +
+        "(SELECT * FROM db.r WHERE id >= 1000 AND id <= 1100) rr ON ll.id = rr.id")
+    assert(df.head().getLong(0) == 101L)
+    assert(infos.size == 2 && infos.forall(i => i.kept < i.total),
+      s"both sides should prune: $infos")
+    // the join-level WHERE form still answers correctly, unpruned
+    val (df2, infos2) = eng.sqlDataFrame(
+      "SELECT count(*) AS n FROM db.l JOIN db.r ON l.id = r.id " +
+        "WHERE l.id >= 1000 AND l.id <= 1100")
+    assert(df2.head().getLong(0) == 101L)
+    assert(infos2.forall(i => i.kept == i.total))
+  }
+
   test("catalog table joins a raw parquet table in one SQL statement") {
     val (df, _) = bridgeEngine.sqlDataFrame(
       s"SELECT count(*) AS n FROM db.m m JOIN parquet.`$sf0001/region.parquet` r " +
