@@ -61,4 +61,22 @@ object Sampling {
       hashSample(df, "id", rate).withColumn("source", lit(name))
         .select("source", "id", "payload")
     }.reduce(_ unionAll _)
+
+  /** Per-group quota: keep at most `k` rows per group, chosen in
+    * stable hash order of the key (deterministic "cap every domain /
+    * language / cluster at k" curation — the operation that stops one
+    * CommonCrawl domain from dominating a mixture). One shuffle on
+    * the group key; per-group TOP-K via row_number, never a global
+    * sort. Groups hotter than a partition → the Skew salting pattern.
+    */
+  def groupQuota(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      // full md5 then key: hash order, total and deterministic
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

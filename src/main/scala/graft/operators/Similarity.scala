@@ -35,12 +35,29 @@ object Similarity {
       .select(col(idAs), transform(col("_v"), x => x / col("_nrm")).as(vecAs))
   }
 
+  /** Quadratic-footgun guard for the exact baselines: scoring more
+    * pairs than this must be an explicit decision (raise the cap), not
+    * an accident of pointing `knnExact`/`nearDupPairs` at a production
+    * corpus. 100M pairs ≈ a minute of codegen'd dots on one executor —
+    * past that the LSH/IVF paths are the answer.
+    */
+  val DefaultMaxExactPairs: Long = 100000000L
+
+  private def guardExactPairs(nPairs: BigInt, cap: Long, what: String): Unit =
+    require(nPairs <= cap,
+      s"$what would exact-score $nPairs pairs (cap $cap). Use knnLsh/knnIvf, " +
+        "or feed lshCandidatePairs into nearDupPairs(candidates=...), " +
+        "or raise maxExactPairs explicitly.")
+
   /** Exact brute-force cosine top-k. `queries` and `corpus` both need
     * (idCol, embedding). Self-matches are excluded.
     * Output: (query_id, rank, neighbor_id, sim).
     */
   def knnExact(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxExactPairs: Long = DefaultMaxExactPairs): DataFrame = {
+    guardExactPairs(BigInt(queries.count()) * BigInt(corpus.count()),
+      maxExactPairs, "knnExact")
     val q = broadcast(unitVectors(queries, idCol, "query_id", "qv"))
     val c = unitVectors(corpus, idCol, "neighbor_id", "cv")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -60,7 +77,8 @@ object Similarity {
     */
   def nearDupPairs(vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id",
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      maxExactPairs: Long = DefaultMaxExactPairs): DataFrame = {
     val pairs = candidates match {
       case Some(cand) =>
         val unit = unitVectors(vecs, idCol, "id", "uv")
@@ -68,6 +86,8 @@ object Similarity {
           .join(unit.select(col("id").as("a"), col("uv").as("va")), Seq("a"))
           .join(unit.select(col("id").as("b"), col("uv").as("vb")), Seq("b"))
       case None =>
+        val n = BigInt(vecs.count())
+        guardExactPairs(n * (n - 1) / 2, maxExactPairs, "nearDupPairs(all-pairs)")
         val x = unitVectors(vecs, idCol, "a", "va")
         val y = unitVectors(vecs, idCol, "b", "vb")
         x.join(y, col("a") < col("b"))

@@ -352,6 +352,23 @@ object TrainingData {
       |        '[0-9]{13,16}', '<NUMBER>', 'g')) AS redacted_md5
       |FROM withpii ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  // Per-group quota: cap every `source` at 50 docs chosen in stable
+  // hash order — the anti-domination curation op (one shuffle on the
+  // group key, per-group top-k, no global sort).
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupQuota(docs(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 50)
+      .orderBy("doc_id")
+
+  private val t14Sql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 50 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -481,6 +498,7 @@ object TrainingData {
     QuerySpec("t11_dataset_mixture", t11, Some(t11Sql)),
     QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
     QuerySpec("t13_pii_redaction", t13, Some(t13Sql)),
+    QuerySpec("t14_group_quota", t14, Some(t14Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

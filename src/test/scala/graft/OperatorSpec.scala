@@ -233,6 +233,18 @@ class OperatorSpec extends SparkTestBase {
     cand.unpersist(); aug.unpersist()
   }
 
+  test("exact-baseline guards refuse accidental quadratic scoring") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(e, 0.9, maxExactPairs = 10L))
+    intercept[IllegalArgumentException](
+      Similarity.knnExact(e, e, 5, maxExactPairs = 10L))
+    // candidate-fed verify is NOT subject to the all-pairs guard
+    val cand = Seq((0L, 1L)).toDF("a", "b")
+    assert(Similarity.nearDupPairs(e, -1.0, candidates = Some(cand),
+      maxExactPairs = 10L).count() == 1)
+  }
+
   test("hashSample: deterministic, partition-independent, near-rate") {
     import graft.operators.Sampling
     val df = spark.range(20000).select(col("id"))

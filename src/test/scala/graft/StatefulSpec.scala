@@ -5,9 +5,46 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StatefulSessions
 import graft.streaming.StatefulSessions.{ClosedSession, Event}
 
+object StatefulSpec {
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+}
+
 class StatefulSpec extends SparkTestBase {
 
   import spark.implicits._
+
+  test("streaming dedup: first occurrence passes, repeats drop, state crosses batches") {
+    import graft.streaming.StreamingDedup
+    import StatefulSpec.Doc
+    val src = tmpDir("graft-sd-src")
+    val ckpt = tmpDir("graft-sd-ckpt")
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    val outDir = tmpDir("graft-sd-out")
+    def run(): Seq[Long] = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Doc].toDS().schema).parquet(src)
+      val q = StreamingDedup.dedup(stream, "ts", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir) // memory sink can't resume
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+
+    Seq(Doc(1, t(10), "aaa"), Doc(2, t(20), "aaa"), Doc(3, t(30), "bbb"))
+      .toDS().write.mode("append").parquet(src)
+    assert(run() == Seq(1L, 3L)) // doc 2 is a dup of doc 1
+
+    // next batch (checkpoint resumes, only new files): a dup of the
+    // REMEMBERED "aaa" fingerprint drops even though doc 1 was a
+    // previous batch; the genuinely new content passes
+    Seq(Doc(4, t(40), "aaa"), Doc(5, t(50), "ccc"))
+      .toDS().write.mode("append").parquet(src)
+    assert(run() == Seq(1L, 3L, 5L))
+  }
 
   test("flatMapGroupsWithState sessionizer: state survives across micro-batches") {
     val src = tmpDir("graft-st-src")
