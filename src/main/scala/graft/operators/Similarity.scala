@@ -114,15 +114,15 @@ object Similarity {
     */
   def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", nTables: Int = 6,
-      seedBase: Long = 42L): DataFrame =
-    (0 until nTables).map { t =>
-      val b = lshBuckets(vecs, nPlanes, dim, idCol, seed = seedBase + t)
-        .select(col("id"), col("bucket"))
-      b.select(col("id").as("a"), col("bucket"))
-        .join(b.select(col("id").as("b"), col("bucket")), Seq("bucket"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
-    }.reduce(_ union _).distinct()
+      seedBase: Long = 42L): DataFrame = {
+    val b = lshBucketsAllTables(vecs, nPlanes, dim, idCol, nTables, seedBase)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.select(col("id").as("a"), col("table"), col("bucket"))
+      .join(b.select(col("id").as("b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
 
   /** Deterministic random hyperplanes for sign-LSH; `seed` selects the
     * hash table in multi-table (OR-amplified) search.
@@ -146,6 +146,30 @@ object Similarity {
     vecs.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
   }
 
+  /** All `nTables` tables' bucket ids in ONE projection + ONE explode:
+    * (id, table, bucket) rows from a single corpus scan. The multi-
+    * table operators join on (table, bucket), so candidate generation
+    * is one shuffle total instead of one scan + shuffle per table —
+    * at 100 TB the difference between reading the corpus once and
+    * reading it L times. Bucket values are identical to
+    * [[lshBuckets]] at `seed = seedBase + table`.
+    */
+  private[operators] def lshBucketsAllTables(vecs: DataFrame, nPlanes: Int,
+      dim: Int, idCol: String, nTables: Int,
+      seedBase: Long = 42L): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val v = asDouble(col("embedding"))
+    val perTable = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seedBase + t)
+      (0 until nPlanes).map { p =>
+        val proj = DotProduct.dot(col("v"), typedlit(planes(p).toSeq))
+        when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    vecs.select(col(idCol).as("id"), v.as("v"))
+      .select(col("id"), posexplode(array(perTable: _*)).as(Seq("table", "bucket")))
+  }
+
   /** ANN top-k via multi-table sign-LSH: `nTables` independent
     * hyperplane sets (OR-amplification — a pair is a candidate when it
     * collides in ANY table, recall 1-(1-r)^L), candidates unioned and
@@ -166,14 +190,14 @@ object Similarity {
       idCol: String = "vec_id", nTables: Int = 12): DataFrame = {
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = (0 until nTables).map { t =>
-      val b = lshBuckets(vecs, nPlanes, dim, idCol, seed = 42L + t)
-        .select(col("id"), col("bucket"))
-      b.filter(queryFilter).select(col("id").as("query_id"), col("bucket"))
-        .join(b.select(col("id").as("neighbor_id"), col("bucket")), Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    }.reduce(_ union _).distinct()
+    val b = lshBucketsAllTables(vecs, nPlanes, dim, idCol, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = b.filter(queryFilter)
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
+      .join(b.select(col("id").as("neighbor_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
     val scored = candidates
       .join(unit.select(col("id").as("query_id"), col("uv").as("qv")), Seq("query_id"))
       .join(unit.select(col("id").as("neighbor_id"), col("uv").as("cv")), Seq("neighbor_id"))
