@@ -85,7 +85,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       views((ref.ns, ref.table)) = view
       Engine.PruneInfo(s"${ref.ns}.${ref.table}", files.size, total)
     }
-    val substituted = parsed.get.transformWithSubqueries {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    // UnresolvedWith is a UnaryNode: its CTE definitions are NOT in
+    // `children`, so the transform recurses into them explicitly
+    def substitute(p: LogicalPlan): LogicalPlan = p.transformWithSubqueries {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, rel, m) =>
+          (n, substitute(rel).asInstanceOf[SubqueryAlias], m)
+        })
       case r: UnresolvedRelation =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
@@ -93,12 +100,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
             // references in the query still resolve (an explicit
             // user alias parses as its own SubqueryAlias above this
             // one and shadows it, exactly as for a plain table)
-            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+            SubqueryAlias(
               org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(ns)),
               r.copy(multipartIdentifier = Seq(views((ns, t)))))
           case _ => r
         }
     }
+    val substituted = substitute(parsed.get)
     try (org.apache.spark.sql.graft.PlanExec.ofRows(spark, substituted), infos)
     finally views.values.foreach(spark.catalog.dropTempView(_))
   }
@@ -118,7 +126,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
   private def catalogRefs(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[Engine.CatalogRef] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, SubqueryAlias, UnresolvedWith}
 
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case SubqueryAlias(_, c) => strip(c)
@@ -132,7 +140,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
 
     // every occurrence, paired with the filter directly above (if any)
     val occurrences = scala.collection.mutable.ListBuffer.empty[((String, String), Option[Seq[Engine.ColBounds]])]
-    plan.foreachWithSubqueries {
+    def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
+      case w: UnresolvedWith =>
+        // UnaryNode: CTE definitions are innerChildren, walk explicitly
+        w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
       case LFilter(cond, child) => strip(child) match {
         case r: UnresolvedRelation => nameOf(r).foreach { k =>
           occurrences += k -> Some(Engine.extractBounds(cond, catalog.schemaOf(k._1, k._2)))
@@ -144,6 +155,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         nameOf(r).foreach(k => occurrences += k -> None)
       case _ => ()
     }
+    walk(plan)
     occurrences.groupBy(_._1).toSeq.sortBy(_._1).map { case ((ns, t), occ) =>
       val filtered = occ.flatMap(_._2)
       // the walk visits each UnresolvedRelation once as itself (None)

@@ -194,6 +194,15 @@ class EngineSpec extends SparkTestBase {
     assert(infos.head.table == "db.my-table")
   }
 
+  test("CTEs over catalog tables resolve and prune") {
+    val (df, infos) = bridgeEngine.sqlDataFrame(
+      "WITH w AS (SELECT * FROM db.m WHERE id >= 1000 AND id <= 1100) " +
+        "SELECT count(*) AS n, sum(id) AS s FROM w")
+    val r = df.head()
+    assert(r.getLong(0) == 101L && r.getLong(1) == (1000L to 1100L).sum)
+    assert(infos.head.kept < infos.head.total, s"CTE filter should prune: $infos")
+  }
+
   test("two catalog tables in one query prune independently") {
     import spark.implicits._
     val cat = new SnapshotCatalog(spark, tmpDir("graft-two"))
