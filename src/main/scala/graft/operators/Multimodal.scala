@@ -62,6 +62,47 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame sliced out of a media payload. */
+  case class Frame(
+      doc_id: Long, frame_idx: Long, frame_off: Long, frame_md5: String)
+
+  /** Frame sampling over a binary media column: slice fixed-size frames
+    * out of each payload and keep every `step`-th one — the video
+    * frame-sample / audio window-sample pattern. Unlike
+    * [[extractFeatures]]'s stubbed codec, the byte-slicing here is the
+    * REAL operation (container demux is what a codec would add): one
+    * digest instance per partition, payload bytes never leave the
+    * executor, output size is `len/frameBytes/step` rows per record —
+    * the shape that lets 100 TB of video flow through a frame-level
+    * transform without materializing whole payloads downstream.
+    *
+    * Only complete frames are emitted (tail bytes short of
+    * `frameBytes` are dropped, matching fixed-block codecs).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      frameBytes: Int = 64,
+      step: Int = 3): Dataset[Frame] = {
+    require(frameBytes > 0 && step > 0, "frameBytes/step must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init (a real demuxer/codec handle goes here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        Iterator.range(0, r.payload.length / frameBytes)
+          .filter(_ % step == 0)
+          .map { i =>
+            val off = i * frameBytes
+            md.reset()
+            val digest = md.digest(
+              java.util.Arrays.copyOfRange(r.payload, off, off + frameBytes))
+            Frame(r.doc_id, i.toLong, off.toLong,
+              digest.map("%02x".format(_)).mkString)
+          }
+      }
+    }
+  }
+
   /** Treat the documents table's text payload as a binary media column
     * — exercises the full plumbing over real testdata. The feature
     * arithmetic below mirrors StubDecoder but stays in pure column

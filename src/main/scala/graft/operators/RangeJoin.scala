@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join: match each point row to every
+  * interval row with `start <= point <= end`.
+  *
+  * Spark executes a raw non-equi join like
+  * `points JOIN intervals ON p BETWEEN start AND end` as a broadcast
+  * nested loop — O(|points| x |intervals|) comparisons, a scale-killer
+  * the moment the interval side outgrows a broadcast. This operator
+  * restores an equi-join shape by bucketing the domain
+  * (builder preference (a): composition over a custom physical op):
+  *
+  *  - every interval is exploded to the bucket ids its span covers
+  *    (`sequence(floor(start/w), floor(end/w))`);
+  *  - every point maps to exactly ONE bucket id (`floor(p/w)`);
+  *  - the join is an equi-join on bucket id + a residual BETWEEN
+  *    filter, so Catalyst plans a shuffled hash / sort-merge join that
+  *    partitions on the bucket key and scales horizontally.
+  *
+  * Each (interval, point) pair meets in exactly one bucket (the
+  * point's), so no post-join dedup is needed. Cost: one shuffle per
+  * side + interval fan-out of `ceil(span/w)+1` rows; pick
+  * `bucketWidth` on the order of the typical interval span so the
+  * fan-out stays ~2x. Skewed buckets (a hot time range) can be salted
+  * with [[Skew]] on top — the bucket key is an ordinary join key.
+  */
+object RangeJoin {
+
+  /** @param points      side with one numeric value per row
+    * @param pointCol    LONG-castable column in `points`
+    * @param intervals   side with [startCol, endCol] (inclusive both
+    *                    ends), startCol <= endCol
+    * @param bucketWidth domain bucket size (same unit as pointCol)
+    * @return points x matching intervals, all columns from both sides
+    *         (inner join; column names must not collide)
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c.cast("long") / bucketWidth)
+    val iv = intervals.withColumn("_rj_bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val pt = points.withColumn("_rj_bucket", bucketOf(col(pointCol)))
+    pt.join(iv, Seq("_rj_bucket"))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("_rj_bucket")
+  }
+
+  /** Interval-overlap join: pairs (a, b) whose [start, end] spans
+    * intersect. Same bucketing trick, both sides exploded; a pair can
+    * meet in several buckets, so the canonical meeting bucket —
+    * the bucket of `max(a.start, b.start)`, which both sides cover —
+    * is the only one kept (no distinct() needed, no dup shuffle).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c.cast("long") / bucketWidth)
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_rj_bucket",
+        explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+    exploded(left, lStart, lEnd)
+      .join(exploded(right, rStart, rEnd), Seq("_rj_bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_rj_bucket") === floor(
+          greatest(col(lStart), col(rStart)).cast("long") / bucketWidth))
+      .drop("_rj_bucket")
+  }
+}

@@ -536,6 +536,9 @@ object Relational {
   // exact values for self-auditing error bounds. No SQL oracle (digest
   // algorithms differ per engine) → rows-only; the error bound itself
   // is pinned in OperatorSpec.
+  // The output is flattened to scalar columns (q50/q95/q99) — the
+  // driver's rows-only check sorts the frame in pandas, which cannot
+  // hash array cells.
   private def q24(s: SparkSession, dir: String): DataFrame = {
     graft.functions.expressions.QuantileDigest.register(s)
     t(s, dir, "lineitem")
@@ -545,8 +548,54 @@ object Relational {
           .quantiles(col("l_extendedprice"), Seq(0.5, 0.95, 0.99))
           .as("approx_price_q"),
         count(lit(1)).as("exact_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("approx_price_q"), 1), 2).as("approx_q50"),
+        round(element_at(col("approx_price_q"), 2), 2).as("approx_q95"),
+        round(element_at(col("approx_price_q"), 3), 2).as("approx_q99"),
+        col("exact_rows"))
       .orderBy("l_returnflag")
   }
+
+  // ---------------------------------------------------------------- q25
+  // Range (point-in-interval) join via operators.RangeJoin: lineitem
+  // shipments aggregated into overlapping "promo windows" derived from
+  // a sample of orders. The raw BETWEEN join Spark would plan as a
+  // broadcast nested loop (O(points x intervals)); the operator's
+  // bucketed rewrite keeps it an equi-join on a domain bucket — the
+  // shape that survives 100 TB (see RangeJoin scaladoc). The DuckDB
+  // oracle states the same semantics as the naive BETWEEN join.
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val day0 = to_date(lit("1970-01-01"))
+    val intervals = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        datediff(to_date(col("o_orderdate")), day0).cast("long").as("start_d"))
+      .withColumn("end_d", col("start_d") + col("interval_id") % 14 + 1)
+    val points = t(s, dir, "lineitem")
+      .select(datediff(to_date(col("l_shipdate")), day0).cast("long").as("ship_d"),
+        col("l_extendedprice"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "ship_d", intervals, "start_d", "end_d",
+        bucketWidth = 16L)
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_ship"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy("interval_id")
+  }
+
+  private val q25Sql =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS interval_id,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS start_d,
+      |         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |           + o_orderkey % 14 + 1 AS end_d
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT interval_id, count(*) AS n_ship,
+      |       round(sum(l_extendedprice), 2) AS rev
+      |FROM iv JOIN lineitem
+      |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+      |     BETWEEN start_d AND end_d
+      |GROUP BY interval_id ORDER BY interval_id""".stripMargin
 
   // ---------------------------------------------------------------- q22
   // Pivot: event counts per user × event type. The oracle states the
@@ -614,5 +663,6 @@ object Relational {
     QuerySpec("q21_approx_distinct", q21, None),
     QuerySpec("q22_pivot", q22, Some(q22Sql)),
     QuerySpec("q23_collection_fns", q23, Some(q23Sql)),
-    QuerySpec("q24_approx_quantiles", q24, None))
+    QuerySpec("q24_approx_quantiles", q24, None),
+    QuerySpec("q25_range_join", q25, Some(q25Sql)))
 }

@@ -484,6 +484,33 @@ object TrainingData {
       |  1 + doc_id % 30 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m02
+  // Frame sampling over a binary media column (video frame-sample /
+  // audio window-sample shape): payloads travel as `binary`, frames
+  // are sliced per-partition in `Multimodal.sampleFrames`, and the
+  // md5-per-frame output is DuckDB-checkable because the documents
+  // text is pure ASCII (byte offsets == char offsets; TESTDATA.md).
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir)
+      .select(col("doc_id"), lit("video/fake").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, frameBytes = 64, step = 3)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val m02Sql =
+    """SELECT doc_id, frame_idx, frame_idx * 64 AS frame_off,
+      |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+      |    AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, n_chars // 64 - 1)) AS frame_idx
+      |      FROM documents) f
+      |WHERE frame_idx % 3 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -504,5 +531,6 @@ object TrainingData {
     QuerySpec("e03_ann_lsh", e03, None),
     QuerySpec("e04_ann_ivf", e04, None),
     QuerySpec("e05_neardup_lsh_verified", e05, Some(e05Sql)),
-    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)))
+    QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
+    QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
 }
