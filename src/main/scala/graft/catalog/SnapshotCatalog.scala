@@ -10,6 +10,7 @@ import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.schema.SchemaCompat
@@ -316,8 +317,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * and commits a snapshot whose file list REPLACES (not appends) the
     * previous manifest — old files stay referenced by older snapshots
     * for time travel until expired.
+    *
+    * With `clusterBy` columns the rewrite Z-orders the data (Morton
+    * curve over the named numeric columns, `functions.ZOrder`):
+    * range-partition + sort on the z-value, so each output file covers
+    * a small hyper-rectangle of the key space and [[readWhere]]'s
+    * min/max pruning works on EVERY clustered column at once — the
+    * `OPTIMIZE ... ZORDER BY` layout move that keeps multi-predicate
+    * scans sublinear at 100 TB.
     */
-  def compact(ns: String, name: String, numFiles: Int): TableMeta =
+  def compact(ns: String, name: String, numFiles: Int,
+      clusterBy: Seq[String] = Nil): TableMeta =
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -325,9 +335,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         throw new IllegalStateException(s"$ns.$name has no data to compact"))
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
       val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-compact")
-      spark.read.schema(schema).parquet(current.files: _*)
-        .repartition(numFiles)
-        .write.parquet(snapDir.toString)
+      val df = spark.read.schema(schema).parquet(current.files: _*)
+      val rewritten =
+        if (clusterBy.isEmpty) df.repartition(numFiles)
+        else df
+          .withColumn("_graft_z", graft.functions.ZOrder.scaled(df, clusterBy))
+          .repartitionByRange(numFiles, col("_graft_z"))
+          .sortWithinPartitions("_graft_z")
+          .drop("_graft_z")
+      rewritten.write.parquet(snapDir.toString)
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq

@@ -597,6 +597,34 @@ object Relational {
       |     BETWEEN start_d AND end_d
       |GROUP BY interval_id ORDER BY interval_id""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  // Z-order (Morton) clustering key as a column expression
+  // (functions.ZOrder — the same expression SnapshotCatalog.compact
+  // sorts by for multi-dimension file pruning, ZOrderSpec). The oracle
+  // re-states the bit interleave as an independently generated DuckDB
+  // shift/mask formula, so the codegen'd expression is hash-checked
+  // bit-for-bit.
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("l_orderkey"), lit(4096L))
+    val y = pmod(col("l_partkey"), lit(4096L))
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey"), col("l_partkey"),
+        graft.functions.ZOrder.interleave(Seq(x, y), 12).as("zval"))
+      .orderBy("zval", "l_orderkey", "l_partkey")
+  }
+
+  private val q26Sql = {
+    val terms = (for {
+      (c, j) <- Seq("l_orderkey", "l_partkey").zipWithIndex
+      b <- 0 until 12
+    } yield s"((($c % 4096) >> $b) & 1) * ${1L << (b * 2 + j)}")
+      .mkString(" + ")
+    "SELECT l_orderkey, l_partkey, CAST(" + terms + " AS BIGINT) AS zval " +
+      "FROM lineitem WHERE l_orderkey % 31 = 0 " +
+      "ORDER BY zval, l_orderkey, l_partkey"
+  }
+
   // ---------------------------------------------------------------- q22
   // Pivot: event counts per user × event type. The oracle states the
   // same contract as ANSI conditional aggregation.
@@ -664,5 +692,6 @@ object Relational {
     QuerySpec("q22_pivot", q22, Some(q22Sql)),
     QuerySpec("q23_collection_fns", q23, Some(q23Sql)),
     QuerySpec("q24_approx_quantiles", q24, None),
-    QuerySpec("q25_range_join", q25, Some(q25Sql)))
+    QuerySpec("q25_range_join", q25, Some(q25Sql)),
+    QuerySpec("q26_zorder_key", q26, Some(q26Sql)))
 }

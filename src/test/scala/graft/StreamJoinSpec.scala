@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamJoin
+
+object StreamJoinSpec {
+  final case class Imp(ad_id: Long, imp_ts: java.sql.Timestamp)
+  final case class Click(ad_id: Long, click_ts: java.sql.Timestamp)
+}
+
+class StreamJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+  import StreamJoinSpec._
+
+  private def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("stream-stream join correlates within horizon, across micro-batches") {
+    val impDir = tmpDir("graft-sj-imp")
+    val clkDir = tmpDir("graft-sj-clk")
+    val ckpt = tmpDir("graft-sj-ckpt")
+    val outDir = tmpDir("graft-sj-out")
+
+    def run(): Set[(Long, Long, Long)] = {
+      val imps = spark.readStream
+        .schema(Seq.empty[Imp].toDS().schema).parquet(impDir)
+      val clks = spark.readStream
+        .schema(Seq.empty[Click].toDS().schema).parquet(clkDir)
+      val q = StreamJoin.eventCorrelation(imps, clks, "ad_id",
+          "imp_ts", "click_ts",
+          watermark = "10 seconds", horizon = "30 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+        .select("ad_id", "imp_ts", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000)).toSet
+    }
+
+    // batch 1: ad 1 clicked in-horizon, ad 2 clicked too late (+60s),
+    // ad 3 not clicked yet
+    Seq(Imp(1, t(100)), Imp(2, t(100)), Imp(3, t(100)))
+      .toDS().write.mode("append").parquet(impDir)
+    Seq(Click(1, t(110)), Click(2, t(160)))
+      .toDS().write.mode("append").parquet(clkDir)
+    assert(run() == Set((1L, 100L, 110L)))
+
+    // batch 2: click for ad 3 arrives a whole batch later but inside
+    // the horizon — the checkpointed join state still correlates it;
+    // a click before the impression never matches
+    Seq(Click(3, t(120)), Click(1, t(90)))
+      .toDS().write.mode("append").parquet(clkDir)
+    assert(run() == Set((1L, 100L, 110L), (3L, 100L, 120L)))
+  }
+
+  test("stream-stream join requires distinct timestamp names") {
+    intercept[IllegalArgumentException] {
+      StreamJoin.eventCorrelation(
+        spark.range(1).toDF(), spark.range(1).toDF(), "k", "ts", "ts")
+    }
+  }
+}
