@@ -98,6 +98,41 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination: flag corpus documents whose n-gram
+    * shingles overlap an evaluation/benchmark set — the
+    * remove-test-set-from-training-data pass every LLM data pipeline
+    * runs before training.
+    *
+    * Returns one row per corpus doc with at least one shared shingle:
+    * (doc_id, hits = distinct shared shingles, n_sh = the doc's
+    * distinct shingles, containment = hits/n_sh, contaminated = 1 when
+    * containment >= minContainment).
+    *
+    * Scale posture: benchmark sets are small next to a 100 TB corpus,
+    * so their distinct shingle set is broadcast and the corpus-side
+    * semi-join never shuffles corpus text — the only shuffle is the
+    * per-doc hit count on doc_id. Shingles travel as xxhash64 keys
+    * (8 bytes, same collision standard as [[ngramJaccard]]).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    val cSh = shingleRows(corpus, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val bSh = shingleRows(benchmark, n)
+      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+    val cnt = cSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = cSh.join(broadcast(bSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    hits.join(cnt, "doc_id")
+      .select(col("doc_id"), col("hits"), col("n_sh"),
+        round(col("hits") / col("n_sh"), 4).as("containment"),
+        (col("hits") / col("n_sh") >= minContainment)
+          .cast("long").as("contaminated"))
+  }
+
   /** Number of minhash permutations and the LSH banding (r rows/band). */
   val MinHashPerms = 16
   val MinHashBandRows = 2

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -369,6 +370,86 @@ object TrainingData {
       |  FROM documents)
       |WHERE rk <= 50 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  // Benchmark decontamination (Dedup.decontaminate): every 37th doc
+  // plays the held-out eval set; corpus docs sharing >= half their
+  // 3-gram shingles with it are flagged. The synthetic dup pairs make
+  // this non-trivial — dups of "benchmark" docs must be caught.
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(
+        corpus = d.filter(col("doc_id") % 37 =!= 0),
+        benchmark = d.filter(col("doc_id") % 37 === 0),
+        n = 3, minContainment = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val t15Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+      |corp AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY 1),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS hits FROM corp
+      |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+      |SELECT h.doc_id, h.hits, c.n_sh,
+      |       round(h.hits * 1.0 / c.n_sh, 4) AS containment,
+      |       CAST(h.hits * 1.0 / c.n_sh >= 0.5 AS BIGINT) AS contaminated
+      |FROM hits h JOIN cnt c USING (doc_id) ORDER BY h.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t16
+  // Corpus n-gram statistics: top-10 bigrams per language by document
+  // frequency (shingles are per-doc distinct, so counts are DF, the
+  // robust corpus statistic). One shuffle to count + one window for
+  // the per-group top-k — partial aggregation does the heavy lifting
+  // at 100 TB; the window only ever sees (langs x distinct bigrams).
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("_toks"))
+      .select(col("lang"),
+        explode(TextFns.shinglesFromTokens(col("_toks"), 2)).as("bigram"))
+    val counts = sh.groupBy("lang", "bigram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("bigram").asc)
+    counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("lang", "rk", "bigram", "df")
+      .orderBy("lang", "rk")
+  }
+
+  private val t16Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, lang, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, lang, ts[i] || ' ' || ts[i+1] AS bigram
+      |  FROM idx
+      |), counts AS (
+      |  SELECT lang, bigram, count(*) AS df FROM sh GROUP BY 1, 2)
+      |SELECT lang, rk, bigram, df FROM (
+      |  SELECT lang, bigram, df,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY df DESC, bigram) AS rk
+      |  FROM counts)
+      |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -526,6 +607,8 @@ object TrainingData {
     QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
     QuerySpec("t13_pii_redaction", t13, Some(t13Sql)),
     QuerySpec("t14_group_quota", t14, Some(t14Sql)),
+    QuerySpec("t15_decontaminate", t15, Some(t15Sql)),
+    QuerySpec("t16_ngram_topk", t16, Some(t16Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

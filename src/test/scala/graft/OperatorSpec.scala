@@ -32,6 +32,23 @@ class OperatorSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark set") {
+    // benchmark = doc 4 (identical to doc 1); corpus = docs 1-3
+    val out = Dedup.decontaminate(
+        corpus = docs.filter(col("doc_id") < 4),
+        benchmark = docs.filter(col("doc_id") === 4),
+        n = 3, minContainment = 0.5)
+      .orderBy("doc_id").collect()
+    // doc 3 shares no shingles -> absent entirely
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val d1 = out(0); val d2 = out(1)
+    assert(d1.getAs[Double]("containment") == 1.0)       // exact dup
+    assert(d1.getAs[Long]("contaminated") == 1L)
+    assert(d2.getAs[Double]("containment") > 0.5 &&
+      d2.getAs[Double]("containment") < 1.0)             // near dup
+    assert(d2.getAs[Long]("contaminated") == 1L)
+  }
+
   test("minhash LSH with exact verification equals the exact operator") {
     val exact = Dedup.ngramJaccard(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
     val lsh = Dedup.minHashLsh(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
