@@ -292,6 +292,119 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // ----------------------------------------------------- row-level ops
+
+  /** Copy-on-write MERGE (upsert) on a numeric key column: incoming
+    * rows REPLACE existing rows with the same key and insert otherwise
+    * — `MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` for
+    * whole rows.
+    *
+    * Only data files whose [min,max] key range intersects the incoming
+    * batch's key bounds are rewritten (anti-join out the matched keys,
+    * union the batch); every other file is carried into the new
+    * snapshot untouched — file-level write amplification, not
+    * table-level, which is what makes copy-on-write viable at 100 TB
+    * when writes are key-clustered. Files without stats are
+    * conservatively rewritten. Old files stay referenced by older
+    * snapshots for time travel until expired.
+    */
+  def upsert(ns: String, name: String, df: DataFrame, keyCol: String): TableMeta = {
+    val preview = synchronized(loadMeta(ns, name)._2)
+    if (preview.currentSnapshot.isEmpty) return append(ns, name, df)
+    val bounds = df.agg(
+      org.apache.spark.sql.functions.min(col(keyCol)).cast("double"),
+      org.apache.spark.sql.functions.max(col(keyCol)).cast("double")).head()
+    require(!bounds.isNullAt(0), s"upsert batch has no $keyCol values")
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.get
+      val touched = prunedFiles(current, keyCol,
+        bounds.getDouble(0), bounds.getDouble(1))
+      val untouched = current.files.filterNot(touched.toSet)
+      val remain =
+        if (touched.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else spark.read.schema(schema).parquet(touched: _*)
+          .join(df.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      val out = remain.unionByName(df, allowMissingColumns = true)
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-upsert")
+      out.write.parquet(snapDir.toString)
+      val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val newStats = collectFileStats(out.schema, newFiles)
+      val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
+      commitReplacing(ns, name, version, meta, snapshotId,
+        untouched ++ newFiles, untouchedStats ++ newStats)
+    }
+  }
+
+  /** Copy-on-write range delete on a numeric column, with the
+    * metadata-only fast path: files whose stats prove every row falls
+    * inside [lower, upper] are DROPPED from the manifest without any
+    * IO; files provably disjoint are carried unchanged; only files
+    * that straddle the boundary (or lack stats) are rewritten with the
+    * complement filter. On a well-clustered 100 TB table a
+    * time-range retention delete touches only the two boundary files.
+    */
+  def deleteWhere(ns: String, name: String, column: String,
+      lower: Double, upper: Double): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      val statsByFile = current.fileStats.map(s => s.path -> s).toMap
+      def bound(f: String): Option[(Double, Double)] = for {
+        s <- statsByFile.get(f)
+        mn <- s.min.get(column)
+        mx <- s.max.get(column)
+      } yield (mn.toDouble, mx.toDouble)
+      val (inside, rest) = current.files.partition(f =>
+        bound(f).exists { case (mn, mx) => mn >= lower && mx <= upper })
+      val (disjoint, straddling) = rest.partition(f =>
+        bound(f).exists { case (mn, mx) => mx < lower || mn > upper })
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val newFiles =
+        if (straddling.isEmpty) Seq.empty
+        else {
+          val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete")
+          spark.read.schema(schema).parquet(straddling: _*)
+            .filter(!col(column).between(lower, upper))
+            .write.parquet(snapDir.toString)
+          Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath).sorted.toSeq
+        }
+      val newStats = collectFileStats(schema, newFiles)
+      val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
+      commitReplacing(ns, name, version, meta, snapshotId,
+        disjoint ++ newFiles, keptStats ++ newStats)
+    }
+
+  /** Commit a snapshot whose manifest REPLACES the current file list
+    * (compact/upsert/delete shape, vs append's cumulative one).
+    */
+  private def commitReplacing(ns: String, name: String, version: Int,
+      meta: TableMeta, snapshotId: Long,
+      files: Seq[String], stats: Seq[FileStats]): TableMeta = {
+    val snap = SnapshotMeta(
+      snapshotId = snapshotId,
+      parentId = meta.currentSnapshotId,
+      sequenceNumber = meta.snapshots.map(_.sequenceNumber).max + 1,
+      files = files,
+      rowCount = stats.map(_.rows).sum,
+      createdAtMs = System.currentTimeMillis(),
+      fileStats = stats)
+    val newMeta = meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snap)
+    commit(ns, name, version + 1, newMeta)
+    newMeta
+  }
+
   // -------------------------------------------------------- maintenance
 
   /** Expire all but the last `keepLast` snapshots and delete data files

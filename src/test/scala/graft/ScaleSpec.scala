@@ -76,4 +76,39 @@ class ScaleSpec extends SparkTestBase {
     spark.sql("DROP TABLE li_bucketed")
     spark.sql("DROP TABLE ord_bucketed")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The third shuffle-reduction lever beside broadcasting and
+    // bucketing: when a selective dimension filter feeds a shuffle
+    // join, Spark can build a bloom filter from the dimension keys at
+    // runtime and push it into the fact scan, skipping most fact rows
+    // BEFORE the exchange. Thresholds here are shrunk to demo scale;
+    // at 100 TB the defaults fire on any filtered-dim x fact join.
+    val dir = tmpDir("graft-bloom")
+    spark.range(200000)
+      .select(col("id"), pmod(col("id"), lit(10000)).as("k"))
+      .write.parquet(s"$dir/fact")
+    spark.range(10000).select(col("id").as("k"),
+        pmod(col("id"), lit(100)).as("grp"))
+      .write.parquet(s"$dir/dim")
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === 7)
+      val joined = fact.join(dim, "k")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan.take(2000))
+      assert(joined.count() == 2000L) // 100 dim keys x 20 fact rows each
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
