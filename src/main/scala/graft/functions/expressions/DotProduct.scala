@@ -73,13 +73,20 @@ object DotProduct {
 
   val FnName = "graft_dot"
 
-  /** Register in the session's function registry (idempotent), so the
-    * expression is reachable through the public Column API
-    * (`call_function`) and SQL alike.
+  /** Register in the session's function registry (idempotent — skips
+    * when already present so repeated operator calls don't spam
+    * "function replaced" warnings), so the expression is reachable
+    * through the public Column API (`call_function`) and SQL alike.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident =
+      org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   /** Column-level handle; requires `register(spark)` once per session. */
   def dot(a: Column, b: Column): Column =

@@ -218,7 +218,9 @@ object QuantileDigest {
     * (idempotent), reachable through `call_function` and SQL alike —
     * same surface pattern as [[DotProduct.register]].
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(FnName))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName,
       exprs => {
@@ -240,6 +242,7 @@ object QuantileDigest {
         QuantileDigest(exprs(0), ps, comp).toAggregateExpression()
       },
       "built-in")
+  }
 
   /** Column-level handle; requires `register(spark)` once per session. */
   def quantiles(x: Column, ps: Seq[Double], compression: Int = 256): Column =

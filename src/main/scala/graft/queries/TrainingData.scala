@@ -450,6 +450,48 @@ object TrainingData {
       |  FROM counts)
       |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  // Repetition-based quality filter (the Gopher-rule family): per-doc
+  // top-token fraction and duplicate-token fraction, with a keep flag.
+  // Distributed shape: explode → two doc_id-keyed aggregations, both
+  // with map-side partials; per-doc state is the distinct-token count,
+  // never the text.
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val cnt = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        round(col("top_c") / col("n_tok"), 4).as("top_token_frac"),
+        round(lit(1.0) - col("n_distinct") / col("n_tok"), 4)
+          .as("dup_token_frac"),
+        (col("top_c") / col("n_tok") <= 0.1 &&
+          lit(1.0) - col("n_distinct") / col("n_tok") <= 0.85)
+          .cast("long").as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
+  private val t17Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      |         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_tok, n_distinct,
+      |       round(top_c * 1.0 / n_tok, 4) AS top_token_frac,
+      |       round(1 - n_distinct * 1.0 / n_tok, 4) AS dup_token_frac,
+      |       CAST(top_c * 1.0 / n_tok <= 0.1
+      |            AND 1 - n_distinct * 1.0 / n_tok <= 0.85 AS BIGINT)
+      |         AS keep_doc
+      |FROM st ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -609,6 +651,7 @@ object TrainingData {
     QuerySpec("t14_group_quota", t14, Some(t14Sql)),
     QuerySpec("t15_decontaminate", t15, Some(t15Sql)),
     QuerySpec("t16_ngram_topk", t16, Some(t16Sql)),
+    QuerySpec("t17_repetition_filter", t17, Some(t17Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
