@@ -666,6 +666,60 @@ object Relational {
       |  round(sum(value), 2) AS value_sum
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  // Statistical aggregates: correlation, sample covariance/stddev/
+  // variance — all single-pass co-moment aggregates with map-side
+  // partials (Spark's CentralMomentAgg family), so they scale exactly
+  // like sum/count. Rounded to 4 in both engines (FP-order epsilon).
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"),
+        round(stddev_samp(col("l_discount")), 4).as("disc_stddev"),
+        round(var_samp(col("l_tax")), 4).as("tax_var"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q27Sql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+      |  round(stddev_samp(l_discount), 4) AS disc_stddev,
+      |  round(var_samp(l_tax), 4) AS tax_var,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // Unpivot (wide → long), the inverse of q22's pivot: numeric order
+  // measures melt into (measure, val) rows via Dataset.unpivot —
+  // per-row expansion, no shuffle at all until the final sort. The
+  // oracle states the same contract as a UNION ALL of per-measure
+  // projections.
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("totalprice"),
+        col("o_custkey").cast("double").as("custkey"))
+      .unpivot(
+        Array(col("o_orderkey")),
+        Array(col("totalprice"), col("custkey")),
+        "measure", "val")
+      .select(col("o_orderkey"), col("measure"),
+        round(col("val"), 2).as("val"))
+      .orderBy("o_orderkey", "measure")
+
+  private val q28Sql =
+    """SELECT o_orderkey, measure, round(val, 2) AS val FROM (
+      |  SELECT o_orderkey, 'totalprice' AS measure,
+      |         CAST(o_totalprice AS DOUBLE) AS val FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders)
+      |WHERE o_orderkey % 101 = 0
+      |ORDER BY o_orderkey, measure""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -693,5 +747,7 @@ object Relational {
     QuerySpec("q23_collection_fns", q23, Some(q23Sql)),
     QuerySpec("q24_approx_quantiles", q24, None),
     QuerySpec("q25_range_join", q25, Some(q25Sql)),
-    QuerySpec("q26_zorder_key", q26, Some(q26Sql)))
+    QuerySpec("q26_zorder_key", q26, Some(q26Sql)),
+    QuerySpec("q27_stat_aggs", q27, Some(q27Sql)),
+    QuerySpec("q28_unpivot", q28, Some(q28Sql)))
 }

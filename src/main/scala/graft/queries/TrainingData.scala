@@ -492,6 +492,51 @@ object TrainingData {
       |         AS keep_doc
       |FROM st ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  // Dedup cluster assignment: connected components over the exact
+  // n-gram Jaccard pair list (t02's), one row per doc that appears in
+  // any near-dup pair, labeled with the min reachable doc id and a
+  // keep flag on the representative. The oracle states the same
+  // fixpoint as a DuckDB recursive CTE (transitive closure + min) —
+  // Spark computes it as O(diameter) join+min rounds, no closure
+  // materialization (Dedup.connectedComponents scaladoc).
+  private def t18(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs(s, dir), n = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
+  private val t18Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a, b FROM common
+      |  JOIN cnt ca ON common.a = ca.doc_id
+      |  JOIN cnt cb ON common.b = cb.doc_id
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT u AS doc_id,
+      |  CAST(least(u, min(v)) AS BIGINT) AS component,
+      |  CAST(least(u, min(v)) = u AS BIGINT) AS keep_doc
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -652,6 +697,7 @@ object TrainingData {
     QuerySpec("t15_decontaminate", t15, Some(t15Sql)),
     QuerySpec("t16_ngram_topk", t16, Some(t16Sql)),
     QuerySpec("t17_repetition_filter", t17, Some(t17Sql)),
+    QuerySpec("t18_dedup_components", t18, Some(t18Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -39,6 +39,46 @@ object Sinks {
         catalog.append(ns, table, batch): Unit        // evolve inside
       }
 
+  /** CDC-style streaming MERGE sink: every micro-batch is UPSERTED
+    * into the snapshot catalog by `keyCol` (`MERGE INTO … WHEN MATCHED
+    * UPDATE WHEN NOT MATCHED INSERT`), the changelog-consumption shape
+    * that append sinks can't express — late updates to existing keys
+    * rewrite in place instead of duplicating.
+    *
+    * Within one micro-batch the last row per key wins, ordered by
+    * `seqCol` (a monotonically increasing changelog offset/timestamp) —
+    * the standard CDC tie-break; without it, cross-partition duplicates
+    * would make the commit nondeterministic. Each batch is one atomic
+    * copy-on-write commit that rewrites only key-range-intersecting
+    * files (SnapshotCatalog.upsert), so steady-state write
+    * amplification tracks the batch's key spread, not table size; the
+    * checkpoint gives effectively-once application on restart (a
+    * replayed batch re-upserts the same keys — idempotent).
+    */
+  def upsertSink(
+      events: DataFrame,
+      catalog: SnapshotCatalog,
+      ns: String,
+      table: String,
+      keyCol: String,
+      seqCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(keyCol).orderBy(col(seqCol).desc)))
+          .filter(col("_rk") === 1).drop("_rk")
+        if (!catalog.tableExists(ns, table))
+          catalog.createTable(ns, table, latest.schema)
+        catalog.upsert(ns, table, latest, keyCol): Unit
+      }
+
   /** S7 — event-time partitioned parquet sink
     * (s3-connector-config.json:15-25): paths
     * `year=YYYY/month=MM/day=dd/hour=HH` derived from the RECORD's

@@ -55,6 +55,25 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("connected components: chains merge, keep flag on min id") {
+    // 1-2, 2-3 chain (1-3 never paired) plus an isolated pair 7-9:
+    // components must be {1,2,3}->1 and {7,9}->7.
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (7L, 7L, 1L), (9L, 7L, 0L)))
+  }
+
+  test("connected components converge on a long chain within maxIter") {
+    // a 12-vertex path is the worst case for min propagation (diameter
+    // 11); labels must still reach the global min within the cap
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs)
+    assert(out.filter(col("component") === 0L).count() == 12L)
+    assert(out.filter(col("keep_doc") === 1L).count() == 1L)
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -64,6 +64,46 @@ class StreamingSpec extends SparkTestBase {
     assert(back.filter(col("hour") === "07").select("payload").head().getString(0) == "a")
   }
 
+  test("upsert sink applies a changelog: last-per-key wins, updates in place") {
+    import spark.implicits._
+    val src = tmpDir("graft-cdc-src")
+    val ckpt = tmpDir("graft-cdc-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-cdc-wh"))
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id LONG, v STRING, seq LONG"))
+        .parquet(src)
+      val q = graft.streaming.Sinks.upsertSink(stream, cat, "db", "state",
+        keyCol = "id", seqCol = "seq", checkpointDir = ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: keys 1-3, including an in-batch duplicate for key 2 —
+    // the higher seq must win
+    Seq((1L, "a", 10L), (2L, "stale", 11L), (2L, "b", 12L), (3L, "c", 13L))
+      .toDF("id", "v", "seq").write.mode("append").parquet(src)
+    run()
+    val after1 = cat.read("db", "state").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after1 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // batch 2 via checkpoint resume: update key 2, insert key 4
+    Seq((2L, "b2", 20L), (4L, "d", 21L))
+      .toDF("id", "v", "seq").write.mode("append").parquet(src)
+    run()
+    val after2 = cat.read("db", "state").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after2 == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // update rewrote in place — no duplicate key rows, and time travel
+    // still serves the pre-update state
+    val snaps = cat.describe("db", "state").snapshots.map(_.snapshotId)
+    assert(cat.read("db", "state", snapshotId = Some(snaps.min))
+      .filter(col("id") === 2L).head().getString(1) == "b")
+  }
+
   test("streamed partitioned sink writes through the same derivation") {
     val src = tmpDir("graft-src2")
     val out = tmpDir("graft-out2")
