@@ -98,6 +98,40 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental (one-sided) n-gram Jaccard: near-dup pairs between a
+    * NEW batch of documents and an EXISTING corpus — the daily-ingest
+    * dedup shape. Mining the full corpus pair graph per batch would be
+    * O(corpus²) forever; here the batch's shingles join the corpus
+    * inverted index, so the cost is ∝ the batch's posting-list overlap,
+    * and the corpus side is exactly the index a deployment keeps
+    * materialized between runs (append-only, maintained from
+    * `SnapshotCatalog.readIncremental` file diffs). Returns
+    * (new_id, corpus_id, jaccard) — semantics identical to
+    * [[ngramJaccard]] restricted to cross-side pairs.
+    */
+  def ngramJaccardAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int,
+      threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
+    def index(docs: DataFrame) = cached(shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val nw = index(newDocs)
+    val cp0 = index(corpus)
+    val cp =
+      if (maxShingleDf <= 0) cp0
+      else cp0.join(
+        cp0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("shingle"),
+        Seq("shingle"), "left_anti")
+    def counts(ix: DataFrame) = ix.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    nw.as("x").join(cp.as("y"), col("x.shingle") === col("y.shingle"))
+      .groupBy(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts(nw).select(col("doc_id").as("new_id"), col("n_sh").as("na")), "new_id")
+      .join(counts(cp0).select(col("doc_id").as("corpus_id"), col("n_sh").as("nb")), "corpus_id")
+      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Benchmark decontamination: flag corpus documents whose n-gram
     * shingles overlap an evaluation/benchmark set — the
     * remove-test-set-from-training-data pass every LLM data pipeline

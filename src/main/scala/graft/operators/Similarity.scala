@@ -290,6 +290,47 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, find near-duplicate
+    * pairs ONLY within each cluster, group them into connected
+    * components, and keep one representative (min id) per component.
+    * Returns one row per input vector: (vec_id, component, keep).
+    *
+    * Scale shape: the all-pairs scan that makes embedding dedup
+    * quadratic is confined to single cells — cost ∝ Σ(cell²) with
+    * K cells cutting the constant ~K× for balanced clusters — and cell
+    * assignment is a pure argmax-cosine expression against broadcast
+    * centroids (no join). The within-cell pair join shuffles on the
+    * cell id, so hot cells are visible skew (AQE-splittable; raise K
+    * or sub-bucket a cell if one dominates). Recall: a cross-cell dup
+    * pair is missed by construction — at dedup-grade similarity
+    * (≥0.9) near-identical vectors share an argmax cell except exactly
+    * on a centroid boundary, the same tradeoff the paper accepts.
+    * Pinned in OperatorSpec on planted duplicate groups.
+    */
+  def semanticDedup(vecs: DataFrame, threshold: Double, nCells: Int,
+      idCol: String = "vec_id", iters: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(kmeansCentroids(vecs, nCells, iters, idCol))
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .withColumn("cell", homeCell(cents))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = unit.select(col("cell"), col("id").as("a"), col("uv").as("va"))
+      .join(unit.select(col("cell"), col("id").as("b"), col("uv").as("vb")),
+        Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", DotProduct.dot(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+    // singletons (no near-dup) keep themselves
+    unit.select(col("id"))
+      .join(cc, col("id") === cc("doc_id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"),
+        coalesce(col("keep_doc"), lit(1L)).as("keep"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

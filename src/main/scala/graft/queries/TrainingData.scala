@@ -537,6 +537,47 @@ object TrainingData {
       |  CAST(least(u, min(v)) = u AS BIGINT) AS keep_doc
       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+  // Incremental dedup: every 11th doc plays the freshly ingested batch,
+  // deduped AGAINST the standing corpus (never corpus-vs-corpus) — the
+  // daily-ingest shape where the corpus inverted index is the standing
+  // asset and only the batch's shingles shuffle. Same verified-exact
+  // Jaccard semantics as t02, restricted to cross-side pairs.
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.ngramJaccardAgainst(
+        newDocs = d.filter(col("doc_id") % 11 === 0),
+        corpus = d.filter(col("doc_id") % 11 =!= 0),
+        n = 3, threshold = 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val t19Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), nw AS (SELECT * FROM sh WHERE doc_id % 11 = 0),
+      |cp AS (SELECT * FROM sh WHERE doc_id % 11 <> 0),
+      |cn AS (SELECT doc_id, count(*) AS n FROM nw GROUP BY 1),
+      |cm AS (SELECT doc_id, count(*) AS n FROM cp GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.doc_id AS new_id, y.doc_id AS corpus_id, count(*) AS common
+      |  FROM nw x JOIN cp y ON x.shingle = y.shingle GROUP BY 1, 2)
+      |SELECT new_id, corpus_id,
+      |       round(common * 1.0 / (a.n + b.n - common), 4) AS jaccard
+      |FROM pairs JOIN cn a ON pairs.new_id = a.doc_id
+      |           JOIN cm b ON pairs.corpus_id = b.doc_id
+      |WHERE common * 1.0 / (a.n + b.n - common) >= 0.5
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -638,6 +679,28 @@ object TrainingData {
       |WHERE list_cosine_similarity(x.v, y.v) >= 0.9
       |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- e06
+  // SemDeDup: e05's jitter-augmented corpus (each vector + a cosine
+  // ≈0.999 re-encode of itself) deduplicated by cluster-then-
+  // compare — trained spherical k-means cells, within-cell pairs only,
+  // connected components, keep-one. The k-means mean is FP-order
+  // sensitive across partitionings, so cell boundaries (and the pair
+  // set near threshold) are not bit-reproducible → rows-only check
+  // (one row per vector, count pinned); the semantics are pinned in
+  // OperatorSpec on planted duplicate groups with fixed centroids.
+  private def e06(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val jit = base
+      .withColumn("_j", transform(col("embedding"),
+        x => x * (lit(1.0) + lit(0.05) * sin(x * 1000 + col("vec_id")))))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("_j").as("embedding"))
+    val aug = base.unionAll(jit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Similarity.semanticDedup(aug, threshold = 0.9, nCells = 8, iters = 2)
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- m01
   // Multimodal binary-column plumbing with deterministic stub features.
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -698,11 +761,13 @@ object TrainingData {
     QuerySpec("t16_ngram_topk", t16, Some(t16Sql)),
     QuerySpec("t17_repetition_filter", t17, Some(t17Sql)),
     QuerySpec("t18_dedup_components", t18, Some(t18Sql)),
+    QuerySpec("t19_dedup_incremental", t19, Some(t19Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
     QuerySpec("e04_ann_ivf", e04, None),
     QuerySpec("e05_neardup_lsh_verified", e05, Some(e05Sql)),
+    QuerySpec("e06_semantic_dedup", e06, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
 }

@@ -55,6 +55,37 @@ class OperatorSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("incremental Jaccard dedups a batch against the corpus only") {
+    // doc 4 is the "new batch": near/exact dup of corpus docs 1 and 2,
+    // but the corpus-internal pair (1,2) must NOT appear
+    val out = Dedup.ngramJaccardAgainst(
+        newDocs = docs.filter(col("doc_id") === 4),
+        corpus = docs.filter(col("doc_id") =!= 4),
+        n = 3, threshold = 0.5)
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((4L, 1L), (4L, 2L)))
+    assert(out.head._3 == 1.0) // exact dup of doc 1
+  }
+
+  test("semantic dedup groups planted duplicates and keeps singletons") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.0f, 0.01f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f, 0.01f, 0.0f)),
+      (4L, Seq(0.01f, 0.99f, 0.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, threshold = 0.95, nCells = 2,
+        centroids = Some(Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0))))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // {0,1,2} -> component 0, {3,4} -> component 3, 5 a kept singleton
+    assert(out == Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L),
+      (3L, 3L, 1L), (4L, 3L, 0L), (5L, 5L, 1L)))
+  }
+
   test("connected components: chains merge, keep flag on min id") {
     // 1-2, 2-3 chain (1-3 never paired) plus an isolated pair 7-9:
     // components must be {1,2,3}->1 and {7,9}->7.
