@@ -17,4 +17,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object PlanExec {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Test-side probe for `SparkSessionExtensions.buildOptimizerRules`
+    * (`private[sql]`): lets specs assert an extensions class wires its
+    * rules without racing other suites for the JVM's default session.
+    */
+  def optimizerRulesOf(exts: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    exts.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }
