@@ -212,7 +212,7 @@ object Similarity {
   def seedCentroids(vecs: DataFrame, nCells: Int,
       idCol: String = "vec_id"): Array[Array[Double]] =
     unitVectors(vecs, idCol, "id", "uv")
-      .filter(col("id") < nCells).orderBy("id")
+      .orderBy("id").limit(nCells)
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("uv").toArray)
 
@@ -308,10 +308,20 @@ object Similarity {
     * on a centroid boundary, the same tradeoff the paper accepts.
     * Pinned in OperatorSpec on planted duplicate groups.
     */
+  /** `trainFraction` < 1 trains the k-means on a deterministic hash
+    * sample of the corpus (centroids only need the cluster STRUCTURE,
+    * which a sample preserves) — at 100 TB training Lloyd iterations
+    * on the full corpus is the anti-pattern; assignment still covers
+    * every vector.
+    */
   def semanticDedup(vecs: DataFrame, threshold: Double, nCells: Int,
       idCol: String = "vec_id", iters: Int = 4,
-      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cents = centroids.getOrElse(kmeansCentroids(vecs, nCells, iters, idCol))
+      centroids: Option[Array[Array[Double]]] = None,
+      trainFraction: Double = 1.0): DataFrame = {
+    val trainSet =
+      if (trainFraction >= 1.0) vecs
+      else Sampling.hashSample(vecs, idCol, trainFraction)
+    val cents = centroids.getOrElse(kmeansCentroids(trainSet, nCells, iters, idCol))
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .withColumn("cell", homeCell(cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -697,7 +697,8 @@ object TrainingData {
       .select((col("vec_id") + 100000L).as("vec_id"), col("_j").as("embedding"))
     val aug = base.unionAll(jit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Similarity.semanticDedup(aug, threshold = 0.9, nCells = 8, iters = 2)
+    Similarity.semanticDedup(aug, threshold = 0.9, nCells = 8, iters = 2,
+        trainFraction = 0.2)
       .orderBy("vec_id")
   }
 
