@@ -578,6 +578,77 @@ object TrainingData {
       |WHERE common * 1.0 / (a.n + b.n - common) >= 0.5
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  // The end-to-end curation pipeline, composed from the library's own
+  // stages — the "what a user actually runs" query: length filter →
+  // exact dedup (keep min id per fingerprint) → near-dup clustering on
+  // the survivors (pairs → connected components → keep one per
+  // cluster) → per-language corpus summary. Every stage is the
+  // operator the standalone queries verify; the oracle restates the
+  // whole chain in one DuckDB CTE pipeline, so the COMPOSITION is
+  // hash-checked too, not just the parts.
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens").between(20L, 4000L))
+    val keepExact = d
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("_rk") === 1).drop("_rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(keepExact, n = 3, threshold = 0.5))
+    val reps = keepExact.join(
+      clusters.filter(col("keep_doc") === 0).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    reps.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val t20Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                     t -> t <> '') AS ts
+      |  FROM documents
+      |), q AS (
+      |  SELECT * FROM toks WHERE len(ts) BETWEEN 20 AND 4000
+      |), ke AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, text, ts, len(ts) AS n_tokens,
+      |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+      |    FROM q) WHERE rk = 1
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM ke
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a, b FROM common
+      |  JOIN cnt ca ON common.a = ca.doc_id
+      |  JOIN cnt cb ON common.b = cb.doc_id
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |drops AS (
+      |  SELECT u AS doc_id FROM reach GROUP BY u
+      |  HAVING least(u, min(v)) <> u)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM ke WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- e01
   // Exact cosine kNN: top-5 neighbors for each query vector (id < 50).
   private def e01(s: SparkSession, dir: String): DataFrame = {
@@ -763,6 +834,7 @@ object TrainingData {
     QuerySpec("t17_repetition_filter", t17, Some(t17Sql)),
     QuerySpec("t18_dedup_components", t18, Some(t18Sql)),
     QuerySpec("t19_dedup_incremental", t19, Some(t19Sql)),
+    QuerySpec("t20_curation_pipeline", t20, Some(t20Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
