@@ -4,28 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Left as-of join (the quotes-to-trades operator): for each left row,
-  * attach the value of the temporally-latest right row with
-  * `right.ts <= left.ts` in the same key group.
+/** As-of join (the quotes-to-trades operator): for each left row,
+  * attach the value of the temporally-nearest right row in the same
+  * key group — the latest `right.ts <= left.ts` (backward, default)
+  * or the earliest `right.ts >= left.ts` (forward), optionally only
+  * when the time gap is within `tolerance` (pandas `merge_asof`
+  * surface).
   *
   * Built by composition (builder preference (a)) rather than a custom
   * physical operator: both sides are tagged, unioned, and sorted within
   * one key-partitioned window; a running `last(value, ignoreNulls)`
-  * carries the most recent right value forward into each left row.
-  * Cost: ONE shuffle on the key + a per-partition sort — no
-  * range-condition join (which Spark would execute as a broadcast
-  * nested loop, quadratic per key group). This plan survives 100 TB:
-  * it is exactly a sort-merge pass over key-partitioned data.
+  * carries the nearest right value into each left row (scan ascending
+  * for backward, descending for forward). Cost: ONE shuffle on the key
+  * + a per-partition sort — no range-condition join (which Spark would
+  * execute as a broadcast nested loop, quadratic per key group). This
+  * plan survives 100 TB: it is exactly a sort-merge pass over
+  * key-partitioned data.
   *
   * Determinism: right rows sort before left rows at equal timestamps
-  * (inclusive <= semantics); equal-timestamp right rows tie-break on
-  * the value column.
+  * (inclusive semantics both directions); equal-timestamp right rows
+  * tie-break on the value column (max for backward, min for forward —
+  * the value nearest the scan end, fixed and documented).
   */
 object AsOfJoin {
 
-  /** @param valueAs  output column name for the as-of value
+  /** @param valueAs   output column name for the as-of value
+    * @param direction "backward" (latest right at-or-before) or
+    *                  "forward" (earliest right at-or-after)
+    * @param tolerance max |left.ts − right.ts| (in the ts columns'
+    *                  units, both cast to long) — a match farther away
+    *                  yields null, same as no match
     * @return left rows (all columns) + `valueAs` (null when no right
-    *         row precedes the left row)
+    *         row qualifies)
     */
   def asOf(
       left: DataFrame,
@@ -34,22 +44,42 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightValue: String,
-      valueAs: String = "asof_value"): DataFrame = {
+      valueAs: String = "asof_value",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val valueType = right.schema(rightValue).dataType
+    val tsType = right.schema(rightTs).dataType
     val l = left
       .withColumn("_ats", col(leftTs))
       .withColumn("_side", lit(1))
       .withColumn("_rv", lit(null).cast(valueType))
+      .withColumn("_rts", lit(null).cast(tsType))
     val r = right.select(
-      keys.map(col) :+ col(rightTs).as("_ats") :+
-        lit(0).as("_side") :+ col(rightValue).as("_rv"): _*)
+      keys.map(col) :+ col(rightTs).as("_ats") :+ lit(0).as("_side") :+
+        col(rightValue).as("_rv") :+ col(rightTs).as("_rts"): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord =
+      if (direction == "backward")
+        Seq(col("_ats").asc, col("_side").asc, col("_rv").asc)
+      else
+        Seq(col("_ats").desc, col("_side").asc, col("_rv").desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ats").asc, col("_side").asc, col("_rv").asc)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    unioned
-      .withColumn(valueAs, last(col("_rv"), ignoreNulls = true).over(w))
+    val matched = unioned
+      .withColumn("_mv", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_mts", last(col("_rts"), ignoreNulls = true).over(w))
+    val value = tolerance match {
+      case None => col("_mv")
+      case Some(t) =>
+        when(abs(col("_ats").cast("long") - col("_mts").cast("long")) <= t,
+          col("_mv"))
+    }
+    matched
       .filter(col("_side") === 1)
-      .drop("_ats", "_side", "_rv")
+      .withColumn(valueAs, value)
+      .drop("_ats", "_side", "_rv", "_rts", "_mv", "_mts")
   }
 }

@@ -720,6 +720,35 @@ object Relational {
       |WHERE o_orderkey % 101 = 0
       |ORDER BY o_orderkey, measure""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  // Forward as-of join with tolerance (pandas merge_asof surface): for
+  // each purchase, the NEXT click by the same user within one hour.
+  // Same single-shuffle union+window plan as q20, scanned descending.
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("pm"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_millis(col("ts")).as("cm"))
+    AsOfJoin.asOf(purchases, clicks, keys = Seq("user_id"),
+        leftTs = "pm", rightTs = "cm", rightValue = "cm",
+        valueAs = "next_click_ms", direction = "forward",
+        tolerance = Some(3600000L))
+      .select("event_id", "user_id", "next_click_ms")
+      .orderBy("event_id")
+  }
+
+  private val q29Sql =
+    """SELECT p.event_id, p.user_id, min(epoch_ms(c.ts)) AS next_click_ms
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND c.ts >= p.ts AND epoch_ms(c.ts) - epoch_ms(p.ts) <= 3600000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -749,5 +778,6 @@ object Relational {
     QuerySpec("q25_range_join", q25, Some(q25Sql)),
     QuerySpec("q26_zorder_key", q26, Some(q26Sql)),
     QuerySpec("q27_stat_aggs", q27, Some(q27Sql)),
-    QuerySpec("q28_unpivot", q28, Some(q28Sql)))
+    QuerySpec("q28_unpivot", q28, Some(q28Sql)),
+    QuerySpec("q29_asof_forward", q29, Some(q29Sql)))
 }

@@ -194,6 +194,26 @@ class OperatorSpec extends SparkTestBase {
     assert(out(2).isNullAt(out(2).fieldIndex("asof_px")))
   }
 
+  test("asOf forward picks the earliest right row at-or-after; tolerance nulls far matches") {
+    import graft.operators.AsOfJoin
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 150L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("B", 160L, 20.0)).toDF("sym", "t", "px")
+    val fwd = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t", "px",
+      "asof_px", direction = "forward").orderBy("trade_id").collect()
+    assert(fwd(0).getAs[Double]("asof_px") == 11.0) // t=100 inclusive
+    assert(fwd(1).isNullAt(fwd(1).fieldIndex("asof_px"))) // nothing after 205
+    assert(fwd(2).getAs[Double]("asof_px") == 20.0) // next B quote at 160
+
+    val tol = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t", "px",
+      "asof_px", direction = "forward", tolerance = Some(5L))
+      .orderBy("trade_id").collect()
+    // B's next quote is 10 ticks away > tolerance 5 -> null
+    assert(tol(2).isNullAt(tol(2).fieldIndex("asof_px")))
+    assert(tol(0).getAs[Double]("asof_px") == 11.0) // gap 0 still matches
+  }
+
   test("knnIvf probes cover the home cell: self-cluster neighbors found") {
     val df = (0L until 40L).map { i =>
       // two well-separated clusters in 4-d
