@@ -311,16 +311,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def upsert(ns: String, name: String, df: DataFrame, keyCol: String): TableMeta = {
     val preview = synchronized(loadMeta(ns, name)._2)
     if (preview.currentSnapshot.isEmpty) return append(ns, name, df)
-    val bounds = df.agg(
-      org.apache.spark.sql.functions.min(col(keyCol)).cast("double"),
-      org.apache.spark.sql.functions.max(col(keyCol)).cast("double")).head()
-    require(!bounds.isNullAt(0), s"upsert batch has no $keyCol values")
+    // key-range pruning by the key's type: numeric keys compare via
+    // the double stats, string keys lexicographically (both stat kinds
+    // are collected on write) — so e.g. a changelog keyed on a string
+    // id still rewrites only intersecting files
+    val touchedIn: SnapshotMeta => Seq[String] =
+      df.schema(keyCol).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val b = df.agg(
+            org.apache.spark.sql.functions.min(col(keyCol)),
+            org.apache.spark.sql.functions.max(col(keyCol))).head()
+          require(!b.isNullAt(0), s"upsert batch has no $keyCol values")
+          snap => prunedFilesString(snap, keyCol, b.getString(0), b.getString(1))
+        case _ =>
+          val b = df.agg(
+            org.apache.spark.sql.functions.min(col(keyCol)).cast("double"),
+            org.apache.spark.sql.functions.max(col(keyCol)).cast("double")).head()
+          require(!b.isNullAt(0), s"upsert batch has no $keyCol values")
+          snap => prunedFiles(snap, keyCol, b.getDouble(0), b.getDouble(1))
+      }
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       val current = meta.currentSnapshot.get
-      val touched = prunedFiles(current, keyCol,
-        bounds.getDouble(0), bounds.getDouble(1))
+      val touched = touchedIn(current)
       val untouched = current.files.filterNot(touched.toSet)
       val remain =
         if (touched.isEmpty) spark.createDataFrame(

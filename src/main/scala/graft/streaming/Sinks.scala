@@ -63,9 +63,14 @@ object Sinks {
       keyCol: String,
       seqCol: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      outputMode: String = "update"): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
-      .outputMode("append")
+      // "update" admits stateful aggregations (each trigger emits the
+      // CHANGED per-key rows, which the upsert applies in place — a
+      // streaming MATERIALIZED VIEW) and equals append for stateless
+      // changelog streams
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -111,6 +111,28 @@ class OperatorSpec extends SparkTestBase {
     assert(pairs((1L, 4L)) == 0L)
   }
 
+  test("ShingleGen generator: positional n-grams via select and LATERAL VIEW") {
+    import graft.functions.expressions.ShingleGen
+    ShingleGen.register(spark)
+    val df = Seq((1L, Seq("a", "b", "c", "d")), (2L, Seq("x")))
+      .toDF("id", "toks")
+    // generator in the SELECT list → Generate node, like explode
+    val sel = df.selectExpr("id", s"${ShingleGen.FnName}(toks, 2)")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(sel == Seq((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")))
+    // id=2 too short: zero rows, not an error
+
+    df.createOrReplaceTempView("sg_t")
+    val lv = spark.sql(
+      s"""SELECT id, pos, shingle FROM sg_t
+         |LATERAL VIEW ${ShingleGen.FnName}(toks, 3) g AS pos, shingle
+         |""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(lv == Seq((1L, 0, "a b c"), (1L, 1, "b c d")))
+    // positional generator emits every occurrence; the set-based
+    // TextFns.shinglesFromTokens stays the Jaccard-side primitive
+  }
+
   test("cosine math matches hand-computed values") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(3.0f, 4.0f))
