@@ -13,8 +13,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    builder(s"local[$cores]", cores).getOrCreate()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(s"local[$cores]", cores).getOrCreate()
+    registerFunctions(spark)
+    spark
+  }
+
+  /** The engine's SQL function surface (idempotent): the codegen dot
+    * product, the t-digest quantile aggregate, and the shingle UDTF —
+    * so `spark.sql` users get them without touching the Scala API.
+    * (The optimizer rule is separate: register
+    * `graft.plans.GraftExtensions` via `spark.sql.extensions`.)
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.expressions.DotProduct.register(spark)
+    graft.functions.expressions.QuantileDigest.register(spark)
+    graft.functions.expressions.ShingleGen.register(spark)
+  }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession

@@ -281,6 +281,12 @@ object Dedup {
       labels = next.select("v", "lbl")
       it += 1
     }
+    // silently returning partially-propagated labels would be WRONG
+    // results, not slow results — fail loudly; the caller can raise
+    // maxIter (diameter-bound) for pathological chain graphs
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("v").as("doc_id"), col("lbl").as("component"),
       (col("v") === col("lbl")).cast("long").as("keep_doc"))
   }

@@ -86,6 +86,17 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("rewrite is width-invariant: every bucket width gives the nested-loop answer") {
+    // widths straddling the interval spans: 1 (max fan-out), typical,
+    // larger than the whole domain (single bucket) — results must be
+    // identical in all of them
+    for (w <- Seq(1L, 7L, 16L, 1000L)) withRule(w) {
+      val got = rangeJoin().select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"width $w diverged")
+    }
+  }
+
   test("GraftExtensions wires the rule into session extensions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(exts)
