@@ -325,7 +325,11 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming is functionally dependent on (a, b), so filtering before
+      // the distinct is equivalent — and the distinct shuffle then moves
+      // only verified near-dups instead of every band collision (band
+      // collisions with high residual hamming dominate at corpus scale)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

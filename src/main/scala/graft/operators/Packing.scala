@@ -58,4 +58,39 @@ object Packing {
         sum(tokCol).cast("long").as("total_tokens"),
         min(idCol).as("first_id"))
       .orderBy("pack_id")
+
+  /** Sliding-window chunking — the per-DOCUMENT counterpart of
+    * [[packWindows]]: each document's token sequence is cut into
+    * windows of `size` tokens whose starts step by `stride`
+    * (overlap = size − stride), the fine-tuning/embedding-indexing
+    * shape where examples must not cross document boundaries.
+    *
+    * One row per chunk: (idCol, chunk_idx, start_tok, n_tok,
+    * chunk_md5) — the md5 of the space-joined window, so downstream
+    * (and the oracle) can verify content without carrying it. Pure
+    * per-row expressions (`sequence` → `transform`/`slice` → explode):
+    * no shuffle, no state; the fan-out is ≈ len/stride rows per doc,
+    * each a fixed-size digest, so output bytes stay proportional to
+    * input tokens regardless of overlap.
+    */
+  def chunk(docs: DataFrame, tokensCol: Column, size: Int, stride: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col(idCol), tokensCol.as("_toks"))
+      .filter(org.apache.spark.sql.functions.size(col("_toks")) > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("_toks")) - 1,
+          lit(stride))).as(Seq("chunk_idx", "start_tok")),
+        col("_toks"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("_toks")) - col("start_tok"))
+          .cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("_toks"), col("start_tok") + 1, lit(size))))
+          .as("chunk_md5"))
+  }
 }

@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
 /** `SparkSessionExtensions` entry point — register with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)` on the builder) to get
-  * [[RangeJoinRewrite]] in every session's optimizer.
+  * [[RangeJoinRewrite]] in every session's optimizer and
+  * [[GroupedTopKStrategy]] in its planner.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
+  }
 }
 
 /** Optimizer rule: rewrite point-in-interval non-equi joins

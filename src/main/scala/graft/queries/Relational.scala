@@ -749,6 +749,32 @@ object Relational {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  // Per-group top-k through the custom physical operator
+  // (plans.GroupedTopK): top-2 line items by price per supplier,
+  // planned as partial-heap → exchange → final-heap — the shuffle
+  // moves ≤ k rows per (group × input partition), never the fact
+  // table, and no per-group sort materializes (contrast the window
+  // formulation the oracle uses, which sorts every group).
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupedTopK(
+        t(s, dir, "lineitem")
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        group = Seq("l_suppkey"),
+        order = Seq(("l_extendedprice", false), ("l_orderkey", true),
+          ("l_linenumber", true)),
+        k = 2)
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+  private val q30Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_suppkey
+      |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 2
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -779,5 +805,6 @@ object Relational {
     QuerySpec("q26_zorder_key", q26, Some(q26Sql)),
     QuerySpec("q27_stat_aggs", q27, Some(q27Sql)),
     QuerySpec("q28_unpivot", q28, Some(q28Sql)),
-    QuerySpec("q29_asof_forward", q29, Some(q29Sql)))
+    QuerySpec("q29_asof_forward", q29, Some(q29Sql)),
+    QuerySpec("q30_grouped_topk", q30, Some(q30Sql)))
 }

@@ -814,6 +814,31 @@ object TrainingData {
       |WHERE frame_idx % 3 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  // Sliding-window chunking: 64-token windows stepping by 48 (16-token
+  // overlap), never crossing document boundaries — the fine-tuning /
+  // embedding-index example generator. Pure per-row expression fan-out
+  // (Packing.chunk), zero shuffles before the output sort.
+  private def t21(s: SparkSession, dir: String): DataFrame =
+    Packing.chunk(docs(s, dir), TextFns.tokens(col("text")),
+        size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val t21Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $duckToks AS ts FROM documents
+      |), st AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(0, len(ts) - 1, 48)) AS start_tok
+      |  FROM toks WHERE len(ts) > 0
+      |)
+      |SELECT doc_id, CAST(start_tok / 48 AS BIGINT) AS chunk_idx,
+      |       CAST(start_tok AS BIGINT) AS start_tok,
+      |       CAST(least(64, len(ts) - start_tok) AS BIGINT) AS n_tok,
+      |       md5(array_to_string(ts[start_tok + 1 : start_tok + 64], ' '))
+      |         AS chunk_md5
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -835,6 +860,7 @@ object TrainingData {
     QuerySpec("t18_dedup_components", t18, Some(t18Sql)),
     QuerySpec("t19_dedup_incremental", t19, Some(t19Sql)),
     QuerySpec("t20_curation_pipeline", t20, Some(t20Sql)),
+    QuerySpec("t21_chunking", t21, Some(t21Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -18,6 +18,18 @@ object PlanExec {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Idempotently append a planner strategy to the session's
+    * `experimental.extraStrategies` — the runtime-registration path for
+    * custom physical operators (`SparkSession.experimental` is only
+    * exposed on the classic session, hence the shim).
+    */
+  def addStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
+
   /** Test-side probe for `SparkSessionExtensions.buildOptimizerRules`
     * (`private[sql]`): lets specs assert an extensions class wires its
     * rules without racing other suites for the JVM's default session.
@@ -25,4 +37,9 @@ object PlanExec {
   def optimizerRulesOf(exts: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
     exts.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
+
+  /** Same probe for `buildPlannerStrategies`. */
+  def strategiesOf(exts: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    exts.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }
