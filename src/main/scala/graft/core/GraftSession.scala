@@ -20,14 +20,16 @@ object GraftSession {
   }
 
   /** The engine's SQL function surface (idempotent): the codegen dot
-    * product, the t-digest quantile aggregate, and the shingle UDTF —
-    * so `spark.sql` users get them without touching the Scala API.
+    * product, the t-digest quantile aggregate, the Misra-Gries
+    * heavy-hitters aggregate, and the shingle UDTF — so `spark.sql`
+    * users get them without touching the Scala API.
     * (The optimizer rule is separate: register
     * `graft.plans.GraftExtensions` via `spark.sql.extensions`.)
     */
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.expressions.DotProduct.register(spark)
     graft.functions.expressions.QuantileDigest.register(spark)
+    graft.functions.expressions.MisraGries.register(spark)
     graft.functions.expressions.ShingleGen.register(spark)
   }
 

@@ -839,6 +839,44 @@ object TrainingData {
       |         AS chunk_md5
       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t22
+  // Corpus-wide frequent tokens via the sketch→exact-verify pattern:
+  // a Misra-Gries summary (capacity 250 ⇒ every token with frequency
+  // > n/251 is guaranteed a candidate) collects candidates in one
+  // constant-size-buffer aggregation, then ONLY the candidates are
+  // exactly re-counted and filtered at 0.5% — above the guarantee
+  // line, so the result equals the oracle's full groupBy exactly. The
+  // full-vocabulary shuffle (the thing that explodes at 100 TB, where
+  // distinct n-grams outnumber documents) never happens; the corpus
+  // total rides a broadcast scalar, not a driver collect.
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.MisraGries
+    MisraGries.register(s)
+    val tok = docs(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = tok.agg(MisraGries.candidates(col("tok"), 250).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("n_total") * 0.005)
+      .select(col("tok"), col("cnt"),
+        round(col("cnt") / col("n_total"), 6).as("freq"))
+      .orderBy(desc("cnt"), col("tok"))
+  }
+
+  private val t22Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, $duckToks AS ts FROM documents
+      |), tok AS (SELECT unnest(ts) AS tok FROM toks),
+      |tot AS (SELECT count(*) AS n FROM tok),
+      |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT tok, cnt, round(cnt * 1.0 / n, 6) AS freq
+      |FROM c, tot WHERE cnt >= n * 0.005
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -861,6 +899,7 @@ object TrainingData {
     QuerySpec("t19_dedup_incremental", t19, Some(t19Sql)),
     QuerySpec("t20_curation_pipeline", t20, Some(t20Sql)),
     QuerySpec("t21_chunking", t21, Some(t21Sql)),
+    QuerySpec("t22_heavy_hitters", t22, Some(t22Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
