@@ -118,7 +118,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val stats = collectFileStats(df.schema, newFiles)
+      val stats = collectFileStats(df.schema, newFiles,
+        bloomColsFor(ns, name, df.schema))
 
       var attempt = 0
       while (true) {
@@ -164,11 +165,68 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * the freshly-written files — the write-side half of manifest
     * pruning (SURVEY §4).
     */
+  /** The table's configured bloom columns, restricted to types with a
+    * canonical string rendering (string + integral): a float bloom
+    * would hash a rendering the probe side can't reproduce.
+    */
+  private def bloomColsFor(ns: String, name: String, schema: StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val declared = describe(ns, name).properties.get(BloomColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    declared.filter(c => schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(StringType | LongType | IntegerType | ShortType | ByteType) => true
+      case _ => false
+    })
+  }
+
+  /** One aggregation per bloom column: every row contributes its
+    * [[BloomProbes]] bit positions (an expression mirror of
+    * [[SnapshotCatalog.bloomPositions]]); `collect_set` bounds what
+    * reaches the driver at ≤ [[BloomBits]] ints per file regardless of
+    * row count. Returns path → base64 bitset.
+    */
+  private def collectFileBlooms(schema: StructType, files: Seq[String],
+      bloomCols: Seq[String]): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty || bloomCols.isEmpty) return Map.empty
+    val perCol = bloomCols.map { c =>
+      val hex = md5(col(c).cast("string"))
+      val positions = array((0 until BloomProbes).map { i =>
+        conv(substring(hex, i * 8 + 1, 8), 16, 10).cast("long") % BloomBits
+      }: _*)
+      val rows = spark.read.schema(schema).parquet(files: _*)
+        .where(col(c).isNotNull)
+        .select(input_file_name().as("_file"), explode(positions).as("pos"))
+        .groupBy("_file").agg(collect_set(col("pos").cast("int")).as("ps"))
+        .collect()
+      rows.toSeq.map { r =>
+        val bits = new Array[Byte](BloomBits / 8)
+        r.getAs[scala.collection.Seq[Int]]("ps").foreach { p =>
+          bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+        }
+        normalizePath(r.getString(0)) ->
+          (c -> java.util.Base64.getEncoder.encodeToString(bits))
+      }
+    }
+    perCol.flatten.groupBy(_._1).map { case (path, kvs) =>
+      path -> kvs.map(_._2).toMap
+    }
+  }
+
+  /** input_file_name yields a URI (file:///...); manifests store plain
+    * absolute paths.
+    */
+  private def normalizePath(raw: String): String =
+    scala.util.Try(new java.net.URI(raw).getPath)
+      .toOption.filter(_ != null).getOrElse(raw.stripPrefix("file:"))
+
   private def collectFileStats(schema: StructType,
-      files: Seq[String]): Seq[FileStats] = {
+      files: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[FileStats] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     if (files.isEmpty) return Seq.empty
+    val blooms = collectFileBlooms(schema, files, bloomCols)
     val statCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name -> col(f.name).cast("double")
       case f if f.dataType == TimestampType => f.name -> col(f.name).cast("double")
@@ -185,11 +243,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.toSeq.map { r =>
-      // input_file_name yields a URI (file:///...); the manifest stores
-      // plain absolute paths — normalize via URI.getPath
-      val raw = r.getString(0)
-      val path = scala.util.Try(new java.net.URI(raw).getPath)
-        .toOption.filter(_ != null).getOrElse(raw.stripPrefix("file:"))
+      val path = normalizePath(r.getString(0))
       FileStats(
         path = path,
         rows = r.getAs[Long]("_rows"),
@@ -198,7 +252,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             .map(v => n -> (if (stringCols(n)) truncLower(v) else v)) }.toMap,
         max = statCols.flatMap { case (n, _) =>
           Option(r.getAs[String](s"_max_$n"))
-            .map(v => n -> (if (stringCols(n)) truncUpper(v) else v)) }.toMap)
+            .map(v => n -> (if (stringCols(n)) truncUpper(v) else v)) }.toMap,
+        blooms = blooms.get(path))
     }
   }
 
@@ -292,6 +347,46 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Point-lookup pruning: keep only files whose bloom for `column`
+    * might contain `value` (files without a bloom are kept). Min/max
+    * range stats can't skip inside a file's range; the bloom can —
+    * the needle-in-haystack lookup (one key in a 100 TB table) reads
+    * the handful of bloom-positive files instead of every file whose
+    * [min,max] happens to straddle the key.
+    */
+  def prunedFilesBloom(snap: SnapshotMeta, column: String,
+      value: String): Seq[String] = {
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    snap.files.filter { f =>
+      statsByFile.get(f).forall(mightContain(_, column, value))
+    }
+  }
+
+  /** Bloom-pruned equality read: skip bloom-negative files, then apply
+    * the residual equality — results equal `read().filter(col === v)`.
+    * `value` is the canonical string rendering (string and integral
+    * columns; the literal is cast back to the column type, keeping
+    * parquet pushdown on the residual).
+    */
+  def readEquals(ns: String, name: String, column: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val meta = describe(ns, name)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val snap = meta.currentSnapshot.getOrElse(
+      return read(ns, name).filter(col(column) === lit(value)))
+    val keep = prunedFilesBloom(snap, column, value)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(keep: _*)
+    // typed equality (literal cast to the column type) so the residual
+    // still pushes into the parquet reader; for the supported bloom
+    // types this equals string-rendering equality
+    base.filter(col(column) === lit(value).cast(schema(column).dataType))
+  }
+
   // ----------------------------------------------------- row-level ops
 
   /** Copy-on-write MERGE (upsert) on a numeric key column: incoming
@@ -348,7 +443,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newStats = collectFileStats(out.schema, newFiles)
+      val newStats = collectFileStats(out.schema, newFiles,
+        bloomColsFor(ns, name, out.schema))
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
       commitReplacing(ns, name, version, meta, snapshotId,
         untouched ++ newFiles, untouchedStats ++ newStats)
@@ -392,7 +488,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             .filter(_.getName.endsWith(".parquet"))
             .map(_.getAbsolutePath).sorted.toSeq
         }
-      val newStats = collectFileStats(schema, newFiles)
+      val newStats = collectFileStats(schema, newFiles,
+        bloomColsFor(ns, name, schema))
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
       commitReplacing(ns, name, version, meta, snapshotId,
         disjoint ++ newFiles, keptStats ++ newStats)
@@ -474,7 +571,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val stats = collectFileStats(schema, newFiles)
+      val stats = collectFileStats(schema, newFiles,
+        bloomColsFor(ns, name, schema))
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -587,7 +685,55 @@ object SnapshotCatalog {
       path: String,
       rows: Long,
       min: Map[String, String],
-      max: Map[String, String])
+      max: Map[String, String],
+      // column → base64 bloom bitset (BloomBits wide), for point-lookup
+      // file skipping; Option so pre-bloom metadata deserializes (None)
+      blooms: Option[Map[String, String]] = None)
+
+  /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
+    * 1000 distinct values per file, 1 KiB per (file, column) in the
+    * manifest — the Iceberg-puffin-style tradeoff: metadata stays tiny
+    * next to data files while point lookups skip almost every
+    * non-matching file.
+    */
+  val BloomBits = 8192
+  val BloomProbes = 4
+
+  /** Columns to build file blooms for on write (comma-separated table
+    * property), mirroring Iceberg's write.parquet.bloom-filter-enabled
+    * switches.
+    */
+  val BloomColumnsProp = "write.bloom-filter.columns"
+
+  /** The probe positions of a value's canonical string rendering —
+    * md5 split into four 32-bit words mod [[BloomBits]]. md5 is used
+    * (not a faster hash) because the SQL `md5` function and
+    * `MessageDigest` provably agree, so the write side (a column
+    * expression over the whole batch) and this read-side probe never
+    * drift. Integral/string columns render stably across both; that is
+    * the supported probe surface (floats have no canonical rendering).
+    */
+  def bloomPositions(value: String): Seq[Int] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (0 until BloomProbes).map { i =>
+      (java.lang.Long.parseLong(hex.substring(i * 8, (i + 1) * 8), 16) % BloomBits).toInt
+    }
+  }
+
+  /** Bloom membership for one file's stats: false ONLY when the file
+    * provably lacks `value` (absent/None blooms keep the file).
+    */
+  def mightContain(stats: FileStats, column: String, value: String): Boolean =
+    stats.blooms.flatMap(_.get(column)) match {
+      case None => true
+      case Some(b64) =>
+        val bits = java.util.Base64.getDecoder.decode(b64)
+        bloomPositions(value).forall { p =>
+          (bits(p >> 3) & (1 << (p & 7))) != 0
+        }
+    }
 
   final case class SnapshotMeta(
       snapshotId: Long,

@@ -244,6 +244,67 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("per-file blooms: point lookups skip files min/max cannot") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("uid", StringType), StructField("n", LongType)))
+    cat.createTable("db", "b", schema,
+      Map(SnapshotCatalog.BloomColumnsProp -> "uid, n"))
+    // three appends = three file sets with INTERLEAVED uid ranges, so
+    // lexicographic min/max stats cannot separate them — only the bloom
+    cat.append("db", "b", (0 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("db", "b", (1 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("db", "b", (2 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    val snap = cat.describe("db", "b").currentSnapshot.get
+    assert(snap.fileStats.forall(_.blooms.exists(_.contains("uid"))))
+
+    // present value: exactly the matching row comes back, and at least
+    // the two other appends' files are skipped
+    val kept = cat.prunedFilesBloom(snap, "uid", "user_0042")
+    assert(kept.size < snap.files.size, s"bloom skipped nothing (${snap.files.size} files)")
+    val hit = cat.readEquals("db", "b", "uid", "user_0042").collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("user_0042"))
+
+    // integral-column bloom probes via the canonical rendering
+    assert(cat.readEquals("db", "b", "n", "41").count() == 1)
+
+    // absent value: overwhelmingly pruned to nothing, result empty
+    assert(cat.readEquals("db", "b", "uid", "user_9999").count() == 0)
+
+    // equality stays consistent with the unpruned read
+    val full = cat.read("db", "b").filter(col("uid") === "user_0123").count()
+    assert(cat.readEquals("db", "b", "uid", "user_0123").count() == full)
+  }
+
+  test("bloom positions agree between probe side and write side") {
+    // the SQL-expression mirror (md5/conv/substring) must hash to the
+    // same positions as the JVM probe — otherwise pruning silently
+    // drops matching files
+    import spark.implicits._
+    val values = Seq("a", "user_0042", "", "∆-unicode", "123")
+    val sparkPos = values.toDF("v").select(
+      expr(s"transform(sequence(0, ${SnapshotCatalog.BloomProbes - 1}), " +
+        s"i -> cast(conv(substring(md5(v), i * 8 + 1, 8), 16, 10) as long) " +
+        s"% ${SnapshotCatalog.BloomBits})").as("ps"))
+      .collect().map(_.getSeq[Long](0).map(_.toInt))
+    values.zip(sparkPos).foreach { case (v, ps) =>
+      assert(SnapshotCatalog.bloomPositions(v) == ps, s"drift for '$v'")
+    }
+  }
+
+  test("metadata without blooms (pre-bloom tables) still reads and prunes") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.createTable("db", "nb", schemaV1) // no bloom property
+    cat.append("db", "nb", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val snap = cat.describe("db", "nb").currentSnapshot.get
+    assert(snap.fileStats.forall(_.blooms.isEmpty))
+    // bloom pruning keeps everything (conservative), equality still right
+    assert(cat.prunedFilesBloom(snap, "id", "1") == snap.files)
+    assert(cat.readEquals("db", "nb", "id", "2").count() == 1)
+  }
+
   test("truncUpper carries past \\uffff so the bound stays >= the data") {
     val cat = freshCatalog()
     // plain case: last truncated char incremented
