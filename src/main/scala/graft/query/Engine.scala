@@ -36,9 +36,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     * only bind to that relation's own columns). The predicate bounds
     * drive manifest file pruning (`prunedFilesRange`), so at 100 TB a
     * `WHERE day = x` touches only the files whose min/max stats
-    * intersect — before Spark ever lists or footers them. The original
-    * WHERE stays in the query as the residual predicate, so results
-    * always equal the unpruned read.
+    * intersect — before Spark ever lists or footers them. Equality
+    * predicates additionally probe the per-file blooms
+    * (`prunedFilesBloom`) when the table declares bloom columns, so a
+    * point lookup also skips files whose range merely straddles the
+    * key. The original WHERE stays in the query as the residual
+    * predicate, so results always equal the unpruned read.
     *
     * Each matched table is registered as a uniquely-named temp view
     * over the (pruned) file list with the table's declared schema
@@ -69,6 +72,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
             val pruned = b match {
               case Engine.NumBounds(c, lo, hi) => catalog.prunedFilesRange(s, c, lo, hi)
               case Engine.StrBounds(c, lo, hi) => catalog.prunedFilesStringRange(s, c, lo, hi)
+              // equality: bloom file skipping on top of the range prune
+              case Engine.EqValue(c, v) => catalog.prunedFilesBloom(s, c, v)
             }
             acc.intersect(pruned)
           }
@@ -380,6 +385,16 @@ object Engine {
       lower: Option[String], upper: Option[String]) extends ColBounds {
     def defined: Boolean = lower.nonEmpty || upper.nonEmpty
   }
+  /** Point-equality on a column whose type has a canonical string
+    * rendering (string/integral — the bloom-probe contract): drives
+    * bloom file skipping on top of the min/max range prune. Emitted
+    * only when the literal's rendering provably matches the write-side
+    * rendering (e.g. NOT for `bigint_col = 42.0`), so the bloom can
+    * only skip files that provably lack the value.
+    */
+  private[graft] case class EqValue(column: String, value: String) extends ColBounds {
+    def defined: Boolean = true
+  }
   private[graft] case class CatalogRef(ns: String, table: String,
       bounds: Seq[ColBounds])
 
@@ -449,14 +464,38 @@ object Engine {
           case _ => ()
         }
       }
+    // equality additionally yields a bloom probe value when the column
+    // and literal renderings provably agree (bloom-probe contract:
+    // string = string, integral = integral literal)
+    val eqs = scala.collection.mutable.Map.empty[String, Option[String]]
+    def addEq(a: Expression, l: Literal): Unit =
+      colOf(a).foreach { f =>
+        val rendering = (f.dataType, l.dataType) match {
+          case (StringType, StringType) => strVal(l)
+          case (ByteType | ShortType | IntegerType | LongType,
+                ByteType | ShortType | IntegerType | LongType) =>
+            Option(l.value).map(_.toString)
+          case _ => None
+        }
+        rendering.foreach { v =>
+          // two DIFFERENT equality values on one column inside one
+          // conjunction can match nothing: poison to None (no bloom
+          // prune rather than an arbitrary pick)
+          eqs(f.name) = eqs.get(f.name) match {
+            case None => Some(v)
+            case Some(Some(prev)) if prev == v => Some(v)
+            case _ => None
+          }
+        }
+      }
 
     conj(cond).foreach {
       case GreaterThan(a, l: Literal)          => add(a, l, asLower = true,  asUpper = false)
       case GreaterThanOrEqual(a, l: Literal)   => add(a, l, asLower = true,  asUpper = false)
       case LessThan(a, l: Literal)             => add(a, l, asLower = false, asUpper = true)
       case LessThanOrEqual(a, l: Literal)      => add(a, l, asLower = false, asUpper = true)
-      case EqualTo(a, l: Literal)              => add(a, l, asLower = true,  asUpper = true)
-      case EqualTo(l: Literal, a)              => add(a, l, asLower = true,  asUpper = true)
+      case EqualTo(a, l: Literal)              => add(a, l, asLower = true,  asUpper = true); addEq(a, l)
+      case EqualTo(l: Literal, a)              => add(a, l, asLower = true,  asUpper = true); addEq(a, l)
       case GreaterThan(l: Literal, a)          => add(a, l, asLower = false, asUpper = true)
       case GreaterThanOrEqual(l: Literal, a)   => add(a, l, asLower = false, asUpper = true)
       case LessThan(l: Literal, a)             => add(a, l, asLower = true,  asUpper = false)
@@ -464,7 +503,8 @@ object Engine {
       case _ => ()
     }
     (num.toSeq.map { case (c, (lo, hi)) => NumBounds(c, lo, hi) } ++
-      str.toSeq.map { case (c, (lo, hi)) => StrBounds(c, lo, hi) })
+      str.toSeq.map { case (c, (lo, hi)) => StrBounds(c, lo, hi) } ++
+      eqs.toSeq.collect { case (c, Some(v)) => EqValue(c, v) })
       .filter(_.defined).sortBy(_.column)
   }
 
@@ -473,9 +513,12 @@ object Engine {
     * max-upper (None absorbs — an unbounded side stays unbounded).
     */
   private[graft] def mergeBounds(a: Seq[ColBounds], b: Seq[ColBounds]): Seq[ColBounds] = {
-    val byCol = b.map(x => x.column -> x).toMap
+    // keyed by (column, kind): one column can carry a range bound AND
+    // an equality value simultaneously
+    def key(x: ColBounds): (String, Class[_]) = (x.column, x.getClass)
+    val byCol = b.map(x => key(x) -> x).toMap
     a.flatMap { ab =>
-      (ab, byCol.get(ab.column)) match {
+      (ab, byCol.get(key(ab))) match {
         case (NumBounds(c, lo1, hi1), Some(NumBounds(_, lo2, hi2))) =>
           Some(NumBounds(c,
             for { x <- lo1; y <- lo2 } yield math.min(x, y),
@@ -484,6 +527,10 @@ object Engine {
           Some(StrBounds(c,
             for { x <- lo1; y <- lo2 } yield Ordering[String].min(x, y),
             for { x <- hi1; y <- hi2 } yield Ordering[String].max(x, y)))
+        // equality prunes across occurrences only when BOTH filter on
+        // the same value
+        case (EqValue(c, v1), Some(EqValue(_, v2))) if v1 == v2 =>
+          Some(EqValue(c, v1))
         case _ => None
       }
     }.filter(_.defined)

@@ -194,6 +194,36 @@ class EngineSpec extends SparkTestBase {
     assert(infos.head.table == "db.my-table")
   }
 
+  test("equality on a bloom column skips files range stats cannot") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-bloom-bridge"))
+    cat.createTable("db", "bb",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uid", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))),
+      Map(SnapshotCatalog.BloomColumnsProp -> "uid"))
+    // interleaved uid sets per append: every append's lexicographic
+    // range covers any looked-up key, so min/max keeps one file per
+    // append — the bloom knows which append actually holds it
+    cat.append("db", "bb", (0 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("db", "bb", (1 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("db", "bb", (2 until 300 by 3).map(i => (f"user_$i%04d", i.toLong)).toDF("uid", "n"))
+    val eng = new Engine(spark, cat)
+    val (df, infos) = eng.sqlDataFrame("SELECT n FROM db.bb WHERE uid = 'user_0042'")
+    assert(df.head().getLong(0) == 42L)
+    val snap = cat.describe("db", "bb").currentSnapshot.get
+    val rangeOnly = cat.prunedFilesStringRange(snap, "uid",
+      Some("user_0042"), Some("user_0042")).size
+    val i = infos.head
+    assert(i.kept < rangeOnly,
+      s"bloom kept ${i.kept}, range stats alone kept $rangeOnly")
+    // a double literal against the bigint column must NOT bloom-probe
+    // (rendering mismatch would wrongly skip the matching file); the
+    // range prune still applies and the answer stays correct
+    val (df2, _) = eng.sqlDataFrame("SELECT count(*) AS c FROM db.bb WHERE n = 42.0")
+    assert(df2.head().getLong(0) == 1L)
+  }
+
   test("CTEs over catalog tables resolve and prune") {
     val (df, infos) = bridgeEngine.sqlDataFrame(
       "WITH w AS (SELECT * FROM db.m WHERE id >= 1000 AND id <= 1100) " +
@@ -251,9 +281,12 @@ class EngineSpec extends SparkTestBase {
     assert(b1.isEmpty)
     val b2 = Engine.extractBounds(
       parse("a >= 10 AND a < 20 AND 5 <= a AND s = 'x' AND other = X'00'"), schema)
+    // string equality yields BOTH the [v,v] range bound and the bloom
+    // probe value (same column, two prune kinds)
     assert(b2 == Seq(
       Engine.NumBounds("a", Some(10.0), Some(20.0)),
-      Engine.StrBounds("s", Some("x"), Some("x"))))
+      Engine.StrBounds("s", Some("x"), Some("x")),
+      Engine.EqValue("s", "x")))
     // unknown column and non-literal comparisons are ignored
     assert(Engine.extractBounds(parse("zz > 1 AND a > a"), schema).isEmpty)
   }
