@@ -263,8 +263,14 @@ object Dedup {
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
 
-    var labels = edges.select(col("u").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // initial labels already fold in one propagation step — every
+    // vertex starts at min(self, neighbors), which is exactly the state
+    // after round 1 of lbl=v init, for one aggregation instead of a
+    // join+aggregation round (every vertex appears as `u` in the
+    // bidirectional edge list, so coverage equals the distinct-vertex
+    // init)
+    var labels = edges.groupBy("u").agg(min("v").as("nbr"))
+      .select(col("u").as("v"), least(col("u"), col("nbr")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
