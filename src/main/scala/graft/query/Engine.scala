@@ -264,6 +264,31 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         }
     }
 
+  /** Point lookup (extension beyond the reference): one key's rows,
+    * served through per-file BLOOM pruning — bloom-negative files are
+    * skipped before Spark lists them, which range stats alone cannot do
+    * when every file's [min,max] straddles the key. `value` is the
+    * key's canonical string rendering (string/integral columns — the
+    * bloom-probe contract in [[SnapshotCatalog.bloomPositions]]); the
+    * response carries the same `"pruned"` audit as the ranged scan.
+    */
+  def queryTableEquals(ns: String, table: String, column: String,
+      value: String, limit: Int = 100): String =
+    if (!catalog.tableExists(ns, table))
+      s"""{"error":${jsonStr(s"Table $ns.$table does not exist")}}"""
+    else Try {
+      val snap = catalog.describe(ns, table).currentSnapshot
+      val total = snap.map(_.files.size).getOrElse(0)
+      val kept = snap.map(s => catalog.prunedFilesBloom(s, column, value).size).getOrElse(0)
+      (catalog.readEquals(ns, table, column, value).limit(limit), kept, total)
+    } match {
+      case Success((df, kept, total)) =>
+        val env = envelope(Success(df))
+        if (env.startsWith("""{"error"""")) env
+        else env.dropRight(1) + s""","pruned":{"kept":$kept,"total":$total}}"""
+      case Failure(e) => errorJson(e)
+    }
+
   /** R7 (pyiceberg_rest_server.py:101-112). */
   def listNamespaces(): String =
     s"""{"namespaces":[${catalog.listNamespaces().map(jsonStr).mkString(",")}]}"""

@@ -72,14 +72,26 @@ class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
           val body = readBody(ex)
           val (ns, tbl) = (jsonField(body, "namespace").getOrElse("default_db"),
             jsonField(body, "table").getOrElse("purchase_events"))
-          // extension: {"filter_column","min","max"} routes the scan
-          // through manifest pruning (Engine.queryTable scaladoc)
-          val filter = jsonField(body, "filter_column").map(c =>
-            Engine.RangeFilter(c,
-              jsonNumField(body, "min"), jsonNumField(body, "max")))
-          val out = engine.queryTable(ns, tbl,
-            jsonIntField(body, "limit").getOrElse(100),
-            snapshotId = None, filter = filter)
+          // extensions: {"filter_column","min","max"} routes the scan
+          // through manifest range pruning; {"lookup_column",
+          // "lookup_value"} through per-file bloom point-lookup
+          // pruning (Engine.queryTable/queryTableEquals scaladoc)
+          val lookup = for {
+            c <- jsonField(body, "lookup_column")
+            v <- jsonField(body, "lookup_value")
+          } yield (c, v)
+          val out = lookup match {
+            case Some((c, v)) =>
+              engine.queryTableEquals(ns, tbl, c, v,
+                jsonIntField(body, "limit").getOrElse(100))
+            case None =>
+              val filter = jsonField(body, "filter_column").map(c =>
+                Engine.RangeFilter(c,
+                  jsonNumField(body, "min"), jsonNumField(body, "max")))
+              engine.queryTable(ns, tbl,
+                jsonIntField(body, "limit").getOrElse(100),
+                snapshotId = None, filter = filter)
+          }
           (errorStatus(out, engine, ns, tbl), out)
         }
     }

@@ -130,6 +130,44 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("POST /query lookup routes through bloom point-lookup pruning") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http-bloom"))
+    cat.createTable("default_db", "keyed",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uid", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))),
+      Map(SnapshotCatalog.BloomColumnsProp -> "uid"))
+    // interleaved key sets: range stats keep a file from every append,
+    // the bloom keeps only the append that holds the key
+    cat.append("default_db", "keyed", (0 until 300 by 3).map(i => (f"u$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("default_db", "keyed", (1 until 300 by 3).map(i => (f"u$i%04d", i.toLong)).toDF("uid", "n"))
+    cat.append("default_db", "keyed", (2 until 300 by 3).map(i => (f"u$i%04d", i.toLong)).toDF("uid", "n"))
+    val api = new HttpApi(new Engine(spark, cat), HttpApi.Kind.Catalog)
+    api.start()
+    try {
+      val p = api.boundPort
+      val (c, b) = post(p, "/query",
+        """{"namespace": "default_db", "table": "keyed",
+          | "lookup_column": "uid", "lookup_value": "u0042"}""".stripMargin)
+      assert(c == 200, b)
+      assert(""""n":42""".r.findAllIn(b).size == 1, b)
+      val prune = """"pruned":\{"kept":(\d+),"total":(\d+)\}""".r
+        .findFirstMatchIn(b).getOrElse(fail(s"no prune audit in $b"))
+      assert(prune.group(1).toInt < prune.group(2).toInt, b)
+      // absent key: empty records, (near-)zero kept files
+      val (c2, b2) = post(p, "/query",
+        """{"namespace": "default_db", "table": "keyed",
+          | "lookup_column": "uid", "lookup_value": "u9999"}""".stripMargin)
+      assert(c2 == 200 && b2.contains(""""records":[]"""), b2)
+      // missing table still 404s through the lookup path
+      val (c3, _) = post(p, "/query",
+        """{"namespace": "default_db", "table": "nope",
+          | "lookup_column": "uid", "lookup_value": "x"}""".stripMargin)
+      assert(c3 == 404)
+    } finally api.stop()
+  }
+
   test("execution error on an EXISTING table is 500, not 404") {
     // Build a table whose metadata points at deleted data files: the
     // table exists (pointer present) but the scan fails mid-execution.
