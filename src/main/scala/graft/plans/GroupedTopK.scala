@@ -41,6 +41,14 @@ import org.apache.spark.sql.graft.PlanExec
   * whenever `order` is a total order within each group (include a
   * unique tiebreaker column for determinism, exactly as you would for
   * the window query).
+  *
+  * Regime (measured in `graft.tools.TopKCompare`, table in
+  * SCALING.md): use when k·groups ≪ rows — 8.5× over the window plan
+  * at 40M rows/100 groups, 1.8× at 10k groups. When k·groups
+  * approaches the row count the output IS the input and a codegen'd
+  * sort wins; the partial stage detects that at runtime and degrades
+  * to pass-through (see [[GroupedTopKExec]]), but prefer the window
+  * formulation outright there.
   */
 object GroupedTopK {
 
@@ -108,6 +116,19 @@ object GroupedTopKStrategy extends SparkStrategy {
   * strictly before it. Group keys and kept rows are `UnsafeRow` copies
   * (iterator rows are reused buffers). Emission drains each heap in
   * reverse, so groups stream out best-first.
+  *
+  * Adaptive degrade (partial stage only): when group cardinality is so
+  * high that k·groups approaches the partition's row count, the heaps
+  * reduce nothing and their maintenance (hash probe + row copy per
+  * row) just taxes the shuffle — the same regime where partial
+  * aggregation stops helping. The partial stage checks its reduction
+  * ratio periodically and, once keeping ≥ half of what it has seen,
+  * stops heap maintenance and streams the remaining rows through
+  * untouched. This is safe, not just fast: a row evicted from a full
+  * heap was dominated by k better same-group rows in the same
+  * partition, so it cannot be in the global top-k — partial output
+  * only ever needs to be a superset of each group's candidates. The
+  * final stage never degrades (it computes the exact answer).
   */
 case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
@@ -131,12 +152,15 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val so = order
     val cap = k
     val numOutputRows = longMetric("numOutputRows")
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, attrs)
       val toUnsafe = UnsafeProjection.create(attrs.map(a => a: Expression), attrs)
       val ord = RowOrdering.create(so, attrs)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
+      var seen = 0L
+      var degraded = false
+      while (iter.hasNext && !degraded) {
         val row = toUnsafe(iter.next())
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty[InternalRow](ord))
@@ -144,11 +168,19 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+        seen += 1
+        // reduction check every 64k rows, only after the map is warm
+        if (isPartial && (seen & 0xFFFF) == 0L &&
+            heaps.size.toLong * cap * 2 >= seen) degraded = true
       }
-      heaps.valuesIterator.flatMap { h =>
+      val kept = heaps.valuesIterator.flatMap { h =>
         val rows = h.dequeueAll.reverseIterator
         rows.map { r => numOutputRows += 1; r }
       }
+      // degraded tail: remaining rows stream through untouched (they
+      // are consumed immediately by the shuffle writer — no copy)
+      if (degraded) kept ++ iter.map { r => numOutputRows += 1; r }
+      else kept
     }, preservesPartitioning = true)
   }
 
