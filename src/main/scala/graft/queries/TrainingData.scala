@@ -773,6 +773,45 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- e07
+  // Retrieval join — the RAG lookup shape: ANN top-k over the
+  // embedding index, then the (tiny) hit list joins the document
+  // store for payload metadata. The broadcast direction is the scale
+  // decision: |queries|·k rows broadcast against a 100 TB document
+  // table means the metadata fetch is a map-side join, no shuffle of
+  // the store. (Exact kNN stands in for the ANN stage here so the
+  // DuckDB oracle can replay the whole pipeline; swap knnLsh/knnIvf
+  // for the index at scale — same join shape.)
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val hits = Similarity.knnExact(e.filter(col("vec_id") < 50), e, k = 3)
+    docs(s, dir)
+      .select(col("doc_id").as("neighbor_id"), col("lang").as("neighbor_lang"),
+        col("n_chars").as("neighbor_chars"))
+      .join(broadcast(hits), Seq("neighbor_id"))
+      .withColumnRenamed("rank", "rk")
+      .select("query_id", "rk", "neighbor_id", "sim", "neighbor_lang",
+        "neighbor_chars")
+      .orderBy("query_id", "rk")
+  }
+
+  private val e07Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS s
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 50
+      |), r AS (
+      |  SELECT query_id, neighbor_id, s,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY s DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM sims)
+      |SELECT query_id, rk, neighbor_id, round(s, 4) AS sim,
+      |       d.lang AS neighbor_lang, d.n_chars AS neighbor_chars
+      |FROM r JOIN documents d ON r.neighbor_id = d.doc_id
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- m01
   // Multimodal binary-column plumbing with deterministic stub features.
   private def m01(s: SparkSession, dir: String): DataFrame =
@@ -906,6 +945,7 @@ object TrainingData {
     QuerySpec("e04_ann_ivf", e04, None),
     QuerySpec("e05_neardup_lsh_verified", e05, Some(e05Sql)),
     QuerySpec("e06_semantic_dedup", e06, None),
+    QuerySpec("e07_retrieval_join", e07, Some(e07Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
 }
