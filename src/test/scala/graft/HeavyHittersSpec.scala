@@ -77,6 +77,35 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(s.items.size <= 4)
   }
 
+  test("property: retention guarantee holds on random streams and merge trees") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random stream + random capacity + random merge fan-in: every
+    // item with freq > n/(capacity+1) must survive; size stays bounded
+    val gen = for {
+      cap <- Gen.choose(2, 40)
+      nParts <- Gen.choose(1, 6)
+      items <- Gen.listOfN(2000, Gen.frequency(
+        (6, Gen.choose(0, 2).map(h => s"hot_$h")),   // concentrated mass
+        (4, Gen.choose(0, 500).map(c => s"cold_$c")) // long tail
+      ))
+    } yield (cap, nParts, items)
+    val prop = Prop.forAll(gen) { case (cap, nParts, items) =>
+      val parts = items.grouped(math.max(1, items.size / nParts)).toSeq
+      val merged = parts.map { p =>
+        val s = new MisraGries.Summary(cap)
+        p.foreach(s.add(_))
+        s
+      }.reduce { (a, b) => a.mergeWith(b); a }
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val line = items.size.toDouble / (cap + 1)
+      val kept = merged.items.toSet
+      exact.forall { case (item, c) => c <= line || kept.contains(item) } &&
+        merged.items.size <= cap
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("SQL surface: graft_heavy_hitters over a table") {
     MisraGries.register(spark)
     stream.toDF("item").createOrReplaceTempView("hh_items")
