@@ -775,6 +775,41 @@ object Relational {
       |WHERE rn <= 2
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  // Native session windows: the same 30-minute-gap sessionization as
+  // q14 but through Spark's built-in `session_window` (dynamic gap
+  // merging inside the aggregation — the operator that also runs
+  // unchanged in Structured Streaming), emitting one row per session
+  // with its bounds. Boundary note: session_window closes at
+  // last_event + gap EXCLUSIVE (a gap of exactly 30:00 starts a new
+  // session), so the oracle's island flag uses >=, not >.
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
+  private val q31Sql =
+    """WITH x AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ms,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ms) AS session_start_ms,
+      |       max(ms) + 1800000 AS session_end_ms, count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -806,5 +841,6 @@ object Relational {
     QuerySpec("q27_stat_aggs", q27, Some(q27Sql)),
     QuerySpec("q28_unpivot", q28, Some(q28Sql)),
     QuerySpec("q29_asof_forward", q29, Some(q29Sql)),
-    QuerySpec("q30_grouped_topk", q30, Some(q30Sql)))
+    QuerySpec("q30_grouped_topk", q30, Some(q30Sql)),
+    QuerySpec("q31_session_window", q31, Some(q31Sql)))
 }

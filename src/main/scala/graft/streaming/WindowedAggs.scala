@@ -35,4 +35,28 @@ object WindowedAggs {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_events"), col("total"))
+
+  /** Per-key session windows (`session_window`, gap-merged inside the
+    * aggregation): one row per (key, session) with bounds and event
+    * count. In streaming mode the watermark both bounds state AND
+    * finalizes sessions (a session can only merge with future events
+    * until the watermark passes its close); batch runs the identical
+    * expression tree — q31 hash-checks those semantics against the
+    * gaps-and-islands oracle.
+    */
+  def sessions(
+      events: DataFrame,
+      tsMsCol: String,
+      keyCol: String,
+      gap: String,
+      lateness: String): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(col(tsMsCol).cast("long")))
+      .withWatermark("ets", lateness)
+      .groupBy(col(keyCol), session_window(col("ets"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
 }

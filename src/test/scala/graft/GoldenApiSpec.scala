@@ -88,4 +88,34 @@ class GoldenApiSpec extends SparkTestBase {
       "timestamp", "1 minute", "30 seconds", "amount").collect()
     assert(batch.map(_.getAs[Long]("n_events")).sum == 24)
   }
+
+  test("streaming session windows merge by gap and match batch (extension)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val src = tmpDir("graft-sw-src")
+    val t0 = 1700000000000L
+    val rows = Seq(
+      ("a", t0), ("a", t0 + 10000L),  // one session...
+      ("a", t0 + 2700000L),           // ...45 min later: a second one
+      ("b", t0), ("b", t0 + 5000L))
+    rows.toDF("user_id", "ts_ms").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(StructType(Seq(
+        StructField("user_id", StringType), StructField("ts_ms", LongType))))
+      .parquet(src)
+    val agg = WindowedAggs.sessions(stream, "ts_ms", "user_id",
+      gap = "30 minutes", lateness = "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sw_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sw_out").collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events"))).toSet
+    assert(got == Set(("a", t0, 2L), ("a", t0 + 2700000L, 1L), ("b", t0, 2L)))
+    // batch shares the definition (q31 hash-checks the semantics)
+    val batch = WindowedAggs.sessions(rows.toDF("user_id", "ts_ms"),
+      "ts_ms", "user_id", "30 minutes", "10 minutes")
+    assert(batch.count() == 3)
+  }
 }
