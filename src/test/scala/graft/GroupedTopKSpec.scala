@@ -94,6 +94,14 @@ class GroupedTopKSpec extends SparkTestBase {
     assert(opTopK(data, 100000).count() == 1000)
   }
 
+  test("empty group list = global top-k (AllTuples distribution)") {
+    val got = GroupedTopK(data, Seq.empty, Seq(("score", false), ("uid", true)), 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val exp = data.orderBy(col("score").desc, col("uid")).limit(7)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
   test("composes with downstream operators (filter + agg over the node)") {
     val agg = opTopK(data, 5)
       .filter(col("grp") % 2 === 0)
