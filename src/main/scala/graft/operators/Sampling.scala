@@ -62,6 +62,30 @@ object Sampling {
         .select("source", "id", "payload")
     }.reduce(_ unionAll _)
 
+  /** Deterministic train/val/test split assignment: every row gets the
+    * split whose cumulative hash-bucket range contains md5(key) — the
+    * canonical "90/5/5" partition of a training corpus. Content-stable
+    * like every sampler here: re-runs, re-partitioning, and adding
+    * executors never move a document between splits, and a document
+    * added tomorrow lands in the same split it would have today
+    * (fractions move only the boundaries). Pure per-row expression —
+    * no shuffle; granularity 2^-16 as in [[rateThreshold]].
+    */
+  def split(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cums = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val b = hashBucket(col(keyCol))
+    val assign = splits.zip(cums).reverse
+      .foldLeft(lit(null).cast("string")) {
+        case (els, ((name, _), cum)) =>
+          when(b < lit(rateThreshold(cum)), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Per-group quota: keep at most `k` rows per group, chosen in
     * stable hash order of the key (deterministic "cap every domain /
     * language / cluster at k" curation — the operation that stops one

@@ -916,6 +916,35 @@ object TrainingData {
       |FROM c, tot WHERE cnt >= n * 0.005
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  // Deterministic 90/5/5 train/val/test split by content-stable hash
+  // (Sampling.split): per-doc assignment plus the per-split corpus
+  // summary, reproducible across engines/runs/partitionings. The
+  // oracle re-derives the same md5-bucket boundaries (0.9→'e666',
+  // 0.95→'f333' of 65536).
+  private def t23(s: SparkSession, dir: String): DataFrame =
+    Sampling.split(docs(s, dir), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        min("doc_id").as("first_doc"))
+      .orderBy("split")
+
+  private val t23Sql =
+    """WITH assigned AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+      |           THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |       min(doc_id) AS first_doc
+      |FROM assigned GROUP BY split ORDER BY split""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -939,6 +968,7 @@ object TrainingData {
     QuerySpec("t20_curation_pipeline", t20, Some(t20Sql)),
     QuerySpec("t21_chunking", t21, Some(t21Sql)),
     QuerySpec("t22_heavy_hitters", t22, Some(t22Sql)),
+    QuerySpec("t23_train_split", t23, Some(t23Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

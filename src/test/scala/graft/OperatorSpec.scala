@@ -368,6 +368,31 @@ class OperatorSpec extends SparkTestBase {
     assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.5) == "8000")
   }
 
+  test("split: exhaustive, disjoint, stable, near the declared fractions") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).select(col("id"))
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.split(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20000, "every row assigned exactly once")
+    splits.foreach { case (name, f) =>
+      val share = got.valuesIterator.count(_ == name) / 20000.0
+      assert(math.abs(share - f) < 0.02, s"$name at $share, wanted $f")
+    }
+    // partitioning-independent assignment
+    val re = Sampling.split(df.repartition(13), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+    // growing the train fraction only MOVES the boundary: nobody already
+    // in train leaves it
+    val wider = Sampling.split(df, "id", Seq(("train", 0.9), ("rest", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.collect { case (id, "train") => id }
+      .forall(id => wider(id) == "train"))
+    intercept[IllegalArgumentException](
+      Sampling.split(df, "id", Seq(("a", 0.5), ("b", 0.3))))
+  }
+
   test("packWindows two-phase prefix sum equals the single-window contract") {
     import graft.operators.Packing
     val df = spark.range(1, 2001)
