@@ -162,8 +162,16 @@ case class GroupedTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       var degraded = false
       while (iter.hasNext && !degraded) {
         val row = toUnsafe(iter.next())
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the projection's reused buffer; copy the key only
+        // on first sight (UnsafeRow equality is content-based)
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < cap) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
