@@ -86,6 +86,21 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Per-ROW keep probability — importance/quality-weighted
+    * downsampling: keep iff hashBucket(key) < threshold(rate), where
+    * `rate` is a column in [0,1] (e.g. a quality score). The soft
+    * filter between "keep all" and "drop all": low-quality documents
+    * survive at reduced rates instead of a cliff, content-stable like
+    * every sampler here (same doc, same decision, any run). Pure
+    * per-row expressions; same 2^-16 grid as [[rateThreshold]].
+    */
+  def weightedSample(df: DataFrame, keyCol: String, rate: Column): DataFrame = {
+    val n = least(greatest(round(rate * 65536).cast("int"), lit(0)), lit(65536))
+    val thr = when(n >= 65536, lit("g"))
+      .otherwise(lower(lpad(conv(n.cast("string"), 10, 16), 4, "0")))
+    df.filter(hashBucket(col(keyCol)) < thr)
+  }
+
   /** Per-group quota: keep at most `k` rows per group, chosen in
     * stable hash order of the key (deterministic "cap every domain /
     * language / cluster at k" curation — the operation that stops one

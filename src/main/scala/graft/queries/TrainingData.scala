@@ -945,6 +945,35 @@ object TrainingData {
       |       min(doc_id) AS first_doc
       |FROM assigned GROUP BY split ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  // Quality-weighted downsampling: per-doc keep probability from a
+  // length-derived score (soft filter, not a cliff), decided by the
+  // same content-stable hash as every sampler. The rate is built on an
+  // integer grid ((51 + 2·min(n_tokens,100))/256 ∈ [0.2, 0.98]), so
+  // rate×65536 is exact in BOTH engines — no float-rounding drift at
+  // bucket boundaries — and the oracle reproduces the identical
+  // threshold via printf('%04x').
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val nToks = size(TextFns.tokens(col("text"))).cast("long")
+    val rateN = lit(51L) + lit(2L) * least(nToks, lit(100L))
+    Sampling.weightedSample(
+        docs(s, dir).withColumn("_rate", rateN / 256.0),
+        "doc_id", col("_rate"))
+      .select(col("doc_id"), round(col("_rate"), 4).as("keep_rate"))
+      .orderBy("doc_id")
+  }
+
+  private val t24Sql =
+    s"""WITH x AS (
+      |  SELECT doc_id, len($duckToks) AS n_toks FROM documents
+      |), r AS (
+      |  SELECT doc_id, 51 + 2 * least(n_toks, 100) AS rate_n FROM x)
+      |SELECT doc_id, round(rate_n / 256.0, 4) AS keep_rate
+      |FROM r
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      |      < printf('%04x', rate_n * 256)
+      |ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -969,6 +998,7 @@ object TrainingData {
     QuerySpec("t21_chunking", t21, Some(t21Sql)),
     QuerySpec("t22_heavy_hitters", t22, Some(t22Sql)),
     QuerySpec("t23_train_split", t23, Some(t23Sql)),
+    QuerySpec("t24_weighted_sample", t24, Some(t24Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
