@@ -45,4 +45,20 @@ object StreamJoin {
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"interval $horizon")
     l.join(r, cond, joinType).drop(col(s"r.$key"))
   }
+
+  /** Stream-static enrichment: the streaming side joins a BATCH
+    * dimension table, stateless — no watermark, no join state, because
+    * the static side is re-evaluated per micro-batch (which also means
+    * a dimension refreshed on disk is picked up by the NEXT batch
+    * without restarting the query). The dimension is broadcast: at
+    * 100 TB of stream the enrich stage stays a map-side hash join per
+    * batch, never a shuffle of the stream. `joinType` left_outer keeps
+    * unmatched stream rows (nulls), the usual enrichment posture.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String,
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
 }

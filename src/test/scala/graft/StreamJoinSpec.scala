@@ -63,4 +63,47 @@ class StreamJoinSpec extends SparkTestBase {
         spark.range(1).toDF(), spark.range(1).toDF(), "k", "ts", "ts")
     }
   }
+
+  test("stream-static enrichment picks up a refreshed dimension next batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("graft-se-src")
+    val dimDir = tmpDir("graft-se-dim")
+    val ckpt = tmpDir("graft-se-ckpt")
+    val outDir = tmpDir("graft-se-out")
+
+    Seq((1L, "us"), (2L, "de")).toDF("uid", "region")
+      .write.mode("overwrite").parquet(dimDir)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("uid", "amount")
+      .write.mode("append").parquet(srcDir)
+
+    def run(): Set[(Long, String)] = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("uid", LongType), StructField("amount", DoubleType))))
+        .parquet(srcDir)
+      val dim = spark.read.parquet(dimDir)
+      val q = StreamJoin.enrich(stream, dim, "uid")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("uid"),
+          Option(r.getAs[String]("region")).getOrElse("-"))).toSet
+    }
+
+    // batch 1: uid 3 has no dimension row yet -> left-outer null
+    assert(run() == Set((1L, "us"), (2L, "de"), (3L, "-")))
+
+    // the dimension gains uid 3; only NEW stream rows process (the
+    // checkpoint skips batch 1), and they see the refreshed dimension
+    // WITHOUT a query restart (static side re-evaluated per batch)
+    Seq((1L, "us"), (2L, "de"), (3L, "fr")).toDF("uid", "region")
+      .write.mode("overwrite").parquet(dimDir)
+    Seq((3L, 31.0), (4L, 40.0)).toDF("uid", "amount")
+      .write.mode("append").parquet(srcDir)
+    assert(run() == Set((1L, "us"), (2L, "de"), (3L, "-"), (3L, "fr"), (4L, "-")))
+  }
 }
