@@ -94,6 +94,18 @@ class GroupedTopKSpec extends SparkTestBase {
     assert(opTopK(data, 100000).count() == 1000)
   }
 
+  test("heavy group skew: results still match the window formulation") {
+    // 95% of rows in one group — the partial heaps cap what the hot
+    // group's reducer receives at k rows per input partition
+    val skewed = (0 until 20000).map { i =>
+      (if (i % 20 == 0) i % 7 + 1 else 0, (i * 48271L) % 9973, i.toLong)
+    }.toDF("grp", "score", "uid").repartition(8)
+    val got = GroupedTopK(skewed, Seq("grp"),
+        Seq(("score", false), ("uid", true)), 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == windowTopK(skewed, 5))
+  }
+
   test("empty group list = global top-k (AllTuples distribution)") {
     val got = GroupedTopK(data, Seq.empty, Seq(("score", false), ("uid", true)), 7)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
