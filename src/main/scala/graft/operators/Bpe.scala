@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Distributed byte-pair-encoding (BPE) tokenizer training — the
+  * vocabulary-learning step of an LLM data pipeline (Sennrich et al.
+  * 2016, arXiv:1508.07909 — public algorithm).
+  *
+  * The scale insight BPE training rides on: after the first pass the
+  * corpus never participates again. Pair statistics are computed over
+  * the WORD VOCABULARY weighted by word frequency — bounded by distinct
+  * words, not corpus tokens — so each merge round is a small job over
+  * the vocab frame while 100 TB of text is touched exactly once (one
+  * tokenize + count shuffle). Every step is pure column expressions:
+  *
+  *  - [[vocab]]: one corpus pass → (word, freq, syms = character
+  *    symbols);
+  *  - [[pairCounts]]: explode each word's adjacent (left, right)
+  *    symbol pairs, weight by freq, aggregate (map-side partial —
+  *    the pair space is bounded by the symbol inventory², not the
+  *    corpus);
+  *  - [[train]]: N rounds of argmax-pair (a 1-row collect) + greedy
+  *    left-to-right merge applied to the vocab via a fold expression
+  *    (`aggregate`), `localCheckpoint`ed per round so the iterative
+  *    plan stays flat — the same discipline as
+  *    [[Dedup.connectedComponents]].
+  *
+  * Tie-break is total and deterministic (count desc, then left, then
+  * right lexicographic), so the learned merge list is reproducible
+  * across runs and partitionings — pinned in OperatorSpec against an
+  * independent in-memory reference implementation.
+  */
+object Bpe {
+
+  /** One corpus pass: (word, freq, syms) with syms the per-character
+    * symbol array the merges rewrite.
+    */
+  def vocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))))
+
+  /** Frequency-weighted adjacent-pair counts over the current symbol
+    * sequences: (left, right, n). Words reduced to a single symbol
+    * contribute nothing.
+    */
+  def pairCounts(vocabDf: DataFrame): DataFrame =
+    vocabDf
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("left"),
+            element_at(col("syms"), i + 1).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum("freq").as("n"))
+
+  /** Greedy left-to-right merge of the adjacent pair (a, b) inside a
+    * symbol array, as a fold: a symbol equal to `b` fuses with a tail
+    * symbol equal to `a`. Non-overlap is structural, not flagged: a
+    * fused tail is the string a+b, which can never equal `a` (b is
+    * nonempty), so "aaa" under (a,a) correctly gives ["aa","a"] — the
+    * standard BPE single-pass semantics.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn up to `nMerges` BPE merges (fewer if pairs run out).
+    * Returns the merge list in learned order plus the final vocab
+    * frame (word, freq, syms after all merges).
+    */
+  def train(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    var v = vocab(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(desc("n"), col("left"), col("right")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top.head.getAs[String]("left"), top.head.getAs[String]("right"))
+        merges += ((a, b))
+        v = v.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    (merges.toSeq, v)
+  }
+
+  /** Tokenize a word with a learned merge list (reference semantics:
+    * apply merges in learned order, greedy left-to-right). Driver-side
+    * helper for tests/inspection; the distributed form is the same
+    * [[mergePair]] fold applied per learned merge.
+    */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { s =>
+        if (out.nonEmpty && out.last == a && s == b)
+          out(out.length - 1) = a + b
+        else out += s
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+}

@@ -974,6 +974,47 @@ object TrainingData {
       |      < printf('%04x', rate_n * 256)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t25
+  // BPE training, round-0 statistics: frequency-weighted adjacent
+  // character-pair counts over the word vocabulary (the argmax of this
+  // table IS the first learned merge). Bounded by |vocab|·word-length,
+  // never corpus tokens — the corpus is touched once.
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    Bpe.pairCounts(Bpe.vocab(docs(s, dir)))
+      .select(concat(col("left"), col("right")).as("pair"), col("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+  }
+
+  private val t25Sql =
+    s"""WITH toks AS (
+      |  SELECT $duckToks AS ts FROM documents
+      |), w AS (SELECT unnest(ts) AS w FROM toks),
+      |v AS (SELECT w, count(*) AS freq FROM w GROUP BY 1),
+      |p AS (
+      |  SELECT substring(w, i, 2) AS pair, freq
+      |  FROM (SELECT w, freq,
+      |          unnest(generate_series(1, length(w) - 1)) AS i
+      |        FROM v WHERE length(w) >= 2))
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- t26
+  // Full BPE training: 10 merge rounds over the corpus vocabulary.
+  // Deterministic (total tie-break) but 10 chained argmax+merge rounds
+  // have no tractable single-SQL restatement → rows-only here; BpeSpec
+  // pins every learned merge against an independent in-memory
+  // reference implementation.
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val (merges, _) = Bpe.train(docs(s, dir), nMerges = 10)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b, a + b) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -999,6 +1040,8 @@ object TrainingData {
     QuerySpec("t22_heavy_hitters", t22, Some(t22Sql)),
     QuerySpec("t23_train_split", t23, Some(t23Sql)),
     QuerySpec("t24_weighted_sample", t24, Some(t24Sql)),
+    QuerySpec("t25_bpe_pairs", t25, Some(t25Sql)),
+    QuerySpec("t26_bpe_merges", t26, None),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

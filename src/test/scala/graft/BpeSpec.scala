@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE trainer: fold-merge semantics, determinism, and equality with
+  * an independent in-memory reference implementation.
+  */
+class BpeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Straight-line reference BPE (Sennrich et al.): in-memory vocab,
+    * argmax by (count desc, left, right), greedy left-to-right merge.
+    * Written against the paper, not against the operator under test.
+    */
+  private def referenceTrain(words: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[Seq[String], Long] =
+      freq.map { case (w, f) => w.map(_.toString).toSeq -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .sortBy { case ((l, r), n) => (-n, l, r) }.head._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b) out(out.length - 1) = a + b
+            else out += s
+          }
+          out.toSeq -> f
+        }
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "low low low low low", "lower lower", "newest newest newest",
+    "newest newest newest", "widest widest", "low lower newest")
+
+  test("mergePair fold: overlap and repetition semantics") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
+      .toDF("syms")
+    val got = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got.head == Seq("aa", "a")) // non-overlapping
+    assert(got(1) == Seq("a", "b", "a", "b"))
+    val got2 = df.select(Bpe.mergePair(col("syms"), "a", "b").as("m"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(got2(1) == Seq("ab", "ab")) // both occurrences merge in one pass
+  }
+
+  test("train matches the independent reference on every merge") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = corpus.flatMap(_.split(" "))
+    val (merges, finalVocab) = Bpe.train(docs, nMerges = 12)
+    assert(merges == referenceTrain(words, 12), s"got $merges")
+    // the final distributed symbol sequences equal encodeWord's replay
+    val syms = finalVocab.select("w", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    syms.foreach { case (w, s) =>
+      assert(s == Bpe.encodeWord(w, merges), s"word $w")
+    }
+  }
+
+  test("training is partitioning-independent") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m1, _) = Bpe.train(docs, 6)
+    val (m2, _) = Bpe.train(docs.repartition(7), 6)
+    assert(m1 == m2)
+  }
+
+  test("pair exhaustion stops early instead of looping") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab" collapses to one symbol after 1 merge; no pairs remain
+    val (merges, _) = Bpe.train(docs, 10)
+    assert(merges == Seq(("a", "b")))
+  }
+}
