@@ -25,7 +25,7 @@ import graft.functions.expressions.DotProduct
 object Similarity {
 
   /** id + L2-normalized double vector, with the custom dot registered. */
-  private def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
+  private[operators] def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
       vecAs: String): DataFrame = {
     DotProduct.register(vecs.sparkSession)
     val v = asDouble(col("embedding"))

@@ -705,6 +705,23 @@ object TrainingData {
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
 
+  // ---------------------------------------------------------------- e08
+  // Product-quantization ANN (8 subspaces × 16 centroids = 8-byte
+  // codes, 32× compression vs the 256-byte float vectors) with exact
+  // re-ranking of the top-50 ADC candidates. Recall < 1 by
+  // construction → rows-only check; the recall floor vs exact kNN
+  // (measured 0.744 on this low-cosine synthetic set) is pinned in
+  // OperatorSpec.
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = embs(s, dir)
+    val books = Pq.trainCodebooks(e, m = 8, ksub = 16, dim = 64, iters = 3)
+    Pq.knnPq(e, k = 5, books, dim = 64,
+      queryFilter = col("id") < 50, rerank = 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---------------------------------------------------------------- e05
   // LSH candidates → exact verify (round-2 VERDICT item 3): the scale
   // shape for near-dup mining. e02's 0.45 threshold is LSH-hostile by
@@ -1015,6 +1032,43 @@ object TrainingData {
       .toDF("rank", "left", "right", "merged")
   }
 
+  // ---------------------------------------------------------------- t27
+  // CCNet-style bigram-LM perplexity filter: score each document by
+  // mean negative log-likelihood under the corpus-trained add-alpha
+  // bigram model (operators.NgramLm); unusually surprising documents
+  // (avg_nll above the cut) are dropped. Fully SQL-expressible — the
+  // DuckDB oracle restates the same model as a CTE chain.
+  // Cut chosen inside the corpus score distribution (95th pct ≈ 3.43 at
+  // sf0.1) so the flag is non-trivial; the nearest document sits ≥1e-4
+  // from the cut at both test SFs — 9 orders of magnitude above
+  // engine-difference FP noise, so the boolean can't flip.
+  private val t27NllCut = 3.45
+
+  private def t27(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.perplexityScores(docs(s, dir))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 4).as("avg_nll"),
+        (col("avg_nll") <= t27NllCut).cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  private val t27Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM toks WHERE len(ts) >= 2),
+      |db AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, count(*) AS k
+      |       FROM pos GROUP BY 1, 2, 3),
+      |n12 AS (SELECT w1, w2, sum(k) AS n12 FROM db GROUP BY 1, 2),
+      |n1 AS (SELECT w1, sum(k) AS n1 FROM db GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ts) AS w FROM toks)),
+      |sc AS (SELECT db.doc_id, db.k,
+      |         -ln((n12.n12 + 0.5) / (n1.n1 + 0.5 * v.v)) AS nll
+      |       FROM db JOIN n12 USING (w1, w2) JOIN n1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(sum(k * nll) / sum(k), 4) AS avg_nll,
+      |       CAST(sum(k * nll) / sum(k) <= $t27NllCut AS INT) AS keep
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1042,6 +1096,7 @@ object TrainingData {
     QuerySpec("t24_weighted_sample", t24, Some(t24Sql)),
     QuerySpec("t25_bpe_pairs", t25, Some(t25Sql)),
     QuerySpec("t26_bpe_merges", t26, None),
+    QuerySpec("t27_lm_perplexity", t27, Some(t27Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
@@ -1049,6 +1104,7 @@ object TrainingData {
     QuerySpec("e05_neardup_lsh_verified", e05, Some(e05Sql)),
     QuerySpec("e06_semantic_dedup", e06, None),
     QuerySpec("e07_retrieval_join", e07, Some(e07Sql)),
+    QuerySpec("e08_ann_pq", e08, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
 }

@@ -277,6 +277,66 @@ class OperatorSpec extends SparkTestBase {
     assert(recall(ivf) >= 0.55, s"ivf recall ${recall(ivf)}")
   }
 
+  test("NgramLm: add-alpha bigram probabilities match the hand model") {
+    import graft.operators.NgramLm
+    import spark.implicits._
+    // corpus: c(the,cat)=2, c(cat,sat)=1, c(cat,ran)=1, c(zq,xv)=1,
+    // c(xv,qqq)=1; contexts c(the)=2, c(cat)=2, c(zq)=c(xv)=1; V=7
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "zq xv qqq")).toDF("doc_id", "text")
+    val scores = NgramLm.perplexityScores(docs, alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    val d1 = (-math.log(2.5 / 5.5) - math.log(1.5 / 5.5)) / 2
+    val d3 = (-math.log(1.5 / 4.5) - math.log(1.5 / 4.5)) / 2
+    assert(scores(1L)._1 == 2L)
+    assert(math.abs(scores(1L)._2 - d1) < 1e-9, s"doc1 ${scores(1L)._2} vs $d1")
+    assert(math.abs(scores(3L)._2 - d3) < 1e-9, s"doc3 ${scores(3L)._2} vs $d3")
+    // minCount prunes rare bigrams from the model: every doc-1 bigram
+    // keeps only (the,cat); (cat,sat) drops to the unseen floor
+    val pruned = NgramLm.perplexityScores(docs, alpha = 0.5, minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_nll")).toMap
+    val d1p = (-math.log(2.5 / 5.5) - math.log(0.5 / 5.5)) / 2
+    assert(math.abs(pruned(1L) - d1p) < 1e-9, s"pruned doc1 ${pruned(1L)} vs $d1p")
+  }
+
+  test("PQ ANN: ADC + rerank recall floor vs exact kNN; codes are m small ints") {
+    import graft.operators.Pq
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val books = Pq.trainCodebooks(e, m = 8, ksub = 16, dim = 64, iters = 3)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = Pq.encode(e, books, dim = 64)
+    val codeRow = codes.head()
+    assert(codeRow.getAs[scala.collection.Seq[Int]]("codes").length == 8)
+    assert(codes.filter(!forall(col("codes"),
+      c => c >= 0 && c < 16)).count() == 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnExact(e.filter(col("vec_id") < 50), e, 5))
+    val pq = pairs(Pq.knnPq(e, 5, books, 64, col("id") < 50, rerank = 50))
+    val rec = (pq & exact).size / exact.size.toDouble
+    // measured 0.744 on seed-42 testdata at (m=8, ksub=16, rerank=50) —
+    // this synthetic set's true neighbors sit at LOW cosine (0.2-0.5),
+    // the hard regime for quantizers; floor guards regressions
+    assert(rec >= 0.7, s"pq recall $rec")
+    // rerank-selected sims are EXACT dots: every overlapping pair must
+    // carry the same rounded sim as the exact baseline
+    val exactSims = Similarity.knnExact(e.filter(col("vec_id") < 50), e, 5)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    Pq.knnPq(e, 5, books, 64, col("id") < 50, rerank = 50)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .foreach { r =>
+        exactSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+          assert(math.abs(s - r.getDouble(2)) < 1e-9,
+            s"sim mismatch for ${(r.getLong(0), r.getLong(1))}")
+        }
+      }
+  }
+
   test("QuantileDigest: partial+merge across partitions, pinned error bound") {
     import graft.functions.expressions.QuantileDigest
     QuantileDigest.register(spark)
