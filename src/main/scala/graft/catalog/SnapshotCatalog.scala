@@ -527,7 +527,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     synchronized {
       require(keepLast >= 1, "must retain at least one snapshot")
       val (version, meta) = loadMeta(ns, name)
-      val retained = meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      // The CURRENT snapshot is always retained even when a rollback
+      // moved it off the tail — expiring the snapshot the pointer
+      // references would corrupt the table.
+      val tail = meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      val retained = meta.snapshots
+        .filter(s => tail.exists(_.snapshotId == s.snapshotId) ||
+          meta.currentSnapshotId.contains(s.snapshotId))
       val referenced = retained.flatMap(_.files).toSet
       val orphaned = meta.snapshots.flatMap(_.files).distinct
         .filterNot(referenced.contains)
@@ -535,6 +541,56 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       commit(ns, name, version + 1, newMeta)
       orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
       newMeta
+    }
+
+  /** Roll the table back to an earlier snapshot (Iceberg
+    * rollback-to-snapshot semantics): the current-snapshot pointer
+    * moves; NO history is rewritten, so the abandoned "future"
+    * snapshots stay time-travelable until [[expireSnapshots]] and a
+    * roll-FORWARD is just another rollback. Appends after a rollback
+    * chain off the rolled-back snapshot (parentId records the fork).
+    * An O(metadata) operation — no data files are touched, which is
+    * what makes it the 100 TB incident-recovery path (undoing a bad
+    * commit costs one pointer write, not a restore job).
+    */
+  def rollback(ns: String, name: String, snapshotId: Long): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      require(meta.snapshots.exists(_.snapshotId == snapshotId),
+        s"no snapshot $snapshotId in $ns.$name")
+      val newMeta = meta.copy(currentSnapshotId = Some(snapshotId))
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
+  /** Delete data files under the table's data directory that no
+    * snapshot references (Iceberg remove-orphan-files semantics):
+    * leftovers of failed/aborted writes. Returns the deleted paths.
+    * Metadata is NOT rewritten — orphans are by definition invisible
+    * to every reader, so this needs no commit and cannot race a
+    * concurrent reader; a concurrent WRITER is excluded by the same
+    * catalog lock all commits take.
+    */
+  def removeOrphanFiles(ns: String, name: String): Seq[String] =
+    synchronized {
+      val (_, meta) = loadMeta(ns, name)
+      val referenced = meta.snapshots.flatMap(_.files)
+        .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
+      val dir = dataDir(ns, name)
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val it = Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          val orphans = it.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet") &&
+              !referenced.contains(p.toAbsolutePath.normalize.toString))
+            .toList
+          orphans.foreach(Files.delete(_))
+          orphans.map(_.toString)
+        } finally it.close()
+      }
     }
 
   /** Compact the current snapshot into `numFiles` files: rewrites data

@@ -97,10 +97,53 @@ object Bpe {
     (merges.toSeq, v)
   }
 
+  /** Apply a learned merge list to a symbol-array frame, in learned
+    * order — the distributed tokenizer-INFERENCE step. Merges chain as
+    * nested [[mergePair]] folds; `checkpointEvery` bounds the nesting
+    * depth (a 10-merge chain is 10 stacked higher-order lambdas —
+    * fine; hundreds would stall analysis), trading one tiny
+    * materialization of the vocab-sized frame per block.
+    */
+  def applyMerges(vocabDf: DataFrame, merges: Seq[(String, String)],
+      checkpointEvery: Int = 8): DataFrame =
+    merges.zipWithIndex.foldLeft(vocabDf) { case (v, ((a, b), i)) =>
+      val merged = v.withColumn("syms", mergePair(col("syms"), a, b))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.length)
+        merged.localCheckpoint(true)
+      else merged
+    }
+
+  /** Encode documents with a trained merge list: per-document
+    * whitespace token count, BPE symbol count, and symbols-per-word.
+    * The scale shape mirrors training: merges are applied to the
+    * DISTINCT-WORD vocabulary only (bounded by vocab size, not corpus
+    * tokens), then joined back to the per-doc token multiset — 100 TB
+    * of text never passes through the fold expressions.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    val wordLens = applyMerges(
+      tok.select("w").distinct()
+        .withColumn("syms",
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1)))),
+      merges)
+      .select(col("w"), size(col("syms")).cast("long").as("bpe_len"))
+    tok.join(wordLens, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum("k").as("n_tokens"),
+        sum(col("k") * col("bpe_len")).as("n_bpe_syms"))
+      .withColumn("syms_per_word",
+        round(col("n_bpe_syms") / col("n_tokens"), 4))
+  }
+
   /** Tokenize a word with a learned merge list (reference semantics:
     * apply merges in learned order, greedy left-to-right). Driver-side
-    * helper for tests/inspection; the distributed form is the same
-    * [[mergePair]] fold applied per learned merge.
+    * reference for tests/inspection; [[applyMerges]]/[[encode]] are the
+    * distributed form.
     */
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
     var syms: Seq[String] = word.map(_.toString)

@@ -1032,6 +1032,22 @@ object TrainingData {
       .toDF("rank", "left", "right", "merged")
   }
 
+  // ---------------------------------------------------------------- t28
+  // BPE tokenizer INFERENCE: train 10 merges on the corpus (t26's
+  // step), then encode every document with the learned tokenizer —
+  // per-doc whitespace-token count, BPE symbol count, and compression.
+  // Merges are applied to the distinct-word vocabulary and joined back
+  // (the corpus never passes through the fold expressions). The merge
+  // chain has no tractable SQL restatement → rows-only; BpeSpec pins
+  // the distributed encode word-for-word against the reference
+  // implementation.
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val d = docs(s, dir)
+    val (merges, _) = Bpe.train(d, nMerges = 10)
+    Bpe.encode(d, merges).orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- t27
   // CCNet-style bigram-LM perplexity filter: score each document by
   // mean negative log-likelihood under the corpus-trained add-alpha
@@ -1097,6 +1113,7 @@ object TrainingData {
     QuerySpec("t25_bpe_pairs", t25, Some(t25Sql)),
     QuerySpec("t26_bpe_merges", t26, None),
     QuerySpec("t27_lm_perplexity", t27, Some(t27Sql)),
+    QuerySpec("t28_bpe_encode", t28, None),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

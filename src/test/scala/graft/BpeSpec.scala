@@ -86,6 +86,30 @@ class BpeSpec extends SparkTestBase {
     assert(m1 == m2)
   }
 
+  test("encode: distributed inference equals encodeWord per word") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, nMerges = 12)
+    // low checkpointEvery exercises the checkpoint path mid-chain
+    val encoded = Bpe.applyMerges(
+      docs.select(explode(split(col("text"), " ")).as("w")).distinct()
+        .withColumn("syms",
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1)))),
+      merges, checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    encoded.foreach { case (w, s) =>
+      assert(s == Bpe.encodeWord(w, merges), s"word $w")
+    }
+    // per-doc counts: "low low low low low" -> 5 words; after training,
+    // "low" is a single symbol (top merges collapse it), so n_bpe_syms
+    // equals 5 * |encodeWord("low")|
+    val row = Bpe.encode(docs, merges).filter(col("doc_id") === 0L).head()
+    val lowLen = Bpe.encodeWord("low", merges).length.toLong
+    assert(row.getAs[Long]("n_tokens") == 5L)
+    assert(row.getAs[Long]("n_bpe_syms") == 5L * lowLen)
+  }
+
   test("pair exhaustion stops early instead of looping") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // "ab" collapses to one symbol after 1 merge; no pairs remain

@@ -189,6 +189,64 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 4)
   }
 
+  test("rollback moves the pointer; history survives; appends fork") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    cat.rollback("db", "t", snapshotId = 1L)
+    // current state is snapshot 1; the abandoned future still time-travels
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(cat.read("db", "t", Some(3L)).count() == 3)
+    intercept[IllegalArgumentException](cat.rollback("db", "t", 99L))
+    // appends after rollback chain off the rolled-back snapshot
+    cat.append("db", "t", Seq((4L, 4.0)).toDF("id", "v"))
+    val meta = cat.describe("db", "t")
+    assert(meta.snapshots.last.parentId.contains(1L))
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 4L))
+    // roll FORWARD is just another rollback
+    cat.rollback("db", "t", 3L)
+    assert(cat.read("db", "t").count() == 3)
+  }
+
+  test("expire after rollback always retains the current snapshot") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    (1 to 4).foreach(i => cat.append("db", "t", Seq((i.toLong, 1.0)).toDF("id", "v")))
+    cat.rollback("db", "t", snapshotId = 1L)
+    val meta = cat.expireSnapshots("db", "t", keepLast = 1)
+    // tail-1 is snapshot 4, but current (1) must survive too
+    assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 4L))
+    assert(cat.read("db", "t").count() == 1)
+  }
+
+  test("removeOrphanFiles deletes only unreferenced data files") {
+    val wh = tmpDir("graft-cat")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    // plant a stray file where a failed write would leave one
+    val stray = java.nio.file.Paths.get(wh, "db", "t", "data", "stray.parquet")
+    Seq((9L, 9.0)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stray.toString + ".dir")
+    val part = java.nio.file.Files.list(
+        java.nio.file.Paths.get(stray.toString + ".dir"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, stray)
+    val deleted = cat.removeOrphanFiles("db", "t")
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("stray.parquet"))
+    assert(!java.nio.file.Files.exists(stray))
+    // referenced data intact; a second vacuum is a no-op
+    assert(cat.read("db", "t").count() == 2)
+    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+  }
+
   test("string column stats: truncated bounds prune lexicographic ranges") {
     val cat = freshCatalog()
     val schema = StructType(Seq(
