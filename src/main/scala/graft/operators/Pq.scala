@@ -115,6 +115,16 @@ object Pq {
       iters: Int, idCol: String = "vec_id"): Codebooks = {
     val unit = Similarity.unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainCodebooksUnit(unit, m, ksub, dim, iters)
+    unit.unpersist()
+    books
+  }
+
+  /** Lloyd loop over an arbitrary (id, uv) frame — NOT necessarily
+    * unit-normalized (IVF-PQ trains on residuals). Caller persists.
+    */
+  private def trainCodebooksUnit(unit: DataFrame, m: Int, ksub: Int,
+      dim: Int, iters: Int): Codebooks = {
     var books = seedCodebooks(unit, m, ksub, dim)
     for (_ <- 1 to iters) {
       val sums = assignCells(unit, books, dim)
@@ -129,7 +139,6 @@ object Pq {
       }
       books = next
     }
-    unit.unpersist()
     books
   }
 
@@ -181,6 +190,14 @@ object Pq {
       .reduce(_ + _)
     val scored = queries.join(codes, col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
+    finishTopK(scored, unit, k, rerank)
+  }
+
+  /** Shared tail: optional exact re-rank of the ADC top-`rerank`, then
+    * final top-k in [[Similarity.knnExact]]'s output shape.
+    */
+  private def finishTopK(scored: DataFrame, unit: DataFrame, k: Int,
+      rerank: Int): DataFrame = {
     val ranked =
       if (rerank <= 0) {
         scored.withColumn("sim", col("adc"))
@@ -205,5 +222,77 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §V): the coarse IVF quantizer restricts
+    * which vectors are scored (probe `nProbe` of `nCells` cells) and PQ
+    * compresses HOW they are scored — together the standard
+    * billion-vector index shape (FAISS `IVFx,PQy` — public
+    * architecture). Codebooks are trained on RESIDUALS (x − coarse
+    * centroid), which concentrates the quantizer's dynamic range on
+    * within-cell variation; for dot-product scoring the decomposition
+    * is exact: <q, c + r> = <q, c> (computed once per probed cell) +
+    * <q, r> (ADC over the residual codebooks).
+    *
+    * Scale shape: the corpus index at rest is (cell, m-int code) per
+    * vector; a query touches nProbe/nCells of the codes (vs ALL of
+    * them in [[knnPq]]) and the probe join shuffles only the broadcast
+    * query×probe rows. Output shape matches [[Similarity.knnExact]].
+    */
+  def knnIvfPq(vecs: DataFrame, k: Int, nCells: Int, nProbe: Int,
+      m: Int, ksub: Int, dim: Int, queryFilter: Column,
+      idCol: String = "vec_id", iters: Int = 3,
+      rerank: Int = 0): DataFrame = {
+    val sd = subdim(dim, m)
+    val unit = Similarity.unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse quantizer: spherical k-means cells (cosine geometry)
+    val coarse = Similarity.kmeansCentroids(vecs, nCells, iters, idCol)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.zipWithIndex
+      .map { case (c, cid) => (cid, c.toSeq) }.toSeq.toDF("ccid", "cvec")
+    // home cell per vector: broadcast join + max(struct) argmax (ties
+    // to the larger cell id, deterministically), then residuals
+    val assigned = unit.join(broadcast(coarseDf))
+      .select(col("id"),
+        struct(DotProduct.dot(col("uv"), col("cvec")).as("score"),
+          col("ccid"), col("cvec")).as("w"))
+      .groupBy("id").agg(max("w").as("w"))
+      .join(unit, Seq("id"))
+      .select(col("id"), col("w.ccid").as("cell"),
+        zip_with(col("uv"), col("w.cvec"), (x, c) => x - c).as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainCodebooksUnit(
+      assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters)
+    val codes = encodeUnit(
+      assigned.select(col("id"), col("resid").as("uv")), books, dim)
+      .join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
+    // query side: top-nProbe cells by centroid similarity + LUT
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("ccid"))
+    val lut = array((0 until m).map { s =>
+      val sub = slice(col("qv"), s * sd + 1, sd)
+      array(books(s).map(c => DotProduct.dot(sub, typedlit(c.toSeq))): _*)
+    }: _*)
+    val qprobe = broadcast(
+      unit.filter(queryFilter)
+        .select(col("id").as("query_id"), col("uv").as("qv"))
+        .crossJoin(broadcast(coarseDf))
+        .withColumn("cscore", DotProduct.dot(col("qv"), col("cvec")))
+        .withColumn("r", row_number().over(pw))
+        .filter(col("r") <= nProbe)
+        .withColumn("lut", lut)
+        .select(col("query_id"), col("ccid").as("cell"),
+          col("cscore"), col("lut")))
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = qprobe.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("cscore") + adc)
+    finishTopK(scored, unit, k, rerank)
   }
 }

@@ -722,6 +722,20 @@ object TrainingData {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------------------------------- e09
+  // IVF-PQ: coarse cells bound WHICH vectors are scored (probe 8 of
+  // 16), residual PQ codes bound HOW — the standard billion-vector
+  // index (compressed codes + cell pruning), with exact top-50
+  // re-ranking. rows-only; recall floor pinned in OperatorSpec.
+  private def e09(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    Pq.knnIvfPq(embs(s, dir), k = 5, nCells = 16, nProbe = 8,
+      m = 8, ksub = 16, dim = 64,
+      queryFilter = col("id") < 50, rerank = 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---------------------------------------------------------------- e05
   // LSH candidates → exact verify (round-2 VERDICT item 3): the scale
   // shape for near-dup mining. e02's 0.45 threshold is LSH-hostile by
@@ -1122,6 +1136,7 @@ object TrainingData {
     QuerySpec("e06_semantic_dedup", e06, None),
     QuerySpec("e07_retrieval_join", e07, Some(e07Sql)),
     QuerySpec("e08_ann_pq", e08, None),
+    QuerySpec("e09_ann_ivfpq", e09, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
 }

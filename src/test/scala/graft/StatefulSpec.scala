@@ -46,6 +46,56 @@ class StatefulSpec extends SparkTestBase {
     assert(run() == Seq(1L, 3L, 5L))
   }
 
+  test("transformWithState running totals: RocksDB state survives batches") {
+    import graft.streaming.RunningTotals
+    import graft.streaming.RunningTotals.{Purchase, UserTotal}
+    val src = tmpDir("graft-tws-src")
+    val ckpt = tmpDir("graft-tws-ckpt")
+    val outDir = tmpDir("graft-tws-out")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      RunningTotals.RocksDbProvider)
+    try {
+      def run(): Map[Long, (Long, Double)] = {
+        val stream = spark.readStream
+          .schema(Seq.empty[Purchase].toDS().schema).parquet(src)
+          .as[Purchase]
+        val q = RunningTotals.totals(stream)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[UserTotal], _: Long) =>
+            b.write.mode("append").parquet(outDir): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // latest row per user across all emitted updates
+        spark.read.parquet(outDir).as[UserTotal].collect()
+          .groupBy(_.user_id)
+          .map { case (u, rows) =>
+            val m = rows.maxBy(_.n_purchases)
+            u -> (m.n_purchases, m.total)
+          }
+      }
+      Seq(Purchase(1, 10.0, 1000), Purchase(1, 5.0, 2000), Purchase(2, 7.0, 1500))
+        .toDS().write.mode("append").parquet(src)
+      assert(run() == Map(1L -> ((2L, 15.0)), 2L -> ((1L, 7.0))))
+      // second batch: state resumed from RocksDB changelog — user 1
+      // continues from (2, 15.0), user 3 starts fresh
+      Seq(Purchase(1, 1.0, 3000), Purchase(3, 2.0, 3500))
+        .toDS().write.mode("append").parquet(src)
+      assert(run() == Map(1L -> ((3L, 16.0)), 2L -> ((1L, 7.0)),
+        3L -> ((1L, 2.0))))
+    } finally {
+      prevProvider match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer: state survives across micro-batches") {
     val src = tmpDir("graft-st-src")
     val ckpt = tmpDir("graft-st-ckpt")
