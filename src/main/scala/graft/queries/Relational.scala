@@ -810,6 +810,78 @@ object Relational {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  // NOTE: vals referenced from `specs` must be declared ABOVE it
+  // (object init order) — q32's live before the registration list.
+  // ---------------------------------------------------------------- q32
+  // ANALYZE-style column profiling: per-column row/null/distinct
+  // counts and numeric bounds/mean over lineitem — the statistics pass
+  // a warehouse runs before planning (and a pipeline runs before
+  // training). Exact count(distinct) per column costs one pass each
+  // here for oracle exactness; the 100 TB form swaps in
+  // approx_count_distinct (q21's HLL surface) for a single-pass
+  // profile. Mean FP parity: double-sum error at sf0.1 is ~1e-7 of the
+  // rounded 4dp granularity — same argument as t09/t27.
+  private val q32Cols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    q32Cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)).cast("double"), 4).as("min_v"),
+        round(max(col(c)).cast("double"), 4).as("max_v"),
+        round(avg(col(c)), 4).as("mean_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"), col("mean_v"))
+    }.reduce(_.unionAll(_)).orderBy("col_name")
+  }
+
+  private val q32Sql = q32Cols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 4) AS min_v,
+       |  round(CAST(max($c) AS DOUBLE), 4) AS max_v,
+       |  round(avg($c), 4) AS mean_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------- q33
+  // Exact interpolated percentiles (R-7 / linear, the definition both
+  // engines implement: Spark `percentile`, DuckDB `quantile_cont`) per
+  // group — the exact counterpart of q24's t-digest sketch. Exact
+  // percentile is a full-sort-per-group at scale; q24 is the 100 TB
+  // path, this is its correctness anchor.
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+          .as("ps"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"),
+        round(element_at(col("ps"), 4), 4).as("p95"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val q33Sql =
+    """SELECT l_returnflag,
+      |  round(qs[1], 4) AS p25, round(qs[2], 4) AS p50,
+      |  round(qs[3], 4) AS p75, round(qs[4], 4) AS p95,
+      |  n_rows
+      |FROM (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS qs,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -842,5 +914,7 @@ object Relational {
     QuerySpec("q28_unpivot", q28, Some(q28Sql)),
     QuerySpec("q29_asof_forward", q29, Some(q29Sql)),
     QuerySpec("q30_grouped_topk", q30, Some(q30Sql)),
-    QuerySpec("q31_session_window", q31, Some(q31Sql)))
+    QuerySpec("q31_session_window", q31, Some(q31Sql)),
+    QuerySpec("q32_column_profile", q32, Some(q32Sql)),
+    QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)))
 }
