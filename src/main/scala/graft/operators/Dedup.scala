@@ -167,6 +167,72 @@ object Dedup {
           .cast("long").as("contaminated"))
   }
 
+  /** Bloom-pre-filtered decontamination: semantically IDENTICAL output
+    * to [[decontaminate]] (Bloom filters have no false negatives, and
+    * the exact semi-join still decides every hit) but corpus shingle
+    * rows are cut by a pure-expression membership test BEFORE any join.
+    *
+    * Why it matters at 100 TB: [[decontaminate]] broadcasts the
+    * benchmark's distinct shingle set — fine for one benchmark, but a
+    * full eval-suite register (thousands of benchmarks) is GBs. The
+    * Bloom is `numBits/8` bytes FLAT (16 KiB at 2^17) regardless of
+    * benchmark size, and the pre-filter drops the overwhelmingly-clean
+    * corpus rows at scan time; only the ~fpp fraction of false
+    * positives (plus true hits) ever reach the exact join. Built with
+    * PUBLIC APIs only: double-hashed positions (Kirsch-Mitzenmacher),
+    * per-word `bit_or` masks, and a collected `numBits/64`-long literal
+    * (the only driver data is the bitset itself).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minContainment: Double = 0.5,
+      numBits: Int = 1 << 17,
+      numHashes: Int = 5): DataFrame = {
+    require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    val cSh = shingleRows(corpus, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val bSh = shingleRows(benchmark, n)
+      .select(xxhash64(col("shingle")).as("shingle")).distinct()
+    // position i = (h1 + i·h2) mod m, h2 forced odd (full-period step).
+    // Both hashes reduce mod m BEFORE the combine: ANSI mode (Spark 4
+    // default) makes i·h2 on the raw 64-bit hash an overflow error,
+    // and i·(h2 mod m) < numHashes·m never overflows.
+    def positions(sh: Column): Seq[Column] = {
+      val m = lit(numBits.toLong)
+      val h1 = pmod(sh, m)
+      val h2 = pmod(xxhash64(sh), m).bitwiseOR(lit(1L))
+      (0 until numHashes).map(i => pmod(h1 + lit(i.toLong) * h2, m))
+    }
+    val words = bSh
+      .select(explode(array(positions(col("shingle")): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        pmod(col("p"), lit(64L)).cast("int").as("b"))
+      .groupBy("w")
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("b"))).as("m"))
+      .collect()
+    val bits = Array.fill(numBits / 64)(0L)
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bitsLit = typedlit(bits.toSeq)
+    def mightContain(sh: Column): Column = positions(sh).map { p =>
+      call_function("shiftright",
+        element_at(bitsLit, (p / 64).cast("int") + 1),
+        pmod(p, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    val cnt = cSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = cSh
+      .filter(mightContain(col("shingle")))          // Bloom pre-filter
+      .join(broadcast(bSh), Seq("shingle"), "left_semi") // exact verify
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    hits.join(cnt, "doc_id")
+      .select(col("doc_id"), col("hits"), col("n_sh"),
+        round(col("hits") / col("n_sh"), 4).as("containment"),
+        (col("hits") / col("n_sh") >= minContainment)
+          .cast("long").as("contaminated"))
+  }
+
   /** Number of minhash permutations and the LSH banding (r rows/band). */
   val MinHashPerms = 16
   val MinHashBandRows = 2

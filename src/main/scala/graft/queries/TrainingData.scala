@@ -1046,6 +1046,22 @@ object TrainingData {
       .toDF("rank", "left", "right", "merged")
   }
 
+  // ---------------------------------------------------------------- t29
+  // Bloom-pre-filtered decontamination: identical semantics to t15
+  // (Blooms have no false negatives; the exact semi-join still decides
+  // every hit) — shares t15's DuckDB oracle — but the corpus-side rows
+  // are cut by a 16 KiB literal bitset BEFORE any join, the membership
+  // shape that replaces a GB-scale broadcast when the benchmark
+  // register is large. See Dedup.decontaminateBloom scaladoc.
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminateBloom(
+        corpus = d.filter(col("doc_id") % 37 =!= 0),
+        benchmark = d.filter(col("doc_id") % 37 === 0),
+        n = 3, minContainment = 0.5)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- t28
   // BPE tokenizer INFERENCE: train 10 merges on the corpus (t26's
   // step), then encode every document with the learned tokenizer —
@@ -1128,6 +1144,7 @@ object TrainingData {
     QuerySpec("t26_bpe_merges", t26, None),
     QuerySpec("t27_lm_perplexity", t27, Some(t27Sql)),
     QuerySpec("t28_bpe_encode", t28, None),
+    QuerySpec("t29_decontaminate_bloom", t29, Some(t15Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -49,6 +49,20 @@ class OperatorSpec extends SparkTestBase {
     assert(d2.getAs[Long]("contaminated") == 1L)
   }
 
+  test("bloom decontamination equals the exact operator (no false negatives)") {
+    val corpus = docs.filter(col("doc_id") < 4)
+    val bench = docs.filter(col("doc_id") === 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.decontaminateBloom(corpus, bench, 3, 0.5)) ==
+      rows(Dedup.decontaminate(corpus, bench, 3, 0.5)))
+    // a tiny bloom (high FP rate) must STILL be exact — FPs only cost
+    // extra rows into the verify join, never wrong output
+    assert(rows(Dedup.decontaminateBloom(corpus, bench, 3, 0.5,
+      numBits = 64, numHashes = 2)) ==
+      rows(Dedup.decontaminate(corpus, bench, 3, 0.5)))
+  }
+
   test("minhash LSH with exact verification equals the exact operator") {
     val exact = Dedup.ngramJaccard(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
     val lsh = Dedup.minHashLsh(docs, 3, 0.5).orderBy("a", "b").collect().toSeq
