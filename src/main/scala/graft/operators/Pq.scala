@@ -242,12 +242,18 @@ object Pq {
   def knnIvfPq(vecs: DataFrame, k: Int, nCells: Int, nProbe: Int,
       m: Int, ksub: Int, dim: Int, queryFilter: Column,
       idCol: String = "vec_id", iters: Int = 3,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0,
+      coarseCentroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Codebooks] = None): DataFrame = {
     val sd = subdim(dim, m)
     val unit = Similarity.unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse quantizer: spherical k-means cells (cosine geometry)
-    val coarse = Similarity.kmeansCentroids(vecs, nCells, iters, idCol)
+    // coarse quantizer: spherical k-means cells (cosine geometry),
+    // trained on the SAME persisted unit frame (no second
+    // normalization/cache pass); a deployment trains once and passes
+    // `coarseCentroids`/`codebooks` in.
+    val coarse = coarseCentroids.getOrElse(
+      Similarity.kmeansCentroidsUnit(unit, nCells, iters))
     val spark = vecs.sparkSession
     import spark.implicits._
     val coarseDf = coarse.zipWithIndex
@@ -263,8 +269,8 @@ object Pq {
       .select(col("id"), col("w.ccid").as("cell"),
         zip_with(col("uv"), col("w.cvec"), (x, c) => x - c).as("resid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = trainCodebooksUnit(
-      assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters)
+    val books = codebooks.getOrElse(trainCodebooksUnit(
+      assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters))
     val codes = encodeUnit(
       assigned.select(col("id"), col("resid").as("uv")), books, dim)
       .join(assigned.select(col("id"), col("cell")), Seq("id"))

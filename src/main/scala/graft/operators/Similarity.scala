@@ -226,7 +226,19 @@ object Similarity {
       idCol: String = "vec_id"): Array[Array[Double]] = {
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = seedCentroids(vecs, k, idCol)
+    val out = kmeansCentroidsUnit(unit, k, iters)
+    unit.unpersist()
+    out
+  }
+
+  /** Lloyd loop over an ALREADY-persisted (id, uv) unit-vector frame —
+    * callers that hold such a frame (e.g. Pq.knnIvfPq) avoid a second
+    * normalization pass + duplicate cache of the corpus.
+    */
+  private[operators] def kmeansCentroidsUnit(unit: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = unit.orderBy("id").limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("uv").toArray)
     for (_ <- 1 to iters) {
       val assigned = unit.withColumn("cell", homeCell(centroids))
       val sums = assigned
@@ -243,7 +255,6 @@ object Similarity {
         if (n == 0.0) c else c.map(_ / n)
       }
     }
-    unit.unpersist()
     centroids
   }
 
