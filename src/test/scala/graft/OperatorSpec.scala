@@ -315,6 +315,26 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(pruned(1L) - d1p) < 1e-9, s"pruned doc1 ${pruned(1L)} vs $d1p")
   }
 
+  test("NgramLm scores and PQ codes are partitioning-independent") {
+    import graft.operators.{NgramLm, Pq}
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "zq xv qqq"))
+      .toDF("doc_id", "text")
+    def lmRows(df: org.apache.spark.sql.DataFrame) =
+      NgramLm.perplexityScores(df)
+        .select(col("doc_id"), col("n_bigrams"), round(col("avg_nll"), 4))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(lmRows(d) == lmRows(d.repartition(7)))
+    // PQ: with FIXED codebooks, encode is a pure per-row function —
+    // codes must be bit-identical under any partitioning
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val books = Pq.trainCodebooks(e, m = 4, ksub = 8, dim = 64, iters = 2)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Pq.encode(df, books, dim = 64).orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toSeq
+    assert(codes(e) == codes(e.repartition(13)))
+  }
+
   test("PQ ANN: ADC + rerank recall floor vs exact kNN; codes are m small ints") {
     import graft.operators.Pq
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
