@@ -106,6 +106,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * new table metadata.
     */
   def append(ns: String, name: String, df: DataFrame): TableMeta =
+    appendImpl(ns, name, df, toBranch = None)
+
+  /** Append to a named BRANCH: the new snapshot chains off the branch
+    * head and the branch ref moves to it; the table's current pointer
+    * (what readers see) is untouched. With [[publish]] this is the
+    * write-audit-publish (WAP) flow: stage data on a branch, audit it
+    * with [[readRef]], fast-forward publish — or drop the branch and
+    * no reader ever saw the bad batch.
+    */
+  def appendToBranch(ns: String, name: String, branch: String,
+      df: DataFrame): TableMeta =
+    appendImpl(ns, name, df, toBranch = Some(branch))
+
+  private def appendImpl(ns: String, name: String, df: DataFrame,
+      toBranch: Option[String]): TableMeta =
     synchronized {
       // Data files are written once, into a dir keyed by a unique
       // write id; the commit loop below re-reads table state on each
@@ -124,6 +139,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       var attempt = 0
       while (true) {
         val (version, meta) = loadMeta(ns, name)
+        // base = branch head (re-resolved per retry — the branch may
+        // have moved) or the table's current snapshot
+        val base = toBranch match {
+          case Some(b) =>
+            require(meta.refs.contains(b), s"no ref '$b' in $ns.$name")
+            require(!meta.tagNames.contains(b), s"'$b' is a tag — tags are immutable")
+            meta.snapshots.find(_.snapshotId == meta.refs(b))
+          case None => meta.currentSnapshot
+        }
         val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
         val evolved = SchemaCompat.evolve(current, df.schema) match {
           case Right(s) => s
@@ -135,16 +159,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
         val snap = SnapshotMeta(
           snapshotId = snapshotId,
-          parentId = meta.currentSnapshotId,
+          parentId = base.map(_.snapshotId),
           sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
-          files = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          files = base.map(_.files).getOrElse(Seq.empty) ++ newFiles,
           rowCount = stats.map(_.rows).sum,
           createdAtMs = System.currentTimeMillis(),
-          fileStats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
-        val newMeta = meta.copy(
-          schemaJson = evolved.json,
-          currentSnapshotId = Some(snapshotId),
-          snapshots = meta.snapshots :+ snap)
+          fileStats = base.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
+        val newMeta = toBranch match {
+          case Some(b) => meta.copy(
+            schemaJson = evolved.json,
+            snapshots = meta.snapshots :+ snap,
+            refs = meta.refs + (b -> snapshotId))
+          case None => meta.copy(
+            schemaJson = evolved.json,
+            currentSnapshotId = Some(snapshotId),
+            snapshots = meta.snapshots :+ snap)
+        }
         try {
           commit(ns, name, version + 1, newMeta)
           return newMeta
@@ -158,6 +188,64 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }
       }
       throw new IllegalStateException("unreachable")
+    }
+
+  // ---------------------------------------------------------------- refs
+
+  /** Create a movable branch ref at `at` (default: current snapshot). */
+  def createBranch(ns: String, name: String, branch: String,
+      at: Option[Long] = None): TableMeta =
+    createRef(ns, name, branch, at, isTag = false)
+
+  /** Create an immutable tag at `at` (default: current snapshot). */
+  def createTag(ns: String, name: String, tag: String,
+      at: Option[Long] = None): TableMeta =
+    createRef(ns, name, tag, at, isTag = true)
+
+  private def createRef(ns: String, name: String, ref: String,
+      at: Option[Long], isTag: Boolean): TableMeta = synchronized {
+    val (version, meta) = loadMeta(ns, name)
+    require(!meta.refs.contains(ref), s"ref '$ref' already exists in $ns.$name")
+    val snapId = at.orElse(meta.currentSnapshotId).getOrElse(
+      throw new IllegalStateException(s"$ns.$name has no snapshot to reference"))
+    require(meta.snapshots.exists(_.snapshotId == snapId),
+      s"no snapshot $snapId in $ns.$name")
+    val newMeta = meta.copy(refs = meta.refs + (ref -> snapId),
+      tagNames = if (isTag) meta.tagNames :+ ref else meta.tagNames)
+    commit(ns, name, version + 1, newMeta)
+    newMeta
+  }
+
+  /** Drop a branch or tag; snapshots stay until [[expireSnapshots]]. */
+  def dropRef(ns: String, name: String, ref: String): TableMeta = synchronized {
+    val (version, meta) = loadMeta(ns, name)
+    require(meta.refs.contains(ref), s"no ref '$ref' in $ns.$name")
+    val newMeta = meta.copy(refs = meta.refs - ref,
+      tagNames = meta.tagNames.filterNot(_ == ref))
+    commit(ns, name, version + 1, newMeta)
+    newMeta
+  }
+
+  /** Read the table at a named ref (tag or branch head). */
+  def readRef(ns: String, name: String, ref: String): DataFrame = {
+    val meta = describe(ns, name)
+    require(meta.refs.contains(ref), s"no ref '$ref' in $ns.$name")
+    read(ns, name, snapshotId = Some(meta.refs(ref)))
+  }
+
+  /** WAP publish: fast-forward the table's current pointer to the
+    * branch head — an O(metadata) pointer move (same machinery as
+    * [[rollback]]); readers atomically see everything staged on the
+    * branch.
+    */
+  def publish(ns: String, name: String, branch: String): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      require(meta.refs.contains(branch), s"no ref '$branch' in $ns.$name")
+      require(!meta.tagNames.contains(branch), s"'$branch' is a tag")
+      val newMeta = meta.copy(currentSnapshotId = Some(meta.refs(branch)))
+      commit(ns, name, version + 1, newMeta)
+      newMeta
     }
 
   /** Manifest-style per-file min/max stats for numeric and timestamp
@@ -527,13 +615,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     synchronized {
       require(keepLast >= 1, "must retain at least one snapshot")
       val (version, meta) = loadMeta(ns, name)
-      // The CURRENT snapshot is always retained even when a rollback
-      // moved it off the tail — expiring the snapshot the pointer
-      // references would corrupt the table.
+      // The CURRENT snapshot and every ref'd (branch/tag) snapshot are
+      // always retained even when off the tail — expiring a snapshot a
+      // pointer references would corrupt the table.
       val tail = meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId
       val retained = meta.snapshots
         .filter(s => tail.exists(_.snapshotId == s.snapshotId) ||
-          meta.currentSnapshotId.contains(s.snapshotId))
+          pinned.contains(s.snapshotId))
       val referenced = retained.flatMap(_.files).toSet
       val orphaned = meta.snapshots.flatMap(_.files).distinct
         .filterNot(referenced.contains)
@@ -813,7 +902,14 @@ object SnapshotCatalog {
       properties: Map[String, String],
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
       currentSnapshotId: Option[Long],
-      snapshots: Seq[SnapshotMeta]) {
+      snapshots: Seq[SnapshotMeta],
+      // named refs (Iceberg branches/tags): name -> snapshotId; tags
+      // (immutable) are the names also listed in tagNames. Defaults
+      // keep pre-refs metadata.json readable (same mechanism as
+      // SnapshotMeta.fileStats).
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      refs: Map[String, Long] = Map.empty,
+      tagNames: Seq[String] = Seq.empty) {
     def currentSnapshot: Option[SnapshotMeta] =
       currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
   }

@@ -224,6 +224,38 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 1)
   }
 
+  test("branches + tags: write-audit-publish flow; tags immutable; expire pins refs") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.createTag("db", "t", "v1.0")
+    cat.createBranch("db", "t", "audit")
+    // stage two batches on the branch: readers still see only row 1
+    cat.appendToBranch("db", "t", "audit", Seq((2L, 2.0)).toDF("id", "v"))
+    cat.appendToBranch("db", "t", "audit", Seq((3L, 3.0)).toDF("id", "v"))
+    assert(cat.read("db", "t").count() == 1)
+    assert(cat.readRef("db", "t", "audit").count() == 3) // the audit view
+    assert(cat.readRef("db", "t", "v1.0").count() == 1)
+    // tags reject writes; unknown refs reject reads
+    intercept[IllegalArgumentException](
+      cat.appendToBranch("db", "t", "v1.0", Seq((9L, 9.0)).toDF("id", "v")))
+    intercept[IllegalArgumentException](cat.readRef("db", "t", "nope"))
+    // publish fast-forwards the current pointer; branch lineage intact
+    cat.publish("db", "t", "audit")
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(cat.describe("db", "t").snapshots.last.parentId.contains(2L))
+    // expire keeps every ref'd snapshot (the v1.0 tag pins snapshot 1)
+    val meta = cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(meta.snapshots.map(_.snapshotId).contains(1L))
+    assert(cat.readRef("db", "t", "v1.0").count() == 1)
+    // dropping the tag then expiring frees it
+    cat.dropRef("db", "t", "v1.0")
+    val meta2 = cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(!meta2.snapshots.map(_.snapshotId).contains(1L))
+  }
+
   test("removeOrphanFiles deletes only unreferenced data files") {
     val wh = tmpDir("graft-cat")
     val cat = new SnapshotCatalog(spark, wh)
