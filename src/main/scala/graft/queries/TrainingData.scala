@@ -884,6 +884,42 @@ object TrainingData {
       |WHERE frame_idx % 3 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m03
+  // Media frame-level dedup: fingerprint EVERY aligned frame (step=1)
+  // across all payloads, then group by fingerprint to find segments
+  // shared between documents — the shared-scene/duplicate-clip
+  // primitive of video corpus dedup, exercised end-to-end over binary
+  // payloads. One shuffle on the 16-byte fingerprint; payload bytes
+  // never shuffle.
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir)
+      .select(col("doc_id"), lit("video/fake").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, frameBytes = 64, step = 1)
+      .toDF()
+      .groupBy("frame_md5")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        min("doc_id").as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("frame_md5")
+  }
+
+  private val m03Sql =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(0, n_chars // 64 - 1)) AS i
+      |        FROM documents) f)
+      |SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_frames, min(doc_id) AS keep_doc
+      |FROM fr GROUP BY frame_md5
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY frame_md5""".stripMargin
+
   // ---------------------------------------------------------------- t21
   // Sliding-window chunking: 64-token windows stepping by 48 (16-token
   // overlap), never crossing document boundaries — the fine-tuning /
@@ -1155,5 +1191,6 @@ object TrainingData {
     QuerySpec("e08_ann_pq", e08, None),
     QuerySpec("e09_ann_ivfpq", e09, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
-    QuerySpec("m02_frame_sample", m02, Some(m02Sql)))
+    QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
+    QuerySpec("m03_frame_dedup", m03, Some(m03Sql)))
 }
