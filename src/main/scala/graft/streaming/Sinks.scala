@@ -39,6 +39,52 @@ object Sinks {
         catalog.append(ns, table, batch): Unit        // evolve inside
       }
 
+  /** Streaming write-audit-publish sink: every micro-batch is staged
+    * on a catalog BRANCH, the audit predicate inspects the staged view
+    * (current table + this batch), and only a passing audit
+    * fast-forwards the readers' pointer — a failing batch is discarded
+    * by resetting the branch, and no reader ever saw it. This is the
+    * data-quality gate an ingest pipeline puts in front of a 100 TB
+    * table: the audit costs one metadata read + whatever the predicate
+    * scans, publish is one pointer write, and a bad batch costs
+    * nothing to undo — its snapshot is simply abandoned history whose
+    * files [[SnapshotCatalog.expireSnapshots]] reclaims.
+    *
+    * Effectively-once: same checkpoint discipline as [[icebergLike]];
+    * a replayed batch re-stages and re-audits.
+    */
+  def wapSink(
+      events: DataFrame,
+      catalog: SnapshotCatalog,
+      ns: String,
+      table: String,
+      branch: String,
+      audit: DataFrame => Boolean,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!catalog.tableExists(ns, table))
+          catalog.createTable(ns, table, batch.schema)
+        if (catalog.describe(ns, table).currentSnapshotId.isEmpty) {
+          // bootstrap: no snapshot to branch from yet — the staged
+          // view IS the batch, so audit it directly
+          if (audit(batch)) catalog.append(ns, table, batch): Unit
+        } else {
+          // (re)point the staging branch at the published state,
+          // stage, audit the staged view, publish or discard
+          if (catalog.describe(ns, table).refs.contains(branch))
+            catalog.dropRef(ns, table, branch)
+          catalog.createBranch(ns, table, branch)
+          catalog.appendToBranch(ns, table, branch, batch)
+          if (audit(catalog.readRef(ns, table, branch)))
+            catalog.publish(ns, table, branch): Unit
+        }
+      }
+
   /** CDC-style streaming MERGE sink: every micro-batch is UPSERTED
     * into the snapshot catalog by `keyCol` (`MERGE INTO … WHEN MATCHED
     * UPDATE WHEN NOT MATCHED INSERT`), the changelog-consumption shape

@@ -45,6 +45,51 @@ class StreamingSpec extends SparkTestBase {
     assert(meta.snapshots.tail.forall(s => ids.contains(s.parentId.get)))
   }
 
+  test("WAP sink: failing audit discards the batch unseen; passing publishes") {
+    import spark.implicits._
+    val src = tmpDir("graft-wap-src")
+    val ckpt = tmpDir("graft-wap-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wap-wh"))
+    // audit: the staged table must contain no negative values
+    val audit = (staged: org.apache.spark.sql.DataFrame) =>
+      staged.filter(col("v") < 0).isEmpty
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, Double)].toDF("id", "v").schema).parquet(src)
+      val q = Sinks.wapSink(stream, cat, "db", "t", "staging", audit, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "t").count() == 2)
+    // poisoned batch: audit fails on the staged view; readers unchanged
+    Seq((3L, -3.0)).toDF("id", "v").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // next good batch publishes; the poisoned row never lands
+    Seq((4L, 4.0)).toDF("id", "v").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    // the discarded batch's snapshot is abandoned history: expiry
+    // reclaims exactly its files (the published chain is cumulative,
+    // so the retained head still covers batches 1 and 3)
+    def dataFiles() = {
+      val it = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat.warehouse, "db", "t", "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally it.close()
+    }
+    val before = dataFiles()
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(dataFiles() < before)
+    assert(cat.read("db", "t").count() == 3)
+  }
+
   test("partitioned parquet sink derives the connector's path format") {
     // 2024-01-05 07:09:11 UTC → year=2024/month=01/day=05/hour=07
     val ts = java.time.Instant.parse("2024-01-05T07:09:11Z").toEpochMilli
