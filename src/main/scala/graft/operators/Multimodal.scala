@@ -103,6 +103,36 @@ object Multimodal {
     }
   }
 
+  /** A resized payload: original and reduced sizes plus the digest of
+    * the reduced bytes (the downstream join key for resized assets).
+    */
+  case class Resized(
+      doc_id: Long, orig_bytes: Long, resized_bytes: Long, resized_md5: String)
+
+  /** Payload downsampling ("resize"): keep every `step`-th byte of each
+    * payload — the deterministic stand-in for an image resize / audio
+    * downsample (a real implementation swaps the decimation loop for a
+    * codec scale call; the Spark shape is identical). Like
+    * [[sampleFrames]], the byte transform itself is REAL: one digest
+    * per partition, payloads never leave the executor, and the output
+    * carries the reduced bytes' digest + sizes rather than the bytes —
+    * at 100 TB the thumbnail store is written by the same partition
+    * that decimated, never shuffled.
+    */
+  def resize(media: Dataset[MediaRow], step: Int): Dataset[Resized] = {
+    require(step >= 1, "step must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val small = Array.range(0, r.payload.length, step).map(r.payload)
+        md.reset()
+        Resized(r.doc_id, r.payload.length.toLong, small.length.toLong,
+          md.digest(small).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   /** Treat the documents table's text payload as a binary media column
     * — exercises the full plumbing over real testdata. The feature
     * arithmetic below mirrors StubDecoder but stays in pure column

@@ -920,6 +920,32 @@ object TrainingData {
       |HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY frame_md5""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  // Payload "resize" (byte decimation, the deterministic codec-free
+  // stand-in for image resize): keep every 4th byte, report orig/
+  // reduced sizes + reduced-bytes digest. DuckDB re-derives the same
+  // decimation character-by-character (payloads are ASCII text).
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir)
+      .select(col("doc_id"), lit("image/fake").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRow]
+    Multimodal.resize(media, step = 4).toDF().orderBy("doc_id")
+  }
+
+  private val m04Sql =
+    """WITH pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text), 4)) AS i
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(max(length(text)) AS BIGINT) AS orig_bytes,
+      |  CAST(count(*) AS BIGINT) AS resized_bytes,
+      |  md5(string_agg(substring(text, CAST(i AS BIGINT), 1), '' ORDER BY i))
+      |    AS resized_md5
+      |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t21
   // Sliding-window chunking: 64-token windows stepping by 48 (16-token
   // overlap), never crossing document boundaries — the fine-tuning /
@@ -1192,5 +1218,6 @@ object TrainingData {
     QuerySpec("e09_ann_ivfpq", e09, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
-    QuerySpec("m03_frame_dedup", m03, Some(m03Sql)))
+    QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),
+    QuerySpec("m04_resize", m04, Some(m04Sql)))
 }

@@ -49,6 +49,24 @@ class OperatorSpec extends SparkTestBase {
     assert(d2.getAs[Long]("contaminated") == 1L)
   }
 
+  test("multimodal resize: step-1 is identity; large steps keep first byte") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/fake", "abcdefgh".getBytes),
+      Multimodal.MediaRow(2L, "image/fake", "xy".getBytes)
+    ).toDS()
+    val id = Multimodal.resize(media, step = 1).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(id(1L).resized_bytes == 8L && id(1L).orig_bytes == 8L)
+    val fullMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcdefgh".getBytes).map("%02x".format(_)).mkString
+    assert(id(1L).resized_md5 == fullMd5)
+    val big = Multimodal.resize(media, step = 100).collect()
+      .map(r => r.doc_id -> r.resized_bytes).toMap
+    assert(big == Map(1L -> 1L, 2L -> 1L)) // first byte survives any step
+  }
+
   test("bloom decontamination equals the exact operator (no false negatives)") {
     val corpus = docs.filter(col("doc_id") < 4)
     val bench = docs.filter(col("doc_id") === 4)
