@@ -882,6 +882,48 @@ object Relational {
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  // Window FRAME clauses (the taxonomy row q04/q12/q14 don't touch):
+  // running total (UNBOUNDED PRECEDING..CURRENT ROW), centered 3-row
+  // moving average, and lead — one (customer, date) window, one
+  // shuffle. Frame sums run over integer CENTS: double frame sums are
+  // association-order-dependent (DuckDB evaluates window frames with a
+  // segment tree; Spark per-frame) and a first cut with round(sum,2)
+  // hash-mismatched on cent boundaries — integer money arithmetic is
+  // exact in both engines, so the oracle matches bit-for-bit.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    t(s, dir, "orders")
+      .withColumn("_cents", cents)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum("_cents")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"),
+        round(avg("_cents").over(w.rowsBetween(-1, 1)) / 100.0, 4)
+          .as("moving_avg3"),
+        coalesce(lead(col("_cents"), 1).over(w), lit(-1L)).as("next_cents"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q34Sql =
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND CURRENT ROW) AS BIGINT) AS running_cents,
+      |  round(avg(cents) OVER (w ROWS BETWEEN 1 PRECEDING
+      |                           AND 1 FOLLOWING) / 100.0, 4) AS moving_avg3,
+      |  coalesce(lead(cents) OVER w, -1) AS next_cents
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -916,5 +958,6 @@ object Relational {
     QuerySpec("q30_grouped_topk", q30, Some(q30Sql)),
     QuerySpec("q31_session_window", q31, Some(q31Sql)),
     QuerySpec("q32_column_profile", q32, Some(q32Sql)),
-    QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)))
+    QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)),
+    QuerySpec("q34_window_frames", q34, Some(q34Sql)))
 }
