@@ -1177,6 +1177,38 @@ object TrainingData {
       |       CAST(sum(k * nll) / sum(k) <= $t27NllCut AS INT) AS keep
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t30
+  // The PRUNED-model path of the LM filter (t27 with minCount=5):
+  // rare bigrams leave the model and their occurrences score at the
+  // unseen-pair smoothing floor via the left join's coalesce — the
+  // broadcastable-model shape used at web scale. The oracle restates
+  // the HAVING cut + LEFT JOIN floor exactly, so the approximation is
+  // itself hash-checked, not just unit-tested.
+  private def t30(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.perplexityScores(docs(s, dir), minCount = 5L)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+
+  private val t30Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM toks WHERE len(ts) >= 2),
+      |db AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, count(*) AS k
+      |       FROM pos GROUP BY 1, 2, 3),
+      |n12 AS (SELECT w1, w2, sum(k) AS n12 FROM db GROUP BY 1, 2
+      |        HAVING sum(k) >= 5),
+      |n1 AS (SELECT w1, sum(k) AS n1 FROM db GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ts) AS w FROM toks)),
+      |sc AS (SELECT db.doc_id, db.k,
+      |         -ln((coalesce(n12.n12, 0) + 0.5) / (n1.n1 + 0.5 * v.v)) AS nll
+      |       FROM db LEFT JOIN n12 USING (w1, w2) JOIN n1 USING (w1)
+      |       CROSS JOIN v)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(sum(k * nll) / sum(k), 4) AS avg_nll
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1207,6 +1239,7 @@ object TrainingData {
     QuerySpec("t27_lm_perplexity", t27, Some(t27Sql)),
     QuerySpec("t28_bpe_encode", t28, None),
     QuerySpec("t29_decontaminate_bloom", t29, Some(t15Sql)),
+    QuerySpec("t30_lm_perplexity_pruned", t30, Some(t30Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
