@@ -338,18 +338,28 @@ object Dedup {
     var labels = edges.groupBy("u").agg(min("v").as("nbr"))
       .select(col("u").as("v"), least(col("u"), col("nbr")).as("lbl"))
       .localCheckpoint(true)
+    // DELTA iteration (the Giraph/GraphX discipline): only labels that
+    // CHANGED last round can lower a neighbor this round — min is
+    // monotone, so contributions from unchanged vertices were already
+    // absorbed. Each round joins edges against the FRONTIER, not the
+    // full label set; for dedup graphs the frontier collapses after
+    // round 1 and late rounds touch a handful of chain vertices, while
+    // at 100 TB it is the difference between per-round work ∝ frontier
+    // and per-round work ∝ graph.
+    var frontier = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // min neighbor label per vertex, then fold into the own label
-      val prop = edges.join(labels.select(col("v").as("u"), col("lbl")), "u")
+      // min label arriving from changed neighbors, folded into own
+      val prop = edges.join(frontier.select(col("v").as("u"), col("lbl")), "u")
         .groupBy("v").agg(min("lbl").as("nlbl"))
       val next = labels.join(prop, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0L
+      frontier = next.filter(col("chg")).select("v", "lbl")
+      converged = frontier.limit(1).count() == 0L
       labels = next.select("v", "lbl")
       it += 1
     }
