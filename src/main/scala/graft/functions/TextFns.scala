@@ -40,6 +40,24 @@ object TextFns {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** POSITIONED k-token windows from a materialized tokens column:
+    * `array<struct<pos:int, gram:string>>` with 1-based positions and
+    * NO distinct — unlike `shinglesFromTokens`, every occurrence is
+    * kept because span-level dedup (Dedup.duplicatedSpans) is
+    * position-sensitive. Same clamp-to-1 guard as shinglesFromTokens
+    * (Spark's `sequence(1, 0)` counts DOWN).
+    */
+  def windowGrams(toks: Column, k: Int): Column = {
+    val wins = transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => struct(
+        i.as("pos"),
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)
+          .as("gram")))
+    when(size(toks) >= k, wins)
+      .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+  }
+
   /** Count of tokens that appear in the given vocabulary. Duplicates
     * count — this is occurrence counting, not set intersection.
     */

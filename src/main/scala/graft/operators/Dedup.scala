@@ -414,4 +414,99 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Substring-level (duplicated-span) dedup, the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" shape
+    * re-expressed for Spark: instead of a corpus-wide suffix array
+    * (inherently sequential to build), every k-token window is hashed
+    * and counted corpus-wide; windows occurring more than once are
+    * duplicated spans. Position-sensitive — unlike the Jaccard/MinHash
+    * tiers, repeats WITHIN one document count too.
+    *
+    * Per document this returns:
+    *  - `dup_windows`: how many of its k-token windows occur >1 time
+    *    corpus-wide;
+    *  - `dup_spans` / `dup_tokens`: those windows merged into maximal
+    *    (overlapping-or-adjacent) spans, and the token count they cover;
+    *  - `kept_tokens` / `clean_fp`: the result of REMOVING every
+    *    duplicated span except its canonical occurrence (first by
+    *    (doc_id, pos) corpus-wide — so exactly one copy of each
+    *    duplicated run survives), with `clean_fp` = md5 of the
+    *    reconstructed text hard-checking the byte-exact result.
+    *
+    * Scale shape: the corpus-wide count shuffles (doc_id, pos, hash) —
+    * a 64-bit xxhash64 of the gram, NOT the k-token string, so the
+    * widest shuffle moves ~20 bytes/row regardless of k (collision odds
+    * ~(windows²)/2⁶⁵ — negligible below ~10¹⁵ windows). Everything
+    * after is keyed on doc_id: the span merge is a per-doc window
+    * function, the removal a per-doc higher-order filter. No driver
+    * loops, no all-pairs joins.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
+    val wins = toks
+      .select(col("doc_id"), explode(TextFns.windowGrams(col("_toks"), k)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), xxhash64(col("w.gram")).as("gh"))
+
+    import org.apache.spark.sql.expressions.Window
+    val byGram = Window.partitionBy("gh")
+    val byGramOrd = byGram.orderBy("doc_id", "pos")
+    // One shuffle on gh serves both the corpus-wide occurrence count and
+    // the canonical-occurrence rank.
+    val marked = wins
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGramOrd))
+      .filter(col("cnt") > 1)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + lit(k - 1)).cast("long").as("e"),
+        (col("rn") > 1).as("redundant"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Merge a window set into maximal spans: classic gaps-and-islands on
+    // the per-doc ordered windows (break when pos > running-max-end + 1,
+    // i.e. strictly past adjacency).
+    def mergedSpans(ws: DataFrame): DataFrame = {
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val prevMaxEnd = max(col("e"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      ws.withColumn("brk",
+          when(col("pos") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    }
+
+    val winCounts = marked.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("dup_windows"))
+    val spanStats = mergedSpans(marked).groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+    // Only NON-canonical occurrences are removed, so one copy of every
+    // duplicated run survives corpus-wide.
+    val removeSpans = mergedSpans(marked.filter(col("redundant")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rm"))
+
+    val cleaned = toks
+      .join(removeSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        filter(
+          transform(col("_toks"),
+            (t, i) => struct((i + 1).cast("long").as("p"), t.as("tok"))),
+          x => !exists(coalesce(col("rm"), array().cast("array<struct<s:long,e:long>>")),
+            r => x.getField("p").between(r.getField("s"), r.getField("e"))))
+          .as("kept"))
+      .select(col("doc_id"), size(col("kept")).cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", transform(col("kept"), x => x.getField("tok"))))
+          .as("clean_fp"))
+
+    cleaned
+      .join(winCounts, Seq("doc_id"), "left")
+      .join(spanStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("kept_tokens"), col("clean_fp"))
+  }
 }

@@ -118,4 +118,29 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Deterministic shard + within-shard position assignment — the
+    * "globally shuffle the corpus and write S balanced training
+    * shards" step every pretraining run ends with. shard =
+    * md5-prefix(key) mod S (uniform, seed-free, reproducible across
+    * engines and runs); pos = rank of the full md5 within the shard,
+    * so the read order inside a shard is also content-derived, not
+    * ingest-order. One shuffle on shard (S-way); NO global sort —
+    * the mod-hash shard is what a `repartitionByRange(md5)` global
+    * shuffle converges to, minus the range-boundary sampling pass.
+    * Balance: multinomial(n, 1/S) → shard sizes within O(√(n/S)).
+    * Write side: `df.repartition(S, col("shard")).sortWithinPartitions
+    * ("pos")` streams each shard as one sorted file.
+    */
+  def shards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        (conv(substring(col("_h"), 1, 6), 16, 10).cast("long") % nShards)
+          .as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
 }

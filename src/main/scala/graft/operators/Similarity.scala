@@ -35,6 +35,29 @@ object Similarity {
       .select(col(idAs), transform(col("_v"), x => x / col("_nrm")).as(vecAs))
   }
 
+  /** Johnson–Lindenstrauss random projection: `embedding` (dimIn) →
+    * `embedding` (dimOut « dimIn), via a seeded Gaussian matrix scaled
+    * by 1/√dimOut so expected pairwise distances are preserved
+    * (distortion ε ≈ √(8·ln n / dimOut)). Output keeps the input
+    * column names, so the projected frame drops straight into the LSH/
+    * IVF/PQ operators — sign-LSH over projected vectors hashes
+    * dimOut-length dots instead of dimIn (the per-row bucket cost at
+    * 100 TB), and the JL guarantee bounds the angular error the
+    * projection adds. The matrix is dimOut×dimIn literals riding the
+    * closure — nothing is collected, the projection itself is a
+    * codegen'd [[DotProduct]] per output coordinate.
+    */
+  def randomProject(vecs: DataFrame, dimIn: Int, dimOut: Int,
+      idCol: String = "vec_id", seed: Long = 7L): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val rnd = new scala.util.Random(seed)
+    val mat = Array.fill(dimOut, dimIn)(rnd.nextGaussian() / math.sqrt(dimOut))
+    val v = asDouble(col("embedding"))
+    vecs.select(col(idCol),
+      array((0 until dimOut).map(j =>
+        DotProduct.dot(v, typedlit(mat(j).toSeq))): _*).as("embedding"))
+  }
+
   /** Quadratic-footgun guard for the exact baselines: scoring more
     * pairs than this must be an explicit decision (raise the cap), not
     * an accident of pointing `knnExact`/`nearDupPairs` at a production
@@ -187,10 +210,17 @@ object Similarity {
     */
   def knnLsh(vecs: DataFrame, k: Int, nPlanes: Int, dim: Int,
       queryFilter: Column,
-      idCol: String = "vec_id", nTables: Int = 12): DataFrame = {
+      idCol: String = "vec_id", nTables: Int = 12,
+      bucketFrame: Option[DataFrame] = None): DataFrame = {
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = lshBucketsAllTables(vecs, nPlanes, dim, idCol, nTables)
+    // bucketFrame (same idCol, possibly REDUCED embedding — see
+    // randomProject) only steers candidate generation; scoring always
+    // runs on `vecs`' full-dimension unit vectors, so a lossy bucket
+    // projection costs recall only through missed candidates, never
+    // through corrupted similarity ranking.
+    val b = lshBucketsAllTables(bucketFrame.getOrElse(vecs), nPlanes, dim,
+        idCol, nTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.filter(queryFilter)
       .select(col("id").as("query_id"), col("table"), col("bucket"))

@@ -924,6 +924,39 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+  // hll_sketch_agg/hll_union_agg): per-month customer sketches rolled
+  // up to a TOTAL row by unioning the 12-ish tiny sketches — NOT by
+  // rescanning orders. This is the 100 TB pre-aggregation pattern
+  // q21's approx_count_distinct can't express: its HLL±± buffer is
+  // query-internal, while a DataSketches sketch is a first-class value
+  // that can be stored per partition/day and merged at query time
+  // (union-of-parts == sketch-of-whole, asserted in OperatorSpec).
+  // The exact countDistinct columns ride along as the self-audit; the
+  // one full-table exact distinct is the cost the sketch path avoids.
+  // Estimates are engine-specific → rows-only.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("period"),
+        col("o_custkey"))
+    val monthly = o.groupBy("period")
+      .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .persist()
+    val total = monthly
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+        .as("approx_customers"))
+      .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_customers")))
+    monthly
+      .select(col("period"),
+        hll_sketch_estimate(col("sk")).as("approx_customers"),
+        col("exact_customers"))
+      .unionByName(total.select(lit("TOTAL").as("period"),
+        col("approx_customers"), col("exact_customers")))
+      .orderBy("period")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -959,5 +992,6 @@ object Relational {
     QuerySpec("q31_session_window", q31, Some(q31Sql)),
     QuerySpec("q32_column_profile", q32, Some(q32Sql)),
     QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)),
-    QuerySpec("q34_window_frames", q34, Some(q34Sql)))
+    QuerySpec("q34_window_frames", q34, Some(q34Sql)),
+    QuerySpec("q35_hll_rollup", q35, None))
 }

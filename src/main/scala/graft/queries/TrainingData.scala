@@ -736,6 +736,24 @@ object TrainingData {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------------------------------- e10
+  // Johnson–Lindenstrauss random projection (64 → 16) steering sign-LSH
+  // candidate generation, with scoring on the FULL-dimension vectors:
+  // bucket hashing costs 4× less per row (the per-corpus-row ANN cost
+  // at 100 TB), and because the lossy projection only picks candidates
+  // — never ranks them — recall degrades only through missed bucket
+  // collisions (floor vs full-dim exact kNN pinned in OperatorSpec).
+  // The standard shape for high-dim production embeddings (768-4096
+  // dims). rows-only (probabilistic).
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnLsh(e, k = 5, nPlanes = 4, dim = 16,
+        queryFilter = col("id") < 50,
+        bucketFrame = Some(Similarity.randomProject(e, dimIn = 64, dimOut = 16)))
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ---------------------------------------------------------------- e05
   // LSH candidates → exact verify (round-2 VERDICT item 3): the scale
   // shape for near-dup mining. e02's 0.45 threshold is LSH-hostile by
@@ -1209,6 +1227,100 @@ object TrainingData {
       |       round(sum(k * nll) / sum(k), 4) AS avg_nll
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+  // Substring-level (duplicated-span) dedup — Dedup.duplicatedSpans
+  // scaladoc for the full design. k=5 token windows hashed and counted
+  // corpus-wide; >1-occurrence windows merged into maximal spans; all
+  // but the canonical occurrence removed. clean_fp (md5 of the
+  // reconstructed text) makes the oracle byte-exact on the REMOVAL,
+  // not just the counts. The oracle restates windows/counting/island-
+  // merge/removal over the gram STRINGS where the operator shuffles
+  // 64-bit hashes — identical output barring xxhash64 collisions
+  // (~windows²/2⁶⁵).
+  private def t31(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), k = 5).orderBy("doc_id")
+
+  private val t31Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+      |wins AS (SELECT doc_id, ts,
+      |           unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS pos
+      |         FROM toks),
+      |grams AS (SELECT doc_id, pos,
+      |            array_to_string(ts[pos:pos+4], ' ') AS gram FROM wins),
+      |marked AS (SELECT doc_id, pos,
+      |             count(*) OVER (PARTITION BY gram) AS c,
+      |             row_number() OVER (PARTITION BY gram
+      |                                ORDER BY doc_id, pos) AS rn
+      |           FROM grams),
+      |dw AS (SELECT doc_id, pos, pos + 4 AS e, rn > 1 AS redundant
+      |       FROM marked WHERE c > 1),
+      |sp_all AS (SELECT doc_id, pos, e,
+      |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+      |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM dw),
+      |g_all AS (SELECT doc_id, pos, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM sp_all),
+      |spans_all AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+      |              FROM g_all GROUP BY 1, 2),
+      |stat AS (SELECT doc_id, count(*) AS dup_spans,
+      |           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      |         FROM spans_all GROUP BY 1),
+      |wc AS (SELECT doc_id, count(*) AS dup_windows FROM dw GROUP BY 1),
+      |sp_rm AS (SELECT doc_id, pos, e,
+      |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+      |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM dw WHERE redundant),
+      |g_rm AS (SELECT doc_id, pos, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM sp_rm),
+      |spans_rm AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+      |             FROM g_rm GROUP BY 1, 2),
+      |toki AS (SELECT doc_id, ts,
+      |           unnest(generate_series(1, len(ts))) AS p FROM toks),
+      |kept AS (SELECT t.doc_id, t.p, t.ts[t.p] AS w
+      |         FROM toki t
+      |         WHERE NOT EXISTS (SELECT 1 FROM spans_rm r
+      |            WHERE r.doc_id = t.doc_id AND t.p BETWEEN r.s AND r.e)),
+      |clean AS (SELECT doc_id, count(*) AS kept_tokens,
+      |            md5(string_agg(w, ' ' ORDER BY p)) AS clean_fp
+      |          FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(wc.dup_windows, 0) AS dup_windows,
+      |  coalesce(st.dup_spans, 0) AS dup_spans,
+      |  coalesce(st.dup_tokens, 0) AS dup_tokens,
+      |  coalesce(cl.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(cl.clean_fp, md5('')) AS clean_fp
+      |FROM documents d
+      |LEFT JOIN wc ON wc.doc_id = d.doc_id
+      |LEFT JOIN stat st ON st.doc_id = d.doc_id
+      |LEFT JOIN clean cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t32
+  // Deterministic corpus sharding (Sampling.shards): md5-mod shard +
+  // within-shard hash-rank position — the reproducible global-shuffle-
+  // and-write-S-balanced-shards step that precedes training. The
+  // oracle restates the md5-prefix mod and the per-shard rank; DuckDB
+  // parses the hex prefix via '0x' cast where Spark uses conv(_,16,10).
+  private def t32(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shards(docs(s, dir), "doc_id", nShards = 32)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private val t32Sql =
+    """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+      |           FROM documents),
+      |s AS (SELECT doc_id, hh,
+      |        CAST(concat('0x', substr(hh, 1, 6)) AS INTEGER) % 32 AS shard
+      |      FROM h)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+      |       AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1240,6 +1352,8 @@ object TrainingData {
     QuerySpec("t28_bpe_encode", t28, None),
     QuerySpec("t29_decontaminate_bloom", t29, Some(t15Sql)),
     QuerySpec("t30_lm_perplexity_pruned", t30, Some(t30Sql)),
+    QuerySpec("t31_dedup_spans", t31, Some(t31Sql)),
+    QuerySpec("t32_shard_assign", t32, Some(t32Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
@@ -1249,6 +1363,7 @@ object TrainingData {
     QuerySpec("e07_retrieval_join", e07, Some(e07Sql)),
     QuerySpec("e08_ann_pq", e08, None),
     QuerySpec("e09_ann_ivfpq", e09, None),
+    QuerySpec("e10_ann_lsh_projected", e10, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

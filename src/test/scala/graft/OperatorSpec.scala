@@ -32,6 +32,45 @@ class OperatorSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("HLL sketches: union of part sketches equals the whole-data sketch") {
+    val ids = spark.range(0, 20000)
+      .select((col("id") % 5000).as("v"), (col("id") % 4).as("part"))
+    val whole = ids
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12)).as("est"))
+      .head.getLong(0)
+    val merged = ids.groupBy("part")
+      .agg(hll_sketch_agg(col("v"), 12).as("sk"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+      .head.getLong(0)
+    // The mergeability contract q35 is built on: rolling up part
+    // sketches is EXACTLY the whole-data sketch, not an approximation
+    // of it — and both land within HLL error of the true 5000.
+    assert(merged == whole)
+    assert(math.abs(whole - 5000.0) / 5000.0 < 0.05)
+  }
+
+  test("duplicated-span dedup merges windows and removes non-canonical spans") {
+    val out = Dedup.duplicatedSpans(docs, k = 5).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_windows"), r.getAs[Long]("dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[String]("clean_fp")))).toMap
+    def md5Of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // docs 1/2/4 share the 8-token prefix; 4 is an exact copy of 1.
+    // doc 1 is canonical everywhere -> nothing removed.
+    assert(out(1L) == ((5L, 1L, 9L, 9L,
+      md5Of("the quick brown fox jumps over the lazy dog"))))
+    // doc 2: windows 1-4 duplicated, merged to [1,8]; only "cat" survives.
+    assert(out(2L) == ((4L, 1L, 8L, 1L, md5Of("cat"))))
+    // doc 3: untouched.
+    assert(out(3L)._4 == 7L && out(3L)._1 == 0L)
+    // doc 4: exact dup, fully emptied.
+    assert(out(4L) == ((5L, 1L, 9L, 0L, md5Of(""))))
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     // benchmark = doc 4 (identical to doc 1); corpus = docs 1-3
     val out = Dedup.decontaminate(
@@ -302,11 +341,17 @@ class OperatorSpec extends SparkTestBase {
     val exact = pairs(Similarity.knnExact(e.filter(col("vec_id") < 50), e, 5))
     val lsh = pairs(Similarity.knnLsh(e, 5, 4, 64, col("id") < 50))
     val ivf = pairs(Similarity.knnIvf(e, 5, 16, 4, col("id") < 50))
+    val proj = pairs(Similarity.knnLsh(e, 5, 4, 16, col("id") < 50,
+      bucketFrame = Some(Similarity.randomProject(e, dimIn = 64, dimOut = 16))))
     def recall(s: Set[(Long, Long)]) = (s & exact).size / exact.size.toDouble
     // measured 0.820 (4 planes × 12 tables, RecallSweep) / 0.620 on
     // seed-42 testdata; floors guard regressions
     assert(recall(lsh) >= 0.75, s"lsh recall ${recall(lsh)}")
     assert(recall(ivf) >= 0.55, s"ivf recall ${recall(ivf)}")
+    // JL 64->16 projection steering buckets, full-dim scoring: measured
+    // 0.824 (tools.ProjRecall) — statistically equal to the full-dim
+    // 0.820 at 4x cheaper bucket hashing; floor guards regressions
+    assert(recall(proj) >= 0.70, s"projected-lsh recall ${recall(proj)}")
   }
 
   test("NgramLm: add-alpha bigram probabilities match the hand model") {
@@ -480,6 +525,27 @@ class OperatorSpec extends SparkTestBase {
     val cand = Seq((0L, 1L)).toDF("a", "b")
     assert(Similarity.nearDupPairs(e, -1.0, candidates = Some(cand),
       maxExactPairs = 10L).count() == 1)
+  }
+
+  test("shards: exhaustive, contiguous positions, partitioning-independent") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val out = Sampling.shards(df, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2000 && out.map(_._1).distinct.length == 2000)
+    // positions are exactly 1..size within every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).map(_.toLong))
+    }
+    // multinomial balance: every shard within 3x sigma-ish of n/S
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.forall(s => s > 175 && s < 325), sizes)
+    // same assignment regardless of input partitioning
+    val re = Sampling.shards(df.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == out.toSet)
   }
 
   test("hashSample: deterministic, partition-independent, near-rate") {
