@@ -957,6 +957,48 @@ object Relational {
       .orderBy("period")
   }
 
+  // ---------------------------------------------------------------- q36
+  // KMV/theta sketch month-over-month customer retention: per-month
+  // bottom-k sketches of o_custkey, then INTERSECTION and Jaccard
+  // estimates between consecutive months — the set operation HLL
+  // sketches (q35) cannot do. Sketches are k×8-byte arrays combined
+  // with pure array functions (no rescan of orders for any pairwise
+  // overlap); the exact per-pair intersection rides along as the
+  // self-audit, computed once from the distinct (month, custkey)
+  // pairs. Estimates are hash-specific → rows-only; the estimator
+  // contracts (union closure, error bounds) are pinned in
+  // OperatorSpec.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.Kmv
+    Kmv.register(s)
+    val nextOf = date_format(
+      add_months(to_date(concat(col("month"), lit("-01"))), 1), "yyyy-MM")
+    val o = t(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+    val sk = o.groupBy("month")
+      .agg(Kmv.sketch(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .persist()
+    val nxt = sk.select(col("month").as("nm"), col("sk").as("sk2"))
+    val d = o.distinct()
+    val exactCommon = d.withColumn("nm", nextOf)
+      .join(d.select(col("month").as("nm"), col("o_custkey")),
+        Seq("nm", "o_custkey"))
+      .groupBy("month").agg(count(lit(1)).as("exact_common"))
+    sk
+      .withColumn("nm", nextOf)
+      .join(nxt, Seq("nm"))
+      .join(exactCommon, Seq("month"), "left")
+      .select(col("month"), col("nm").as("next_month"),
+        col("exact_cust"),
+        round(Kmv.estimate(col("sk")), 1).as("est_cust"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"),
+        round(Kmv.intersectEstimate(col("sk"), col("sk2")), 1).as("est_common"),
+        round(Kmv.jaccardEstimate(col("sk"), col("sk2")), 4).as("est_jaccard"))
+      .orderBy("month")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -993,5 +1035,6 @@ object Relational {
     QuerySpec("q32_column_profile", q32, Some(q32Sql)),
     QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)),
     QuerySpec("q34_window_frames", q34, Some(q34Sql)),
-    QuerySpec("q35_hll_rollup", q35, None))
+    QuerySpec("q35_hll_rollup", q35, None),
+    QuerySpec("q36_kmv_retention", q36, None))
 }

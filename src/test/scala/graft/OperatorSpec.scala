@@ -32,6 +32,38 @@ class OperatorSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("KMV sketch: partition-independent, union-closed, set-op error bounds") {
+    import graft.functions.expressions.Kmv
+    Kmv.register(spark)
+    val k = 256
+    // partition independence: same sketch from 1 and 13 partitions
+    val a = spark.range(0, 20000).select(col("id"))
+    val sk1 = a.coalesce(1).agg(Kmv.sketch(col("id"), k)).head.getSeq[Long](0)
+    val sk13 = a.repartition(13).agg(Kmv.sketch(col("id"), k)).head.getSeq[Long](0)
+    assert(sk1 == sk13)
+    // distinct estimate within ~3 sigma (sigma = 1/sqrt(k-2) ~ 6.3%)
+    val est = a.agg(Kmv.estimate(Kmv.sketch(col("id"), k), k)).head.getDouble(0)
+    assert(math.abs(est - 20000) / 20000.0 < 0.20, s"estimate $est")
+    // union closure: union of part sketches == sketch of concatenation
+    val b = spark.range(10000, 30000).select(col("id"))
+    val skA = a.agg(Kmv.sketch(col("id"), k).as("s"))
+    val skB = b.agg(Kmv.sketch(col("id"), k).as("s"))
+    val viaUnion = skA.crossJoin(skB.withColumnRenamed("s", "s2"))
+      .select(Kmv.unionSketch(col("s"), col("s2"), k)).head.getSeq[Long](0)
+    val whole = a.union(b).agg(Kmv.sketch(col("id"), k)).head.getSeq[Long](0)
+    assert(viaUnion == whole)
+    // intersection |[0,20000) ∩ [10000,30000)| = 10000 within ~3 sigma
+    // of the theta estimator (J=1/3: sigma ≈ 1/sqrt(k·J) ~ 11%)
+    val inter = skA.crossJoin(skB.withColumnRenamed("s", "s2"))
+      .select(Kmv.intersectEstimate(col("s"), col("s2"), k),
+        Kmv.jaccardEstimate(col("s"), col("s2"), k))
+      .head
+    assert(math.abs(inter.getDouble(0) - 10000) / 10000.0 < 0.33,
+      s"intersect ${inter.getDouble(0)}")
+    assert(math.abs(inter.getDouble(1) - 1.0 / 3) < 0.12,
+      s"jaccard ${inter.getDouble(1)}")
+  }
+
   test("HLL sketches: union of part sketches equals the whole-data sketch") {
     val ids = spark.range(0, 20000)
       .select((col("id") % 5000).as("v"), (col("id") % 4).as("part"))
