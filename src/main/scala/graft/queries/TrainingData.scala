@@ -1321,6 +1321,41 @@ object TrainingData {
       |       AS BIGINT) AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  // Distilled quality classifier (operators.TextClassifier): hashed-tf
+  // logistic regression trained to REDISCOVER the t04 heuristic
+  // quality gate from raw token counts — the distill-expensive-labels-
+  // into-a-cheap-linear-model pattern (CCNet/DCLM-style pipelines
+  // gate trillions of tokens on exactly this model class; the teacher
+  // there is a reference corpus or an LLM judge, here the t04 rule).
+  // Training is full-batch GD IN Spark: per iteration one expression-
+  // only forward pass (weights ride the plan as a single array
+  // literal) + one nBuckets-key gradient shuffle. Float-sum
+  // association order makes probabilities run-varying in the last
+  // ulps → rows-only; the learnability floor and gradient contract
+  // are pinned in OperatorSpec.
+  private def t33(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextClassifier
+    val d = docs(s, dir)
+    // teacher rule: t04's stopword-density quality feature. A tf-linear
+    // model represents the ratio cut exactly (sw/len ≥ θ ⇔
+    // Σ_sw tf·(1−θ) − Σ_other tf·θ ≥ 0), so the student CAN match the
+    // teacher — what it must learn is which hashed buckets are the
+    // stopwords.
+    val toksQ = TextFns.tokens(col("text"))
+    val stopRatio = TextFns.vocabHits(col("text"),
+      TextFns.langProfiles.head._2).cast("double") /
+      greatest(size(toksQ), lit(1)).cast("double")
+    val label = (stopRatio >= 0.06).cast("double")
+    val (w, b) = TextClassifier.trainLogReg(d, label, nBuckets = 1024,
+      iters = 24, step = 2.0)
+    TextClassifier.score(d, w, b, nBuckets = 1024)
+      .select(col("doc_id"), label.cast("int").as("label"),
+        round(col("prob"), 3).as("prob"),
+        (col("prob") >= 0.5).cast("int").as("pred"))
+      .orderBy("doc_id")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1354,6 +1389,7 @@ object TrainingData {
     QuerySpec("t30_lm_perplexity_pruned", t30, Some(t30Sql)),
     QuerySpec("t31_dedup_spans", t31, Some(t31Sql)),
     QuerySpec("t32_shard_assign", t32, Some(t32Sql)),
+    QuerySpec("t33_quality_classifier", t33, None),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -32,6 +32,39 @@ class OperatorSpec extends SparkTestBase {
     assert(exact._3 == 1.0)
   }
 
+  test("TextClassifier distills the stop-ratio gate and learns the stopword buckets") {
+    import graft.operators.TextClassifier
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val stopRatio = TextFns.vocabHits(col("text"),
+      TextFns.langProfiles.head._2).cast("double") /
+      greatest(size(TextFns.tokens(col("text"))), lit(1)).cast("double")
+    val label = (stopRatio >= 0.06).cast("double")
+    val (w, b) = TextClassifier.trainLogReg(d, label, nBuckets = 1024,
+      iters = 24, step = 2.0)
+    val acc = TextClassifier.score(d, w, b, 1024)
+      .select(avg(((col("prob") >= 0.5).cast("double") === label)
+        .cast("double")))
+      .head.getDouble(0)
+    // measured 0.936 on sf0.01 / 0.872 on sf0.001 at (24, 2.0) — see
+    // tools.LrTune sweep
+    assert(acc >= 0.85, s"distilled accuracy $acc")
+    // learned structure: the profile stopwords that actually occur in
+    // the corpus (the synthetic vocab only contains 'the' and 'a')
+    // must be positively weighted AND among the top-weighted buckets
+    val corpusVocab = d
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val present = TextFns.langProfiles.head._2.filter(corpusVocab)
+    assert(present.nonEmpty)
+    val stopBuckets = present.map { t =>
+      spark.range(1).select(pmod(xxhash64(lit(t)), lit(1024))).head.getLong(0).toInt
+    }.toSet
+    val top = w.zipWithIndex.sortBy(-_._1).take(7)
+    assert(stopBuckets.forall(bk => w(bk) > 0), s"stop weights not positive")
+    assert(stopBuckets.subsetOf(top.map(_._2).toSet),
+      s"top buckets ${top.map(_._2).toSet} missing stopwords $stopBuckets")
+  }
+
   test("KMV sketch: partition-independent, union-closed, set-op error bounds") {
     import graft.functions.expressions.Kmv
     Kmv.register(spark)
