@@ -999,6 +999,103 @@ object Relational {
       .orderBy("month")
   }
 
+  // ---------------------------------------------------------------- q37
+  // Ordered-sequence funnel (view → click → purchase) per user: each
+  // stage counts only events at-or-after the user's first qualifying
+  // previous-stage event AND within 24 h of it (150 → 60 → 25 users
+  // at sf0.01 — the bound is what makes the funnel discriminate).
+  // All stages are CUMULATIVE-MIN window expressions over ONE
+  // (user_id, ts, event_id) window — a single shuffle + single sort
+  // no matter how many stages, vs the naive 3-way self-join (three
+  // shuffles and a fan-out on hot users). The per-user frame then
+  // collapses to per-stage reach counts.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // three chained projections over the SAME window spec: Catalyst
+    // stacks the Window operators on one Exchange + one Sort (windows
+    // can't nest, but they can pipeline)
+    val base = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+    val s1 = base.withColumn("v",
+      min(when(col("event_type") === "view", col("ms"))).over(w))
+    val dayMs = 86400000L
+    val s2 = s1.withColumn("c",
+      min(when(col("event_type") === "click" && col("v") <= col("ms") &&
+        col("ms") - col("v") <= dayMs, col("ms"))).over(w))
+    val s3 = s2.withColumn("p",
+      when(col("event_type") === "purchase" && col("c") <= col("ms") &&
+        col("ms") - col("c") <= dayMs, col("ms")))
+    val perUser = s3
+      .groupBy("user_id")
+      .agg(max(when(col("v").isNotNull, 1).otherwise(0)).as("r1"),
+        max(when(col("c").isNotNull, 1).otherwise(0)).as("r2"),
+        max(when(col("p").isNotNull, 1).otherwise(0)).as("r3"))
+    perUser.agg(
+        sum(col("r1")).cast("long").as("view_users"),
+        sum(col("r2")).cast("long").as("click_users"),
+        sum(col("r3")).cast("long").as("purchase_users"))
+      .select(explode(array(
+        struct(lit(1).as("stage_ord"), lit("view").as("stage"),
+          col("view_users").as("users"),
+          round(lit(100.0), 2).as("pct_of_top")),
+        struct(lit(2).as("stage_ord"), lit("click").as("stage"),
+          col("click_users").as("users"),
+          round(col("click_users") * 100.0 / col("view_users"), 2)
+            .as("pct_of_top")),
+        struct(lit(3).as("stage_ord"), lit("purchase").as("stage"),
+          col("purchase_users").as("users"),
+          round(col("purchase_users") * 100.0 / col("view_users"), 2)
+            .as("pct_of_top")))).as("f"))
+      .select(col("f.stage_ord").as("stage_ord"), col("f.stage").as("stage"),
+        col("f.users").as("users"), col("f.pct_of_top").as("pct_of_top"))
+      .orderBy("stage_ord")
+  }
+
+  private val q37Sql =
+    """WITH s1 AS (
+      |  SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |      OVER w AS v
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (
+      |  SELECT user_id, event_id, ts, event_type, ms, v,
+      |    min(CASE WHEN event_type = 'click' AND v <= ms
+      |              AND ms - v <= 86400000 THEN ms END)
+      |      OVER w AS c
+      |  FROM s1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s3 AS (
+      |  SELECT user_id, v, c,
+      |    CASE WHEN event_type = 'purchase' AND c <= ms
+      |          AND ms - c <= 86400000 THEN ms END AS p
+      |  FROM s2),
+      |per_user AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+      |    max(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+      |    max(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS r3
+      |  FROM s3 GROUP BY user_id),
+      |tot AS (
+      |  SELECT CAST(sum(r1) AS BIGINT) AS view_users,
+      |         CAST(sum(r2) AS BIGINT) AS click_users,
+      |         CAST(sum(r3) AS BIGINT) AS purchase_users
+      |  FROM per_user)
+      |SELECT 1 AS stage_ord, 'view' AS stage, view_users AS users,
+      |       round(100.0, 2) AS pct_of_top FROM tot
+      |UNION ALL
+      |SELECT 2, 'click', click_users,
+      |       round(click_users * 100.0 / view_users, 2) FROM tot
+      |UNION ALL
+      |SELECT 3, 'purchase', purchase_users,
+      |       round(purchase_users * 100.0 / view_users, 2) FROM tot
+      |ORDER BY stage_ord""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1036,5 +1133,6 @@ object Relational {
     QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)),
     QuerySpec("q34_window_frames", q34, Some(q34Sql)),
     QuerySpec("q35_hll_rollup", q35, None),
-    QuerySpec("q36_kmv_retention", q36, None))
+    QuerySpec("q36_kmv_retention", q36, None),
+    QuerySpec("q37_funnel", q37, Some(q37Sql)))
 }
