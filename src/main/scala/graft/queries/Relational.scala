@@ -1096,6 +1096,76 @@ object Relational {
       |       round(purchase_users * 100.0 / view_users, 2) FROM tot
       |ORDER BY stage_ord""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  // TIME-RANGE window frames (the interval sibling of q34's ROWS
+  // frames): per user, trailing-1-hour event count and trailing-24-hour
+  // value sum at every event, via rangeBetween over the epoch-ms
+  // ordering. RANGE frames are tie-inclusive, so the result is
+  // ordering-independent under same-ms events (ROWS would not be);
+  // sums run in integer cents (q34's lesson: double frame sums are
+  // association-order-dependent across engines). One shuffle on
+  // user_id for both frames.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMs = Window.partitionBy("user_id").orderBy("ms")
+    val hour = byMs.rangeBetween(-3600000L, 0L)
+    val day = byMs.rangeBetween(-86400000L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100, 0).cast("long").as("_cents"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(hour).as("events_1h"),
+        sum("_cents").over(day).as("cents_24h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q38Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ms
+      |                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |    AS events_1h,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ms
+      |                        RANGE BETWEEN 86400000 PRECEDING
+      |                        AND CURRENT ROW) AS BIGINT) AS cents_24h
+      |FROM c
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // Spark 4 VARIANT path for semi-structured data: parse_json ONCE
+  // into the binary-encoded variant, then typed variant_get
+  // extractions + schema_of_variant introspection. vs q17's
+  // get_json_object (which re-parses the JSON string per extraction),
+  // the variant form parses each props value once no matter how many
+  // fields are pulled — the 100 TB difference for wide telemetry.
+  // The extraction itself is oracle-checked against DuckDB's JSON
+  // operators; the discovered schema string is pinned.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    t(s, dir, "events")
+      .select(col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        schema_of_variant(v).as("props_schema"))
+      .groupBy("event_type", "props_schema")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  private val q39Sql =
+    """SELECT event_type, 'OBJECT<k: BIGINT>' AS props_schema,
+      |  count(*) AS n,
+      |  round(avg(CAST(props ->> 'k' AS BIGINT)), 4) AS avg_k,
+      |  CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1134,5 +1204,7 @@ object Relational {
     QuerySpec("q34_window_frames", q34, Some(q34Sql)),
     QuerySpec("q35_hll_rollup", q35, None),
     QuerySpec("q36_kmv_retention", q36, None),
-    QuerySpec("q37_funnel", q37, Some(q37Sql)))
+    QuerySpec("q37_funnel", q37, Some(q37Sql)),
+    QuerySpec("q38_range_frames", q38, Some(q38Sql)),
+    QuerySpec("q39_variant_json", q39, Some(q39Sql)))
 }
