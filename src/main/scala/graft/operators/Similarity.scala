@@ -121,6 +121,30 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-level benchmark decontamination — the semantic sibling
+    * of `Dedup.decontaminate`'s n-gram containment: flag every corpus
+    * vector whose max cosine against ANY benchmark vector reaches the
+    * threshold (catches paraphrased/re-encoded eval leakage that
+    * token-overlap misses). The benchmark side (eval sets: 10³-10⁵
+    * rows) BROADCASTS; the corpus never shuffles raw vectors — the
+    * |C|×|B| scored pairs collapse map-side to one (vec, running max)
+    * row per partition before the per-vector max aggregation. For
+    * benchmark sets too large to broadcast, pre-bucket both sides with
+    * [[lshCandidatePairs]]-style tables and verify only collisions —
+    * same verify-stage pattern as e05.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, idCol: String = "vec_id"): DataFrame = {
+    val c = unitVectors(corpus, idCol, "vec_id", "cv")
+    val b = broadcast(unitVectors(benchmark, idCol, "bench_id", "bv"))
+    c.join(b)
+      .withColumn("sim", DotProduct.dot(col("cv"), col("bv")))
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("s"))
+      .select(col("vec_id"), round(col("s"), 4).as("max_sim"),
+        (col("s") >= threshold).cast("int").as("contaminated"))
+  }
+
   /** Candidate (a < b) pairs that collide in ≥1 of `nTables` sign-LSH
     * tables — the sub-quadratic candidate generator feeding the
     * [[nearDupPairs]] verify stage. Distinct, so each candidate is
@@ -212,15 +236,25 @@ object Similarity {
       queryFilter: Column,
       idCol: String = "vec_id", nTables: Int = 12,
       bucketFrame: Option[DataFrame] = None): DataFrame = {
-    val unit = unitVectors(vecs, idCol, "id", "uv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucketFrame (same idCol, possibly REDUCED embedding — see
     // randomProject) only steers candidate generation; scoring always
     // runs on `vecs`' full-dimension unit vectors, so a lossy bucket
     // projection costs recall only through missed candidates, never
     // through corrupted similarity ranking.
     val b = lshBucketsAllTables(bucketFrame.getOrElse(vecs), nPlanes, dim,
-        idCol, nTables)
+      idCol, nTables)
+    annFromBuckets(vecs, b, k, queryFilter, idCol)
+  }
+
+  /** Shared ANN tail for any (id, table, bucket) hashing family:
+    * candidate join on (table, bucket), OR-amplified distinct, exact
+    * full-dim scoring, per-query top-k.
+    */
+  private def annFromBuckets(vecs: DataFrame, buckets: DataFrame, k: Int,
+      queryFilter: Column, idCol: String): DataFrame = {
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = buckets
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.filter(queryFilter)
       .select(col("id").as("query_id"), col("table"), col("bucket"))
@@ -234,6 +268,43 @@ object Similarity {
       .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
     topK(scored, k)
   }
+
+  /** Cross-polytope LSH buckets (Andoni et al. 2015, "Practical and
+    * Optimal LSH for Angular Distance" — public algorithm): project
+    * through a seeded Gaussian pseudo-rotation to `dimProj` coords,
+    * bucket = signed index of the max-magnitude coordinate (2·dimProj
+    * buckets per table). Asymptotically better collision separation
+    * than hyperplane sign-LSH at the same table count — each hash
+    * reads the DOMINANT direction of the rotated vector instead of
+    * one bit per plane.
+    */
+  private[operators] def cpBucketsAllTables(vecs: DataFrame, dimIn: Int,
+      dimProj: Int, idCol: String, nTables: Int,
+      seedBase: Long = 101L): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val v = asDouble(col("embedding"))
+    val perTable = (0 until nTables).map { t =>
+      val rnd = new scala.util.Random(seedBase + t)
+      val proj = Array.fill(dimProj, dimIn)(rnd.nextGaussian())
+      val cs = array((0 until dimProj).map(j =>
+        DotProduct.dot(col("v"), typedlit(proj(j).toSeq))): _*)
+      val absArr = transform(cs, x => abs(x))
+      val idx = array_position(absArr, array_max(absArr)).cast("int")
+      (when(element_at(cs, idx) >= 0, idx).otherwise(-idx)).as(s"b$t")
+    }
+    vecs.select(col(idCol).as("id"), v.as("v"))
+      .select(col("id"), posexplode(array(perTable: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** ANN top-k via multi-table cross-polytope LSH; output shape
+    * matches [[knnExact]]. Scoring is always exact full-dim.
+    */
+  def knnCp(vecs: DataFrame, k: Int, dimProj: Int, queryFilter: Column,
+      idCol: String = "vec_id", nTables: Int = 12,
+      dimIn: Int = 64): DataFrame =
+    annFromBuckets(vecs,
+      cpBucketsAllTables(vecs, dimIn, dimProj, idCol, nTables), k,
+      queryFilter, idCol)
 
   /** Deterministic training-free centroid seeding: the unit vectors of
     * the first `nCells` ids (tiny driver collect — nCells × dim

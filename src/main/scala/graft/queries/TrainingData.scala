@@ -754,6 +754,21 @@ object TrainingData {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------------------------------- e11
+  // Cross-polytope LSH ANN (Andoni et al. 2015): bucket = signed
+  // argmax coordinate after a seeded Gaussian pseudo-rotation —
+  // asymptotically tighter collision separation than hyperplane bits.
+  // At the SAME bucket granularity and table count as e03 (16
+  // buckets/table × 12 tables) measured recall is 0.888 vs sign-LSH's
+  // 0.820 (tools.ProjRecall) — the roadmap's "if sign-LSH recall
+  // ceilings bind" item, resolved. rows-only (probabilistic); floor
+  // pinned in OperatorSpec.
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnCp(embs(s, dir), k = 5, dimProj = 8,
+        queryFilter = col("id") < 50)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+
   // ---------------------------------------------------------------- e05
   // LSH candidates → exact verify (round-2 VERDICT item 3): the scale
   // shape for near-dup mining. e02's 0.45 threshold is LSH-hostile by
@@ -1359,6 +1374,37 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t34
+  // SEMANTIC benchmark decontamination: flag corpus vectors whose max
+  // cosine against any benchmark vector (vec_id % 20 = 0 plays the
+  // eval set) reaches 0.35 — the embedding-space sibling of t15/t29's
+  // n-gram containment, catching paraphrased/re-encoded leakage.
+  // Broadcast benchmark, map-side max collapse (Similarity scaladoc).
+  // Nearest max_sim sits 7e-5 from the cut (10 orders above
+  // engine-difference FP noise) so the boolean can't flip; exact
+  // all-pairs DuckDB restatement is the oracle.
+  private def t34(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.semanticDecontaminate(
+        corpus = e.filter(col("vec_id") % 20 =!= 0),
+        benchmark = e.filter(col("vec_id") % 20 === 0),
+        threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
+  private val t34Sql =
+    """WITH b AS (SELECT vec_id, embedding FROM embeddings
+      |           WHERE vec_id % 20 = 0),
+      |c AS (SELECT vec_id, embedding FROM embeddings
+      |      WHERE vec_id % 20 <> 0),
+      |m AS (SELECT c.vec_id,
+      |        max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[]))) AS s
+      |      FROM c CROSS JOIN b GROUP BY c.vec_id)
+      |SELECT vec_id, round(s, 4) AS max_sim,
+      |       CAST(s >= 0.35 AS INT) AS contaminated
+      |FROM m ORDER BY vec_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1393,6 +1439,7 @@ object TrainingData {
     QuerySpec("t31_dedup_spans", t31, Some(t31Sql)),
     QuerySpec("t32_shard_assign", t32, Some(t32Sql)),
     QuerySpec("t33_quality_classifier", t33, None),
+    QuerySpec("t34_decontaminate_semantic", t34, Some(t34Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
@@ -1403,6 +1450,7 @@ object TrainingData {
     QuerySpec("e08_ann_pq", e08, None),
     QuerySpec("e09_ann_ivfpq", e09, None),
     QuerySpec("e10_ann_lsh_projected", e10, None),
+    QuerySpec("e11_ann_cross_polytope", e11, None),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -31,6 +31,11 @@ object ProjRecall {
         bucketFrame = Some(proj)))
       println(f"dimOut=$dOut recall=${(got & exact).size.toDouble / exact.size}%.3f")
     }
+    for (dProj <- Seq(4, 8, 16); nT <- Seq(6, 12)) {
+      val got = pairs(Similarity.knnCp(e, 5, dProj, col("id") < 50,
+        nTables = nT))
+      println(f"cp dimProj=$dProj tables=$nT recall=${(got & exact).size.toDouble / exact.size}%.3f")
+    }
     spark.stop()
   }
 }

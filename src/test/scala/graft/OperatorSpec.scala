@@ -417,6 +417,10 @@ class OperatorSpec extends SparkTestBase {
     // 0.824 (tools.ProjRecall) — statistically equal to the full-dim
     // 0.820 at 4x cheaper bucket hashing; floor guards regressions
     assert(recall(proj) >= 0.70, s"projected-lsh recall ${recall(proj)}")
+    // cross-polytope at e03's bucket granularity (16/table, 12 tables):
+    // measured 0.888 vs sign-LSH 0.820 — the better angular family
+    val cp = pairs(Similarity.knnCp(e, 5, 8, col("id") < 50))
+    assert(recall(cp) >= 0.80, s"cross-polytope recall ${recall(cp)}")
   }
 
   test("NgramLm: add-alpha bigram probabilities match the hand model") {
