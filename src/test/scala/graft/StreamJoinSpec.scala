@@ -57,6 +57,55 @@ class StreamJoinSpec extends SparkTestBase {
     assert(run() == Set((1L, 100L, 110L), (3L, 100L, 120L)))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after the watermark") {
+    val impDir = tmpDir("graft-sjo-imp")
+    val clkDir = tmpDir("graft-sjo-clk")
+    val ckpt = tmpDir("graft-sjo-ckpt")
+    val outDir = tmpDir("graft-sjo-out")
+
+    def run(): Set[(Long, Long, Option[Long])] = {
+      val imps = spark.readStream
+        .schema(Seq.empty[Imp].toDS().schema).parquet(impDir)
+      val clks = spark.readStream
+        .schema(Seq.empty[Click].toDS().schema).parquet(clkDir)
+      val q = StreamJoin.eventCorrelation(imps, clks, "ad_id",
+          "imp_ts", "click_ts",
+          watermark = "10 seconds", horizon = "30 seconds",
+          joinType = "leftOuter")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+        .select("ad_id", "imp_ts", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          Option(r.getTimestamp(2)).map(_.getTime / 1000))).toSet
+    }
+
+    // ad 1 clicked in-horizon; ad 2 never clicked. The null-padded
+    // ad-2 row may only emit once the watermark passes imp_ts+horizon.
+    Seq(Imp(1, t(100)), Imp(2, t(100)))
+      .toDS().write.mode("append").parquet(impDir)
+    Seq(Click(1, t(110)))
+      .toDS().write.mode("append").parquet(clkDir)
+    val first = run()
+    assert(first.contains((1L, 100L, Some(110L))))
+    assert(!first.contains((2L, 100L, None)),
+      "unmatched row must NOT emit before the watermark closes its window")
+
+    // much later events on BOTH sides (the query watermark is the MIN
+    // across inputs) advance it past 100+30+10 -> ad 2's window is
+    // closed, the null row emits
+    Seq(Imp(9, t(400)))
+      .toDS().write.mode("append").parquet(impDir)
+    Seq(Click(9, t(400)))
+      .toDS().write.mode("append").parquet(clkDir)
+    val second = run()
+    assert(second.contains((2L, 100L, None)),
+      s"expected null-padded ad-2 row after watermark, got $second")
+  }
+
   test("stream-stream join requires distinct timestamp names") {
     intercept[IllegalArgumentException] {
       StreamJoin.eventCorrelation(
