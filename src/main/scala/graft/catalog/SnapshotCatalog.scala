@@ -129,12 +129,35 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // contended).
       val writeId = java.util.UUID.randomUUID().toString.take(8)
       val snapDir = dataDir(ns, name).resolve(s"write-$writeId")
-      df.write.parquet(snapDir.toString)
-      val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).sorted.toSeq
+      // Hidden partitioning (PartitionSpec scaladoc): the spec's value
+      // expression splits the append into VALUE-PURE files via a
+      // partitionBy on a derived column that never reaches file
+      // contents or readers. Value-pure files make the source column's
+      // min/max stats tight (time-range pruning needs nothing more);
+      // the value itself is recorded per file for equality pruning on
+      // bucket/identity/truncate specs.
+      val spec = PartitionSpec.of(describe(ns, name).properties)
+      spec match {
+        case Some(p) =>
+          df.withColumn(PartitionSpec.HiddenCol, p.valueExpr)
+            .write.partitionBy(PartitionSpec.HiddenCol)
+            .parquet(snapDir.toString)
+        case None => df.write.parquet(snapDir.toString)
+      }
+      def walk(d: File): Seq[File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case f if f.isDirectory => walk(f)
+          case f if f.getName.endsWith(".parquet") => Seq(f)
+          case _ => Seq.empty
+        }
+      val newFiles = walk(snapDir.toFile).map(_.getAbsolutePath).sorted
+      val pvalRe = (PartitionSpec.HiddenCol + "=([^/]+)/").r
+      def pvalOf(path: String): Option[String] =
+        pvalRe.findFirstMatchIn(path).map(m =>
+          java.net.URLDecoder.decode(m.group(1), "UTF-8"))
       val stats = collectFileStats(df.schema, newFiles,
-        bloomColsFor(ns, name, df.schema))
+          bloomColsFor(ns, name, df.schema))
+        .map(s => s.copy(pval = pvalOf(s.path)))
 
       var attempt = 0
       while (true) {
@@ -450,11 +473,45 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Partition-value pruning: keep files whose recorded hidden-
+    * partition value matches (files without a pval — pre-partitioning
+    * snapshots — are conservatively kept). This is what makes
+    * equality lookups on a `bucket(N, col)` spec metadata-only even
+    * though the column's min/max stats span every file.
+    */
+  def prunedFilesPval(snap: SnapshotMeta, pval: String): Seq[String] = {
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    snap.files.filter { f =>
+      statsByFile.get(f).forall(_.pval.forall(_ == pval))
+    }
+  }
+
+  /** The table's partition spec, if `partition.spec` is declared. */
+  def partitionSpecOf(ns: String, name: String): Option[PartitionSpec] =
+    PartitionSpec.of(describe(ns, name).properties)
+
+  /** Hidden-partition value of a literal under `spec` — evaluated
+    * through the session (one local one-row projection, no job) so
+    * `bucket`'s xxhash64 matches the write path bit-for-bit.
+    */
+  def pvalOfLiteral(spec: PartitionSpec, value: String,
+      dt: DataType): String = {
+    import org.apache.spark.sql.functions.lit
+    val row = spark.range(1).toDF()
+      .select(lit(value).cast(dt).as(spec.column))
+      .select(spec.valueExpr.cast("string"))
+      .head()
+    row.getString(0)
+  }
+
   /** Bloom-pruned equality read: skip bloom-negative files, then apply
     * the residual equality — results equal `read().filter(col === v)`.
     * `value` is the canonical string rendering (string and integral
     * columns; the literal is cast back to the column type, keeping
-    * parquet pushdown on the residual).
+    * parquet pushdown on the residual). On a table whose partition
+    * spec covers `column` with an equality-preserving transform, the
+    * recorded partition values prune FIRST (exact, no false
+    * positives), blooms handle the survivors.
     */
   def readEquals(ns: String, name: String, column: String,
       value: String): DataFrame = {
@@ -463,7 +520,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val snap = meta.currentSnapshot.getOrElse(
       return read(ns, name).filter(col(column) === lit(value)))
-    val keep = prunedFilesBloom(snap, column, value)
+    val byPval = PartitionSpec.of(meta.properties) match {
+      case Some(p) if p.column == column && p.prunesEquality =>
+        prunedFilesPval(snap,
+          pvalOfLiteral(p, value, schema(column).dataType)).toSet
+      case _ => snap.files.toSet
+    }
+    val keep = prunedFilesBloom(snap, column, value).filter(byPval)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(
@@ -833,7 +896,11 @@ object SnapshotCatalog {
       max: Map[String, String],
       // column → base64 bloom bitset (BloomBits wide), for point-lookup
       // file skipping; Option so pre-bloom metadata deserializes (None)
-      blooms: Option[Map[String, String]] = None)
+      blooms: Option[Map[String, String]] = None,
+      // hidden-partition value of this (value-pure) file under the
+      // table's partition.spec; None for unpartitioned tables and
+      // pre-partitioning metadata
+      pval: Option[String] = None)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the

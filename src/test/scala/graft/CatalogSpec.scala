@@ -399,6 +399,67 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.readEquals("db", "b", "uid", "user_0123").count() == full)
   }
 
+  test("hidden partitioning: days() spec writes value-pure files, range reads prune") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    cat.createTable("db", "p", schema,
+      Map(PartitionSpec.PropertyKey -> "days(ts)"))
+    // 3 days x 8 events in ONE append — an unpartitioned write would
+    // put all days in each task's file
+    val rows = for (d <- 0 until 3; i <- 0 until 8)
+      yield (new java.sql.Timestamp(86400000L * (20000 + d) + i * 3600000L),
+        (d * 8 + i).toLong)
+    cat.append("db", "p", rows.toDF("ts", "v"))
+
+    val snap = cat.describe("db", "p").currentSnapshot.get
+    // every file is value-pure and carries its partition value
+    assert(snap.fileStats.nonEmpty && snap.fileStats.forall(_.pval.isDefined))
+    assert(snap.fileStats.map(_.pval.get).distinct.size == 3)
+    // the hidden column never reaches readers
+    val out = cat.read("db", "p")
+    assert(out.columns.toSeq == Seq("ts", "v") && out.count() == 24)
+    // a one-day ts range prunes to that day's files via the (now
+    // tight) source-column stats — the hidden-partitioning payoff:
+    // the query filters ts, never a derived date string
+    val day1 = 86400000L * 20001 / 1000.0
+    val kept = cat.prunedFiles(snap, "ts", day1, day1 + 86399.0)
+    assert(kept.size < snap.files.size, "range read pruned nothing")
+    val keptPvals = snap.fileStats.filter(s => kept.contains(s.path))
+      .flatMap(_.pval).distinct
+    assert(keptPvals.forall(_ == keptPvals.head), s"kept mixed days: $keptPvals")
+    assert(cat.readWhere("db", "p", "ts", day1, day1 + 86399.0).count() == 8)
+  }
+
+  test("hidden partitioning: bucket() spec makes equality lookups metadata-pruned") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable("db", "bk", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    cat.append("db", "bk", (0L until 400L).map(i => (i, i * 10)).toDF("k", "v"))
+
+    val snap = cat.describe("db", "bk").currentSnapshot.get
+    assert(snap.fileStats.forall(_.pval.isDefined))
+    assert(snap.fileStats.map(_.pval.get).distinct.size == 4)
+    // k's min/max stats span every bucket file (hash order), so range
+    // stats cannot help an equality lookup — the recorded bucket value
+    // can: only the matching bucket's files survive
+    val spec = cat.partitionSpecOf("db", "bk").get
+    val pv = cat.pvalOfLiteral(spec, "42", LongType)
+    val kept = cat.prunedFilesPval(snap, pv)
+    assert(kept.size < snap.files.size, "bucket pruning kept everything")
+    val hit = cat.readEquals("db", "bk", "k", "42").collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 420L)))
+    // parity with the unpruned read on a value from another bucket
+    assert(cat.readEquals("db", "bk", "k", "7").count() ==
+      cat.read("db", "bk").filter(col("k") === 7).count())
+  }
+
   test("bloom positions agree between probe side and write side") {
     // the SQL-expression mirror (md5/conv/substring) must hash to the
     // same positions as the JVM probe — otherwise pruning silently
