@@ -213,6 +213,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       throw new IllegalStateException("unreachable")
     }
 
+  /** Update table properties (merge; null-out by empty value is not
+    * supported — set a tombstone value instead). Used for PARTITION
+    * SPEC EVOLUTION: changing `partition.spec` affects only FUTURE
+    * appends — existing files keep their recorded partition values
+    * (or none) and every pruning path treats a non-matching/missing
+    * pval conservatively, so readers never need to know which spec
+    * era a file came from. Same versioned-commit protocol as appends.
+    */
+  def updateProperties(ns: String, name: String,
+      props: Map[String, String]): TableMeta = synchronized {
+    var attempt = 0
+    while (true) {
+      val (version, meta) = loadMeta(ns, name)
+      val newMeta = meta.copy(properties = meta.properties ++ props)
+      try {
+        commit(ns, name, version + 1, newMeta)
+        return newMeta
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
+          attempt += 1
+          Thread.sleep(1L << math.min(attempt, 6))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ---------------------------------------------------------------- refs
 
   /** Create a movable branch ref at `at` (default: current snapshot). */

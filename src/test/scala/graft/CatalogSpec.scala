@@ -460,6 +460,33 @@ class CatalogSpec extends SparkTestBase {
       cat.read("db", "bk").filter(col("k") === 7).count())
   }
 
+  test("partition spec evolution: old files stay readable, new appends use the new spec") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", LongType)))
+    cat.createTable("db", "ev", schema)                      // unpartitioned era
+    val rows = for (d <- 0 until 2; i <- 0 until 4)
+      yield (new java.sql.Timestamp(86400000L * (20000 + d) + i * 3600000L),
+        (d * 4 + i).toLong)
+    cat.append("db", "ev", rows.toDF("ts", "v"))
+    cat.updateProperties("db", "ev",
+      Map(PartitionSpec.PropertyKey -> "days(ts)"))          // evolve
+    cat.append("db", "ev", rows.map { case (t, v) => (t, v + 100) }.toDF("ts", "v"))
+
+    val snap = cat.describe("db", "ev").currentSnapshot.get
+    val (oldEra, newEra) = snap.fileStats.partition(_.pval.isEmpty)
+    assert(oldEra.nonEmpty && newEra.nonEmpty)
+    assert(newEra.map(_.pval.get).distinct.size == 2)
+    // mixed-era reads stay correct: 16 rows, both value sets
+    assert(cat.read("db", "ev").count() == 16)
+    // range pruning keeps ALL old-era files (no pval, wide stats ok)
+    // plus only the matching new-era day — conservative, never wrong
+    val day1 = 86400000L * 20001 / 1000.0
+    assert(cat.readWhere("db", "ev", "ts", day1, day1 + 86399.0).count() == 8)
+  }
+
   test("bloom positions agree between probe side and write side") {
     // the SQL-expression mirror (md5/conv/substring) must hash to the
     // same positions as the JVM probe — otherwise pruning silently

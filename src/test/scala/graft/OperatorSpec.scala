@@ -97,6 +97,37 @@ class OperatorSpec extends SparkTestBase {
       s"jaccard ${inter.getDouble(1)}")
   }
 
+  test("KMV buffer: merge is associative/commutative and equals the one-pass sketch") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.expressions.KmvSketch
+    def sk(k: Int, items: Seq[Long]): Seq[Long] = {
+      val b = new KmvSketch.Buf(k)
+      items.foreach(v => b.add(KmvSketch.mix(v)))
+      b.toSortedArray.toSeq
+    }
+    def merged(k: Int, parts: Seq[Seq[Long]]): Seq[Long] =
+      parts.map { p =>
+        val b = new KmvSketch.Buf(k)
+        p.foreach(v => b.add(KmvSketch.mix(v)))
+        b
+      }.reduce { (a, b) => a.mergeWith(b); a }.toSortedArray.toSeq
+    val gen = for {
+      k <- Gen.choose(2, 64)
+      items <- Gen.listOfN(400, Gen.choose(0L, 300L))
+      cut <- Gen.choose(0, 400)
+    } yield (k, items, cut)
+    val prop = Prop.forAll(gen) { case (k, items, cut) =>
+      val (a, b) = items.splitAt(cut)
+      val whole = sk(k, items)
+      merged(k, Seq(a, b)) == whole &&        // split-invariance
+        merged(k, Seq(b, a)) == whole &&      // commutativity
+        merged(k, Seq(a, b, b)) == whole &&   // idempotent re-merge
+        whole.size <= k
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("HLL sketches: union of part sketches equals the whole-data sketch") {
     val ids = spark.range(0, 20000)
       .select((col("id") % 5000).as("v"), (col("id") % 4).as("part"))
