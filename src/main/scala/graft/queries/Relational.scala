@@ -1166,6 +1166,58 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  // Time-series gap fill / resampling: per-user daily purchase totals
+  // on a DENSE calendar grid (sequence-explode over each user's
+  // active span), missing days filled by last-observation-carried-
+  // forward (`last(_, ignoreNulls)` over the per-user cumulative
+  // frame). The grid explode is ∝ span-days per user (bounded fan-out
+  // like t21), the fill is one shuffle on user_id; no driver-side
+  // calendars. Integer cents (q34's lesson).
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(w).as("cents"),
+        col("cents").isNotNull.cast("int").as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  private val q40Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1)),
+      |j AS (
+      |  SELECT g.user_id, g.day, d.cents
+      |  FROM grid g LEFT JOIN daily d
+      |    ON g.user_id = d.user_id AND g.day = d.day)
+      |SELECT user_id, day,
+      |  CAST(last_value(cents IGNORE NULLS)
+      |       OVER (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS BIGINT) AS cents,
+      |  CAST(cents IS NOT NULL AS INT) AS observed
+      |FROM j ORDER BY user_id, day""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1206,5 +1258,6 @@ object Relational {
     QuerySpec("q36_kmv_retention", q36, None),
     QuerySpec("q37_funnel", q37, Some(q37Sql)),
     QuerySpec("q38_range_frames", q38, Some(q38Sql)),
-    QuerySpec("q39_variant_json", q39, Some(q39Sql)))
+    QuerySpec("q39_variant_json", q39, Some(q39Sql)),
+    QuerySpec("q40_gap_fill", q40, Some(q40Sql)))
 }

@@ -90,6 +90,56 @@ class StreamingSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 3)
   }
 
+  test("streaming curation: watermark dedup -> quality gate -> WAP publish") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingDedup
+    import graft.functions.TextFns
+    val src = tmpDir("graft-cur-src")
+    val ckpt = tmpDir("graft-cur-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-cur-wh"))
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("ts", TimestampType), StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+      // the streaming twin of t20's batch curation pipeline:
+      // content dedup (watermark-bounded state) -> quality gate
+      // (pure expressions) -> audited atomic publish
+      val curated = StreamingDedup.dedup(stream, "ts", "text",
+          watermark = "10 seconds")
+        .filter(size(TextFns.tokens(col("text"))) >= 3)
+      val audit = (staged: org.apache.spark.sql.DataFrame) =>
+        staged.filter(col("text").isNull || length(col("text")) === 0)
+          .count() == 0
+      val q = Sinks.wapSink(curated, cat, "db", "curated", "staging",
+        audit, ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: doc 1 keeps; doc 2 = exact dup of 1 (state-dropped);
+    // doc 3 fails the quality gate
+    Seq((t(100), 1L, "alpha beta gamma delta"),
+      (t(101), 2L, "alpha beta gamma delta"),
+      (t(102), 3L, "hi"))
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "curated").collect().map(_.getAs[Long]("doc_id"))
+      .sorted.toSeq == Seq(1L))
+
+    // batch 2: doc 4 is new content (keeps); doc 5 repeats doc 1's
+    // content a batch later but inside the watermark horizon — the
+    // CHECKPOINTED dedup state still drops it
+    Seq((t(104), 4L, "epsilon zeta eta theta"),
+      (t(105), 5L, "alpha beta gamma delta"))
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "curated").collect().map(_.getAs[Long]("doc_id"))
+      .sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("partitioned parquet sink derives the connector's path format") {
     // 2024-01-05 07:09:11 UTC → year=2024/month=01/day=05/hour=07
     val ts = java.time.Instant.parse("2024-01-05T07:09:11Z").toEpochMilli
