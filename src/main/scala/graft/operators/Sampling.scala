@@ -119,6 +119,67 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Token-budget EPOCH PLANNING — the upsampling half of mixture
+    * construction (t11's `mixture` is the downsampling half): each
+    * source gets `budget / n_sources` target tokens; sources smaller
+    * than their target repeat (`full_epochs` whole passes) plus a
+    * hash-sampled FRACTIONAL epoch covering the remainder, so the
+    * emitted token count tracks the target without truncating to
+    * whole passes (the standard pretraining-mixture recipe: small
+    * high-quality sources run multiple epochs, big crawls run < 1).
+    *
+    * Everything is derived per source from one aggregation; the
+    * fractional-epoch membership is the same content-stable md5
+    * threshold as [[hashSample]], so the plan AND the sampled doc set
+    * are reproducible across runs/engines. Output per source:
+    * (n_docs, n_tokens, target_tokens, full_epochs, rem_frac,
+    * rem_docs, rem_tokens, emitted_tokens).
+    *
+    * Scale: one groupBy(source) pass + one broadcast of the per-source
+    * plan back onto the corpus for the remainder count — the corpus is
+    * scanned twice and never shuffled (the plan frame is
+    * sources-sized). The expansion itself (emitting epoch copies) is a
+    * later `explode(sequence(1, full_epochs))` over the planned frame
+    * — metadata until materialization.
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      budgetTokens: Long, keyCol: String = "doc_id"): DataFrame = {
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"))
+    val nSrc = per.agg(count(lit(1)).as("_n_src"))
+    val planned = per.crossJoin(broadcast(nSrc))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens) / col("_n_src")).cast("long"))
+      .withColumn("full_epochs",
+        floor(col("target_tokens") / col("n_tokens")).cast("long"))
+      .withColumn("rem_frac",
+        (col("target_tokens") - col("full_epochs") * col("n_tokens")) /
+          col("n_tokens"))
+    // fractional-epoch membership: md5(doc key) under the source's
+    // remainder-rate threshold (rateThreshold semantics inline so the
+    // per-source rate can be a COLUMN, not a constant)
+    val n16 = least(greatest(round(col("rem_frac") * 65536).cast("int"),
+      lit(0)), lit(65536))
+    val thr = when(n16 >= 65536, lit("g"))
+      .otherwise(lpad(lower(conv(n16.cast("string"), 10, 16)), 4, "0"))
+    val rem = df
+      .join(broadcast(planned.select(col(sourceCol), col("rem_frac"))),
+        Seq(sourceCol))
+      .filter(hashBucket(col(keyCol)) < thr)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("rem_docs"),
+        sum(col(tokenCol)).cast("long").as("rem_tokens"))
+    planned.join(rem, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("full_epochs"),
+        round(col("rem_frac"), 4).as("rem_frac"),
+        coalesce(col("rem_docs"), lit(0L)).as("rem_docs"),
+        coalesce(col("rem_tokens"), lit(0L)).as("rem_tokens"),
+        (col("full_epochs") * col("n_tokens") +
+          coalesce(col("rem_tokens"), lit(0L))).as("emitted_tokens"))
+  }
+
   /** Deterministic shard + within-shard position assignment — the
     * "globally shuffle the corpus and write S balanced training
     * shards" step every pretraining run ends with. shard =

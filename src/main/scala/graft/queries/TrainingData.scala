@@ -1405,6 +1405,61 @@ object TrainingData {
       |       CAST(s >= 0.35 AS INT) AS contaminated
       |FROM m ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  // Token-budget epoch planning (Sampling.epochPlan): 200k tokens
+  // spread uniformly over the 20 sources; each source's plan = whole
+  // epochs + a hash-sampled fractional epoch. The upsampling half of
+  // mixture construction (t11 is the downsampling half); the DuckDB
+  // oracle restates the plan arithmetic and the md5-threshold
+  // remainder membership exactly.
+  private def t35(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    Sampling.epochPlan(d, "source", "n_tok", budgetTokens = 200000L)
+      .orderBy("source")
+  }
+
+  private val t35Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (SELECT source, count(*) AS n_docs,
+      |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |        FROM tok GROUP BY 1),
+      |plan AS (
+      |  SELECT per.*,
+      |    CAST(floor(200000.0 / (SELECT count(*) FROM per)) AS BIGINT)
+      |      AS target_tokens,
+      |    CAST(floor(floor(200000.0 / (SELECT count(*) FROM per))
+      |               / n_tokens) AS BIGINT) AS full_epochs
+      |  FROM per),
+      |plan2 AS (
+      |  SELECT *,
+      |    (target_tokens - full_epochs * n_tokens) * 1.0 / n_tokens
+      |      AS rf_raw
+      |  FROM plan),
+      |plan3 AS (
+      |  SELECT *,
+      |    LEAST(GREATEST(CAST(round(rf_raw * 65536) AS INT), 0), 65536)
+      |      AS n16
+      |  FROM plan2),
+      |rem AS (
+      |  SELECT t.source, count(*) AS rem_docs,
+      |    CAST(sum(t.n_tok) AS BIGINT) AS rem_tokens
+      |  FROM tok t JOIN plan3 p USING (source)
+      |  WHERE substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+      |    CASE WHEN p.n16 >= 65536 THEN 'g'
+      |         ELSE lower(lpad(to_hex(p.n16), 4, '0')) END
+      |  GROUP BY 1)
+      |SELECT p.source, p.n_docs, p.n_tokens, p.target_tokens,
+      |  p.full_epochs, round(p.rf_raw, 4) AS rem_frac,
+      |  coalesce(r.rem_docs, 0) AS rem_docs,
+      |  coalesce(r.rem_tokens, 0) AS rem_tokens,
+      |  p.full_epochs * p.n_tokens + coalesce(r.rem_tokens, 0)
+      |    AS emitted_tokens
+      |FROM plan3 p LEFT JOIN rem r USING (source)
+      |ORDER BY p.source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1440,6 +1495,7 @@ object TrainingData {
     QuerySpec("t32_shard_assign", t32, Some(t32Sql)),
     QuerySpec("t33_quality_classifier", t33, None),
     QuerySpec("t34_decontaminate_semantic", t34, Some(t34Sql)),
+    QuerySpec("t35_epoch_plan", t35, Some(t35Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),
