@@ -1218,6 +1218,49 @@ object Relational {
       |  CAST(cents IS NOT NULL AS INT) AS observed
       |FROM j ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  // Map scalar/higher-order functions (the map third of §2.5's
+  // "array/map/json" row, untouched by q17/q23): per-user
+  // event_type→count maps built with map_from_entries, probed with
+  // element_at, filtered with map_filter, normalized with
+  // transform_values. The DuckDB oracle states the same RESULTS as
+  // conditional aggregation — the map surface is Spark-side, the
+  // values are engine-neutral.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("user_id")
+      .agg(
+        map_from_entries(array_sort(collect_list(struct(col("event_type"),
+          col("c"))))).as("m"),
+        sum(col("c")).as("total"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        size(map_filter(col("m"), (_, v) => v >= 15)).cast("long")
+          .as("hot_types"),
+        round(coalesce(
+          element_at(transform_values(col("m"),
+            (_, v) => v * 1.0 / col("total")), "click"), lit(0.0)), 4)
+          .as("click_share"))
+      .orderBy("user_id")
+  }
+
+  private val q41Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+      |       AS BIGINT) AS clicks,
+      |  CAST(sum(CASE WHEN c >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hot_types,
+      |  round(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0)
+      |        * 1.0 / sum(c), 4) AS click_share
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1259,5 +1302,6 @@ object Relational {
     QuerySpec("q37_funnel", q37, Some(q37Sql)),
     QuerySpec("q38_range_frames", q38, Some(q38Sql)),
     QuerySpec("q39_variant_json", q39, Some(q39Sql)),
-    QuerySpec("q40_gap_fill", q40, Some(q40Sql)))
+    QuerySpec("q40_gap_fill", q40, Some(q40Sql)),
+    QuerySpec("q41_map_fns", q41, Some(q41Sql)))
 }

@@ -72,8 +72,20 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
             val pruned = b match {
               case Engine.NumBounds(c, lo, hi) => catalog.prunedFilesRange(s, c, lo, hi)
               case Engine.StrBounds(c, lo, hi) => catalog.prunedFilesStringRange(s, c, lo, hi)
-              // equality: bloom file skipping on top of the range prune
-              case Engine.EqValue(c, v) => catalog.prunedFilesBloom(s, c, v)
+              // equality: bloom file skipping, intersected with the
+              // hidden-partition value when the table's spec covers the
+              // column with an equality-preserving transform (bucket/
+              // identity/truncate) — the metadata-only prune blooms
+              // can't give when every file's min/max spans the key
+              case Engine.EqValue(c, v) =>
+                val bloom = catalog.prunedFilesBloom(s, c, v)
+                catalog.partitionSpecOf(ref.ns, ref.table) match {
+                  case Some(p) if p.column == c && p.prunesEquality =>
+                    val dt = catalog.schemaOf(ref.ns, ref.table)(c).dataType
+                    bloom.intersect(
+                      catalog.prunedFilesPval(s, catalog.pvalOfLiteral(p, v, dt)))
+                  case _ => bloom
+                }
             }
             acc.intersect(pruned)
           }

@@ -224,6 +224,27 @@ class EngineSpec extends SparkTestBase {
     assert(df2.head().getLong(0) == 1L)
   }
 
+  test("equality through the SQL bridge prunes on hidden bucket partitions") {
+    import spark.implicits._
+    import graft.catalog.PartitionSpec
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-pval-bridge"))
+    cat.createTable("db", "pb",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))),
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    // one append, hash-ordered keys: every bucket file's [min,max] of k
+    // spans nearly the whole domain, so stats can't separate them —
+    // only the recorded partition value can
+    cat.append("db", "pb", (0L until 400L).map(i => (i, i * 10)).toDF("k", "v"))
+    val eng = new Engine(spark, cat)
+    val (df, infos) = eng.sqlDataFrame("SELECT v FROM db.pb WHERE k = 42")
+    assert(df.head().getLong(0) == 420L)
+    val i = infos.head
+    assert(i.kept < i.total,
+      s"pval pruning kept ${i.kept} of ${i.total}")
+  }
+
   test("CTEs over catalog tables resolve and prune") {
     val (df, infos) = bridgeEngine.sqlDataFrame(
       "WITH w AS (SELECT * FROM db.m WHERE id >= 1000 AND id <= 1100) " +
