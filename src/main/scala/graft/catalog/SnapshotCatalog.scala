@@ -239,6 +239,54 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Iceberg-style METADATA TABLES: the table's commit history, file
+    * inventory, and refs exposed as DataFrames (`db.t.snapshots`,
+    * `.files`, `.history`, `.refs` through the SQL bridge — the
+    * introspection surface Iceberg users query daily). Metadata is
+    * small by design (one manifest row per file/snapshot), so these
+    * materialize driver-side from the already-loaded TableMeta — no
+    * data files are touched.
+    */
+  def metadataTable(ns: String, name: String, kind: String): DataFrame = {
+    import spark.implicits._
+    val meta = describe(ns, name)
+    kind match {
+      case "snapshots" =>
+        meta.snapshots.map(s => (s.snapshotId, s.parentId,
+          s.sequenceNumber, new java.sql.Timestamp(s.createdAtMs),
+          s.files.size.toLong, s.rowCount))
+          .toDF("snapshot_id", "parent_id", "sequence_number",
+            "committed_at", "n_files", "added_rows")
+      case "files" =>
+        val cur = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty).toSet
+        val stats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty)
+        stats.filter(s => cur(s.path))
+          .map(s => (s.path, s.rows, s.pval))
+          .toDF("file_path", "record_count", "partition_value")
+      case "history" =>
+        // ancestry chain of the current snapshot, oldest first
+        val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+        val chain = Iterator.iterate(meta.currentSnapshot)(
+            _.flatMap(_.parentId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.toSeq.reverse
+        val ancestors = chain.map(_.snapshotId).toSet
+        meta.snapshots.map(s => (new java.sql.Timestamp(s.createdAtMs),
+          s.snapshotId, s.parentId, ancestors(s.snapshotId)))
+          .toDF("made_current_at", "snapshot_id", "parent_id",
+            "is_current_ancestor")
+      case "refs" =>
+        val branches = meta.refs.toSeq.map { case (n, id) =>
+          (n, if (meta.tagNames.contains(n)) "TAG" else "BRANCH", id)
+        }
+        (branches :+ (("main", "BRANCH",
+          meta.currentSnapshotId.getOrElse(-1L))))
+          .toDF("name", "type", "snapshot_id")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' — " +
+          "expected snapshots|files|history|refs")
+    }
+  }
+
   // ---------------------------------------------------------------- refs
 
   /** Create a movable branch ref at `at` (default: current snapshot). */

@@ -60,7 +60,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     val sql = rewriteGlob(rewriteDialect(sql0))
     val parsed = Try(spark.sessionState.sqlParser.parsePlan(sql))
     val refs = parsed.map(catalogRefs).getOrElse(Nil)
-    if (refs.isEmpty) return (spark.sql(sql), Nil)
+    val metaRefs = parsed.map(metadataRefs).getOrElse(Nil)
+    if (refs.isEmpty && metaRefs.isEmpty) return (spark.sql(sql), Nil)
+
+    // Iceberg-style metadata tables: `ns.tbl.snapshots|files|history|
+    // refs` become temp views over SnapshotCatalog.metadataTable
+    val metaViews = metaRefs.map { case (ns, t, kind) =>
+      val view = Engine.viewName(ns, s"${t}_$kind")
+      catalog.metadataTable(ns, t, kind).createOrReplaceTempView(view)
+      (ns, t, kind) -> view
+    }.toMap
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
@@ -120,12 +129,41 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
             SubqueryAlias(
               org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(ns)),
               r.copy(multipartIdentifier = Seq(views((ns, t)))))
+          case Seq(ns, t, k) if metaViews.contains((ns, t, k)) =>
+            SubqueryAlias(
+              org.apache.spark.sql.catalyst.AliasIdentifier(k, Seq(ns, t)),
+              r.copy(multipartIdentifier = Seq(metaViews((ns, t, k)))))
           case _ => r
         }
     }
     val substituted = substitute(parsed.get)
     try (org.apache.spark.sql.graft.PlanExec.ofRows(spark, substituted), infos)
-    finally views.values.foreach(spark.catalog.dropTempView(_))
+    finally {
+      views.values.foreach(spark.catalog.dropTempView(_))
+      metaViews.values.foreach(spark.catalog.dropTempView(_))
+    }
+  }
+
+  /** 3-part metadata-table references (`ns.tbl.snapshots` etc.) in the
+    * parsed plan — same subquery/CTE-aware walk as [[catalogRefs]].
+    */
+  private def metadataRefs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
+    def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
+      case r: UnresolvedRelation => r.multipartIdentifier match {
+        case Seq(ns, t, k) if Engine.MetadataKinds(k) && catalog.tableExists(ns, t) =>
+          out += ((ns, t, k))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    walk(plan)
+    out.toSeq
   }
 
   /** Catalog-table references in the parsed plan, with merged predicate
@@ -390,6 +428,10 @@ object Engine {
     */
   private val ReadParquetRe =
     raw"(?i)read_parquet\(\s*'([^']+)'\s*\)".r
+
+  /** Metadata-table suffixes served by the SQL bridge. */
+  private[query] val MetadataKinds: Set[String] =
+    Set("snapshots", "files", "history", "refs")
 
   private[query] val GlobRe =
     raw"(?i)glob\(\s*'([^']+)'\s*\)".r

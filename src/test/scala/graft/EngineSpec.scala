@@ -245,6 +245,38 @@ class EngineSpec extends SparkTestBase {
       s"pval pruning kept ${i.kept} of ${i.total}")
   }
 
+  test("metadata tables: snapshots/files/history/refs queryable through SQL") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-meta-tbl"))
+    cat.createTable("db", "mt",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    cat.append("db", "mt", Seq(1L, 2L).toDF("id"))
+    cat.append("db", "mt", Seq(3L).toDF("id"))
+    cat.createBranch("db", "mt", "audit")
+    val eng = new Engine(spark, cat)
+
+    val (snaps, _) = eng.sqlDataFrame(
+      "SELECT snapshot_id, added_rows FROM db.mt.snapshots ORDER BY snapshot_id")
+    assert(snaps.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+
+    val (files, _) = eng.sqlDataFrame(
+      "SELECT count(*) AS c, CAST(sum(record_count) AS BIGINT) AS rows FROM db.mt.files")
+    val fr = files.head()
+    assert(fr.getLong(1) == 3L && fr.getLong(0) >= 2L)
+
+    val (hist, _) = eng.sqlDataFrame(
+      "SELECT count(*) AS c FROM db.mt.history WHERE is_current_ancestor")
+    assert(hist.head().getLong(0) == 2L)
+
+    // joins between a metadata table and the data table work too
+    val (joined, _) = eng.sqlDataFrame(
+      """SELECT r.name, count(m.id) AS n FROM db.mt.refs r
+        |CROSS JOIN db.mt m WHERE r.name = 'audit' GROUP BY r.name""".stripMargin)
+    assert(joined.head().getLong(1) == 3L)
+  }
+
   test("CTEs over catalog tables resolve and prune") {
     val (df, infos) = bridgeEngine.sqlDataFrame(
       "WITH w AS (SELECT * FROM db.m WHERE id >= 1000 AND id <= 1100) " +
