@@ -61,7 +61,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     val parsed = Try(spark.sessionState.sqlParser.parsePlan(sql))
     val refs = parsed.map(catalogRefs).getOrElse(Nil)
     val metaRefs = parsed.map(metadataRefs).getOrElse(Nil)
-    if (refs.isEmpty && metaRefs.isEmpty) return (spark.sql(sql), Nil)
+    val ttRefs = parsed.map(timeTravelRefs).getOrElse(Nil)
+    if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
+      return (spark.sql(sql), Nil)
 
     // Iceberg-style metadata tables: `ns.tbl.snapshots|files|history|
     // refs` become temp views over SnapshotCatalog.metadataTable
@@ -70,6 +72,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       catalog.metadataTable(ns, t, kind).createOrReplaceTempView(view)
       (ns, t, kind) -> view
     }.toMap
+    // SQL time travel: `ns.tbl VERSION AS OF <snapshot_id>` becomes a
+    // temp view over the snapshot read (same substitution machinery)
+    val ttViews = ttRefs
+      .map { case (ns, t, snapId) =>
+        val view = Engine.viewName(ns, s"${t}_v$snapId")
+        catalog.read(ns, t, Some(snapId)).createOrReplaceTempView(view)
+        (ns, t, snapId) -> view
+      }.toMap
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
@@ -111,6 +121,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       views((ref.ns, ref.table)) = view
       Engine.PruneInfo(s"${ref.ns}.${ref.table}", files.size, total)
     }
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     // UnresolvedWith is a UnaryNode: its CTE definitions are NOT in
     // `children`, so the transform recurses into them explicitly
@@ -119,6 +130,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         w.copy(cteRelations = w.cteRelations.map { case (n, rel, m) =>
           (n, substitute(rel).asInstanceOf[SubqueryAlias], m)
         })
+      case RelationTimeTravel(r: UnresolvedRelation, None, Some(v))
+          if r.multipartIdentifier.length == 2 &&
+            scala.util.Try(v.toLong).isSuccess &&
+            ttViews.contains((r.multipartIdentifier.head,
+              r.multipartIdentifier(1), v.toLong)) =>
+        val Seq(ns, t) = r.multipartIdentifier
+        SubqueryAlias(
+          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(ns)),
+          r.copy(multipartIdentifier = Seq(ttViews((ns, t, v.toLong)))))
       case r: UnresolvedRelation =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
@@ -141,6 +161,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     finally {
       views.values.foreach(spark.catalog.dropTempView(_))
       metaViews.values.foreach(spark.catalog.dropTempView(_))
+      ttViews.values.foreach(spark.catalog.dropTempView(_))
     }
   }
 
@@ -160,6 +181,27 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
           out += ((ns, t, k))
         case _ => ()
       }
+      case _ => ()
+    }
+    walk(plan)
+    out.toSeq
+  }
+
+  /** `VERSION AS OF` references: (ns, table, snapshotId) triples. */
+  private def timeTravelRefs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = scala.collection.mutable.LinkedHashSet.empty[(String, String, Long)]
+    def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
+      case RelationTimeTravel(r: UnresolvedRelation, None, Some(v)) =>
+        (r.multipartIdentifier, scala.util.Try(v.toLong).toOption) match {
+          case (Seq(ns, t), Some(id)) if catalog.tableExists(ns, t) =>
+            out += ((ns, t, id))
+          case _ => ()
+        }
       case _ => ()
     }
     walk(plan)

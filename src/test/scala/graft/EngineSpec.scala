@@ -270,6 +270,16 @@ class EngineSpec extends SparkTestBase {
       "SELECT count(*) AS c FROM db.mt.history WHERE is_current_ancestor")
     assert(hist.head().getLong(0) == 2L)
 
+    // SQL time travel: VERSION AS OF reads the older snapshot, and can
+    // join against the current state in one query
+    val (tt, _) = eng.sqlDataFrame(
+      "SELECT count(*) AS c FROM db.mt VERSION AS OF 1")
+    assert(tt.head().getLong(0) == 2L)
+    val (delta, _) = eng.sqlDataFrame(
+      """SELECT count(*) AS added FROM db.mt cur
+        |LEFT ANTI JOIN db.mt VERSION AS OF 1 old ON cur.id = old.id""".stripMargin)
+    assert(delta.head().getLong(0) == 1L)
+
     // joins between a metadata table and the data table work too
     val (joined, _) = eng.sqlDataFrame(
       """SELECT r.name, count(m.id) AS n FROM db.mt.refs r
