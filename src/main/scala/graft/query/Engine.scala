@@ -130,15 +130,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         w.copy(cteRelations = w.cteRelations.map { case (n, rel, m) =>
           (n, substitute(rel).asInstanceOf[SubqueryAlias], m)
         })
-      case RelationTimeTravel(r: UnresolvedRelation, None, Some(v))
-          if r.multipartIdentifier.length == 2 &&
-            scala.util.Try(v.toLong).isSuccess &&
-            ttViews.contains((r.multipartIdentifier.head,
-              r.multipartIdentifier(1), v.toLong)) =>
-        val Seq(ns, t) = r.multipartIdentifier
+      case RelationTimeTravel(r: UnresolvedRelation, ts, v)
+          if resolveTimeTravel(r, ts, v).exists(ttViews.contains) =>
+        val key = resolveTimeTravel(r, ts, v).get
         SubqueryAlias(
-          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(ns)),
-          r.copy(multipartIdentifier = Seq(ttViews((ns, t, v.toLong)))))
+          org.apache.spark.sql.catalyst.AliasIdentifier(key._2, Seq(key._1)),
+          r.copy(multipartIdentifier = Seq(ttViews(key))))
       case r: UnresolvedRelation =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
@@ -187,7 +184,41 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     out.toSeq
   }
 
-  /** `VERSION AS OF` references: (ns, table, snapshotId) triples. */
+  /** Resolve one time-travel reference to (ns, table, snapshotId):
+    * `VERSION AS OF n` is the id directly; `TIMESTAMP AS OF ts` maps
+    * to the latest snapshot committed at-or-before ts (the Iceberg
+    * rule). Unresolvable forms return None and the node is left for
+    * Spark to reject.
+    */
+  private def resolveTimeTravel(
+      r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+      ts: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      v: Option[String]): Option[(String, String, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    r.multipartIdentifier match {
+      case Seq(ns, t) if catalog.tableExists(ns, t) =>
+        val msOpt = (ts, v) match {
+          case (None, Some(ver)) =>
+            return scala.util.Try(ver.toLong).toOption.map((ns, t, _))
+          case (Some(Literal(u, StringType)), None) =>
+            scala.util.Try(
+              java.sql.Timestamp.valueOf(u.toString).getTime).toOption
+          case (Some(Literal(micros: Long, TimestampType)), None) =>
+            Some(micros / 1000L)
+          case _ => None
+        }
+        msOpt.flatMap { ms =>
+          catalog.describe(ns, t).snapshots
+            .filter(_.createdAtMs <= ms)
+            .maxByOption(_.createdAtMs)
+            .map(s => (ns, t, s.snapshotId))
+        }
+      case _ => None
+    }
+  }
+
+  /** Time-travel references in the plan: (ns, table, snapshotId). */
   private def timeTravelRefs(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[(String, String, Long)] = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
@@ -196,12 +227,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
       case w: UnresolvedWith =>
         w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
-      case RelationTimeTravel(r: UnresolvedRelation, None, Some(v)) =>
-        (r.multipartIdentifier, scala.util.Try(v.toLong).toOption) match {
-          case (Seq(ns, t), Some(id)) if catalog.tableExists(ns, t) =>
-            out += ((ns, t, id))
-          case _ => ()
-        }
+      case RelationTimeTravel(r: UnresolvedRelation, ts, v) =>
+        resolveTimeTravel(r, ts, v).foreach(out += _)
       case _ => ()
     }
     walk(plan)

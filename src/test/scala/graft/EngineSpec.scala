@@ -280,6 +280,15 @@ class EngineSpec extends SparkTestBase {
         |LEFT ANTI JOIN db.mt VERSION AS OF 1 old ON cur.id = old.id""".stripMargin)
     assert(delta.head().getLong(0) == 1L)
 
+    // TIMESTAMP AS OF maps to the latest snapshot at-or-before ts;
+    // the second append happened after `betweenTs` (captured below)
+    val betweenTs = cat.describe("db", "mt").snapshots
+      .find(_.snapshotId == 1L).get.createdAtMs
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val (tts, _) = eng.sqlDataFrame(
+      s"SELECT count(*) AS c FROM db.mt TIMESTAMP AS OF '${fmt.format(new java.util.Date(betweenTs))}'")
+    assert(tts.head().getLong(0) == 2L)
+
     // joins between a metadata table and the data table work too
     val (joined, _) = eng.sqlDataFrame(
       """SELECT r.name, count(m.id) AS n FROM db.mt.refs r
