@@ -449,12 +449,14 @@ object Dedup {
       .select(col("doc_id"), col("w.pos").as("pos"), xxhash64(col("w.gram")).as("gh"))
 
     import org.apache.spark.sql.expressions.Window
-    val byGram = Window.partitionBy("gh")
-    val byGramOrd = byGram.orderBy("doc_id", "pos")
-    // One shuffle on gh serves both the corpus-wide occurrence count and
-    // the canonical-occurrence rank.
+    val byGramOrd = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    // One shuffle AND one sort on gh serve both the corpus-wide
+    // occurrence count and the canonical-occurrence rank: the count
+    // uses the same ordered spec with an unbounded frame (an unordered
+    // count window would plan a second sort of the widest frame).
     val marked = wins
-      .withColumn("cnt", count(lit(1)).over(byGram))
+      .withColumn("cnt", count(lit(1)).over(byGramOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("rn", row_number().over(byGramOrd))
       .filter(col("cnt") > 1)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
