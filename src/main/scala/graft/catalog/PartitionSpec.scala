@@ -69,4 +69,23 @@ object PartitionSpec {
 
   def of(properties: Map[String, String]): Option[PartitionSpec] =
     properties.get(PropertyKey).map(parse)
+
+  /** Inverse of Spark's Hive-style partition-path escaping: ONLY
+    * `%xx` sequences decode (that is all escapePathName emits) —
+    * crucially NOT `+`, which URL decoding would corrupt to a space.
+    */
+  def unescapePathName(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        val v = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (v >= 0) { out.append(v.toChar); i += 3 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 }

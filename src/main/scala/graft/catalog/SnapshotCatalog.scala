@@ -136,7 +136,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // min/max stats tight (time-range pruning needs nothing more);
       // the value itself is recorded per file for equality pruning on
       // bucket/identity/truncate specs.
-      val spec = PartitionSpec.of(describe(ns, name).properties)
+      val specStr = describe(ns, name).properties
+        .get(PartitionSpec.PropertyKey).map(_.trim)
+      val spec = specStr.map(PartitionSpec.parse)
       spec match {
         case Some(p) =>
           df.withColumn(PartitionSpec.HiddenCol, p.valueExpr)
@@ -153,11 +155,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = walk(snapDir.toFile).map(_.getAbsolutePath).sorted
       val pvalRe = (PartitionSpec.HiddenCol + "=([^/]+)/").r
       def pvalOf(path: String): Option[String] =
-        pvalRe.findFirstMatchIn(path).map(m =>
-          java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+        pvalRe.findFirstMatchIn(path)
+          .map(m => PartitionSpec.unescapePathName(m.group(1)))
       val stats = collectFileStats(df.schema, newFiles,
           bloomColsFor(ns, name, df.schema))
-        .map(s => s.copy(pval = pvalOf(s.path)))
+        .map(s => s.copy(pval = pvalOf(s.path),
+          pspec = specStr.filter(_ => pvalOf(s.path).isDefined)))
 
       var attempt = 0
       while (true) {
@@ -548,15 +551,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Partition-value pruning: keep files whose recorded hidden-
-    * partition value matches (files without a pval — pre-partitioning
-    * snapshots — are conservatively kept). This is what makes
+    * partition value matches, BUT only when the file was written under
+    * `underSpec` — a pval recorded under a different spec era (e.g.
+    * bucket mod 4 after evolving to mod 8) is meaningless against the
+    * current spec's literal value, so those files are conservatively
+    * kept, as are files with no pval at all. This is what makes
     * equality lookups on a `bucket(N, col)` spec metadata-only even
     * though the column's min/max stats span every file.
     */
-  def prunedFilesPval(snap: SnapshotMeta, pval: String): Seq[String] = {
+  def prunedFilesPval(snap: SnapshotMeta, pval: String,
+      underSpec: String): Seq[String] = {
     val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
     snap.files.filter { f =>
-      statsByFile.get(f).forall(_.pval.forall(_ == pval))
+      statsByFile.get(f).forall { s =>
+        !s.pspec.contains(underSpec.trim) || s.pval.forall(_ == pval)
+      }
     }
   }
 
@@ -597,7 +606,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val byPval = PartitionSpec.of(meta.properties) match {
       case Some(p) if p.column == column && p.prunesEquality =>
         prunedFilesPval(snap,
-          pvalOfLiteral(p, value, schema(column).dataType)).toSet
+          pvalOfLiteral(p, value, schema(column).dataType),
+          meta.properties(PartitionSpec.PropertyKey)).toSet
       case _ => snap.files.toSet
     }
     val keep = prunedFilesBloom(snap, column, value).filter(byPval)
@@ -974,7 +984,12 @@ object SnapshotCatalog {
       // hidden-partition value of this (value-pure) file under the
       // table's partition.spec; None for unpartitioned tables and
       // pre-partitioning metadata
-      pval: Option[String] = None)
+      pval: Option[String] = None,
+      // the EXACT partition.spec string the file was written under —
+      // pruning by pval is only valid against the same spec (a file
+      // bucketed mod 4 has a meaningless pval under a mod-8 spec), so
+      // spec evolution keeps old-era files conservatively
+      pspec: Option[String] = None)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the

@@ -109,8 +109,10 @@ object KmvSketch {
   final class Buf(val k: Int) {
     private val set = new java.util.TreeSet[java.lang.Long]()
 
-    def add(rawHash: Long): Unit = {
-      val f = rawHash ^ Long.MinValue
+    // the ONE place the bounded-insert invariant lives (add, merge,
+    // and deserialize all go through it): keep the k smallest flipped
+    // values, ignoring duplicates
+    private def insertFlipped(f: Long): Unit = {
       if (set.size < k) { set.add(f); () }
       else if (f < set.last && !set.contains(f)) {
         set.add(f)
@@ -118,16 +120,13 @@ object KmvSketch {
       }
     }
 
+    def add(rawHash: Long): Unit = insertFlipped(rawHash ^ Long.MinValue)
+
+    private[KmvSketch] def addFlipped(f: Long): Unit = insertFlipped(f)
+
     def mergeWith(other: Buf): Unit = {
       val it = other.set.iterator()
-      while (it.hasNext) {
-        val f = it.next().longValue()
-        if (set.size < k) { set.add(f); () }
-        else if (f < set.last && !set.contains(f)) {
-          set.add(f)
-          set.remove(set.last)
-        }
-      }
+      while (it.hasNext) insertFlipped(it.next().longValue())
     }
 
     def toSortedArray: Array[Long] = {
@@ -153,8 +152,8 @@ object KmvSketch {
       val n = bb.getInt
       val b = new Buf(k)
       var i = 0
-      // values are already flipped; bypass add()'s re-flip
-      while (i < n) { b.add(bb.getLong ^ Long.MinValue); i += 1 }
+      // serialized values are already in flipped form
+      while (i < n) { b.addFlipped(bb.getLong); i += 1 }
       b
     }
   }

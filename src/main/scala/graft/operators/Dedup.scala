@@ -441,6 +441,10 @@ object Dedup {
     * after is keyed on doc_id: the span merge is a per-doc window
     * function, the removal a per-doc higher-order filter. No driver
     * loops, no all-pairs joins.
+    *
+    * Like the other dedup tiers, the shared `marked` intermediate stays
+    * persisted for the session (three consumers read it; see `cached`'s
+    * scaladoc — `spark.catalog.clearCache()` reclaims).
     */
   def duplicatedSpans(docs: DataFrame, k: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))

@@ -101,8 +101,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
                 catalog.partitionSpecOf(ref.ns, ref.table) match {
                   case Some(p) if p.column == c && p.prunesEquality =>
                     val dt = catalog.schemaOf(ref.ns, ref.table)(c).dataType
-                    bloom.intersect(
-                      catalog.prunedFilesPval(s, catalog.pvalOfLiteral(p, v, dt)))
+                    val specStr = catalog.describe(ref.ns, ref.table)
+                      .properties(graft.catalog.PartitionSpec.PropertyKey)
+                    bloom.intersect(catalog.prunedFilesPval(s,
+                      catalog.pvalOfLiteral(p, v, dt), specStr))
                   case _ => bloom
                 }
             }
@@ -123,6 +125,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     }
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    // transformDown recurses into the children of UNREPLACED
+    // RelationTimeTravel nodes too, so the inner relation must be
+    // skipped by identity (a kept-as-written time-travel node must
+    // reach Spark's analyzer verbatim)
+    val ttInner = parsed.map(ttInnerRelations).getOrElse(
+      java.util.Collections.emptySet[UnresolvedRelation]())
     // UnresolvedWith is a UnaryNode: its CTE definitions are NOT in
     // `children`, so the transform recurses into them explicitly
     def substitute(p: LogicalPlan): LogicalPlan = p.transformWithSubqueries {
@@ -130,13 +138,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         w.copy(cteRelations = w.cteRelations.map { case (n, rel, m) =>
           (n, substitute(rel).asInstanceOf[SubqueryAlias], m)
         })
-      case RelationTimeTravel(r: UnresolvedRelation, ts, v)
-          if resolveTimeTravel(r, ts, v).exists(ttViews.contains) =>
-        val key = resolveTimeTravel(r, ts, v).get
-        SubqueryAlias(
-          org.apache.spark.sql.catalyst.AliasIdentifier(key._2, Seq(key._1)),
-          r.copy(multipartIdentifier = Seq(ttViews(key))))
-      case r: UnresolvedRelation =>
+      case rt @ RelationTimeTravel(r: UnresolvedRelation, ts, v) =>
+        resolveTimeTravel(r, ts, v) match {
+          case Some(key @ (kns, kt, _)) if ttViews.contains(key) =>
+            SubqueryAlias(
+              org.apache.spark.sql.catalyst.AliasIdentifier(kt, Seq(kns)),
+              r.copy(multipartIdentifier = Seq(ttViews(key))))
+          case _ => rt // left for Spark to reject as-written
+        }
+      case r: UnresolvedRelation if !ttInner.contains(r) =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
             // alias the view back to [ns, t] so `t.col` / `ns.t.col`
@@ -202,8 +212,23 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
           case (None, Some(ver)) =>
             return scala.util.Try(ver.toLong).toOption.map((ns, t, _))
           case (Some(Literal(u, StringType)), None) =>
-            scala.util.Try(
-              java.sql.Timestamp.valueOf(u.toString).getTime).toOption
+            // interpret the wall-clock string in the SESSION timezone
+            // (java.sql.Timestamp.valueOf would use the JVM default,
+            // silently resolving to a different snapshot when the two
+            // differ) — snapshot createdAtMs is epoch-based
+            scala.util.Try {
+              val fmt = new java.time.format.DateTimeFormatterBuilder()
+                .appendPattern("yyyy-MM-dd HH:mm:ss")
+                .optionalStart()
+                .appendFraction(
+                  java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+                .optionalEnd()
+                .toFormatter
+              java.time.LocalDateTime.parse(u.toString, fmt)
+                .atZone(java.time.ZoneId.of(
+                  spark.sessionState.conf.sessionLocalTimeZone))
+                .toInstant.toEpochMilli
+            }.toOption
           case (Some(Literal(micros: Long, TimestampType)), None) =>
             Some(micros / 1000L)
           case _ => None
@@ -216,6 +241,31 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         }
       case _ => None
     }
+  }
+
+  /** The UnresolvedRelation instances sitting INSIDE RelationTimeTravel
+    * nodes, by identity — they belong to the time-travel substitution
+    * (or to Spark's own rejection when unresolvable) and must be
+    * invisible to the plain-view machinery: counting them in
+    * [[catalogRefs]] would fabricate a current-snapshot PruneInfo, and
+    * substituting them with the current-snapshot view would turn a
+    * clean "unsupported time travel" error into one about a graft temp
+    * view.
+    */
+  private def ttInnerRelations(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): java.util.Set[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[UnresolvedRelation, java.lang.Boolean]())
+    def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
+      case RelationTimeTravel(r: UnresolvedRelation, _, _) => out.add(r): Unit
+      case _ => ()
+    }
+    walk(plan)
+    out
   }
 
   /** Time-travel references in the plan: (ns, table, snapshotId). */
@@ -262,19 +312,23 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         case _ => None
       }
 
-    // every occurrence, paired with the filter directly above (if any)
+    // every occurrence, paired with the filter directly above (if any);
+    // relations inside RelationTimeTravel belong to the time-travel
+    // machinery, not the current-snapshot view (see ttInnerRelations)
+    val ttInner = ttInnerRelations(plan)
     val occurrences = scala.collection.mutable.ListBuffer.empty[((String, String), Option[Seq[Engine.ColBounds]])]
     def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
       case w: UnresolvedWith =>
         // UnaryNode: CTE definitions are innerChildren, walk explicitly
         w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
       case LFilter(cond, child) => strip(child) match {
-        case r: UnresolvedRelation => nameOf(r).foreach { k =>
-          occurrences += k -> Some(Engine.extractBounds(cond, catalog.schemaOf(k._1, k._2)))
-        }
+        case r: UnresolvedRelation if !ttInner.contains(r) =>
+          nameOf(r).foreach { k =>
+            occurrences += k -> Some(Engine.extractBounds(cond, catalog.schemaOf(k._1, k._2)))
+          }
         case _ => ()
       }
-      case r: UnresolvedRelation =>
+      case r: UnresolvedRelation if !ttInner.contains(r) =>
         // also counts the relations already matched above; reconciled below
         nameOf(r).foreach(k => occurrences += k -> None)
       case _ => ()

@@ -451,7 +451,7 @@ class CatalogSpec extends SparkTestBase {
     // can: only the matching bucket's files survive
     val spec = cat.partitionSpecOf("db", "bk").get
     val pv = cat.pvalOfLiteral(spec, "42", LongType)
-    val kept = cat.prunedFilesPval(snap, pv)
+    val kept = cat.prunedFilesPval(snap, pv, "bucket(4, k)")
     assert(kept.size < snap.files.size, "bucket pruning kept everything")
     val hit = cat.readEquals("db", "bk", "k", "42").collect()
     assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 420L)))
@@ -485,6 +485,53 @@ class CatalogSpec extends SparkTestBase {
     // plus only the matching new-era day — conservative, never wrong
     val day1 = 86400000L * 20001 / 1000.0
     assert(cat.readWhere("db", "ev", "ts", day1, day1 + 86399.0).count() == 8)
+  }
+
+  test("partition spec evolution between bucket widths keeps old-era files") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable("db", "bw", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    cat.append("db", "bw", (0L until 100L).map(i => (i, i)).toDF("k", "v"))
+    cat.updateProperties("db", "bw",
+      Map(PartitionSpec.PropertyKey -> "bucket(8, k)"))
+    cat.append("db", "bw", (100L until 200L).map(i => (i, i)).toDF("k", "v"))
+    // a mod-4-era pval is meaningless under the mod-8 spec: old files
+    // must be kept conservatively, so every key still resolves
+    for (key <- Seq(7L, 42L, 150L)) {
+      assert(cat.readEquals("db", "bw", "k", key.toString).count() == 1L,
+        s"key $key lost across spec evolution")
+    }
+    // new-era files still prune: some file is skipped for a new-era key
+    val snap = cat.describe("db", "bw").currentSnapshot.get
+    val spec = cat.partitionSpecOf("db", "bw").get
+    val pv = cat.pvalOfLiteral(spec, "150", LongType)
+    val kept = cat.prunedFilesPval(snap, pv, "bucket(8, k)")
+    assert(kept.size < snap.files.size)
+  }
+
+  test("identity partition values with '+' survive path escaping") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("tag", StringType), StructField("v", LongType)))
+    cat.createTable("db", "pp", schema,
+      Map(PartitionSpec.PropertyKey -> "identity(tag)"))
+    cat.append("db", "pp",
+      Seq(("c+err", 1L), ("ok tag", 2L), ("a%2Fb", 3L)).toDF("tag", "v"))
+    // '+' must NOT decode to space; '%xx' written by Spark's path
+    // escaping must decode; a literal %2F in the DATA round-trips
+    val snap = cat.describe("db", "pp").currentSnapshot.get
+    assert(snap.fileStats.flatMap(_.pval).toSet ==
+      Set("c+err", "ok tag", "a%2Fb"))
+    for ((tag, v) <- Seq(("c+err", 1L), ("ok tag", 2L), ("a%2Fb", 3L))) {
+      val got = cat.readEquals("db", "pp", "tag", tag).collect()
+      assert(got.map(_.getLong(1)).toSeq == Seq(v), s"tag '$tag'")
+    }
   }
 
   test("bloom positions agree between probe side and write side") {
