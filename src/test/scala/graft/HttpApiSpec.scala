@@ -130,6 +130,27 @@ class HttpApiSpec extends SparkTestBase {
     } finally api.stop()
   }
 
+  test("metadata tables and time travel reach the HTTP SQL endpoint") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http-meta"))
+    cat.createTable("db", "ht",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    cat.append("db", "ht", Seq(1L, 2L).toDF("id"))
+    cat.append("db", "ht", Seq(3L).toDF("id"))
+    val api = new HttpApi(new Engine(spark, cat), HttpApi.Kind.Sql)
+    api.start()
+    try {
+      val p = api.boundPort
+      val (c1, b1) = post(p, "/query",
+        """{"query": "SELECT count(*) AS n_snaps FROM db.ht.snapshots"}""")
+      assert(c1 == 200 && b1.contains("\"n_snaps\":2"), b1)
+      val (c2, b2) = post(p, "/query",
+        """{"query": "SELECT count(*) AS c FROM db.ht VERSION AS OF 1"}""")
+      assert(c2 == 200 && b2.contains("\"c\":2"), b2)
+    } finally api.stop()
+  }
+
   test("POST /query lookup routes through bloom point-lookup pruning") {
     import spark.implicits._
     val cat = new SnapshotCatalog(spark, tmpDir("graft-http-bloom"))
