@@ -1261,6 +1261,36 @@ object Relational {
       |        * 1.0 / sum(c), 4) AS click_share
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // Explicit GROUPING SETS with grouping_id (q07/q18 cover rollup and
+  // cube, which are fixed set-shapes; this is the arbitrary-set form
+  // with the bitmask disambiguating which NULLs are grouping NULLs).
+  // Integer-cents money sums, as everywhere.
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q42_orders")
+    s.sql("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM graft_q42_orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        (o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, o_orderpriority, o_orderstatus""")
+  }
+
+  private val q42Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1303,5 +1333,6 @@ object Relational {
     QuerySpec("q38_range_frames", q38, Some(q38Sql)),
     QuerySpec("q39_variant_json", q39, Some(q39Sql)),
     QuerySpec("q40_gap_fill", q40, Some(q40Sql)),
-    QuerySpec("q41_map_fns", q41, Some(q41Sql)))
+    QuerySpec("q41_map_fns", q41, Some(q41Sql)),
+    QuerySpec("q42_grouping_sets", q42, Some(q42Sql)))
 }
