@@ -487,6 +487,24 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.readWhere("db", "ev", "ts", day1, day1 + 86399.0).count() == 8)
   }
 
+  test("snapshot isolation: an in-flight reader is unaffected by later commits") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    cat.createTable("db", "iso", schema)
+    cat.append("db", "iso", Seq(1L, 2L).toDF("id"))
+    // resolve the read BEFORE further commits: pointer -> snapshot ->
+    // file list happens at read() time, and data files are immutable,
+    // so the frame keeps answering from its snapshot
+    val reader = cat.read("db", "iso")
+    cat.append("db", "iso", Seq(3L, 4L).toDF("id"))
+    cat.deleteWhere("db", "iso", "id", 0.0, 1.5) // rewrites id=1 away
+    assert(reader.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "reader must keep its snapshot view")
+    assert(cat.read("db", "iso").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+  }
+
   test("partition spec evolution between bucket widths keeps old-era files") {
     import graft.catalog.PartitionSpec
     val cat = freshCatalog()
