@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFns
+import graft.functions.expressions.BucketedSum
 
 /** fastText-style hashed-bag-of-words linear classifier, trained with
   * full-batch gradient descent expressed ENTIRELY as DataFrame
@@ -34,14 +35,19 @@ object TextClassifier {
     * not presence — a bucket repeats as often as its tokens do).
     */
   def featurize(docs: DataFrame, nBuckets: Int,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    BucketedSum.register(docs.sparkSession)
     docs.withColumn("_bks",
       transform(TextFns.tokens(col(textCol)),
         t => pmod(xxhash64(t), lit(nBuckets)).cast("int")))
+  }
 
+  // codegen'd weight-lookup loop (BucketedSum scaladoc). The bias joins
+  // after the weight sum rather than seeding the fold, so weights can
+  // drift from the old HOF version in the last ulps — t33 is rows-only
+  // and OperatorSpec pins the accuracy floor, not bit equality.
   private def margin(w: Array[Double], b: Double): Column =
-    aggregate(col("_bks"), lit(b),
-      (acc, bk) => acc + element_at(typedlit(w.toSeq), bk + 1))
+    lit(b) + BucketedSum.bucketSum(col("_bks"), typedlit(w.toSeq))
 
   private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
 

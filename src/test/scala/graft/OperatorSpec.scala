@@ -334,6 +334,36 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("BucketedSum compiles under CODEGEN_ONLY and matches the HOF fold") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import graft.functions.expressions.BucketedSum
+      BucketedSum.register(spark)
+      val w = Seq(0.5, -1.0, 2.0, 0.25)
+      val df = Seq(
+        (1L, Seq(0, 2, 2)),          // 0.5 + 2 + 2
+        (2L, Seq(3)),                // 0.25
+        (3L, Seq[Int]()),            // empty → 0
+        (4L, Seq(1, 7, -2))          // out-of-range contributes 0
+      ).toDF("id", "bks")
+      val got = df.select(col("id"),
+          BucketedSum.bucketSum(col("bks"), typedlit(w)).as("m"),
+          // the HOF restatement the expression replaced — same numbers
+          aggregate(col("bks"), lit(0.0), (acc, bk) =>
+            acc + when(bk >= 0 && bk < w.size,
+              element_at(typedlit(w), bk + 1)).otherwise(0.0)).as("hof"))
+        .orderBy("id").collect()
+      assert(got.map(_.getDouble(1)).toSeq == Seq(4.5, 0.25, 0.0, -1.0))
+      assert(got.forall(r => r.getDouble(1) == r.getDouble(2)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("knnExact ranks by cosine with deterministic tie-break") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),
