@@ -1,0 +1,320 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Centroid-assignment primitives for the ANN/quantization operators,
+  * as native codegen expressions.
+  *
+  * Why: cell assignment ("which centroid is nearest?") is the inner
+  * step of k-means training, IVF bucketing, and PQ encoding. Expressed
+  * relationally it is either (a) a broadcast join against a centroid
+  * table + a full-corpus `groupBy(id).agg(max(struct))` argmax — an
+  * O(corpus × centroids) row blowup and an Exchange of the whole
+  * corpus per pass (the shape `Pq.assignCells` used), or (b) an
+  * unrolled array-of-struct literal expression, which exceeds janino's
+  * `hugeMethodLimit` once centroids × dims grows and silently drops
+  * the stage out of whole-stage codegen (measured ~25× slower). Both
+  * shapes are wrong at 100 TB.
+  *
+  * These expressions take the centroid table as a LITERAL ARRAY
+  * ARGUMENT (`typedlit` of the nested Seq): the generated code is a
+  * short data-driven loop over `ArrayData` — constant bytecode size
+  * regardless of centroid count, stays inside WholeStageCodegen, and
+  * assignment becomes a pure projection: no join, no Exchange, no
+  * generated row explosion.
+  *
+  * Tie-break parity: all argmaxes update on `>=` while scanning cell
+  * ids ascending — ties go to the LARGER cell id, exactly the order of
+  * the `max(struct(score, cid))` aggregations they replace, so
+  * swapping them in moves no assignment.
+  */
+object CentroidOps {
+
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  val NearestCellFn = "graft_nearest_cell"
+  val PqEncodeFn = "graft_pq_encode"
+  val ResidualFn = "graft_centroid_residual"
+
+  /** Idempotent registry hookup for all three expressions. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String, b: Seq[Expression] => Expression): Unit = {
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+    }
+    reg(NearestCellFn, es => NearestCell(es(0), es(1), es(2)))
+    reg(PqEncodeFn, es => PqEncode(es(0), es(1), es(2)))
+    reg(ResidualFn, es => CentroidResidual(es(0), es(1), es(2)))
+  }
+
+  def nearestCell(vec: Column, cents: Column, biases: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      NearestCellFn, vec, cents, biases)
+
+  def pqEncode(vec: Column, books: Column, biases: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      PqEncodeFn, vec, books, biases)
+
+  def residual(vec: Column, cents: Column, cell: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      ResidualFn, vec, cents, cell)
+}
+
+/** argmax_c ( <vec, cents[c]> − biases[c] ) → cell id (int).
+  *
+  * With zero biases this is argmax-cosine over unit vectors (spherical
+  * k-means / IVF home cell); with biases[c] = |c|²/2 it is Euclidean
+  * argmin (plain k-means), since argmin ||x−c||² = argmax (<x,c> −
+  * |c|²/2). Dots run over the common prefix length; null elements
+  * contribute 0 (same as [[DotProduct]]). Empty centroid array → -1.
+  */
+case class NearestCell(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_nearest_cell"
+
+  override protected def nullSafeEval(v: Any, cs: Any, bs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val biases = bs.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestC = -1
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val n = math.min(vec.numElements(), cent.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i) && !cent.isNullAt(i)) {
+          s += vec.getDouble(i) * cent.getDouble(i)
+        }
+        i += 1
+      }
+      if (c < biases.numElements() && !biases.isNullAt(c)) {
+        s -= biases.getDouble(c)
+      }
+      if (s >= best) { best = s; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, bs) => {
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $bestC = -1;
+         |int $k = $cs.numElements();
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cs.getArray($c);
+         |  int $n = java.lang.Math.min($v.numElements(), $cent.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i) && !$cent.isNullAt($i)) {
+         |      $s += $v.getDouble($i) * $cent.getDouble($i);
+         |    }
+         |  }
+         |  if ($c < $bs.numElements() && !$bs.isNullAt($c)) {
+         |    $s -= $bs.getDouble($c);
+         |  }
+         |  if ($s >= $best) { $best = $s; $bestC = $c; }
+         |}
+         |${ev.value} = $bestC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Product-quantization encoder: per subspace `s`, the Euclidean-argmin
+  * codebook cell of the subvector vec[s·sd … (s+1)·sd) → array<int> of
+  * length m (Jégou et al. 2011). `books` is array<array<array<double>>>
+  * (subspace → cell → centroid), `biases` is array<array<double>> with
+  * biases[s][c] = |books[s][c]|²/2. Subspace width sd = len(vec)/m.
+  */
+case class PqEncode(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(v: Any, bk: Any, bs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val books = bk.asInstanceOf[ArrayData]
+    val biases = bs.asInstanceOf[ArrayData]
+    val m = books.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyIntArray)
+    val sd = vec.numElements() / m
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = books.getArray(s)
+      val bias = if (s < biases.numElements()) biases.getArray(s) else null
+      var best = Double.NegativeInfinity
+      var bestC = -1
+      var c = 0
+      val k = cents.numElements()
+      while (c < k) {
+        val cent = cents.getArray(c)
+        val n = math.min(sd, cent.numElements())
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val vi = s * sd + i
+          if (!vec.isNullAt(vi) && !cent.isNullAt(i)) {
+            dot += vec.getDouble(vi) * cent.getDouble(i)
+          }
+          i += 1
+        }
+        if (bias != null && c < bias.numElements() && !bias.isNullAt(c)) {
+          dot -= bias.getDouble(c)
+        }
+        if (dot >= best) { best = dot; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, bk, bs) => {
+      val m = ctx.freshName("m")
+      val sd = ctx.freshName("sd")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val cents = ctx.freshName("cents")
+      val bias = ctx.freshName("bias")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val vi = ctx.freshName("vi")
+      s"""
+         |int $m = $bk.numElements();
+         |int $sd = $m == 0 ? 0 : $v.numElements() / $m;
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cents = $bk.getArray($s);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $bias =
+         |    $s < $bs.numElements() ? $bs.getArray($s) : null;
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  int $bestC = -1;
+         |  int $k = $cents.numElements();
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray($c);
+         |    int $n = java.lang.Math.min($sd, $cent.numElements());
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      int $vi = $s * $sd + $i;
+         |      if (!$v.isNullAt($vi) && !$cent.isNullAt($i)) {
+         |        $dot += $v.getDouble($vi) * $cent.getDouble($i);
+         |      }
+         |    }
+         |    if ($bias != null && $c < $bias.numElements() && !$bias.isNullAt($c)) {
+         |      $dot -= $bias.getDouble($c);
+         |    }
+         |    if ($dot >= $best) { $best = $dot; $bestC = $c; }
+         |  }
+         |  $codes[$s] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** vec − cents[cell], element-wise over len(vec) (missing/null centroid
+  * elements subtract 0) → array<double>. Replaces the interpreted
+  * `zip_with` lambda in the residual computation of IVF-PQ index
+  * builds. Out-of-range `cell` → null (never silently wrong).
+  */
+case class CentroidResidual(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // can return null on out-of-range cell even over non-null children —
+  // forces a mutable isNull slot in codegen (FalseLiteral otherwise)
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_centroid_residual"
+
+  override protected def nullSafeEval(v: Any, cs: Any, cl: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val cell = cl.asInstanceOf[Int]
+    if (cell < 0 || cell >= cents.numElements()) return null
+    val cent = cents.getArray(cell)
+    val n = vec.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (vec.isNullAt(i)) 0.0 else vec.getDouble(i)
+      val c = if (i < cent.numElements() && !cent.isNullAt(i)) cent.getDouble(i)
+        else 0.0
+      out(i) = x - c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, cl) => {
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val cv = ctx.freshName("cv")
+      s"""
+         |if ($cl < 0 || $cl >= $cs.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cs.getArray($cl);
+         |  int $n = $v.numElements();
+         |  double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $v.isNullAt($i) ? 0.0 : $v.getDouble($i);
+         |    double $cv = ($i < $cent.numElements() && !$cent.isNullAt($i))
+         |      ? $cent.getDouble($i) : 0.0;
+         |    $out[$i] = $x - $cv;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{CentroidOps, DotProduct}
 
 /** Product quantization for ANN search (Jégou et al. 2011, "Product
   * Quantization for Nearest Neighbor Search", IEEE TPAMI — public
@@ -28,14 +28,18 @@ import graft.functions.expressions.DotProduct
   *    lookups + adds per pair instead of `dim` multiplies (asymmetric
   *    distance computation, ADC).
   *
-  * Codebook-as-DATA, not code: cell assignment joins the exploded
-  * (id, subspace, subvector) rows against a BROADCAST centroid table,
-  * so each row costs one codegen'd [[DotProduct]] and the
-  * per-(id, subspace) argmin is a map-side `max(struct)` partial
-  * aggregation. The first cut inlined all m × ksub centroids as one
-  * giant literal expression — Spark disabled whole-stage codegen for
-  * the stage (hugeMethodLimit) and the interpreted fallback was ~25×
-  * slower at sf0.1. Measured: 26.9 s → ~1 s for the full e08 pipeline.
+  * Codebook-as-a-literal-ARGUMENT, not code: encoding is one
+  * [[graft.functions.expressions.PqEncode]] call per vector — a
+  * codegen'd data-driven loop whose bytecode size is constant in
+  * m × ksub. Two earlier shapes both failed: inlining all m × ksub
+  * centroids as an unrolled literal expression tripped janino's
+  * hugeMethodLimit and fell back to interpreted eval (~25× slower,
+  * 26.9 s for e08 at sf0.1); the broadcast-join + per-(id, subspace)
+  * `max(struct)` argmax fixed that (~1 s) but exploded the corpus m×
+  * and shuffled every row through the argmax aggregation — per encode
+  * AND per Lloyd iteration, the dominant data motion at 100 TB. The
+  * expression form keeps assignment a pure projection: no explosion,
+  * no join, no Exchange.
   *
   * Scale shape: scoring still touches every corpus CODE per query
   * (that is PQ's contract — compressed exhaustive scan); the 100 TB
@@ -56,43 +60,22 @@ object Pq {
     dim / m
   }
 
-  /** (s, cid, cvec, bias = |c|²/2) — one row per centroid, broadcast at
-    * the assignment join. argmin ||x_s − c||² = argmax (<x_s,c> − bias).
+  /** The m codebooks as ONE literal array<array<array<double>>> column
+    * — the argument of [[CentroidOps.pqEncode]], whose generated loop
+    * is constant bytecode size regardless of m × ksub (vs the unrolled
+    * literal expression that blew hugeMethodLimit, and vs the broadcast
+    * join + argmax shuffle this file used before — see the
+    * [[CentroidOps]] scaladoc for the shape comparison).
     */
-  private def centroidsDf(spark: SparkSession, books: Codebooks): DataFrame = {
-    import spark.implicits._
-    books.zipWithIndex.flatMap { case (cents, s) =>
-      cents.zipWithIndex.map { case (c, cid) =>
-        (s, cid, c.toSeq, c.map(x => x * x).sum / 2)
-      }
-    }.toSeq.toDF("s", "cid", "cvec", "bias")
-  }
+  private def booksLit(books: Codebooks): Column =
+    typedlit[Seq[Seq[Seq[Double]]]](books.map(_.map(_.toSeq).toSeq).toSeq)
 
-  /** Explode each unit vector into its m subvectors: (id, s, sv). */
-  private def subVectors(unit: DataFrame, m: Int, dim: Int): DataFrame = {
-    val sd = subdim(dim, m)
-    unit.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("uv"), s * sd + 1, lit(sd)))).as(Seq("s", "sv")))
-  }
-
-  /** Winner cell per (id, subspace): broadcast-join the centroid table,
-    * one codegen'd dot per row, map-side max(struct) argmax. Ties break
-    * to the larger cell id (struct comparison on (score, cid)),
-    * deterministically. Keeps the subvector in the winner struct so
-    * callers can explode it without a second join.
+  /** biases[s][c] = |books(s)(c)|²/2: argmin ||x_s − c||² = argmax
+    * (<x_s,c> − bias).
     */
-  private def assignCells(unit: DataFrame, books: Codebooks,
-      dim: Int): DataFrame = {
-    val sv = subVectors(unit, books.length, dim)
-    val cents = centroidsDf(unit.sparkSession, books)
-    sv.join(broadcast(cents), Seq("s"))
-      .select(col("id"), col("s"),
-        struct((DotProduct.dot(col("sv"), col("cvec")) - col("bias")).as("score"),
-          col("cid"), col("sv")).as("w"))
-      .groupBy("id", "s").agg(max("w").as("w"))
-      .select(col("id"), col("s"), col("w.cid").as("cell"), col("w.sv").as("sv"))
-  }
+  private def biasesLit(books: Codebooks): Column =
+    typedlit[Seq[Seq[Double]]](
+      books.map(_.map(c => c.map(x => x * x).sum / 2).toSeq).toSeq)
 
   /** Deterministic seeds: the first `ksub` ids' subvectors. */
   private def seedCodebooks(unit: DataFrame, m: Int, ksub: Int,
@@ -125,10 +108,19 @@ object Pq {
     */
   private def trainCodebooksUnit(unit: DataFrame, m: Int, ksub: Int,
       dim: Int, iters: Int): Codebooks = {
+    CentroidOps.register(unit.sparkSession)
+    val sd = subdim(dim, m)
     var books = seedCodebooks(unit, m, ksub, dim)
     for (_ <- 1 to iters) {
-      val sums = assignCells(unit, books, dim)
-        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+      // winner cells are a pure projection (one PqEncode per vector);
+      // the only shuffle is the tiny (s, cell, d) mean aggregation —
+      // map-side partials reduce it to m × ksub × sd doubles per task
+      val sums = unit
+        .select(col("uv"), posexplode(CentroidOps.pqEncode(col("uv"),
+          booksLit(books), biasesLit(books))).as(Seq("s", "cell")))
+        .select(col("s"), col("cell"),
+          posexplode(slice(col("uv"), col("s") * lit(sd) + lit(1),
+            lit(sd))).as(Seq("d", "x")))
         .groupBy("s", "cell", "d")
         .agg(avg("x").as("mean"))
         .collect()
@@ -151,11 +143,13 @@ object Pq {
     encodeUnit(Similarity.unitVectors(vecs, idCol, "id", "uv"), codebooks, dim)
 
   private def encodeUnit(unit: DataFrame, codebooks: Codebooks,
-      dim: Int): DataFrame =
-    assignCells(unit, codebooks, dim)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("cell")))),
-        x => x.getField("cell")).as("codes"))
+      dim: Int): DataFrame = {
+    CentroidOps.register(unit.sparkSession)
+    // a pure projection: one codegen'd PqEncode per vector, codes in
+    // subspace order by construction — no explode, no join, no shuffle
+    unit.select(col("id"), CentroidOps.pqEncode(col("uv"),
+      booksLit(codebooks), biasesLit(codebooks)).as("codes"))
+  }
 
   /** ANN top-k by ADC over PQ codes, with exact re-ranking of the top
     * `rerank` ADC candidates per query (rerank >= k; rerank == 0 skips
@@ -256,18 +250,20 @@ object Pq {
       Similarity.kmeansCentroidsUnit(unit, nCells, iters))
     val spark = vecs.sparkSession
     import spark.implicits._
+    CentroidOps.register(spark)
     val coarseDf = coarse.zipWithIndex
       .map { case (c, cid) => (cid, c.toSeq) }.toSeq.toDF("ccid", "cvec")
-    // home cell per vector: broadcast join + max(struct) argmax (ties
-    // to the larger cell id, deterministically), then residuals
-    val assigned = unit.join(broadcast(coarseDf))
-      .select(col("id"),
-        struct(DotProduct.dot(col("uv"), col("cvec")).as("score"),
-          col("ccid"), col("cvec")).as("w"))
-      .groupBy("id").agg(max("w").as("w"))
-      .join(unit, Seq("id"))
-      .select(col("id"), col("w.ccid").as("cell"),
-        zip_with(col("uv"), col("w.cvec"), (x, c) => x - c).as("resid"))
+    val coarseLit = typedlit[Seq[Seq[Double]]](coarse.map(_.toSeq).toSeq)
+    val zeroBias = typedlit[Seq[Double]](Seq.fill(coarse.length)(0.0))
+    // home cell + residual per vector as pure projections (argmax-dot
+    // and subtraction inside one codegen stage; ties to the larger cell
+    // id, matching the max(struct) aggregation this replaces) — the
+    // corpus is never joined, exploded, or shuffled to get assigned
+    val assigned = unit
+      .withColumn("cell",
+        CentroidOps.nearestCell(col("uv"), coarseLit, zeroBias))
+      .select(col("id"), col("cell"),
+        CentroidOps.residual(col("uv"), coarseLit, col("cell")).as("resid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = codebooks.getOrElse(trainCodebooksUnit(
       assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns.asDouble
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{CentroidOps, DotProduct}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -28,6 +28,7 @@ object Similarity {
   private[operators] def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
       vecAs: String): DataFrame = {
     DotProduct.register(vecs.sparkSession)
+    CentroidOps.register(vecs.sparkSession)
     val v = asDouble(col("embedding"))
     vecs
       .select(col(idCol).as(idAs), v.as("_v"))
@@ -360,11 +361,17 @@ object Similarity {
   }
 
   /** argmax-cosine cell id against literal centroids — an expression,
-    * not a join: array of (sim, cid) structs, array_max picks the best
-    * (ties break to the larger cid, deterministically).
+    * not a join, and the centroid table is a literal ARGUMENT of the
+    * codegen'd [[CentroidOps.nearestCell]] loop (constant bytecode size
+    * in nCells, vs the unrolled struct-array form that trips janino's
+    * hugeMethodLimit as nCells × dim grows). Ties break to the larger
+    * cid, deterministically — same as the array_max(struct) form it
+    * replaced.
     */
   private def homeCell(centroids: Array[Array[Double]]): Column =
-    array_max(centroidSims(centroids)).getField("cid")
+    CentroidOps.nearestCell(col("uv"),
+      typedlit[Seq[Seq[Double]]](centroids.map(_.toSeq).toSeq),
+      typedlit[Seq[Double]](Seq.fill(centroids.length)(0.0)))
 
   private def probeCells(centroids: Array[Array[Double]], nProbe: Int): Column =
     transform(

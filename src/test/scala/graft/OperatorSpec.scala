@@ -364,6 +364,58 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("CentroidOps expressions compile under CODEGEN_ONLY with pinned semantics") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import graft.functions.expressions.CentroidOps
+      CentroidOps.register(spark)
+      val cents2 = typedlit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      val zeros2 = typedlit(Seq(0.0, 0.0))
+      val df = Seq(
+        (1L, Seq(2.0, 1.0)),   // dot: (2, 1)   -> cell 0
+        (2L, Seq(1.0, 3.0)),   // dot: (1, 3)   -> cell 1
+        (3L, Seq(1.0, 1.0))    // dot tie (1,1) -> larger id wins: 1
+      ).toDF("id", "v")
+      val cells = df.select(col("id"),
+          CentroidOps.nearestCell(col("v"), cents2, zeros2).as("c"))
+        .orderBy("id").collect().map(_.getInt(1)).toSeq
+      assert(cells == Seq(0, 1, 1))
+      // Euclidean argmin via bias = |c|²/2: centroids (3,0) and (0,1);
+      // vec (1.5, 1.2) is closer to (0,1) despite a larger dot with (3,0)
+      val centsE = typedlit(Seq(Seq(3.0, 0.0), Seq(0.0, 1.0)))
+      val biasE = typedlit(Seq(4.5, 0.5))
+      val eu = Seq((1L, Seq(1.5, 1.2))).toDF("id", "v")
+        .select(CentroidOps.nearestCell(col("v"), centsE, biasE))
+        .head().getInt(0)
+      assert(eu == 1)
+      // pqEncode: dim 4 = 2 subspaces × 2; books chosen so doc picks
+      // cell 1 in subspace 0 and cell 0 in subspace 1
+      val books = Seq(
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        Seq(Seq(1.0, 1.0), Seq(-1.0, -1.0)))
+      val biases = books.map(_.map(c => c.map(x => x * x).sum / 2))
+      val codes = Seq((1L, Seq(0.2, 0.9, 0.5, 0.5))).toDF("id", "v")
+        .select(CentroidOps.pqEncode(col("v"),
+          typedlit(books), typedlit(biases)).as("codes"))
+        .head().getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes == Seq(1, 0))
+      // residual subtracts the assigned centroid; out-of-range -> null
+      val res = Seq((1L, Seq(2.0, 1.0), 0), (2L, Seq(2.0, 1.0), 7))
+        .toDF("id", "v", "cell")
+        .select(col("id"),
+          CentroidOps.residual(col("v"), cents2, col("cell")).as("r"))
+        .orderBy("id").collect()
+      assert(res(0).getAs[scala.collection.Seq[Double]]("r") == Seq(1.0, 1.0))
+      assert(res(1).isNullAt(1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("knnExact ranks by cosine with deterministic tie-break") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),
