@@ -373,6 +373,31 @@ object Dedup {
       (col("v") === col("lbl")).cast("long").as("keep_doc"))
   }
 
+  /** Quality-aware cluster representative selection: given cluster
+    * assignments from [[connectedComponents]] and a per-doc quality
+    * frame, re-elect each cluster's representative as the HIGHEST-
+    * QUALITY member (ties to the smaller doc id) instead of the min-id
+    * default. This is what production dedup actually keeps — when a
+    * page is crawled five times, the copies differ (boilerplate,
+    * truncation, encoding damage) and "keep the best copy" measurably
+    * beats "keep the first seen" (the CCNet/RefinedWeb discipline).
+    *
+    * Scale shape: one join keyed on the doc id and one window over
+    * `component` — clusters are small and numerous (the partition key
+    * is near-unique), so the window shuffle is well-spread; no
+    * all-member comparisons, no driver state.
+    */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+      qCol: String = "quality", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(qCol).desc, col(idCol))
+    clusters.select(col(idCol), col("component"))
+      .join(quality.select(col(idCol), col(qCol)), Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .select(col(idCol), col("component"), col(qCol),
+        (col("_rk") === 1).cast("long").as("keep_doc"))
+  }
+
   /** 64-bit SimHash over token multisets (duplicates weighted). */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,25 +116,38 @@ object TrainingData {
   // ---------------------------------------------------------------- t04
   // Quality scoring: token count, average word length, punctuation
   // ratio, stopword ratio, composite score.
-  private def t04(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val nToks = size(toks).cast("long")
+  /** t04's composite quality score over `text` — factored out so the
+    * quality-aware dedup representative (t36) elects on EXACTLY the
+    * score t04 verifies.
+    */
+  private def qualityCol: Column = {
+    val nToks = size(TextFns.tokens(col("text"))).cast("long")
     val nChars = length(col("text")).cast("long")
     val punct = (length(col("text")) -
       length(translate(col("text"), ".,!?;:", ""))).cast("long")
     val nStop = TextFns.vocabHits(col("text"),
       TextFns.langProfiles.head._2).cast("long")
     val safeToks = greatest(nToks, lit(1L))
-    val stopRatio = nStop / safeToks
-    val punctRatio = punct / greatest(nChars, lit(1L))
+    round(least(nToks, lit(100L)) / 100.0 *
+      (lit(1.0) - punct / greatest(nChars, lit(1L))) *
+      (lit(0.5) + lit(0.5) * (nStop / safeToks)), 4)
+  }
+
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nToks = size(toks).cast("long")
+    val punct = (length(col("text")) -
+      length(translate(col("text"), ".,!?;:", ""))).cast("long")
+    val nStop = TextFns.vocabHits(col("text"),
+      TextFns.langProfiles.head._2).cast("long")
+    val safeToks = greatest(nToks, lit(1L))
     docs(s, dir).select(
       col("doc_id"),
       nToks.as("n_tokens"),
       round(length(concat_ws("", toks)).cast("long") / safeToks, 4).as("avg_word_len"),
       punct.as("n_punct"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(least(nToks, lit(100L)) / 100.0 * (lit(1.0) - punctRatio) *
-        (lit(0.5) + lit(0.5) * stopRatio), 4).as("quality"))
+      round(nStop / safeToks, 4).as("stop_ratio"),
+      qualityCol.as("quality"))
       .orderBy("doc_id")
   }
 
@@ -1460,6 +1473,73 @@ object TrainingData {
       |FROM plan3 p LEFT JOIN rem r USING (source)
       |ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+  // Quality-aware dedup representative: same clusters as t18 (connected
+  // components over the exact n-gram Jaccard pair graph), but each
+  // cluster keeps its HIGHEST-QUALITY member by t04's composite score
+  // (ties to the smaller doc id) — "keep the best copy", not "keep the
+  // first seen" (Dedup.keepBestPerCluster scaladoc). Docs in no
+  // near-dup pair are not listed, matching t18's contract. The oracle
+  // restates the closure + the quality formula + the re-election.
+  private def t36(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.keepBestPerCluster(
+        Dedup.connectedComponents(
+          Dedup.ngramJaccard(d, n = 3, threshold = 0.5)),
+        d.select(col("doc_id"), qualityCol.as("quality")))
+      .orderBy("doc_id")
+  }
+
+  private val t36Sql = {
+    val en = TextFns.langProfiles.head._2
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, $duckToks AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a, b FROM common
+      |  JOIN cnt ca ON common.a = ca.doc_id
+      |  JOIN cnt cb ON common.b = cb.doc_id
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+      |edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (
+      |  SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
+      |  FROM reach GROUP BY u),
+      |f AS (
+      |  SELECT doc_id,
+      |    len($duckToks) AS n_tokens,
+      |    length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+      |    length(text) AS n_chars,
+      |    ${duckVocabHits(en)} AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(least(n_tokens, 100) / 100.0
+      |          * (1.0 - n_punct * 1.0 / greatest(n_chars, 1))
+      |          * (0.5 + 0.5 * n_stop / greatest(n_tokens, 1)), 4) AS quality
+      |  FROM f)
+      |SELECT comp.doc_id, component, quality,
+      |  CAST(row_number() OVER (PARTITION BY component
+      |         ORDER BY quality DESC, comp.doc_id) = 1 AS BIGINT) AS keep_doc
+      |FROM comp JOIN q ON comp.doc_id = q.doc_id
+      |ORDER BY comp.doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -1496,6 +1576,7 @@ object TrainingData {
     QuerySpec("t33_quality_classifier", t33, None),
     QuerySpec("t34_decontaminate_semantic", t34, Some(t34Sql)),
     QuerySpec("t35_epoch_plan", t35, Some(t35Sql)),
+    QuerySpec("t36_cluster_best", t36, Some(t36Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, None),

@@ -364,6 +364,23 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("keepBestPerCluster elects the highest-quality member, ties to smaller id") {
+    import graft.operators.Dedup
+    // components: {1,2,3} (label 1) and {10,11} (label 10)
+    val clusters = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L),
+        (10L, 10L, 1L), (11L, 10L, 0L))
+      .toDF("doc_id", "component", "keep_doc")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = Dedup.keepBestPerCluster(clusters, quality)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // cluster 1: quality tie 2 vs 3 at 0.9 -> smaller id 2 kept (not
+    // min-id member 1, whose quality is lower)
+    assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (10L, 10L, 1L), (11L, 10L, 0L)))
+  }
+
   test("CentroidOps expressions compile under CODEGEN_ONLY with pinned semantics") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
