@@ -53,6 +53,37 @@ object ScaleSmoke {
       d.unpersist()
       spark.catalog.clearCache()
     }
+
+    // ANN tier: PQ encode + IVF search over a replicated embedding
+    // corpus, with the index (coarse cells + codebooks) TRAINED ONCE
+    // at 1× and held fixed — the deployment shape (train on a sample,
+    // index the world). Encode is a pure codegen projection and IVF
+    // probe cost is ∝ corpus/nCells, so both should track the data
+    // ratio; super-linear growth would mean assignment started
+    // shuffling the corpus again.
+    import graft.operators.{Pq, Similarity}
+    val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+    def replicateE(n: Int) = (0 until n).map { i =>
+      // deterministic per-replica perturbation: scale dim j by a
+      // replica-dependent factor so replicas aren't bit-identical
+      // (unit-normalization in the operators absorbs global scale)
+      e0.select((col("vec_id") + lit(i * 1000000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x * (lit(1.0f) + lit(i * 0.01f) * (j % 7))).as("embedding"))
+    }.reduce(_ unionByName _)
+    val books = Pq.trainCodebooks(e0, m = 8, ksub = 16, dim = 64, iters = 3)
+    val cents = Similarity.kmeansCentroids(e0, 16, 4)
+    for (n <- Seq(1, 10)) {
+      val e = replicateE(n).persist()
+      val total = e.count()
+      val (tc, rc) = time(Pq.encode(e, books, dim = 64).count())
+      val (ti, ri) = time(Similarity.knnIvf(e, 5, nCells = 16, nProbe = 4,
+        col("id") < 50, centroids = Some(cents)).count())
+      println(f"x$n%-2d vecs=$total%7d | pq-encode $tc%6.2fs ($rc%d rows) " +
+        f"| ivf-knn $ti%6.2fs ($ri%d)")
+      e.unpersist()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
