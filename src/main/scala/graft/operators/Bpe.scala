@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.functions.expressions.BpeMerges
 
 /** Distributed byte-pair-encoding (BPE) tokenizer training — the
   * vocabulary-learning step of an LLM data pipeline (Sennrich et al.
@@ -23,9 +24,9 @@ import graft.functions.TextFns
   *    the pair space is bounded by the symbol inventory², not the
   *    corpus);
   *  - [[train]]: N rounds of argmax-pair (a 1-row collect) + greedy
-  *    left-to-right merge applied to the vocab via a fold expression
-  *    (`aggregate`), `localCheckpoint`ed per round so the iterative
-  *    plan stays flat — the same discipline as
+  *    left-to-right merge applied to the vocab via the codegen'd
+  *    [[BpeMerges]] expression, `localCheckpoint`ed per round so the
+  *    iterative plan stays flat — the same discipline as
   *    [[Dedup.connectedComponents]].
   *
   * Tie-break is total and deterministic (count desc, then left, then
@@ -60,17 +61,16 @@ object Bpe {
       .agg(sum("freq").as("n"))
 
   /** Greedy left-to-right merge of the adjacent pair (a, b) inside a
-    * symbol array, as a fold: a symbol equal to `b` fuses with a tail
-    * symbol equal to `a`. Non-overlap is structural, not flagged: a
-    * fused tail is the string a+b, which can never equal `a` (b is
-    * nonempty), so "aaa" under (a,a) correctly gives ["aa","a"] — the
-    * standard BPE single-pass semantics.
+    * symbol array — one-merge form of the codegen'd [[BpeMerges]]
+    * expression (see its scaladoc for the semantics and for why the
+    * earlier `aggregate`-fold form was replaced). Non-overlap is
+    * structural: a fused tail is the string a+b, which can never equal
+    * `a` (b is nonempty), so "aaa" under (a,a) correctly gives
+    * ["aa","a"] — the standard BPE single-pass semantics. Requires
+    * `BpeMerges.register` (the operator entry points do it).
     */
   private[graft] def mergePair(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, s) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(s))))
+    BpeMerges.merge(syms, typedlit(Seq(a)), typedlit(Seq(b)))
 
   /** Learn up to `nMerges` BPE merges (fewer if pairs run out).
     * Returns the merge list in learned order plus the final vocab
@@ -78,6 +78,7 @@ object Bpe {
     */
   def train(docs: DataFrame, nMerges: Int,
       textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    BpeMerges.register(docs.sparkSession)
     var v = vocab(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -98,20 +99,19 @@ object Bpe {
   }
 
   /** Apply a learned merge list to a symbol-array frame, in learned
-    * order — the distributed tokenizer-INFERENCE step. Merges chain as
-    * nested [[mergePair]] folds; `checkpointEvery` bounds the nesting
-    * depth (a 10-merge chain is 10 stacked higher-order lambdas —
-    * fine; hundreds would stall analysis), trading one tiny
-    * materialization of the vocab-sized frame per block.
+    * order — the distributed tokenizer-INFERENCE step. The whole list
+    * is ONE codegen'd [[BpeMerges]] call (merges ride as literal-array
+    * arguments), so plan depth is constant in the merge count: the
+    * earlier form chained one interpreted fold per merge and needed
+    * periodic `localCheckpoint` blocks just to keep hundreds of nested
+    * lambdas analyzable.
     */
-  def applyMerges(vocabDf: DataFrame, merges: Seq[(String, String)],
-      checkpointEvery: Int = 8): DataFrame =
-    merges.zipWithIndex.foldLeft(vocabDf) { case (v, ((a, b), i)) =>
-      val merged = v.withColumn("syms", mergePair(col("syms"), a, b))
-      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.length)
-        merged.localCheckpoint(true)
-      else merged
-    }
+  def applyMerges(vocabDf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    BpeMerges.register(vocabDf.sparkSession)
+    vocabDf.withColumn("syms", BpeMerges.merge(col("syms"),
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2))))
+  }
 
   /** Encode documents with a trained merge list: per-document
     * whitespace token count, BPE symbol count, and symbols-per-word.

@@ -53,6 +53,7 @@ class BpeSpec extends SparkTestBase {
     "newest newest newest", "widest widest", "low lower newest")
 
   test("mergePair fold: overlap and repetition semantics") {
+    graft.functions.expressions.BpeMerges.register(spark)
     val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq("x"))
       .toDF("syms")
     val got = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
@@ -62,6 +63,30 @@ class BpeSpec extends SparkTestBase {
     val got2 = df.select(Bpe.mergePair(col("syms"), "a", "b").as("m"))
       .collect().map(_.getSeq[String](0)).toSeq
     assert(got2(1) == Seq("ab", "ab")) // both occurrences merge in one pass
+  }
+
+  test("BpeMerges compiles under CODEGEN_ONLY and equals encodeWord") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import graft.functions.expressions.BpeMerges
+      BpeMerges.register(spark)
+      val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"))
+      val words = Seq("low", "lowest", "slow", "x", "")
+      val got = words.map(w => (w, w.map(_.toString)))
+        .toDF("w", "syms")
+        .select(col("w"), BpeMerges.merge(col("syms"),
+          typedlit(merges.map(_._1)), typedlit(merges.map(_._2))).as("m"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.foreach { w =>
+        assert(got(w) == Bpe.encodeWord(w, merges), s"word '$w'")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
   }
 
   test("train matches the independent reference on every merge") {
@@ -90,13 +115,12 @@ class BpeSpec extends SparkTestBase {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val (merges, _) = Bpe.train(docs, nMerges = 12)
-    // low checkpointEvery exercises the checkpoint path mid-chain
     val encoded = Bpe.applyMerges(
       docs.select(explode(split(col("text"), " ")).as("w")).distinct()
         .withColumn("syms",
           transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1)))),
-      merges, checkpointEvery = 3)
+      merges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     encoded.foreach { case (w, s) =>
       assert(s == Bpe.encodeWord(w, merges), s"word $w")
