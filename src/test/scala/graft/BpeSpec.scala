@@ -89,6 +89,42 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("BpeMerges equals the driver-side reference on 400 randomized cases") {
+    import graft.functions.expressions.BpeMerges
+    BpeMerges.register(spark)
+    val rnd = new scala.util.Random(2026)
+    val alphabet = Vector("a", "b", "c")
+    // reference: encodeWord's loop over arbitrary start symbols
+    def ref(syms: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+      var cur = syms
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        cur.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        cur = out.toSeq
+      }
+      cur
+    }
+    def tok(): String =
+      (0 until 1 + rnd.nextInt(2)).map(_ => alphabet(rnd.nextInt(3))).mkString
+    val cases = (0 until 400).map { i =>
+      val syms = Seq.fill(rnd.nextInt(13))(alphabet(rnd.nextInt(3)))
+      val merges = Seq.fill(rnd.nextInt(7))((tok(), tok()))
+      (i.toLong, syms, merges.map(_._1), merges.map(_._2))
+    }
+    val got = cases.toDF("i", "syms", "ls", "rs")
+      .select(col("i"),
+        BpeMerges.merge(col("syms"), col("ls"), col("rs")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.foreach { case (i, syms, ls, rs) =>
+      assert(got(i) == ref(syms, ls.zip(rs)),
+        s"case $i: syms=$syms merges=${ls.zip(rs)}")
+    }
+  }
+
   test("train matches the independent reference on every merge") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

@@ -433,6 +433,55 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("CentroidOps equal driver-side references on 300 randomized cases") {
+    import graft.functions.expressions.CentroidOps
+    CentroidOps.register(spark)
+    val rnd = new scala.util.Random(7)
+    def refNearest(v: Seq[Double], cents: Seq[Seq[Double]],
+        biases: Seq[Double]): Int = {
+      var best = Double.NegativeInfinity; var bestC = -1
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val s = v.zip(c).map { case (x, y) => x * y }.sum - biases(i)
+        if (s >= best) { best = s; bestC = i }
+      }
+      bestC
+    }
+    // small value grid so exact score TIES actually occur and exercise
+    // the larger-id tie-break against the reference
+    def value(): Double = rnd.nextInt(3) - 1.0
+    val m = 2
+    val cases = (0 until 300).map { i =>
+      val dim = 2 * (1 + rnd.nextInt(3)) // 2/4/6, divisible by m
+      val v = Seq.fill(dim)(value())
+      val k = 1 + rnd.nextInt(5)
+      val cents = Seq.fill(k)(Seq.fill(dim)(value()))
+      val biases = Seq.fill(k)(value())
+      val books = Seq.fill(m)(Seq.fill(k)(Seq.fill(dim / m)(value())))
+      val bBias = books.map(_.map(c => c.map(x => x * x).sum / 2))
+      (i.toLong, v, cents, biases, books, bBias)
+    }
+    val got = cases.toDF("i", "v", "cents", "biases", "books", "bbias")
+      .select(col("i"),
+        CentroidOps.nearestCell(col("v"), col("cents"), col("biases")).as("nc"),
+        CentroidOps.pqEncode(col("v"), col("books"), col("bbias")).as("codes"),
+        CentroidOps.residual(col("v"), col("cents"),
+          CentroidOps.nearestCell(col("v"), col("cents"), col("biases"))).as("r"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2), r.getSeq[Double](3)))).toMap
+    cases.foreach { case (i, v, cents, biases, books, bBias) =>
+      val (nc, codes, resid) = got(i)
+      assert(nc == refNearest(v, cents, biases), s"nearestCell case $i")
+      val sd = v.length / m
+      val refCodes = (0 until m).map { s =>
+        refNearest(v.slice(s * sd, (s + 1) * sd), books(s), bBias(s))
+      }
+      assert(codes == refCodes, s"pqEncode case $i")
+      val refResid = v.zip(cents(nc)).map { case (x, c) => x - c }
+      assert(resid == refResid, s"residual case $i")
+    }
+  }
+
   test("knnExact ranks by cosine with deterministic tie-break") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),
