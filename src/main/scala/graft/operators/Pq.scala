@@ -239,7 +239,6 @@ object Pq {
       rerank: Int = 0,
       coarseCentroids: Option[Array[Array[Double]]] = None,
       codebooks: Option[Codebooks] = None): DataFrame = {
-    val sd = subdim(dim, m)
     val unit = Similarity.unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // coarse quantizer: spherical k-means cells (cosine geometry),
@@ -248,11 +247,7 @@ object Pq {
     // `coarseCentroids`/`codebooks` in.
     val coarse = coarseCentroids.getOrElse(
       Similarity.kmeansCentroidsUnit(unit, nCells, iters))
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    CentroidOps.register(spark)
-    val coarseDf = coarse.zipWithIndex
-      .map { case (c, cid) => (cid, c.toSeq) }.toSeq.toDF("ccid", "cvec")
+    CentroidOps.register(vecs.sparkSession)
     val coarseLit = typedlit[Seq[Seq[Double]]](coarse.map(_.toSeq).toSeq)
     val zeroBias = typedlit[Seq[Double]](Seq.fill(coarse.length)(0.0))
     // home cell + residual per vector as pure projections (argmax-dot
@@ -267,11 +262,74 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = codebooks.getOrElse(trainCodebooksUnit(
       assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters))
-    val codes = encodeUnit(
-      assigned.select(col("id"), col("resid").as("uv")), books, dim)
-      .join(assigned.select(col("id"), col("cell")), Seq("id"))
-      .select(col("id").as("neighbor_id"), col("cell"), col("codes"))
-    // query side: top-nProbe cells by centroid similarity + LUT
+    // index rows stay a pure projection over `assigned` — the earlier
+    // form re-joined the encode output back on id for no reason
+    val codes = assigned.select(col("id").as("neighbor_id"), col("cell"),
+      CentroidOps.pqEncode(col("resid"),
+        booksLit(books), biasesLit(books)).as("codes"))
+    probeScoreIvf(codes, unit.filter(queryFilter), unit, coarse, books,
+      dim, k, nProbe, rerank)
+  }
+
+  /** (id, cell, codes) IVF-PQ index rows for FIXED coarse centroids
+    * and codebooks — the at-rest index of [[knnIvfPq]], as ONE pure
+    * projection (normalize → nearest cell → residual → PQ code, all
+    * codegen expressions: no join, no shuffle, no state). Stateless
+    * means it runs unchanged on a STREAMING frame —
+    * `streaming.VectorIndex` maintains the index table from a vector
+    * stream with exactly this projection, one atomic snapshot per
+    * micro-batch.
+    */
+  def indexRows(vecs: DataFrame, coarse: Array[Array[Double]],
+      books: Codebooks, idCol: String = "vec_id"): DataFrame = {
+    CentroidOps.register(vecs.sparkSession)
+    val coarseLit = typedlit[Seq[Seq[Double]]](coarse.map(_.toSeq).toSeq)
+    val zeroBias = typedlit[Seq[Double]](Seq.fill(coarse.length)(0.0))
+    Similarity.unitVectors(vecs, idCol, "id", "uv")
+      .withColumn("cell",
+        CentroidOps.nearestCell(col("uv"), coarseLit, zeroBias))
+      .select(col("id"), col("cell"),
+        CentroidOps.pqEncode(
+          CentroidOps.residual(col("uv"), coarseLit, col("cell")),
+          booksLit(books), biasesLit(books)).as("codes"))
+  }
+
+  /** Serve top-k from a MATERIALIZED IVF-PQ index — the (id, cell,
+    * codes) table [[indexRows]] produces and `streaming.VectorIndex`
+    * maintains — instead of re-encoding the corpus per query batch.
+    * `vecs` is the full-precision vector store: it supplies the query
+    * vectors (via `queryFilter`) and the exact-rerank dots; the index
+    * side is only ever codes. Output and semantics match [[knnIvfPq]]
+    * run with the same fixed centroids/codebooks.
+    */
+  def searchIndex(index: DataFrame, vecs: DataFrame, k: Int, nProbe: Int,
+      coarse: Array[Array[Double]], books: Codebooks, dim: Int,
+      queryFilter: Column, idCol: String = "vec_id",
+      rerank: Int = 0): DataFrame = {
+    val unit = Similarity.unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = index.select(col("id").as("neighbor_id"), col("cell"),
+      col("codes"))
+    probeScoreIvf(codes, unit.filter(queryFilter), unit, coarse, books,
+      dim, k, nProbe, rerank)
+  }
+
+  /** Query-side probe + ADC scoring + rerank shared by [[knnIvfPq]]
+    * (fresh index) and [[searchIndex]] (materialized index): each
+    * query broadcasts its top-`nProbe` cells and LUT, the probe join
+    * touches only those cells' codes, and `<q, c + r>` decomposes as
+    * cscore + residual ADC.
+    */
+  private def probeScoreIvf(codes: DataFrame, unitQueries: DataFrame,
+      unitRerank: DataFrame, coarse: Array[Array[Double]],
+      books: Codebooks, dim: Int, k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    val m = books.length
+    val sd = subdim(dim, m)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.zipWithIndex
+      .map { case (c, cid) => (cid, c.toSeq) }.toSeq.toDF("ccid", "cvec")
     val pw = Window.partitionBy("query_id")
       .orderBy(col("cscore").desc, col("ccid"))
     val lut = array((0 until m).map { s =>
@@ -279,7 +337,7 @@ object Pq {
       array(books(s).map(c => DotProduct.dot(sub, typedlit(c.toSeq))): _*)
     }: _*)
     val qprobe = broadcast(
-      unit.filter(queryFilter)
+      unitQueries
         .select(col("id").as("query_id"), col("uv").as("qv"))
         .crossJoin(broadcast(coarseDf))
         .withColumn("cscore", DotProduct.dot(col("qv"), col("cvec")))
@@ -295,6 +353,6 @@ object Pq {
     val scored = qprobe.join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", col("cscore") + adc)
-    finishTopK(scored, unit, k, rerank)
+    finishTopK(scored, unitRerank, k, rerank)
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.catalog.SnapshotCatalog
+import graft.operators.{Pq, Similarity}
+import graft.streaming.VectorIndex
+
+class VectorIndexSpec extends SparkTestBase {
+
+  test("streamed index equals the batch projection and serves knnIvfPq's answers") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // index trained ONCE (the deployment shape); small params for speed
+    val coarse = Similarity.kmeansCentroids(e, 8, iters = 2)
+    val books = Pq.trainCodebooks(e, m = 4, ksub = 8, dim = 64, iters = 2)
+
+    val src = tmpDir("graft-vec-src")
+    val ckpt = tmpDir("graft-vec-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-vec-wh"))
+    def runWave(): Unit = {
+      val stream = spark.readStream.schema(e.schema).parquet(src)
+      val q = VectorIndex.indexSink(stream, coarse, books, cat, "ann", "ivfpq",
+        ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // two waves through one checkpoint: the second must ingest only
+    // the delta, each wave one atomic snapshot
+    e.filter(col("vec_id") < 100).write.mode("append").parquet(src)
+    runWave()
+    e.filter(col("vec_id") >= 100).write.mode("append").parquet(src)
+    runWave()
+
+    val streamed = cat.read("ann", "ivfpq")
+    val batch = Pq.indexRows(e, coarse, books)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).toSet
+    assert(streamed.count() == e.count())
+    assert(rows(streamed) == rows(batch))
+    assert(cat.describe("ann", "ivfpq").snapshots.size == 2)
+    // the table is hidden-partitioned by cell: files are cell-pure
+    val files = cat.describe("ann", "ivfpq").currentSnapshot.get.files
+    assert(files.size >= coarse.length,
+      s"expected >= ${coarse.length} cell-pure files, got ${files.size}")
+
+    // serving from the MATERIALIZED index == recomputing the index
+    // in-query with the same fixed centroids/codebooks
+    val served = Pq.searchIndex(streamed, e, k = 5, nProbe = 4,
+      coarse, books, dim = 64, col("id") < 30, rerank = 20)
+    val direct = Pq.knnIvfPq(e, k = 5, nCells = 8, nProbe = 4,
+      m = 4, ksub = 8, dim = 64, col("id") < 30, rerank = 20,
+      coarseCentroids = Some(coarse), codebooks = Some(books))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(pairs(served) == pairs(direct))
+  }
+}
