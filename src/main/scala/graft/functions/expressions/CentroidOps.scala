@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Tie-break parity: all argmaxes update on `>=` while scanning cell
   * ids ascending — ties go to the LARGER cell id, exactly the order of
   * the `max(struct(score, cid))` aggregations they replace, so
-  * swapping them in moves no assignment.
+  * swapping them in moves no assignment. Cell 0 is the unconditional
+  * initial winner, so even an all-NaN score row (a NaN embedding)
+  * gets a VALID cell id rather than a -1 that would crash the Lloyd
+  * update or silently drop the row from an index — the always-valid
+  * behavior of the aggregations these replaced (NaN sorts greatest in
+  * Spark's ordering).
   */
 object CentroidOps {
 
@@ -103,7 +108,7 @@ case class NearestCell(first: Expression, second: Expression,
       if (c < biases.numElements() && !biases.isNullAt(c)) {
         s -= biases.getDouble(c)
       }
-      if (s >= best) { best = s; bestC = c }
+      if (bestC < 0 || s >= best) { best = s; bestC = c }
       c += 1
     }
     bestC
@@ -135,7 +140,7 @@ case class NearestCell(first: Expression, second: Expression,
          |  if ($c < $bs.numElements() && !$bs.isNullAt($c)) {
          |    $s -= $bs.getDouble($c);
          |  }
-         |  if ($s >= $best) { $best = $s; $bestC = $c; }
+         |  if ($bestC < 0 || $s >= $best) { $best = $s; $bestC = $c; }
          |}
          |${ev.value} = $bestC;
        """.stripMargin
@@ -150,12 +155,18 @@ case class NearestCell(first: Expression, second: Expression,
   * codebook cell of the subvector vec[s·sd … (s+1)·sd) → array<int> of
   * length m (Jégou et al. 2011). `books` is array<array<array<double>>>
   * (subspace → cell → centroid), `biases` is array<array<double>> with
-  * biases[s][c] = |books[s][c]|²/2. Subspace width sd = len(vec)/m.
+  * biases[s][c] = |books[s][c]|²/2. Subspace width sd is taken from the
+  * CODEBOOK's centroid length; a vector whose length ≠ m·sd returns
+  * null (a corrupt-length row must be visible, not encoded against
+  * silently shifted subspace boundaries).
   */
 case class PqEncode(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // null on a length-mismatched vector even over non-null children
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_pq_encode"
 
@@ -165,7 +176,10 @@ case class PqEncode(first: Expression, second: Expression,
     val biases = bs.asInstanceOf[ArrayData]
     val m = books.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyIntArray)
-    val sd = vec.numElements() / m
+    val cents0 = books.getArray(0)
+    val sd = if (cents0.numElements() == 0) 0
+      else cents0.getArray(0).numElements()
+    if (vec.numElements() != m * sd) return null
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -190,7 +204,7 @@ case class PqEncode(first: Expression, second: Expression,
         if (bias != null && c < bias.numElements() && !bias.isNullAt(c)) {
           dot -= bias.getDouble(c)
         }
-        if (dot >= best) { best = dot; bestC = c }
+        if (bestC < 0 || dot >= best) { best = dot; bestC = c }
         c += 1
       }
       codes(s) = bestC
@@ -206,6 +220,7 @@ case class PqEncode(first: Expression, second: Expression,
       val codes = ctx.freshName("codes")
       val s = ctx.freshName("s")
       val cents = ctx.freshName("cents")
+      val cents0 = ctx.freshName("cents0")
       val bias = ctx.freshName("bias")
       val best = ctx.freshName("best")
       val bestC = ctx.freshName("bestC")
@@ -216,35 +231,46 @@ case class PqEncode(first: Expression, second: Expression,
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       val vi = ctx.freshName("vi")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
       s"""
          |int $m = $bk.numElements();
-         |int $sd = $m == 0 ? 0 : $v.numElements() / $m;
-         |int[] $codes = new int[$m];
-         |for (int $s = 0; $s < $m; $s++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cents = $bk.getArray($s);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $bias =
-         |    $s < $bs.numElements() ? $bs.getArray($s) : null;
-         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
-         |  int $bestC = -1;
-         |  int $k = $cents.numElements();
-         |  for (int $c = 0; $c < $k; $c++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray($c);
-         |    int $n = java.lang.Math.min($sd, $cent.numElements());
-         |    double $dot = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      int $vi = $s * $sd + $i;
-         |      if (!$v.isNullAt($vi) && !$cent.isNullAt($i)) {
-         |        $dot += $v.getDouble($vi) * $cent.getDouble($i);
-         |      }
-         |    }
-         |    if ($bias != null && $c < $bias.numElements() && !$bias.isNullAt($c)) {
-         |      $dot -= $bias.getDouble($c);
-         |    }
-         |    if ($dot >= $best) { $best = $dot; $bestC = $c; }
-         |  }
-         |  $codes[$s] = $bestC;
+         |int $sd = 0;
+         |if ($m > 0) {
+         |  $ad $cents0 = $bk.getArray(0);
+         |  $sd = $cents0.numElements() == 0 ? 0
+         |    : $cents0.getArray(0).numElements();
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |if ($m > 0 && $v.numElements() != $m * $sd) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    $ad $cents = $bk.getArray($s);
+         |    $ad $bias =
+         |      $s < $bs.numElements() ? $bs.getArray($s) : null;
+         |    double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |    int $bestC = -1;
+         |    int $k = $cents.numElements();
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      $ad $cent = $cents.getArray($c);
+         |      int $n = java.lang.Math.min($sd, $cent.numElements());
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        int $vi = $s * $sd + $i;
+         |        if (!$v.isNullAt($vi) && !$cent.isNullAt($i)) {
+         |          $dot += $v.getDouble($vi) * $cent.getDouble($i);
+         |        }
+         |      }
+         |      if ($bias != null && $c < $bias.numElements() && !$bias.isNullAt($c)) {
+         |        $dot -= $bias.getDouble($c);
+         |      }
+         |      if ($bestC < 0 || $dot >= $best) { $best = $dot; $bestC = $c; }
+         |    }
+         |    $codes[$s] = $bestC;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
        """.stripMargin
     })
 

@@ -383,18 +383,24 @@ object Dedup {
     * beats "keep the first seen" (the CCNet/RefinedWeb discipline).
     *
     * Scale shape: one join keyed on the doc id and one window over
-    * `component` — clusters are small and numerous (the partition key
-    * is near-unique), so the window shuffle is well-spread; no
+    * the component — clusters are small and numerous (the partition
+    * key is near-unique), so the window shuffle is well-spread; no
     * all-member comparisons, no driver state.
+    *
+    * The quality join is LEFT: a member missing from `quality` stays
+    * in the output with null quality, ranked last (an inner join
+    * would silently drop it — downstream "remove keep_doc=0" logic
+    * would then treat it as a non-duplicate and a duplicate survives).
     */
   def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
-      qCol: String = "quality", idCol: String = "doc_id"): DataFrame = {
+      qCol: String = "quality", idCol: String = "doc_id",
+      componentCol: String = "component"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("component").orderBy(col(qCol).desc, col(idCol))
-    clusters.select(col(idCol), col("component"))
-      .join(quality.select(col(idCol), col(qCol)), Seq(idCol))
+      .partitionBy(componentCol).orderBy(col(qCol).desc_nulls_last, col(idCol))
+    clusters.select(col(idCol), col(componentCol))
+      .join(quality.select(col(idCol), col(qCol)), Seq(idCol), "left")
       .withColumn("_rk", row_number().over(w))
-      .select(col(idCol), col("component"), col(qCol),
+      .select(col(idCol), col(componentCol), col(qCol),
         (col("_rk") === 1).cast("long").as("keep_doc"))
   }
 

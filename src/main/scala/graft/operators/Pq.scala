@@ -248,17 +248,7 @@ object Pq {
     val coarse = coarseCentroids.getOrElse(
       Similarity.kmeansCentroidsUnit(unit, nCells, iters))
     CentroidOps.register(vecs.sparkSession)
-    val coarseLit = typedlit[Seq[Seq[Double]]](coarse.map(_.toSeq).toSeq)
-    val zeroBias = typedlit[Seq[Double]](Seq.fill(coarse.length)(0.0))
-    // home cell + residual per vector as pure projections (argmax-dot
-    // and subtraction inside one codegen stage; ties to the larger cell
-    // id, matching the max(struct) aggregation this replaces) — the
-    // corpus is never joined, exploded, or shuffled to get assigned
-    val assigned = unit
-      .withColumn("cell",
-        CentroidOps.nearestCell(col("uv"), coarseLit, zeroBias))
-      .select(col("id"), col("cell"),
-        CentroidOps.residual(col("uv"), coarseLit, col("cell")).as("resid"))
+    val assigned = assignedRows(unit, coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = codebooks.getOrElse(trainCodebooksUnit(
       assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters))
@@ -283,15 +273,51 @@ object Pq {
   def indexRows(vecs: DataFrame, coarse: Array[Array[Double]],
       books: Codebooks, idCol: String = "vec_id"): DataFrame = {
     CentroidOps.register(vecs.sparkSession)
+    assignedRows(Similarity.unitVectors(vecs, idCol, "id", "uv"), coarse)
+      .select(col("id"), col("cell"),
+        CentroidOps.pqEncode(col("resid"),
+          booksLit(books), biasesLit(books)).as("codes"))
+  }
+
+  /** Residual codebooks for FIXED coarse centroids — the offline
+    * training step whose output feeds [[indexRows]]/[[searchIndex]]/
+    * [[knnIvfPq]]. IVF-PQ codebooks MUST be trained on the residuals
+    * x − coarse[cell] (the distribution they quantize — small,
+    * non-unit, centered near 0), not on the raw vectors; training on
+    * the corpus itself mis-covers residual space and silently costs
+    * recall. Same Lloyd loop as [[trainCodebooks]], over the residual
+    * frame.
+    */
+  def trainResidualCodebooks(vecs: DataFrame,
+      coarse: Array[Array[Double]], m: Int, ksub: Int, dim: Int,
+      iters: Int = 3, idCol: String = "vec_id"): Codebooks = {
+    CentroidOps.register(vecs.sparkSession)
+    val assigned =
+      assignedRows(Similarity.unitVectors(vecs, idCol, "id", "uv"), coarse)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainCodebooksUnit(
+      assigned.select(col("id"), col("resid").as("uv")), m, ksub, dim, iters)
+    assigned.unpersist()
+    books
+  }
+
+  /** (id, cell, resid) per unit vector — home cell + residual as pure
+    * projections (argmax-dot and subtraction inside one codegen stage;
+    * ties to the larger cell id, matching the max(struct) aggregation
+    * this replaced). The ONE definition of IVF assignment geometry:
+    * [[knnIvfPq]], [[indexRows]], and [[trainResidualCodebooks]] all
+    * go through it, so index build, in-query encode, and training can
+    * never diverge.
+    */
+  private def assignedRows(unit: DataFrame,
+      coarse: Array[Array[Double]]): DataFrame = {
     val coarseLit = typedlit[Seq[Seq[Double]]](coarse.map(_.toSeq).toSeq)
     val zeroBias = typedlit[Seq[Double]](Seq.fill(coarse.length)(0.0))
-    Similarity.unitVectors(vecs, idCol, "id", "uv")
+    unit
       .withColumn("cell",
         CentroidOps.nearestCell(col("uv"), coarseLit, zeroBias))
       .select(col("id"), col("cell"),
-        CentroidOps.pqEncode(
-          CentroidOps.residual(col("uv"), coarseLit, col("cell")),
-          booksLit(books), biasesLit(books)).as("codes"))
+        CentroidOps.residual(col("uv"), coarseLit, col("cell")).as("resid"))
   }
 
   /** Serve top-k from a MATERIALIZED IVF-PQ index — the (id, cell,

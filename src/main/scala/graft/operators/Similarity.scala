@@ -24,7 +24,11 @@ import graft.functions.expressions.{CentroidOps, DotProduct}
   */
 object Similarity {
 
-  /** id + L2-normalized double vector, with the custom dot registered. */
+  /** id + L2-normalized double vector, with the custom dot registered.
+    * An all-zero vector keeps its zeros (divisor clamped to 1) instead
+    * of going NaN — NaN scores would poison every downstream argmax /
+    * top-k it participates in.
+    */
   private[operators] def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
       vecAs: String): DataFrame = {
     DotProduct.register(vecs.sparkSession)
@@ -33,6 +37,7 @@ object Similarity {
     vecs
       .select(col(idCol).as(idAs), v.as("_v"))
       .withColumn("_nrm", sqrt(DotProduct.dot(col("_v"), col("_v"))))
+      .withColumn("_nrm", when(col("_nrm") === 0d, lit(1.0)).otherwise(col("_nrm")))
       .select(col(idAs), transform(col("_v"), x => x / col("_nrm")).as(vecAs))
   }
 

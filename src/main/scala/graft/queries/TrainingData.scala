@@ -794,7 +794,8 @@ object TrainingData {
     import graft.operators.Pq
     val e = embs(s, dir)
     val coarse = Similarity.kmeansCentroids(e, 16, iters = 3)
-    val books = Pq.trainCodebooks(e, m = 8, ksub = 16, dim = 64, iters = 3)
+    val books = Pq.trainResidualCodebooks(e, coarse,
+      m = 8, ksub = 16, dim = 64, iters = 3)
     val index = Pq.indexRows(e, coarse, books)
     Pq.searchIndex(index, e, k = 5, nProbe = 8, coarse, books, dim = 64,
         queryFilter = col("id") < 50, rerank = 50)

@@ -366,19 +366,23 @@ class OperatorSpec extends SparkTestBase {
 
   test("keepBestPerCluster elects the highest-quality member, ties to smaller id") {
     import graft.operators.Dedup
-    // components: {1,2,3} (label 1) and {10,11} (label 10)
+    // components: {1,2,3} (label 1) and {10,11,12} (label 10); doc 12
+    // is MISSING from the quality frame
     val clusters = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 0L),
-        (10L, 10L, 1L), (11L, 10L, 0L))
+        (10L, 10L, 1L), (11L, 10L, 0L), (12L, 10L, 0L))
       .toDF("doc_id", "component", "keep_doc")
     val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
       .toDF("doc_id", "quality")
-    val got = Dedup.keepBestPerCluster(clusters, quality)
+    val out = Dedup.keepBestPerCluster(clusters, quality)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     // cluster 1: quality tie 2 vs 3 at 0.9 -> smaller id 2 kept (not
-    // min-id member 1, whose quality is lower)
+    // min-id member 1, whose quality is lower); cluster 10: doc 12 has
+    // no quality row but is STILL LISTED (keep_doc=0, ranked last) —
+    // dropping it would let a duplicate survive downstream removal
     assert(got == Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
-      (10L, 10L, 1L), (11L, 10L, 0L)))
+      (10L, 10L, 1L), (11L, 10L, 0L), (12L, 10L, 0L)))
+    assert(out.find(_.getLong(0) == 12L).get.isNullAt(2))
   }
 
   test("CentroidOps expressions compile under CODEGEN_ONLY with pinned semantics") {
@@ -425,6 +429,19 @@ class OperatorSpec extends SparkTestBase {
         .orderBy("id").collect()
       assert(res(0).getAs[scala.collection.Seq[Double]]("r") == Seq(1.0, 1.0))
       assert(res(1).isNullAt(1))
+      // an all-NaN score row still gets a VALID cell (0), never -1 —
+      // the always-valid behavior of the argmax aggregations replaced
+      val nan = Seq((1L, Seq(Double.NaN, Double.NaN))).toDF("id", "v")
+        .select(CentroidOps.nearestCell(col("v"), cents2, zeros2))
+        .head().getInt(0)
+      assert(nan == 0)
+      // corrupt-length vector (3 elems vs the codebook's 2×2 geometry)
+      // -> null codes, never silently shifted subspace boundaries
+      val bad = Seq((1L, Seq(0.2, 0.9, 0.5))).toDF("id", "v")
+        .select(CentroidOps.pqEncode(col("v"),
+          typedlit(books), typedlit(biases)).as("codes"))
+        .head()
+      assert(bad.isNullAt(0))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
