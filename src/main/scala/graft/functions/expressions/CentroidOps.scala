@@ -43,6 +43,7 @@ object CentroidOps {
   val NearestCellFn = "graft_nearest_cell"
   val PqEncodeFn = "graft_pq_encode"
   val ResidualFn = "graft_centroid_residual"
+  val PqErrorFn = "graft_pq_error"
 
   /** Idempotent registry hookup for all three expressions. */
   def register(spark: SparkSession): Unit = {
@@ -56,6 +57,7 @@ object CentroidOps {
     reg(NearestCellFn, es => NearestCell(es(0), es(1), es(2)))
     reg(PqEncodeFn, es => PqEncode(es(0), es(1), es(2)))
     reg(ResidualFn, es => CentroidResidual(es(0), es(1), es(2)))
+    reg(PqErrorFn, es => PqError(es(0), es(1), es(2)))
   }
 
   def nearestCell(vec: Column, cents: Column, biases: Column): Column =
@@ -69,6 +71,10 @@ object CentroidOps {
   def residual(vec: Column, cents: Column, cell: Column): Column =
     org.apache.spark.sql.functions.call_function(
       ResidualFn, vec, cents, cell)
+
+  def pqError(resid: Column, codes: Column, books: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      PqErrorFn, resid, codes, books)
 }
 
 /** argmax_c ( <vec, cents[c]> − biases[c] ) → cell id (int).
@@ -271,6 +277,94 @@ case class PqEncode(first: Expression, second: Expression,
          |  ${ev.value} =
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
          |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Squared reconstruction error of a PQ code: Σ_s ||resid_s −
+  * books[s][codes[s]]||² → double. The quantization-health signal
+  * ([[graft.operators.Pq.quantizationError]]): when data drifts away
+  * from the codebooks of a long-lived index, this grows — the
+  * retrain trigger. Out-of-range/null codes treat the decoded
+  * centroid as missing (subvector contributes its own squared norm),
+  * so a corrupt code inflates the error instead of hiding.
+  */
+case class PqError(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_error"
+
+  override protected def nullSafeEval(v: Any, cd: Any, bk: Any): Any = {
+    val resid = v.asInstanceOf[ArrayData]
+    val codes = cd.asInstanceOf[ArrayData]
+    val books = bk.asInstanceOf[ArrayData]
+    val m = books.numElements()
+    if (m == 0) return 0.0
+    val sd = resid.numElements() / m
+    var err = 0.0
+    var s = 0
+    while (s < m) {
+      val cents = books.getArray(s)
+      val c = if (s < codes.numElements() && !codes.isNullAt(s))
+        codes.getInt(s) else -1
+      val cent = if (c >= 0 && c < cents.numElements()) cents.getArray(c)
+        else null
+      var i = 0
+      while (i < sd) {
+        val vi = s * sd + i
+        val x = if (resid.isNullAt(vi)) 0.0 else resid.getDouble(vi)
+        val y = if (cent != null && i < cent.numElements() &&
+          !cent.isNullAt(i)) cent.getDouble(i) else 0.0
+        val d = x - y
+        err += d * d
+        i += 1
+      }
+      s += 1
+    }
+    err
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cd, bk) => {
+      val m = ctx.freshName("m")
+      val sd = ctx.freshName("sd")
+      val err = ctx.freshName("err")
+      val s = ctx.freshName("s")
+      val cents = ctx.freshName("cents")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val i = ctx.freshName("i")
+      val vi = ctx.freshName("vi")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $m = $bk.numElements();
+         |double $err = 0.0;
+         |int $sd = $m == 0 ? 0 : $v.numElements() / $m;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $ad $cents = $bk.getArray($s);
+         |  int $c = ($s < $cd.numElements() && !$cd.isNullAt($s))
+         |    ? $cd.getInt($s) : -1;
+         |  $ad $cent = ($c >= 0 && $c < $cents.numElements())
+         |    ? $cents.getArray($c) : null;
+         |  for (int $i = 0; $i < $sd; $i++) {
+         |    int $vi = $s * $sd + $i;
+         |    double $x = $v.isNullAt($vi) ? 0.0 : $v.getDouble($vi);
+         |    double $y = ($cent != null && $i < $cent.numElements() &&
+         |      !$cent.isNullAt($i)) ? $cent.getDouble($i) : 0.0;
+         |    double $d = $x - $y;
+         |    $err += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $err;
        """.stripMargin
     })
 

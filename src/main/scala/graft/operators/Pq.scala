@@ -301,6 +301,27 @@ object Pq {
     books
   }
 
+  /** Index-health monitor: per-cell vector count and mean squared PQ
+    * reconstruction error Σ_s ||resid_s − books[s][code_s]||² — the
+    * "retrain the codebooks" signal for a long-lived index
+    * (`streaming.VectorIndex` keeps appending with FIXED books; as the
+    * data distribution drifts, reconstruction error grows and recall
+    * decays silently — this makes it a monitored number). Everything
+    * up to the per-cell aggregation is one codegen projection; the
+    * only shuffle carries nCells rows.
+    */
+  def quantizationError(vecs: DataFrame, coarse: Array[Array[Double]],
+      books: Codebooks, idCol: String = "vec_id"): DataFrame = {
+    CentroidOps.register(vecs.sparkSession)
+    assignedRows(Similarity.unitVectors(vecs, idCol, "id", "uv"), coarse)
+      .select(col("cell"),
+        CentroidOps.pqError(col("resid"),
+          CentroidOps.pqEncode(col("resid"), booksLit(books), biasesLit(books)),
+          booksLit(books)).as("_e"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("_e").as("mse"))
+  }
+
   /** (id, cell, resid) per unit vector — home cell + residual as pure
     * projections (argmax-dot and subtraction inside one codegen stage;
     * ties to the larger cell id, matching the max(struct) aggregation

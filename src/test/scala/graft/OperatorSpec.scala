@@ -482,12 +482,16 @@ class OperatorSpec extends SparkTestBase {
         CentroidOps.nearestCell(col("v"), col("cents"), col("biases")).as("nc"),
         CentroidOps.pqEncode(col("v"), col("books"), col("bbias")).as("codes"),
         CentroidOps.residual(col("v"), col("cents"),
-          CentroidOps.nearestCell(col("v"), col("cents"), col("biases"))).as("r"))
+          CentroidOps.nearestCell(col("v"), col("cents"), col("biases"))).as("r"),
+        CentroidOps.pqError(col("v"),
+          CentroidOps.pqEncode(col("v"), col("books"), col("bbias")),
+          col("books")).as("e"))
       .collect()
       .map(r => r.getLong(0) ->
-        ((r.getInt(1), r.getSeq[Int](2), r.getSeq[Double](3)))).toMap
+        ((r.getInt(1), r.getSeq[Int](2), r.getSeq[Double](3),
+          r.getDouble(4)))).toMap
     cases.foreach { case (i, v, cents, biases, books, bBias) =>
-      val (nc, codes, resid) = got(i)
+      val (nc, codes, resid, err) = got(i)
       assert(nc == refNearest(v, cents, biases), s"nearestCell case $i")
       val sd = v.length / m
       val refCodes = (0 until m).map { s =>
@@ -496,6 +500,11 @@ class OperatorSpec extends SparkTestBase {
       assert(codes == refCodes, s"pqEncode case $i")
       val refResid = v.zip(cents(nc)).map { case (x, c) => x - c }
       assert(resid == refResid, s"residual case $i")
+      val refErr = (0 until m).map { s =>
+        v.slice(s * sd, (s + 1) * sd).zip(books(s)(refCodes(s)))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(math.abs(err - refErr) < 1e-12, s"pqError case $i")
     }
   }
 
@@ -697,6 +706,26 @@ class OperatorSpec extends SparkTestBase {
             s"sim mismatch for ${(r.getLong(0), r.getLong(1))}")
         }
       }
+  }
+
+  test("quantizationError: Lloyd-trained codebooks beat seeds; error is per-cell") {
+    import graft.operators.Pq
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, 8, iters = 2)
+    val seed = Pq.trainResidualCodebooks(e, coarse, m = 4, ksub = 8,
+      dim = 64, iters = 0) // iters=0 -> raw seed codebooks
+    val trained = Pq.trainResidualCodebooks(e, coarse, m = 4, ksub = 8,
+      dim = 64, iters = 3)
+    def totalMse(books: Pq.Codebooks): Double = {
+      val rows = Pq.quantizationError(e, coarse, books).collect()
+      assert(rows.forall(_.getDouble(2) >= 0.0))
+      val n = rows.map(_.getLong(1)).sum
+      rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    }
+    val (ms, mt) = (totalMse(seed), totalMse(trained))
+    // k-means monotonically decreases the quantization objective —
+    // the monitor must see it
+    assert(mt < ms, s"trained mse $mt !< seed mse $ms")
   }
 
   test("IVF-PQ: cell-pruned residual ADC recall floor vs exact kNN") {
