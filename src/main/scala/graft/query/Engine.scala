@@ -65,6 +65,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
       return (spark.sql(sql), Nil)
 
+    parsed.toOption.flatMap(metadataCountFast) match {
+      case Some(fast) => return fast
+      case None => ()
+    }
+
     // Iceberg-style metadata tables: `ns.tbl.snapshots|files|history|
     // refs` become temp views over SnapshotCatalog.metadataTable
     val metaViews = metaRefs.map { case (ns, t, kind) =>
@@ -344,6 +349,90 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         if (filtered.size < bare || filtered.isEmpty) Nil
         else filtered.reduce(Engine.mergeBounds)
       Engine.CatalogRef(ns, t, bounds)
+    }
+  }
+
+  /** Metadata-only `SELECT count(*) FROM ns.tbl` (the Iceberg
+    * metadata-count optimization): a GROUPLESS, UNFILTERED,
+    * non-distinct count over exactly one catalog relation is answered
+    * from the manifest — the sum of per-file stats rows over the
+    * current snapshot's file set, which every commit path (append,
+    * delete, upsert, compact) maintains — without listing, footer-
+    * reading, or scanning a single data file. At 100 TB that is the
+    * difference between a metadata read and a full-table scan for the
+    * most common audit query there is. Reported as kept=0 of total
+    * files: nothing is read. Any filter, grouping, extra select item,
+    * DISTINCT, time travel, or metadata-table suffix falls through to
+    * the regular bridge (the plan shape no longer matches).
+    */
+  private def metadataCountFast(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Option[(DataFrame, Seq[Engine.PruneInfo])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+    // Spark's generated column name for both count(*) and count(lit)
+    def countName(f: Expression): Option[String] = f match {
+      case uf: UnresolvedFunction
+          if uf.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("count") &&
+            !uf.isDistinct && uf.filter.isEmpty && uf.arguments.size == 1 =>
+        uf.arguments.head match {
+          case _: UnresolvedStar => Some("count(1)")
+          case l @ Literal(v, _) if v != null => Some(s"count(${l.sql})")
+          case _ => None
+        }
+      case _ => None
+    }
+    // at PARSE time `SELECT count(*) FROM t` is a Project (the
+    // analyzer's GlobalAggregates turns it into Aggregate later);
+    // an explicit empty GROUP BY parses as Aggregate — accept both
+    val shape: Option[(NamedExpression, LogicalPlan)] = plan match {
+      case a: Aggregate
+          if a.groupingExpressions.isEmpty && a.aggregateExpressions.size == 1 =>
+        Some((a.aggregateExpressions.head, a.child))
+      case p: Project if p.projectList.size == 1 =>
+        Some((p.projectList.head, p.child))
+      case _ => None
+    }
+    for {
+      (proj, child) <- shape
+      r <- child match {
+        case r: UnresolvedRelation => Some(r)
+        case SubqueryAlias(_, r: UnresolvedRelation) => Some(r)
+        case _ => None
+      }
+      nsTbl <- r.multipartIdentifier match {
+        case Seq(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
+        case _ => None
+      }
+      name <- proj match {
+        case al @ Alias(fn, _) => countName(fn).map(_ => al.name)
+        case ua: UnresolvedAlias => countName(ua.child)
+        case other => countName(other)
+      }
+      // exact total = Σ per-file stats rows over the CURRENT file set
+      // (a snapshot's `rowCount` records the rows its own operation
+      // added, not the table total). A file without stats makes the
+      // metadata answer unprovable — fall through to the scan, never
+      // undercount silently.
+      n <- {
+        val (ns, t) = nsTbl
+        catalog.describe(ns, t).currentSnapshot match {
+          case None => Some(0L)
+          case Some(s) =>
+            val byPath = s.fileStats.map(st => st.path -> st.rows).toMap
+            if (s.files.forall(byPath.contains))
+              Some(s.files.map(byPath).sum)
+            else None
+        }
+      }
+    } yield {
+      val (ns, t) = nsTbl
+      val snap = catalog.describe(ns, t).currentSnapshot
+      val df = spark.range(1).select(
+        org.apache.spark.sql.functions.lit(n).as(name))
+      (df, Seq(Engine.PruneInfo(s"$ns.$t", 0,
+        snap.map(_.files.size).getOrElse(0))))
     }
   }
 

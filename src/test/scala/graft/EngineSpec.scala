@@ -130,9 +130,16 @@ class EngineSpec extends SparkTestBase {
   }
 
   test("sqlQuery resolves snapshot-catalog tables (no filter, no pruning)") {
+    // a bare count(*) takes the metadata-only fast path (kept=0: no
+    // files read); a projection forces the real scan of every file
     val (df, infos) = bridgeEngine.sqlDataFrame("SELECT count(*) AS n FROM db.m")
     assert(df.head().getLong(0) == 302)
-    assert(infos.size == 1 && infos.head.kept == infos.head.total)
+    assert(infos.size == 1 && infos.head.kept == 0 && infos.head.total > 0)
+    val (df2, infos2) =
+      bridgeEngine.sqlDataFrame("SELECT sum(id) AS s FROM db.m")
+    assert(df2.head().getLong(0) ==
+      (1L to 100L).sum + (1000L to 1100L).sum + (5000L to 5100L).sum)
+    assert(infos2.size == 1 && infos2.head.kept == infos2.head.total)
   }
 
   test("WHERE range prunes manifest files; result equals unpruned") {
@@ -339,6 +346,39 @@ class EngineSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM db.m m JOIN parquet.`$sf0001/region.parquet` r " +
         "ON (m.id % 5) = r.r_regionkey WHERE m.id >= 5000")
     assert(df.head().getLong(0) == 101)
+  }
+
+  test("metadata-only count(*): manifest answer, exact across delete, safe fallthrough") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-metacount"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "mc", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "mc", (0L until 300L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    cat.append("db", "mc", (300L until 500L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    val totalFiles = cat.describe("db", "mc").currentSnapshot.get.files.size
+
+    val (df, infos) = eng.sqlDataFrame("SELECT count(*) FROM db.mc")
+    // fast path: zero files read, Spark's generated column name, exact
+    assert(infos == Seq(Engine.PruneInfo("db.mc", 0, totalFiles)))
+    assert(df.columns.toSeq == Seq("count(1)"))
+    assert(df.head().getLong(0) == 500L)
+
+    // row-level delete rewrites/drops files; rowCount must track exactly
+    cat.deleteWhere("db", "mc", "id", 100.0, 199.0)
+    val (df2, infos2) = eng.sqlDataFrame("SELECT count(*) AS n FROM db.mc")
+    assert(infos2.head.kept == 0)
+    assert(df2.columns.toSeq == Seq("n"))
+    assert(df2.head().getLong(0) == cat.read("db", "mc").count())
+
+    // anything beyond the bare shape falls through to the scan bridge
+    val (df3, infos3) = eng.sqlDataFrame(
+      "SELECT count(*) FROM db.mc WHERE id <= 49")
+    assert(df3.head().getLong(0) == 50L)
+    assert(infos3.head.kept > 0) // real (pruned) file read, not metadata
+    val (df4, _) = eng.sqlDataFrame("SELECT count(DISTINCT v) FROM db.mc")
+    assert(df4.head().getLong(0) == 400L)
+    val (df5, _) = eng.sqlDataFrame("SELECT count(v) FROM db.mc")
+    assert(df5.head().getLong(0) == 400L) // count(col) skips nulls -> scan
   }
 
   test("bounds extraction: conjuncts, mirrored literals, strings, unknowns") {
