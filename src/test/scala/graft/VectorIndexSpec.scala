@@ -60,5 +60,13 @@ class VectorIndexSpec extends SparkTestBase {
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getDouble(3))).toSet
     assert(pairs(served) == pairs(direct))
+
+    // maintenance: compacting the many small streamed files must not
+    // change a single served answer (the index is just a table)
+    cat.compact("ann", "ivfpq", numFiles = 2)
+    val afterCompact = Pq.searchIndex(cat.read("ann", "ivfpq"), e,
+      k = 5, nProbe = 4, coarse, books, dim = 64, col("id") < 30,
+      rerank = 20)
+    assert(pairs(afterCompact) == pairs(direct))
   }
 }
