@@ -394,41 +394,55 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         Some((p.projectList.head, p.child))
       case _ => None
     }
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    // (ns, t, snapshot-to-count): current snapshot for a plain
+    // relation; the resolved historical snapshot for VERSION/TIMESTAMP
+    // AS OF ("how many rows did we have at snapshot N" — the audit
+    // query time travel exists for). An unresolvable reference falls
+    // through so the bridge/Spark rejects it exactly as before.
+    def target(child: LogicalPlan): Option[(String, String, Option[Long])] =
+      child match {
+        case r: UnresolvedRelation => r.multipartIdentifier match {
+          case Seq(ns, t) if catalog.tableExists(ns, t) => Some((ns, t, None))
+          case _ => None
+        }
+        case RelationTimeTravel(r: UnresolvedRelation, ts, v) =>
+          resolveTimeTravel(r, ts, v).map { case (ns, t, id) =>
+            (ns, t, Some(id))
+          }
+        case SubqueryAlias(_, inner) => target(inner)
+        case _ => None
+      }
     for {
       (proj, child) <- shape
-      r <- child match {
-        case r: UnresolvedRelation => Some(r)
-        case SubqueryAlias(_, r: UnresolvedRelation) => Some(r)
-        case _ => None
-      }
-      nsTbl <- r.multipartIdentifier match {
-        case Seq(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
-        case _ => None
-      }
+      (ns, t, snapId) <- target(child)
       name <- proj match {
         case al @ Alias(fn, _) => countName(fn).map(_ => al.name)
         case ua: UnresolvedAlias => countName(ua.child)
         case other => countName(other)
       }
-      // exact total = Σ per-file stats rows over the CURRENT file set
-      // (a snapshot's `rowCount` records the rows its own operation
-      // added, not the table total). A file without stats makes the
-      // metadata answer unprovable — fall through to the scan, never
-      // undercount silently.
-      n <- {
-        val (ns, t) = nsTbl
-        catalog.describe(ns, t).currentSnapshot match {
-          case None => Some(0L)
-          case Some(s) =>
-            val byPath = s.fileStats.map(st => st.path -> st.rows).toMap
-            if (s.files.forall(byPath.contains))
-              Some(s.files.map(byPath).sum)
-            else None
-        }
+      snap = snapId match {
+        case None => catalog.describe(ns, t).currentSnapshot
+        case Some(id) => catalog.describe(ns, t).snapshots
+          .find(_.snapshotId == id)
+      }
+      // a version-only reference resolves without validation — an
+      // unknown snapshot id must fall through for the normal rejection
+      _ <- if (snapId.isDefined && snap.isEmpty) None else Some(())
+      // exact total = Σ per-file stats rows over the snapshot's file
+      // set (a snapshot's `rowCount` records the rows its own
+      // operation added, not the table total). A file without stats
+      // makes the metadata answer unprovable — fall through to the
+      // scan, never undercount silently.
+      n <- snap match {
+        case None => Some(0L)
+        case Some(s) =>
+          val byPath = s.fileStats.map(st => st.path -> st.rows).toMap
+          if (s.files.forall(byPath.contains))
+            Some(s.files.map(byPath).sum)
+          else None
       }
     } yield {
-      val (ns, t) = nsTbl
-      val snap = catalog.describe(ns, t).currentSnapshot
       val df = spark.range(1).select(
         org.apache.spark.sql.functions.lit(n).as(name))
       (df, Seq(Engine.PruneInfo(s"$ns.$t", 0,

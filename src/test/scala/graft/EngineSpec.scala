@@ -379,6 +379,19 @@ class EngineSpec extends SparkTestBase {
     assert(df4.head().getLong(0) == 400L)
     val (df5, _) = eng.sqlDataFrame("SELECT count(v) FROM db.mc")
     assert(df5.head().getLong(0) == 400L) // count(col) skips nulls -> scan
+
+    // time travel counts are metadata-only too, per historical snapshot
+    val (dfv1, iv1) = eng.sqlDataFrame(
+      "SELECT count(*) FROM db.mc VERSION AS OF 1")
+    assert(iv1.head.kept == 0)
+    assert(dfv1.head().getLong(0) == 300L)
+    val (dfv2, _) = eng.sqlDataFrame(
+      "SELECT count(*) FROM db.mc VERSION AS OF 2")
+    assert(dfv2.head().getLong(0) == 500L)
+    // unknown snapshot id: clean rejection, not a silent zero
+    intercept[Exception] {
+      eng.sqlDataFrame("SELECT count(*) FROM db.mc VERSION AS OF 99")._1.head()
+    }
   }
 
   test("bounds extraction: conjuncts, mirrored literals, strings, unknowns") {
