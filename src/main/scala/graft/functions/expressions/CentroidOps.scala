@@ -29,23 +29,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Tie-break parity: all argmaxes update on `>=` while scanning cell
   * ids ascending — ties go to the LARGER cell id, exactly the order of
   * the `max(struct(score, cid))` aggregations they replace, so
-  * swapping them in moves no assignment. Cell 0 is the unconditional
-  * initial winner, so even an all-NaN score row (a NaN embedding)
-  * gets a VALID cell id rather than a -1 that would crash the Lloyd
-  * update or silently drop the row from an index — the always-valid
-  * behavior of the aggregations these replaced (NaN sorts greatest in
-  * Spark's ordering).
+  * swapping them in moves no assignment. NaN handling: a NaN score
+  * never wins against a finite one, a finite score always displaces a
+  * NaN incumbent, and cell 0 is the fallback winner when EVERY score
+  * is NaN — so a NaN embedding gets a valid cell id (never a -1 that
+  * would crash the Lloyd update or silently drop the row from an
+  * index), and a NaN-poisoned centroid is quarantined instead of
+  * capturing the whole corpus (`s >= NaN` being always-false would
+  * otherwise make a NaN initial winner undisplaceable).
   */
 object CentroidOps {
 
   import org.apache.spark.sql.{Column, SparkSession}
+
+  /** take-the-candidate rule shared by every argmax in this file:
+    * first candidate unconditionally; then `s >= best` (ties → larger
+    * id), with a finite score always displacing a NaN incumbent and a
+    * NaN score never displacing a finite one (`best != best` ⇔ NaN).
+    */
+  private[expressions] def takes(s: Double, best: Double,
+      bestC: Int): Boolean =
+    bestC < 0 || s >= best || (best != best && s == s)
 
   val NearestCellFn = "graft_nearest_cell"
   val PqEncodeFn = "graft_pq_encode"
   val ResidualFn = "graft_centroid_residual"
   val PqErrorFn = "graft_pq_error"
 
-  /** Idempotent registry hookup for all three expressions. */
+  /** Idempotent registry hookup for this file's expressions. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     def reg(name: String, b: Seq[Expression] => Expression): Unit = {
@@ -114,7 +125,7 @@ case class NearestCell(first: Expression, second: Expression,
       if (c < biases.numElements() && !biases.isNullAt(c)) {
         s -= biases.getDouble(c)
       }
-      if (bestC < 0 || s >= best) { best = s; bestC = c }
+      if (CentroidOps.takes(s, best, bestC)) { best = s; bestC = c }
       c += 1
     }
     bestC
@@ -146,7 +157,10 @@ case class NearestCell(first: Expression, second: Expression,
          |  if ($c < $bs.numElements() && !$bs.isNullAt($c)) {
          |    $s -= $bs.getDouble($c);
          |  }
-         |  if ($bestC < 0 || $s >= $best) { $best = $s; $bestC = $c; }
+         |  if ($bestC < 0 || $s >= $best ||
+         |      (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($s))) {
+         |    $best = $s; $bestC = $c;
+         |  }
          |}
          |${ev.value} = $bestC;
        """.stripMargin
@@ -182,8 +196,9 @@ case class PqEncode(first: Expression, second: Expression,
     val biases = bs.asInstanceOf[ArrayData]
     val m = books.numElements()
     if (m == 0) return new GenericArrayData(Array.emptyIntArray)
+    if (books.isNullAt(0)) return null
     val cents0 = books.getArray(0)
-    val sd = if (cents0.numElements() == 0) 0
+    val sd = if (cents0.numElements() == 0 || cents0.isNullAt(0)) 0
       else cents0.getArray(0).numElements()
     if (vec.numElements() != m * sd) return null
     val codes = new Array[Int](m)
@@ -210,7 +225,7 @@ case class PqEncode(first: Expression, second: Expression,
         if (bias != null && c < bias.numElements() && !bias.isNullAt(c)) {
           dot -= bias.getDouble(c)
         }
-        if (bestC < 0 || dot >= best) { best = dot; bestC = c }
+        if (CentroidOps.takes(dot, best, bestC)) { best = dot; bestC = c }
         c += 1
       }
       codes(s) = bestC
@@ -241,12 +256,16 @@ case class PqEncode(first: Expression, second: Expression,
       s"""
          |int $m = $bk.numElements();
          |int $sd = 0;
+         |boolean ${sd}Bad = false;
          |if ($m > 0) {
-         |  $ad $cents0 = $bk.getArray(0);
-         |  $sd = $cents0.numElements() == 0 ? 0
-         |    : $cents0.getArray(0).numElements();
+         |  if ($bk.isNullAt(0)) { ${sd}Bad = true; }
+         |  else {
+         |    $ad $cents0 = $bk.getArray(0);
+         |    $sd = ($cents0.numElements() == 0 || $cents0.isNullAt(0)) ? 0
+         |      : $cents0.getArray(0).numElements();
+         |  }
          |}
-         |if ($m > 0 && $v.numElements() != $m * $sd) {
+         |if (${sd}Bad || ($m > 0 && $v.numElements() != $m * $sd)) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $codes = new int[$m];
@@ -270,7 +289,10 @@ case class PqEncode(first: Expression, second: Expression,
          |      if ($bias != null && $c < $bias.numElements() && !$bias.isNullAt($c)) {
          |        $dot -= $bias.getDouble($c);
          |      }
-         |      if ($bestC < 0 || $dot >= $best) { $best = $dot; $bestC = $c; }
+         |      if ($bestC < 0 || $dot >= $best ||
+         |          (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($dot))) {
+         |        $best = $dot; $bestC = $c;
+         |      }
          |    }
          |    $codes[$s] = $bestC;
          |  }
@@ -291,12 +313,19 @@ case class PqEncode(first: Expression, second: Expression,
   * from the codebooks of a long-lived index, this grows — the
   * retrain trigger. Out-of-range/null codes treat the decoded
   * centroid as missing (subvector contributes its own squared norm),
-  * so a corrupt code inflates the error instead of hiding.
+  * so a corrupt code inflates the error instead of hiding. The
+  * subspace width comes from the CODEBOOK (like [[PqEncode]]); a
+  * vector whose length ≠ m·sd returns null rather than a
+  * plausible-looking error over misaligned boundaries — the monitor
+  * counts those nulls separately as corrupt rows.
   */
 case class PqError(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // null on a length-mismatched vector even over non-null children
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_pq_error"
 
@@ -306,7 +335,11 @@ case class PqError(first: Expression, second: Expression,
     val books = bk.asInstanceOf[ArrayData]
     val m = books.numElements()
     if (m == 0) return 0.0
-    val sd = resid.numElements() / m
+    if (books.isNullAt(0)) return null
+    val cents0 = books.getArray(0)
+    val sd = if (cents0.numElements() == 0 || cents0.isNullAt(0)) 0
+      else cents0.getArray(0).numElements()
+    if (resid.numElements() != m * sd) return null
     var err = 0.0
     var s = 0
     while (s < m) {
@@ -344,11 +377,24 @@ case class PqError(first: Expression, second: Expression,
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val d = ctx.freshName("d")
+      val cents0 = ctx.freshName("cents0")
       val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
       s"""
          |int $m = $bk.numElements();
          |double $err = 0.0;
-         |int $sd = $m == 0 ? 0 : $v.numElements() / $m;
+         |int $sd = 0;
+         |boolean ${sd}Bad = false;
+         |if ($m > 0) {
+         |  if ($bk.isNullAt(0)) { ${sd}Bad = true; }
+         |  else {
+         |    $ad $cents0 = $bk.getArray(0);
+         |    $sd = ($cents0.numElements() == 0 || $cents0.isNullAt(0)) ? 0
+         |      : $cents0.getArray(0).numElements();
+         |  }
+         |}
+         |if (${sd}Bad || ($m > 0 && $v.numElements() != $m * $sd)) {
+         |  ${ev.isNull} = true;
+         |} else {
          |for (int $s = 0; $s < $m; $s++) {
          |  $ad $cents = $bk.getArray($s);
          |  int $c = ($s < $cd.numElements() && !$cd.isNullAt($s))
@@ -365,6 +411,7 @@ case class PqError(first: Expression, second: Expression,
          |  }
          |}
          |${ev.value} = $err;
+         |}
        """.stripMargin
     })
 

@@ -319,7 +319,12 @@ object Pq {
           CentroidOps.pqEncode(col("resid"), booksLit(books), biasesLit(books)),
           booksLit(books)).as("_e"))
       .groupBy("cell")
-      .agg(count(lit(1)).as("n"), avg("_e").as("mse"))
+      // bad_rows: vectors whose geometry mismatched the codebooks
+      // (null error) — surfaced as their own count so a corrupt cell
+      // cannot read healthy off the mean of its few clean rows
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("_e"))).as("bad_rows"),
+        avg("_e").as("mse"))
   }
 
   /** (id, cell, resid) per unit vector — home cell + residual as pure

@@ -371,14 +371,20 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
-    // Spark's generated column name for both count(*) and count(lit)
+    // Spark's generated column name, reproduced ONLY where it is
+    // unambiguous: count(*) and count(<int literal>). Other literal
+    // types (strings, decimals) pretty-print differently than
+    // Literal.sql (count('x') → count(x), count(1.5) vs count(1.5BD))
+    // — those shapes fall through so the envelope's column name can
+    // never depend on which path answered.
     def countName(f: Expression): Option[String] = f match {
       case uf: UnresolvedFunction
           if uf.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("count") &&
             !uf.isDistinct && uf.filter.isEmpty && uf.arguments.size == 1 =>
         uf.arguments.head match {
           case _: UnresolvedStar => Some("count(1)")
-          case l @ Literal(v, _) if v != null => Some(s"count(${l.sql})")
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) =>
+            Some(s"count($v)")
           case _ => None
         }
       case _ => None

@@ -435,6 +435,13 @@ class OperatorSpec extends SparkTestBase {
         .select(CentroidOps.nearestCell(col("v"), cents2, zeros2))
         .head().getInt(0)
       assert(nan == 0)
+      // a NaN-scoring centroid in slot 0 must NOT capture finite rows:
+      // the finite score displaces the NaN incumbent
+      val centsNaN = typedlit(Seq(Seq(Double.NaN, Double.NaN), Seq(1.0, 0.0)))
+      val fin = Seq((1L, Seq(2.0, 1.0))).toDF("id", "v")
+        .select(CentroidOps.nearestCell(col("v"), centsNaN, zeros2))
+        .head().getInt(0)
+      assert(fin == 1)
       // corrupt-length vector (3 elems vs the codebook's 2×2 geometry)
       // -> null codes, never silently shifted subspace boundaries
       val bad = Seq((1L, Seq(0.2, 0.9, 0.5))).toDF("id", "v")
@@ -718,9 +725,10 @@ class OperatorSpec extends SparkTestBase {
       dim = 64, iters = 3)
     def totalMse(books: Pq.Codebooks): Double = {
       val rows = Pq.quantizationError(e, coarse, books).collect()
-      assert(rows.forall(_.getDouble(2) >= 0.0))
+      assert(rows.forall(_.getDouble(3) >= 0.0))
+      assert(rows.forall(_.getLong(2) == 0L)) // no corrupt-geometry rows
       val n = rows.map(_.getLong(1)).sum
-      rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+      rows.map(r => r.getDouble(3) * r.getLong(1)).sum / n
     }
     val (ms, mt) = (totalMse(seed), totalMse(trained))
     // k-means monotonically decreases the quantization objective —
