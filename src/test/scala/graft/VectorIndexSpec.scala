@@ -68,5 +68,22 @@ class VectorIndexSpec extends SparkTestBase {
       k = 5, nProbe = 4, coarse, books, dim = 64, col("id") < 30,
       rerank = 20)
     assert(pairs(afterCompact) == pairs(direct))
+
+    // recall floor vs exact kNN — catches a regression to codebooks
+    // trained on the wrong distribution (raw vectors vs residuals);
+    // deterministic: fixed data, seeds, and training
+    val exact = Similarity.knnExact(e.filter(col("vec_id") < 30), e, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servedPairs = served.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (servedPairs & exact).size / exact.size.toDouble
+    // measured 0.273 at this test's deliberately small index
+    // (m=4/ksub=8, 4-of-8 probes, rerank=20) on the low-cosine
+    // synthetic set — the algorithm-strength floor lives in
+    // OperatorSpec's IVF-PQ test at e09's real parameters; this floor
+    // guards the serving path against gross regressions (e.g.
+    // codebooks trained on the wrong distribution)
+    assert(recall >= 0.2, s"served recall $recall")
   }
 }
