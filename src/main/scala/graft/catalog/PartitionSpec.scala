@@ -23,18 +23,55 @@ import org.apache.spark.sql.functions._
   * bucket/identity/truncate specs prune on the recorded partition
   * value directly (where min/max of a hashed/bucketed source column
   * would be useless).
+  *
+  * Transform semantics follow Iceberg spec v1 where the type is known
+  * ([[valueExprFor]]): numeric `truncate(W, col)` is `v - (v mod W)`
+  * (floor-division bias, not string substring), and time transforms on
+  * TIMESTAMP columns render the INSTANT in UTC via a runtime
+  * `current_timezone()` shift — so a session with any
+  * `spark.sql.session.timeZone` derives the same pval for the same
+  * instant, and write-side and prune-side can never disagree across
+  * sessions (round-5 ADVICE items 3/4). DATE and wall-clock STRING
+  * inputs are timezone-free end-to-end already.
   */
 final case class PartitionSpec(transform: String, column: String,
     n: Int = 0) {
 
-  /** The hidden partition-value expression over the source column. */
-  def valueExpr: Column = transform match {
-    case "identity" => col(column).cast("string")
-    case "days"     => date_format(col(column), "yyyy-MM-dd")
-    case "months"   => date_format(col(column), "yyyy-MM")
-    case "hours"    => date_format(col(column), "yyyy-MM-dd-HH")
-    case "bucket"   => pmod(xxhash64(col(column)), lit(n)).cast("string")
-    case "truncate" => substring(col(column).cast("string"), 1, n)
+  import org.apache.spark.sql.types._
+
+  /** The hidden partition-value expression over the source column,
+    * UNTYPED fallback (kept for callers without a schema): correct and
+    * self-consistent, but see [[valueExprFor]] for the Iceberg-exact,
+    * timezone-independent typed derivations.
+    */
+  def valueExpr: Column = valueExprFor(None)
+
+  /** Typed partition-value expression — pass the source column's type
+    * (both the write path and literal-pruning path know it).
+    */
+  def valueExprFor(dt: Option[DataType]): Column = {
+    // render a TIMESTAMP instant in UTC regardless of the session
+    // timezone: shift by the session offset (current_timezone() is
+    // evaluated at RUNTIME, so the expression itself is portable)
+    def timeSrc: Column = dt match {
+      case Some(TimestampType) =>
+        to_utc_timestamp(col(column), expr("current_timezone()"))
+      case _ => col(column)
+    }
+    (transform, dt) match {
+      case ("identity", Some(TimestampType)) =>
+        date_format(timeSrc, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      case ("identity", _) => col(column).cast("string")
+      case ("days", _)     => date_format(timeSrc, "yyyy-MM-dd")
+      case ("months", _)   => date_format(timeSrc, "yyyy-MM")
+      case ("hours", _)    => date_format(timeSrc, "yyyy-MM-dd-HH")
+      case ("bucket", _)   => pmod(xxhash64(col(column)), lit(n)).cast("string")
+      case ("truncate", Some(ByteType | ShortType | IntegerType | LongType)) =>
+        // Iceberg numeric truncate: v - (v mod W) with floor bias
+        // (pmod keeps negatives in the right bin: -7, W=10 -> -10)
+        (col(column) - pmod(col(column), lit(n))).cast("string")
+      case ("truncate", _) => substring(col(column).cast("string"), 1, n)
+    }
   }
 
   /** Partition value of a literal, for equality pruning — mirrors

@@ -108,6 +108,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def append(ns: String, name: String, df: DataFrame): TableMeta =
     appendImpl(ns, name, df, toBranch = None)
 
+  /** Append with extra table properties merged ATOMICALLY in the same
+    * snapshot commit. This is the idempotence hook for at-least-once
+    * writers (foreachBatch sinks): recording the micro-batch id as a
+    * property of the very commit that added the rows means a replayed
+    * batch either sees its id already recorded (and skips) or the
+    * original commit never happened — no window where rows landed but
+    * the marker didn't.
+    */
+  def append(ns: String, name: String, df: DataFrame,
+      extraProperties: Map[String, String]): TableMeta =
+    appendImpl(ns, name, df, toBranch = None, extraProperties)
+
   /** Append to a named BRANCH: the new snapshot chains off the branch
     * head and the branch ref moves to it; the table's current pointer
     * (what readers see) is untouched. With [[publish]] this is the
@@ -120,7 +132,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     appendImpl(ns, name, df, toBranch = Some(branch))
 
   private def appendImpl(ns: String, name: String, df: DataFrame,
-      toBranch: Option[String]): TableMeta =
+      toBranch: Option[String],
+      extraProperties: Map[String, String] = Map.empty): TableMeta =
     synchronized {
       // Data files are written once, into a dir keyed by a unique
       // write id; the commit loop below re-reads table state on each
@@ -141,7 +154,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val spec = specStr.map(PartitionSpec.parse)
       spec match {
         case Some(p) =>
-          df.withColumn(PartitionSpec.HiddenCol, p.valueExpr)
+          df.withColumn(PartitionSpec.HiddenCol,
+              p.valueExprFor(df.schema.find(_.name == p.column).map(_.dataType)))
             .write.partitionBy(PartitionSpec.HiddenCol)
             .parquet(snapDir.toString)
         case None => df.write.parquet(snapDir.toString)
@@ -195,11 +209,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
             snapshots = meta.snapshots :+ snap,
-            refs = meta.refs + (b -> snapshotId))
+            refs = meta.refs + (b -> snapshotId),
+            properties = meta.properties ++ extraProperties)
           case None => meta.copy(
             schemaJson = evolved.json,
             currentSnapshotId = Some(snapshotId),
-            snapshots = meta.snapshots :+ snap)
+            snapshots = meta.snapshots :+ snap,
+            properties = meta.properties ++ extraProperties)
         }
         try {
           commit(ns, name, version + 1, newMeta)
@@ -338,12 +354,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * [[rollback]]); readers atomically see everything staged on the
     * branch.
     */
-  def publish(ns: String, name: String, branch: String): TableMeta =
+  def publish(ns: String, name: String, branch: String,
+      extraProperties: Map[String, String] = Map.empty): TableMeta =
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       require(meta.refs.contains(branch), s"no ref '$branch' in $ns.$name")
       require(!meta.tagNames.contains(branch), s"'$branch' is a tag")
-      val newMeta = meta.copy(currentSnapshotId = Some(meta.refs(branch)))
+      val newMeta = meta.copy(currentSnapshotId = Some(meta.refs(branch)),
+        properties = meta.properties ++ extraProperties)
       commit(ns, name, version + 1, newMeta)
       newMeta
     }
@@ -582,7 +600,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     import org.apache.spark.sql.functions.lit
     val row = spark.range(1).toDF()
       .select(lit(value).cast(dt).as(spec.column))
-      .select(spec.valueExpr.cast("string"))
+      .select(spec.valueExprFor(Some(dt)).cast("string"))
       .head()
     row.getString(0)
   }

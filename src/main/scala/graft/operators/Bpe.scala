@@ -23,11 +23,14 @@ import graft.functions.expressions.BpeMerges
   *    symbol pairs, weight by freq, aggregate (map-side partial —
   *    the pair space is bounded by the symbol inventory², not the
   *    corpus);
-  *  - [[train]]: N rounds of argmax-pair (a 1-row collect) + greedy
-  *    left-to-right merge applied to the vocab via the codegen'd
-  *    [[BpeMerges]] expression, `localCheckpoint`ed per round so the
-  *    iterative plan stays flat — the same discipline as
-  *    [[Dedup.connectedComponents]].
+  *  - [[train]]: BATCHED merge rounds — each round collects the top
+  *    candidate pairs once (bounded driver state) and applies the
+  *    longest provably-order-independent prefix as one codegen'd
+  *    [[BpeMerges]] list call, `localCheckpoint`ed per round so the
+  *    iterative plan stays flat (same discipline as
+  *    [[Dedup.connectedComponents]]); job count is O(merges / batch),
+  *    not O(merges), while the learned list equals one-at-a-time
+  *    training exactly (see [[selectBatch]]).
   *
   * Tie-break is total and deterministic (count desc, then left, then
   * right lexicographic), so the learned merge list is reproducible
@@ -75,27 +78,106 @@ object Bpe {
   /** Learn up to `nMerges` BPE merges (fewer if pairs run out).
     * Returns the merge list in learned order plus the final vocab
     * frame (word, freq, syms after all merges).
+    *
+    * BATCHED rounds (round-5 VERDICT item 3): the naive loop is one
+    * argmax collect + one merge pass PER MERGE — ~2 sequential Spark
+    * jobs each, a driver-side throughput killer at a production 32k-
+    * 100k-merge vocabulary even though per-job data is vocab-bounded.
+    * Each round here instead collects the top-`CandidateCap` pairs
+    * once (bounded driver state) and applies the longest provably-
+    * order-independent prefix as ONE [[BpeMerges]] list call, so the
+    * job count shrinks by the realized batch factor while the learned
+    * list stays IDENTICAL to one-merge-at-a-time training (asserted in
+    * BpeSpec against the independent in-memory reference, including
+    * randomized corpora). See [[selectBatch]] for the proof sketch of
+    * the batch-validity conditions.
     */
   def train(docs: DataFrame, nMerges: Int,
-      textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+      textCol: String = "text",
+      maxBatch: Int = 64): (Seq[(String, String)], DataFrame) = {
     BpeMerges.register(docs.sparkSession)
     var v = vocab(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
     var exhausted = false
-    while (round < nMerges && !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
       val top = pairCounts(v)
-        .orderBy(desc("n"), col("left"), col("right")).limit(1).collect()
+        .orderBy(desc("n"), col("left"), col("right"))
+        .limit(CandidateCap).collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+          r.getAs[Long]("n")))
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top.head.getAs[String]("left"), top.head.getAs[String]("right"))
-        merges += ((a, b))
-        v = v.withColumn("syms", mergePair(col("syms"), a, b))
+        val sel = selectBatch(top, math.min(maxBatch, nMerges - merges.size),
+          truncated = top.length == CandidateCap)
+        merges ++= sel.map(p => (p._1, p._2))
+        v = v.withColumn("syms", BpeMerges.merge(col("syms"),
+            typedlit(sel.map(_._1).toSeq), typedlit(sel.map(_._2).toSeq)))
           .localCheckpoint(true)
       }
-      round += 1
     }
     (merges.toSeq, v)
+  }
+
+  /** Candidate pairs collected per training round — bounds BOTH the
+    * driver state (rows collected) and the batch validity floor (a
+    * pair outside the collected list can have count at most the last
+    * collected count, which [[selectBatch]] treats as an unknown
+    * competitor).
+    */
+  private val CandidateCap = 256
+
+  /** The longest rank-contiguous candidate prefix that provably
+    * replays identically to one-merge-at-a-time training. Conditions
+    * (with `top` ranked by the total order: count desc, left, right):
+    *
+    *  1. CONTIGUOUS DISJOINT PREFIX — selection stops at the first
+    *     candidate sharing a symbol with an earlier selection. A pair
+    *     (c,d) disjoint from every merged (a,b) has an INVARIANT
+    *     count (only adjacencies touching a or b change), so each
+    *     selected pair still holds its count when its sequential turn
+    *     comes, and every non-selected disjoint pair still ranks
+    *     after it (counts only decrease; ties keep their later
+    *     tie-break).
+    *  2. CREATION BOUND — merging (a,b) can only create pairs
+    *     (x,ab)/(ab,y), each bounded by the OLD count of an existing
+    *     pair touching a or b ((x,a) / (b,y) respectively). Requiring
+    *     every non-selected candidate touching any selected symbol —
+    *     and every pair below the collected floor — to count STRICTLY
+    *     less than the last selected pair guarantees no creation can
+    *     outrank a later selected pair mid-batch.
+    *
+    * Under 1+2 the sequential argmax at each intra-batch step is
+    * exactly the next selected pair, so batch apply == sequential
+    * apply. Falls back to top-1 (always valid) when interactions bind.
+    */
+  private def selectBatch(top: Array[(String, String, Long)], maxBatch: Int,
+      truncated: Boolean): Array[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < top.length && sel.size < maxBatch && !stop) {
+      val p = top(i)
+      if (sel.isEmpty || (!used(p._1) && !used(p._2))) {
+        sel += p; used += p._1; used += p._2
+      } else stop = true
+      i += 1
+    }
+    val floorN = if (truncated) top.last._3 else Long.MinValue
+    def valid(k: Int): Boolean = {
+      val chosen = sel.take(k)
+      val syms = chosen.iterator.flatMap(p => Seq(p._1, p._2)).toSet
+      val chosenSet = chosen.iterator.map(p => (p._1, p._2)).toSet
+      val minSel = chosen.last._3
+      val maxOther = top.iterator
+        .filter(p => !chosenSet((p._1, p._2)))
+        .filter(p => syms(p._1) || syms(p._2))
+        .map(_._3).maxOption.getOrElse(Long.MinValue)
+      minSel > math.max(maxOther, floorN)
+    }
+    var k = sel.length
+    while (k > 1 && !valid(k)) k -= 1
+    sel.take(k).toArray
   }
 
   /** Apply a learned merge list to a symbol-array frame, in learned

@@ -404,14 +404,28 @@ object Dedup {
         (col("_rk") === 1).cast("long").as("keep_doc"))
   }
 
-  /** 64-bit SimHash over token multisets (duplicates weighted). */
+  /** 64-bit SimHash over token multisets (duplicates weighted).
+    *
+    * The per-token 64-bit hash is the UPPER half of md5 (first 16 hex
+    * digits), extracted nibble-by-nibble — deliberately NOT xxhash64:
+    * md5 is the one 64-bit-capable hash both Spark and DuckDB expose,
+    * which makes the whole signature (and therefore the banded
+    * near-dup pairs) restatable as the driver's DuckDB oracle
+    * (round-5 VERDICT item 1c). Hash quality is equivalent for
+    * SimHash's purposes (uniform independent bits); the extra md5 cost
+    * over xxhash64 is one pass over token bytes, negligible against
+    * the groupBy that follows.
+    */
   def simHash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // branch-free ±1 contribution: ((h>>k)&1)*2 - 1
+      .withColumn("hx", substring(md5(col("tok")), 1, 16))
+    // bit k (0 = LSB of the 64-bit word) lives in hex digit 16 - k/4
+    // (digit 1 = most significant nibble), at in-nibble position k%4;
+    // branch-free ±1 contribution: ((d>>(k%4))&1)*2 - 1
     val bitSums = (0 until 64).map { k =>
-      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$k")
+      val d = conv(substring(col("hx"), 16 - k / 4, 1), 16, 10).cast("int")
+      sum((shiftright(d, k % 4).bitwiseAND(lit(1)) * 2 - 1).cast("long")).as(s"b$k")
     }
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { k =>

@@ -366,6 +366,55 @@ object Pq {
       dim, k, nProbe, rerank)
   }
 
+  /** Serve top-k from the CATALOG-resident index table, reading ONLY
+    * the files of the cells this query batch probes: the batch's
+    * distinct probed cells (≤ nCells ints on the driver) each resolve
+    * through [[graft.catalog.SnapshotCatalog.readEquals]], whose
+    * manifest partition-values prune the `identity(cell)`-partitioned
+    * index files before Spark lists a single footer. This is the
+    * missing-pruning gap the round-5 ADVICE flagged on
+    * `streaming.VectorIndex`: [[searchIndex]] scans whatever index
+    * frame it is handed (row-group skipping at best); this overload
+    * makes a query batch's I/O proportional to nProbe/nCells of the
+    * index, which is what "serve from a 100 TB index" requires.
+    * Results equal [[searchIndex]] over the full table read
+    * (VectorIndexSpec pins the equivalence).
+    */
+  def searchIndexPruned(catalog: graft.catalog.SnapshotCatalog, ns: String,
+      table: String, vecs: DataFrame, k: Int, nProbe: Int,
+      coarse: Array[Array[Double]], books: Codebooks, dim: Int,
+      queryFilter: Column, idCol: String = "vec_id",
+      rerank: Int = 0): DataFrame = {
+    val unitQ = Similarity.unitVectors(vecs, idCol, "id", "uv")
+      .filter(queryFilter)
+    val cells = probedCellIds(unitQ, coarse, nProbe)
+    val index = cells.map(c => catalog.readEquals(ns, table, "cell", c.toString))
+      .reduceOption(_.unionAll(_))
+      .getOrElse(catalog.read(ns, table).limit(0))
+    searchIndex(index, vecs, k, nProbe, coarse, books, dim,
+      queryFilter, idCol, rerank)
+  }
+
+  /** Distinct cells probed by a query batch — same scoring + tie-break
+    * as [[probeScoreIvf]]'s probe stage; collects at most nCells ints.
+    */
+  private def probedCellIds(unitQueries: DataFrame,
+      coarse: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    val spark = unitQueries.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.zipWithIndex
+      .map { case (c, cid) => (cid, c.toSeq) }.toSeq.toDF("ccid", "cvec")
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("ccid"))
+    unitQueries.select(col("id").as("query_id"), col("uv").as("qv"))
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("cscore", DotProduct.dot(col("qv"), col("cvec")))
+      .withColumn("r", row_number().over(pw))
+      .filter(col("r") <= nProbe)
+      .select("ccid").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
   /** Query-side probe + ADC scoring + rerank shared by [[knnIvfPq]]
     * (fresh index) and [[searchIndex]] (materialized index): each
     * query broadcasts its top-`nProbe` cells and LUT, the probe join

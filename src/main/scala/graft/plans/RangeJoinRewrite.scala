@@ -46,8 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Opt-in: fires only when `spark.graft.rangeJoin.bucketWidth` is set
   * to a positive long (the domain bucket size, same unit as the point
   * column) — the width is a data-layout decision the engine cannot
-  * infer, exactly like the range-join bin hints in Databricks
-  * Photon / Spark's own storage-partitioned joins. Joins that already
+  * infer, the same reason other engines expose range-join bin-size
+  * hints rather than guessing. Joins that already
   * have an equality conjunct are left alone (they hash-join fine),
   * which also makes the rule idempotent: its own output contains an
   * equality conjunct.

@@ -519,42 +519,82 @@ object Relational {
       |ORDER BY p.event_id""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  // Sketch aggregates: HLL++ approximate distinct counts. No SQL
-  // oracle (approximation algorithms differ per engine) → rows-only.
+  // Sketch aggregates: HLL++ approximate distinct counts. Estimates
+  // are engine-specific, so the query emits its own error audit
+  // instead of raw estimates (round-5 VERDICT item 1b): the exact
+  // distinct counts (oracle-recomputable) plus within-3·rsd flags the
+  // HLL++ estimates must satisfy — a broken sketch flips the flag and
+  // fails the driver's hash check. Measured rel err ≤ 0.086 (rsd 0.05
+  // col) / ≤ 0.007 (rsd 0.01 col) at sf0.01-0.1; bounds are 3σ.
   private def q21(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("_apx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("_apx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("exact_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        col("exact_rows"),
+        (abs(col("_apx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).cast("int").as("orders_within_3rsd"),
+        (abs(col("_apx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.03).cast("int").as("parts_within_3rsd"))
       .orderBy("l_returnflag")
+
+  private val q21Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  CAST(count(*) AS BIGINT) AS exact_rows,
+      |  1 AS orders_within_3rsd, 1 AS parts_within_3rsd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q24
   // TypedImperativeAggregate sketch surface: t-digest-style approximate
-  // quantiles (graft.functions.expressions.QuantileDigest) beside the
-  // exact values for self-auditing error bounds. No SQL oracle (digest
-  // algorithms differ per engine) → rows-only; the error bound itself
-  // is pinned in OperatorSpec.
-  // The output is flattened to scalar columns (q50/q95/q99) — the
-  // driver's rows-only check sorts the frame in pandas, which cannot
-  // hash array cells.
+  // quantiles (graft.functions.expressions.QuantileDigest), audited
+  // in-query against the exact percentiles (round-5 VERDICT item 1b):
+  // output is the exact R-7 values (oracle-recomputable, q33's parity)
+  // plus within-bound flags for the digest estimates. Measured rel err
+  // ≤ 2e-4 at sf0.01-0.1; the 0.005 bound is ~25× that while still
+  // catching any real digest regression.
   private def q24(s: SparkSession, dir: String): DataFrame = {
     graft.functions.expressions.QuantileDigest.register(s)
+    val bound = 0.005
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         graft.functions.expressions.QuantileDigest
           .quantiles(col("l_extendedprice"), Seq(0.5, 0.95, 0.99))
-          .as("approx_price_q"),
+          .as("apx"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("ps"),
         count(lit(1)).as("exact_rows"))
       .select(col("l_returnflag"),
-        round(element_at(col("approx_price_q"), 1), 2).as("approx_q50"),
-        round(element_at(col("approx_price_q"), 2), 2).as("approx_q95"),
-        round(element_at(col("approx_price_q"), 3), 2).as("approx_q99"),
-        col("exact_rows"))
+        round(element_at(col("ps"), 1), 4).as("exact_q50"),
+        round(element_at(col("ps"), 2), 4).as("exact_q95"),
+        round(element_at(col("ps"), 3), 4).as("exact_q99"),
+        col("exact_rows"),
+        (abs(element_at(col("apx"), 1) - element_at(col("ps"), 1)) <=
+          element_at(col("ps"), 1) * bound).cast("int").as("q50_within_bound"),
+        (abs(element_at(col("apx"), 2) - element_at(col("ps"), 2)) <=
+          element_at(col("ps"), 2) * bound).cast("int").as("q95_within_bound"),
+        (abs(element_at(col("apx"), 3) - element_at(col("ps"), 3)) <=
+          element_at(col("ps"), 3) * bound).cast("int").as("q99_within_bound"))
       .orderBy("l_returnflag")
   }
+
+  private val q24Sql =
+    """SELECT l_returnflag,
+      |  round(qs[1], 4) AS exact_q50, round(qs[2], 4) AS exact_q95,
+      |  round(qs[3], 4) AS exact_q99, n_rows AS exact_rows,
+      |  1 AS q50_within_bound, 1 AS q95_within_bound, 1 AS q99_within_bound
+      |FROM (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS qs,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q25
   // Range (point-in-interval) join via operators.RangeJoin: lineitem
@@ -935,8 +975,13 @@ object Relational {
   // (union-of-parts == sketch-of-whole, asserted in OperatorSpec).
   // The exact countDistinct columns ride along as the self-audit; the
   // one full-table exact distinct is the cost the sketch path avoids.
-  // Estimates are engine-specific → rows-only.
+  // Estimates are engine-specific, so the output is the error audit
+  // (exact value + within-bound flag per row — round-5 VERDICT item
+  // 1b); the TOTAL row's flag checks the union-of-parts estimate.
+  // Measured rel err ≤ 0.036 at sf0.01-0.1 (lgK 12, rsd ≈ 1.6%);
+  // bound 0.10.
   private def q35(s: SparkSession, dir: String): DataFrame = {
+    val bound = 0.10
     val o = t(s, dir, "orders")
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("period"),
         col("o_custkey"))
@@ -946,16 +991,27 @@ object Relational {
       .persist()
     val total = monthly
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
-        .as("approx_customers"))
+        .as("_apx"))
       .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_customers")))
+      .select(lit("TOTAL").as("period"), col("exact_customers"),
+        (abs(col("_apx") - col("exact_customers")) <=
+          col("exact_customers") * bound).cast("int").as("within_bound"))
     monthly
-      .select(col("period"),
-        hll_sketch_estimate(col("sk")).as("approx_customers"),
-        col("exact_customers"))
-      .unionByName(total.select(lit("TOTAL").as("period"),
-        col("approx_customers"), col("exact_customers")))
+      .select(col("period"), col("exact_customers"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_customers")) <=
+          col("exact_customers") * bound).cast("int").as("within_bound"))
+      .unionByName(total)
       .orderBy("period")
   }
+
+  private val q35Sql =
+    """SELECT period, exact_customers, 1 AS within_bound FROM (
+      |  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS period,
+      |         count(DISTINCT o_custkey) AS exact_customers
+      |  FROM orders GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'TOTAL', count(DISTINCT o_custkey) FROM orders)
+      |ORDER BY period""".stripMargin
 
   // ---------------------------------------------------------------- q36
   // KMV/theta sketch month-over-month customer retention: per-month
@@ -965,9 +1021,13 @@ object Relational {
   // with pure array functions (no rescan of orders for any pairwise
   // overlap); the exact per-pair intersection rides along as the
   // self-audit, computed once from the distinct (month, custkey)
-  // pairs. Estimates are hash-specific → rows-only; the estimator
-  // contracts (union closure, error bounds) are pinned in
-  // OperatorSpec.
+  // pairs. Estimates are hash-specific, so the output is the error
+  // audit (round-5 VERDICT item 1b): exact values + within-bound flags
+  // the KMV estimates must satisfy. Bounds (k=256, 1/√k ≈ 6.3%):
+  // cust rel 0.25 (measured max 0.152); intersection/Jaccard errors
+  // scale with the UNION size over √k, so their bounds are
+  // 0.15·union / 0.15 absolute (measured max 0.037·union / 0.037).
+  // The estimator contracts themselves are pinned in OperatorSpec.
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.Kmv
     Kmv.register(s)
@@ -980,7 +1040,8 @@ object Relational {
       .agg(Kmv.sketch(col("o_custkey")).as("sk"),
         countDistinct(col("o_custkey")).as("exact_cust"))
       .persist()
-    val nxt = sk.select(col("month").as("nm"), col("sk").as("sk2"))
+    val nxt = sk.select(col("month").as("nm"), col("sk").as("sk2"),
+      col("exact_cust").as("_cust2"))
     val d = o.distinct()
     val exactCommon = d.withColumn("nm", nextOf)
       .join(d.select(col("month").as("nm"), col("o_custkey")),
@@ -990,14 +1051,44 @@ object Relational {
       .withColumn("nm", nextOf)
       .join(nxt, Seq("nm"))
       .join(exactCommon, Seq("month"), "left")
+      .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+      .withColumn("_union", col("exact_cust") + col("_cust2") - col("exact_common"))
       .select(col("month"), col("nm").as("next_month"),
-        col("exact_cust"),
-        round(Kmv.estimate(col("sk")), 1).as("est_cust"),
-        coalesce(col("exact_common"), lit(0L)).as("exact_common"),
-        round(Kmv.intersectEstimate(col("sk"), col("sk2")), 1).as("est_common"),
-        round(Kmv.jaccardEstimate(col("sk"), col("sk2")), 4).as("est_jaccard"))
+        col("exact_cust"), col("exact_common"),
+        (abs(Kmv.estimate(col("sk")) - col("exact_cust")) <=
+          col("exact_cust") * 0.25).cast("int").as("cust_within_bound"),
+        (abs(Kmv.intersectEstimate(col("sk"), col("sk2")) - col("exact_common")) <=
+          col("_union") * 0.15).cast("int").as("common_within_bound"),
+        (abs(Kmv.jaccardEstimate(col("sk"), col("sk2")) -
+          col("exact_common") / col("_union")) <= 0.15)
+          .cast("int").as("jaccard_within_bound"))
       .orderBy("month")
   }
+
+  private val q36Sql =
+    """WITH o AS (
+      |  SELECT DISTINCT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+      |         o_custkey
+      |  FROM orders),
+      |c AS (SELECT month, count(*) AS exact_cust FROM o GROUP BY 1),
+      |com AS (
+      |  SELECT a.month, count(*) AS exact_common
+      |  FROM o a JOIN o b
+      |    ON b.month = strftime((a.month || '-01')::DATE + INTERVAL 1 MONTH,
+      |                          '%Y-%m')
+      |   AND a.o_custkey = b.o_custkey
+      |  GROUP BY 1)
+      |SELECT c1.month,
+      |  strftime((c1.month || '-01')::DATE + INTERVAL 1 MONTH, '%Y-%m')
+      |    AS next_month,
+      |  c1.exact_cust, coalesce(com.exact_common, 0) AS exact_common,
+      |  1 AS cust_within_bound, 1 AS common_within_bound,
+      |  1 AS jaccard_within_bound
+      |FROM c c1
+      |JOIN c c2 ON c2.month = strftime((c1.month || '-01')::DATE
+      |                                 + INTERVAL 1 MONTH, '%Y-%m')
+      |LEFT JOIN com ON com.month = c1.month
+      |ORDER BY c1.month""".stripMargin
 
   // ---------------------------------------------------------------- q37
   // Ordered-sequence funnel (view → click → purchase) per user: each
@@ -1291,6 +1382,71 @@ object Relational {
       |  (o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------------ q43/q44
+  // Time travel + metadata tables under the driver's oracle (round-5
+  // VERDICT item 2). Both build a REAL two-snapshot catalog table from
+  // deterministic `orders` subsets in a fresh temp warehouse, then
+  // query it through the Engine's SQL surface — `VERSION AS OF`
+  // resolution, manifest-backed scans, and the `.snapshots` metadata
+  // relation are exactly the serving path HttpApi exposes. Every
+  // output column is restatable by DuckDB over the base parquet
+  // (snapshot ids are deterministic: the catalog numbers them 1, 2).
+  private def ttCatalog(s: SparkSession,
+      dir: String): (graft.query.Engine, Long, Long) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_tt_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val v1 = o.filter(col("o_orderkey") % 10 === 0).coalesce(1)
+    val v2 = o.filter(col("o_orderkey") % 10 === 5).coalesce(1)
+    cat.createTable("tt", "orders_tt", v1.schema)
+    val s1 = cat.append("tt", "orders_tt", v1).currentSnapshotId.get
+    val s2 = cat.append("tt", "orders_tt", v2).currentSnapshotId.get
+    (new graft.query.Engine(s, cat), s1, s2)
+  }
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val (eng, s1, s2) = ttCatalog(s, dir)
+    def at(label: String, snap: Long): DataFrame = eng.sqlDataFrame(
+      s"""SELECT '$label' AS version, count(*) AS n_rows,
+         |  count(DISTINCT o_custkey) AS n_cust,
+         |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+         |FROM tt.orders_tt VERSION AS OF $snap""".stripMargin)._1
+    at("v1", s1).unionByName(at("v2", s2)).orderBy("version")
+  }
+
+  private val q43Sql =
+    """SELECT * FROM (
+      |  SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |    count(DISTINCT o_custkey) AS n_cust,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT 'v2', CAST(count(*) AS BIGINT), count(DISTINCT o_custkey),
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 10 IN (0, 5))
+      |ORDER BY version""".stripMargin
+
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val (eng, _, _) = ttCatalog(s, dir)
+    eng.sqlDataFrame(
+      """SELECT snapshot_id, coalesce(parent_id, -1) AS parent_id,
+        |  n_files, added_rows
+        |FROM tt.orders_tt.snapshots ORDER BY snapshot_id""".stripMargin)._1
+  }
+
+  private val q44Sql =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
+      |    CAST(1 AS BIGINT) AS n_files,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 10 = 0) AS added_rows
+      |  UNION ALL
+      |  SELECT 2, 1, 2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 10 = 5))
+      |ORDER BY snapshot_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1313,10 +1469,10 @@ object Relational {
     QuerySpec("q18_cube", q18, Some(q18Sql)),
     QuerySpec("q19_subqueries", q19, Some(q19Sql)),
     QuerySpec("q20_asof_join", q20, Some(q20Sql)),
-    QuerySpec("q21_approx_distinct", q21, None),
+    QuerySpec("q21_approx_distinct", q21, Some(q21Sql)),
     QuerySpec("q22_pivot", q22, Some(q22Sql)),
     QuerySpec("q23_collection_fns", q23, Some(q23Sql)),
-    QuerySpec("q24_approx_quantiles", q24, None),
+    QuerySpec("q24_approx_quantiles", q24, Some(q24Sql)),
     QuerySpec("q25_range_join", q25, Some(q25Sql)),
     QuerySpec("q26_zorder_key", q26, Some(q26Sql)),
     QuerySpec("q27_stat_aggs", q27, Some(q27Sql)),
@@ -1327,12 +1483,14 @@ object Relational {
     QuerySpec("q32_column_profile", q32, Some(q32Sql)),
     QuerySpec("q33_percentiles_exact", q33, Some(q33Sql)),
     QuerySpec("q34_window_frames", q34, Some(q34Sql)),
-    QuerySpec("q35_hll_rollup", q35, None),
-    QuerySpec("q36_kmv_retention", q36, None),
+    QuerySpec("q35_hll_rollup", q35, Some(q35Sql)),
+    QuerySpec("q36_kmv_retention", q36, Some(q36Sql)),
     QuerySpec("q37_funnel", q37, Some(q37Sql)),
     QuerySpec("q38_range_frames", q38, Some(q38Sql)),
     QuerySpec("q39_variant_json", q39, Some(q39Sql)),
     QuerySpec("q40_gap_fill", q40, Some(q40Sql)),
     QuerySpec("q41_map_fns", q41, Some(q41Sql)),
-    QuerySpec("q42_grouping_sets", q42, Some(q42Sql)))
+    QuerySpec("q42_grouping_sets", q42, Some(q42Sql)),
+    QuerySpec("q43_time_travel", q43, Some(q43Sql)),
+    QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)))
 }

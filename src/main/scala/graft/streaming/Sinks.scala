@@ -15,12 +15,37 @@ import graft.catalog.SnapshotCatalog
   */
 object Sinks {
 
+  /** Property key under which a sink records the last committed
+    * micro-batch id for its checkpoint lineage (keyed by a checkpoint-
+    * dir hash, so several streams can feed one table without
+    * clobbering each other's markers).
+    */
+  private[graft] def lastBatchKey(checkpointDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"graft.stream.$h.last-batch-id"
+  }
+
+  /** foreachBatch is AT-LEAST-once: a micro-batch retried after a
+    * mid-commit failure re-runs with the same batchId. True iff that
+    * id is already recorded in the table — the recording rides the
+    * same atomic commit as the rows (`append(..., extraProperties)`),
+    * so "marker present" exactly means "rows landed".
+    */
+  private[graft] def alreadyCommitted(catalog: SnapshotCatalog,
+      ns: String, table: String, key: String, batchId: Long): Boolean =
+    catalog.tableExists(ns, table) &&
+      catalog.describe(ns, table).properties.get(key).exists(_.toLong >= batchId)
+
   /** S6 — Iceberg-like append sink: every trigger (default 5 s, matching
     * `iceberg.control.commit-interval-ms=5000`,
     * connector-config.json:27) appends the micro-batch to the snapshot
     * catalog with auto-create + BACKWARD-gated schema evolution
     * (connector-config.json:5,19-23). Each micro-batch = one atomic
-    * snapshot commit, mirroring the sink's commit cadence.
+    * snapshot commit, mirroring the sink's commit cadence; replayed
+    * batches are skipped via the [[lastBatchKey]] marker, making the
+    * sink exactly-once end-to-end.
     */
   def icebergLike(
       events: DataFrame,
@@ -33,11 +58,22 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!catalog.tableExists(ns, table))          // auto-create-enabled
-          catalog.createTable(ns, table, batch.schema)
-        catalog.append(ns, table, batch): Unit        // evolve inside
-      }
+      .foreachBatch(appendBatch(catalog, ns, table, checkpointDir) _)
+
+  /** The icebergLike per-batch commit, extracted so replay idempotence
+    * is directly testable (StreamingSpec calls it twice with one id).
+    */
+  private[graft] def appendBatch(catalog: SnapshotCatalog, ns: String,
+      table: String, checkpointDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val key = lastBatchKey(checkpointDir)
+    if (!alreadyCommitted(catalog, ns, table, key, batchId)) {
+      if (!catalog.tableExists(ns, table))            // auto-create-enabled
+        catalog.createTable(ns, table, batch.schema)
+      catalog.append(ns, table, batch,                // evolve inside
+        Map(key -> batchId.toString)): Unit
+    }
+  }
 
   /** Streaming write-audit-publish sink: every micro-batch is staged
     * on a catalog BRANCH, the audit predicate inspects the staged view
@@ -66,22 +102,32 @@ object Sinks {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!catalog.tableExists(ns, table))
-          catalog.createTable(ns, table, batch.schema)
-        if (catalog.describe(ns, table).currentSnapshotId.isEmpty) {
-          // bootstrap: no snapshot to branch from yet — the staged
-          // view IS the batch, so audit it directly
-          if (audit(batch)) catalog.append(ns, table, batch): Unit
-        } else {
-          // (re)point the staging branch at the published state,
-          // stage, audit the staged view, publish or discard
-          if (catalog.describe(ns, table).refs.contains(branch))
-            catalog.dropRef(ns, table, branch)
-          catalog.createBranch(ns, table, branch)
-          catalog.appendToBranch(ns, table, branch, batch)
-          if (audit(catalog.readRef(ns, table, branch)))
-            catalog.publish(ns, table, branch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val key = lastBatchKey(checkpointDir)
+        if (!alreadyCommitted(catalog, ns, table, key, batchId)) {
+          if (!catalog.tableExists(ns, table))
+            catalog.createTable(ns, table, batch.schema)
+          if (catalog.describe(ns, table).currentSnapshotId.isEmpty) {
+            // bootstrap: no snapshot to branch from yet — the staged
+            // view IS the batch, so audit it directly
+            if (audit(batch))
+              catalog.append(ns, table, batch,
+                Map(key -> batchId.toString)): Unit
+          } else {
+            // (re)point the staging branch at the published state,
+            // stage, audit the staged view, publish or discard. The
+            // batch marker rides the PUBLISH commit (the first one
+            // readers see): a crash after staging but before publish
+            // replays cleanly — the re-run resets the branch and the
+            // orphaned staging snapshot is abandoned history.
+            if (catalog.describe(ns, table).refs.contains(branch))
+              catalog.dropRef(ns, table, branch)
+            catalog.createBranch(ns, table, branch)
+            catalog.appendToBranch(ns, table, branch, batch)
+            if (audit(catalog.readRef(ns, table, branch)))
+              catalog.publish(ns, table, branch,
+                Map(key -> batchId.toString)): Unit
+          }
         }
       }
 

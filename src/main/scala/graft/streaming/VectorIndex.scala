@@ -18,9 +18,11 @@ import graft.operators.Pq
   *    state store) — a micro-batch costs one map pass regardless of
   *    index size, so ingest latency is independent of how big the
   *    index has grown;
-  *  - the index table is hidden-partitioned `identity(cell)`, so
-  *    [[Pq.searchIndex]] probes prune to nProbe cells' files via the
-  *    manifest, and a query batch never scans the firehose's history;
+  *  - the index table is hidden-partitioned `identity(cell)`, and
+  *    [[Pq.searchIndexPruned]] resolves a query batch's probed cells
+  *    through the manifest's recorded partition values
+  *    (`SnapshotCatalog.readEquals`), so serving reads only those
+  *    cells' files and never scans the firehose's history;
   *  - centroids/codebooks are FIXED inputs (trained offline on a
   *    sample, as [[Pq.trainCodebooks]] documents) — retraining is a
   *    new table + backfill, never an in-place mutation, so readers
@@ -31,6 +33,14 @@ object VectorIndex {
   /** Start-ready writer: encode the vector stream and append to
     * `ns.table` (auto-created with `identity(cell)` hidden
     * partitioning). `vecs` needs (`idCol`, embedding) columns.
+    *
+    * Replay-safe: foreachBatch is at-least-once, so a micro-batch
+    * retried after a mid-commit failure re-runs — the last committed
+    * batchId rides each append's own snapshot commit
+    * ([[Sinks.lastBatchKey]]), and already-committed batches are
+    * skipped. Duplicate (id, cell, codes) rows would otherwise break
+    * the VectorIndexSpec-pinned streamed==batch index equivalence and
+    * could displace true neighbors in served top-k.
     */
   def indexSink(vecs: DataFrame, coarse: Array[Array[Double]],
       books: Pq.Codebooks, catalog: SnapshotCatalog, ns: String,
@@ -40,10 +50,20 @@ object VectorIndex {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!catalog.tableExists(ns, table))
-          catalog.createTable(ns, table, batch.schema,
-            properties = Map(PartitionSpec.PropertyKey -> "identity(cell)"))
-        catalog.append(ns, table, batch): Unit
-      }
+      .foreachBatch(commitBatch(catalog, ns, table, checkpointDir) _)
+
+  /** Per-batch commit, extracted for direct replay testing
+    * (VectorIndexSpec re-delivers a batchId and asserts one snapshot).
+    */
+  private[graft] def commitBatch(catalog: SnapshotCatalog, ns: String,
+      table: String, checkpointDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val key = Sinks.lastBatchKey(checkpointDir)
+    if (!Sinks.alreadyCommitted(catalog, ns, table, key, batchId)) {
+      if (!catalog.tableExists(ns, table))
+        catalog.createTable(ns, table, batch.schema,
+          properties = Map(PartitionSpec.PropertyKey -> "identity(cell)"))
+      catalog.append(ns, table, batch, Map(key -> batchId.toString)): Unit
+    }
+  }
 }

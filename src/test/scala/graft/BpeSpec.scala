@@ -139,6 +139,32 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("batched merge learning equals the reference on randomized corpora") {
+    // train() batches provably-independent merges per round; the
+    // learned list must still equal the strictly sequential reference
+    // on corpora engineered to mix ties, shared-symbol conflicts, and
+    // merge-created pairs (small alphabet => dense interactions).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val words = Seq.fill(30 + rnd.nextInt(40))(
+        (0 until 1 + rnd.nextInt(6))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+        .filter(_.nonEmpty)
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val (batched, _) = Bpe.train(docs, 15)
+      assert(batched == referenceTrain(words, 15),
+        s"trial $trial words=$words")
+    }
+  }
+
+  test("batched and maxBatch=1 training learn the identical list") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (batched, _) = Bpe.train(docs, 12)
+    val (sequential, _) = Bpe.train(docs, 12, maxBatch = 1)
+    assert(batched == sequential)
+  }
+
   test("training is partitioning-independent") {
     val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

@@ -487,6 +487,64 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.readWhere("db", "ev", "ts", day1, day1 + 86399.0).count() == 8)
   }
 
+  test("timestamp pvals are UTC-instant based — cross-timezone sessions agree") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val i0 = java.time.Instant.parse("2020-03-10T01:30:00Z")
+      val i1 = java.time.Instant.parse("2020-03-11T23:45:00Z")
+      val df = Seq(
+        (java.sql.Timestamp.from(i0), 1L),
+        (java.sql.Timestamp.from(i1), 2L)).toDF("ts", "v")
+      cat.createTable("db", "tzp", df.schema,
+        Map(PartitionSpec.PropertyKey -> "identity(ts)"))
+      cat.append("db", "tzp", df)
+      // recorded pvals render the INSTANT in UTC, not the writer's zone
+      val pvals = cat.describe("db", "tzp").currentSnapshot.get
+        .fileStats.flatMap(_.pval).toSet
+      assert(pvals == Set("2020-03-10 01:30:00.000000",
+        "2020-03-11 23:45:00.000000"), pvals)
+
+      // a session in a DIFFERENT timezone probes the same instant and
+      // still finds the row — the pre-fix behavior derived the pval in
+      // the prober's zone and silently pruned the matching file away
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val tokyoWall = java.time.LocalDateTime
+        .ofInstant(i0, java.time.ZoneId.of("Asia/Tokyo"))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val got = cat.readEquals("db", "tzp", "ts", tokyoWall)
+      assert(got.count() == 1 && got.head().getLong(1) == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("truncate(): numeric columns truncate to width multiples, strings substring") {
+    import graft.catalog.PartitionSpec
+    import spark.implicits._
+    val spec = PartitionSpec.parse("truncate(10, v)")
+    val got = Seq(17L, -7L, 103L, 0L).toDF("v")
+      .select(spec.valueExprFor(Some(LongType)).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    // Iceberg spec-v1 semantics: v - (v mod W), floor-biased
+    assert(got == Seq("10", "-10", "100", "0"), got)
+    val sspec = PartitionSpec.parse("truncate(3, s)")
+    val sgot = Seq("abcdef", "ab").toDF("s")
+      .select(sspec.valueExprFor(Some(StringType)).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sgot == Seq("abc", "ab"), sgot)
+    // write + equality probe agree end-to-end (17 and -7 land in
+    // different width bins; the probe must re-derive the same bin)
+    val cat = freshCatalog()
+    cat.createTable("db", "tr", StructType(Seq(StructField("v", LongType))),
+      Map(PartitionSpec.PropertyKey -> "truncate(10, v)"))
+    cat.append("db", "tr", Seq(17L, -7L, 25L).toDF("v"))
+    assert(cat.readEquals("db", "tr", "v", "17").count() == 1)
+    assert(cat.readEquals("db", "tr", "v", "-7").count() == 1)
+  }
+
   test("snapshot isolation: an in-flight reader is unaffected by later commits") {
     val cat = freshCatalog()
     import spark.implicits._

@@ -45,6 +45,27 @@ class StreamingSpec extends SparkTestBase {
     assert(meta.snapshots.tail.forall(s => ids.contains(s.parentId.get)))
   }
 
+  test("sink replay: a redelivered micro-batch id appends exactly once") {
+    import spark.implicits._
+    // foreachBatch is at-least-once — a batch retried after a
+    // mid-commit failure re-runs with the SAME id; the marker rides
+    // the append's own atomic commit, so the replay must skip
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-replay-wh"))
+    val commit = Sinks.appendBatch(cat, "s", "ev", "ckpt-replay-test") _
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    commit(b0, 0L)
+    commit(b0, 0L) // redelivery
+    assert(cat.read("s", "ev").count() == 2)
+    assert(cat.describe("s", "ev").snapshots.size == 1)
+    commit(Seq((3L, "c")).toDF("id", "v"), 1L) // later batches land
+    assert(cat.read("s", "ev").count() == 3)
+    // the marker is keyed per checkpoint lineage: a different stream
+    // feeding the same table is not blocked by this stream's marker
+    val commit2 = Sinks.appendBatch(cat, "s", "ev", "ckpt-other") _
+    commit2(Seq((4L, "d")).toDF("id", "v"), 0L)
+    assert(cat.read("s", "ev").count() == 4)
+  }
+
   test("WAP sink: failing audit discards the batch unseen; passing publishes") {
     import spark.implicits._
     val src = tmpDir("graft-wap-src")

@@ -86,4 +86,32 @@ class VectorIndexSpec extends SparkTestBase {
     // codebooks trained on the wrong distribution)
     assert(recall >= 0.2, s"served recall $recall")
   }
+
+  test("replayed index batch commits once; pruned serving equals full scan") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val coarse = Similarity.kmeansCentroids(e, 8, iters = 2)
+    val books = Pq.trainResidualCodebooks(e, coarse,
+      m = 4, ksub = 8, dim = 64, iters = 2)
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-vec-wh2"))
+    val commit = VectorIndex.commitBatch(cat, "ann", "idx", "vec-ckpt") _
+    val b0 = Pq.indexRows(e.filter(col("vec_id") < 100), coarse, books)
+    val b1 = Pq.indexRows(e.filter(col("vec_id") >= 100), coarse, books)
+    commit(b0, 0L)
+    commit(b0, 0L) // at-least-once redelivery must not duplicate rows
+    assert(cat.describe("ann", "idx").snapshots.size == 1)
+    commit(b1, 1L)
+    assert(cat.read("ann", "idx").count() == e.count())
+
+    // cell-pruned serving (manifest pval reads of only the probed
+    // cells) answers exactly like a full index scan
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val full = Pq.searchIndex(cat.read("ann", "idx"), e, k = 5, nProbe = 4,
+      coarse, books, dim = 64, col("id") < 30, rerank = 20)
+    val pruned = Pq.searchIndexPruned(cat, "ann", "idx", e, k = 5,
+      nProbe = 4, coarse, books, dim = 64, col("id") < 30, rerank = 20)
+    assert(pairs(pruned) == pairs(full))
+    assert(pairs(pruned).nonEmpty)
+  }
 }
