@@ -54,4 +54,80 @@ class IngestSpec extends SparkTestBase {
     assert(graft.schema.SchemaCompat.isCompatible(df.schema, PurchaseEvents.schema))
     assert(df.schema.fieldNames.toSeq == PurchaseEvents.schema.fieldNames.toSeq)
   }
+
+  // ------------------------------------------------- Kafka seam (S4)
+
+  test("kafka frame decode round-trips registry-framed Avro values") {
+    import graft.ingest.KafkaStreamSource
+    import graft.schema.AvroSerde
+    val events = PurchaseEvents.batch(spark, startMs = 1743171234567L,
+      count = 25)
+    val avro = AvroSerde.toAvroSchema(PurchaseEvents.schema)
+    // what the topic would carry: one framed Avro value per event
+    val framed = events.collect().toSeq.map(r =>
+      AvroSerde.serialize(r, PurchaseEvents.schema, avro, schemaId = 7))
+    import spark.implicits._
+    val raw = framed.toDF("value")
+    val decoded = KafkaStreamSource.decodeValues(raw, PurchaseEvents.schema)
+    assert(decoded.schema.fieldNames.toSeq ==
+      PurchaseEvents.schema.fieldNames.toSeq)
+    val back = decoded.orderBy("timestamp").collect()
+    val orig = events.orderBy("timestamp").collect()
+    assert(back.length == orig.length)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(b.getAs[Long]("timestamp") == o.getAs[Long]("timestamp"))
+      assert(b.getAs[String]("user_id") == o.getAs[String]("user_id"))
+      assert(b.getAs[Double]("amount") == o.getAs[Double]("amount"))
+      assert(b.getAs[Row]("user_details") == o.getAs[Row]("user_details"))
+      assert(b.getAs[Map[String, String]]("purchase_metadata") ==
+        o.getAs[Map[String, String]]("purchase_metadata"))
+      assert(b.getAs[scala.collection.Seq[Double]]("previous_purchases") ==
+        o.getAs[scala.collection.Seq[Double]]("previous_purchases"))
+    }
+  }
+
+  test("stream source config degrades gracefully without the kafka jar") {
+    import graft.ingest.{EmulatedSource, KafkaStreamSource, StreamSources}
+    // this sandbox has no spark-sql-kafka connector
+    assert(!StreamSources.kafkaAvailable)
+    // kafka requested but jar absent → emulated fallback binds
+    val fallback = StreamSources.forConfig(Map(
+      "kafka.bootstrap.servers" -> "${KAFKA_BROKERS}",
+      "topics" -> "purchase-events",
+      "emulated.rows-per-batch" -> "3"),
+      env = Map("KAFKA_BROKERS" -> "broker:9092"))
+    assert(fallback.isInstanceOf[EmulatedSource])
+    // unless the deployment declares kafka REQUIRED → loud error
+    val err = intercept[IllegalStateException] {
+      StreamSources.forConfig(Map(
+        "kafka.bootstrap.servers" -> "broker:9092",
+        "kafka.required" -> "true"))
+    }
+    assert(err.getMessage.contains("spark-sql-kafka"))
+    // direct construction compiles + fails only at stream() with a
+    // clear message (not a mid-query ClassNotFoundException)
+    val ks = new KafkaStreamSource("broker:9092", "purchase-events")
+    val e2 = intercept[IllegalArgumentException] { ks.stream(spark) }
+    assert(e2.getMessage.contains("spark-sql-kafka"))
+    // no kafka keys at all → emulated with defaults
+    assert(StreamSources.forConfig(Map.empty)
+      .isInstanceOf[EmulatedSource])
+  }
+
+  test("emulated source streams the same derivation as the batch path") {
+    import graft.ingest.EmulatedSource
+    val src = new EmulatedSource(rowsPerBatch = 2, startMs = 1700000000000L)
+    val q = src.stream(spark).writeStream
+      .format("memory").queryName("seam_emulated")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("seam_emulated").orderBy("timestamp")
+    assert(got.schema.fieldNames.toSeq ==
+      PurchaseEvents.schema.fieldNames.toSeq)
+    assert(got.count() >= 2)
+    val ts0 = got.select("timestamp").head.getLong(0)
+    val expect = PurchaseEvents.batch(spark, ts0, 1).head
+    assert(got.head == expect)
+  }
 }

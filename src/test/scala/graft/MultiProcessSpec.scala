@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Paths
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotCatalog
+
+/** Round-5 VERDICT item 7: prove the catalog's optimistic commit
+  * protocol (CREATE_NEW metadata + pointer ATOMIC_MOVE + retry) holds
+  * ACROSS PROCESSES, where the JVM-level `synchronized` in
+  * SnapshotCatalog cannot help. A second JVM (tools.AppendWorker, its
+  * own SparkSession) races this one appending to the same table in a
+  * shared warehouse; every batch from both writers must land and the
+  * snapshot lineage must stay linear.
+  */
+class MultiProcessSpec extends SparkTestBase {
+
+  test("two JVMs appending concurrently: every commit lands, lineage linear") {
+    import spark.implicits._
+    val wh = tmpDir("graft_mp_wh")
+    val catalog = new SnapshotCatalog(spark, wh)
+    val perWriter = 5
+    val schema = Seq.empty[(String, String, Long)]
+      .toDF("payload", "writer", "batch").schema
+    catalog.createTable("db", "contended", schema)
+
+    // the worker JVM needs the exact test classpath + JDK17 add-opens
+    // (Test/fork := true makes java.class.path the real one)
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.AppendWorker", wh, "db", "contended",
+      perWriter.toString, "B")
+    val log = java.io.File.createTempFile("graft_mp_worker", ".log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+
+    // race it from THIS JVM
+    (0 until perWriter).foreach { i =>
+      val batch = Seq.tabulate(10)(j => (s"A-$i-$j", "A", i.toLong))
+        .toDF("payload", "writer", "batch")
+      catalog.append("db", "contended", batch)
+    }
+    assert(proc.waitFor(300, TimeUnit.SECONDS),
+      s"worker JVM timed out — log: $log")
+    assert(proc.exitValue == 0,
+      s"worker JVM failed — log tail:\n" +
+        scala.util.Using.resource(scala.io.Source.fromFile(log))(
+          _.getLines().toSeq.takeRight(25).mkString("\n")))
+
+    // every commit landed exactly once: 10 snapshots, ids 1..10, each
+    // chaining off its predecessor (no forks, no lost writes)
+    val meta = catalog.describe("db", "contended")
+    val snaps = meta.snapshots.sortBy(_.snapshotId)
+    assert(snaps.map(_.snapshotId) == (1L to (2L * perWriter)))
+    assert(snaps.head.parentId.isEmpty)
+    assert(snaps.sliding(2).forall {
+      case Seq(p, c) => c.parentId.contains(p.snapshotId)
+      case _ => true
+    })
+    assert(meta.currentSnapshotId.contains(2L * perWriter))
+    // all rows from both writers are readable at the head snapshot
+    val rows = catalog.read("db", "contended")
+    assert(rows.count() == 2L * perWriter * 10)
+    val byWriter = rows.groupBy("writer").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWriter == Map("A" -> perWriter * 10L, "B" -> perWriter * 10L))
+  }
+}
