@@ -165,9 +165,33 @@ object Similarity {
     * complete and sub-quadratic — that regime belongs to the exact
     * baseline, which is why `nearDupPairs(candidates = None)` exists.
     */
+  /** Plane count that holds EXPECTED BUCKET OCCUPANCY constant as the
+    * corpus grows: ⌈log2(n / targetPerBucket)⌉, clamped. The full-suite
+    * 10× smoke (SCALING.md) measured why this matters: with planes
+    * FIXED, bucket count is fixed, so occupancy grows ∝ n and candidate
+    * pairs ∝ n² — e05's 8-plane config went 28× slower for 10× the
+    * vectors. Occupancy-scaled planes restore candidates ∝ n ·
+    * targetPerBucket · nTables.
+    *
+    * Recall cost of each added plane is one more r(s) factor per table
+    * (r = 1 − θ/π): at the ≥0.999 dedup regime r ≈ 0.986, so going
+    * 8 → 15 planes drops per-table collision ~10% — hold recall by
+    * adding ~1-2 tables (L ∝ r^{-Δp}), still linear in n. At LOWER
+    * output thresholds (0.9 ⇒ r ≈ 0.856) added planes cost real
+    * recall (×0.856 per table each) — there, keep planes and accept
+    * occupancy, or re-shard the corpus and pair within shards.
+    */
+  def autoPlanes(n: Long, targetPerBucket: Int = 16,
+      minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
   def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", nTables: Int = 6,
       seedBase: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes=$nPlanes out of range")
     val b = lshBucketsAllTables(vecs, nPlanes, dim, idCol, nTables, seedBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.select(col("id").as("a"), col("table"), col("bucket"))

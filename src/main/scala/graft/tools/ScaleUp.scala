@@ -79,12 +79,18 @@ object ScaleUp {
           transform(split(col("text"), " "), t => concat(lit(s"r${i}x"), t))))
     })
 
+    // replicas get a CIRCULAR DIMENSION SHIFT (norm-preserving, and
+    // decorrelates against all other replicas' vectors) — a first cut
+    // that merely rescaled dims kept cross-replica cosines ≥ 0.9, so
+    // the true near-dup answer grew 190× for 10× vectors and the e05
+    // smoke measured workload blowup, not engine scaling (ScaleProbe)
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
     write("embeddings", rep(embs) { (d, i) =>
       if (i == 0) d
       else d.withColumn("vec_id", col("vec_id") + lit(i * K))
         .withColumn("embedding", transform(col("embedding"),
-          (x, j) => x * (lit(1.0f) + lit(i * 0.01f) * (j % 7))))
+          (_, j) => element_at(col("embedding"), ((j + lit(i)) % dim) + 1)))
     })
 
     spark.stop()
