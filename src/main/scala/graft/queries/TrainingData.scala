@@ -1305,10 +1305,17 @@ object TrainingData {
 
   // ---------------------------------------------------------------- t26
   // Full BPE training: 10 merge rounds over the corpus vocabulary.
-  // Deterministic (total tie-break) but 10 chained argmax+merge rounds
-  // have no tractable single-SQL restatement → rows-only here; BpeSpec
-  // pins every learned merge against an independent in-memory
-  // reference implementation.
+  // Deterministic (total tie-break: count desc, left, right). The
+  // DuckDB oracle UNROLLS the 10 sequential rounds as chained CTEs —
+  // sound because Bpe.train's batched rounds are proven (BpeSpec)
+  // to learn the IDENTICAL list to one-merge-at-a-time training, and
+  // each sequential round is pure SQL: overlapping adjacent-pair
+  // counts over the '|'-delimited vocab state (t25's counting),
+  // argmax with the same total tie-break, then t28's two-pass
+  // replace replay of the single merge (two non-overlapping passes
+  // == BpeMerges' left-to-right single-scan fuse; see t28 comment).
+  // Vocab state is bounded by distinct words, so 10 unrolled rounds
+  // stay cheap at oracle scale.
   private def t26(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bpe
     val (merges, _) = Bpe.train(docs(s, dir), nMerges = 10)
@@ -1316,6 +1323,41 @@ object TrainingData {
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong + 1, a, b, a + b) }
       .toDF("rank", "left", "right", "merged")
+  }
+
+  private val t26Sql = {
+    val rounds = 10
+    // One round: pair counts over the current state (overlapping
+    // adjacent pairs, freq-weighted), argmax under the total order,
+    // apply the merge via two left-to-right replace passes.
+    def round(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (
+        |  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS n
+        |  FROM (SELECT freq, syms,
+        |          unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT freq, string_split(trim(s, '|'), '|') AS syms
+        |              FROM $prev))
+        |  GROUP BY 1, 2),
+        |m$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+        |v$i AS (
+        |  SELECT w, freq,
+        |    replace(replace(v.s,
+        |        '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|'),
+        |        '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|') AS s
+        |  FROM $prev v CROSS JOIN m$i m)""".stripMargin
+    }
+    val emit = (1 to rounds)
+      .map(i => s"""SELECT CAST($i AS BIGINT) AS "rank", l AS "left",
+        | r AS "right", l || r AS merged FROM m$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT unnest($duckToks) AS w FROM documents),
+      |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s
+      |       FROM tok GROUP BY w),
+      |${(1 to rounds).map(round).mkString(",\n")}
+      |$emit
+      |ORDER BY "rank"""".stripMargin
   }
 
   // ---------------------------------------------------------------- t29
@@ -1786,7 +1828,7 @@ object TrainingData {
     QuerySpec("t23_train_split", t23, Some(t23Sql)),
     QuerySpec("t24_weighted_sample", t24, Some(t24Sql)),
     QuerySpec("t25_bpe_pairs", t25, Some(t25Sql)),
-    QuerySpec("t26_bpe_merges", t26, None),
+    QuerySpec("t26_bpe_merges", t26, Some(t26Sql)),
     QuerySpec("t27_lm_perplexity", t27, Some(t27Sql)),
     QuerySpec("t28_bpe_encode", t28, Some(t28Sql)),
     QuerySpec("t29_decontaminate_bloom", t29, Some(t15Sql)),
