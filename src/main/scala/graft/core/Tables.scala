@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided deterministic tables (TESTDATA.md).
   * One parquet file per table under /root/testdata/sf{0.001,0.01,0.1}.
@@ -14,15 +15,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long, floor-divide to micros
-      // (integer `div` — a double division would lose precision at
-      // 1.7e18), and rebuild a proper TimestampType column. DuckDB
-      // reads the same file as TIMESTAMP_NS, so sub-micro truncation
-      // matches between engines for ms-level derivations.
+      // events.ts has shipped as two different physical types across
+      // testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read nanos as long and rebuild),
+      // and plain timestamp[us] with isAdjustedToUTC=false (which
+      // Spark reads as TIMESTAMP_NTZ). Adapt on the footer schema so
+      // either generation loads as a session-TZ TimestampType column
+      // with identical wall-clock values (session TZ is pinned UTC,
+      // so the NTZ→TZ cast is value-preserving).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          // nanos epoch as long; integer `div` (not double division,
+          // which loses precision at 1.7e18) floors to micros.
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // already TimestampType
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register tables as temp views so `spark.sql` pass-through

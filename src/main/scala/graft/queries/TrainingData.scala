@@ -1311,9 +1311,12 @@ object TrainingData {
   // to learn the IDENTICAL list to one-merge-at-a-time training, and
   // each sequential round is pure SQL: overlapping adjacent-pair
   // counts over the '|'-delimited vocab state (t25's counting),
-  // argmax with the same total tie-break, then t28's two-pass
-  // replace replay of the single merge (two non-overlapping passes
-  // == BpeMerges' left-to-right single-scan fuse; see t28 comment).
+  // argmax with the same total tie-break, then an EXACT replay of the
+  // single merge via a list_reduce fold that mirrors BpeMerges'
+  // left-to-right single-scan fuse (t28's two-pass replace is NOT
+  // used here: it is only equivalent for non-self merges, and t26's
+  // learned merges are data-dependent, so a self-merge (x,x) over a
+  // >=5-run would silently diverge — see the fold invariant below).
   // Vocab state is bounded by distinct words, so 10 unrolled rounds
   // stay cheap at oracle scale.
   private def t26(s: SparkSession, dir: String): DataFrame = {
@@ -1329,7 +1332,15 @@ object TrainingData {
     val rounds = 10
     // One round: pair counts over the current state (overlapping
     // adjacent pairs, freq-weighted), argmax under the total order,
-    // apply the merge via two left-to-right replace passes.
+    // then apply the merge with a left fold over the symbol list that
+    // rebuilds the '|'-delimited state exactly as the greedy single
+    // scan would: fuse the incoming symbol x into the accumulator iff
+    // x = r and the accumulator's LAST symbol is l. Soundness of the
+    // "last symbol" test: a symbol fused THIS round is l||r, and
+    // l||r = l is impossible (r is non-empty), so a just-fused symbol
+    // can never re-match as the left side — exactly the greedy scan's
+    // skip-past-the-fused-pair behavior, including self-merges (x,x)
+    // over odd/even runs, where two-pass replace diverges.
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (
@@ -1342,9 +1353,13 @@ object TrainingData {
         |m$i AS (SELECT l, r FROM p$i ORDER BY n DESC, l, r LIMIT 1),
         |v$i AS (
         |  SELECT w, freq,
-        |    replace(replace(v.s,
-        |        '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|'),
-        |        '|' || m.l || '|' || m.r || '|', '|' || m.l || m.r || '|') AS s
+        |    list_reduce(
+        |      list_prepend('|', string_split(trim(v.s, '|'), '|')),
+        |      (acc, x) -> CASE
+        |        WHEN x = m.r AND ends_with(acc, '|' || m.l || '|')
+        |          THEN acc[1 : len(acc) - len(m.l) - 1] || m.l || m.r || '|'
+        |        ELSE acc || x || '|'
+        |      END) AS s
         |  FROM $prev v CROSS JOIN m$i m)""".stripMargin
     }
     val emit = (1 to rounds)
@@ -1393,7 +1408,13 @@ object TrainingData {
   // delimiter of an adjacent match; after it, unmerged occurrences are
   // never adjacent, so pass 2 catches exactly the rest — equivalent to
   // BpeMerges' single-scan fuse, which BpeSpec pins against the
-  // in-memory reference). Training-path learning stays covered by t26
+  // in-memory reference). That equivalence holds ONLY for non-self
+  // merges: for left == right over a run of >=5 identical symbols the
+  // two passes fuse different positions than the greedy scan (t26's
+  // oracle replays with an exact list_reduce fold for this reason).
+  // This pinned list has no self-merge — t28Sql asserts it, so
+  // re-pinning the artifact with one fails loudly instead of
+  // silently diverging. Training-path learning stays covered by t26
   // + BpeSpec.
   private[graft] val t28Merges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "r", "s" -> "t", "o" -> "w",
@@ -1406,7 +1427,12 @@ object TrainingData {
 
   private val t28Sql = {
     // chars → "|c1|c2|...|cn|", then per merge two non-overlapping
-    // replace passes (see t28 comment for why two suffice)
+    // replace passes (see t28 comment for why two suffice — and why
+    // they suffice only because no merge is a self-merge)
+    require(t28Merges.forall { case (a, b) => a != b },
+      "t28's two-pass replace oracle is only exact for non-self merges; " +
+        "a (x,x) merge in the pinned list needs the list_reduce fold " +
+        "replay used by t26")
     val sym0 = """'|' || regexp_replace(w, '(.)', '\1|', 'g')"""
     val replay = t28Merges.foldLeft(sym0) { case (acc, (a, b)) =>
       s"replace(replace($acc, '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|')"
