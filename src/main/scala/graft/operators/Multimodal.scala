@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * instantiation per partition, streaming over rows, no driver
   * involvement, scales with executor count.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `StubDecoder` derives deterministic fake features from
-  * the bytes. The Spark-side contract — schema, partitioning, batch
-  * shape — is real and tested; swap `StubDecoder` for a real codec
-  * binding without touching the plumbing.
+  * Two codecs plug into the same seam: [[Multimodal.ImageIoDecoder]]
+  * is a REAL pure-JVM image codec (`javax.imageio` ships with the JDK —
+  * PNG, BMP, GIF, JPEG), and [[Multimodal.StubDecoder]] derives
+  * deterministic fake features from the bytes for oracle-checkable
+  * fixtures (the driver's DuckDB oracle cannot decode images, so the
+  * m-queries run the stub; OperatorSpec drives the real codec over
+  * real encoded pixels).
   */
 object Multimodal {
 
@@ -33,32 +35,85 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
+  /** Pluggable per-partition codec. Implementations must be
+    * serializable (they ride into the `mapPartitions` closure) and
+    * must NOT throw on malformed payloads — a 100 TB crawl always
+    * contains corrupt media, and one bad record must mark itself, not
+    * kill the stage. Convention: undecodable ⇒ width = height = -1,
+    * n_frames = 0.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   /** Deterministic fake decoder standing in for a real codec.
     * Derives plausible-looking dimensions from content alone, so tests
     * are reproducible and the pipeline shape is honest.
     */
-  object StubDecoder {
+  object StubDecoder extends MediaDecoder {
     def decode(r: MediaRow): MediaFeatures = {
       val len = r.payload.length.toLong
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(r.payload).map("%02x".format(_)).mkString
       MediaFeatures(
-        r.doc_id, r.media_type, len, sha,
+        r.doc_id, r.media_type, len, sha256Hex(r.payload),
         width = (320 + (len % 1280)).toInt,
         height = (240 + (len * 7 % 840)).toInt,
         n_frames = (1 + (r.doc_id % 30)).toInt)
     }
   }
 
-  /** Batch feature extraction: one decoder per partition, rows streamed
-    * through it. This is where a real implementation would hold the
-    * native codec handle.
+  /** Real image codec on `javax.imageio` (pure JVM, headless-safe, no
+    * container dependency): width/height come from the actual
+    * bitstream header, n_frames from the reader's image count (>1 for
+    * animated GIF). Uses the ImageReader API so `getWidth/getHeight(0)`
+    * read only the header — feature extraction over a 100 TB media
+    * column stays header-bound, not pixel-decode-bound. Malformed or
+    * unknown payloads degrade to the (-1, -1, 0) marker per the
+    * [[MediaDecoder]] contract.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = r.payload.length.toLong
+      val sha = sha256Hex(r.payload)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          MediaFeatures(r.doc_id, r.media_type, len, sha, -1, -1, 0)
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            // allowSearch=true walks the stream for the true frame
+            // count (animated GIF); still header-level work
+            val n = try reader.getNumImages(true)
+            catch { case _: java.io.IOException => 1 }
+            MediaFeatures(r.doc_id, r.media_type, len, sha, w, h, n)
+          } catch {
+            case _: Exception =>
+              MediaFeatures(r.doc_id, r.media_type, len, sha, -1, -1, 0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    }
+  }
+
+  /** Batch feature extraction: one decoder per partition, rows streamed
+    * through it. Defaults to the deterministic stub so driver-side
+    * oracles stay restatable; pass [[ImageIoDecoder]] for real media.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init point (codec/native-lib handle goes here)
-      rows.map(StubDecoder.decode)
+      rows.map(decoder.decode)
     }
   }
 
@@ -129,6 +184,66 @@ object Multimodal {
         md.reset()
         Resized(r.doc_id, r.payload.length.toLong, small.length.toLong,
           md.digest(small).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** A really-resized image: original and new pixel geometry plus the
+    * re-encoded thumbnail's size and digest (the join key for a
+    * thumbnail store written by the same partition that scaled).
+    */
+  case class ResizedImage(
+      doc_id: Long, orig_width: Int, orig_height: Int,
+      width: Int, height: Int, resized_bytes: Long, resized_md5: String)
+
+  /** REAL image resize on the JDK codec: decode the payload
+    * (`ImageIO.read`), scale the longer side down to `maxDim` with
+    * bilinear interpolation, re-encode as PNG, and emit geometry +
+    * thumbnail digest. Same partition-local shape as [[resize]]'s
+    * decimation stand-in — one codec context per partition, pixels
+    * never leave the executor, output carries digests not payloads —
+    * but this one does the actual pixel work, so it is what a media
+    * pipeline deploys while [[resize]] remains the deterministic
+    * byte-level fixture for driver-side oracles. Images already within
+    * `maxDim` are re-encoded at original size (scale capped at 1.0 —
+    * no upscaling). Undecodable payloads emit the (-1 … 0, "") marker
+    * row, mirroring [[ImageIoDecoder]]'s corrupt-media contract.
+    */
+  def resizeImages(media: Dataset[MediaRow],
+      maxDim: Int): Dataset[ResizedImage] = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) ResizedImage(r.doc_id, -1, -1, -1, -1, 0L, "")
+          else {
+            val (ow, oh) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(ow, oh))
+            val nw = math.max(1, math.round(ow * scale).toInt)
+            val nh = math.max(1, math.round(oh * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            val bytes = buf.toByteArray
+            md.reset()
+            ResizedImage(r.doc_id, ow, oh, nw, nh, bytes.length.toLong,
+              md.digest(bytes).map("%02x".format(_)).mkString)
+          }
+        } catch {
+          case _: Exception => ResizedImage(r.doc_id, -1, -1, -1, -1, 0L, "")
+        }
       }
     }
   }

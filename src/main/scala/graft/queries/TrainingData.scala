@@ -881,22 +881,32 @@ object TrainingData {
     annAudit(s, dir, e11Raw(s, dir), k = 5, floor = annFloors("e11"))
 
   // ---------------------------------------------------------------- e12
-  // Serving from the MATERIALIZED IVF-PQ index: the (id, cell, codes)
-  // table is built once by Pq.indexRows (one pure projection — the
-  // same rows streaming.VectorIndex appends from a vector stream) and
-  // queries are answered from it by Pq.searchIndex, never re-encoding
-  // the corpus. Same fixed centroids/codebooks as a deployment would
-  // hold; output equals e09 run with those inputs (pinned in
-  // VectorIndexSpec); audited vs exact kNN like e09.
+  // Serving from the MATERIALIZED IVF-PQ index over its full
+  // deployment path: the (id, cell, codes) rows built by Pq.indexRows
+  // (one pure projection — the same rows streaming.VectorIndex
+  // appends from a vector stream) are committed to a CATALOG table
+  // hidden-partitioned `identity(cell)`, and queries are answered by
+  // Pq.searchIndexPruned — the batch's probed cells resolve through
+  // the snapshot manifest's partition values, so the scan lists ONLY
+  // those cells' files (at 100 TB: I/O ∝ nProbe/nCells of the index,
+  // never the whole table). Results equal Pq.searchIndex over the
+  // full table read (pinned in VectorIndexSpec); audited vs exact
+  // kNN like e09.
   private[graft] def e12Raw(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
+    import graft.catalog.{PartitionSpec, SnapshotCatalog}
     val e = embs(s, dir)
     val coarse = Similarity.kmeansCentroids(e, 16, iters = 3)
     val books = Pq.trainResidualCodebooks(e, coarse,
       m = 8, ksub = 16, dim = 64, iters = 3)
     val index = Pq.indexRows(e, coarse, books)
-    Pq.searchIndex(index, e, k = 5, nProbe = 8, coarse, books, dim = 64,
-      queryFilter = col("id") < 50, rerank = 150)
+    val wh = java.nio.file.Files.createTempDirectory("graft_e12_wh").toString
+    val cat = new SnapshotCatalog(s, wh)
+    cat.createTable("ann", "vec_index", index.schema,
+      properties = Map(PartitionSpec.PropertyKey -> "identity(cell)"))
+    cat.append("ann", "vec_index", index)
+    Pq.searchIndexPruned(cat, "ann", "vec_index", e, k = 5, nProbe = 8,
+      coarse, books, dim = 64, queryFilter = col("id") < 50, rerank = 150)
   }
 
   private def e12(s: SparkSession, dir: String): DataFrame =

@@ -958,4 +958,48 @@ class OperatorSpec extends SparkTestBase {
     val again = extractFeatures(ds).collect().sortBy(_.doc_id)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("ImageIoDecoder + resizeImages operate on real encoded pixels") {
+    import Multimodal._
+    // deterministic real images, encoded with the JDK codec itself
+    def png(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    val ds = Seq(
+      MediaRow(1L, "image/png", png(64, 48, "png")),
+      MediaRow(2L, "image/bmp", png(320, 200, "bmp")),
+      MediaRow(3L, "image/gif", png(10, 10, "gif")),
+      MediaRow(4L, "application/octet-stream", "not an image".getBytes)
+    ).toDS()
+
+    // feature extraction reads REAL bitstream geometry
+    val feats = extractFeatures(ds, ImageIoDecoder).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).n_frames) == (64, 48, 1))
+    assert((feats(2L).width, feats(2L).height) == (320, 200))
+    assert((feats(3L).width, feats(3L).height) == (10, 10))
+    // corrupt media marks itself instead of killing the stage
+    assert((feats(4L).width, feats(4L).height, feats(4L).n_frames) == (-1, -1, 0))
+    assert(feats(4L).content_sha.length == 64) // digest still computed
+
+    // real resize: longer side capped, aspect preserved, no upscaling
+    val rs = resizeImages(ds, maxDim = 32).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert((rs(1L).orig_width, rs(1L).orig_height) == (64, 48))
+    assert((rs(1L).width, rs(1L).height) == (32, 24))
+    assert((rs(2L).width, rs(2L).height) == (32, 20))
+    assert((rs(3L).width, rs(3L).height) == (10, 10)) // already small
+    assert(rs(4L).width == -1 && rs(4L).resized_md5.isEmpty)
+    // the thumbnail is a real PNG: decodable, with the declared size
+    assert(rs(1L).resized_bytes > 0)
+    val thumb = Multimodal.resizeImages(ds.filter(_.doc_id == 1L), 32)
+      .collect().head
+    assert(thumb.resized_md5 == rs(1L).resized_md5) // deterministic
+  }
 }

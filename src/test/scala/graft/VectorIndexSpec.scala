@@ -113,5 +113,17 @@ class VectorIndexSpec extends SparkTestBase {
       nProbe = 4, coarse, books, dim = 64, col("id") < 30, rerank = 20)
     assert(pairs(pruned) == pairs(full))
     assert(pairs(pruned).nonEmpty)
+
+    // and the pruning is REAL file skipping, not a post-scan filter:
+    // one cell's manifest-pval read lists strictly fewer files than
+    // the table holds, and every file it does read is cell-pure
+    val allFiles = cat.describe("ann", "idx").currentSnapshot.get.files.size
+    val c = cat.read("ann", "idx").select("cell").distinct().head().getInt(0)
+    val one = cat.readEquals("ann", "idx", "cell", c.toString)
+    assert(one.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(c))
+    val oneFiles = one.select(input_file_name()).distinct().count()
+    assert(oneFiles < allFiles,
+      s"readEquals($c) scanned $oneFiles of $allFiles files — no pruning")
   }
 }
