@@ -1,0 +1,107 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.catalog.SnapshotCatalog
+import graft.streaming.Sinks
+
+/** Measures end-to-end micro-batch commit latency — event GENERATED to
+  * event QUERYABLE by a reader — for the two production streaming
+  * sinks, at the reference's 5 s commit cadence (BASELINE.md's only
+  * hard streaming characteristic, `commit-interval-ms=5000`).
+  *
+  * Method (reader-observed, uniform across sinks): a rate source
+  * stamps each row at generation (`timestamp`); the driver polls the
+  * catalog's CURRENT snapshot pointer every 25 ms and records the
+  * wall-clock instant each new snapshot becomes visible — exactly what
+  * a reader sees, including the WAP sink's stage→audit→publish path
+  * (whose staging commits are invisible until the pointer moves).
+  * Latency sample = observed-visible(snapshot) − row.timestamp for
+  * every row in that snapshot's delta files. The first committed batch
+  * is excluded (stream-start warm-up: source initialization + first
+  * trigger alignment), stated in the output.
+  *
+  * Expected shape: uniform arrivals against a T-second trigger give a
+  * mean wait of T/2 + commit cost; p95 ≈ T + commit cost. The SCALING
+  * acceptance bar is p95 < 2×T.
+  *
+  *   sbt "runMain graft.tools.StreamLatency [triggerSec] [batches] [rowsPerSec]"
+  */
+object StreamLatency {
+  def main(args: Array[String]): Unit = {
+    val triggerSec = args.lift(0).map(_.toInt).getOrElse(5)
+    val minBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val rate = args.lift(2).map(_.toInt).getOrElse(200)
+    val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def events: DataFrame = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("timestamp").as("ts"), col("value"))
+
+    def run(label: String)(
+        mk: (DataFrame, SnapshotCatalog, String) => DataStreamWriter[Row]): Unit = {
+      val wh = java.nio.file.Files.createTempDirectory("graft_lat_wh").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_lat_ck").toString
+      val cat = new SnapshotCatalog(spark, wh)
+      val q = mk(events, cat, ckpt).start()
+
+      // poll the reader-visible pointer; visibility instant per snapshot
+      val seen = mutable.LinkedHashMap[Long, Long]()
+      val deadline =
+        System.currentTimeMillis() + (minBatches + 5) * triggerSec * 1000L
+      while (seen.size < minBatches + 1 && // +1: first batch is warm-up
+          System.currentTimeMillis() < deadline) {
+        if (cat.tableExists("lat", "events"))
+          cat.describe("lat", "events").currentSnapshotId.foreach { sid =>
+            if (!seen.contains(sid)) seen(sid) = System.currentTimeMillis()
+          }
+        Thread.sleep(25)
+      }
+      q.stop()
+      q.awaitTermination()
+
+      val meta = cat.describe("lat", "events")
+      val published = meta.snapshots
+        .filter(s => seen.contains(s.snapshotId))
+        .sortBy(s => seen(s.snapshotId))
+      val samples = mutable.ArrayBuffer[Double]()
+      var prevFiles = Set.empty[String]
+      published.zipWithIndex.foreach { case (s, i) =>
+        val delta = s.files.filterNot(prevFiles)
+        prevFiles = s.files.toSet
+        if (i > 0 && delta.nonEmpty) { // skip warm-up batch 0
+          val obs = seen(s.snapshotId)
+          spark.read.parquet(delta: _*)
+            .select(unix_millis(col("ts"))).collect()
+            .foreach(r => samples += (obs - r.getLong(0)) / 1000.0)
+        }
+      }
+      val xs = samples.sorted
+      require(xs.nonEmpty, s"$label: no post-warm-up samples (run too short?)")
+      def pct(p: Double): Double = xs(((xs.length - 1) * p).round.toInt)
+      println(f"[latency] $label trigger=${triggerSec}s " +
+        f"batches=${published.size - 1} events=${xs.length} " +
+        f"p50=${pct(0.5)}%.2fs p95=${pct(0.95)}%.2fs max=${xs.last}%.2fs " +
+        f"bar(2x trigger)=${2.0 * triggerSec}%.1fs " +
+        (if (pct(0.95) < 2.0 * triggerSec) "PASS" else "FAIL"))
+    }
+
+    run("icebergLike") { (df, cat, ckpt) =>
+      Sinks.icebergLike(df, cat, "lat", "events", ckpt,
+        Trigger.ProcessingTime(s"$triggerSec seconds"))
+    }
+    // audit = a real scan of the staged view (row count non-negative —
+    // always passes; the point is to pay a representative audit cost)
+    run("wapSink") { (df, cat, ckpt) =>
+      Sinks.wapSink(df, cat, "lat", "events", "audit",
+        b => b.select(count(lit(1))).head.getLong(0) >= 0L, ckpt,
+        Trigger.ProcessingTime(s"$triggerSec seconds"))
+    }
+    spark.stop()
+  }
+}
