@@ -480,9 +480,26 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
   def queryParquet(path: String, limit: Int = 5): String =
     envelope(Try(spark.read.parquet(path).limit(limit)))
 
-  /** Parquet file listing by glob (duckdb_rest_server.py:86-124). */
+  /** Parquet file listing by glob (duckdb_rest_server.py:86-124),
+    * INCLUDING the reference's error-path fallback (lines 101-122):
+    * the listing is gated on a LIMIT-0 readability probe of the glob
+    * (`SELECT * FROM read_parquet(path) LIMIT 0`, line 101-109 — here
+    * a footer/schema read, no job); if the probe fails, every `*` is
+    * substituted with `0` and that SPECIFIC file's rows are returned
+    * as a records envelope (lines 115-122 — the reference returns the
+    * parquet CONTENT, not file names, on this path; bounded by the
+    * sink's flush.size=1000-record file rolls, so no unbounded
+    * collect); only a double failure errors, carrying both causes in
+    * the reference's message shape.
+    */
   def listParquet(pathGlob: String): String = {
     Try {
+      // LIMIT-0 probe. mergeSchema forces a footer read of EVERY
+      // matched file — the reference's read_parquet binds all matched
+      // files, so one unreadable member fails the probe there and must
+      // fail it here (plain .schema samples a single footer and would
+      // miss poison members). Footer-reads only; no data scan.
+      spark.read.option("mergeSchema", "true").parquet(pathGlob).schema
       val p = new HPath(pathGlob)
       val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
       Option(fs.globStatus(p)).getOrElse(Array.empty)
@@ -490,7 +507,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     } match {
       case Success(files) =>
         s"""{"files":[${files.map(jsonStr).mkString(",")}],"count":${files.length}}"""
-      case Failure(e) => errorJson(e)
+      case Failure(probeErr) =>
+        val specific = pathGlob.replace("*", "0")
+        Try(spark.read.parquet(specific)).flatMap(recordsJson) match {
+          case Success(ok) => ok
+          case Failure(e2) =>
+            def msg(e: Throwable) =
+              Option(e.getMessage).getOrElse(e.toString).take(200)
+            errorJson(new RuntimeException(
+              s"Failed to list Parquet files: ${msg(probeErr)}, " +
+                s"Alternative approach failed: ${msg(e2)}"))
+        }
     }
   }
 
@@ -621,14 +648,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
   /** C8 — health probe (duckdb_rest_server.py:62-65). */
   def health(): String = """{"status":"healthy"}"""
 
-  private def envelope(df: Try[DataFrame]): String = df match {
-    case Success(d) =>
-      Try(epochMillisTimestamps(d).toJSON.collect()) match {
-        case Success(rows) => s"""{"records":[${rows.mkString(",")}]}"""
-        case Failure(e) => errorJson(e)
-      }
-    case Failure(e) => errorJson(e)
-  }
+  private def recordsJson(d: DataFrame): Try[String] =
+    Try(epochMillisTimestamps(d).toJSON.collect())
+      .map(rows => s"""{"records":[${rows.mkString(",")}]}""")
+
+  private def envelope(df: Try[DataFrame]): String =
+    df.flatMap(recordsJson) match {
+      case Success(json) => json
+      case Failure(e) => errorJson(e)
+    }
 
   /** JSON fidelity (SURVEY §7.4 risk 3): the reference's DuckDB path
     * renders timestamps as epoch MILLISECONDS (pandas

@@ -52,6 +52,27 @@ class EngineSpec extends SparkTestBase {
     assert(out.contains("lineitem.parquet"))
   }
 
+  test("listParquet: reference wildcard->0 fallback and two-cause error") {
+    // duckdb_rest_server.py:101-122 — the listing is gated on a
+    // LIMIT-0 readability probe; on probe failure '*' -> '0' is
+    // substituted and that SPECIFIC path's CONTENT is returned as
+    // records; a double failure reports both causes.
+    val dir = tmpDir("graft-listfb")
+    val df = spark.read.parquet(s"$sf0001/region.parquet")
+    df.write.parquet(s"$dir/part-0.parquet") // the '*'->'0' target
+    // a poison member that breaks the glob's readability probe
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/part-1.parquet"), "not a parquet file")
+    val fb = engine.listParquet(s"$dir/part-*.parquet")
+    assert(fb.startsWith("""{"records":["""),
+      s"expected fallback records, got: ${fb.take(120)}")
+    assert("\"r_name\"".r.findAllIn(fb).size == 5) // region's 5 rows
+    // both the probe and the substituted path fail -> combined error
+    val err = engine.listParquet(s"$dir/zz-*.parquet")
+    assert(err.startsWith("""{"error":"Failed to list Parquet files:"""))
+    assert(err.contains("Alternative approach failed:"))
+  }
+
   test("queryTable: enforced limit (R5 declared semantics) + records") {
     val out = engine.queryTable(limit = 7)
     assert(out.startsWith("""{"records":["""))
