@@ -437,21 +437,33 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (≤ 3 keeps
     * the 4×16-bit banding pigeonhole-complete). Returns (a, b, hamming).
     */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hash64Pairs(simHash(docs), "doc_id", "simhash", maxHamming)
+
+  /** Banded near-dup pairing over ANY precomputed 64-bit signature
+    * frame (`idCol`, `hashCol`): 4×16-bit band keys, pigeonhole-
+    * complete for hamming ≤ 3, exact `bit_count(xor)` verification on
+    * band collisions only. Shared by text SimHash (t08) and image
+    * perceptual hashes ([[Multimodal.perceptualHashes]]) — the
+    * signature SOURCE differs per modality, the pairing shape and its
+    * 100 TB posture (one band-key shuffle, candidates never all-pairs)
+    * do not. Returns (a, b, hamming).
+    */
+  def hash64Pairs(sigs: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band LSH is only complete for hamming <= 3")
-    val sigs = simHash(docs)
-    val bands = cached(sigs.select(col("doc_id"), col("simhash"),
+    val bands = cached(sigs.select(col(idCol).as("_id"), col(hashCol).as("_h"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
+          shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
         .as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("_id"), col("_h"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey")))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"),
+        bit_count(col("x._h").bitwiseXOR(col("y._h"))).cast("long").as("hamming"))
       // hamming is functionally dependent on (a, b), so filtering before
       // the distinct is equivalent — and the distinct shuffle then moves
       // only verified near-dups instead of every band collision (band

@@ -188,6 +188,80 @@ object Multimodal {
     }
   }
 
+  /** A perceptual fingerprint of a decoded image: 64-bit aHash (mean-
+    * luma threshold over an 8×8 downscale — robust to re-encoding,
+    * scaling, and mild noise) and 64-bit dHash (horizontal gradient
+    * signs over a 9×8 downscale — robust to brightness/contrast
+    * shifts). Unlike [[Frame]]'s exact digest, two RE-ENCODED or
+    * RESIZED copies of the same picture produce hashes within a few
+    * bits of each other, which is what media dedup at crawl scale
+    * actually needs (byte digests only catch bit-identical copies).
+    * Undecodable payloads carry decoded=false with zero hashes.
+    */
+  case class PerceptualHash(
+      doc_id: Long, decoded: Boolean, ahash: Long, dhash: Long)
+
+  /** Per-partition perceptual hashing on the real JDK codec: decode,
+    * luma-downscale (bilinear — a box filter's extra quality doesn't
+    * change 1-bit-threshold outcomes), threshold to bits. Same
+    * mapPartitions shape as every other media op: one codec context
+    * per partition, pixels never leave the executor, output is 17
+    * bytes/record however large the payload.
+    *
+    * Near-dup pairing downstream is [[graft.operators.Dedup]]'s
+    * SimHash machinery verbatim — a 64-bit hash banded into 4×16-bit
+    * keys catches every pair within Hamming distance 3 on at least
+    * one band (pigeonhole), so the candidate join shape, cost, and
+    * 100 TB posture are identical to t08's.
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[PerceptualHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) PerceptualHash(r.doc_id, decoded = false, 0L, 0L)
+          else {
+            val luma = lumaGrid(img, 9, 8)
+            // aHash: 8×8 mean threshold (left 8 columns of the 9×8 grid)
+            val cells = for (y <- 0 until 8; x <- 0 until 8) yield luma(y)(x)
+            val mean = cells.sum / 64.0
+            val a = cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              if (v > mean) acc | (1L << i) else acc
+            }
+            // dHash: sign of the horizontal gradient across 9 columns
+            val d = (for (y <- 0 until 8; x <- 0 until 8) yield (y, x))
+              .zipWithIndex.foldLeft(0L) { case (acc, ((y, x), i)) =>
+                if (luma(y)(x) < luma(y)(x + 1)) acc | (1L << i) else acc
+              }
+            PerceptualHash(r.doc_id, decoded = true, a, d)
+          }
+        } catch {
+          case _: Exception => PerceptualHash(r.doc_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** `w`×`h` mean-luma grid of an image via bilinear downscale. */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): Array[Array[Double]] = {
+    val small = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    Array.tabulate(h, w) { (y, x) =>
+      val rgb = small.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    }
+  }
+
   /** A really-resized image: original and new pixel geometry plus the
     * re-encoded thumbnail's size and digest (the join key for a
     * thumbnail store written by the same partition that scaled).

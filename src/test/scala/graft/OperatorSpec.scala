@@ -1002,4 +1002,63 @@ class OperatorSpec extends SparkTestBase {
       .collect().head
     assert(thumb.resized_md5 == rs(1L).resized_md5) // deterministic
   }
+
+  test("perceptual hashes pair re-encoded/rescaled copies, not distinct images") {
+    import Multimodal._
+    // a deterministic "photo" with smooth structure (gradients + a
+    // bright blob) — perceptual hashing needs structure, not noise
+    def photo(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val dx = x - w / 3.0 - seed * 7; val dy = y - h / 2.0 + seed * 5
+        val blob = (200 * math.exp(-(dx * dx + dy * dy) / (w * 2.0))).toInt
+        val base = (80.0 * x / w + 60.0 * y / h).toInt
+        val v = math.min(255, base + blob)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, buf)
+      buf.toByteArray
+    }
+    def scaled(img: java.awt.image.BufferedImage,
+        w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      out
+    }
+    val p1 = photo(128, 96, seed = 0)
+    val ds = Seq(
+      MediaRow(1L, "image/png", enc(p1, "png")),
+      MediaRow(2L, "image/bmp", enc(p1, "bmp")),              // re-encoded copy
+      MediaRow(3L, "image/png", enc(scaled(p1, 96, 72), "png")), // rescaled copy
+      MediaRow(4L, "image/png", enc(photo(128, 96, seed = 9), "png")), // distinct
+      MediaRow(5L, "application/octet-stream", "junk".getBytes)
+    ).toDS()
+    val hs = perceptualHashes(ds).collect().map(h => h.doc_id -> h).toMap
+    assert(hs(5L).decoded == false)
+    assert((1L to 4L).forall(hs(_).decoded))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // re-encode is pixel-identical -> identical hashes
+    assert(ham(hs(1L).ahash, hs(2L).ahash) == 0)
+    // rescale preserves structure -> within the banded radius
+    assert(ham(hs(1L).ahash, hs(3L).ahash) <= 3,
+      s"rescaled aHash hamming ${ham(hs(1L).ahash, hs(3L).ahash)}")
+    // distinct structure -> far in both hashes
+    assert(ham(hs(1L).ahash, hs(4L).ahash) > 8)
+    assert(ham(hs(1L).dhash, hs(4L).dhash) > 8)
+
+    // the shared banded pairing (same machinery as t08) finds exactly
+    // the copy pairs among decoded images
+    val sigs = perceptualHashes(ds).toDF()
+      .filter(col("decoded")).select("doc_id", "ahash")
+    val pairs = graft.operators.Dedup.hash64Pairs(sigs, "doc_id", "ahash")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
