@@ -950,12 +950,13 @@ object TrainingData {
   // smoke's one >5× scaler was this query under FIXED 8 planes —
   // bucket occupancy, and with it candidate pairs, grows ∝ n²/2^p, so
   // planes must track log₂(n)): `autoPlanes` holds ~16 vectors per
-  // bucket (8 planes at sf0.01 — bit-identical to the oracle-pinned
-  // config — 11 at sf0.1, 14 at sf1), and tables grow +1 per 3 added
-  // planes to hold per-pair recall (scaladoc: L ∝ r^{-Δp}; at the
-  // 0.999 twin similarity r = 0.9858, so 14 planes × 8 tables keeps
-  // miss probability ≤ 1.2e-6 per pair — ~0.02 expected misses across
-  // sf1's 20k twin pairs). The exact codegen'd dot product runs ONLY
+  // bucket (8 planes at sf0.01's 4k augmented vectors — bit-identical
+  // to the oracle-pinned config — 12 at sf0.1's 40k, 15 at sf1's
+  // 400k), and tables grow +1 per 3 added planes to hold per-pair
+  // recall (scaladoc: L ∝ r^{-Δp}; at the 0.999 twin similarity
+  // r = 0.9858, so 15 planes × 9 tables gives per-pair miss
+  // (1−r¹⁵)⁹ ≈ 3.8e-7 — ~0.08 expected misses across sf1's 200k twin
+  // pairs). The exact codegen'd dot product runs ONLY
   // over candidates. Hash-checked against the exact all-pairs DuckDB
   // oracle on the same augmented set.
   private def e05(s: SparkSession, dir: String): DataFrame = {
