@@ -78,29 +78,34 @@ object Multimodal {
     def decode(r: MediaRow): MediaFeatures = {
       val len = r.payload.length.toLong
       val sha = sha256Hex(r.payload)
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
+      def marker = MediaFeatures(r.doc_id, r.media_type, len, sha, -1, -1, 0)
+      // The no-throw contract covers stream CREATION too:
+      // createImageInputStream can throw (it disk-caches by default —
+      // a full/unwritable tmpdir on an executor is an IOException) or
+      // return null, and getImageReaders(null) throws. None of that
+      // may kill the stage.
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext)
-          MediaFeatures(r.doc_id, r.media_type, len, sha, -1, -1, 0)
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val w = reader.getWidth(0)
-            val h = reader.getHeight(0)
-            // allowSearch=true walks the stream for the true frame
-            // count (animated GIF); still header-level work
-            val n = try reader.getNumImages(true)
-            catch { case _: java.io.IOException => 1 }
-            MediaFeatures(r.doc_id, r.media_type, len, sha, w, h, n)
-          } catch {
-            case _: Exception =>
-              MediaFeatures(r.doc_id, r.media_type, len, sha, -1, -1, 0)
-          } finally reader.dispose()
-        }
-      } finally if (iis != null) iis.close()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (iis == null) marker
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) marker
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              // allowSearch=true walks the stream for the true frame
+              // count (animated GIF); still header-level work
+              val n = try reader.getNumImages(true)
+              catch { case _: java.io.IOException => 1 }
+              MediaFeatures(r.doc_id, r.media_type, len, sha, w, h, n)
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => marker }
     }
   }
 
@@ -208,11 +213,12 @@ object Multimodal {
     * per partition, pixels never leave the executor, output is 17
     * bytes/record however large the payload.
     *
-    * Near-dup pairing downstream is [[graft.operators.Dedup]]'s
-    * SimHash machinery verbatim — a 64-bit hash banded into 4×16-bit
-    * keys catches every pair within Hamming distance 3 on at least
-    * one band (pigeonhole), so the candidate join shape, cost, and
-    * 100 TB posture are identical to t08's.
+    * Near-dup pairing downstream: use [[perceptualDupPairs]] (or
+    * filter `decoded` yourself before `Dedup.hash64Pairs`). Undecoded
+    * rows all carry (0, 0) hashes — pairing them would put every
+    * corrupt payload of a crawl shard into ONE band bucket (a
+    * quadratic blowup AND hamming-0 "duplicates" between unrelated
+    * documents), so the pairing entry point excludes them.
     */
   def perceptualHashes(media: Dataset[MediaRow]): Dataset[PerceptualHash] = {
     import media.sparkSession.implicits._
@@ -244,22 +250,56 @@ object Multimodal {
     }
   }
 
-  /** `w`×`h` mean-luma grid of an image via bilinear downscale. */
+  /** Perceptual near-dup pairs among DECODED images: [[Dedup.hash64Pairs]]
+    * over the chosen hash (`"ahash"` default, `"dhash"` for
+    * brightness-shifted corpora) — a 64-bit hash banded into 4×16-bit
+    * keys catches every pair within Hamming distance 3 on at least one
+    * band (pigeonhole), so the candidate-join shape, cost, and 100 TB
+    * posture are identical to t08's text SimHash. Undecoded rows are
+    * excluded HERE (see [[perceptualHashes]]: their shared (0,0)
+    * hashes would otherwise form one quadratic bucket of false
+    * hamming-0 pairs). Returns (a, b, hamming).
+    */
+  def perceptualDupPairs(media: Dataset[MediaRow],
+      hashCol: String = "ahash", maxHamming: Int = 3): DataFrame =
+    Dedup.hash64Pairs(
+      perceptualHashes(media).toDF().filter(col("decoded")),
+      "doc_id", hashCol, maxHamming)
+
+  /** `w`×`h` mean-luma grid of an image, downscaled by PROGRESSIVE
+    * HALVING before the final bilinear pass. One direct bilinear
+    * 4000→9 downscale point-samples ~4 of ~165k source pixels per
+    * cell, so two rescaled copies of a detailed image (text, texture)
+    * sample different neighborhoods and can hash further apart than
+    * the banded radius; each halving step blends a 2×2 neighborhood,
+    * so the chain approximates a true area average — the standard
+    * mipmap technique perceptual hashers use.
+    */
   private def lumaGrid(img: java.awt.image.BufferedImage,
       w: Int, h: Int): Array[Array[Double]] = {
-    val small = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = small.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, w, h, null)
-    } finally g.dispose()
+    var cur = img
+    while (cur.getWidth >= w * 2 && cur.getHeight >= h * 2)
+      cur = bilinearScale(cur,
+        math.max(w, cur.getWidth / 2), math.max(h, cur.getHeight / 2))
+    val small = bilinearScale(cur, w, h)
     Array.tabulate(h, w) { (y, x) =>
       val rgb = small.getRGB(x, y)
       0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
         0.114 * (rgb & 0xff)
     }
+  }
+
+  private def bilinearScale(src: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
   }
 
   /** A really-resized image: original and new pixel geometry plus the

@@ -499,6 +499,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       // files, so one unreadable member fails the probe there and must
       // fail it here (plain .schema samples a single footer and would
       // miss poison members). Footer-reads only; no data scan.
+      // nanosAsLong: DuckDB reads TIMESTAMP(NANOS) natively, so a
+      // nanos-generation file (TESTDATA.md drift log) is "readable"
+      // to the reference and must not fail OUR probe — without the
+      // conf, Spark rejects such footers outright and this endpoint
+      // would take the *->0 fallback where the reference lists files.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.option("mergeSchema", "true").parquet(pathGlob).schema
       val p = new HPath(pathGlob)
       val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)

@@ -65,27 +65,37 @@ object StreamLatency {
       q.stop()
       q.awaitTermination()
 
+      // Walk ALL snapshots in commit order, advancing the cumulative
+      // file set over every one, but sample only those whose
+      // visibility instant was actually observed: a snapshot whose
+      // pointer move landed entirely between two polls has no honest
+      // observation time, and folding its rows into the NEXT observed
+      // snapshot's delta (the previous formulation) would overstate
+      // their latency by up to a full trigger interval. Excluded
+      // snapshots are counted and reported instead.
       val meta = cat.describe("lat", "events")
-      val published = meta.snapshots
-        .filter(s => seen.contains(s.snapshotId))
-        .sortBy(s => seen(s.snapshotId))
       val samples = mutable.ArrayBuffer[Double]()
       var prevFiles = Set.empty[String]
-      published.zipWithIndex.foreach { case (s, i) =>
+      var observed = 0
+      var unobserved = 0
+      meta.snapshots.sortBy(_.sequenceNumber).foreach { s =>
         val delta = s.files.filterNot(prevFiles)
-        prevFiles = s.files.toSet
-        if (i > 0 && delta.nonEmpty) { // skip warm-up batch 0
-          val obs = seen(s.snapshotId)
-          spark.read.parquet(delta: _*)
-            .select(unix_millis(col("ts"))).collect()
-            .foreach(r => samples += (obs - r.getLong(0)) / 1000.0)
-        }
+        prevFiles ++= s.files
+        if (seen.contains(s.snapshotId)) {
+          observed += 1
+          if (observed > 1 && delta.nonEmpty) { // skip warm-up batch 1
+            val obs = seen(s.snapshotId)
+            spark.read.parquet(delta: _*)
+              .select(unix_millis(col("ts"))).collect()
+              .foreach(r => samples += (obs - r.getLong(0)) / 1000.0)
+          }
+        } else unobserved += 1
       }
       val xs = samples.sorted
       require(xs.nonEmpty, s"$label: no post-warm-up samples (run too short?)")
       def pct(p: Double): Double = xs(((xs.length - 1) * p).round.toInt)
       println(f"[latency] $label trigger=${triggerSec}s " +
-        f"batches=${published.size - 1} events=${xs.length} " +
+        f"batches=${observed - 1} unobserved=$unobserved events=${xs.length} " +
         f"p50=${pct(0.5)}%.2fs p95=${pct(0.95)}%.2fs max=${xs.last}%.2fs " +
         f"bar(2x trigger)=${2.0 * triggerSec}%.1fs " +
         (if (pct(0.95) < 2.0 * triggerSec) "PASS" else "FAIL"))

@@ -1053,11 +1053,11 @@ class OperatorSpec extends SparkTestBase {
     assert(ham(hs(1L).ahash, hs(4L).ahash) > 8)
     assert(ham(hs(1L).dhash, hs(4L).dhash) > 8)
 
-    // the shared banded pairing (same machinery as t08) finds exactly
-    // the copy pairs among decoded images
-    val sigs = perceptualHashes(ds).toDF()
-      .filter(col("decoded")).select("doc_id", "ahash")
-    val pairs = graft.operators.Dedup.hash64Pairs(sigs, "doc_id", "ahash")
+    // the safe pairing entry point (t08's banding over decoded rows
+    // only) finds exactly the copy pairs — and the corrupt payload
+    // (doc 5, whose (0,0) hashes would otherwise pair with any other
+    // corrupt row at hamming 0) is excluded by construction
+    val pairs = perceptualDupPairs(ds)
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
