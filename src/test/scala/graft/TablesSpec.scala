@@ -71,6 +71,10 @@ class TablesSpec extends SparkTestBase {
     checkDir("/root/testdata/sf0.01")
   }
 
+  test("sf0.1 tables match the post-load schema contract") {
+    checkDir("/root/testdata/sf0.1") // the bench dir — footer reads only
+  }
+
   test("events.ts is non-null and in a plausible epoch range") {
     import org.apache.spark.sql.functions._
     val row = Tables.load(spark, sf0001, "events")
