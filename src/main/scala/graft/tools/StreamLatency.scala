@@ -112,6 +112,66 @@ object StreamLatency {
         b => b.select(count(lit(1))).head.getLong(0) >= 0L, ckpt,
         Trigger.ProcessingTime(s"$triggerSec seconds"))
     }
+    runPartitioned()
     spark.stop()
+  }
+
+  /** S7 (the reference's S3 sink plane, 10 s rotate interval): the
+    * event-time-partitioned parquet file sink. Visibility here is the
+    * file sink's OWN atomicity point — a reader lists files through
+    * `_spark_metadata`, so an event is queryable the instant its
+    * batch's log entry lands. Same reader-observed method: poll the
+    * metadata log for new batch entries, stamp the observation, read
+    * the entry's files for the rows' generation timestamps.
+    */
+  private def runPartitioned(): Unit = {
+    val triggerSec = 10 // rotate.interval.ms=10000 parity
+    val minBatches = 6
+    val spark = graft.core.GraftSession.builder("local[8]", 8).getOrCreate()
+    val out = java.nio.file.Files.createTempDirectory("graft_lat_part").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lat_pck").toString
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", 200).load()
+      .select(unix_millis(col("timestamp")).as("ts_ms"), col("value"))
+    val q = Sinks.partitionedParquet(events, "ts_ms", out, ckpt,
+      Trigger.ProcessingTime(s"$triggerSec seconds")).start()
+
+    val logDir = java.nio.file.Path.of(out, "_spark_metadata")
+    val seen = mutable.LinkedHashMap[Long, Long]() // batchId -> observed ms
+    val deadline =
+      System.currentTimeMillis() + (minBatches + 4) * triggerSec * 1000L
+    while (seen.size < minBatches + 1 &&
+        System.currentTimeMillis() < deadline) {
+      if (java.nio.file.Files.isDirectory(logDir)) {
+        val now = System.currentTimeMillis()
+        java.nio.file.Files.list(logDir).forEach { p =>
+          val n = p.getFileName.toString
+          if (n.forall(_.isDigit) && !seen.contains(n.toLong))
+            seen(n.toLong) = now
+        }
+      }
+      Thread.sleep(25)
+    }
+    q.stop()
+    q.awaitTermination()
+
+    val samples = mutable.ArrayBuffer[Double]()
+    val pathRe = """"path":"([^"]+)"""".r
+    seen.toSeq.sortBy(_._1).drop(1).foreach { case (batchId, obs) => // drop warm-up
+      val entry = java.nio.file.Path.of(out, "_spark_metadata", batchId.toString)
+      val files = pathRe.findAllMatchIn(java.nio.file.Files.readString(entry))
+        .map(_.group(1).stripPrefix("file:")).toSeq
+      if (files.nonEmpty)
+        spark.read.parquet(files: _*).select(col("ts_ms")).collect()
+          .foreach(r => samples += (obs - r.getLong(0)) / 1000.0)
+    }
+    val xs = samples.sorted
+    require(xs.nonEmpty, "partitionedParquet: no post-warm-up samples")
+    def pct(p: Double): Double = xs(((xs.length - 1) * p).round.toInt)
+    println(f"[latency] partitionedParquet trigger=${triggerSec}s " +
+      f"batches=${seen.size - 1} events=${xs.length} " +
+      f"p50=${pct(0.5)}%.2fs p95=${pct(0.95)}%.2fs max=${xs.last}%.2fs " +
+      f"bar(2x trigger)=${2.0 * triggerSec}%.1fs " +
+      (if (pct(0.95) < 2.0 * triggerSec) "PASS" else "FAIL"))
   }
 }
