@@ -950,13 +950,17 @@ object TrainingData {
   // smoke's one >5× scaler was this query under FIXED 8 planes —
   // bucket occupancy, and with it candidate pairs, grows ∝ n²/2^p, so
   // planes must track log₂(n)): `autoPlanes` holds ~16 vectors per
-  // bucket (8 planes at sf0.01's 4k augmented vectors — bit-identical
-  // to the oracle-pinned config — 12 at sf0.1's 40k, 15 at sf1's
-  // 400k), and tables grow +1 per 3 added planes to hold per-pair
-  // recall (scaladoc: L ∝ r^{-Δp}; at the 0.999 twin similarity
-  // r = 0.9858, so 15 planes × 9 tables gives per-pair miss
-  // (1−r¹⁵)⁹ ≈ 3.8e-7 — ~0.08 expected misses across sf1's 200k twin
-  // pairs). The exact codegen'd dot product runs ONLY
+  // bucket. The base embeddings table is 500-2000 rows at sf0.001-
+  // sf0.1, so `autoPlanes` resolves to the oracle-pinned 8-plane /
+  // 6-table config at every driver-checked SF (bit-identical output);
+  // only the 10× sf1 replica (40k augmented vectors) crosses into
+  // 12 planes, with tables growing +1 per 3 added planes to hold
+  // per-pair recall (scaladoc: L ∝ r^{-Δp}; at the 0.999 twin
+  // similarity r = 0.9858, so 12 planes × 8 tables gives per-pair
+  // miss (1−r¹²)⁸ ≈ 3.8e-7 — ~0.008 expected misses across sf1's 20k
+  // twin pairs; ScaleProbe measures candidates 21.7M → 1.79M and
+  // probe wall 162 s → 18 s for the plane scaling alone, verified
+  // pairs identical). The exact codegen'd dot product runs ONLY
   // over candidates. Hash-checked against the exact all-pairs DuckDB
   // oracle on the same augmented set.
   private def e05(s: SparkSession, dir: String): DataFrame = {
