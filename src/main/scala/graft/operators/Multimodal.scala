@@ -266,40 +266,66 @@ object Multimodal {
       perceptualHashes(media).toDF().filter(col("decoded")),
       "doc_id", hashCol, maxHamming)
 
-  /** `w`×`h` mean-luma grid of an image, downscaled by PROGRESSIVE
-    * HALVING before the final bilinear pass. One direct bilinear
-    * 4000→9 downscale point-samples ~4 of ~165k source pixels per
-    * cell, so two rescaled copies of a detailed image (text, texture)
-    * sample different neighborhoods and can hash further apart than
-    * the banded radius; each halving step blends a 2×2 neighborhood,
-    * so the chain approximates a true area average — the standard
-    * mipmap technique perceptual hashers use.
+  /** `w`×`h` mean-luma grid via EXACT area averaging: every source
+    * pixel contributes to exactly one cell (cell = proportional index
+    * ranges), accumulated in one bulk-row pass over the full-
+    * resolution image. Downscale-then-sample alternatives (single
+    * bilinear pass, or even a progressive-halving pyramid with a
+    * bilinear tail) point-sample near the grid scale, so two rescaled
+    * copies of a DETAILED image (text, texture, fine checkers) sample
+    * different pixel neighborhoods and can hash outside the banded
+    * radius — measured hamming 8 on a 3-px checker at 0.75× rescale
+    * with the pyramid, vs ≤ 3 with the exact mean (OperatorSpec pins
+    * the rescale-stability case). Cost is one O(W·H) pass — the same
+    * order as any downscale — with `getRGB` row batching.
     */
   private def lumaGrid(img: java.awt.image.BufferedImage,
       w: Int, h: Int): Array[Array[Double]] = {
-    var cur = img
-    while (cur.getWidth >= w * 2 && cur.getHeight >= h * 2)
-      cur = bilinearScale(cur,
-        math.max(w, cur.getWidth / 2), math.max(h, cur.getHeight / 2))
-    val small = bilinearScale(cur, w, h)
-    Array.tabulate(h, w) { (y, x) =>
-      val rgb = small.getRGB(x, y)
-      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-        0.114 * (rgb & 0xff)
+    val iw = img.getWidth
+    val ih = img.getHeight
+    val sums = Array.ofDim[Double](h, w)
+    val counts = Array.ofDim[Long](h, w)
+    val row = new Array[Int](iw)
+    var y = 0
+    while (y < ih) {
+      img.getRGB(0, y, iw, 1, row, 0, iw)
+      val cy = math.min(h - 1, y.toLong * h / ih).toInt
+      var x = 0
+      while (x < iw) {
+        val rgb = row(x)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val cx = math.min(w - 1, x.toLong * w / iw).toInt
+        sums(cy)(cx) += luma
+        counts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
     }
-  }
-
-  private def bilinearScale(src: java.awt.image.BufferedImage,
-      w: Int, h: Int): java.awt.image.BufferedImage = {
-    val out = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = out.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(src, 0, 0, w, h, null)
-    } finally g.dispose()
-    out
+    val grid = Array.tabulate(h, w) { (cy, cx) =>
+      if (counts(cy)(cx) == 0) Double.NaN else sums(cy)(cx) / counts(cy)(cx)
+    }
+    // sources smaller than the grid leave skipped cells (a 4-px-wide
+    // icon fills 4 of 9 columns) — fill from the nearest populated
+    // neighbor in the row so hash bits stay content-driven, not
+    // empty-cell-driven
+    grid.foreach { r =>
+      var i = 1
+      while (i < w) { if (r(i).isNaN) r(i) = r(i - 1); i += 1 }
+      i = w - 2
+      while (i >= 0) { if (r(i).isNaN) r(i) = r(i + 1); i -= 1 }
+    }
+    // rows skipped entirely (source shorter than the grid): fill from
+    // the nearest populated row
+    var j = 1
+    while (j < h) {
+      if (grid(j)(0).isNaN) grid(j) = grid(j - 1).clone(); j += 1
+    }
+    j = h - 2
+    while (j >= 0) {
+      if (grid(j)(0).isNaN) grid(j) = grid(j + 1).clone(); j -= 1
+    }
+    grid
   }
 
   /** A really-resized image: original and new pixel geometry plus the

@@ -1061,4 +1061,76 @@ class OperatorSpec extends SparkTestBase {
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("hash64Pairs is pigeonhole-complete at hamming <= 3 (vs brute force)") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-bit signatures plus planted
+    // near-misses at hamming exactly 1, 2, 3 (band-straddling bit
+    // positions: 0, 17, 33, 49 touch all four 16-bit bands)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    val planted = Seq(
+      (100L, base(0)._2 ^ 1L),                        // ham 1 vs id 0
+      (101L, base(1)._2 ^ (1L << 17) ^ (1L << 33)),   // ham 2 vs id 1
+      (102L, base(2)._2 ^ 1L ^ (1L << 17) ^ (1L << 49))) // ham 3 vs id 2
+    val sigs = (base ++ planted).toDF("doc_id", "h")
+    val got = graft.operators.Dedup.hash64Pairs(sigs, "doc_id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs
+    val all = base ++ planted
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == want, s"banded ${got.size} vs brute ${want.size}")
+    assert(want.size >= 3) // the planted near-misses are in there
+  }
+
+  test("rescaled copies of a DETAILED image stay within the banded radius") {
+    import Multimodal._
+    // high-frequency content (checker + stripes) at photo resolution —
+    // the case where single-pass bilinear point-sampling diverges and
+    // progressive halving must hold the hash stable
+    def busy(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val checker = if (((x / 3) + (y / 3)) % 2 == 0) 70 else 180
+        val stripe = if ((x / 7) % 2 == 0) 40 else 0
+        val grad = (50.0 * x / w).toInt
+        val v = math.min(255, checker + stripe + grad)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    def scale(img: java.awt.image.BufferedImage,
+        w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+    val orig = busy(1600, 1200)
+    val ds = Seq(
+      MediaRow(1L, "image/png", enc(orig)),
+      MediaRow(2L, "image/png", enc(scale(orig, 1200, 900))), // 0.75x
+      MediaRow(3L, "image/png", enc(scale(orig, 800, 600)))   // 0.5x
+    ).toDS()
+    val hs = perceptualHashes(ds).collect().map(h => h.doc_id -> h).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L).ahash, hs(2L).ahash) <= 3,
+      s"0.75x rescale aHash hamming ${ham(hs(1L).ahash, hs(2L).ahash)}")
+    assert(ham(hs(1L).ahash, hs(3L).ahash) <= 3,
+      s"0.5x rescale aHash hamming ${ham(hs(1L).ahash, hs(3L).ahash)}")
+  }
 }
