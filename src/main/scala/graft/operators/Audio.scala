@@ -19,8 +19,70 @@ import graft.operators.Multimodal.MediaRow
   * analogue of [[Multimodal.sampleFrames]]: fixed-length windows with
   * per-window energy, which is what silence-gated segment sampling
   * ("keep the voiced parts of 100 TB of audio") runs on.
+  *
+  * Both ops share ONE decode path ([[Pcm]]): 8/16-bit, signed and
+  * unsigned, either endianness — so a document either decodes for
+  * every operator or for none (a format accepted by `features` but
+  * silently dropped by `windows` would un-mark media the pipeline
+  * believes it is tracking).
   */
 object Audio {
+
+  /** Decoded PCM: normalized channel-addressable samples plus the
+    * format facts the features need. `clipThreshold` is per-format:
+    * integer PCM's positive rail is (2^(bits-1) − 1)/2^(bits-1) — for
+    * 8-bit that is 0.992, so a fixed 0.999 cut would never see
+    * positive-side clipping on 8-bit sources.
+    */
+  private final case class Pcm(
+      sampleRate: Float, channels: Int, bits: Int, nFrames: Int,
+      sample: (Int, Int) => Double, clipThreshold: Double)
+
+  private def decodePcm(payload: Array[Byte]): Option[Pcm] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val signed = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * ch
+          val nFrames = bytes.length / frameBytes
+          if (nFrames == 0) None
+          else {
+            val full = (1 << (bits - 1)).toDouble // 128 / 32768
+            val bigEndian = fmt.isBigEndian
+            val sample: (Int, Int) => Double = (frame, c) => {
+              val off = frame * frameBytes + c * bytesPerSample
+              val raw =
+                if (bits == 8) {
+                  if (unsigned) (bytes(off) & 0xff) - 128
+                  else bytes(off).toInt
+                } else {
+                  val hiB = if (bigEndian) bytes(off) else bytes(off + 1)
+                  val loB = if (bigEndian) bytes(off + 1) else bytes(off)
+                  // unsigned: BOTH bytes masked (a sign-extended high
+                  // byte maps half the range to [-2,-1)); signed: the
+                  // high byte's sign extension IS the sample sign
+                  if (unsigned) (((hiB & 0xff) << 8) | (loB & 0xff)) - 32768
+                  else (hiB << 8) | (loB & 0xff)
+                }
+              raw / full
+            }
+            Some(Pcm(fmt.getSampleRate, ch, bits, nFrames, sample,
+              clipThreshold = (full - 1.0) / full))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** Per-document audio features. `decoded=false` rows carry zeros —
     * exclude them before thresholding (same contract as the image
@@ -40,116 +102,75 @@ object Audio {
       duration_ms: Long,
       rms: Double,
       peak: Double,
-      clipped_ratio: Double, // fraction of samples at >= 0.999 full scale
+      clipped_ratio: Double, // fraction of samples at the format's rails
       silence_ratio: Double, // fraction of 20 ms windows under -40 dBFS RMS
       zero_crossing_rate: Double) // crossings per second, channel 0
 
   private val SilenceRms = math.pow(10.0, -40.0 / 20.0) // -40 dBFS
 
-  /** Decode + featurize per partition. One `AudioSystem` stream per
-    * record; PCM integer formats up to 16-bit are decoded directly
-    * (the WAV formats the JDK writes/reads natively).
-    */
+  /** Decode + featurize per partition (one decode pass per record). */
   def features(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(featuresOf))
   }
 
-  private[operators] def featuresOf(r: MediaRow): AudioFeatures = {
-    def marker = AudioFeatures(r.doc_id, decoded = false,
-      0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      try {
-        val fmt = in.getFormat
-        val signed = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        val unsigned = fmt.getEncoding ==
-          javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-        val bits = fmt.getSampleSizeInBits
-        val ch = fmt.getChannels
-        if ((!signed && !unsigned) || (bits != 8 && bits != 16) || ch < 1)
-          marker
-        else {
-          val bytes = in.readAllBytes()
-          val bytesPerSample = bits / 8
-          val frameBytes = bytesPerSample * ch
-          val nFrames = bytes.length / frameBytes
-          if (nFrames == 0) marker
-          else {
-            val full = (1 << (bits - 1)).toDouble // 128 / 32768
-            def sample(frame: Int, c: Int): Double = {
-              val off = frame * frameBytes + c * bytesPerSample
-              val raw =
-                if (bits == 8) {
-                  if (unsigned) (bytes(off) & 0xff) - 128
-                  else bytes(off).toInt
-                } else {
-                  val lo = bytes(off) & 0xff
-                  val hi = bytes(off + 1)
-                  val v =
-                    if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-                    else (hi << 8) | lo
-                  if (unsigned) v - 32768 else v
-                }
-              raw / full
-            }
-            var sumSq = 0.0
-            var peak = 0.0
-            var clipped = 0L
-            var crossings = 0L
-            var prevSign = 0
-            // 20 ms silence windows on channel-0 energy
-            val winLen = math.max(1, (fmt.getSampleRate * 0.02).toInt)
-            var winSumSq = 0.0
-            var winN = 0
-            var silentWins = 0L
-            var totalWins = 0L
-            var f = 0
-            while (f < nFrames) {
-              var c = 0
-              while (c < ch) {
-                val s = sample(f, c)
-                val a = math.abs(s)
-                sumSq += s * s
-                if (a > peak) peak = a
-                if (a >= 0.999) clipped += 1
-                c += 1
-              }
-              val s0 = sample(f, 0)
-              val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else prevSign
-              if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
-              if (sign != 0) prevSign = sign
-              winSumSq += s0 * s0
-              winN += 1
-              if (winN == winLen) {
-                totalWins += 1
-                if (math.sqrt(winSumSq / winN) < SilenceRms) silentWins += 1
-                winSumSq = 0.0
-                winN = 0
-              }
-              f += 1
-            }
-            if (winN > 0) { // tail window
-              totalWins += 1
-              if (math.sqrt(winSumSq / winN) < SilenceRms) silentWins += 1
-            }
-            val n = nFrames.toLong * ch
-            val durMs = (nFrames * 1000.0 / fmt.getSampleRate).round
-            AudioFeatures(r.doc_id, decoded = true,
-              fmt.getSampleRate.toInt, ch, bits, nFrames.toLong, durMs,
-              rms = math.sqrt(sumSq / n), peak = peak,
-              clipped_ratio = clipped.toDouble / n,
-              silence_ratio =
-                if (totalWins == 0) 0.0 else silentWins.toDouble / totalWins,
-              zero_crossing_rate =
-                crossings.toDouble * fmt.getSampleRate / nFrames)
+  private[operators] def featuresOf(r: MediaRow): AudioFeatures =
+    decodePcm(r.payload) match {
+      case None => AudioFeatures(r.doc_id, decoded = false,
+        0, 0, 0, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+      case Some(p) =>
+        var sumSq = 0.0
+        var peak = 0.0
+        var clipped = 0L
+        var crossings = 0L
+        var prevSign = 0
+        // 20 ms silence windows on channel-0 energy
+        val winLen = math.max(1, (p.sampleRate * 0.02).toInt)
+        var winSumSq = 0.0
+        var winN = 0
+        var silentWins = 0L
+        var totalWins = 0L
+        var f = 0
+        while (f < p.nFrames) {
+          // channel 0 decoded once, reused for levels AND zcr/silence
+          val s0 = p.sample(f, 0)
+          var c = 0
+          while (c < p.channels) {
+            val s = if (c == 0) s0 else p.sample(f, c)
+            val a = math.abs(s)
+            sumSq += s * s
+            if (a > peak) peak = a
+            if (a >= p.clipThreshold) clipped += 1
+            c += 1
           }
+          val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else prevSign
+          if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+          winSumSq += s0 * s0
+          winN += 1
+          if (winN == winLen) {
+            totalWins += 1
+            if (math.sqrt(winSumSq / winN) < SilenceRms) silentWins += 1
+            winSumSq = 0.0
+            winN = 0
+          }
+          f += 1
         }
-      } finally in.close()
-    } catch { case _: Exception => marker }
-  }
+        if (winN > 0) { // tail window
+          totalWins += 1
+          if (math.sqrt(winSumSq / winN) < SilenceRms) silentWins += 1
+        }
+        val n = p.nFrames.toLong * p.channels
+        AudioFeatures(r.doc_id, decoded = true,
+          p.sampleRate.toInt, p.channels, p.bits, p.nFrames.toLong,
+          duration_ms = (p.nFrames * 1000.0 / p.sampleRate).round,
+          rms = math.sqrt(sumSq / n), peak = peak,
+          clipped_ratio = clipped.toDouble / n,
+          silence_ratio =
+            if (totalWins == 0) 0.0 else silentWins.toDouble / totalWins,
+          zero_crossing_rate =
+            crossings.toDouble * p.sampleRate / p.nFrames)
+    }
 
   /** One analysis window sliced from a document's audio. */
   case class AudioWindow(
@@ -160,8 +181,15 @@ object Audio {
     * [[Multimodal.sampleFrames]], and the substrate of silence-gated
     * segment sampling: `windows(...).filter(_.voiced)` keeps the
     * audible parts of a corpus with per-window cost independent of
-    * document length (output rows ∝ duration / stepMs, each 33
-    * bytes). `voiced` = window RMS above -40 dBFS.
+    * document length (output rows ∝ duration / stepMs). `voiced` =
+    * window RMS above -40 dBFS.
+    *
+    * Decodes exactly the formats [[features]] decodes (shared
+    * [[decodePcm]]), and a document SHORTER than one window emits a
+    * single window over its full length — a decodable document always
+    * yields ≥ 1 row here, so silence gating can never silently drop
+    * media that the feature gates passed. Undecodable payloads emit
+    * nothing (the features marker row is the corrupt-media signal).
     */
   def windows(media: Dataset[MediaRow], windowMs: Int = 200,
       stepMs: Int = 100): Dataset[AudioWindow] = {
@@ -169,44 +197,27 @@ object Audio {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          try {
-            val fmt = in.getFormat
-            val bits = fmt.getSampleSizeInBits
-            val signed = fmt.getEncoding ==
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!signed || bits != 16) Iterator.empty
-            else {
-              val bytes = in.readAllBytes()
-              val ch = fmt.getChannels
-              val frameBytes = 2 * ch
-              val nFrames = bytes.length / frameBytes
-              val win = math.max(1, (fmt.getSampleRate * windowMs / 1000).toInt)
-              val step = math.max(1, (fmt.getSampleRate * stepMs / 1000).toInt)
-              Iterator.range(0, math.max(0, nFrames - win + 1), step)
-                .zipWithIndex.map { case (start, idx) =>
-                  var sumSq = 0.0
-                  var f = start
-                  while (f < start + win) {
-                    val off = f * frameBytes
-                    val v =
-                      if (fmt.isBigEndian)
-                        (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-                      else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
-                    val s = v / 32768.0
-                    sumSq += s * s
-                    f += 1
-                  }
-                  val rms = math.sqrt(sumSq / win)
-                  AudioWindow(r.doc_id, idx.toLong,
-                    (start * 1000.0 / fmt.getSampleRate).round,
-                    rms, voiced = rms >= SilenceRms)
+        decodePcm(r.payload) match {
+          case None => Iterator.empty
+          case Some(p) =>
+            val win = math.min(p.nFrames,
+              math.max(1, (p.sampleRate * windowMs / 1000).toInt))
+            val step = math.max(1, (p.sampleRate * stepMs / 1000).toInt)
+            Iterator.range(0, p.nFrames - win + 1, step)
+              .zipWithIndex.map { case (start, idx) =>
+                var sumSq = 0.0
+                var f = start
+                while (f < start + win) {
+                  val s = p.sample(f, 0)
+                  sumSq += s * s
+                  f += 1
                 }
-            }
-          } finally in.close()
-        } catch { case _: Exception => Iterator.empty }
+                val rms = math.sqrt(sumSq / win)
+                AudioWindow(r.doc_id, idx.toLong,
+                  (start * 1000.0 / p.sampleRate).round,
+                  rms, voiced = rms >= SilenceRms)
+              }
+        }
       }
     }
   }

@@ -207,8 +207,10 @@ object Multimodal {
       doc_id: Long, decoded: Boolean, ahash: Long, dhash: Long)
 
   /** Per-partition perceptual hashing on the real JDK codec: decode,
-    * luma-downscale (bilinear — a box filter's extra quality doesn't
-    * change 1-bit-threshold outcomes), threshold to bits. Same
+    * reduce to a mean-luma grid by EXACT area averaging (see
+    * [[lumaGrid]] — interpolating downscales point-sample near the
+    * grid scale and DO flip threshold bits on detailed images),
+    * threshold to bits. Same
     * mapPartitions shape as every other media op: one codec context
     * per partition, pixels never leave the executor, output is 17
     * bytes/record however large the payload.

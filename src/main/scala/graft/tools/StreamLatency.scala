@@ -144,11 +144,15 @@ object StreamLatency {
         System.currentTimeMillis() < deadline) {
       if (java.nio.file.Files.isDirectory(logDir)) {
         val now = System.currentTimeMillis()
-        java.nio.file.Files.list(logDir).forEach { p =>
+        // Files.list holds a directory fd until closed — this polls
+        // 40×/s for up to ~100 s, so leaking it to GC can exhaust the
+        // ulimit mid-run
+        val listing = java.nio.file.Files.list(logDir)
+        try listing.forEach { p =>
           val n = p.getFileName.toString
           if (n.forall(_.isDigit) && !seen.contains(n.toLong))
             seen(n.toLong) = now
-        }
+        } finally listing.close()
       }
       Thread.sleep(25)
     }

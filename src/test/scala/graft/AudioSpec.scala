@@ -72,6 +72,38 @@ class AudioSpec extends SparkTestBase {
     assert(f(3L).peak >= 0.999)
   }
 
+  test("8-bit unsigned WAV decodes with format-relative clipping") {
+    // 8-bit WAV is unsigned by convention; its positive rail is
+    // 127/128 = 0.992, so a fixed 0.999 cut would miss half the
+    // clipping — the threshold must be format-relative
+    val fmt = new javax.sound.sampled.AudioFormat(
+      Rate.toFloat, 8, 1, false, false)
+    val samples = sine(440, 0.5, amp = 4.0).map(s =>
+      math.max(-1.0, math.min(1.0, s)))
+    val bytes = samples.map(s =>
+      (math.max(0, math.min(255, ((s * 127) + 128).round.toInt)) & 0xff).toByte)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val ds = Seq(MediaRow(7L, "audio/wav", out.toByteArray)).toDS()
+    val f = Audio.features(ds).collect().head
+    assert(f.decoded && f.bits == 8)
+    // both rails must count: hard-clipped 4x sine ≈ 0.84 clipped
+    assert(f.clipped_ratio > 0.7, s"8-bit clipped ${f.clipped_ratio}")
+    // unsigned midpoint decodes near zero, not off by full-scale
+    assert(f.rms <= 1.0 && f.peak <= 1.0)
+  }
+
+  test("a document shorter than one window still emits one window") {
+    val short = sine(200, 0.05, 0.4) // 50 ms < the 100 ms window
+    val ds = Seq(MediaRow(8L, "audio/wav", wav(short))).toDS()
+    val ws = Audio.windows(ds, windowMs = 100, stepMs = 100).collect()
+    assert(ws.length == 1, s"got ${ws.length}")
+    assert(ws.head.voiced) // the tone is well above -40 dBFS
+  }
+
   test("windowed energy gates silence exactly where it was written") {
     // 0.4 s tone, 0.4 s silence, 0.4 s tone
     val sig = sine(200, 0.4, 0.4) ++ Array.fill((Rate * 0.4).toInt)(0.0) ++

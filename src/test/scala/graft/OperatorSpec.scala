@@ -1089,8 +1089,10 @@ class OperatorSpec extends SparkTestBase {
   test("rescaled copies of a DETAILED image stay within the banded radius") {
     import Multimodal._
     // high-frequency content (checker + stripes) at photo resolution —
-    // the case where single-pass bilinear point-sampling diverges and
-    // progressive halving must hold the hash stable
+    // the case where interpolating downscales (single-pass bilinear,
+    // and even a halving pyramid with a bilinear tail — measured
+    // hamming 8 here) diverge, and the exact area average must hold
+    // the hash stable
     def busy(w: Int, h: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
