@@ -38,6 +38,30 @@ object Relational {
   private val q00Sql =
     """SELECT event_id, event_type, user_id FROM events ORDER BY event_id LIMIT 5"""
 
+  // Exact-decimal-grid money aggregation. The generated money columns
+  // are 2-decimal by construction (verified against the fixtures), so
+  // a single column is EXACT on the 1e2 grid, a two-factor product
+  // (price × discount-ish) on 1e4, a three-factor product on 1e6.
+  // Summing the grid values as BIGINT is therefore bit-identical to
+  // the true sum while being association-order-INDEPENDENT — a plain
+  // double sum is not, and at sf0.001 the two engines' partial-sum
+  // orders once landed a revenue on opposite sides of a cent boundary
+  // (…57 vs …58; the q03 incident). Dividing the integer total by the
+  // grid gives IEEE-identical doubles on both engines, so the final
+  // round can never flake. Used by every money sum below; the DuckDB
+  // oracles restate the identical arithmetic.
+  private def gridSum(c: Column, grid: Long): Column =
+    round(sum(round(c * grid, 0).cast("long")).cast("double") / grid, 2)
+  private def gridAvg(c: Column, grid: Long, scale: Int): Column =
+    round(sum(round(c * grid, 0).cast("long")).cast("double") / grid /
+      count(lit(1)), scale)
+  private def gridSumSql(expr: String, grid: Long, scale: Int = 2): String =
+    s"round(CAST(sum(CAST(round(($expr) * $grid, 0) AS BIGINT)) AS DOUBLE)" +
+      s" / $grid, $scale)"
+  private def gridAvgSql(expr: String, grid: Long, scale: Int): String =
+    s"round(CAST(sum(CAST(round(($expr) * $grid, 0) AS BIGINT)) AS DOUBLE)" +
+      s" / $grid / count(*), $scale)"
+
   // ---------------------------------------------------------------- q01
   // Full-table aggregate, TPC-H Q1 shape (Tier B surface, SURVEY §2.5).
   private def q01(s: SparkSession, dir: String): DataFrame = {
@@ -47,26 +71,26 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(disc), 2).as("sum_disc_price"),
-        round(sum(charge), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        gridSum(col("l_quantity"), 100L).as("sum_qty"),
+        gridSum(col("l_extendedprice"), 100L).as("sum_base_price"),
+        gridSum(disc, 10000L).as("sum_disc_price"),
+        gridSum(charge, 1000000L).as("sum_charge"),
+        gridAvg(col("l_quantity"), 100L, 4).as("avg_qty"),
+        gridAvg(col("l_extendedprice"), 100L, 4).as("avg_price"),
+        gridAvg(col("l_discount"), 100L, 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   private val q01Sql =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${gridSumSql("l_quantity", 100L)} AS sum_qty,
+      |  ${gridSumSql("l_extendedprice", 100L)} AS sum_base_price,
+      |  ${gridSumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS sum_disc_price,
+      |  ${gridSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 1000000L)} AS sum_charge,
+      |  ${gridAvgSql("l_quantity", 100L, 4)} AS avg_qty,
+      |  ${gridAvgSql("l_extendedprice", 100L, 4)} AS avg_price,
+      |  ${gridAvgSql("l_discount", 100L, 6)} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -84,11 +108,12 @@ object Relational {
         col("l_discount") >= 0.03 && col("l_discount") < 0.07 &&
         col("l_quantity") < 25)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        gridSum(col("l_extendedprice") * col("l_discount"), 10000L)
+          .as("revenue"),
         count(lit(1)).as("n_rows"))
 
   private val q02Sql =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    s"""SELECT ${gridSumSql("l_extendedprice * l_discount", 10000L)} AS revenue,
       |       count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -118,15 +143,15 @@ object Relational {
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          10000L).as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }
 
   private val q03Sql =
-    """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+    s"""SELECT r_name, n_name,
+      |  ${gridSumSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS revenue,
       |  count(*) AS n_lineitems
       |FROM customer
       |JOIN orders   ON c_custkey = o_custkey
@@ -218,9 +243,9 @@ object Relational {
   }
 
   private val q07Sql =
-    """SELECT coalesce(r_name, 'ALL') AS region,
+    s"""SELECT coalesce(r_name, 'ALL') AS region,
       |       coalesce(n_name, 'ALL') AS nation,
-      |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS balance
+      |       count(*) AS n_cust, ${gridSumSql("c_acctbal", 100L)} AS balance
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -235,13 +260,13 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        round(sum("o_totalprice"), 2).as("total"))
+        gridSum(col("o_totalprice"), 100L).as("total"))
       .orderBy("o_orderpriority")
 
   private val q08Sql =
-    """SELECT o_orderpriority, count(*) AS n_orders,
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
       |  count(DISTINCT o_custkey) AS n_customers,
-      |  round(sum(o_totalprice), 2) AS total
+      |  ${gridSumSql("o_totalprice", 100L)} AS total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q09
@@ -327,11 +352,14 @@ object Relational {
   // through spark.sql(...) here and through DuckDB as its own oracle.
   private val q12Sql =
     """WITH cust_rev AS (
-      |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey)
+      |  SELECT o_custkey,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY o_custkey)
       |SELECT seg, rk, ck, rev FROM (
-      |  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck, round(cr.rev, 2) AS rev,
+      |  SELECT c.c_mktsegment AS seg, c.c_custkey AS ck,
+      |    round(CAST(cr.cents AS DOUBLE) / 100, 2) AS rev,
       |    CAST(row_number() OVER (PARTITION BY c.c_mktsegment
-      |                            ORDER BY cr.rev DESC, c.c_custkey) AS BIGINT) AS rk
+      |                            ORDER BY cr.cents DESC, c.c_custkey) AS BIGINT) AS rk
       |  FROM customer c JOIN cust_rev cr ON c.c_custkey = cr.o_custkey)
       |WHERE rk <= 5
       |ORDER BY seg, rk""".stripMargin
@@ -349,13 +377,13 @@ object Relational {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"),
+        gridSum(col("value"), 100L).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("hour")
 
   private val q13Sql =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-      |  count(*) AS n_events, round(sum(value), 2) AS total_value,
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |  count(*) AS n_events, ${gridSumSql("value", 100L)} AS total_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
@@ -458,9 +486,9 @@ object Relational {
   // ---------------------------------------------------------------- q18
   // CUBE grouping sets — shared ANSI text runs in both engines.
   private val q18Sql =
-    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
       |       coalesce(o_orderstatus, 'ALL') AS status,
-      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |       count(*) AS n, ${gridSumSql("o_totalprice", 100L)} AS total
       |FROM orders
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
@@ -619,19 +647,19 @@ object Relational {
         bucketWidth = 16L)
       .groupBy("interval_id")
       .agg(count(lit(1)).as("n_ship"),
-        round(sum(col("l_extendedprice")), 2).as("rev"))
+        gridSum(col("l_extendedprice"), 100L).as("rev"))
       .orderBy("interval_id")
   }
 
   private val q25Sql =
-    """WITH iv AS (
+    s"""WITH iv AS (
       |  SELECT o_orderkey AS interval_id,
       |         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS start_d,
       |         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
       |           + o_orderkey % 14 + 1 AS end_d
       |  FROM orders WHERE o_orderkey % 97 = 0)
       |SELECT interval_id, count(*) AS n_ship,
-      |       round(sum(l_extendedprice), 2) AS rev
+      |       ${gridSumSql("l_extendedprice", 100L)} AS rev
       |FROM iv JOIN lineitem
       |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
       |     BETWEEN start_d AND end_d
@@ -695,15 +723,20 @@ object Relational {
       .agg(
         array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
         size(collect_list(col("event_id"))).cast("long").as("n_ids"),
-        round(aggregate(collect_list(col("value")), lit(0.0), (a, v) => a + v), 2)
+        // higher-order fold kept (the point of the query), but over
+        // exact integer cents: a double fold's result depends on
+        // collect_list's nondeterministic order
+        round(aggregate(
+            collect_list(round(col("value") * 100, 0).cast("long")),
+            lit(0L), (a, v) => a + v).cast("double") / 100, 2)
           .as("value_sum"))
       .orderBy("user_id")
 
   private val q23Sql =
-    """SELECT user_id,
+    s"""SELECT user_id,
       |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
       |  count(event_id) AS n_ids,
-      |  round(sum(value), 2) AS value_sum
+      |  ${gridSumSql("value", 100L)} AS value_sum
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q27
