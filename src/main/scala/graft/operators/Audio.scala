@@ -84,6 +84,34 @@ object Audio {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Deterministic 8-bit unsigned mono WAV fixture from ASCII text:
+    * a real RIFF/WAVE PCM header followed by the text's bytes with
+    * every ODD position flipped to `255 - b`. Printable ASCII is
+    * < 0x7f, so even positions land below the unsigned midline
+    * (negative samples) and odd positions above it (positive) — the
+    * decoded signal alternates sign every sample, giving the fixture
+    * nonzero zero-crossing and windowed-energy structure that a SQL
+    * oracle can restate per character (`sample(i) = (ascii_i - 128) /
+    * 128` even, `(127 - ascii_i) / 128` odd). Only the payload
+    * SYNTHESIS is a fixture: the m06/m07 queries decode it through the
+    * real [[decodePcm]] path (header parse, unsigned-PCM mapping,
+    * window accumulation), exactly as AudioSpec's signals do.
+    */
+  def wavFixture(text: String, sampleRate: Int = 8000): Array[Byte] = {
+    val data = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 1
+    while (i < data.length) { data(i) = (255 - (data(i) & 0xff)).toByte; i += 2 }
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+    buf.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16).putShort(1).putShort(1) // PCM, mono
+    buf.putInt(sampleRate).putInt(sampleRate) // byteRate = rate·1ch·1B
+    buf.putShort(1).putShort(8) // blockAlign, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
   /** Per-document audio features. `decoded=false` rows carry zeros —
     * exclude them before thresholding (same contract as the image
     * decoder's marker rows).

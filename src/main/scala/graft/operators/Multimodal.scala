@@ -268,6 +268,36 @@ object Multimodal {
       perceptualHashes(media).toDF().filter(col("decoded")),
       "doc_id", hashCol, maxHamming)
 
+  /** Deterministic perceptual-hash FIXTURE for driver-side oracles
+    * (the m05 analogue of [[StubDecoder]]): the real
+    * [[perceptualHashes]] needs a pixel decode no SQL oracle can
+    * restate, so this derives a 60-bit signature from content alone —
+    * `conv(md5(text)[1..15], 16, 10)` — and emits three "re-encode"
+    * variants per document with planted bit flips chosen to mimic what
+    * aHash does to near-identical images: variant 1 flips bit 0
+    * (band 0), variant 2 flips bits 20 and 40 (bands 1 AND 2), so the
+    * three variants of one document pair at hamming 1 / 2 / 3 and the
+    * (v1, v2) pair differs in three of the four 16-bit bands — a
+    * candidate only band 3 can surface, exercising the pigeonhole edge
+    * of [[Dedup.hash64Pairs]]'s banding under the driver's oracle.
+    * Distinct documents hash independently, so the fixture also feeds
+    * realistic 16-bit band collisions (birthday-rate) that the hamming
+    * verify must reject. The real codec path stays OperatorSpec-driven
+    * on real encoded pixels.
+    *
+    * Returns (media_id = doc_id·4 + variant, phash).
+    */
+  def stubPerceptualHashes(docs: DataFrame): DataFrame = {
+    val base = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val perturb = when(col("_v") === 1, lit(1L))
+      .when(col("_v") === 2, lit((1L << 40) | (1L << 20)))
+      .otherwise(lit(0L))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("_v", explode(array(lit(0), lit(1), lit(2))))
+      .select((col("doc_id") * 4 + col("_v")).as("media_id"),
+        base.bitwiseXOR(perturb).as("phash"))
+  }
+
   /** `w`×`h` mean-luma grid via EXACT area averaging: every source
     * pixel contributes to exactly one cell (cell = proportional index
     * ranges), accumulated in one bulk-row pass over the full-

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Audio, Dedup, Multimodal, Packing, Sampling, Similarity}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables (builder mandate): deduplication (exact /
@@ -1208,6 +1208,178 @@ object TrainingData {
       |    AS resized_md5
       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m05
+  // Perceptual near-dup image dedup, driver-checkable half: the stub
+  // 60-bit signature (Multimodal.stubPerceptualHashes scaladoc — md5
+  // base + planted per-variant re-encode flips) flows through the REAL
+  // Dedup.hash64Pairs banding — the same band/verify path t08 proves
+  // pigeonhole-complete by brute force and the real perceptualHashes
+  // pairs ride in production. The oracle restates the signature
+  // digit-by-digit from md5 hex and re-runs the banded join + hamming
+  // verify in SQL (banded, not all-pairs, so the oracle itself scales
+  // to the sf0.1 sweep — completeness of the banding is t08's
+  // brute-force-checked claim on this same shared code path).
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    Dedup.hash64Pairs(Multimodal.stubPerceptualHashes(docs(s, dir)),
+        "media_id", "phash", maxHamming = 3)
+      .orderBy("a", "b")
+
+  // DuckDB hex→int: digit j (1-based in md5's first 15 chars) via
+  // strpos on the lowercase hex alphabet, horner-folded per 16-bit band.
+  private def duckHexBand(js: Range): String =
+    js.map(j => s"(strpos('0123456789abcdef', substr(hx, $j, 1)) - 1)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+
+  private val m05Sql = {
+    val b0 = duckHexBand(12 to 15) // bits 0-15  = hex digits 12..15
+    val b1 = duckHexBand(8 to 11) //  bits 16-31 = hex digits 8..11
+    val b2 = duckHexBand(4 to 7) //   bits 32-47 = hex digits 4..7
+    val b3 = duckHexBand(1 to 3) //   bits 48-59 = hex digits 1..3
+    s"""WITH h AS (
+      |  SELECT doc_id, substr(md5(text), 1, 15) AS hx FROM documents
+      |), v AS (SELECT doc_id, hx, unnest([0, 1, 2]) AS var FROM h),
+      |sig AS (
+      |  SELECT CAST(doc_id * 4 + var AS BIGINT) AS media_id,
+      |    xor($b0, CASE WHEN var = 1 THEN 1 ELSE 0 END) AS b0,
+      |    xor($b1, CASE WHEN var = 2 THEN 16 ELSE 0 END) AS b1,
+      |    xor($b2, CASE WHEN var = 2 THEN 256 ELSE 0 END) AS b2,
+      |    $b3 AS b3
+      |  FROM v),
+      |bands AS (
+      |  SELECT media_id, b0, b1, b2, b3, 0 AS band, b0 AS bkey FROM sig
+      |  UNION ALL SELECT media_id, b0, b1, b2, b3, 1, b1 FROM sig
+      |  UNION ALL SELECT media_id, b0, b1, b2, b3, 2, b2 FROM sig
+      |  UNION ALL SELECT media_id, b0, b1, b2, b3, 3, b3 FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+      |      AS BIGINT) AS hamming
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.media_id < y.media_id)
+      |SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY a, b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- m06
+  // Audio quality gates through the REAL javax.sound decode path: the
+  // payload is a genuine 8-bit unsigned mono WAV whose data bytes are
+  // the document's ASCII bytes with odd positions flipped
+  // (Audio.wavFixture scaladoc), so the oracle can re-derive every
+  // decoded sample as (ascii-128)/128 (even) / (127-ascii)/128 (odd)
+  // and restate rms / peak / clipping / 20 ms-window silence / zcr
+  // exactly. Float parity: every sample² is k²/16384 with k integer —
+  // exactly representable, so sums are association-order-free and the
+  // single divide + sqrt round identically in both engines (same
+  // argument as the exact money grids).
+  private def audioMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        Multimodal.MediaRow(id, "audio/wav", Audio.wavFixture(t))
+      }
+  }
+
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    Audio.features(audioMedia(s, dir)).toDF()
+      .select(col("doc_id"), col("decoded"), col("sample_rate"),
+        col("channels"), col("bits"), col("n_samples"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"),
+        round(col("peak"), 6).as("peak"),
+        round(col("clipped_ratio"), 6).as("clipped_ratio"),
+        round(col("silence_ratio"), 6).as("silence_ratio"),
+        round(col("zero_crossing_rate"), 4).as("zero_crossing_rate"))
+      .orderBy("doc_id")
+
+  // Shared chars CTE: pos (0-based) and integer sample numerator k,
+  // sample = k/128. Printable ASCII (32..126) keeps k nonzero with
+  // even positions negative, odd positive.
+  private val duckPcmChars =
+    """chars AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    CASE WHEN (i - 1) % 2 = 0 THEN ascii(substring(text, i, 1)) - 128
+      |         ELSE 127 - ascii(substring(text, i, 1)) END AS k
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text))) AS i
+      |        FROM documents) c)""".stripMargin
+
+  private val m06Sql =
+    s"""WITH $duckPcmChars,
+      |wins AS (
+      |  SELECT doc_id, pos // 160 AS w, sum(k * k) AS ss, count(*) AS m
+      |  FROM chars GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT doc_id, count(*) AS total_w,
+      |    sum(CASE WHEN sqrt(ss / 16384.0 / m) < 0.01 THEN 1 ELSE 0 END)
+      |      AS silent_w
+      |  FROM wins GROUP BY 1),
+      |zc AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN sign(k) <> sign(prev_k) THEN 1 ELSE 0 END)
+      |      AS crossings
+      |  FROM (SELECT doc_id, k,
+      |          lag(k) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_k
+      |        FROM chars) l
+      |  WHERE prev_k IS NOT NULL GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n, sum(k * k) AS ss,
+      |    max(abs(k)) AS mx,
+      |    sum(CASE WHEN abs(k) >= 127 THEN 1 ELSE 0 END) AS clip
+      |  FROM chars GROUP BY 1)
+      |SELECT a.doc_id, TRUE AS decoded, 8000 AS sample_rate,
+      |  1 AS channels, 8 AS bits, CAST(a.n AS BIGINT) AS n_samples,
+      |  CAST(round(a.n / 8.0, 0) AS BIGINT) AS duration_ms,
+      |  round(sqrt(a.ss / 16384.0 / a.n), 6) AS rms,
+      |  round(a.mx / 128.0, 6) AS peak,
+      |  round(a.clip * 1.0 / a.n, 6) AS clipped_ratio,
+      |  round(s.silent_w * 1.0 / s.total_w, 6) AS silence_ratio,
+      |  round(z.crossings * 8000.0 / a.n, 4) AS zero_crossing_rate
+      |FROM agg a JOIN sil s USING (doc_id) JOIN zc z USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m07
+  // Silence-gated audio windowing (Audio.windows) on the same fixture
+  // WAVs: 20 ms windows stepping 10 ms at 8 kHz = 160 samples stepping
+  // 80, so every full window is exactly two adjacent 80-sample blocks
+  // — the oracle computes per-block energy once and joins blocks
+  // (w, w+1) per window instead of re-scanning chars per window.
+  // Documents shorter than one window exercise the single-short-window
+  // path (min doc length 44 chars < 160 across all SFs).
+  private def m07(s: SparkSession, dir: String): DataFrame =
+    Audio.windows(audioMedia(s, dir), windowMs = 20, stepMs = 10).toDF()
+      .select(col("doc_id"), col("window_idx"), col("start_ms"),
+        round(col("rms"), 6).as("rms"), col("voiced"))
+      .orderBy("doc_id", "window_idx")
+
+  private val m07Sql =
+    s"""WITH $duckPcmChars,
+      |blocks AS (
+      |  SELECT doc_id, pos // 80 AS blk, sum(k * k) AS ss
+      |  FROM chars GROUP BY 1, 2),
+      |meta AS (SELECT doc_id, length(text) AS n FROM documents),
+      |long_w AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, (n - 160) // 80)) AS wi
+      |  FROM meta WHERE n >= 160),
+      |lw AS (
+      |  SELECT w.doc_id, w.wi AS window_idx, w.wi * 10 AS start_ms,
+      |    sqrt((b1.ss + b2.ss) / 16384.0 / 160) AS rms
+      |  FROM long_w w
+      |  JOIN blocks b1 ON b1.doc_id = w.doc_id AND b1.blk = w.wi
+      |  JOIN blocks b2 ON b2.doc_id = w.doc_id AND b2.blk = w.wi + 1),
+      |sw AS (
+      |  SELECT m.doc_id, CAST(0 AS BIGINT) AS window_idx,
+      |    CAST(0 AS BIGINT) AS start_ms,
+      |    sqrt(t.ss / 16384.0 / m.n) AS rms
+      |  FROM meta m
+      |  JOIN (SELECT doc_id, sum(k * k) AS ss FROM chars GROUP BY 1) t
+      |    USING (doc_id)
+      |  WHERE m.n < 160),
+      |u AS (SELECT * FROM lw UNION ALL SELECT * FROM sw)
+      |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+      |  CAST(start_ms AS BIGINT) AS start_ms,
+      |  round(rms, 6) AS rms, rms >= 0.01 AS voiced
+      |FROM u ORDER BY doc_id, window_idx""".stripMargin
+
   // ---------------------------------------------------------------- t21
   // Sliding-window chunking: 64-token windows stepping by 48 (16-token
   // overlap), never crossing document boundaries — the fine-tuning /
@@ -1932,5 +2104,8 @@ object TrainingData {
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),
-    QuerySpec("m04_resize", m04, Some(m04Sql)))
+    QuerySpec("m04_resize", m04, Some(m04Sql)),
+    QuerySpec("m05_perceptual_dedup", m05, Some(m05Sql)),
+    QuerySpec("m06_audio_quality", m06, Some(m06Sql)),
+    QuerySpec("m07_audio_windows", m07, Some(m07Sql)))
 }

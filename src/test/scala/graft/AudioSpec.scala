@@ -121,4 +121,19 @@ class AudioSpec extends SparkTestBase {
     val kept = Audio.windows(ds, 100, 100).filter(_.voiced).count()
     assert(kept == 8)
   }
+
+  test("wavFixture round-trips text bytes through the real decoder") {
+    // "0A": even pos '0'(48) → (48-128)/128 = -0.625; odd pos 'A'(65)
+    // flips to 190 → (190-128)/128 = 0.484375 — the exact per-char
+    // arithmetic the m06/m07 DuckDB oracles restate.
+    val ds = Seq(MediaRow(1L, "audio/wav", Audio.wavFixture("0A"))).toDS()
+    val f = Audio.features(ds).collect().head
+    assert(f.decoded && f.sample_rate == 8000 && f.channels == 1 &&
+      f.bits == 8 && f.n_samples == 2L)
+    val expRms = math.sqrt((0.625 * 0.625 + 0.484375 * 0.484375) / 2)
+    assert(f.rms == expRms, s"rms ${f.rms} != $expRms")
+    assert(f.peak == 0.625)
+    assert(f.zero_crossing_rate == 1.0 * 8000 / 2) // one neg→pos flip
+    assert(f.clipped_ratio == 0.0)
+  }
 }

@@ -1062,6 +1062,26 @@ class OperatorSpec extends SparkTestBase {
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("stubPerceptualHashes plants the documented variant geometry") {
+    import spark.implicits._
+    // one doc → variants at hamming 1 (bit 0), 2 (bits 20+40), and the
+    // (v1, v2) pair at 3 differing in bands 0-2 — only band 3 can
+    // surface it (the pigeonhole edge the m05 oracle re-checks)
+    val d = Seq((7L, "some document text")).toDF("doc_id", "text")
+    val hs = Multimodal.stubPerceptualHashes(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.keySet == Set(28L, 29L, 30L))
+    assert(java.lang.Long.bitCount(hs(28L) ^ hs(29L)) == 1)
+    assert(java.lang.Long.bitCount(hs(28L) ^ hs(30L)) == 2)
+    assert(java.lang.Long.bitCount(hs(29L) ^ hs(30L)) == 3)
+    assert(hs(28L) >>> 60 == 0L) // 60-bit: fits the 4x16 banding
+    val pairs = graft.operators.Dedup.hash64Pairs(
+        Multimodal.stubPerceptualHashes(d), "media_id", "phash", 3)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((28L, 29L, 1L), (28L, 30L, 2L), (29L, 30L, 3L)))
+  }
+
   test("hash64Pairs is pigeonhole-complete at hamming <= 3 (vs brute force)") {
     import spark.implicits._
     // deterministic pseudo-random 64-bit signatures plus planted
