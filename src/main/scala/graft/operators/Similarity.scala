@@ -188,6 +188,27 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, needed))
   }
 
+  /** [[semanticDedup]]'s analogue of [[autoPlanes]]: a k-means cell
+    * count that holds EXPECTED CELL OCCUPANCY constant as the corpus
+    * grows — `⌈n / targetPerCell⌉`, clamped. The within-cell pair scan
+    * costs Σcell² ≈ n²/K for balanced cells, so FIXED K degrades
+    * quadratically (the 10× smoke measured e06 at 4.1× wall for 10×
+    * vectors under its fixed base-SF cell count); occupancy-held K
+    * restores cost ∝ n ·
+    * targetPerCell. Recall cost of growing K is one more centroid
+    * boundary per added cell — at dedup-grade similarity (≥ 0.9,
+    * twins nearly collinear) the boundary measure stays negligible,
+    * which the e06 collapse-rate audit measures rather than assumes.
+    * The default target resolves to `minCells` = 8 at every
+    * driver-checked SF (≤ 4 000 augmented vectors — oracle outputs
+    * bit-identical) and only the 10× replica crosses it (40 000 →
+    * K = 80).
+    */
+  def autoCells(n: Long, targetPerCell: Int = 500, minCells: Int = 8,
+      maxCells: Int = 4096): Int =
+    math.min(maxCells, math.max(minCells,
+      math.ceil(n.toDouble / math.max(1, targetPerCell)).toInt))
+
   def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", nTables: Int = 6,
       seedBase: Long = 42L): DataFrame = {

@@ -1028,7 +1028,13 @@ object TrainingData {
       .select((col("vec_id") + 100000L).as("vec_id"), col("_j").as("embedding"))
     val aug = base.unionAll(jit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dd = Similarity.semanticDedup(aug, threshold = 0.9, nCells = 8,
+    // occupancy-scaled K (autoCells scaladoc; the r7 10× smoke's 4.1×
+    // mover was this query under a FIXED cell count): resolves to the
+    // oracle-pinned 8 cells at every driver-checked SF (≤ 4k augmented
+    // vectors — output bit-identical), 80 cells at the sf1 replica's
+    // 40k, holding Σcell² ∝ n · 500 instead of n²/8
+    val dd = Similarity.semanticDedup(aug, threshold = 0.9,
+        nCells = Similarity.autoCells(aug.count()),
         iters = 2, trainFraction = 0.2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val collapse = dd.select(col("vec_id"), col("component"))

@@ -253,6 +253,16 @@ class OperatorSpec extends SparkTestBase {
       (3L, 3L, 1L), (4L, 3L, 0L), (5L, 5L, 1L)))
   }
 
+  test("autoCells holds occupancy: pinned at base SFs, scales at the replica") {
+    // every driver-checked SF (augmented corpus <= 4000 vectors) must
+    // resolve to the oracle-pinned 8 cells — bit-identical e06 output —
+    // and only the 10x replica may cross it
+    assert(Similarity.autoCells(1000) == 8)  // sf0.001 / sf0.01 aug
+    assert(Similarity.autoCells(4000) == 8)  // sf0.1 aug (exact boundary)
+    assert(Similarity.autoCells(40000) == 80) // sf1 replica aug
+    assert(Similarity.autoCells(10000000, maxCells = 4096) == 4096) // clamp
+  }
+
   test("connected components: chains merge, keep flag on min id") {
     // 1-2, 2-3 chain (1-3 never paired) plus an isolated pair 7-9:
     // components must be {1,2,3}->1 and {7,9}->7.
