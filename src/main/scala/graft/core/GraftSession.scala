@@ -43,5 +43,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
+      // footer (one testdata generation shipped events.ts that way —
+      // Tables.load rebuilds the column). Set ONCE here: flipping it
+      // per-call inside query/load paths mutates the shared session
+      // under concurrent queries.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

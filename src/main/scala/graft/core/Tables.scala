@@ -22,8 +22,12 @@ object Tables {
       // Spark reads as TIMESTAMP_NTZ). Adapt on the footer schema so
       // either generation loads as a session-TZ TimestampType column
       // with identical wall-clock values (session TZ is pinned UTC,
-      // so the NTZ→TZ cast is value-preserving).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // so the NTZ→TZ cast is value-preserving). Reading the nanos
+      // generation requires spark.sql.legacy.parquet.nanosAsLong=true,
+      // set at session construction (GraftSession.builder and the
+      // entry-point mains) — NOT here: a conf.set inside a load path
+      // would mutate the shared session mid-flight for concurrent
+      // readers.
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType =>

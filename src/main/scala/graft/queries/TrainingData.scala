@@ -902,16 +902,44 @@ object TrainingData {
     * a cached catalog from a stopped test session must not leak into
     * the next.
     */
-  private case class E12Index(session: SparkSession,
+  private case class E12Index(session: SparkSession, wh: String,
       cat: graft.catalog.SnapshotCatalog,
       coarse: Array[Array[Double]], books: graft.operators.Pq.Codebooks)
   private val e12Built =
     new java.util.concurrent.ConcurrentHashMap[String, E12Index]()
 
+  /** Best-effort recursive delete of a rebuilt/abandoned temp
+    * warehouse — long-lived multi-session JVMs (test suites) would
+    * otherwise leak one directory per stale (session, sfDir) rebuild,
+    * and `e12Built` would pin stopped sessions until the key is next
+    * touched. Also registered as a shutdown hook for the live entries.
+    */
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root)) {
+        val paths = Files.walk(root).iterator().asScala.toSeq
+        paths.sortBy(-_.getNameCount).foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
+    } catch { case _: Exception => () }
+
+  locally { // one hook for whatever entries are live at JVM exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      e12Built.values.asScala.foreach(e => deleteRecursively(e.wh))
+    }))
+  }
+
   private def e12Index(s: SparkSession, dir: String): E12Index =
     e12Built.compute(dir, (_, cur) => {
       if (cur != null && (cur.session eq s)) cur
       else {
+        // replacing a stale entry (stopped/old session): reclaim its
+        // temp warehouse now instead of leaking it for the JVM's life
+        if (cur != null) deleteRecursively(cur.wh)
         import graft.operators.Pq
         import graft.catalog.{PartitionSpec, SnapshotCatalog}
         val e = embs(s, dir)
@@ -924,7 +952,7 @@ object TrainingData {
         cat.createTable("ann", "vec_index", index.schema,
           properties = Map(PartitionSpec.PropertyKey -> "identity(cell)"))
         cat.append("ann", "vec_index", index)
-        E12Index(s, cat, coarse, books)
+        E12Index(s, wh, cat, coarse, books)
       }
     })
 

@@ -501,10 +501,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       // miss poison members). Footer-reads only; no data scan.
       // nanosAsLong: DuckDB reads TIMESTAMP(NANOS) natively, so a
       // nanos-generation file (TESTDATA.md drift log) is "readable"
-      // to the reference and must not fail OUR probe — without the
-      // conf, Spark rejects such footers outright and this endpoint
-      // would take the *->0 fallback where the reference lists files.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // to the reference and must not fail OUR probe — the conf is set
+      // at session construction (GraftSession.builder), not here: a
+      // per-call conf.set would mutate the shared session under a
+      // concurrent HttpApi query. Probe cost is O(#matched files)
+      // footer reads (distributed, no data scan) — same order as the
+      // reference's read_parquet bind of the full glob.
       spark.read.option("mergeSchema", "true").parquet(pathGlob).schema
       val p = new HPath(pathGlob)
       val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)

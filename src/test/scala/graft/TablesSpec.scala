@@ -53,8 +53,25 @@ class TablesSpec extends SparkTestBase {
       val got = Tables.load(spark, dir, name).schema
         .map(f => f.name -> f.dataType)
       val want = contract(name)
-      val drift = want.zipAll(got, "MISSING" -> NullType, "EXTRA" -> NullType)
-        .collect { case (w, g) if w != g => s"want $w got $g" }
+      // Diff by NAME first (a column inserted mid-schema must report as
+      // one extra column, not cascade "every later column drifted"),
+      // then check order separately.
+      val gotM = got.toMap
+      val wantM = want.toMap
+      val missing = want.collect { case (n, t) if !gotM.contains(n) =>
+        s"missing column ($n,$t)" }
+      val extra = got.collect { case (n, t) if !wantM.contains(n) =>
+        s"extra column ($n,$t)" }
+      val retyped = want.collect {
+        case (n, t) if gotM.contains(n) && gotM(n) != t =>
+          s"column $n: want $t got ${gotM(n)}" }
+      val reordered =
+        if (missing.isEmpty && extra.isEmpty &&
+          want.map(_._1) != got.map(_._1))
+          Seq(s"column order changed: want ${want.map(_._1).mkString(",")} " +
+            s"got ${got.map(_._1).mkString(",")}")
+        else Nil
+      val drift = missing ++ extra ++ retyped ++ reordered
       assert(drift.isEmpty,
         s"\nTESTDATA DRIFT in $dir/$name.parquet — the driver likely " +
           s"regenerated /root/testdata with new physical types. Drifted " +
