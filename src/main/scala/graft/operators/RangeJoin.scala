@@ -29,6 +29,69 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Derive `bucketWidth` from the data instead of a hand-picked conf.
+    *
+    * Cost model (uniform approximation; P points, I intervals, domain
+    * extent D, mean span s̄): matching pairs meet in exactly one bucket,
+    * so TRUE candidates ≈ P·I·s̄/D are width-invariant; the width only
+    * trades the two overheads
+    *
+    *  - interval fan-out rows:   I·(s̄/w + 1)   (shrinks as w grows)
+    *  - false candidates:        ≈ P·I·w/D      (grows as w grows —
+    *    pairs sharing a bucket that fail the residual BETWEEN)
+    *
+    * The sum is minimized at w* = sqrt(s̄·D/P): width shrinks as the
+    * point side grows, which is exactly what bounds per-bucket pair
+    * density at scale (a FIXED width's false-candidate volume grows
+    * linearly with P — the q25 sf1 finding). Clamped to
+    * [1, max(1, 4·s̄)] so degenerate stats (empty/point intervals, tiny
+    * point sides) keep fan-out bounded and bucket counts sane. Results
+    * are width-invariant by construction (the residual filter keeps
+    * exact semantics — RangeJoinRuleSpec pins it), so auto-tuning can
+    * never change answers, only the fan-out/density trade.
+    *
+    * Cost: one map-side-combined aggregate over the interval side
+    * (avg span, min/max bounds) + a count of the point side — both
+    * O(scan) passes over inputs the join reads anyway, and the
+    * interval side is the small one by assumption.
+    */
+  def autoBucketWidth(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): Long = {
+    val row = intervals.agg(
+      avg(col(endCol).cast("double") - col(startCol).cast("double")),
+      min(col(startCol).cast("double")),
+      max(col(endCol).cast("double"))).head()
+    if (row.isNullAt(0)) 1L // no intervals: any width joins nothing
+    else {
+      val meanSpan = math.max(0.0, row.getDouble(0))
+      val domain = math.max(1.0, row.getDouble(2) - row.getDouble(1))
+      val p = math.max(1L, points.select(col(pointCol)).count())
+      widthFrom(meanSpan, domain, p)
+    }
+  }
+
+  /** w* = clamp(sqrt(s̄·D/P), 1, 4·s̄) — see [[autoBucketWidth]]. */
+  private[graft] def widthFrom(meanSpan: Double, domain: Double,
+      points: Long): Long = {
+    val ideal = math.sqrt(meanSpan * domain / points.toDouble)
+    val cap = math.max(1.0, 4.0 * meanSpan)
+    math.max(1L, math.min(cap, ideal).round)
+  }
+
+  /** [[pointInInterval]] with the width derived by [[autoBucketWidth]]. */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame =
+    pointInInterval(points, pointCol, intervals, startCol, endCol,
+      autoBucketWidth(points, pointCol, intervals, startCol, endCol))
+
   /** @param points      side with one numeric value per row
     * @param pointCol    LONG-castable column in `points`
     * @param intervals   side with [startCol, endCol] (inclusive both

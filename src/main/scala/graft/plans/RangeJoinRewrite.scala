@@ -43,11 +43,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * Every matching pair meets in exactly one bucket (the point's), so
   * results are identical to the nested loop, no dedup needed.
   *
-  * Opt-in: fires only when `spark.graft.rangeJoin.bucketWidth` is set
-  * to a positive long (the domain bucket size, same unit as the point
-  * column) — the width is a data-layout decision the engine cannot
-  * infer, the same reason other engines expose range-join bin-size
-  * hints rather than guessing. Joins that already
+  * Opt-in: fires only when `spark.graft.rangeJoin.bucketWidth` is set —
+  * either to a positive long (the domain bucket size, same unit as the
+  * point column: a data-layout decision, the same reason other engines
+  * expose range-join bin-size hints) or to `auto`, which derives the
+  * width at plan time from the interval side's span distribution
+  * ([[graft.operators.RangeJoin.widthFrom]]'s cost model: w* =
+  * sqrt(s̄·D/P), clamped): one map-side-combined aggregate job over the
+  * interval side (the small side by assumption — I/O the join pays
+  * anyway) plus a point-side row-count ESTIMATE from plan statistics
+  * (rowCount under CBO, else sizeInBytes / schema default row width —
+  * w* only needs P to an order of magnitude, it enters under a square
+  * root). If the stats job itself fails the join is left unchanged
+  * (conservative: never trade a correct nested loop for a broken
+  * rewrite). Joins that already
   * have an equality conjunct are left alone (they hash-join fine),
   * which also makes the rule idempotent: its own output contains an
   * equality conjunct.
@@ -57,13 +66,53 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = Try(conf.getConfString(WidthConf, "0").toLong).getOrElse(0L)
-    if (width <= 0) return plan
+    val raw = conf.getConfString(WidthConf, "0").trim
+    val auto = raw.equalsIgnoreCase("auto")
+    val fixed = if (auto) 0L else Try(raw.toLong).getOrElse(0L)
+    if (!auto && fixed <= 0) return plan
     plan.transform {
       case j @ Join(_, _, Inner, Some(cond), _) if j.resolved && eligible(j, cond) =>
-        rewrite(j, cond, width).getOrElse(j)
+        (for {
+          pat <- findPattern(j, cond)
+          width <- if (auto) derivedWidth(j, pat) else Some(fixed)
+        } yield rewrite(j, cond, pat, width)).getOrElse(j)
     }
   }
+
+  /** Auto-mode width: execute the interval-side span/bounds aggregate
+    * (via the analyzed child plan — runs as an ordinary job), estimate
+    * the point side's row count from plan stats, and apply
+    * [[graft.operators.RangeJoin.widthFrom]]. Exposed for
+    * RangeJoinRuleSpec to pin the derived width.
+    */
+  private[graft] def derivedWidth(j: Join, pat: RangePattern): Option[Long] =
+    try {
+      import org.apache.spark.sql.SparkSession
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Min}
+      val (pointPlan, ivPlan) =
+        if (pat.pointOnLeft) (j.left, j.right) else (j.right, j.left)
+      val spanE = Subtract(Cast(pat.end, DoubleType), Cast(pat.start, DoubleType))
+      val agg = Aggregate(Nil, Seq(
+        Alias(Average(spanE).toAggregateExpression(), "_rj_span")(),
+        Alias(Min(Cast(pat.start, DoubleType)).toAggregateExpression(), "_rj_lo")(),
+        Alias(Max(Cast(pat.end, DoubleType)).toAggregateExpression(), "_rj_hi")()),
+        ivPlan)
+      val row = org.apache.spark.sql.graft.PlanExec
+        .ofRows(SparkSession.active, agg).head()
+      if (row.isNullAt(0)) Some(1L) // empty interval side
+      else {
+        val meanSpan = math.max(0.0, row.getDouble(0))
+        val domain = math.max(1.0, row.getDouble(2) - row.getDouble(1))
+        val st = pointPlan.stats
+        val p = st.rowCount.map(_.toLong).filter(_ > 0).getOrElse {
+          val rowWidth =
+            math.max(8, pointPlan.output.map(_.dataType.defaultSize).sum)
+          (st.sizeInBytes / rowWidth).toLong
+        }
+        Some(graft.operators.RangeJoin.widthFrom(
+          meanSpan, domain, math.max(1L, p)))
+      }
+    } catch { case _: Exception => None }
 
   /** No equality conjunct linking the two sides: those joins already
     * get a shuffled hash/sort-merge plan from Spark.
@@ -86,10 +135,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * inclusive comparisons (bucket bounds are inclusive, a superset;
     * the residual keeps exact semantics).
     */
-  private case class RangePattern(point: Expression, start: Expression,
+  private[graft] case class RangePattern(point: Expression, start: Expression,
       end: Expression, pointOnLeft: Boolean)
 
-  private def findPattern(j: Join, cond: Expression): Option[RangePattern] = {
+  private[graft] def findPattern(j: Join, cond: Expression): Option[RangePattern] = {
     // normalize every comparison conjunct into (lo, hi) meaning lo <= hi
     val ordered = splitConjunctivePredicates(cond).collect {
       case GreaterThanOrEqual(a, b) => (b, a)
@@ -116,8 +165,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .orElse(orient(j.right, j.left, pointOnLeft = false))
   }
 
-  private def rewrite(j: Join, cond: Expression, width: Long): Option[LogicalPlan] =
-    findPattern(j, cond).map { pat =>
+  private def rewrite(j: Join, cond: Expression, pat: RangePattern,
+      width: Long): LogicalPlan = {
       def bucket(e: Expression): Expression =
         Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
 
@@ -145,5 +194,5 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val newCond = And(EqualTo(pAlias.toAttribute, bAttr), cond)
       // project back to the original output (drops the bucket columns)
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
-    }
+  }
 }

@@ -642,9 +642,14 @@ object Relational {
     val points = t(s, dir, "lineitem")
       .select(datediff(to_date(col("l_shipdate")), day0).cast("long").as("ship_d"),
         col("l_extendedprice"))
+    // width auto-derived from span stats (w* = sqrt(s̄·D/P), see
+    // RangeJoin.autoBucketWidth): a FIXED width's false-candidate
+    // volume grows linearly with the point side — the sf1 scale
+    // finding — while the derived width shrinks to hold per-bucket
+    // pair density; output is width-invariant so the oracle is
+    // unaffected.
     graft.operators.RangeJoin
-      .pointInInterval(points, "ship_d", intervals, "start_d", "end_d",
-        bucketWidth = 16L)
+      .pointInInterval(points, "ship_d", intervals, "start_d", "end_d")
       .groupBy("interval_id")
       .agg(count(lit(1)).as("n_ship"),
         gridSum(col("l_extendedprice"), 100L).as("rev"))

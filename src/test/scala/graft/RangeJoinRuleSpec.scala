@@ -97,6 +97,34 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("auto width: derived from span stats, same results, equi-join plan") {
+    // fixture stats: mean span (9+25+0-5)/4 = 7.25, domain 150-10 = 140,
+    // P = 200 → w* = sqrt(7.25·140/200) ≈ 2.25 → 2 (cap 4·7.25 = 29)
+    assert(graft.operators.RangeJoin.widthFrom(7.25, 140.0, 200L) == 2L)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.WidthConf, "auto")
+    try {
+      val df = rangeJoin()
+      val plan = planOf(df)
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"nested loop survived in auto mode:\n$plan")
+      val got = df.select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.WidthConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
+    }
+  }
+
+  test("auto width: DataFrame-level derivation matches the pinned formula") {
+    val w = graft.operators.RangeJoin.autoBucketWidth(
+      points, "p", intervals, "s", "e")
+    assert(w == 2L, s"derived $w, want 2 (sqrt(7.25*140/200) rounded)")
+  }
+
   test("GraftExtensions wires the rule into session extensions") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(exts)
