@@ -1485,6 +1485,66 @@ object Relational {
       |     WHERE o_orderkey % 10 = 5))
       |ORDER BY snapshot_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  // RangeJoinRewrite exercised through the SQL surface: a RAW
+  // `BETWEEN` join (no operator call, no manual bucketing) submitted
+  // as text to the Engine's SQL bridge, with the optimizer rule
+  // registered on the session (PlanExec.addOptimizerRule — the
+  // runtime form of `spark.sql.extensions=graft.plans.
+  // GraftExtensions`) and `bucketWidth=auto` so the width derives
+  // from span stats at plan time. The query body plan-asserts the
+  // rewrite actually fired: no BroadcastNestedLoop/Cartesian — the
+  // plans Spark gives this join without the rule — and the bucket
+  // key present. The conf is graft-namespaced and set once to a
+  // constant (an opt-in read ONLY by the rule, and only on non-equi
+  // range joins — every such join gets the semantics-identical
+  // bucketed plan, so leaving it enabled is the intended session
+  // state, unlike the per-call legacy-flag flips removed this round).
+  private lazy val q45Wh =
+    java.nio.file.Files.createTempDirectory("graft_q45_wh").toString
+
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir, Seq("orders", "lineitem"))
+    org.apache.spark.sql.graft.PlanExec
+      .addOptimizerRule(s, graft.plans.RangeJoinRewrite)
+    s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "auto")
+    val eng = new graft.query.Engine(s,
+      new graft.catalog.SnapshotCatalog(s, q45Wh))
+    val df = eng.sqlDataFrame(
+      """WITH iv AS (
+        |  SELECT o_orderkey AS iv_id,
+        |    CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)
+        |      AS s_d,
+        |    CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')
+        |      + o_orderkey % 7 + 2 AS BIGINT) AS e_d
+        |  FROM orders WHERE o_orderkey % 193 = 0)
+        |SELECT iv_id, count(*) AS n_ship,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM iv JOIN lineitem
+        |  ON CAST(datediff(to_date(l_shipdate), DATE '1970-01-01') AS BIGINT)
+        |     BETWEEN s_d AND e_d
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin)._1
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range-join rewrite did not fire through the SQL bridge:\n$plan")
+    require(plan.contains("_rj_"),
+      s"bucketed join key missing from the SQL-bridge plan:\n$plan")
+    df
+  }
+
+  private val q45Sql =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS iv_id,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s_d,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      + o_orderkey % 7 + 2 AS e_d
+      |  FROM orders WHERE o_orderkey % 193 = 0)
+      |SELECT iv_id, count(*) AS n_ship,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |FROM iv JOIN lineitem
+      |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN s_d AND e_d
+      |GROUP BY iv_id ORDER BY iv_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1530,5 +1590,6 @@ object Relational {
     QuerySpec("q41_map_fns", q41, Some(q41Sql)),
     QuerySpec("q42_grouping_sets", q42, Some(q42Sql)),
     QuerySpec("q43_time_travel", q43, Some(q43Sql)),
-    QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)))
+    QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)),
+    QuerySpec("q45_range_join_sql", q45, Some(q45Sql)))
 }

@@ -30,6 +30,19 @@ object PlanExec {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
 
+  /** Idempotently append an optimizer rule to the session's
+    * `experimental.extraOptimizations` — the runtime-registration path
+    * for sessions built without `spark.sql.extensions` (the driver's
+    * Verify/Bench sessions). Same shim rationale as [[addStrategy]].
+    */
+  def addOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ rule
+  }
+
   /** Test-side probe for `SparkSessionExtensions.buildOptimizerRules`
     * (`private[sql]`): lets specs assert an extensions class wires its
     * rules without racing other suites for the JVM's default session.
