@@ -1545,6 +1545,63 @@ object Relational {
       |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN s_d AND e_d
       |GROUP BY iv_id ORDER BY iv_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  // q32's 100 TB form (SCALING.md): the ONE-PASS column profile. q32
+  // pays one aggregation pass per column because exact
+  // count(DISTINCT) forces it; here ALL columns profile in a single
+  // .agg over a single scan — nulls/min/max/mean exactly,
+  // distinct counts via approx_count_distinct (HLL++, constant state
+  // per column) — and the one aggregated row is exploded into the
+  // per-column layout (no per-column rescan: the union-of-projections
+  // alternative re-executes the aggregate per column). Following the
+  // q21/q24 audit pattern, the HLL estimates are emitted as
+  // within-3·rsd flags against exact countDistinct anchors computed
+  // in the same statement (q32 remains the standalone exact anchor);
+  // the exact anchors are what a 100 TB deployment drops — with them
+  // gone the plan is one scan with NO Expand, pure single-pass.
+  // Measured rel err here matches q21 (≤ 0.086 at rsd 0.05).
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def nn(c: String) = s"_${c}_nulls"
+    def ad(c: String) = s"_${c}_apx"
+    def ed(c: String) = s"_${c}_exact"
+    def mn(c: String) = s"_${c}_min"
+    def mx(c: String) = s"_${c}_max"
+    def av(c: String) = s"_${c}_mean"
+    val aggs = count(lit(1)).as("_n_rows") +: q32Cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(nn(c)),
+        approx_count_distinct(col(c)).as(ad(c)),
+        countDistinct(col(c)).as(ed(c)),
+        round(min(col(c)).cast("double"), 4).as(mn(c)),
+        round(max(col(c)).cast("double"), 4).as(mx(c)),
+        round(avg(col(c)), 4).as(av(c)))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val perCol = q32Cols.map { c =>
+      struct(
+        lit(c).as("col_name"), col("_n_rows").as("n_rows"),
+        col(nn(c)).as("n_nulls"), col(ed(c)).as("n_distinct"),
+        col(mn(c)).as("min_v"), col(mx(c)).as("max_v"),
+        col(av(c)).as("mean_v"),
+        (abs(col(ad(c)) - col(ed(c))) <= col(ed(c)) * 0.15)
+          .cast("int").as("distinct_within_3rsd"))
+    }
+    one.select(explode(array(perCol: _*)).as("p"))
+      .select("p.*").orderBy("col_name")
+  }
+
+  private val q46Sql = q32Cols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 4) AS min_v,
+       |  round(CAST(max($c) AS DOUBLE), 4) AS max_v,
+       |  round(avg($c), 4) AS mean_v,
+       |  1 AS distinct_within_3rsd
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1591,5 +1648,6 @@ object Relational {
     QuerySpec("q42_grouping_sets", q42, Some(q42Sql)),
     QuerySpec("q43_time_travel", q43, Some(q43Sql)),
     QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)),
-    QuerySpec("q45_range_join_sql", q45, Some(q45Sql)))
+    QuerySpec("q45_range_join_sql", q45, Some(q45Sql)),
+    QuerySpec("q46_profile_onepass", q46, Some(q46Sql)))
 }
