@@ -642,17 +642,27 @@ object Relational {
     val points = t(s, dir, "lineitem")
       .select(datediff(to_date(col("l_shipdate")), day0).cast("long").as("ship_d"),
         col("l_extendedprice"))
-    // width auto-derived from span stats (w* = sqrt(s̄·D/P), see
-    // RangeJoin.autoBucketWidth): a FIXED width's false-candidate
-    // volume grows linearly with the point side — the sf1 scale
-    // finding — while the derived width shrinks to hold per-bucket
-    // pair density; output is width-invariant so the oracle is
-    // unaffected.
+    // AGGREGATE PUSHDOWN below the range join — the actual 100 TB
+    // lever for this query: the per-interval aggregates depend on the
+    // point row only through ship_d, so points pre-aggregate per DAY
+    // (≤ domain-many groups — ~2400 here — INDEPENDENT of row count)
+    // and the join matches day-aggregates to intervals: join
+    // cardinality drops from true-pairs (P·I·s̄/D — grows ∝ P·I, the
+    // measured sf1 wall: both sides 10× into a fixed date domain ⇒
+    // ~100× pairs) to I·(s̄/w+1) bucket rows ≈ 150k at sf1. Exactness:
+    // the count is a sum of day counts, and gridSum's partial is a
+    // LONG cent-grid sum — associative, so sum-of-day-sums is
+    // bit-identical to the flat sum (the round-6 exact-grid design).
+    // Width auto-derived from span stats (RangeJoin.autoBucketWidth;
+    // results are width-invariant so the oracle is unaffected).
+    val byDay = points.groupBy("ship_d").agg(
+      count(lit(1)).as("_n_day"),
+      sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("_cents_day"))
     graft.operators.RangeJoin
-      .pointInInterval(points, "ship_d", intervals, "start_d", "end_d")
+      .pointInInterval(byDay, "ship_d", intervals, "start_d", "end_d")
       .groupBy("interval_id")
-      .agg(count(lit(1)).as("n_ship"),
-        gridSum(col("l_extendedprice"), 100L).as("rev"))
+      .agg(sum(col("_n_day")).as("n_ship"),
+        round(sum(col("_cents_day")).cast("double") / 100, 2).as("rev"))
       .orderBy("interval_id")
   }
 
