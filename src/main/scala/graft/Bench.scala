@@ -60,8 +60,11 @@ object Bench {
     println(line)
     // stdout passes through sbt's logger (prefixed "[info] "), which
     // has broken downstream '^{'-style extraction before — also leave
-    // the line as a file artifact
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // the line as a file artifact. SPARK_GRAFT_BENCH_OUT overrides the
+    // artifact name (BENCH_SF1.json for the standing sf1 run; the
+    // driver never sets it, so driver runs keep writing BENCH_LOCAL).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()

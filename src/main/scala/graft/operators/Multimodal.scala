@@ -231,18 +231,7 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.payload))
           if (img == null) PerceptualHash(r.doc_id, decoded = false, 0L, 0L)
           else {
-            val luma = lumaGrid(img, 9, 8)
-            // aHash: 8×8 mean threshold (left 8 columns of the 9×8 grid)
-            val cells = for (y <- 0 until 8; x <- 0 until 8) yield luma(y)(x)
-            val mean = cells.sum / 64.0
-            val a = cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-              if (v > mean) acc | (1L << i) else acc
-            }
-            // dHash: sign of the horizontal gradient across 9 columns
-            val d = (for (y <- 0 until 8; x <- 0 until 8) yield (y, x))
-              .zipWithIndex.foldLeft(0L) { case (acc, ((y, x), i)) =>
-                if (luma(y)(x) < luma(y)(x + 1)) acc | (1L << i) else acc
-              }
+            val (a, d) = hashesOf(img)
             PerceptualHash(r.doc_id, decoded = true, a, d)
           }
         } catch {
@@ -251,6 +240,30 @@ object Multimodal {
       }
     }
   }
+
+  /** (aHash, dHash) of a decoded image — shared by still-image hashing
+    * and [[Video.decodeMjpegFrames]]'s per-frame hashing.
+    */
+  private[operators] def hashesOf(
+      img: java.awt.image.BufferedImage): (Long, Long) = {
+    val luma = lumaGrid(img, 9, 8)
+    // aHash: 8×8 mean threshold (left 8 columns of the 9×8 grid)
+    val cells = for (y <- 0 until 8; x <- 0 until 8) yield luma(y)(x)
+    val mean = cells.sum / 64.0
+    val a = cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc
+    }
+    // dHash: sign of the horizontal gradient across 9 columns
+    val d = (for (y <- 0 until 8; x <- 0 until 8) yield (y, x))
+      .zipWithIndex.foldLeft(0L) { case (acc, ((y, x), i)) =>
+        if (luma(y)(x) < luma(y)(x + 1)) acc | (1L << i) else acc
+      }
+    (a, d)
+  }
+
+  /** 64-bit aHash alone (the frame-dedup fingerprint). */
+  private[operators] def aHashOf(img: java.awt.image.BufferedImage): Long =
+    hashesOf(img)._1
 
   /** Perceptual near-dup pairs among DECODED images: [[Dedup.hash64Pairs]]
     * over the chosen hash (`"ahash"` default, `"dhash"` for

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFns
-import graft.operators.{Audio, Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Audio, Dedup, Multimodal, Packing, Sampling, Similarity, Video}
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables (builder mandate): deduplication (exact /
@@ -1414,6 +1414,39 @@ object TrainingData {
       |  round(rms, 6) AS rms, rms >= 0.01 AS voiced
       |FROM u ORDER BY doc_id, window_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  // Video container demux through the REAL RIFF/AVI parse
+  // (Video.demuxOne walks actual chunk grammar — LIST descent, size
+  // fields, even padding — not a byte-stride convention): the payload
+  // is a genuine AVI whose `00db` frame contents are the 32-char hex
+  // of md5(text || ':' || idx) (Video.aviFixture scaladoc), so the
+  // oracle restates every output column — the fixed header layout
+  // pins frame offsets to 232 + 40·idx (VideoSpec asserts the same
+  // constants against the parser's real output, so layout drift
+  // breaks spec and oracle together), and frame_md5 =
+  // md5(md5(text || ':' || idx)). The MJPEG DECODE path (same
+  // demuxer, ImageIO per frame, perceptual frame dedup) is
+  // VideoSpec-driven on real JPEG frames — a pixel decode no SQL
+  // oracle can restate, exactly the m05/m06 split.
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        Multimodal.MediaRow(id, "video/avi", Video.aviFixture(id, t))
+      }
+    Video.demuxFrames(media).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  private val m08Sql =
+    """SELECT doc_id, i AS frame_idx, '00db' AS fourcc,
+      |  232 + 40 * i AS frame_off, CAST(32 AS BIGINT) AS n_bytes,
+      |  md5(md5(text || ':' || i)) AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, doc_id % 5)) AS i
+      |      FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- t21
   // Sliding-window chunking: 64-token windows stepping by 48 (16-token
   // overlap), never crossing document boundaries — the fine-tuning /
@@ -2141,5 +2174,6 @@ object TrainingData {
     QuerySpec("m04_resize", m04, Some(m04Sql)),
     QuerySpec("m05_perceptual_dedup", m05, Some(m05Sql)),
     QuerySpec("m06_audio_quality", m06, Some(m06Sql)),
-    QuerySpec("m07_audio_windows", m07, Some(m07Sql)))
+    QuerySpec("m07_audio_windows", m07, Some(m07Sql)),
+    QuerySpec("m08_video_demux", m08, Some(m08Sql)))
 }
