@@ -1570,8 +1570,13 @@ object Relational {
   // the exact anchors are what a 100 TB deployment drops — with them
   // gone the plan is one scan with NO Expand, pure single-pass.
   // Measured rel err here matches q21 (≤ 0.086 at rsd 0.05).
-  private def q46(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+  /** q46's aggregation, reusable with the exact anchors on (the
+    * driver-gated audit form) or off (the pure single-pass 100 TB
+    * form — ScaleSpec asserts that plan contains NO Expand, i.e. no
+    * exact-distinct rewrite, just one scan + one aggregate).
+    */
+  private[graft] def profileOnePass(li: DataFrame,
+      withExactAnchors: Boolean): DataFrame = {
     def nn(c: String) = s"_${c}_nulls"
     def ad(c: String) = s"_${c}_apx"
     def ed(c: String) = s"_${c}_exact"
@@ -1582,24 +1587,34 @@ object Relational {
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(nn(c)),
         approx_count_distinct(col(c)).as(ad(c)),
-        countDistinct(col(c)).as(ed(c)),
         round(min(col(c)).cast("double"), 4).as(mn(c)),
         round(max(col(c)).cast("double"), 4).as(mx(c)),
-        round(avg(col(c)), 4).as(av(c)))
+        round(avg(col(c)), 4).as(av(c))) ++
+        (if (withExactAnchors) Seq(countDistinct(col(c)).as(ed(c))) else Nil)
     }
     val one = li.agg(aggs.head, aggs.tail: _*)
     val perCol = q32Cols.map { c =>
-      struct(
+      val base = Seq(
         lit(c).as("col_name"), col("_n_rows").as("n_rows"),
-        col(nn(c)).as("n_nulls"), col(ed(c)).as("n_distinct"),
+        col(nn(c)).as("n_nulls"))
+      val distinctCols =
+        if (withExactAnchors) Seq(col(ed(c)).as("n_distinct"))
+        else Seq(col(ad(c)).as("n_distinct_apx"))
+      val tail = Seq(
         col(mn(c)).as("min_v"), col(mx(c)).as("max_v"),
-        col(av(c)).as("mean_v"),
-        (abs(col(ad(c)) - col(ed(c))) <= col(ed(c)) * 0.15)
-          .cast("int").as("distinct_within_3rsd"))
+        col(av(c)).as("mean_v")) ++
+        (if (withExactAnchors)
+          Seq((abs(col(ad(c)) - col(ed(c))) <= col(ed(c)) * 0.15)
+            .cast("int").as("distinct_within_3rsd"))
+        else Nil)
+      struct(base ++ distinctCols ++ tail: _*)
     }
     one.select(explode(array(perCol: _*)).as("p"))
       .select("p.*").orderBy("col_name")
   }
+
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    profileOnePass(t(s, dir, "lineitem"), withExactAnchors = true)
 
   private val q46Sql = q32Cols.map { c =>
     s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

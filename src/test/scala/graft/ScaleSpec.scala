@@ -12,6 +12,31 @@ class ScaleSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("anchor-free one-pass profile plans one scan, one aggregate, no Expand") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // the q46 audit form carries exact countDistinct anchors, which
+    // Spark plans via Expand (one projection per distinct column) —
+    // the 100 TB form drops them and must plan as a plain single-pass
+    // partial+final aggregate over one scan
+    val audit = graft.queries.Relational.profileOnePass(li, withExactAnchors = true)
+    val pure = graft.queries.Relational.profileOnePass(li, withExactAnchors = false)
+    val auditPlan = audit.queryExecution.executedPlan.toString
+    val purePlan = pure.queryExecution.executedPlan.toString
+    assert(auditPlan.contains("Expand"), "audit form should carry the distinct rewrite")
+    assert(!purePlan.contains("Expand"),
+      s"anchor-free profile must be a single pass with no Expand:\n$purePlan")
+    assert("Scan parquet".r.findAllIn(purePlan).size == 1,
+      "anchor-free profile must read the table exactly once")
+    // and the estimates it returns are the ones the audit form verified
+    val est = pure.select("col_name", "n_distinct_apx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = audit.select("col_name", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (c, ex) =>
+      assert(math.abs(est(c) - ex) <= ex * 0.15, s"$c estimate off: ${est(c)} vs $ex")
+    }
+  }
+
   test("salted aggregation equals plain aggregation on skewed data") {
     // one hot key with 50k rows, 100 cold keys
     val hot = spark.range(50000).select(lit("HOT").as("k"), (col("id") % 7).as("v"))
