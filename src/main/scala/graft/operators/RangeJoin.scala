@@ -117,6 +117,39 @@ object RangeJoin {
       .drop("_rj_bucket")
   }
 
+  /** [[intervalOverlap]] with the width derived from BOTH sides' span
+    * stats: the point-side count in [[widthFrom]]'s cost model becomes
+    * the larger side's row count and s̄ the mean of the two mean spans
+    * (each side plays "points" for the other; the symmetric analogue
+    * of the one-sided derivation). Results are width-invariant, as for
+    * [[pointInInterval]].
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String): DataFrame = {
+    def stats(df: DataFrame, s: String, e: String) = df.agg(
+      avg(col(e).cast("double") - col(s).cast("double")),
+      min(col(s).cast("double")), max(col(e).cast("double")),
+      count(lit(1))).head()
+    val l = stats(left, lStart, lEnd)
+    val r = stats(right, rStart, rEnd)
+    val width =
+      if (l.isNullAt(0) || r.isNullAt(0)) 1L
+      else {
+        val meanSpan =
+          (math.max(0.0, l.getDouble(0)) + math.max(0.0, r.getDouble(0))) / 2
+        val domain = math.max(1.0,
+          math.max(l.getDouble(2), r.getDouble(2)) -
+            math.min(l.getDouble(1), r.getDouble(1)))
+        widthFrom(meanSpan, domain, math.max(1L, math.max(l.getLong(3), r.getLong(3))))
+      }
+    intervalOverlap(left, lStart, lEnd, right, rStart, rEnd, width)
+  }
+
   /** Interval-overlap join: pairs (a, b) whose [start, end] spans
     * intersect. Same bucketing trick, both sides exploded; a pair can
     * meet in several buckets, so the canonical meeting bucket —

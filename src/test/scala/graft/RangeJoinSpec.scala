@@ -66,5 +66,11 @@ class RangeJoinSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == naive, s"bucketWidth=$w")
     }
+    // auto-width overload: same answer, width derived from both sides
+    val auto = RangeJoin.intervalOverlap(left, "a_s", "a_e",
+        right, "b_s", "b_e")
+      .select("a_id", "b_id").orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(auto == naive, "auto-width overlap diverged")
   }
 }
