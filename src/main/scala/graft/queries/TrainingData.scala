@@ -1308,7 +1308,16 @@ object TrainingData {
   // argument as the exact money grids).
   private def audioMedia(s: SparkSession, dir: String) = {
     import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    // decode is CPU-bound and mapPartitions parallelism = input splits:
+    // the small-file test corpus coalesces to 1-2 splits, which would
+    // run the whole decode on 1-2 of N cores (measured 6.5 s at sf1 for
+    // work 32 cores do in a fraction of that). Core-match the stage by
+    // repartitioning the TEXT before payload synthesis — media bytes
+    // still never shuffle, the posture a real crawl gets for free from
+    // its file count.
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .map { case (id, t) =>
         Multimodal.MediaRow(id, "audio/wav", Audio.wavFixture(t))
       }
@@ -1431,6 +1440,7 @@ object TrainingData {
   private def m08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = docs(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // see audioMedia
       .as[(Long, String)]
       .map { case (id, t) =>
         Multimodal.MediaRow(id, "video/avi", Video.aviFixture(id, t))
