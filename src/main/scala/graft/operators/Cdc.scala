@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking (the LBFS/rsync/Gear family: Muthitacharoen
+  * et al. SOSP 2001; FastCDC, Xia et al. ATC 2016): cut each document
+  * into variable-size chunks at positions where a sliding-window hash
+  * of the last `Window` characters hits a divisor condition, then
+  * fingerprint the chunks. Because boundaries depend only on LOCAL
+  * content, an insertion or deletion shifts at most the chunks it
+  * touches — every other chunk keeps its identity, which is what makes
+  * chunk-level dedup robust where fixed-size blocking is not.
+  *
+  * Variant notes: boundaries are PURE content cuts (no min/max chunk
+  * clamps — those are greedy/sequential and would make the operator a
+  * fold; the pure form is fully parallel and is what the rolling-hash
+  * literature defines first). Expected chunk length = `divisor`.
+  *
+  * Scale shape: boundary detection, chunk bounds, and chunk slicing
+  * are array expressions inside one projection — starts are derived
+  * in-array from the cut list (no lag window), so chunking itself is
+  * a MAP-ONLY pass and the single explode emits finished chunk rows.
+  * The only shuffle is the chunk-fingerprint window — keyed on the
+  * ~n/divisor chunk hashes, never the text — exactly the join a
+  * 100 TB chunk-dedup store performs. All hash arithmetic is exact
+  * int64 (terms bounded by 1.1e6·1e9 ≈ 2^50, window sums < 2^53), so
+  * both engines agree bit-for-bit.
+  */
+object Cdc {
+
+  /** Sliding-window width in characters. */
+  val Window = 8
+
+  /** Modulus for the polynomial window hash (1e9+7 — the TextFns
+    * rollingHash prime; keeps every product within exact int64).
+    */
+  val Mod = 1000000007L
+
+  /** K(j) = 131^j mod Mod, j = 0..Window-1: the per-offset weights of
+    * h(p) = Σ_j code(p−j)·K(j) mod Mod. Shared with the oracle SQL via
+    * `weightTerms`, so both engines evaluate the identical polynomial.
+    */
+  val Weights: Seq[Long] =
+    Iterator.iterate(1L)(k => k * 131L % Mod).take(Window).toSeq
+
+  /** DuckDB restatement of the window hash at 1-based position column
+    * `p` over text column `t` — for oracle construction. BIGINT casts
+    * keep every product out of INT32 range.
+    */
+  def weightTerms(t: String, p: String): String =
+    Weights.zipWithIndex
+      .map { case (k, j) =>
+        s"CAST(ascii(substring($t, $p - $j, 1)) AS BIGINT) * $k"
+      }
+      .mkString("(", " + ", s") % $Mod")
+
+  /** Chunk table: one row per content-defined chunk with corpus-wide
+    * duplicate accounting. Columns: doc_id, chunk_idx (1-based),
+    * start_pos (1-based), chunk_len, chunk_fp (md5), n_copies (corpus
+    * occurrences of the fp), is_first (the canonical copy by
+    * (doc_id, chunk_idx) order — the copy a dedup store would keep).
+    *
+    * A boundary is any position p in [Window, n] with h(p) mod
+    * `divisor` == 0; the document end is always a boundary. Documents
+    * shorter than one window are a single chunk.
+    */
+  def chunks(docsDf: DataFrame, textCol: String = "text",
+             divisor: Int = 64): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val t = col(textCol)
+    val n = length(t)
+
+    // Per-char codepoints once; h(p) for p in Window..n; cut positions.
+    val codes = transform(split(t, ""), c => ascii(c).cast("long"))
+    val hashAt: Column => Column = p =>
+      Weights.zipWithIndex.map { case (k, j) =>
+        element_at(col("codes"), (p - lit(j)).cast("int")) * lit(k)
+      }.reduce(_ + _) % Mod
+    // Built against the post-rename attributes ("n", "codes"), not the
+    // raw textCol — the expression is spliced in after the first select.
+    val cutsExpr = filter(
+      transform(sequence(lit(Window), greatest(col("n"), lit(Window))),
+        p => when(hashAt(p) % divisor === 0L, p).otherwise(lit(null))),
+      c => c.isNotNull)
+
+    // Chunk bounds in-array: start(i) = cuts(i-1)+1 (1 for the first).
+    val boundsExpr = transform(
+      sequence(lit(1), size(col("cuts"))),
+      i => struct(
+        i.cast("long").as("chunk_idx"),
+        when(i === 1, lit(1))
+          .otherwise(element_at(col("cuts"), (i - 1).cast("int")) + 1)
+          .cast("long").as("start_pos"),
+        element_at(col("cuts"), i.cast("int")).cast("long").as("end_pos")))
+
+    docsDf
+      .select(col("doc_id"), t.as("t"), n.as("n"), codes.as("codes"))
+      .select(col("doc_id"), col("t"), col("n"),
+        when(col("n") >= Window, cutsExpr)
+          .otherwise(array().cast("array<int>")).as("cuts"))
+      // Document end is always a boundary (guard avoids doubling it;
+      // try_element_at: the cut list is empty for short docs).
+      .select(col("doc_id"), col("t"),
+        when(try_element_at(col("cuts"), lit(-1)) === col("n"), col("cuts"))
+          .otherwise(concat(col("cuts"), array(col("n")))).as("cuts"))
+      .select(col("doc_id"), col("t"), explode(boundsExpr).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_pos").as("start_pos"),
+        (col("c.end_pos") - col("c.start_pos") + 1L).as("chunk_len"),
+        md5(col("t").substr(col("c.start_pos"),
+          col("c.end_pos") - col("c.start_pos") + 1L)).as("chunk_fp"))
+      .withColumn("n_copies", count(lit(1)).over(W.partitionBy("chunk_fp")))
+      .withColumn("is_first",
+        row_number().over(
+          W.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")) === 1)
+  }
+}

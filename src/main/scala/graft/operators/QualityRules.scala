@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Named quality-filter rule sets over raw document text — the
+  * "repetition-free, readable prose" gates every pretraining pipeline
+  * runs before tokenization (Gopher, Rae et al. 2021, App. A1.1; the
+  * same family backs C4/MassiveText/RefinedWeb cleaning).
+  *
+  * Reference tie-in: the playground's quality surface is the arbitrary
+  * SQL endpoint (`duckdb_rest_server.py:73-78`) — rule filters are the
+  * canonical thing a curation user runs through it, so the rule set is
+  * a first-class operator here (builder mandate: text analysis /
+  * quality scoring).
+  *
+  * Scale shape: one scan, zero shuffles, zero UDFs — every metric and
+  * every verdict is a codegen'd column expression, so the gate runs at
+  * parquet-scan speed on any corpus size and pushes nothing to the
+  * driver. On 100 TB this is a map-only pass.
+  *
+  * FP discipline: displayed ratios are single divides of exact integer
+  * counts (rounded for the oracle diff), but every RULE VERDICT is
+  * evaluated in integer cross-multiplied form (`sum_len >= 3*n` rather
+  * than `sum_len/n >= 3.0`), so a boundary document cannot flip its
+  * keep flag between engines on float noise — the same exactness move
+  * as the money-grid aggregates.
+  */
+object QualityRules {
+
+  /** The Gopher stop-set: a document must contain at least
+    * `minStopHits` of these to look like running prose.
+    */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality gate. Emits one row per document with the
+    * raw metrics, each rule's verdict, and the conjunction `keep`.
+    *
+    * Rules (Rae et al. 2021, Appendix A1.1), evaluated on
+    * `TextFns.tokens` words and raw-text lines:
+    *  1. word count in [minWords, maxWords]
+    *  2. mean word length in [3, 10] characters
+    *  3. symbol-to-word ratio ('#' or '…'/'...') <= 0.1
+    *  4. <= 90% of lines start with a bullet ('-', '*', '•')
+    *  5. <= 30% of lines end with an ellipsis
+    *  6. >= 80% of words contain at least one alphabetic character
+    *  7. >= minStopHits occurrences of the stop-set words
+    */
+  def gopher(docsDf: DataFrame,
+             minWords: Int = 50,
+             maxWords: Int = 100000,
+             minStopHits: Int = 2): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    // Materialize tokens once (attribute, not expression) — the same
+    // re-tokenization trap shinglesFromTokens documents.
+    val base = docsDf.select(col("doc_id"), col("text"), toks.as("toks"))
+
+    val nWords = size(col("toks")).cast("long")
+    val sumLen = length(concat_ws("", col("toks"))).cast("long")
+    // '#' count + ellipsis count ('…' or literal '...'); counting via
+    // length deltas keeps it translate/replace-only (no regex corners).
+    val hashCount =
+      (length(col("text")) - length(translate(col("text"), "#", ""))).cast("long")
+    val uniEll =
+      (length(col("text")) - length(translate(col("text"), "…", ""))).cast("long")
+    val asciiEll =
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+        .cast("long")
+    val symbols = hashCount + uniEll + asciiEll
+
+    val lines = filter(split(col("text"), "\n"), l => l =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+
+    val alphaWords =
+      size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(col("toks"),
+      t => t.isin(StopWords.map(lit): _*))).cast("long")
+
+    val safeN = greatest(nWords, lit(1L))
+
+    // Integer cross-multiplied verdicts — see scaladoc.
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rWordLen = sumLen >= lit(3L) * safeN && sumLen <= lit(10L) * safeN
+    val rSymbol = symbols * 10L <= safeN
+    val rBullet = bulletLines * 10L <= nLines * 9L
+    val rEllipsis = ellipsisLines * 10L <= nLines * 3L
+    val rAlpha = alphaWords * 5L >= nWords * 4L
+    val rStop = stopHits >= minStopHits
+
+    base.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(sumLen / safeN, 4).as("mean_word_len"),
+      symbols.as("n_symbols"),
+      bulletLines.as("bullet_lines"),
+      ellipsisLines.as("ellipsis_lines"),
+      round(alphaWords / safeN, 4).as("alpha_word_ratio"),
+      stopHits.as("stop_hits"),
+      rWords.as("r_word_count"),
+      rWordLen.as("r_word_len"),
+      rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
+        .as("keep"))
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization";
+  * the SentencePiece `unigram` model): score every vocabulary piece by
+  * its corpus log-probability and segment each document by VITERBI —
+  * the segmentation minimizing total piece cost. Complements
+  * `operators.Bpe` (the merge-list family) with the other major
+  * tokenizer family a training-data pipeline ships.
+  *
+  * Deterministic simplification vs full SentencePiece (documented, not
+  * hidden): the vocabulary is the char 1..`maxPiece`-grams of the
+  * normalized corpus at `minCount`+ occurrences (all 1-grams kept for
+  * coverage — every text is segmentable), scored once from raw counts
+  * rather than EM-iterated; piece costs are INTEGER centinats
+  * (round(-1000·ln(count/total))), so the whole DP is exact int64
+  * arithmetic and the minimum-cost value is engine-independent —
+  * the same exactness move as the money grids. Ties minimize
+  * (cost, n_tokens) lexicographically via the packed encoding below.
+  *
+  * Scale shape:
+  *  - vocab: one gram-count aggregation (the t16 n-gram shuffle,
+  *    keyed on pieces; the piece space is BOUNDED — Σ_{l<=4} |Σ|^l —
+  *    so the result broadcasts);
+  *  - candidate costing: explode (position × piece-length) rows, one
+  *    BROADCAST join against the vocab, one doc_id-keyed regroup —
+  *    the only data-sized shuffle, keyed on the output grain;
+  *  - Viterbi: a per-row `aggregate` fold over the packed cost array
+  *    (O(n·maxPiece) int64 ops, no shuffle, no UDF) — each document's
+  *    DP runs where its row lives.
+  */
+object UnigramLm {
+
+  /** Packs (cost, n_tokens) into one int64: cost·2^21 + n_tokens.
+    * Valid while n_tokens < 2^21 and cost < 2^41 — both hold for any
+    * document under ~2M normalized chars (cost per char <= ~28k
+    * centinats). Long-min over the packing IS lexicographic min over
+    * (cost, n_tokens).
+    */
+  val Shift: Long = 1L << 21
+
+  /** "Unreachable" DP cell: far above any real packed cost, far below
+    * overflow even after adding a per-step cost.
+    */
+  val Inf: Long = Long.MaxValue / 4
+
+  /** Integer piece costs from corpus counts: all 1..`maxPiece`-char
+    * grams of the normalized text, pruned to `minCount`+ occurrences
+    * except 1-grams (coverage). Columns: piece, cost (centinats).
+    */
+  def pieceVocab(docsDf: DataFrame, maxPiece: Int = 4,
+                 minCount: Int = 5): DataFrame = {
+    val counts = normPieces(docsDf, maxPiece)
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("tot"))
+    counts
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+      .crossJoin(broadcast(total)) // 1-row total — the e07 shape
+      .select(col("piece"),
+        round(-lit(1000.0) * log(col("cnt").cast("double") / col("tot")))
+          .cast("long").as("cost"))
+  }
+
+  /** Viterbi segmentation summary per document against `pieceVocab`:
+    * doc_id, n_chars (normalized), n_tokens, total_cost (centinats).
+    * The minimal-cost segmentation is unique as a VALUE (cost and
+    * token count) by the packed-min construction even when multiple
+    * segmentations attain it.
+    */
+  def encode(docsDf: DataFrame, maxPiece: Int = 4,
+             minCount: Int = 5): DataFrame = {
+    val vocab = pieceVocab(docsDf, maxPiece, minCount)
+
+    // All (i, j) candidates, j = 1..maxPiece, VALID iff j <= i and the
+    // piece survived pruning; invalid cells carry Inf so the packed
+    // array always has exactly maxPiece·n slots and element_at is pure
+    // index arithmetic.
+    val norm = docsDf.select(col("doc_id"),
+      TextFns.normalized(col("text")).as("norm"))
+    val cand = norm
+      .select(col("doc_id"), col("norm"), length(col("norm")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), greatest(col("n"), lit(1)))).as("i"),
+        col("norm"))
+      .select(col("doc_id"), col("n"), col("i"),
+        explode(sequence(lit(1), lit(maxPiece))).as("j"), col("norm"))
+      .select(col("doc_id"), col("n"), col("i"), col("j"),
+        when(col("j") <= col("i"),
+          col("norm").substr(col("i") - col("j") + 1, col("j")))
+          .as("piece"))
+      .join(broadcast(vocab), Seq("piece"), "left")
+
+    val packed = cand
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(
+        ((col("i") - 1) * maxPiece + col("j")).as("slot"),
+        coalesce(col("cost"), lit(Inf)).as("c")))).as("cells"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        transform(col("cells"), c => c.getField("c")).as("costs"))
+
+    // DP fold: acc = [dp(i-1), dp(i-2), ..., dp(i-maxPiece)] packed;
+    // dp(0) = 0. One int64 expression per step, evaluated where the
+    // row lives.
+    val dpInit = array((lit(0L) +: Seq.fill(maxPiece - 1)(lit(Inf))): _*)
+    val stepped = packed.select(
+      col("doc_id"), col("n_chars"),
+      aggregate(
+        sequence(lit(1), greatest(col("n_chars"), lit(1L)).cast("int")),
+        dpInit,
+        (acc, i) => {
+          val best = (1 to maxPiece).map { j =>
+            val c = element_at(col("costs"), (i - 1) * maxPiece + lit(j))
+            val prev = element_at(acc, j)
+            when(prev >= Inf || c >= Inf, lit(Inf))
+              .otherwise(prev + c * Shift + 1L)
+          }.reduce(least(_, _))
+          concat(array(best), slice(acc, 1, maxPiece - 1))
+        },
+        acc => element_at(acc, 1)).as("enc"))
+
+    stepped.select(
+      col("doc_id"),
+      col("n_chars"),
+      when(col("n_chars") === 0L, lit(0L))
+        .otherwise(pmod(col("enc"), lit(Shift))).as("n_tokens"),
+      when(col("n_chars") === 0L, lit(0L))
+        .otherwise(floor(col("enc") / lit(Shift)).cast("long"))
+        .as("total_cost"))
+  }
+
+  // (piece) rows: every 1..maxPiece-gram occurrence of the normalized
+  // corpus (occurrence counts, not distinct — the LM is count-based).
+  private def normPieces(docsDf: DataFrame, maxPiece: Int): DataFrame =
+    docsDf
+      .select(TextFns.normalized(col("text")).as("norm"))
+      .select(col("norm"), length(col("norm")).as("n"))
+      .filter(col("n") >= 1)
+      .select(col("norm"),
+        explode(sequence(lit(1), col("n"))).as("i"), col("n"))
+      .select(explode(
+        filter(
+          transform(sequence(lit(1), lit(maxPiece)),
+            j => when(col("i") + j - 1 <= col("n"),
+              col("norm").substr(col("i"), j)).otherwise(lit(null))),
+          p => p.isNotNull)).as("piece"))
+}

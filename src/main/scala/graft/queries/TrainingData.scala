@@ -2129,6 +2129,266 @@ object TrainingData {
       |ORDER BY comp.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t37
+  // Gopher-rule quality gate (operators.QualityRules): the Rae et al.
+  // 2021 App. A1.1 heuristic battery as a single map-only pass. Every
+  // verdict is integer cross-multiplied on both engines, so keep flags
+  // cannot flip on FP noise; displayed ratios are single divides of
+  // exact counts rounded to 4.
+  private def t37(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.gopher(docs(s, dir)).orderBy("doc_id")
+
+  private val t37Sql = {
+    val stops = graft.operators.QualityRules.StopWords
+      .map("'" + _ + "'").mkString(", ")
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    len($duckToks) AS n_words,
+      |    length(coalesce(list_aggregate($duckToks, 'string_agg', ''), ''))
+      |      AS sum_len,
+      |    (length(text) - length(translate(text, '#', '')))
+      |      + (length(text) - length(translate(text, '…', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_symbols,
+      |    greatest(len(list_filter(string_split(text, chr(10)),
+      |                             l -> l <> '')), 1) AS n_lines,
+      |    len(list_filter(list_filter(string_split(text, chr(10)),
+      |          l -> l <> ''),
+      |          l -> starts_with(l, '-') OR starts_with(l, '*')
+      |               OR starts_with(l, '•'))) AS bullet_lines,
+      |    len(list_filter(list_filter(string_split(text, chr(10)),
+      |          l -> l <> ''),
+      |          l -> ends_with(l, '...') OR ends_with(l, '…')))
+      |      AS ellipsis_lines,
+      |    len(list_filter($duckToks, t -> regexp_matches(t, '[a-z]')))
+      |      AS alpha_words,
+      |    len(list_filter($duckToks, t -> t IN ($stops))) AS stop_hits
+      |  FROM documents),
+      |v AS (
+      |  SELECT *, greatest(n_words, 1) AS safe_n,
+      |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+      |    sum_len >= 3 * greatest(n_words, 1)
+      |      AND sum_len <= 10 * greatest(n_words, 1) AS r_word_len,
+      |    n_symbols * 10 <= greatest(n_words, 1) AS r_symbol,
+      |    bullet_lines * 10 <= n_lines * 9 AS r_bullet,
+      |    ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
+      |    alpha_words * 5 >= n_words * 4 AS r_alpha,
+      |    stop_hits >= 2 AS r_stop
+      |  FROM f)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(sum_len * 1.0 / safe_n, 4) AS mean_word_len,
+      |  CAST(n_symbols AS BIGINT) AS n_symbols,
+      |  CAST(bullet_lines AS BIGINT) AS bullet_lines,
+      |  CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+      |  round(alpha_words * 1.0 / safe_n, 4) AS alpha_word_ratio,
+      |  CAST(stop_hits AS BIGINT) AS stop_hits,
+      |  r_word_count, r_word_len, r_symbol, r_bullet, r_ellipsis,
+      |  r_alpha, r_stop,
+      |  r_word_count AND r_word_len AND r_symbol AND r_bullet
+      |    AND r_ellipsis AND r_alpha AND r_stop AS keep
+      |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t38
+  // DSIR importance resampling (operators.Dsir): hashed unigram+bigram
+  // bucket counts, add-1 smoothed target/raw log-ratio, top-K select.
+  // Target = English docs; raw = the rest of the pool. ln-sum parity
+  // rides the t27 argument (4-decimal rounding, ~1e-13 relative
+  // engine noise); selection ranks the ROUNDED score with doc_id
+  // tiebreak, so the flag is deterministic in both engines.
+  private def t38(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(docs(s, dir),
+        isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  private val t38Sql =
+    s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, $duckToks AS ts
+      |              FROM documents),
+      |uni AS (SELECT doc_id, tgt, unnest(ts) AS g FROM toks),
+      |bi AS (SELECT doc_id, tgt, ts[i] || ' ' || ts[i + 1] AS g
+      |       FROM (SELECT doc_id, tgt, ts,
+      |               unnest(generate_series(1, len(ts) - 1)) AS i
+      |             FROM toks WHERE len(ts) >= 2) x),
+      |grams AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(concat('0x', substr(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u),
+      |stats AS (
+      |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+      |  FROM grams GROUP BY b),
+      |tot AS (SELECT sum(ct) AS t_total, sum(cr) AS r_total FROM stats),
+      |lam AS (
+      |  SELECT b, ln((ct + 1.0) / (t_total + 1024))
+      |         - ln((cr + 1.0) / (r_total + 1024)) AS lam
+      |  FROM stats, tot),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |    round(sum(lam) / count(*), 4) + 0.0 AS log_w
+      |  FROM grams JOIN lam USING (b) GROUP BY doc_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY log_w DESC, doc_id) AS rn
+      |  FROM sc)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_w,
+      |  rn <= 250 AS selected
+      |FROM rk ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t39
+  // Winnowing fingerprints (operators.Winnowing, Schleimer et al.
+  // 2003): k=8-char gram md5s, w=4 window minima, per-doc selected-set
+  // summary. The Spark side is one projection (array expressions, no
+  // explode/shuffle); the oracle restates it with per-position rows
+  // and a window min — different mechanics, same selected set.
+  private def t39(s: SparkSession, dir: String): DataFrame =
+    // CPU-bound per-doc hashing on a 1-2-split test corpus: core-match
+    // the stage (the audioMedia posture; a real crawl's file count
+    // provides this for free).
+    graft.operators.Winnowing.fingerprints(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      .orderBy("doc_id")
+
+  private val t39Sql =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, t, length(t) AS n,
+      |        greatest(length(t) - 7, 0) AS n_grams FROM norm),
+      |grams AS (
+      |  SELECT doc_id, n_grams, i, md5(substring(t, i, 8)) AS h
+      |  FROM (SELECT doc_id, t, n_grams,
+      |          unnest(generate_series(1, n_grams)) AS i
+      |        FROM g WHERE n_grams >= 1) x),
+      |minima AS (
+      |  SELECT doc_id, i, n_grams,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      |  FROM grams),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, m FROM minima
+      |  WHERE i <= greatest(n_grams - 3, 1)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_fps,
+      |    md5(string_agg(m, '' ORDER BY m)) AS fp_digest
+      |  FROM sel GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(g.n_grams AS BIGINT) AS n_grams,
+      |  coalesce(a.n_fps, 0) AS n_fps,
+      |  coalesce(a.fp_digest, md5('')) AS fp_digest
+      |FROM g LEFT JOIN agg a ON g.doc_id = a.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t40
+  // Content-defined chunking (operators.Cdc): sliding 8-char
+  // polynomial hash, divisor-64 cuts, chunk fingerprints with
+  // corpus-wide copy accounting. The polynomial's weights are
+  // generated once in Scala and embedded in the oracle text
+  // (Cdc.weightTerms), so both engines evaluate the identical exact
+  // int64 hash.
+  private def t40(s: SparkSession, dir: String): DataFrame =
+    // Same core-matching move as t39: the window-hash scan is CPU-bound.
+    graft.operators.Cdc.chunks(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val t40Sql = {
+    val hash = graft.operators.Cdc.weightTerms("text", "p")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT doc_id, text, n,
+      |          unnest(generate_series(8, n)) AS p
+      |        FROM d WHERE n >= 8),
+      |cuts AS (
+      |  SELECT doc_id, p FROM pos WHERE ($hash) % 64 = 0
+      |  UNION SELECT doc_id, n FROM d),
+      |b AS (
+      |  SELECT doc_id, p AS end_pos,
+      |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+      |      AS start_pos,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY p) AS chunk_idx
+      |  FROM cuts),
+      |chunks AS (
+      |  SELECT b.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |    CAST(start_pos AS BIGINT) AS start_pos,
+      |    CAST(end_pos - start_pos + 1 AS BIGINT) AS chunk_len,
+      |    md5(substring(d.text, b.start_pos, b.end_pos - b.start_pos + 1))
+      |      AS chunk_fp
+      |  FROM b JOIN d USING (doc_id))
+      |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_fp,
+      |  count(*) OVER (PARTITION BY chunk_fp) AS n_copies,
+      |  row_number() OVER (PARTITION BY chunk_fp
+      |                     ORDER BY doc_id, chunk_idx) = 1 AS is_first
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t41
+  // Unigram-LM tokenizer (operators.UnigramLm, Kudo 2018 / the
+  // SentencePiece unigram family): corpus-scored piece vocabulary +
+  // exact-integer Viterbi segmentation. Piece costs are integer
+  // centinats, so the minimal (cost, n_tokens) value is
+  // engine-independent; the oracle replays the DP as a recursive CTE
+  // carrying the last-4 packed cells per document (one row per doc per
+  // step), with the pack/Inf constants spliced from the Scala object.
+  private def t41(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.encode(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      .orderBy("doc_id")
+
+  private val t41Sql = {
+    val shift = graft.operators.UnigramLm.Shift
+    val inf = graft.operators.UnigramLm.Inf
+    s"""WITH RECURSIVE norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      |  FROM documents),
+      |nd AS (SELECT doc_id, t, length(t) AS n FROM norm),
+      |pieces AS (
+      |  SELECT substring(t, i, j) AS piece
+      |  FROM (SELECT t, n, unnest(generate_series(1, n)) AS i
+      |        FROM nd WHERE n >= 1) x,
+      |       (SELECT unnest(generate_series(1, 4)) AS j) y
+      |  WHERE i + j - 1 <= n),
+      |counts AS (SELECT piece, count(*) AS cnt FROM pieces GROUP BY piece),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM counts),
+      |vocab AS (
+      |  SELECT piece,
+      |    CAST(round(-1000.0 * ln(cnt * 1.0 / tot)) AS BIGINT) AS cost
+      |  FROM counts, tot WHERE cnt >= 5 OR length(piece) = 1),
+      |rec AS (
+      |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS d1,
+      |    CAST($inf AS BIGINT) AS d2, CAST($inf AS BIGINT) AS d3,
+      |    CAST($inf AS BIGINT) AS d4
+      |  FROM nd
+      |  UNION ALL
+      |  SELECT r.doc_id, r.i + 1,
+      |    least(
+      |      CASE WHEN v1.cost IS NULL OR r.d1 >= $inf THEN $inf
+      |           ELSE r.d1 + v1.cost * $shift + 1 END,
+      |      CASE WHEN r.i + 1 < 2 OR v2.cost IS NULL OR r.d2 >= $inf
+      |           THEN $inf ELSE r.d2 + v2.cost * $shift + 1 END,
+      |      CASE WHEN r.i + 1 < 3 OR v3.cost IS NULL OR r.d3 >= $inf
+      |           THEN $inf ELSE r.d3 + v3.cost * $shift + 1 END,
+      |      CASE WHEN r.i + 1 < 4 OR v4.cost IS NULL OR r.d4 >= $inf
+      |           THEN $inf ELSE r.d4 + v4.cost * $shift + 1 END),
+      |    r.d1, r.d2, r.d3
+      |  FROM rec r
+      |  JOIN nd ON nd.doc_id = r.doc_id
+      |  LEFT JOIN vocab v1 ON v1.piece = substring(nd.t, r.i + 1, 1)
+      |  LEFT JOIN vocab v2 ON r.i + 1 >= 2
+      |    AND v2.piece = substring(nd.t, r.i, 2)
+      |  LEFT JOIN vocab v3 ON r.i + 1 >= 3
+      |    AND v3.piece = substring(nd.t, r.i - 1, 3)
+      |  LEFT JOIN vocab v4 ON r.i + 1 >= 4
+      |    AND v4.piece = substring(nd.t, r.i - 2, 4)
+      |  WHERE r.i < nd.n),
+      |fin AS (
+      |  SELECT r.doc_id, r.d1 FROM rec r
+      |  JOIN nd ON nd.doc_id = r.doc_id AND r.i = nd.n)
+      |SELECT nd.doc_id, CAST(nd.n AS BIGINT) AS n_chars,
+      |  CASE WHEN nd.n = 0 THEN 0 ELSE f.d1 % $shift END AS n_tokens,
+      |  CASE WHEN nd.n = 0 THEN 0 ELSE f.d1 // $shift END AS total_cost
+      |FROM nd JOIN fin f USING (doc_id)
+      |ORDER BY nd.doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2166,6 +2426,11 @@ object TrainingData {
     QuerySpec("t34_decontaminate_semantic", t34, Some(t34Sql)),
     QuerySpec("t35_epoch_plan", t35, Some(t35Sql)),
     QuerySpec("t36_cluster_best", t36, Some(t36Sql)),
+    QuerySpec("t37_gopher_rules", t37, Some(t37Sql)),
+    QuerySpec("t38_dsir_weights", t38, Some(t38Sql)),
+    QuerySpec("t39_winnow_fingerprint", t39, Some(t39Sql)),
+    QuerySpec("t40_cdc_chunks", t40, Some(t40Sql)),
+    QuerySpec("t41_unigram_tokenize", t41, Some(t41Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Dsir, QualityRules, Winnowing}
+
+/** Round-8 curation operators: Gopher-rule quality gates, DSIR
+  * importance resampling, winnowing fingerprints, content-defined
+  * chunking. Each test pins the operator's defining property (the
+  * paper guarantee), not just an example output.
+  */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------------- gopher
+
+  private lazy val prose = (
+    "the cat and the dog have to be friends with all of " +
+      "the other animals that live in the old house by the river " +
+      "and they all agree that winter mornings are best spent " +
+      "sleeping by the fire while the wind blows over the hills " +
+      "and the snow settles on the quiet garden paths outside")
+
+  test("gopher rules: running prose passes every rule") {
+    val out = QualityRules.gopher(Seq((1L, prose)).toDF("doc_id", "text"))
+      .collect().head
+    for (r <- Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop"))
+      assert(out.getAs[Boolean](r), s"$r failed on clean prose")
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("gopher rules: each degenerate shape fails its own rule") {
+    val docs = Seq(
+      (1L, "too short to pass"), // < 50 words
+      (2L, prose + " ##### ## # # # # # # # # # # # # # # # # # # # # # " +
+        "# # # # # #"), // symbol-heavy
+      (3L, (1 to 60).map(_ => "7").mkString(" ")), // numeric words: alpha fails
+      (4L, (1 to 60).map(_ => "antidisestablishmentarianism").mkString(" ")),
+      (5L, Seq.fill(10)("- bullet line of the list with the words").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val rows = QualityRules.gopher(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!rows(1L).getAs[Boolean]("r_word_count"))
+    assert(!rows(2L).getAs[Boolean]("r_symbol"))
+    assert(!rows(3L).getAs[Boolean]("r_alpha"))
+    assert(!rows(3L).getAs[Boolean]("r_stop"))
+    assert(!rows(4L).getAs[Boolean]("r_word_len"), "28-char words exceed mean 10")
+    assert(!rows(5L).getAs[Boolean]("r_bullet"))
+    assert(rows.values.forall(r => !r.getAs[Boolean]("keep")))
+  }
+
+  test("gopher rules: verdicts are integer-exact at the boundary") {
+    // Exactly 50 words of exactly 3 chars each: both rules sit ON the
+    // boundary and must pass (>=, <= are inclusive) — the integer
+    // cross-multiplication means no FP epsilon can flip them.
+    val text = (Seq("the", "and") ++ Seq.fill(48)("fox")).mkString(" ")
+    val out = QualityRules.gopher(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_words") == 50L)
+    assert(out.getAs[Boolean]("r_word_count"))
+    assert(out.getAs[Boolean]("r_word_len"))
+  }
+
+  // -------------------------------------------------------- winnowing
+
+  test("winnowing: shared substring of length k+w-1 guarantees a shared fp") {
+    // Paper guarantee: any common substring of length >= k + w - 1
+    // (= 11 at k=8, w=4) produces at least one common selected hash.
+    val common = "zqxjkvwpbyfgm" // 13 distinct-ish chars, > 11
+    val docs = Seq(
+      (1L, s"aaaa bbbb $common cccc dddd eeee ffff gggg hhhh iiii"),
+      (2L, s"tttt uuuu vvvv wwww xxxx $common yyyy zzzz qqqq rrrr"),
+      (3L, "totally unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.sharedPairs(docs, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("winnowing: density near 2/(w+1) and digest is content-determined") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Winnowing.fingerprints(d).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val g = r.getAs[Long]("n_grams")
+      val f = r.getAs[Long]("n_fps")
+      assert(f >= 1 && f <= g)
+      // windows = g - w + 1; distinct minima within [windows/w, windows]
+      val windows = math.max(g - 3, 1L)
+      assert(f <= windows)
+      assert(f >= windows / 8, s"implausibly sparse: $f of $windows windows")
+    }
+    // identical text -> identical fingerprint digest
+    val dup = Seq((1L, prose), (2L, prose)).toDF("doc_id", "text")
+    val digs = Winnowing.fingerprints(dup).select("fp_digest")
+      .collect().map(_.getString(0))
+    assert(digs(0) == digs(1))
+  }
+
+  test("winnowing: shorter-than-k text yields the empty fingerprint") {
+    val out = Winnowing.fingerprints(
+      Seq((1L, "ab")).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("n_grams") == 0L)
+    assert(out.getAs[Long]("n_fps") == 0L)
+  }
+
+  // -------------------------------------------------------------- cdc
+
+  test("cdc: chunks tile the document exactly") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val byDoc = Cdc.chunks(d)
+      .groupBy("doc_id")
+      .agg(sum("chunk_len").as("total"), count(lit(1)).as("n_chunks"),
+        max(col("start_pos") + col("chunk_len") - 1).as("last_end"))
+      .join(d.select(col("doc_id"), length(col("text")).cast("long").as("n")),
+        "doc_id")
+    assert(byDoc.filter(col("total") =!= col("n")).count() == 0)
+    assert(byDoc.filter(col("last_end") =!= col("n")).count() == 0)
+  }
+
+  test("cdc: boundaries survive a prefix edit (the content-defined property)") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) > 200).limit(5)
+    val shifted = d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("EDIT "), col("text")).as("text"))
+    val both = d.select(col("doc_id"), col("text")).union(shifted)
+    val ch = Cdc.chunks(both)
+    // every original doc must share at least one chunk fp with its
+    // prefix-edited copy — fixed-size blocking would share none
+    val shares = ch.as("a").join(ch.as("b"),
+        col("a.doc_id") + 100000L === col("b.doc_id") &&
+          col("a.chunk_fp") === col("b.chunk_fp"))
+      .select(col("a.doc_id")).distinct().count()
+    assert(shares == 5, s"only $shares/5 docs re-aligned after prefix edit")
+  }
+
+  test("cdc: duplicate accounting marks one canonical copy per fp") {
+    val d = Seq((1L, prose), (2L, prose), (3L, "tiny")).toDF("doc_id", "text")
+    val ch = Cdc.chunks(d).collect()
+    val byFp = ch.groupBy(_.getAs[String]("chunk_fp"))
+    for ((_, rows) <- byFp)
+      assert(rows.count(_.getAs[Boolean]("is_first")) == 1)
+    // doc 3 shorter than the window: one whole-doc chunk
+    val tiny = ch.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(tiny.length == 1 && tiny.head.getAs[Long]("chunk_len") == 4L)
+    // docs 1 and 2 are identical: every chunk fp has 2 copies
+    assert(ch.filter(_.getAs[Long]("doc_id") == 1L)
+      .forall(_.getAs[Long]("n_copies") == 2L))
+  }
+
+  // ------------------------------------------------------------- dsir
+
+  test("dsir: docs resembling the target outrank docs resembling the raw pool") {
+    val target = (1 to 10).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", true))
+    val rawLikeTarget = (11 to 13).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", false))
+    val rawOther = (14 to 20).map(i =>
+      (i.toLong, "omega psi chi phi upsilon tau sigma rho", false))
+    val docs = (target ++ rawLikeTarget ++ rawOther)
+      .toDF("doc_id", "text", "is_t")
+    val out = Dsir.importanceWeights(docs, col("is_t"), selectK = 13)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("log_w"), r.getAs[Boolean]("selected"))).toMap
+    val likeT = (11 to 13).map(i => out(i.toLong)._1)
+    val other = (14 to 20).map(i => out(i.toLong)._1)
+    assert(likeT.min > other.max,
+      s"target-like raw docs should outscore: $likeT vs $other")
+    assert((11 to 13).forall(i => out(i.toLong)._2))
+    assert((14 to 20).forall(i => !out(i.toLong)._2))
+  }
+
+  // ------------------------------------------------------ unigram lm
+
+  test("unigram lm: every document is segmentable and Viterbi beats singles") {
+    import graft.operators.UnigramLm
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = UnigramLm.encode(d).collect()
+    assert(out.length == d.count())
+    for (r <- out) {
+      val n = r.getAs[Long]("n_chars")
+      val t = r.getAs[Long]("n_tokens")
+      val c = r.getAs[Long]("total_cost")
+      assert(t >= 1 && t <= n, s"tokens $t out of [1, $n]")
+      assert(c > 0 && c < UnigramLm.Inf / UnigramLm.Shift)
+      // a corpus with any repeated multi-char piece must compress
+      assert(t < n, s"doc ${r.getAs[Long]("doc_id")} never used a multi-char piece")
+    }
+  }
+
+  test("unigram lm: Viterbi total cost is minimal on a hand-checkable corpus") {
+    import graft.operators.UnigramLm
+    // "ababab" ×many: pieces 'ab'/'abab' dominate; verify against a
+    // brute-force DP in Scala over the same integer costs.
+    val docs = (1 to 12).map(i => (i.toLong, "ab" * (i % 4 + 2)))
+      .toDF("doc_id", "text")
+    val vocab = UnigramLm.pieceVocab(docs, minCount = 5).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cost")).toMap
+    // all 1-grams present regardless of count
+    assert(vocab.contains("a") && vocab.contains("b"))
+    val out = UnigramLm.encode(docs, minCount = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_cost"), r.getAs[Long]("n_tokens"))).toMap
+    for ((id, text) <- (1 to 12).map(i => (i.toLong, "ab" * (i % 4 + 2)))) {
+      val n = text.length
+      // brute force: dp over positions, same packed lexicographic min
+      val dp = Array.fill(n + 1)(Long.MaxValue / 4)
+      dp(0) = 0L
+      for (i <- 1 to n; j <- 1 to math.min(4, i)) {
+        val piece = text.substring(i - j, i)
+        vocab.get(piece).foreach { c =>
+          if (dp(i - j) < Long.MaxValue / 4) {
+            val cand = dp(i - j) + c * UnigramLm.Shift + 1
+            if (cand < dp(i)) dp(i) = cand
+          }
+        }
+      }
+      assert(out(id) == ((dp(n) / UnigramLm.Shift, dp(n) % UnigramLm.Shift)),
+        s"doc $id: engine ${out(id)} vs brute ${(dp(n) / UnigramLm.Shift, dp(n) % UnigramLm.Shift)}")
+    }
+  }
+
+  test("dsir: selection keeps exactly selectK docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = Dsir.importanceWeights(d, col("lang") === "en", selectK = 20)
+    assert(out.filter(col("selected")).count() == 20)
+    assert(out.count() == d.count())
+  }
+}
