@@ -60,12 +60,18 @@ object Dsir {
         log((col("cr") + 1.0) / (col("r_total") + nBuckets.toDouble)))
         .as("lam"))
 
+    // Persisted at the doc grain (one small row per document): the
+    // scored frame is consumed twice — once to pick the top-K ids,
+    // once in the final flag join — and without the persist the whole
+    // explode+train+score lineage runs twice (RepBench min 4.1 s →
+    // 1.5 s at sf0.1). The e05 aug.persist precedent.
     val scored = grams.join(broadcast(lambda), "bucket")
       .groupBy("doc_id")
       // + 0.0 canonicalizes IEEE negative zero (a tiny negative mean
       // rounds to -0.0 in one engine and 0.0 in the other otherwise).
       .agg(count(lit(1)).as("n_grams"),
         (round(sum(col("lam")) / count(lit(1)), 4) + 0.0).as("log_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val topIds = scored
       .orderBy(col("log_w").desc, col("doc_id"))

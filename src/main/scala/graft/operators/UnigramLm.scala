@@ -54,8 +54,13 @@ object UnigramLm {
     */
   def pieceVocab(docsDf: DataFrame, maxPiece: Int = 4,
                  minCount: Int = 5): DataFrame = {
+    // Persisted: both the pruned vocab and the 1-row total derive from
+    // this frame — without the persist the corpus piece-explode and its
+    // aggregation run twice (visible as two full scan subplans in the
+    // formatted plan). Piece-bounded (Σ_{l<=maxPiece}|Σ|^l), so cheap.
     val counts = normPieces(docsDf, maxPiece)
       .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("cnt").as("tot"))
     counts
       .filter(col("cnt") >= minCount || length(col("piece")) === 1)
