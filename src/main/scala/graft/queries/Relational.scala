@@ -1555,6 +1555,60 @@ object Relational {
       |  ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') BETWEEN s_d AND e_d
       |GROUP BY iv_id ORDER BY iv_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  // Interval-overlap (interval × interval) join through
+  // operators.RangeJoin.intervalOverlap with the auto-derived width —
+  // the symmetric sibling of q25/q45's point-in-interval. Raw overlap
+  // predicates (s1 <= e2 AND s2 <= e1) get the same BNLJ plan Spark
+  // gives any non-equi join; the operator's canonical-meeting-bucket
+  // trick (keep the pair only in bucket(max(starts))) restores a
+  // shuffled equi-join with NO distinct. Both order subsets become
+  // epoch-day intervals whose spans differ (14- vs 21-day max), so
+  // the symmetric width derivation is exercised on unequal stats.
+  // Plan-asserted: no BroadcastNestedLoop/Cartesian in the executed
+  // plan.
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val days: Column => Column =
+      c => datediff(to_date(c), lit("1970-01-01")).cast("long")
+    val o = t(s, dir, "orders")
+    val left = o.filter(col("o_orderkey") % 67 === 0).select(
+      col("o_orderkey").as("l_key"),
+      days(col("o_orderdate")).as("ls"),
+      (days(col("o_orderdate")) + col("o_custkey") % 14 + 1L).as("le"))
+    val right = o.filter(col("o_orderkey") % 67 === 1).select(
+      col("o_orderkey").as("r_key"),
+      days(col("o_orderdate")).as("rs"),
+      (days(col("o_orderdate")) + col("o_custkey") % 21 + 1L).as("re"))
+    val joined = graft.operators.RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re")
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"interval-overlap rewrite produced a nested-loop plan:\n$plan")
+    joined
+      .groupBy("l_key")
+      .agg(count(lit(1)).as("n_overlap"),
+        min("r_key").as("r_min"), max("r_key").as("r_max"))
+      .orderBy("l_key")
+  }
+
+  private val q47Sql =
+    """WITH l AS (
+      |  SELECT o_orderkey AS l_key,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS ls,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      + o_custkey % 14 + 1 AS le
+      |  FROM orders WHERE o_orderkey % 67 = 0),
+      |r AS (
+      |  SELECT o_orderkey AS r_key,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS rs,
+      |    CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      + o_custkey % 21 + 1 AS re
+      |  FROM orders WHERE o_orderkey % 67 = 1)
+      |SELECT l_key, count(*) AS n_overlap,
+      |  min(r_key) AS r_min, max(r_key) AS r_max
+      |FROM l JOIN r ON ls <= re AND rs <= le
+      |GROUP BY l_key ORDER BY l_key""".stripMargin
+
   // ---------------------------------------------------------------- q46
   // q32's 100 TB form (SCALING.md): the ONE-PASS column profile. q32
   // pays one aggregation pass per column because exact
@@ -1674,5 +1728,6 @@ object Relational {
     QuerySpec("q43_time_travel", q43, Some(q43Sql)),
     QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)),
     QuerySpec("q45_range_join_sql", q45, Some(q45Sql)),
-    QuerySpec("q46_profile_onepass", q46, Some(q46Sql)))
+    QuerySpec("q46_profile_onepass", q46, Some(q46Sql)),
+    QuerySpec("q47_interval_overlap", q47, Some(q47Sql)))
 }
