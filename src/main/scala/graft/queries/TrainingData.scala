@@ -2324,9 +2324,16 @@ object TrainingData {
   // SentencePiece unigram family): corpus-scored piece vocabulary +
   // exact-integer Viterbi segmentation. Piece costs are integer
   // centinats, so the minimal (cost, n_tokens) value is
-  // engine-independent; the oracle replays the DP as a recursive CTE
-  // carrying the last-4 packed cells per document (one row per doc per
-  // step), with the pack/Inf constants spliced from the Scala object.
+  // engine-independent; the oracle replays the DP as a `list_reduce`
+  // fold over the same packed per-position cost layout the Spark fold
+  // consumes ((p-1)·4+j slots, Inf in invalid cells). Oracle notes:
+  // a recursive-CTE formulation is also correct (validated equal at
+  // sf0.01) but re-joins the vocab per character step — 40 s at
+  // sf0.01, >50 min at sf0.1 — while the fold is one pass (2 s / 9 s);
+  // and DuckDB 1.0's list_reduce aliases STRUCT accumulator fields
+  // (a {'d1': acc.d1+1, 'd2': acc.d1} step yields d2 = the NEW d1),
+  // so the accumulator is a plain BIGINT list ([i, d1..d4]), which
+  // shifts correctly. Constants spliced from the Scala object.
   private def t41(s: SparkSession, dir: String): DataFrame =
     graft.operators.UnigramLm.encode(
       docs(s, dir).repartition(s.sparkContext.defaultParallelism))
@@ -2335,7 +2342,12 @@ object TrainingData {
   private val t41Sql = {
     val shift = graft.operators.UnigramLm.Shift
     val inf = graft.operators.UnigramLm.Inf
-    s"""WITH RECURSIVE norm AS (
+    def step(j: Int) =
+      s"""CASE WHEN cs[(x[1] - 1) * 4 + $j] >= $inf OR acc[${j + 1}] >= $inf
+         |           THEN $inf
+         |           ELSE acc[${j + 1}] + cs[(x[1] - 1) * 4 + $j] * $shift + 1
+         |      END""".stripMargin
+    s"""WITH norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
       |  FROM documents),
@@ -2352,41 +2364,37 @@ object TrainingData {
       |  SELECT piece,
       |    CAST(round(-1000.0 * ln(cnt * 1.0 / tot)) AS BIGINT) AS cost
       |  FROM counts, tot WHERE cnt >= 5 OR length(piece) = 1),
-      |rec AS (
-      |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS d1,
-      |    CAST($inf AS BIGINT) AS d2, CAST($inf AS BIGINT) AS d3,
-      |    CAST($inf AS BIGINT) AS d4
+      |grid AS (
+      |  SELECT nd.doc_id, x.p, y.j,
+      |    CASE WHEN y.j <= x.p
+      |         THEN substring(nd.t, x.p - y.j + 1, y.j) END AS piece
       |  FROM nd
-      |  UNION ALL
-      |  SELECT r.doc_id, r.i + 1,
-      |    least(
-      |      CASE WHEN v1.cost IS NULL OR r.d1 >= $inf THEN $inf
-      |           ELSE r.d1 + v1.cost * $shift + 1 END,
-      |      CASE WHEN r.i + 1 < 2 OR v2.cost IS NULL OR r.d2 >= $inf
-      |           THEN $inf ELSE r.d2 + v2.cost * $shift + 1 END,
-      |      CASE WHEN r.i + 1 < 3 OR v3.cost IS NULL OR r.d3 >= $inf
-      |           THEN $inf ELSE r.d3 + v3.cost * $shift + 1 END,
-      |      CASE WHEN r.i + 1 < 4 OR v4.cost IS NULL OR r.d4 >= $inf
-      |           THEN $inf ELSE r.d4 + v4.cost * $shift + 1 END),
-      |    r.d1, r.d2, r.d3
-      |  FROM rec r
-      |  JOIN nd ON nd.doc_id = r.doc_id
-      |  LEFT JOIN vocab v1 ON v1.piece = substring(nd.t, r.i + 1, 1)
-      |  LEFT JOIN vocab v2 ON r.i + 1 >= 2
-      |    AND v2.piece = substring(nd.t, r.i, 2)
-      |  LEFT JOIN vocab v3 ON r.i + 1 >= 3
-      |    AND v3.piece = substring(nd.t, r.i - 1, 3)
-      |  LEFT JOIN vocab v4 ON r.i + 1 >= 4
-      |    AND v4.piece = substring(nd.t, r.i - 2, 4)
-      |  WHERE r.i < nd.n),
-      |fin AS (
-      |  SELECT r.doc_id, r.d1 FROM rec r
-      |  JOIN nd ON nd.doc_id = r.doc_id AND r.i = nd.n)
-      |SELECT nd.doc_id, CAST(nd.n AS BIGINT) AS n_chars,
-      |  CASE WHEN nd.n = 0 THEN 0 ELSE f.d1 % $shift END AS n_tokens,
-      |  CASE WHEN nd.n = 0 THEN 0 ELSE f.d1 // $shift END AS total_cost
-      |FROM nd JOIN fin f USING (doc_id)
-      |ORDER BY nd.doc_id""".stripMargin
+      |  JOIN (SELECT doc_id, unnest(generate_series(1, n)) AS p FROM nd) x
+      |    ON x.doc_id = nd.doc_id,
+      |       (SELECT unnest(generate_series(1, 4)) AS j) y),
+      |carr AS (
+      |  SELECT g.doc_id, list(coalesce(v.cost, $inf) ORDER BY g.p, g.j) AS cs
+      |  FROM grid g LEFT JOIN vocab v ON v.piece = g.piece
+      |  GROUP BY g.doc_id),
+      |dp AS (
+      |  SELECT nd.doc_id, nd.n,
+      |    list_reduce(
+      |      list_prepend([CAST(0 AS BIGINT), 0, $inf, $inf, $inf],
+      |        list_transform(generate_series(1, nd.n),
+      |          k -> [CAST(k AS BIGINT), 0, 0, 0, 0])),
+      |      (acc, x) -> [
+      |        x[1],
+      |        least(
+      |          ${step(1)},
+      |          ${step(2)},
+      |          ${step(3)},
+      |          ${step(4)}),
+      |        acc[2], acc[3], acc[4]]) AS fin
+      |  FROM nd JOIN carr ON carr.doc_id = nd.doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+      |  CASE WHEN n = 0 THEN 0 ELSE fin[2] % $shift END AS n_tokens,
+      |  CASE WHEN n = 0 THEN 0 ELSE fin[2] // $shift END AS total_cost
+      |FROM dp ORDER BY doc_id""".stripMargin
   }
 
   val specs: Seq[QuerySpec] = Seq(
