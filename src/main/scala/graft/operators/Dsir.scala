@@ -77,8 +77,17 @@ object Dsir {
       .orderBy(col("log_w").desc, col("doc_id"))
       .limit(selectK)
       .select(col("doc_id").as("sel_id"))
-    scored.join(broadcast(topIds), col("doc_id") === col("sel_id"), "left")
-      .select(col("doc_id"), col("n_grams"), col("log_w"),
+    // LEFT from the full doc set: a token-less document has no gram
+    // rows and would otherwise vanish from the output entirely —
+    // downstream joins would read "missing" where the contract says
+    // "not selected". Such docs carry n_grams 0, log_w 0.0, selected
+    // false.
+    docsDf.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .join(broadcast(topIds), col("doc_id") === col("sel_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"),
         col("sel_id").isNotNull.as("selected"))
   }
 

@@ -132,9 +132,11 @@ object UnigramLm {
       col("n_chars"),
       when(col("n_chars") === 0L, lit(0L))
         .otherwise(pmod(col("enc"), lit(Shift))).as("n_tokens"),
+      // DIV, not floor(a/b): `/` on longs is DOUBLE division, which
+      // loses exactness once enc > 2^53 (cost > 2^32 centinats, ~300k
+      // chars) — inside the documented 2M-char validity range.
       when(col("n_chars") === 0L, lit(0L))
-        .otherwise(floor(col("enc") / lit(Shift)).cast("long"))
-        .as("total_cost"))
+        .otherwise(expr(s"enc DIV ${Shift}L")).as("total_cost"))
   }
 
   // (piece) rows: every 1..maxPiece-gram occurrence of the normalized

@@ -2229,9 +2229,12 @@ object TrainingData {
       |rk AS (
       |  SELECT *, row_number() OVER (ORDER BY log_w DESC, doc_id) AS rn
       |  FROM sc)
-      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_w,
-      |  rn <= 250 AS selected
-      |FROM rk ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id,
+      |  CAST(coalesce(rk.n_grams, 0) AS BIGINT) AS n_grams,
+      |  coalesce(rk.log_w, 0.0) AS log_w,
+      |  coalesce(rk.rn <= 250, FALSE) AS selected
+      |FROM documents d LEFT JOIN rk ON rk.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t39
   // Winnowing fingerprints (operators.Winnowing, Schleimer et al.
@@ -2390,7 +2393,7 @@ object TrainingData {
       |          ${step(3)},
       |          ${step(4)}),
       |        acc[2], acc[3], acc[4]]) AS fin
-      |  FROM nd JOIN carr ON carr.doc_id = nd.doc_id)
+      |  FROM nd LEFT JOIN carr ON carr.doc_id = nd.doc_id)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
       |  CASE WHEN n = 0 THEN 0 ELSE fin[2] % $shift END AS n_tokens,
       |  CASE WHEN n = 0 THEN 0 ELSE fin[2] // $shift END AS total_cost

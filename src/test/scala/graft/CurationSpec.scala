@@ -223,6 +223,26 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("dsir and unigram lm: token-less documents keep a row instead of vanishing") {
+    import graft.operators.{Dsir, UnigramLm}
+    // "???" normalizes/tokenizes to nothing — the contract is a row
+    // with zero counts and selected=false, NOT a missing doc (a
+    // downstream join must see "not selected", never "absent").
+    val docs = Seq((1L, prose, true), (2L, "??? !!!", false))
+      .toDF("doc_id", "text", "is_t")
+    val d = Dsir.importanceWeights(docs, col("is_t"), selectK = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(d.size == 2)
+    assert(d(2L).getAs[Long]("n_grams") == 0L)
+    assert(!d(2L).getAs[Boolean]("selected"))
+    val u = UnigramLm.encode(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(u.size == 2)
+    assert(u(2L).getAs[Long]("n_chars") == 0L)
+    assert(u(2L).getAs[Long]("n_tokens") == 0L)
+    assert(u(2L).getAs[Long]("total_cost") == 0L)
+  }
+
   test("dsir: selection keeps exactly selectK docs") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = Dsir.importanceWeights(d, col("lang") === "en", selectK = 20)
