@@ -1609,6 +1609,38 @@ object Relational {
       |FROM l JOIN r ON ls <= re AND rs <= le
       |GROUP BY l_key ORDER BY l_key""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  // Salted two-phase aggregation (operators.Skew.saltedAgg) made
+  // driver-visible: events has exactly 5 event types, so a plain
+  // groupBy builds each key's state on ONE reducer — the hot-key
+  // shape salting exists for. Phase 1 aggregates on (key, salt·16),
+  // phase 2 merges the 5×16 partials; results are identical to the
+  // unsalted groupBy by additivity (the oracle IS the unsalted
+  // form). The value sum rides an exact integer cent grid
+  // (floor(value·100) — floor, not round: round-half semantics on
+  // arbitrary doubles are the one cross-engine hazard) so the sum is
+  // association-order-free. Plan-asserted: the salt key is present
+  // in the executed plan's phase-1 aggregate.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select("event_type", "cents")
+    val out = graft.operators.Skew
+      .saltedAgg(ev, keys = Seq("event_type"), salts = 16,
+        sums = Seq("cents"))
+      .orderBy("event_type")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("_salt"),
+      s"salted aggregation did not reach the physical plan:\n$plan")
+    out
+  }
+
+  private val q48Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q46
   // q32's 100 TB form (SCALING.md): the ONE-PASS column profile. q32
   // pays one aggregation pass per column because exact
@@ -1729,5 +1761,6 @@ object Relational {
     QuerySpec("q44_snapshots_meta", q44, Some(q44Sql)),
     QuerySpec("q45_range_join_sql", q45, Some(q45Sql)),
     QuerySpec("q46_profile_onepass", q46, Some(q46Sql)),
-    QuerySpec("q47_interval_overlap", q47, Some(q47Sql)))
+    QuerySpec("q47_interval_overlap", q47, Some(q47Sql)),
+    QuerySpec("q48_skew_salted_agg", q48, Some(q48Sql)))
 }
