@@ -2400,6 +2400,45 @@ object TrainingData {
       |FROM dp ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t42
+  // Per-language tokenizer efficiency report: fertility (chars per
+  // token) of the t41 unigram tokenizer by language — the standard
+  // multilingual-tokenizer audit (a vocab trained on an en-heavy
+  // corpus over-segments the other languages, and this table is how
+  // that bias is surfaced before training). Reuses UnigramLm.encode
+  // verbatim; one |langs|-bounded aggregation on top. Fertility is a
+  // single divide of exact integer totals rounded to 4 — the t04
+  // ratio discipline.
+  private def t42(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.operators.UnigramLm.encode(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+    enc.join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        sum("total_cost").as("total_cost"))
+      .withColumn("fertility",
+        round(col("total_chars") / greatest(col("total_tokens"), lit(1L)), 4))
+      .orderBy("lang")
+  }
+
+  // The t41 oracle nested verbatim as a CTE (DuckDB permits WITH
+  // inside a CTE body), aggregated by lang on top — the two oracles
+  // can never drift apart.
+  private val t42Sql =
+    s"""WITH enc AS (
+      |$t41Sql
+      |)
+      |SELECT d.lang, count(*) AS n_docs,
+      |  CAST(sum(e.n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(e.total_cost) AS BIGINT) AS total_cost,
+      |  round(sum(e.n_chars) * 1.0 / greatest(sum(e.n_tokens), 1), 4)
+      |    AS fertility
+      |FROM enc e JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2442,6 +2481,7 @@ object TrainingData {
     QuerySpec("t39_winnow_fingerprint", t39, Some(t39Sql)),
     QuerySpec("t40_cdc_chunks", t40, Some(t40Sql)),
     QuerySpec("t41_unigram_tokenize", t41, Some(t41Sql)),
+    QuerySpec("t42_tokenizer_fertility", t42, Some(t42Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
