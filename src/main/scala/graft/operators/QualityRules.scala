@@ -47,7 +47,10 @@ object QualityRules {
     *  4. <= 90% of lines start with a bullet ('-', '*', '•')
     *  5. <= 30% of lines end with an ellipsis
     *  6. >= 80% of words contain at least one alphabetic character
-    *  7. >= minStopHits occurrences of the stop-set words
+    *  7. >= minStopHits DISTINCT stop-set words present (the paper's
+    *     reading — two occurrences of a single "the" do not make
+    *     prose; `stop_hits` still reports total occurrences as a
+    *     metric, `stop_distinct` the rule's input)
     */
   def gopher(docsDf: DataFrame,
              minWords: Int = 50,
@@ -82,6 +85,11 @@ object QualityRules {
       size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
     val stopHits = size(filter(col("toks"),
       t => t.isin(StopWords.map(lit): _*))).cast("long")
+    // distinct-presence count: scan the 8-word stop set against the
+    // token array (8 array_contains per row) rather than
+    // array_distinct'ing the tokens — the stop set is the small side
+    val stopDistinct = size(filter(typedlit(StopWords),
+      s => array_contains(col("toks"), s))).cast("long")
 
     val safeN = greatest(nWords, lit(1L))
 
@@ -92,7 +100,7 @@ object QualityRules {
     val rBullet = bulletLines * 10L <= nLines * 9L
     val rEllipsis = ellipsisLines * 10L <= nLines * 3L
     val rAlpha = alphaWords * 5L >= nWords * 4L
-    val rStop = stopHits >= minStopHits
+    val rStop = stopDistinct >= minStopHits
 
     base.select(
       col("doc_id"),
@@ -103,6 +111,7 @@ object QualityRules {
       ellipsisLines.as("ellipsis_lines"),
       round(alphaWords / safeN, 4).as("alpha_word_ratio"),
       stopHits.as("stop_hits"),
+      stopDistinct.as("stop_distinct"),
       rWords.as("r_word_count"),
       rWordLen.as("r_word_len"),
       rSymbol.as("r_symbol"),

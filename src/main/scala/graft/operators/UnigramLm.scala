@@ -43,6 +43,20 @@ object UnigramLm {
     */
   val Shift: Long = 1L << 21
 
+  /** Hard validity bound of the packed encoding, ENFORCED at runtime:
+    * n_tokens can reach n_chars (all-1-gram segmentation), so any
+    * normalized text longer than 2^21−1 chars could wrap the token
+    * field into the cost field and return plausible-but-wrong numbers.
+    * [[encode]] short-circuits such documents BEFORE the candidate
+    * explode (they'd emit 4·n candidate rows — the wrong place to
+    * discover the overflow at web scale, where multi-MB documents are
+    * routine) and reports them with NULL n_tokens/total_cost — an
+    * explicit overflow marker, mirrored by the t41 oracle. The cost
+    * field stays safe at this bound: ≤ ~34.5k centinats/char (a
+    * 1-in-10^15 piece) × 2^21 chars ≈ 2^36.1 « 2^41.
+    */
+  val MaxChars: Long = Shift - 1
+
   /** "Unreachable" DP cell: far above any real packed cost, far below
     * overflow even after adding a per-step cost.
     */
@@ -54,13 +68,16 @@ object UnigramLm {
     */
   def pieceVocab(docsDf: DataFrame, maxPiece: Int = 4,
                  minCount: Int = 5): DataFrame = {
-    // Persisted: both the pruned vocab and the 1-row total derive from
-    // this frame — without the persist the corpus piece-explode and its
-    // aggregation run twice (visible as two full scan subplans in the
-    // formatted plan). Piece-bounded (Σ_{l<=maxPiece}|Σ|^l), so cheap.
+    // Materialized once (eager localCheckpoint): both the pruned vocab
+    // and the 1-row total derive from this frame — without it the
+    // corpus piece-explode and its aggregation run twice (visible as
+    // two full scan subplans in the formatted plan). Piece-bounded
+    // (Σ_{l<=maxPiece}|Σ|^l), so cheap; unlike a bare persist, the
+    // blocks are owned by the returned plan and reclaimed by the
+    // ContextCleaner when it is dropped (round-9 lifecycle fix).
     val counts = normPieces(docsDf, maxPiece)
       .groupBy("piece").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val total = counts.agg(sum("cnt").as("tot"))
     counts
       .filter(col("cnt") >= minCount || length(col("piece")) === 1)
@@ -86,17 +103,58 @@ object UnigramLm {
     // index arithmetic.
     val norm = docsDf.select(col("doc_id"),
       TextFns.normalized(col("text")).as("norm"))
-    val cand = norm
       .select(col("doc_id"), col("norm"), length(col("norm")).as("n"))
+    // Packing-bound guard (see MaxChars): overlong docs never enter
+    // the explode; they surface as explicit NULL-overflow rows. The
+    // vocabulary still counts their pieces — they are valid corpus
+    // text; only their own segmentation is out of the DP's range.
+    val over = norm.filter(col("n") > MaxChars)
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("total_cost"))
+    // Candidate extraction is BLOCKED like normPieces (and for the
+    // same reason: a per-position explode carrying `norm` copies the
+    // whole document into every row — positions × doc-size heap for a
+    // near-bound doc). Each block row carries only its ~4 KiB segment
+    // (plus maxPiece−1 lead chars, since the (i, j) grid addresses
+    // pieces ENDING at i) and emits its maxPiece·m candidate structs
+    // in one flatten — rows leaving the explode are (ids + one small
+    // piece), nothing document-sized.
+    val cand = norm.filter(col("n") <= MaxChars)
       .select(col("doc_id"), col("n"),
-        explode(sequence(lit(1), greatest(col("n"), lit(1)))).as("i"),
+        explode(sequence(lit(0),
+          floor((greatest(col("n"), lit(1)) - 1) / lit(PieceBlock))
+            .cast("int"))).as("blk"),
         col("norm"))
-      .select(col("doc_id"), col("n"), col("i"),
-        explode(sequence(lit(1), lit(maxPiece))).as("j"), col("norm"))
-      .select(col("doc_id"), col("n"), col("i"), col("j"),
-        when(col("j") <= col("i"),
-          col("norm").substr(col("i") - col("j") + 1, col("j")))
-          .as("piece"))
+      .select(col("doc_id"), col("n"), col("blk"),
+        least(lit(PieceBlock), col("n") - col("blk") * PieceBlock).as("m"),
+        greatest(col("blk") * PieceBlock + 2 - maxPiece, lit(1))
+          .as("seg_start"),
+        col("norm"))
+      .select(col("doc_id"), col("n"), col("blk"), col("m"),
+        (col("blk") * PieceBlock + 1 - col("seg_start")).as("off"),
+        col("norm").substr(col("seg_start"),
+          col("blk") * PieceBlock + lit(PieceBlock) - col("seg_start") + 1)
+          .as("seg"))
+      // same O(B²)-substr avoidance as normPieces: chars once per block
+      .select(col("doc_id"), col("n"), col("blk"), col("m"), col("off"),
+        split(col("seg"), "").as("seg_chars"))
+      .select(col("doc_id"), col("n"),
+        // greatest(m, 1): an empty normalized doc (n = 0, m = 0) still
+        // emits its i = 1 Inf row — same as the pre-blocking layout —
+        // and sequence(1, 0) would count DOWN (the TextFns trap)
+        explode(flatten(transform(
+          sequence(lit(1), greatest(col("m"), lit(1))), li =>
+            transform(sequence(lit(1), lit(maxPiece)), j =>
+              struct(
+                (col("blk") * PieceBlock + li).as("i"),
+                j.as("j"),
+                when(j <= col("blk") * PieceBlock + li,
+                  array_join(
+                    slice(col("seg_chars"), col("off") + li - j + 1, j), ""))
+                  .as("piece")))))).as("c"))
+      .select(col("doc_id"), col("n"), col("c.i").as("i"),
+        col("c.j").as("j"), col("c.piece").as("piece"))
       .join(broadcast(vocab), Seq("piece"), "left")
 
     val packed = cand
@@ -137,21 +195,50 @@ object UnigramLm {
       // chars) — inside the documented 2M-char validity range.
       when(col("n_chars") === 0L, lit(0L))
         .otherwise(expr(s"enc DIV ${Shift}L")).as("total_cost"))
+      .unionAll(over)
   }
+
+  // Position-block width for piece extraction. A per-POSITION explode
+  // that carries the document text would copy the whole string into
+  // every row — for a multi-MB web document that is positions × doc
+  // size of heap (measured: one 2M-char doc OOM'd a 16g JVM). Blocks
+  // bound the carried text to ~4 KiB per row AND spread a huge doc's
+  // piece counting across rows (the parallelism a skewed crawl needs).
+  private val PieceBlock = 4096
 
   // (piece) rows: every 1..maxPiece-gram occurrence of the normalized
   // corpus (occurrence counts, not distinct — the LM is count-based).
+  // Two-level explode: (doc → position blocks) carrying only the
+  // block's substring (+ maxPiece−1 overlap chars so grams crossing a
+  // block edge are counted exactly once, by their START block), then
+  // (block → pieces) from that bounded segment.
   private def normPieces(docsDf: DataFrame, maxPiece: Int): DataFrame =
     docsDf
       .select(TextFns.normalized(col("text")).as("norm"))
       .select(col("norm"), length(col("norm")).as("n"))
       .filter(col("n") >= 1)
-      .select(col("norm"),
-        explode(sequence(lit(1), col("n"))).as("i"), col("n"))
-      .select(explode(
-        filter(
-          transform(sequence(lit(1), lit(maxPiece)),
-            j => when(col("i") + j - 1 <= col("n"),
-              col("norm").substr(col("i"), j)).otherwise(lit(null))),
-          p => p.isNotNull)).as("piece"))
+      .select(col("n"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / lit(PieceBlock)).cast("int"))).as("blk"),
+        col("norm"))
+      .select(
+        // positions local to this block: 1..min(PieceBlock, n - blk·B)
+        least(lit(PieceBlock), col("n") - col("blk") * PieceBlock).as("m"),
+        col("norm").substr(col("blk") * PieceBlock + 1,
+          lit(PieceBlock + maxPiece - 1)).as("seg"))
+      // Chars materialized ONCE per block: UTF8String substr re-scans
+      // from the string start per call (variable-width encoding), so
+      // per-position substr over the segment is O(B²) per block —
+      // measured 250 s for one 2M-char doc; slice over the char array
+      // is O(j) and finishes in seconds.
+      .select(col("m"), length(col("seg")).as("seg_len"),
+        split(col("seg"), "").as("seg_chars"))
+      .select(explode(flatten(
+        transform(sequence(lit(1), col("m")), i =>
+          filter(
+            transform(sequence(lit(1), lit(maxPiece)), j =>
+              when(i + j - 1 <= col("seg_len"),
+                array_join(slice(col("seg_chars"), i, j), ""))
+                .otherwise(lit(null))),
+            p => p.isNotNull)))).as("piece"))
 }

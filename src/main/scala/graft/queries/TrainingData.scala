@@ -2162,7 +2162,9 @@ object TrainingData {
       |      AS ellipsis_lines,
       |    len(list_filter($duckToks, t -> regexp_matches(t, '[a-z]')))
       |      AS alpha_words,
-      |    len(list_filter($duckToks, t -> t IN ($stops))) AS stop_hits
+      |    len(list_filter($duckToks, t -> t IN ($stops))) AS stop_hits,
+      |    len(list_filter([$stops], s -> list_contains($duckToks, s)))
+      |      AS stop_distinct
       |  FROM documents),
       |v AS (
       |  SELECT *, greatest(n_words, 1) AS safe_n,
@@ -2173,7 +2175,7 @@ object TrainingData {
       |    bullet_lines * 10 <= n_lines * 9 AS r_bullet,
       |    ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis,
       |    alpha_words * 5 >= n_words * 4 AS r_alpha,
-      |    stop_hits >= 2 AS r_stop
+      |    stop_distinct >= 2 AS r_stop
       |  FROM f)
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |  round(sum_len * 1.0 / safe_n, 4) AS mean_word_len,
@@ -2182,6 +2184,7 @@ object TrainingData {
       |  CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
       |  round(alpha_words * 1.0 / safe_n, 4) AS alpha_word_ratio,
       |  CAST(stop_hits AS BIGINT) AS stop_hits,
+      |  CAST(stop_distinct AS BIGINT) AS stop_distinct,
       |  r_word_count, r_word_len, r_symbol, r_bullet, r_ellipsis,
       |  r_alpha, r_stop,
       |  r_word_count AND r_word_len AND r_symbol AND r_bullet
@@ -2395,8 +2398,10 @@ object TrainingData {
       |        acc[2], acc[3], acc[4]]) AS fin
       |  FROM nd LEFT JOIN carr ON carr.doc_id = nd.doc_id)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-      |  CASE WHEN n = 0 THEN 0 ELSE fin[2] % $shift END AS n_tokens,
-      |  CASE WHEN n = 0 THEN 0 ELSE fin[2] // $shift END AS total_cost
+      |  CASE WHEN n > ${graft.operators.UnigramLm.MaxChars} THEN NULL
+      |       WHEN n = 0 THEN 0 ELSE fin[2] % $shift END AS n_tokens,
+      |  CASE WHEN n > ${graft.operators.UnigramLm.MaxChars} THEN NULL
+      |       WHEN n = 0 THEN 0 ELSE fin[2] // $shift END AS total_cost
       |FROM dp ORDER BY doc_id""".stripMargin
   }
 

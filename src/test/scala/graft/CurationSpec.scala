@@ -51,6 +51,22 @@ class CurationSpec extends SparkTestBase {
     assert(rows.values.forall(r => !r.getAs[Boolean]("keep")))
   }
 
+  test("gopher rules: r_stop needs DISTINCT stop words, not repeats of one") {
+    // Rae et al. 2021 A1.1: "at least 2 of the stop words" means two
+    // DIFFERENT stop words — 60 repeats of "the" alone are not prose.
+    val docs = Seq(
+      (1L, (1 to 60).map(_ => "the").mkString(" ")),       // 60× one stop word
+      (2L, ("the and " + (1 to 58).map(_ => "fox").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val rows = QualityRules.gopher(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("stop_hits") == 60L)
+    assert(rows(1L).getAs[Long]("stop_distinct") == 1L)
+    assert(!rows(1L).getAs[Boolean]("r_stop"))
+    assert(rows(2L).getAs[Long]("stop_distinct") == 2L)
+    assert(rows(2L).getAs[Boolean]("r_stop"))
+  }
+
   test("gopher rules: verdicts are integer-exact at the boundary") {
     // Exactly 50 words of exactly 3 chars each: both rules sit ON the
     // boundary and must pass (>=, <= are inclusive) — the integer
@@ -221,6 +237,23 @@ class CurationSpec extends SparkTestBase {
       assert(out(id) == ((dp(n) / UnigramLm.Shift, dp(n) % UnigramLm.Shift)),
         s"doc $id: engine ${out(id)} vs brute ${(dp(n) / UnigramLm.Shift, dp(n) % UnigramLm.Shift)}")
     }
+  }
+
+  test("unigram lm: documents beyond the packing bound return NULL overflow markers") {
+    import graft.operators.UnigramLm
+    // A doc one char past MaxChars would wrap n_tokens into the cost
+    // field under the all-1-gram segmentation; the guard must surface
+    // NULLs (explicit overflow) instead of plausible wrong numbers —
+    // and must not take the short doc with it.
+    val long = "a" * (UnigramLm.MaxChars.toInt + 2)
+    val out = UnigramLm.encode(
+        Seq((1L, "the cat sat"), (2L, long)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Long]("n_chars") > UnigramLm.MaxChars)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("n_tokens")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("total_cost")))
+    assert(!out(1L).isNullAt(out(1L).fieldIndex("n_tokens")))
+    assert(out(1L).getAs[Long]("n_tokens") >= 1L)
   }
 
   test("dsir and unigram lm: token-less documents keep a row instead of vanishing") {
