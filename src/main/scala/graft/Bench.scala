@@ -24,10 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val metrics = BenchMetrics.install(spark.sparkContext)
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, BenchMetrics.Snapshot) = {
+      metrics.reset()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case _: Throwable => return (-1.0, metrics.snapshotAfter())
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      (t, metrics.snapshotAfter())
     }
 
     // Optional comma-separated name filter for local iteration, e.g.
@@ -45,18 +52,29 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       specs.map { spec =>
         val t = once(spec.run)
-        spark.catalog.clearCache() // drop operator-internal persists
+        // drop session caches (Dedup-style), query-layer persists AND
+        // checkpoint blocks — no run inherits block-manager state
+        graft.core.CacheHygiene.releaseAll(spark)
         spec.name -> t
       }
     }
     val results = specs.map { spec =>
       val runs = passes.map(_.find(_._1 == spec.name).get._2)
-      spec.name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      val times = runs.map(_._1)
+      val best =
+        if (times.exists(_ < 0)) (-1.0, runs.head._2)
+        else runs.minBy(_._1)
+      spec.name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // engine metrics of each query's fastest run (VERDICT r8 item 4):
+    // shuffle bytes, spill, block removals — the counters a 100 TB
+    // deployment alarms on, measured instead of inferred
+    val ms = results.map { case (k, (_, m)) => "\"" + k + "\":" + m.json }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metrics":$ms}"""
     println(line)
     // stdout passes through sbt's logger (prefixed "[info] "), which
     // has broken downstream '^{'-style extraction before — also leave
@@ -68,5 +86,9 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
+    // repeated as the FINAL stdout line, after Spark's shutdown chatter
+    // — BENCH_r08.json was recorded with "parsed": null because the
+    // summary sat mid-log and the extractor's tail window missed it
+    println(line)
   }
 }

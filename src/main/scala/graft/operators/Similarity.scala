@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns.asDouble
-import graft.functions.expressions.{CentroidOps, DotProduct}
+import graft.functions.expressions.{CentroidOps, DotProduct, SignBuckets}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -209,6 +209,21 @@ object Similarity {
     math.min(maxCells, math.max(minCells,
       math.ceil(n.toDouble / math.max(1, targetPerCell)).toInt))
 
+  /** Internal-materialization note (round-9 lifecycle decision,
+    * applies to [[lshNearDupPairs]], [[annFromBuckets]] and
+    * [[semanticDedup]] too): self-joined intermediates stay LAZY
+    * `persist`s, and their release point is the session level —
+    * [[graft.core.CacheHygiene.releaseAll]] after each query's action
+    * (Bench/Verify/RepBench all do; embedding applications should).
+    * The alternative — eager `localCheckpoint` inside the operator,
+    * blocks owned by the returned plan and GC-reclaimed — was built
+    * and measured in round 9: release semantics were right, but each
+    * checkpoint is an extra job + store/reload, a fixed ~0.5-1 s per
+    * query that put every ANN query ~2× over its round-8 bench time.
+    * A persist additionally keeps lineage, so a lost executor
+    * recomputes instead of failing the job — the property that
+    * matters on a 1000-executor cluster.
+    */
   def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", nTables: Int = 6,
       seedBase: Long = 42L): DataFrame = {
@@ -222,6 +237,80 @@ object Similarity {
       .select("a", "b").distinct()
   }
 
+  /** LSH near-dup pairs with IN-BUCKET verification — the fused
+    * `lshCandidatePairs` → `nearDupPairs(candidates = …)` pipeline,
+    * same output, a fraction of the shuffle. The two-stage form
+    * re-attaches unit vectors to every candidate pair with two hash
+    * joins, so the wide (pair, vector, vector) rows shuffle TWICE —
+    * at the sf1 replica that is ~1 GB of shuffle read and ~23 KB of
+    * vector traffic per corpus vector (measured via BenchMetrics,
+    * round 9); here the unit vectors ride the single (table, bucket)
+    * shuffle (L·~0.5 KB per vector), the codegen'd dot + threshold
+    * filter run inside the bucket join, and only VERIFIED pairs reach
+    * the distinct — at 100 TB the difference between shuffling the
+    * candidate pair list with vectors attached and shuffling the
+    * corpus L times. A pair colliding in several tables is scored in
+    * each (a few redundant 64-FLOP dots) and deduped after the filter,
+    * where the row count is already the tiny verified set.
+    *
+    * Output identical to `nearDupPairs(candidates =
+    * lshCandidatePairs(...))`: (a < b, round(sim, 4)) for pairs
+    * colliding in ≥ 1 table with cosine ≥ threshold — pinned against
+    * the two-stage form in OperatorSpec.
+    */
+  def lshNearDupPairs(vecs: DataFrame, threshold: Double, nPlanes: Int,
+      dim: Int, idCol: String = "vec_id", nTables: Int = 6,
+      seedBase: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, s"nPlanes=$nPlanes out of range")
+    // Materialization barrier on the unit vectors: CollapseProject
+    // would otherwise inline the normalization `transform` into every
+    // one of the nTables·nPlanes bucket dots (HOFs are CodegenFallback,
+    // so no codegen and no common-subexpression elimination rescues
+    // it) — the TextFns.shinglesFromTokens trap; measured 15.9 s of
+    // the sf1 e05 wall in the bucket stage alone, vs ~1 s with the
+    // barrier. 20 MB at the sf1 replica — id + dim doubles per vector.
+    val unit = unitVectors(vecs, idCol, idCol, "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // buckets from the unit vectors (sign-LSH is scale-invariant, so
+    // bucket ids equal the raw-vector buckets), carrying `v` through.
+    // EXPLICIT key-repartition before the persist: the self-join fans
+    // out ~occupancy× (wide rows — two vectors each), and AQE
+    // coalesces the modest bucket-row shuffle by its INPUT bytes,
+    // blind to that fan-out — measured at the sf1 replica: ~5M joined
+    // rows squeezed through 3 coalesced partitions, 20 s wall; at full
+    // width the same join is ~2 s. The cached frame keeps the
+    // repartition's hash partitioning, so the self-join needs no
+    // further exchange at all.
+    val parts = vecs.sparkSession.sparkContext.defaultParallelism
+    val b = lshBucketsAllTablesWithVec(unit, nPlanes, dim, idCol,
+        nTables, seedBase)
+      .repartition(parts, col("table"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.select(col("id").as("a"), col("v").as("va"), col("table"), col("bucket"))
+      .join(b.select(col("id").as("b"), col("v").as("vb"), col("table"),
+        col("bucket")), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", DotProduct.dot(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
+
+  /** [[lshBucketsAllTables]] keeping the vector column: (id, v, table,
+    * bucket) rows — the in-bucket-verify input.
+    */
+  private def lshBucketsAllTablesWithVec(vecs: DataFrame, nPlanes: Int,
+      dim: Int, idCol: String, nTables: Int, seedBase: Long): DataFrame = {
+    SignBuckets.register(vecs.sparkSession)
+    DotProduct.register(vecs.sparkSession)
+    val v = asDouble(col("embedding"))
+    vecs.select(col(idCol).as("id"), v.as("v"))
+      .select(col("id"), col("v"),
+        posexplode(SignBuckets.of(col("v"),
+          planesLit(nPlanes, dim, nTables, seedBase)))
+          .as(Seq("table", "bucket")))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH; `seed` selects the
     * hash table in multi-table (OR-amplified) search.
     */
@@ -231,17 +320,27 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. */
+  /** The (table → plane → coords) literal for [[SignBuckets]]. */
+  private def planesLit(nPlanes: Int, dim: Int, nTables: Int,
+      seedBase: Long): Column =
+    typedlit[Seq[Seq[Seq[Double]]]]((0 until nTables).map(t =>
+      hyperplanes(nPlanes, dim, seedBase + t).map(_.toSeq).toSeq))
+
+  /** Sign-LSH bucket id (0 until 2^nPlanes) for each vector. Bucket
+    * values are computed by the [[SignBuckets]] loop expression — the
+    * unrolled per-plane `when(dot ≥ 0, 1<<p)` form trips janino's
+    * hugeMethodLimit as tables × planes × dim grows and silently drops
+    * the stage to interpreted eval (measured 15 s of e05's sf1 wall).
+    */
   def lshBuckets(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
+    SignBuckets.register(vecs.sparkSession)
     DotProduct.register(vecs.sparkSession)
-    val planes = hyperplanes(nPlanes, dim, seed)
     val v = asDouble(col("embedding"))
-    val bucket = (0 until nPlanes).map { p =>
-      val proj = DotProduct.dot(v, typedlit(planes(p).toSeq))
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    vecs.select(col(idCol).as("id"), v.as("v"), bucket.as("bucket"))
+    vecs.select(col(idCol).as("id"), v.as("v"))
+      .select(col("id"), col("v"),
+        element_at(SignBuckets.of(col("v"),
+          planesLit(nPlanes, dim, 1, seed)), 1).as("bucket"))
   }
 
   /** All `nTables` tables' bucket ids in ONE projection + ONE explode:
@@ -255,17 +354,13 @@ object Similarity {
   private[operators] def lshBucketsAllTables(vecs: DataFrame, nPlanes: Int,
       dim: Int, idCol: String, nTables: Int,
       seedBase: Long = 42L): DataFrame = {
-    DotProduct.register(vecs.sparkSession)
+    SignBuckets.register(vecs.sparkSession)
     val v = asDouble(col("embedding"))
-    val perTable = (0 until nTables).map { t =>
-      val planes = hyperplanes(nPlanes, dim, seedBase + t)
-      (0 until nPlanes).map { p =>
-        val proj = DotProduct.dot(col("v"), typedlit(planes(p).toSeq))
-        when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }
     vecs.select(col(idCol).as("id"), v.as("v"))
-      .select(col("id"), posexplode(array(perTable: _*)).as(Seq("table", "bucket")))
+      .select(col("id"),
+        posexplode(SignBuckets.of(col("v"),
+          planesLit(nPlanes, dim, nTables, seedBase)))
+          .as(Seq("table", "bucket")))
   }
 
   /** ANN top-k via multi-table sign-LSH: `nTables` independent
@@ -303,6 +398,7 @@ object Similarity {
     */
   private def annFromBuckets(vecs: DataFrame, buckets: DataFrame, k: Int,
       queryFilter: Column, idCol: String): DataFrame = {
+    // lazy persist, released by CacheHygiene — see lshCandidatePairs note
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = buckets
@@ -491,6 +587,7 @@ object Similarity {
       if (trainFraction >= 1.0) vecs
       else Sampling.hashSample(vecs, idCol, trainFraction)
     val cents = centroids.getOrElse(kmeansCentroids(trainSet, nCells, iters, idCol))
+    // lazy persist, released by CacheHygiene — see lshCandidatePairs note
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .withColumn("cell", homeCell(cents))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

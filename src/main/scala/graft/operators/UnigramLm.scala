@@ -68,16 +68,15 @@ object UnigramLm {
     */
   def pieceVocab(docsDf: DataFrame, maxPiece: Int = 4,
                  minCount: Int = 5): DataFrame = {
-    // Materialized once (eager localCheckpoint): both the pruned vocab
-    // and the 1-row total derive from this frame — without it the
-    // corpus piece-explode and its aggregation run twice (visible as
-    // two full scan subplans in the formatted plan). Piece-bounded
-    // (Σ_{l<=maxPiece}|Σ|^l), so cheap; unlike a bare persist, the
-    // blocks are owned by the returned plan and reclaimed by the
-    // ContextCleaner when it is dropped (round-9 lifecycle fix).
+    // Persisted: both the pruned vocab and the 1-row total derive from
+    // this frame — without the persist the corpus piece-explode and its
+    // aggregation run twice (visible as two full scan subplans in the
+    // formatted plan). Piece-bounded (Σ_{l<=maxPiece}|Σ|^l), so cheap;
+    // released session-side by CacheHygiene.releaseAll (the round-9
+    // lifecycle contract — see Similarity.lshCandidatePairs' note).
     val counts = normPieces(docsDf, maxPiece)
       .groupBy("piece").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("cnt").as("tot"))
     counts
       .filter(col("cnt") >= minCount || length(col("piece")) === 1)
@@ -101,26 +100,49 @@ object UnigramLm {
     // piece survived pruning; invalid cells carry Inf so the packed
     // array always has exactly maxPiece·n slots and element_at is pure
     // index arithmetic.
-    val norm = docsDf.select(col("doc_id"),
-      TextFns.normalized(col("text")).as("norm"))
-      .select(col("doc_id"), col("norm"), length(col("norm")).as("n"))
+    // Candidate extraction is a SIZE-HYBRID (see PieceBlock): docs
+    // that fit one block run the whole-stage-codegen'd per-position
+    // explode — carrying their ≤ PieceBlock-char `norm` per row is
+    // bounded and fast (the HOF-based blocked path below is ~3×
+    // slower on a normal corpus because higher-order functions are
+    // interpreted, measured at sf0.1) — while longer docs take the
+    // blocked path, whose rows carry only a ~4 KiB segment (plus
+    // maxPiece−1 lead chars, since the (i, j) grid addresses pieces
+    // ENDING at i) and emit their maxPiece·m candidate structs in one
+    // flatten. Without the split, a near-bound doc copies positions ×
+    // doc-size heap through the explode (OOM'd a 16g JVM at 2M chars).
+    //
+    // Routing predicate: RAW length(text), not normalized length —
+    // normalization only removes/replaces chars so n <= length(text),
+    // making the small branch safe, and the cheap predicate means the
+    // expensive normalization regex runs ONCE per doc in exactly one
+    // branch (routing on n made each union branch re-normalize the
+    // whole corpus: 2× wall on the t41 bench). A raw-long doc that
+    // normalizes small just takes the blocked path — equally correct.
+    def normed(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), TextFns.normalized(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), length(col("norm")).as("n"))
+    val largeNorm = normed(docsDf.filter(length(col("text")) > lit(PieceBlock)))
     // Packing-bound guard (see MaxChars): overlong docs never enter
     // the explode; they surface as explicit NULL-overflow rows. The
     // vocabulary still counts their pieces — they are valid corpus
     // text; only their own segmentation is out of the DP's range.
-    val over = norm.filter(col("n") > MaxChars)
+    val over = largeNorm.filter(col("n") > MaxChars)
       .select(col("doc_id"), col("n").cast("long").as("n_chars"),
         lit(null).cast("long").as("n_tokens"),
         lit(null).cast("long").as("total_cost"))
-    // Candidate extraction is BLOCKED like normPieces (and for the
-    // same reason: a per-position explode carrying `norm` copies the
-    // whole document into every row — positions × doc-size heap for a
-    // near-bound doc). Each block row carries only its ~4 KiB segment
-    // (plus maxPiece−1 lead chars, since the (i, j) grid addresses
-    // pieces ENDING at i) and emits its maxPiece·m candidate structs
-    // in one flatten — rows leaving the explode are (ids + one small
-    // piece), nothing document-sized.
-    val cand = norm.filter(col("n") <= MaxChars)
+    val candSmall = normed(docsDf.filter(length(col("text")) <= lit(PieceBlock)))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), greatest(col("n"), lit(1)))).as("i"),
+        col("norm"))
+      .select(col("doc_id"), col("n"), col("i"),
+        explode(sequence(lit(1), lit(maxPiece))).as("j"), col("norm"))
+      .select(col("doc_id"), col("n"), col("i"), col("j"),
+        when(col("j") <= col("i"),
+          col("norm").substr(col("i") - col("j") + 1, col("j")))
+          .as("piece"))
+    val candLarge = largeNorm
+      .filter(col("n") <= MaxChars)
       .select(col("doc_id"), col("n"),
         explode(sequence(lit(0),
           floor((greatest(col("n"), lit(1)) - 1) / lit(PieceBlock))
@@ -142,19 +164,26 @@ object UnigramLm {
       .select(col("doc_id"), col("n"),
         // greatest(m, 1): an empty normalized doc (n = 0, m = 0) still
         // emits its i = 1 Inf row — same as the pre-blocking layout —
-        // and sequence(1, 0) would count DOWN (the TextFns trap)
+        // and sequence(1, 0) would count DOWN (the TextFns trap).
+        // j is unrolled in SCALA (maxPiece is a constant), so each
+        // piece is one concat of j O(1) element_at reads — the
+        // array_join(slice(...)) form allocated a slice array per
+        // piece and benched 5× slower on the normal corpus.
         explode(flatten(transform(
           sequence(lit(1), greatest(col("m"), lit(1))), li =>
-            transform(sequence(lit(1), lit(maxPiece)), j =>
+            array((1 to maxPiece).map { j =>
               struct(
                 (col("blk") * PieceBlock + li).as("i"),
-                j.as("j"),
-                when(j <= col("blk") * PieceBlock + li,
-                  array_join(
-                    slice(col("seg_chars"), col("off") + li - j + 1, j), ""))
-                  .as("piece")))))).as("c"))
+                lit(j).as("j"),
+                when(lit(j) <= col("blk") * PieceBlock + li,
+                  concat((0 until j).map(d =>
+                    element_at(col("seg_chars"),
+                      col("off") + li - lit(j) + 1 + lit(d))): _*))
+                  .as("piece"))
+            }: _*)))).as("c"))
       .select(col("doc_id"), col("n"), col("c.i").as("i"),
         col("c.j").as("j"), col("c.piece").as("piece"))
+    val cand = candSmall.unionAll(candLarge)
       .join(broadcast(vocab), Seq("piece"), "left")
 
     val packed = cand
@@ -208,15 +237,28 @@ object UnigramLm {
 
   // (piece) rows: every 1..maxPiece-gram occurrence of the normalized
   // corpus (occurrence counts, not distinct — the LM is count-based).
-  // Two-level explode: (doc → position blocks) carrying only the
+  // Size-hybrid like encode's candidate extraction: single-block docs
+  // keep the codegen'd per-position explode; longer docs go through a
+  // two-level explode — (doc → position blocks) carrying only the
   // block's substring (+ maxPiece−1 overlap chars so grams crossing a
   // block edge are counted exactly once, by their START block), then
   // (block → pieces) from that bounded segment.
-  private def normPieces(docsDf: DataFrame, maxPiece: Int): DataFrame =
-    docsDf
+  private def normPieces(docsDf: DataFrame, maxPiece: Int): DataFrame = {
+    // routed on RAW length — see encode's routing-predicate comment
+    def normed(df: DataFrame): DataFrame = df
       .select(TextFns.normalized(col("text")).as("norm"))
       .select(col("norm"), length(col("norm")).as("n"))
       .filter(col("n") >= 1)
+    val small = normed(docsDf.filter(length(col("text")) <= lit(PieceBlock)))
+      .select(col("norm"),
+        explode(sequence(lit(1), col("n"))).as("i"), col("n"))
+      .select(explode(
+        filter(
+          transform(sequence(lit(1), lit(maxPiece)),
+            j => when(col("i") + j - 1 <= col("n"),
+              col("norm").substr(col("i"), j)).otherwise(lit(null))),
+          p => p.isNotNull)).as("piece"))
+    val large = normed(docsDf.filter(length(col("text")) > lit(PieceBlock)))
       .select(col("n"),
         explode(sequence(lit(0),
           floor((col("n") - 1) / lit(PieceBlock)).cast("int"))).as("blk"),
@@ -233,12 +275,17 @@ object UnigramLm {
       // is O(j) and finishes in seconds.
       .select(col("m"), length(col("seg")).as("seg_len"),
         split(col("seg"), "").as("seg_chars"))
+      // j unrolled in Scala — same one-concat-per-piece move as encode
       .select(explode(flatten(
         transform(sequence(lit(1), col("m")), i =>
           filter(
-            transform(sequence(lit(1), lit(maxPiece)), j =>
-              when(i + j - 1 <= col("seg_len"),
-                array_join(slice(col("seg_chars"), i, j), ""))
-                .otherwise(lit(null))),
+            array((1 to maxPiece).map { j =>
+              when(i + lit(j) - 1 <= col("seg_len"),
+                concat((0 until j).map(d =>
+                  element_at(col("seg_chars"), i + lit(d))): _*))
+                .otherwise(lit(null))
+            }: _*),
             p => p.isNotNull)))).as("piece"))
+    small.unionAll(large)
+  }
 }

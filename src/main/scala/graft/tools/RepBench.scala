@@ -33,22 +33,33 @@ object RepBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val metrics = graft.BenchMetrics.install(spark.sparkContext)
+    def clean(): Unit = graft.core.CacheHygiene.releaseAll(spark)
     val specs = SparkEntry.specs.filter(s => names(s.name))
-    // one untimed warm-up pass (JIT + codegen cache), then n timed passes
+    // one untimed warm-up pass (JIT + codegen cache), then n timed
+    // passes — each from a clean block manager (incl. after warm-up)
     specs.foreach(s => s.run(spark, sfDir).count())
+    clean()
     val samples = (1 to n).map { _ =>
       specs.map { s =>
+        metrics.reset()
         val t0 = System.nanoTime()
         s.run(spark, sfDir).count()
-        spark.catalog.clearCache()
-        s.name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        val m = metrics.snapshotAfter()
+        clean()
+        s.name -> (t, m)
       }
     }
     specs.foreach { s =>
-      val xs = samples.map(_.find(_._1 == s.name).get._2).sorted
+      val runs = samples.map(_.find(_._1 == s.name).get._2)
+      val xs = runs.map(_._1).sorted
       val med = xs(xs.length / 2)
       println(f"[repbench] ${s.name}%-20s n=$n min=${xs.head}%.3f " +
         f"med=$med%.3f max=${xs.last}%.3f")
+      // engine metrics of the MEDIAN-time run (VERDICT r8 item 4)
+      val medRun = runs.sortBy(_._1).apply(runs.length / 2)._2
+      println(s"[repbench-metrics] ${s.name} ${medRun.json}")
     }
     spark.stop()
   }

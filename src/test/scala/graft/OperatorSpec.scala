@@ -824,6 +824,15 @@ class OperatorSpec extends SparkTestBase {
     val verified = setOf(Similarity.nearDupPairs(aug, 0.9, candidates = Some(cand)))
     assert(exact.nonEmpty && verified == exact,
       s"verify path lost ${(exact -- verified).size} of ${exact.size} pairs")
+    // the fused in-bucket-verify operator (e05's round-9 path) must
+    // return the two-stage form's EXACT rows — sims included
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twoStage = rowsOf(Similarity.nearDupPairs(aug, 0.9, candidates = Some(cand)))
+    val fused = rowsOf(Similarity.lshNearDupPairs(aug, 0.9, nPlanes = 8, dim = 64))
+    assert(fused == twoStage,
+      s"fused form diverged: ${(fused -- twoStage).size} extra, " +
+        s"${(twoStage -- fused).size} missing of ${twoStage.size}")
     cand.unpersist(); aug.unpersist()
   }
 
