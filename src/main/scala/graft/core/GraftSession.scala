@@ -21,8 +21,10 @@ object GraftSession {
 
   /** The engine's SQL function surface (idempotent): the codegen dot
     * product, the t-digest quantile aggregate, the Misra-Gries
-    * heavy-hitters aggregate, and the shingle UDTF — so `spark.sql`
-    * users get them without touching the Scala API.
+    * heavy-hitters aggregate, the shingle UDTF, the sign-LSH bucket
+    * loop, and the curation/media scalars (`graft_gopher_pass`,
+    * `graft_winnow_digest`, `graft_cdc_cuts`, `graft_ahash64`) — so
+    * `spark.sql` users get them without touching the Scala API.
     * (The optimizer rule is separate: register
     * `graft.plans.GraftExtensions` via `spark.sql.extensions`.)
     */
@@ -31,6 +33,8 @@ object GraftSession {
     graft.functions.expressions.QuantileDigest.register(spark)
     graft.functions.expressions.MisraGries.register(spark)
     graft.functions.expressions.ShingleGen.register(spark)
+    graft.functions.expressions.SignBuckets.register(spark)
+    graft.functions.expressions.CurationSql.register(spark)
   }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =

@@ -56,6 +56,40 @@ object Cdc {
       }
       .mkString("(", " + ", s") % $Mod")
 
+  // h(p) from a codepoint-array column, 1-based position p.
+  private def hashAt(codes: Column)(p: Column): Column =
+    Weights.zipWithIndex.map { case (k, j) =>
+      element_at(codes, (p - lit(j)).cast("int")) * lit(k)
+    }.reduce(_ + _) % Mod
+
+  /** The cut-position list as a SCALAR column over any text expression
+    * — the SQL surface's `graft_cdc_cuts(text[, divisor])` (round-9
+    * VERDICT item 5). Returns the boundary END positions exactly as
+    * [[chunks]] derives them (document end always included; short docs
+    * are the single chunk `[n]`; empty text → `[0]`). The codepoint
+    * array is bound once as a lambda value so the per-position window
+    * hash reads an evaluated array (the expression-reuse trap).
+    */
+  def cutsColumn(text: Column, divisor: Int = 64): Column = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    element_at(transform(
+      array(struct(length(text).as("n"),
+        transform(split(text, ""), c => ascii(c).cast("long")).as("codes"))),
+      r => {
+        val n = r.getField("n")
+        val codes = r.getField("codes")
+        val cuts = when(n >= Window,
+          filter(
+            transform(sequence(lit(Window), greatest(n, lit(Window))),
+              p => when(hashAt(codes)(p) % divisor === 0L, p)
+                .otherwise(lit(null))),
+            c => c.isNotNull))
+          .otherwise(array().cast("array<int>"))
+        when(try_element_at(cuts, lit(-1)) === n, cuts)
+          .otherwise(concat(cuts, array(n)))
+      }), 1)
+  }
+
   /** Chunk table: one row per content-defined chunk with corpus-wide
     * duplicate accounting. Columns: doc_id, chunk_idx (1-based),
     * start_pos (1-based), chunk_len, chunk_fp (md5), n_copies (corpus
@@ -74,15 +108,12 @@ object Cdc {
 
     // Per-char codepoints once; h(p) for p in Window..n; cut positions.
     val codes = transform(split(t, ""), c => ascii(c).cast("long"))
-    val hashAt: Column => Column = p =>
-      Weights.zipWithIndex.map { case (k, j) =>
-        element_at(col("codes"), (p - lit(j)).cast("int")) * lit(k)
-      }.reduce(_ + _) % Mod
     // Built against the post-rename attributes ("n", "codes"), not the
     // raw textCol — the expression is spliced in after the first select.
     val cutsExpr = filter(
       transform(sequence(lit(Window), greatest(col("n"), lit(Window))),
-        p => when(hashAt(p) % divisor === 0L, p).otherwise(lit(null))),
+        p => when(hashAt(col("codes"))(p) % divisor === 0L, p)
+          .otherwise(lit(null))),
       c => c.isNotNull)
 
     // Chunk bounds in-array: start(i) = cuts(i-1)+1 (1 for the first).
@@ -95,7 +126,7 @@ object Cdc {
           .cast("long").as("start_pos"),
         element_at(col("cuts"), i.cast("int")).cast("long").as("end_pos")))
 
-    docsDf
+    val base = docsDf
       .select(col("doc_id"), t.as("t"), n.as("n"), codes.as("codes"))
       .select(col("doc_id"), col("t"), col("n"),
         when(col("n") >= Window, cutsExpr)
@@ -113,9 +144,28 @@ object Cdc {
         (col("c.end_pos") - col("c.start_pos") + 1L).as("chunk_len"),
         md5(col("t").substr(col("c.start_pos"),
           col("c.end_pos") - col("c.start_pos") + 1L)).as("chunk_fp"))
-      .withColumn("n_copies", count(lit(1)).over(W.partitionBy("chunk_fp")))
-      .withColumn("is_first",
-        row_number().over(
-          W.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")) === 1)
+      // two consumers below (the accounting aggregate and the join) —
+      // the rolling-hash cut scan must not run twice; released
+      // session-side by CacheHygiene (the round-9 lifecycle contract)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Duplicate accounting by groupBy + join-back of the DUP fps only
+    // (round-9 VERDICT item 7; the t22 candidate shape): the previous
+    // count/row_number window shuffled AND SORTED every chunk row by
+    // fp — the sort grows super-linearly with the per-fp group size,
+    // which is exactly what a 10× replica inflates (measured 3.5× sf1
+    // wall for 10× rows). The aggregate partial-combines map-side,
+    // nothing is sorted, the join-back right side carries only fps
+    // with >1 copy, and unmatched rows default to (1, true).
+    val dups = base.groupBy("chunk_fp")
+      .agg(count(lit(1)).as("_nc"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("_first"))
+      .filter(col("_nc") > 1L)
+    base.join(dups, Seq("chunk_fp"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("chunk_len"), col("chunk_fp"),
+        coalesce(col("_nc"), lit(1L)).as("n_copies"),
+        when(col("_nc").isNull, lit(true))
+          .otherwise(struct(col("doc_id"), col("chunk_idx")) === col("_first"))
+          .as("is_first"))
   }
 }

@@ -262,7 +262,7 @@ object Multimodal {
   }
 
   /** 64-bit aHash alone (the frame-dedup fingerprint). */
-  private[operators] def aHashOf(img: java.awt.image.BufferedImage): Long =
+  private[graft] def aHashOf(img: java.awt.image.BufferedImage): Long =
     hashesOf(img)._1
 
   /** Perceptual near-dup pairs among DECODED images: [[Dedup.hash64Pairs]]

@@ -60,21 +60,47 @@ object QualityRules {
     // Materialize tokens once (attribute, not expression) — the same
     // re-tokenization trap shinglesFromTokens documents.
     val base = docsDf.select(col("doc_id"), col("text"), toks.as("toks"))
+    val cols = ruleCols(col("text"), col("toks"), minWords, maxWords,
+      minStopHits)
+    base.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+  }
 
-    val nWords = size(col("toks")).cast("long")
-    val sumLen = length(concat_ws("", col("toks"))).cast("long")
+  /** The keep verdict as a SCALAR column over any text expression —
+    * what backs the SQL surface's `graft_gopher_pass(text)` (round-9
+    * VERDICT item 5). The text and its token array are bound ONCE as
+    * lambda values (the single-element-transform trick), so each of
+    * the seven rules reads an evaluated value instead of re-inlining
+    * the tokenization — the shinglesFromTokens trap, which a scalar
+    * function cannot dodge with a materializing select.
+    */
+  def keepColumn(text: Column,
+                 minWords: Int = 50,
+                 maxWords: Int = 100000,
+                 minStopHits: Int = 2): Column =
+    element_at(transform(
+      array(struct(text.as("t"), TextFns.tokens(text).as("tk"))),
+      r => ruleCols(r.getField("t"), r.getField("tk"), minWords, maxWords,
+        minStopHits).last._2), 1)
+
+  // Every metric and verdict from a text column and its MATERIALIZED
+  // token array — shared by gopher() (attribute inputs) and
+  // keepColumn() (lambda-bound inputs). Ordered; `keep` is last.
+  private def ruleCols(text: Column, toks: Column, minWords: Int,
+      maxWords: Int, minStopHits: Int): Seq[(String, Column)] = {
+    val nWords = size(toks).cast("long")
+    val sumLen = length(concat_ws("", toks)).cast("long")
     // '#' count + ellipsis count ('…' or literal '...'); counting via
     // length deltas keeps it translate/replace-only (no regex corners).
     val hashCount =
-      (length(col("text")) - length(translate(col("text"), "#", ""))).cast("long")
+      (length(text) - length(translate(text, "#", ""))).cast("long")
     val uniEll =
-      (length(col("text")) - length(translate(col("text"), "…", ""))).cast("long")
+      (length(text) - length(translate(text, "…", ""))).cast("long")
     val asciiEll =
-      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3)
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
         .cast("long")
     val symbols = hashCount + uniEll + asciiEll
 
-    val lines = filter(split(col("text"), "\n"), l => l =!= "")
+    val lines = filter(split(text, "\n"), l => l =!= "")
     val nLines = greatest(size(lines), lit(1)).cast("long")
     val bulletLines = size(filter(lines, l =>
       l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
@@ -82,14 +108,14 @@ object QualityRules {
       l.endsWith("...") || l.endsWith("…"))).cast("long")
 
     val alphaWords =
-      size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long")
-    val stopHits = size(filter(col("toks"),
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(filter(toks,
       t => t.isin(StopWords.map(lit): _*))).cast("long")
     // distinct-presence count: scan the 8-word stop set against the
     // token array (8 array_contains per row) rather than
     // array_distinct'ing the tokens — the stop set is the small side
     val stopDistinct = size(filter(typedlit(StopWords),
-      s => array_contains(col("toks"), s))).cast("long")
+      s => array_contains(toks, s))).cast("long")
 
     val safeN = greatest(nWords, lit(1L))
 
@@ -102,24 +128,23 @@ object QualityRules {
     val rAlpha = alphaWords * 5L >= nWords * 4L
     val rStop = stopDistinct >= minStopHits
 
-    base.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      round(sumLen / safeN, 4).as("mean_word_len"),
-      symbols.as("n_symbols"),
-      bulletLines.as("bullet_lines"),
-      ellipsisLines.as("ellipsis_lines"),
-      round(alphaWords / safeN, 4).as("alpha_word_ratio"),
-      stopHits.as("stop_hits"),
-      stopDistinct.as("stop_distinct"),
-      rWords.as("r_word_count"),
-      rWordLen.as("r_word_len"),
-      rSymbol.as("r_symbol"),
-      rBullet.as("r_bullet"),
-      rEllipsis.as("r_ellipsis"),
-      rAlpha.as("r_alpha"),
-      rStop.as("r_stop"),
-      (rWords && rWordLen && rSymbol && rBullet && rEllipsis && rAlpha && rStop)
-        .as("keep"))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(sumLen / safeN, 4),
+      "n_symbols" -> symbols,
+      "bullet_lines" -> bulletLines,
+      "ellipsis_lines" -> ellipsisLines,
+      "alpha_word_ratio" -> round(alphaWords / safeN, 4),
+      "stop_hits" -> stopHits,
+      "stop_distinct" -> stopDistinct,
+      "r_word_count" -> rWords,
+      "r_word_len" -> rWordLen,
+      "r_symbol" -> rSymbol,
+      "r_bullet" -> rBullet,
+      "r_ellipsis" -> rEllipsis,
+      "r_alpha" -> rAlpha,
+      "r_stop" -> rStop,
+      "keep" -> (rWords && rWordLen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop))
   }
 }

@@ -92,6 +92,27 @@ object Winnowing {
       sequence(lit(1), greatest(nGrams - lit(w - 1), lit(1L)).cast("int")),
       j => array_min(slice(hashes, j, lit(w))))))
 
+  /** The fp_digest as a SCALAR column over any text expression — the
+    * SQL surface's `graft_winnow_digest(text)` (round-9 VERDICT item
+    * 5). Matches [[fingerprints]]' `fp_digest` exactly (md5 of the
+    * sorted distinct selected hashes; md5('') for gram-less docs).
+    * The normalized text and the gram-hash array are bound as lambda
+    * values (single-element-transform trick) so the window minima read
+    * evaluated arrays — the same O(n²) re-evaluation trap
+    * [[withSelected]] dodges with its materializing select, which a
+    * scalar function has no select stage to dodge with.
+    */
+  def digestColumn(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    element_at(transform(array(TextFns.normalized(text)), norm => {
+      val nGrams = greatest(length(norm) - lit(k - 1), lit(0)).cast("long")
+      element_at(transform(array(gramHashes(norm, k)), hashes =>
+        md5(concat_ws("",
+          when(nGrams >= 1L, sortedMinima(hashes, nGrams, w))
+            .otherwise(array().cast("array<string>"))))), 1)
+    }), 1)
+  }
+
   /** Near-dup candidate pairs by shared selected fingerprints: pairs
     * of documents sharing >= `minShared` selected hashes, with the
     * shared count. One shuffle keyed on the selected hash (the

@@ -1762,6 +1762,69 @@ object Relational {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---------------------------------------------------------------- q50
+  // The curation SQL surface end-to-end (round-9 VERDICT item 5): the
+  // Gopher quality gate invoked as a REGISTERED SQL FUNCTION through
+  // the arbitrary-SQL pass-through — raw SQL text in, the same verdict
+  // the t37 frame operator computes out (one implementation behind
+  // both surfaces: QualityRules.keepColumn). The oracle restates the
+  // whole rule battery in DuckDB, so a drift in either the function
+  // registration, the Column→Expression bridge, or any rule flips the
+  // hash.
+  private lazy val q50Wh =
+    java.nio.file.Files.createTempDirectory("graft_q50_wh").toString
+
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir, Seq("documents"))
+    graft.core.GraftSession.registerFunctions(s)
+    val eng = new graft.query.Engine(s,
+      new graft.catalog.SnapshotCatalog(s, q50Wh))
+    eng.sqlDataFrame(
+      """SELECT doc_id, lang, graft_gopher_pass(text) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin)._1
+  }
+
+  private val q50Sql = {
+    val stops = graft.operators.QualityRules.StopWords
+      .map("'" + _ + "'").mkString(", ")
+    val toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+')," +
+      " t -> t <> '')"
+    s"""WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len($toks) AS n_words,
+      |    length(coalesce(list_aggregate($toks, 'string_agg', ''), ''))
+      |      AS sum_len,
+      |    (length(text) - length(translate(text, '#', '')))
+      |      + (length(text) - length(translate(text, '…', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_symbols,
+      |    greatest(len(list_filter(string_split(text, chr(10)),
+      |                             l -> l <> '')), 1) AS n_lines,
+      |    len(list_filter(list_filter(string_split(text, chr(10)),
+      |          l -> l <> ''),
+      |          l -> starts_with(l, '-') OR starts_with(l, '*')
+      |               OR starts_with(l, '•'))) AS bullet_lines,
+      |    len(list_filter(list_filter(string_split(text, chr(10)),
+      |          l -> l <> ''),
+      |          l -> ends_with(l, '...') OR ends_with(l, '…')))
+      |      AS ellipsis_lines,
+      |    len(list_filter($toks, t -> regexp_matches(t, '[a-z]')))
+      |      AS alpha_words,
+      |    len(list_filter([$stops], s -> list_contains($toks, s)))
+      |      AS stop_distinct
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  n_words >= 50 AND n_words <= 100000
+      |  AND sum_len >= 3 * greatest(n_words, 1)
+      |    AND sum_len <= 10 * greatest(n_words, 1)
+      |  AND n_symbols * 10 <= greatest(n_words, 1)
+      |  AND bullet_lines * 10 <= n_lines * 9
+      |  AND ellipsis_lines * 10 <= n_lines * 3
+      |  AND alpha_words * 5 >= n_words * 4
+      |  AND stop_distinct >= 2 AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1812,5 +1875,6 @@ object Relational {
     QuerySpec("q46_profile_onepass", q46, Some(q46Sql)),
     QuerySpec("q47_interval_overlap", q47, Some(q47Sql)),
     QuerySpec("q48_skew_salted_agg", q48, Some(q48Sql)),
-    QuerySpec("q49_mv_incremental", q49, Some(q49Sql)))
+    QuerySpec("q49_mv_incremental", q49, Some(q49Sql)),
+    QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)))
 }

@@ -55,4 +55,27 @@ object PlanExec {
   def strategiesOf(exts: org.apache.spark.sql.SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     exts.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
+  /** Column ↔ Catalyst Expression bridges (`private[sql]` in Spark 4's
+    * classic module) — what lets graft register COMPOSED functions in
+    * the FunctionRegistry: a registry builder receives Expressions,
+    * and the curation functions (`graft_gopher_pass` & co.) are built
+    * from the public Column API rather than hand-written expression
+    * trees, so the one implementation serves the Scala operators and
+    * the SQL surface identically.
+    */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    // the EAGER converter, not ExpressionUtils.expression: the latter
+    // wraps the ColumnNode lazily, and a FunctionRegistry builder's
+    // output is spliced into the plan mid-analysis where nothing ever
+    // forces that wrapper — it reaches codegen unconverted. The
+    // converted tree may still contain UnresolvedFunction nodes for
+    // builtins; the analyzer's fixed point resolves them after the
+    // splice.
+    classic.ColumnNodeToExpressionConverter(c.node)
+
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
 }

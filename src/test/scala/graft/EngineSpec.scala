@@ -436,4 +436,102 @@ class EngineSpec extends SparkTestBase {
     // unknown column and non-literal comparisons are ignored
     assert(Engine.extractBounds(parse("zz > 1 AND a > a"), schema).isEmpty)
   }
+
+  // --------------------------------------------- curation SQL surface
+  // round-9 VERDICT item 5: the Tier-B arbitrary-SQL pass-through must
+  // reach the curation/media operators. Each case goes through
+  // Engine.sqlQuery (raw SQL text in, JSON envelope out) and pins the
+  // SQL function's values to the corresponding frame operator's.
+
+  test("sqlQuery: graft_gopher_pass equals the gopher frame operator's keep") {
+    graft.core.GraftSession.registerFunctions(spark)
+    val out = engine.sqlQuery(
+      s"""SELECT doc_id, graft_gopher_pass(text) AS keep
+         |FROM parquet.`$sf0001/documents.parquet`
+         |ORDER BY doc_id""".stripMargin, limit = 1000)
+    assert(out.startsWith("""{"records":["""), out.take(120))
+    val expected = graft.operators.QualityRules
+      .gopher(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = """\{"doc_id":(\d+),"keep":(true|false)\}""".r
+      .findAllMatchIn(out)
+      .map(m => m.group(1).toLong -> m.group(2).toBoolean).toMap
+    assert(got.nonEmpty && got == expected.filter(kv => got.contains(kv._1)))
+    assert(got.size == expected.size)
+  }
+
+  test("sqlQuery: graft_winnow_digest equals fingerprints' fp_digest") {
+    graft.core.GraftSession.registerFunctions(spark)
+    val out = engine.sqlQuery(
+      s"""SELECT doc_id, graft_winnow_digest(text) AS d
+         |FROM parquet.`$sf0001/documents.parquet`
+         |WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)
+    val expected = graft.operators.Winnowing
+      .fingerprints(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter("doc_id < 20"))
+      .select("doc_id", "fp_digest").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = """\{"doc_id":(\d+),"d":"([0-9a-f]{32})"\}""".r
+      .findAllMatchIn(out)
+      .map(m => m.group(1).toLong -> m.group(2)).toMap
+    assert(got == expected, s"winnow digests diverged: $got vs $expected")
+  }
+
+  test("sqlQuery: graft_cdc_cuts equals the chunks() boundary list") {
+    graft.core.GraftSession.registerFunctions(spark)
+    val out = engine.sqlQuery(
+      s"""SELECT doc_id, graft_cdc_cuts(text) AS cuts
+         |FROM parquet.`$sf0001/documents.parquet`
+         |WHERE doc_id < 10 ORDER BY doc_id""".stripMargin)
+    assert(out.startsWith("""{"records":["""), out.take(120))
+    import org.apache.spark.sql.functions._
+    val expected = graft.operators.Cdc
+      .chunks(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter("doc_id < 10"))
+      .withColumn("end_pos", col("start_pos") + col("chunk_len") - 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("end_pos")).as("ends"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("ends").toList).toMap
+    val got = """\{"doc_id":(\d+),"cuts":\[([0-9,]*)\]\}""".r
+      .findAllMatchIn(out)
+      .map(m => m.group(1).toLong ->
+        m.group(2).split(',').filter(_.nonEmpty).map(_.toLong).toList).toMap
+    assert(got == expected, s"cdc cuts diverged: $got vs $expected")
+    // explicit divisor argument: bigger divisor -> no MORE cuts
+    val wide = engine.sqlQuery(
+      s"""SELECT sum(size(graft_cdc_cuts(text, 4096))) AS n
+         |FROM parquet.`$sf0001/documents.parquet` WHERE doc_id < 10""".stripMargin)
+    val narrow = engine.sqlQuery(
+      s"""SELECT sum(size(graft_cdc_cuts(text, 16))) AS n
+         |FROM parquet.`$sf0001/documents.parquet` WHERE doc_id < 10""".stripMargin)
+    def n(s: String) = """"n":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    assert(n(wide) <= n(narrow))
+  }
+
+  test("sqlQuery: graft_ahash64 matches Multimodal's aHash and nulls on garbage") {
+    graft.core.GraftSession.registerFunctions(spark)
+    // deterministic synthetic image -> PNG bytes
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xFFFFFF else 0x202020)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val expected = graft.operators.Multimodal.aHashOf(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+    val dir = tmpDir("graft-ahash")
+    import spark.implicits._
+    Seq((1L, png), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "img").write.mode("overwrite").parquet(dir)
+    val out = engine.sqlQuery(
+      s"SELECT id, graft_ahash64(img) AS h FROM parquet.`$dir` ORDER BY id")
+    assert(out.contains(s""""h":$expected"""), out)
+    // the records envelope OMITS null fields — the garbage row must
+    // appear with no "h" key at all
+    assert(out.contains("""{"id":2}"""), out)
+  }
 }

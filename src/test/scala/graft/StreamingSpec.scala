@@ -161,6 +161,59 @@ class StreamingSpec extends SparkTestBase {
       .sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("streaming gopher gate: keepColumn filters per micro-batch, gopher audits the WAP publish") {
+    // round-9 VERDICT item 8: the curation rule families are map-only
+    // projections, so they must run per-micro-batch unchanged — the
+    // stream filters on the SCALAR QualityRules.keepColumn, and
+    // wapSink's audit re-runs the FRAME QualityRules.gopher over the
+    // staged batch (publish only when every staged doc passes), which
+    // also cross-checks the two forms on every batch.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.QualityRules
+    val src = tmpDir("graft-gop-src")
+    val ckpt = tmpDir("graft-gop-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-gop-wh"))
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val prose = (
+      "the cat and the dog have to be friends with all of " +
+        "the other animals that live in the old house by the river " +
+        "and they all agree that winter mornings are best spent " +
+        "sleeping by the fire while the wind blows over the hills " +
+        "and the snow settles on the quiet garden paths outside")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("ts", TimestampType), StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+      val gated = stream.withWatermark("ts", "10 seconds")
+        .filter(QualityRules.keepColumn(col("text")))
+      val audit = (staged: org.apache.spark.sql.DataFrame) =>
+        QualityRules.gopher(staged).filter(!col("keep")).count() == 0
+      val q = Sinks.wapSink(gated, cat, "db", "gated", "staging",
+        audit, ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // doc 1: running prose — passes every Gopher rule; docs 2 and 3
+    // fail (word count; single repeated stop word ⇒ r_stop distinct)
+    Seq((t(100), 1L, prose),
+      (t(101), 2L, "too short to pass"),
+      (t(102), 3L, (1 to 60).map(_ => "the").mkString(" ")))
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "gated").collect().map(_.getAs[Long]("doc_id"))
+      .toSeq == Seq(1L))
+
+    // a second micro-batch flows through the SAME checkpointed gate
+    Seq((t(110), 4L, prose + " and the story goes on"))
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "gated").collect().map(_.getAs[Long]("doc_id"))
+      .sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("partitioned parquet sink derives the connector's path format") {
     // 2024-01-05 07:09:11 UTC → year=2024/month=01/day=05/hour=07
     val ts = java.time.Instant.parse("2024-01-05T07:09:11Z").toEpochMilli
