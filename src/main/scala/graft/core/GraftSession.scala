@@ -22,9 +22,11 @@ object GraftSession {
   /** The engine's SQL function surface (idempotent): the codegen dot
     * product, the t-digest quantile aggregate, the Misra-Gries
     * heavy-hitters aggregate, the shingle UDTF, the sign-LSH bucket
-    * loop, and the curation/media scalars (`graft_gopher_pass`,
-    * `graft_winnow_digest`, `graft_cdc_cuts`, `graft_ahash64`) — so
-    * `spark.sql` users get them without touching the Scala API.
+    * loop, and the curation/media/text scalars (`graft_gopher_pass`,
+    * `graft_winnow_digest`, `graft_cdc_cuts`, `graft_ahash64`,
+    * `graft_lang_id`, `graft_quality_score`, `graft_token_count`,
+    * `graft_fingerprint`) — so `spark.sql` users get them without
+    * touching the Scala API.
     * (The optimizer rule is separate: register
     * `graft.plans.GraftExtensions` via `spark.sql.extensions`.)
     */

@@ -74,6 +74,46 @@ object TextFns {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
     "zh" -> Seq("de", "shi", "bu", "wo", "zhe", "ren", "ta"))
 
+  /** Heuristic language-ID prediction as a scalar column: the t03
+    * argmax over [[langProfiles]] with the same deterministic
+    * profile-order tie-break (first profile whose score is >= all
+    * others wins). Backs the SQL surface's `graft_lang_id`. The
+    * per-profile hit counts are bound ONCE as a lambda array value —
+    * the argmax references every score |profiles| times, and a scalar
+    * function has no materializing select to dodge the
+    * expression-reuse trap with.
+    */
+  def langIdColumn(text: Column): Column = {
+    val profs = langProfiles
+    element_at(transform(
+      array(array(profs.map { case (_, v) => vocabHits(text, v) }: _*)),
+      ss => profs.map(_._1).zipWithIndex
+        .foldRight(lit("??"): Column) { case ((l, i), rest) =>
+          val isMax = profs.indices
+            .map(j => element_at(ss, i + 1) >= element_at(ss, j + 1))
+            .reduce(_ && _)
+          when(isMax, lit(l)).otherwise(rest)
+        }), 1)
+  }
+
+  /** t04's composite quality score as a scalar column (token count ×
+    * punctuation cleanliness × stopword prose-likeness, rounded to 4)
+    * — factored here so t04, the quality-aware dedup representative
+    * (t36), and the SQL surface's `graft_quality_score` all compute
+    * EXACTLY the same number.
+    */
+  def qualityScore(text: Column): Column = {
+    val nToks = size(tokens(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val punct = (length(text) -
+      length(translate(text, ".,!?;:", ""))).cast("long")
+    val nStop = vocabHits(text, langProfiles.head._2).cast("long")
+    val safeToks = greatest(nToks, lit(1L))
+    round(least(nToks, lit(100L)) / 100.0 *
+      (lit(1.0) - punct / greatest(nChars, lit(1L))) *
+      (lit(0.5) + lit(0.5) * (nStop / safeToks)), 4)
+  }
+
   /** Normalized text: lowercase, non-alphanumerics collapsed to single
     * spaces, trimmed — the canonical form for fingerprinting.
     */

@@ -30,6 +30,10 @@ object CurationSql {
   val WinnowDigestFn = "graft_winnow_digest"
   val CdcCutsFn = "graft_cdc_cuts"
   val AHashFn = "graft_ahash64"
+  val LangIdFn = "graft_lang_id"
+  val QualityScoreFn = "graft_quality_score"
+  val TokenCountFn = "graft_token_count"
+  val FingerprintFn = "graft_fingerprint"
 
   /** Idempotent registry hookup for all four functions. */
   def register(spark: SparkSession): Unit = {
@@ -55,6 +59,17 @@ object CurationSql {
           if (es.length > 1) litInt(es(1), "graft_cdc_cuts divisor")
           else 64)))
     reg(AHashFn, es => AHash64(es(0)))
+    // the text-analysis scalars (t03/t04/t05/t06's kernels): same
+    // one-builder-two-surfaces pattern
+    reg(LangIdFn, es => PlanExec.expressionOf(
+      graft.functions.TextFns.langIdColumn(c(es(0)))))
+    reg(QualityScoreFn, es => PlanExec.expressionOf(
+      graft.functions.TextFns.qualityScore(c(es(0)))))
+    reg(TokenCountFn, es => PlanExec.expressionOf(
+      org.apache.spark.sql.functions.size(
+        graft.functions.TextFns.tokens(c(es(0)))).cast("long")))
+    reg(FingerprintFn, es => PlanExec.expressionOf(
+      graft.functions.TextFns.fingerprint(c(es(0)))))
   }
 }
 

@@ -587,9 +587,15 @@ object Similarity {
       if (trainFraction >= 1.0) vecs
       else Sampling.hashSample(vecs, idCol, trainFraction)
     val cents = centroids.getOrElse(kmeansCentroids(trainSet, nCells, iters, idCol))
-    // lazy persist, released by CacheHygiene — see lshCandidatePairs note
+    // lazy persist, released by CacheHygiene — see lshCandidatePairs
+    // note. Key-repartitioned on the cell id first, for the same
+    // reason as lshNearDupPairs' bucket frame: the within-cell
+    // self-join fans out ~occupancy× in wide (vector, vector) rows,
+    // and AQE sizes partitions by the modest INPUT bytes.
     val unit = unitVectors(vecs, idCol, "id", "uv")
       .withColumn("cell", homeCell(cents))
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism,
+        col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = unit.select(col("cell"), col("id").as("a"), col("uv").as("va"))
       .join(unit.select(col("cell"), col("id").as("b"), col("uv").as("vb")),

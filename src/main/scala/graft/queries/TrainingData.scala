@@ -149,18 +149,7 @@ object TrainingData {
     * quality-aware dedup representative (t36) elects on EXACTLY the
     * score t04 verifies.
     */
-  private def qualityCol: Column = {
-    val nToks = size(TextFns.tokens(col("text"))).cast("long")
-    val nChars = length(col("text")).cast("long")
-    val punct = (length(col("text")) -
-      length(translate(col("text"), ".,!?;:", ""))).cast("long")
-    val nStop = TextFns.vocabHits(col("text"),
-      TextFns.langProfiles.head._2).cast("long")
-    val safeToks = greatest(nToks, lit(1L))
-    round(least(nToks, lit(100L)) / 100.0 *
-      (lit(1.0) - punct / greatest(nChars, lit(1L))) *
-      (lit(0.5) + lit(0.5) * (nStop / safeToks)), 4)
-  }
+  private def qualityCol: Column = TextFns.qualityScore(col("text"))
 
   private def t04(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFns.tokens(col("text"))

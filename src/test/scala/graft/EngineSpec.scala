@@ -511,6 +511,41 @@ class EngineSpec extends SparkTestBase {
     assert(n(wide) <= n(narrow))
   }
 
+  test("sqlQuery: text-analysis scalars match their t03/t04/t05/t06 kernels") {
+    graft.core.GraftSession.registerFunctions(spark)
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.{col, size}
+    val out = engine.sqlQuery(
+      s"""SELECT doc_id, graft_lang_id(text) AS lid,
+         |  graft_quality_score(text) AS q,
+         |  graft_token_count(text) AS tc,
+         |  graft_fingerprint(text) AS fp
+         |FROM parquet.`$sf0001/documents.parquet`
+         |WHERE doc_id < 25 ORDER BY doc_id""".stripMargin)
+    assert(out.startsWith("""{"records":["""), out.take(120))
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter("doc_id < 25")
+      .select(col("doc_id"),
+        TextFns.langIdColumn(col("text")).as("lid"),
+        TextFns.qualityScore(col("text")).as("q"),
+        size(TextFns.tokens(col("text"))).cast("long").as("tc"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4))).toMap
+    val rec = ("""\{"doc_id":(\d+),"lid":"(\w+)","q":([0-9.E-]+),""" +
+      """"tc":(\d+),"fp":"([0-9a-f]{32})"\}""").r
+    val got = rec.findAllMatchIn(out).map(m => m.group(1).toLong ->
+      (m.group(2), m.group(3).toDouble, m.group(4).toLong, m.group(5))).toMap
+    assert(got.size == expected.size && got == expected,
+      s"text scalars diverged (${got.size}/${expected.size})")
+    // shape sanity: predictions come from the profile label set (the
+    // ACCURACY of the heuristic is t03's oracled concern, not the SQL
+    // function's — this case pins value-parity with that kernel)
+    val labels = TextFns.langProfiles.map(_._1).toSet + "??"
+    assert(got.values.forall(v => labels(v._1)))
+  }
+
   test("sqlQuery: graft_ahash64 matches Multimodal's aHash and nulls on garbage") {
     graft.core.GraftSession.registerFunctions(spark)
     // deterministic synthetic image -> PNG bytes
