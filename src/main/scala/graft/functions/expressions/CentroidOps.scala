@@ -55,6 +55,7 @@ object CentroidOps {
   val PqEncodeFn = "graft_pq_encode"
   val ResidualFn = "graft_centroid_residual"
   val PqErrorFn = "graft_pq_error"
+  val TopCellsFn = "graft_top_cells"
 
   /** Idempotent registry hookup for this file's expressions. */
   def register(spark: SparkSession): Unit = {
@@ -69,7 +70,12 @@ object CentroidOps {
     reg(PqEncodeFn, es => PqEncode(es(0), es(1), es(2)))
     reg(ResidualFn, es => CentroidResidual(es(0), es(1), es(2)))
     reg(PqErrorFn, es => PqError(es(0), es(1), es(2)))
+    reg(TopCellsFn, es => TopCells(es(0), es(1), es(2)))
   }
+
+  def topCells(vec: Column, cents: Column, nProbe: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      TopCellsFn, vec, cents, nProbe)
 
   def nearestCell(vec: Column, cents: Column, biases: Column): Column =
     org.apache.spark.sql.functions.call_function(
@@ -163,6 +169,127 @@ case class NearestCell(first: Expression, second: Expression,
          |  }
          |}
          |${ev.value} = $bestC;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** The `nProbe` highest-dot cells against a literal centroid set →
+  * array<int> in (score desc, cid desc) order — IVF probe selection
+  * ([[graft.operators.Similarity.knnIvf]]'s query side) as one
+  * data-driven loop. Replaces the unrolled
+  * `slice(reverse(array_sort(array(struct(dot, cid)…))))` form, whose
+  * bytecode grows ∝ nCells×dim: past janino's hugeMethodLimit the
+  * whole projection silently drops to interpreted eval (the
+  * [[NearestCell]]/SignBuckets measurement — an IVF config with
+  * thousands of cells, the realistic 100 TB shape, is exactly where
+  * it would have tripped). Tie/NaN semantics byte-match the replaced
+  * form: Spark's double ordering ranks NaN above every number, ties
+  * break to the LARGER cid. nProbe > nCells returns all cells; the
+  * O(nCells·nProbe) selection scan is fine for the nProbe « nCells
+  * probe regime this exists for.
+  */
+case class TopCells(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_top_cells"
+
+  override protected def nullSafeEval(v: Any, cs: Any, np: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    val nOut = math.min(np.asInstanceOf[Int], k)
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents.getArray(c)
+      val n = math.min(vec.numElements(), cent.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i) && !cent.isNullAt(i)) {
+          s += vec.getDouble(i) * cent.getDouble(i)
+        }
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val used = new Array[Boolean](k)
+    val out = new Array[Int](math.max(nOut, 0))
+    var r = 0
+    while (r < nOut) {
+      var bestC = -1
+      var cc = 0
+      while (cc < k) {
+        if (!used(cc) && (bestC < 0 || {
+          val cmp = java.lang.Double.compare(scores(cc), scores(bestC))
+          cmp > 0 || (cmp == 0 && cc > bestC)
+        })) bestC = cc
+        cc += 1
+      }
+      used(bestC) = true
+      out(r) = bestC
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, np) => {
+      val k = ctx.freshName("k")
+      val nOut = ctx.freshName("nOut")
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val bestC = ctx.freshName("bestC")
+      val cc = ctx.freshName("cc")
+      val cmp = ctx.freshName("cmp")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $k = $cs.numElements();
+         |int $nOut = java.lang.Math.min($np, $k);
+         |if ($nOut < 0) { $nOut = 0; }
+         |double[] $scores = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  $ad $cent = $cs.getArray($c);
+         |  int $n = java.lang.Math.min($v.numElements(), $cent.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i) && !$cent.isNullAt($i)) {
+         |      $s += $v.getDouble($i) * $cent.getDouble($i);
+         |    }
+         |  }
+         |  $scores[$c] = $s;
+         |}
+         |boolean[] $used = new boolean[$k];
+         |int[] $out = new int[$nOut];
+         |for (int $r = 0; $r < $nOut; $r++) {
+         |  int $bestC = -1;
+         |  for (int $cc = 0; $cc < $k; $cc++) {
+         |    if (!$used[$cc]) {
+         |      if ($bestC < 0) { $bestC = $cc; }
+         |      else {
+         |        int $cmp = java.lang.Double.compare($scores[$cc], $scores[$bestC]);
+         |        if ($cmp > 0 || ($cmp == 0 && $cc > $bestC)) { $bestC = $cc; }
+         |      }
+         |    }
+         |  }
+         |  $used[$bestC] = true;
+         |  $out[$r] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -115,18 +115,135 @@ object SignBuckets {
   import org.apache.spark.sql.{Column, SparkSession}
 
   val FnName = "graft_sign_buckets"
+  val CpFnName = "graft_cp_buckets"
 
   /** Idempotent registry hookup, same pattern as [[DotProduct]]. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)
-    if (!registry.functionExists(ident)) {
-      registry.createOrReplaceTempFunction(
-        FnName, exprs => SignBuckets(exprs(0), exprs(1)), "built-in")
+    def reg(name: String,
+        b: Seq[Expression] => Expression): Unit = {
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
+    reg(FnName, exprs => SignBuckets(exprs(0), exprs(1)))
+    reg(CpFnName, exprs => CpBuckets(exprs(0), exprs(1)))
   }
 
   /** Column-level handle; requires `register(spark)` once per session. */
   def of(vec: Column, planes: Column): Column =
     org.apache.spark.sql.functions.call_function(FnName, vec, planes)
+
+  /** Cross-polytope buckets; requires `register(spark)` once. */
+  def cp(vec: Column, rotations: Column): Column =
+    org.apache.spark.sql.functions.call_function(CpFnName, vec, rotations)
+}
+
+/** All-tables cross-polytope LSH bucket ids in one loop:
+  * `graft_cp_buckets(vec, rotations)` with `rotations` the literal
+  * nested array (table → projected-coord → input-coords) returns
+  * `array<int>` — per table, the SIGNED 1-based index of the
+  * max-|value| rotated coordinate (Andoni et al. 2015's hash). Same
+  * constant-bytecode rationale as [[SignBuckets]]: the composed
+  * `array_position(abs, array_max(abs))` form carries nTables ×
+  * dimProj unrolled dot literals and a HOF per table — bytecode ∝
+  * tables × dimProj × dim and interpreted HOF eval either way.
+  * Tie/NaN parity with the replaced form: the FIRST maximal |coord|
+  * wins (array_position returns the first match), NaN ranks above
+  * every number (Spark double ordering), and a NaN winner takes the
+  * NEGATIVE index (`NaN >= 0` is false in the `when`).
+  */
+case class CpBuckets(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_cp_buckets"
+
+  override protected def nullSafeEval(v: Any, rs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val tables = rs.asInstanceOf[ArrayData]
+    val nT = tables.numElements()
+    val out = new Array[Int](nT)
+    var t = 0
+    while (t < nT) {
+      val rot = tables.getArray(t)
+      val nP = rot.numElements()
+      var bestAbs = Double.NegativeInfinity
+      var bestJ = -1
+      var bestVal = 0.0
+      var j = 0
+      while (j < nP) {
+        val row = rot.getArray(j)
+        val n = math.min(vec.numElements(), row.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          if (!vec.isNullAt(i) && !row.isNullAt(i)) {
+            s += vec.getDouble(i) * row.getDouble(i)
+          }
+          i += 1
+        }
+        val a = math.abs(s)
+        if (bestJ < 0 || java.lang.Double.compare(a, bestAbs) > 0) {
+          bestAbs = a; bestJ = j; bestVal = s
+        }
+        j += 1
+      }
+      out(t) = if (bestVal >= 0) bestJ + 1 else -(bestJ + 1)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, rs) => {
+      val nT = ctx.freshName("nT")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val rot = ctx.freshName("rot")
+      val nP = ctx.freshName("nP")
+      val bestAbs = ctx.freshName("bestAbs")
+      val bestJ = ctx.freshName("bestJ")
+      val bestVal = ctx.freshName("bestVal")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val a = ctx.freshName("a")
+      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $nT = $rs.numElements();
+         |int[] $out = new int[$nT];
+         |for (int $t = 0; $t < $nT; $t++) {
+         |  $ad $rot = $rs.getArray($t);
+         |  int $nP = $rot.numElements();
+         |  double $bestAbs = java.lang.Double.NEGATIVE_INFINITY;
+         |  int $bestJ = -1;
+         |  double $bestVal = 0.0;
+         |  for (int $j = 0; $j < $nP; $j++) {
+         |    $ad $row = $rot.getArray($j);
+         |    int $n = java.lang.Math.min($v.numElements(), $row.numElements());
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$v.isNullAt($i) && !$row.isNullAt($i)) {
+         |        $s += $v.getDouble($i) * $row.getDouble($i);
+         |      }
+         |    }
+         |    double $a = java.lang.Math.abs($s);
+         |    if ($bestJ < 0 || java.lang.Double.compare($a, $bestAbs) > 0) {
+         |      $bestAbs = $a; $bestJ = $j; $bestVal = $s;
+         |    }
+         |  }
+         |  $out[$t] = ($bestVal >= 0) ? ($bestJ + 1) : -($bestJ + 1);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

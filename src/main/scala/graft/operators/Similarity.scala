@@ -428,19 +428,22 @@ object Similarity {
   private[operators] def cpBucketsAllTables(vecs: DataFrame, dimIn: Int,
       dimProj: Int, idCol: String, nTables: Int,
       seedBase: Long = 101L): DataFrame = {
+    // bucket values from the CpBuckets loop expression — the composed
+    // array_position/array_max form carried tables × dimProj unrolled
+    // dot literals (the SignBuckets janino argument) plus interpreted
+    // HOF eval per table; same outputs, tie/NaN parity documented on
+    // the expression
+    SignBuckets.register(vecs.sparkSession)
     DotProduct.register(vecs.sparkSession)
     val v = asDouble(col("embedding"))
-    val perTable = (0 until nTables).map { t =>
+    val rotations = typedlit[Seq[Seq[Seq[Double]]]]((0 until nTables).map { t =>
       val rnd = new scala.util.Random(seedBase + t)
-      val proj = Array.fill(dimProj, dimIn)(rnd.nextGaussian())
-      val cs = array((0 until dimProj).map(j =>
-        DotProduct.dot(col("v"), typedlit(proj(j).toSeq))): _*)
-      val absArr = transform(cs, x => abs(x))
-      val idx = array_position(absArr, array_max(absArr)).cast("int")
-      (when(element_at(cs, idx) >= 0, idx).otherwise(-idx)).as(s"b$t")
-    }
+      Array.fill(dimProj, dimIn)(rnd.nextGaussian()).map(_.toSeq).toSeq
+    })
     vecs.select(col(idCol).as("id"), v.as("v"))
-      .select(col("id"), posexplode(array(perTable: _*)).as(Seq("table", "bucket")))
+      .select(col("id"),
+        posexplode(SignBuckets.cp(col("v"), rotations))
+          .as(Seq("table", "bucket")))
   }
 
   /** ANN top-k via multi-table cross-polytope LSH; output shape
@@ -519,16 +522,16 @@ object Similarity {
       typedlit[Seq[Seq[Double]]](centroids.map(_.toSeq).toSeq),
       typedlit[Seq[Double]](Seq.fill(centroids.length)(0.0)))
 
+  /** Probe-cell selection via the [[CentroidOps.TopCells]] loop
+    * expression — the unrolled `slice(reverse(array_sort(struct…)))`
+    * form it replaces grows bytecode ∝ nCells×dim (hugeMethodLimit →
+    * interpreted at the thousands-of-cells configs a real index runs);
+    * identical outputs incl. tie/NaN order, pinned in OperatorSpec.
+    */
   private def probeCells(centroids: Array[Array[Double]], nProbe: Int): Column =
-    transform(
-      slice(reverse(array_sort(centroidSims(centroids))), 1, nProbe),
-      x => x.getField("cid"))
-
-  private def centroidSims(centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(DotProduct.dot(col("uv"), typedlit(c.toSeq)).as("s"),
-        lit(i).as("cid"))
-    }: _*)
+    CentroidOps.topCells(col("uv"),
+      typedlit[Seq[Seq[Double]]](centroids.map(_.toSeq).toSeq),
+      lit(nProbe))
 
   /** IVF-style ANN: the corpus is bucketed into cells by argmax-cosine
     * against a literal centroid set (default: deterministic seeded;

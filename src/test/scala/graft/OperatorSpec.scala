@@ -282,6 +282,48 @@ class OperatorSpec extends SparkTestBase {
     assert(out.filter(col("keep_doc") === 1L).count() == 1L)
   }
 
+  test("TopCells / CpBuckets loop expressions match the composed forms they replaced") {
+    import graft.functions.expressions.{CentroidOps, DotProduct, SignBuckets}
+    CentroidOps.register(spark); SignBuckets.register(spark); DotProduct.register(spark)
+    val rnd = new scala.util.Random(31L)
+    val vecs = (1L to 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<double>").as("uv"))
+    // TopCells vs slice(reverse(array_sort(struct(dot, cid))))
+    val cents = Array.fill(12, 16)(rnd.nextGaussian())
+    val centsLit = typedlit[Seq[Seq[Double]]](cents.map(_.toSeq).toSeq)
+    val oldProbe = transform(
+      slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(DotProduct.dot(col("uv"), typedlit(c.toSeq)).as("s"),
+          lit(i).as("cid"))
+      }: _*))), 1, 5),
+      x => x.getField("cid"))
+    val probeDiff = vecs
+      .select(col("id"), oldProbe.as("a"),
+        CentroidOps.topCells(col("uv"), centsLit, lit(5)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(probeDiff == 0L, s"TopCells diverged on $probeDiff vectors")
+    // CpBuckets vs array_position(abs, array_max(abs)) per table
+    val rots = (0 until 4).map { t =>
+      val r = new scala.util.Random(101L + t)
+      Array.fill(6, 16)(r.nextGaussian())
+    }
+    val oldCp = array(rots.map { proj =>
+      val cs = array((0 until 6).map(j =>
+        DotProduct.dot(col("uv"), typedlit(proj(j).toSeq))): _*)
+      val absArr = transform(cs, x => abs(x))
+      val idx = array_position(absArr, array_max(absArr)).cast("int")
+      when(element_at(cs, idx) >= 0, idx).otherwise(-idx)
+    }: _*)
+    val rotsLit = typedlit[Seq[Seq[Seq[Double]]]](
+      rots.map(_.map(_.toSeq).toSeq).toSeq)
+    val cpDiff = vecs
+      .select(col("id"), oldCp.as("a"),
+        SignBuckets.cp(col("uv"), rotsLit).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(cpDiff == 0L, s"CpBuckets diverged on $cpDiff vectors")
+  }
+
   test("star components: identical labels to delta propagation on a random graph") {
     val rnd = new scala.util.Random(11L)
     // random sparse graph: ~300 edges over 400 vertices — a mix of
