@@ -53,8 +53,12 @@ object Bench {
       specs.map { spec =>
         val t = once(spec.run)
         // drop session caches (Dedup-style), query-layer persists AND
-        // checkpoint blocks — no run inherits block-manager state
-        graft.core.CacheHygiene.releaseAll(spark)
+        // checkpoint blocks — no run inherits block-manager state.
+        // blocking = true so this query's block-removal events are
+        // delivered BEFORE the next query's metrics.reset(), keeping
+        // block_removals attributed to the run that owned the blocks
+        // (round-9 ADVICE)
+        graft.core.CacheHygiene.releaseAll(spark, blocking = true)
         spec.name -> t
       }
     }
@@ -76,19 +80,25 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metrics":$ms}"""
     println(line)
-    // stdout passes through sbt's logger (prefixed "[info] "), which
-    // has broken downstream '^{'-style extraction before — also leave
-    // the line as a file artifact. SPARK_GRAFT_BENCH_OUT overrides the
-    // artifact name (BENCH_SF1.json for the standing sf1 run; the
-    // driver never sets it, so driver runs keep writing BENCH_LOCAL).
+    // The COMPLETE line (113 queries + per-query engine metrics, ~16 KB)
+    // is the file artifact; SPARK_GRAFT_BENCH_OUT overrides the name
+    // (BENCH_SF1.json for the standing sf1 run; the driver never sets
+    // it, so driver runs keep writing BENCH_LOCAL).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
-    // repeated as the FINAL stdout line, after Spark's shutdown chatter
-    // — BENCH_r08.json was recorded with "parsed": null because the
-    // summary sat mid-log and the extractor's tail window missed it
-    println(line)
+    // FINAL stdout line, after Spark's shutdown chatter, sized to FIT:
+    // the driver records only the last 2000 characters of the log
+    // (measured across BENCH_r01..r09 — every full-width line was
+    // truncated mid-map and "parsed" came back null), so the closer is
+    // a compact summary: total + the slowest queries at ms precision,
+    // with the full map's filename for the rest.
+    def ms3(t: Double): String = "%.3f".format(t)
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(30)
+      .map { case (k, (t, _)) => "\"" + k + "\":" + ms3(t) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"queries":$slowest,"full":"$out"}""")
   }
 }

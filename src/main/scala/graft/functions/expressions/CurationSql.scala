@@ -35,7 +35,9 @@ object CurationSql {
   val TokenCountFn = "graft_token_count"
   val FingerprintFn = "graft_fingerprint"
 
-  /** Idempotent registry hookup for all four functions. */
+  /** Idempotent registry hookup for all eight functions above (the
+    * four curation/media kernels plus the four text-analysis scalars).
+    */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     def reg(name: String, b: Seq[Expression] => Expression): Unit = {

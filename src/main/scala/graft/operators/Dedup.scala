@@ -417,6 +417,14 @@ object Dedup {
     */
   private[graft] def starComponents(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int): (DataFrame, Int) = {
+    // Distinct vertex universe of the RAW input, BEFORE the self-pair
+    // filter: a vertex appearing only as (x, x) still owns an output
+    // row (x, x, keep=1), matching the delta path's contract — without
+    // this, self-pair-only vertices would silently vanish from the
+    // star path's output (round-9 ADVICE).
+    val verts = pairs.select(col(aCol).cast("long").as("doc_id"))
+      .union(pairs.select(col(bCol).cast("long").as("doc_id")))
+      .distinct()
     var edges = pairs.select(
         greatest(col(aCol), col(bCol)).cast("long").as("u"),
         least(col(aCol), col(bCol)).cast("long").as("v"))
@@ -465,7 +473,13 @@ object Dedup {
     val roots = edges.select(col("v").as("doc_id")).distinct()
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
-    val out = labels.unionAll(roots)
+    // vertices the edge set never saw (self-pair-only input): their own
+    // singleton components
+    val isolated = verts
+      .join(labels.select("doc_id").unionAll(roots.select("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    val out = labels.unionAll(roots).unionAll(isolated)
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).cast("long").as("keep_doc"))
     (out, it)

@@ -331,6 +331,13 @@ object Similarity {
     * unrolled per-plane `when(dot ≥ 0, 1<<p)` form trips janino's
     * hugeMethodLimit as tables × planes × dim grows and silently drops
     * the stage to interpreted eval (measured 15 s of e05's sf1 wall).
+    *
+    * Null boundary (here and in `lshBucketsAllTables`): a NULL
+    * embedding yields a NULL bucket, so the row leaves the candidate
+    * universe entirely — it can never pair with anything. Callers that
+    * must surface null embeddings should filter/flag them BEFORE
+    * bucketing; the in-repo tables are non-null by schema
+    * (TablesSpec), so nothing is dropped on the tested corpora.
     */
   def lshBuckets(vecs: DataFrame, nPlanes: Int, dim: Int,
       idCol: String = "vec_id", seed: Long = 42L): DataFrame = {

@@ -34,7 +34,9 @@ object RepBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val metrics = graft.BenchMetrics.install(spark.sparkContext)
-    def clean(): Unit = graft.core.CacheHygiene.releaseAll(spark)
+    // blocking: removal events must land before the next reset() so
+    // block_removals attribute to the run that owned the blocks
+    def clean(): Unit = graft.core.CacheHygiene.releaseAll(spark, blocking = true)
     val specs = SparkEntry.specs.filter(s => names(s.name))
     // one untimed warm-up pass (JIT + codegen cache), then n timed
     // passes — each from a clean block manager (incl. after warm-up)

@@ -52,6 +52,26 @@ class CacheHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("scoped release frees only the RDDs created inside the scope") {
+    CacheHygiene.releaseAll(spark)
+    // a "concurrent" query's long-lived state: a checkpoint taken
+    // BEFORE the scope — session-global releaseAll would kill it
+    // (truncated lineage, unrecoverable); the scoped pair must not
+    val outside = spark.range(0, 50).toDF("v").localCheckpoint(true)
+    outside.count()
+    val before = CacheHygiene.snapshotRdds(spark.sparkContext)
+    val inside = spark.range(0, 500).select(col("id"), (col("id") % 3).as("k"))
+      .localCheckpoint(true)
+    inside.count()
+    assert(persistentRddCount >= 2)
+    CacheHygiene.releaseNewSince(spark.sparkContext, before)
+    assert(persistentRddCount == before.size,
+      s"scoped release left $persistentRddCount, expected ${before.size}")
+    // the outside frame is still readable — its blocks survived
+    assert(outside.count() == 50L)
+    CacheHygiene.releaseAll(spark)
+  }
+
   test("lshNearDupPairs' internal persists are released by the session hook") {
     CacheHygiene.releaseAll(spark)
     val rnd = new scala.util.Random(5L)

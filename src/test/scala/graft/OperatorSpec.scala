@@ -339,6 +339,20 @@ class OperatorSpec extends SparkTestBase {
     assert(star == delta, s"star/delta diverged on ${star.size}/${delta.size} nodes")
   }
 
+  test("star components: self-pair-only vertices keep their singleton row") {
+    // round-9 ADVICE: a vertex appearing ONLY as (x, x) must still own
+    // an output row (x, x, keep=1) on BOTH paths — the star path used
+    // to lose it to the self-pair filter
+    val pairs = Seq((1L, 2L), (7L, 7L), (9L, 9L), (2L, 3L)).toDF("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val star = m(Dedup.connectedComponentsStar(pairs))
+    val delta = m(Dedup.connectedComponents(pairs))
+    assert(star == delta, s"star/delta diverged: $star vs $delta")
+    assert(star(7L) == ((7L, 1L)) && star(9L) == ((9L, 1L)),
+      s"self-pair-only vertices mislabeled: $star")
+  }
+
   test("star components: 10^4-length chain converges within 2*log2(n) rounds") {
     // the adversarial shape delta propagation cannot handle (it needs
     // DIAMETER rounds — 10^4 here); the SOCC'14 alternation's bound is
