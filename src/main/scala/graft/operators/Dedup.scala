@@ -132,6 +132,42 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Corpus-level n-gram novelty: per document, the fraction of its
+    * DISTINCT n-gram shingles that occur in NO other document — the
+    * "how much of this page is new text" signal used to rank crawl
+    * snapshots and to demote boilerplate-heavy documents before
+    * near-dup mining even runs (cheap complement to [[ngramJaccard]]:
+    * novelty needs no pair join at all).
+    *
+    * Returns (doc_id, n_shingles, n_unique, novelty) for EVERY input
+    * document; a doc too short to produce a shingle gets
+    * (0, 0, novelty = 1.0) — nothing it says has been said before.
+    *
+    * Scale posture: shingles travel as xxhash64 keys (8 bytes, the
+    * [[ngramJaccard]] collision standard — a collision can only
+    * misclassify one shingle as seen-elsewhere). One aggregation keyed
+    * on shingle computes document frequency, the posting join back is
+    * co-partitioned on that same key (no extra exchange), and the
+    * per-doc rollup shuffles only (doc_id, two longs). Unlike the
+    * pair-join operators there is no quadratic candidate set to bound:
+    * cost is linear in total shingle volume at any corpus size.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val sh = cached(shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique") / col("n_shingles"), lit(1.0)), 4)
+          .as("novelty"))
+  }
+
   /** Benchmark decontamination: flag corpus documents whose n-gram
     * shingles overlap an evaluation/benchmark set — the
     * remove-test-set-from-training-data pass every LLM data pipeline

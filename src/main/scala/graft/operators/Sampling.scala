@@ -62,6 +62,38 @@ object Sampling {
         .select("source", "id", "payload")
     }.reduce(_ unionAll _)
 
+  /** Temperature-scaled mixture weights: per group (language, source,
+    * domain…), the sampling probability p_g ∝ size_g^alpha normalized
+    * over groups — the multilingual-balancing rule (alpha < 1 upsamples
+    * low-resource groups, alpha = 1 is proportional, alpha = 0 is
+    * uniform; XLM-R trains with alpha = 0.3 over per-language token
+    * counts). Emits per group: n_docs, total size, the natural share,
+    * the temperature weight, and boost = weight/share — the factor an
+    * epoch plan multiplies into each group's sampling rate (feed it to
+    * [[stratifiedSample]]/[[epochPlan]]).
+    *
+    * Scale posture: one aggregation keyed on the group column (size
+    * values partial-aggregate map-side), then the normalization joins
+    * the GROUPED frame — #groups rows, never corpus rows — against its
+    * own one-row total via broadcast. Corpus text is scanned once and
+    * nothing wider than (group, two longs) shuffles.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, sizeCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("total"))
+    val sums = g.agg(sum("total").as("gt"),
+      sum(pow(col("total"), alpha)).as("gp"))
+    val share = col("total") / col("gt")
+    val weight = pow(col("total"), alpha) / col("gp")
+    g.crossJoin(broadcast(sums))
+      .select(col(groupCol), col("n_docs"), col("total"),
+        round(share, 4).as("share"),
+        round(weight, 4).as("weight"),
+        round(weight / share, 4).as("boost"))
+  }
+
   /** Deterministic train/val/test split assignment: every row gets the
     * split whose cumulative hash-bucket range contains md5(key) — the
     * canonical "90/5/5" partition of a training corpus. Content-stable

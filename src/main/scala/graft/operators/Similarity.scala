@@ -516,6 +516,60 @@ object Similarity {
     centroids
   }
 
+  /** Per-group centroid-distance outliers: the k vectors FARTHEST (by
+    * cosine) from their own group's centroid — the prototypicality
+    * audit a curation pipeline runs per language/source/cluster to
+    * surface mislabeled, off-topic, or garbage embeddings before they
+    * train (the ranking half of SemDeDup-style semantic curation:
+    * [[semanticDedup]] removes the too-CLOSE, this removes the
+    * too-FAR).
+    *
+    * Output: (grp, id, sim) — sim is cosine(unit vector, group
+    * centroid of unit vectors), rounded to 4 decimals BEFORE ranking
+    * so the order is reproducible across engines; ties break on id.
+    *
+    * Scale posture: the centroid pass is one posexplode →
+    * groupBy(group, dim) mean — the [[kmeansCentroids]] shape, except
+    * the result STAYS distributed (#groups × dim rows, broadcast to
+    * the scoring join; no driver collect). Centroid coordinates are
+    * rounded to 6 decimals so the scores are insensitive to
+    * aggregation order at any partition count. Scoring is one
+    * broadcast join + one codegen [[DotProduct]] per row, and the
+    * bottom-k runs through [[graft.plans.GroupedTopK]] (partial heaps,
+    * ≤ k rows per group per partition shuffle) — no global sort, no
+    * per-group window materialization, even with very few groups.
+    */
+  def centroidOutliers(vecs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    DotProduct.register(vecs.sparkSession)
+    val v = asDouble(col("embedding"))
+    val unit = vecs
+      .select(col(idCol).as("id"), col(groupCol).as("grp"), v.as("_v"))
+      .withColumn("_nrm", sqrt(DotProduct.dot(col("_v"), col("_v"))))
+      .withColumn("_nrm",
+        when(col("_nrm") === 0d, lit(1.0)).otherwise(col("_nrm")))
+      .select(col("id"), col("grp"),
+        transform(col("_v"), x => x / col("_nrm")).as("uv"))
+      // consumed twice (centroid pass + scoring pass); released
+      // session-side by CacheHygiene — the round-9 lifecycle contract
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = unit
+      .select(col("grp"), posexplode(col("uv")).as(Seq("dim", "x")))
+      .groupBy("grp", "dim").agg(round(avg("x"), 6).as("m"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).as("cvec"))
+      .withColumn("cnrm", sqrt(DotProduct.dot(col("cvec"), col("cvec"))))
+      .withColumn("cnrm",
+        when(col("cnrm") === 0d, lit(1.0)).otherwise(col("cnrm")))
+    val scored = unit.join(broadcast(cent), "grp")
+      .select(col("grp"), col("id"),
+        round(DotProduct.dot(col("uv"), col("cvec")) / col("cnrm"), 4)
+          .as("sim"))
+    graft.plans.GroupedTopK(scored, group = Seq("grp"),
+      order = Seq(("sim", true), ("id", true)), k = k)
+  }
+
   /** argmax-cosine cell id against literal centroids — an expression,
     * not a join, and the centroid table is a literal ARGUMENT of the
     * codegen'd [[CentroidOps.nearestCell]] loop (constant bytecode size

@@ -2475,6 +2475,109 @@ object TrainingData {
       |FROM enc e JOIN documents d USING (doc_id)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- t43
+  // Corpus n-gram novelty: per doc, the fraction of its distinct
+  // 3-gram shingles appearing in NO other document — the
+  // "how much of this page is new text" ranking signal (demotes
+  // boilerplate-heavy pages before pair-join dedup even runs). Linear
+  // in shingle volume: one df aggregation + a co-partitioned join
+  // back, no candidate pairs (Dedup.ngramNovelty scaladoc).
+  private def t43(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNovelty(docs(s, dir), n = 3).orderBy("doc_id")
+
+  private val t43Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |per AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_unique
+      |  FROM sh s JOIN freq f USING (shingle) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_shingles, 0) AS n_shingles,
+      |  coalesce(p.n_unique, 0) AS n_unique,
+      |  round(coalesce(p.n_unique * 1.0 / p.n_shingles, 1.0), 4) AS novelty
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t44
+  // Temperature-scaled mixture weights over per-language token counts
+  // (p_lang ∝ tokens^0.3, the XLM-R multilingual-balancing rule):
+  // share, weight, and the boost factor an epoch plan multiplies into
+  // each language's sampling rate. One corpus scan + a |langs|-row
+  // normalization (Sampling.temperatureWeights scaladoc).
+  private def t44(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(
+      docs(s, dir).withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit(tokenRegex), lit(0)))
+          .cast("long")),
+      groupCol = "lang", sizeCol = col("n_tokens"), alpha = 0.3)
+      .orderBy("lang")
+
+  private val t44Sql =
+    s"""WITH g AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(len(regexp_extract_all(text, '$tokenRegex'))) AS BIGINT)
+       |           AS total
+       |  FROM documents GROUP BY 1),
+       |s AS (SELECT CAST(sum(total) AS BIGINT) AS gt,
+       |             sum(pow(total, 0.3)) AS gp FROM g)
+       |SELECT lang, n_docs, total,
+       |  round(total * 1.0 / gt, 4) AS share,
+       |  round(pow(total, 0.3) / gp, 4) AS weight,
+       |  round((pow(total, 0.3) / gp) / (total * 1.0 / gt), 4) AS boost
+       |FROM g, s ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- e13
+  // Per-label centroid-distance outliers: the 10 vectors farthest (by
+  // cosine) from their own label's centroid — the prototypicality
+  // audit that surfaces mislabeled/off-topic embeddings per group
+  // (the too-FAR complement of e06's too-close semantic dedup).
+  // Ranking runs on round(sim, 4) with an id tie-break so both engines
+  // rank identically; the bottom-k goes through the GroupedTopK
+  // physical operator, not a per-label window.
+  private def e13(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(embs(s, dir), groupCol = "label", k = 10)
+      .select(col("grp").as("label"), col("id").as("vec_id"), col("sim"))
+      .orderBy("label", "sim", "vec_id")
+
+  private val e13Sql =
+    """WITH uv AS (
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                     CAST(embedding AS DOUBLE[])))) AS u
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT vec_id, label, unnest(u) AS x, generate_subscripts(u, 1) AS dim
+      |  FROM uv
+      |), cent AS (
+      |  SELECT label, dim, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2
+      |), cn AS (
+      |  SELECT label, sqrt(sum(m * m)) AS nrm FROM cent GROUP BY 1
+      |), dots AS (
+      |  SELECT e.vec_id, e.label, sum(e.x * c.m) AS d
+      |  FROM ex e JOIN cent c USING (label, dim) GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT dots.label, dots.vec_id, round(d / nrm, 4) AS sim
+      |  FROM dots JOIN cn USING (label)
+      |), r AS (
+      |  SELECT label, vec_id, sim,
+      |    row_number() OVER (PARTITION BY label ORDER BY sim, vec_id) AS rk
+      |  FROM sims)
+      |SELECT label, vec_id, sim FROM r WHERE rk <= 10
+      |ORDER BY label, sim, vec_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2518,6 +2621,8 @@ object TrainingData {
     QuerySpec("t40_cdc_chunks", t40, Some(t40Sql)),
     QuerySpec("t41_unigram_tokenize", t41, Some(t41Sql)),
     QuerySpec("t42_tokenizer_fertility", t42, Some(t42Sql)),
+    QuerySpec("t43_ngram_novelty", t43, Some(t43Sql)),
+    QuerySpec("t44_mixture_temperature", t44, Some(t44Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -2530,6 +2635,7 @@ object TrainingData {
     QuerySpec("e10_ann_lsh_projected", e10, Some(annAuditSql(5, annFloors("e10")))),
     QuerySpec("e11_ann_cross_polytope", e11, Some(annAuditSql(5, annFloors("e11")))),
     QuerySpec("e12_ann_index_serve", e12, Some(annAuditSql(5, annFloors("e12")))),
+    QuerySpec("e13_centroid_outliers", e13, Some(e13Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

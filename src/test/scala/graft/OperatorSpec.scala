@@ -1270,4 +1270,62 @@ class OperatorSpec extends SparkTestBase {
     assert(ham(hs(1L).ahash, hs(3L).ahash) <= 3,
       s"0.5x rescale aHash hamming ${ham(hs(1L).ahash, hs(3L).ahash)}")
   }
+
+  test("ngram novelty: duplicated text scores 0, unique text 1, short docs 1") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo"),   // clone of doc 2
+      (2L, "alpha bravo charlie delta echo"),
+      (3L, "zulu yankee xray whiskey victor"),  // fully unique
+      (4L, "hi there")                          // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 0L, 0.0)) && out(2L) == ((3L, 0L, 0.0)),
+      s"clones should have zero novelty: $out")
+    assert(out(3L) == ((3L, 3L, 1.0)), s"unique doc should score 1: $out")
+    assert(out(4L) == ((0L, 0L, 1.0)), s"shingle-less doc contract: $out")
+  }
+
+  test("temperature weights: alpha=1 recovers shares, alpha=0 is uniform") {
+    import graft.operators.Sampling
+    val rows = (1 to 90).map(i => (i.toLong, "big", 10L)) ++
+      (1 to 10).map(i => (100L + i, "small", 10L))
+    val df = rows.toDF("id", "grp", "n")
+    def w(alpha: Double): Map[String, (Double, Double, Double)] =
+      Sampling.temperatureWeights(df, "grp", col("n"), alpha).collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val prop = w(1.0)
+    assert(prop("big") == ((0.9, 0.9, 1.0)) &&
+      prop("small") == ((0.1, 0.1, 1.0)), s"alpha=1 must be proportional: $prop")
+    val unif = w(0.0)
+    assert(unif("big")._2 == 0.5 && unif("small")._2 == 0.5,
+      s"alpha=0 must be uniform: $unif")
+    assert(unif("small")._3 == 5.0, // 0.5 / 0.1
+      s"boost must be weight/share: $unif")
+    // the balancing regime: 0 < alpha < 1 upsamples the small group
+    val mid = w(0.3)
+    assert(mid("small")._2 > 0.1 && mid("small")._2 < 0.5, s"mid-alpha: $mid")
+  }
+
+  test("centroid outliers: the planted far vector ranks first in its group") {
+    // group A: 30 vectors near +x, one planted at -x (the outlier);
+    // group B: vectors near +y — must not absorb A's outlier
+    val rnd = new scala.util.Random(7L)
+    def near(base: Array[Double]): Array[Double] =
+      base.map(_ + rnd.nextGaussian() * 0.05)
+    val a = (1L to 30L).map(i => (i, "A", near(Array(1.0, 0.0, 0.0))))
+    val b = (31L to 60L).map(i => (i, "B", near(Array(0.0, 1.0, 0.0))))
+    val planted = Seq((99L, "A", Array(-1.0, 0.05, 0.0)))
+    val vecs = (a ++ b ++ planted).toDF("vec_id", "grp", "embedding")
+    val out = Similarity.centroidOutliers(vecs, "grp", k = 3, idCol = "vec_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.count(_._1 == "A") == 3 && out.count(_._1 == "B") == 3,
+      s"k per group: ${out.mkString(",")}")
+    val worstA = out.filter(_._1 == "A").minBy(_._3)
+    assert(worstA._2 == 99L && worstA._3 < 0,
+      s"planted outlier should be farthest in A: ${out.mkString(",")}")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
 }
