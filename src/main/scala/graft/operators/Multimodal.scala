@@ -193,6 +193,53 @@ object Multimodal {
     }
   }
 
+  /** ViT-style 2D patch extraction over a binary payload: the payload
+    * is treated as a row-major `rowBytes`-wide byte image and cut into
+    * `patch`×`patch` tiles — the patchify step every vision tokenizer
+    * runs before embedding, expressed as PURE built-in column
+    * expressions (sequence → explode → strided `substr` gather →
+    * `md5`), so the whole grid stays inside WholeStageCodegen with no
+    * UDF and no mapPartitions. Contrast [[sampleFrames]]: that op is
+    * the codec SEAM (per-partition decoder init); this op is the
+    * post-decode geometry, and geometry needs no seam.
+    *
+    * Emits one row per complete tile: (doc_id, pi, pj, patch_md5) —
+    * pi/pj the tile's grid coordinates, md5 over the tile's bytes in
+    * row-major order (the downstream dedup/embedding-cache key).
+    * Payloads shorter than one tile row emit nothing (the
+    * clamp-to-empty guard — Spark's `sequence(0, -1)` counts DOWN);
+    * trailing partial tiles are dropped, as vision pipelines crop.
+    *
+    * Scale posture: map-only — tiles are derived and hashed in the
+    * scanning partition, payload bytes never shuffle, output is
+    * ~40 bytes/tile. The explode fan-out is bytes/(patch·rowBytes)
+    * rows per payload, each tile hashed once.
+    */
+  def patchGrid(media: DataFrame, rowBytes: Int = 64, patch: Int = 16,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    require(rowBytes > 0 && patch > 0 && rowBytes % patch == 0,
+      s"rowBytes ($rowBytes) must be a positive multiple of patch ($patch)")
+    val nCols = rowBytes / patch
+    val len = length(col(payloadCol))
+    val nPatches =
+      floor(len / lit(rowBytes * patch)).cast("int") * lit(nCols)
+    val idxs = when(nPatches >= 1, sequence(lit(0), nPatches - 1))
+      .otherwise(array().cast("array<int>"))
+    val pi = floor(col("pidx") / nCols).cast("long")
+    val pj = (col("pidx") % nCols).cast("long")
+    // one substr per in-tile row — `patch` is a compile-time constant,
+    // so the concat is a fixed-width expression (constant bytecode)
+    val tile = concat((0 until patch).map { r =>
+      col("_p").substr(
+        (col("pi") * (patch * rowBytes) + lit(r * rowBytes) +
+          col("pj") * patch + 1).cast("int"),
+        lit(patch))
+    }: _*)
+    media.select(col(idCol), col(payloadCol).as("_p"), explode(idxs).as("pidx"))
+      .select(col(idCol), col("_p"), pi.as("pi"), pj.as("pj"))
+      .select(col(idCol), col("pi"), col("pj"), md5(tile).as("patch_md5"))
+  }
+
   /** A perceptual fingerprint of a decoded image: 64-bit aHash (mean-
     * luma threshold over an 8×8 downscale — robust to re-encoding,
     * scaling, and mild noise) and 64-bit dHash (horizontal gradient

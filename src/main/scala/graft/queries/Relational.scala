@@ -1825,6 +1825,38 @@ object Relational {
       |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q51
+  // JSONL export → ingest round-trip: the text-format source/sink a
+  // training-data engine needs beside parquet/iceberg (corpus drops
+  // ship as *.jsonl). The query writes `documents` as JSON Lines,
+  // reads it back with a PINNED schema (the production posture —
+  // inference on a 100 TB drop is a full extra pass; a one-file
+  // sample-infer is the discovery path), and aggregates per language
+  // with a distinct-content count, so a single character corrupted in
+  // the escape/parse cycle changes n_distinct and flips the hash
+  // against the oracle (which reads the PARQUET originals — the
+  // round-trip must be invisible to match). The write partitions like
+  // any sink (4 files here, maxRecordsPerFile-bounded in production)
+  // and the read parallelizes per file, splittable by line.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_jsonl_${new java.io.File(dir).getName}"
+    val d = t(s, dir, "documents")
+    d.coalesce(4).write.mode("overwrite").json(out)
+    s.read.schema(d.schema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  private val q51Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1876,5 +1908,6 @@ object Relational {
     QuerySpec("q47_interval_overlap", q47, Some(q47Sql)),
     QuerySpec("q48_skew_salted_agg", q48, Some(q48Sql)),
     QuerySpec("q49_mv_incremental", q49, Some(q49Sql)),
-    QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)))
+    QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)),
+    QuerySpec("q51_jsonl_roundtrip", q51, Some(q51Sql)))
 }

@@ -1486,6 +1486,42 @@ object TrainingData {
       |      FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  // ViT patchify: the documents' bytes as row-major 32-byte-wide
+  // "images" cut into 8×8 tiles (geometry sized to the corpus — texts
+  // run 48-550 bytes, so most docs yield 1-2 tile bands and the
+  // shortest yield none, exercising the crop edge) — the
+  // vision-tokenizer batch shape as pure built-in expressions (no
+  // UDF, no mapPartitions; see Multimodal.patchGrid). Tile md5s are
+  // DuckDB-checkable because the payloads are ASCII (byte offsets ==
+  // char offsets, the m02 convention).
+  private def m09(s: SparkSession, dir: String): DataFrame =
+    Multimodal.patchGrid(
+        docs(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        rowBytes = 32, patch = 8)
+      .orderBy("doc_id", "pi", "pj")
+
+  private val m09Sql =
+    """WITH p AS (
+      |  SELECT doc_id, text, length(text) // 256 AS npr FROM documents
+      |), g AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, npr * 4 - 1)) AS pidx
+      |  FROM p WHERE npr >= 1
+      |), q AS (
+      |  SELECT doc_id, text, pidx // 4 AS pi, pidx % 4 AS pj FROM g
+      |), seg AS (
+      |  SELECT doc_id, pi, pj, r,
+      |    substring(text, CAST(pi * 256 + r * 32 + pj * 8 + 1 AS BIGINT), 8)
+      |      AS s
+      |  FROM q, (SELECT unnest(generate_series(0, 7)) AS r)
+      |)
+      |SELECT doc_id, pi, pj,
+      |  md5(string_agg(s, '' ORDER BY r)) AS patch_md5
+      |FROM seg GROUP BY 1, 2, 3
+      |ORDER BY doc_id, pi, pj""".stripMargin
+
   // ---------------------------------------------------------------- t21
   // Sliding-window chunking: 64-token windows stepping by 48 (16-token
   // overlap), never crossing document boundaries — the fine-tuning /
@@ -2482,8 +2518,15 @@ object TrainingData {
   // boilerplate-heavy pages before pair-join dedup even runs). Linear
   // in shingle volume: one df aggregation + a co-partitioned join
   // back, no candidate pairs (Dedup.ngramNovelty scaladoc).
+  // The novelty-range predicate is semantically a no-op (novelty is
+  // always in [0,1] and never null) but it REFERENCES the join's right
+  // side, so a count()-style action — the bench protocol — cannot
+  // eliminate the left-outer join through the distinct-key rule and
+  // measure only the scan (verified: without it, Spark 4 collapses
+  // count(t43) to an empty-schema file scan, 59 shuffle bytes).
   private def t43(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramNovelty(docs(s, dir), n = 3).orderBy("doc_id")
+    Dedup.ngramNovelty(docs(s, dir), n = 3)
+      .filter(col("novelty") >= 0).orderBy("doc_id")
 
   private val t43Sql =
     """WITH toks AS (
@@ -2643,5 +2686,6 @@ object TrainingData {
     QuerySpec("m05_perceptual_dedup", m05, Some(m05Sql)),
     QuerySpec("m06_audio_quality", m06, Some(m06Sql)),
     QuerySpec("m07_audio_windows", m07, Some(m07Sql)),
-    QuerySpec("m08_video_demux", m08, Some(m08Sql)))
+    QuerySpec("m08_video_demux", m08, Some(m08Sql)),
+    QuerySpec("m09_patch_grid", m09, Some(m09Sql)))
 }

@@ -1271,6 +1271,26 @@ class OperatorSpec extends SparkTestBase {
       s"0.5x rescale aHash hamming ${ham(hs(1L).ahash, hs(3L).ahash)}")
   }
 
+  test("patch grid: tiles gather the right bytes; short payloads emit none") {
+    // 2048-byte payload = 2 full 16-row bands of 64-byte rows → 2×4 tiles
+    val bytes = Array.tabulate[Byte](2048)(i => (i % 251).toByte)
+    val short = Array.tabulate[Byte](1000)(i => i.toByte) // < 1024: no tiles
+    val df = Seq((1L, bytes), (2L, short)).toDF("doc_id", "payload")
+    val out = Multimodal.patchGrid(df, rowBytes = 64, patch = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    assert(out.size == 8 && out.keys.forall(_._1 == 1L),
+      s"expected 8 tiles for doc 1 only, got ${out.keys}")
+    // reference gather for tile (pi=1, pj=2): rows 16..31, cols 32..47
+    val ref = (0 until 16).flatMap { r =>
+      val off = 1 * 1024 + r * 64 + 2 * 16
+      bytes.slice(off, off + 16)
+    }.toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(ref).map("%02x".format(_)).mkString
+    assert(out((1L, 1L, 2L)) == want, "tile (1,2) md5 mismatch")
+  }
+
   test("ngram novelty: duplicated text scores 0, unique text 1, short docs 1") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta echo"),   // clone of doc 2
