@@ -568,14 +568,21 @@ object Dedup {
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("tok"))
       .withColumn("hx", substring(md5(col("tok")), 1, 16))
+    // the 16 nibbles are MATERIALIZED as int columns first: each nibble
+    // feeds 4 of the 64 bit sums, and writing the conv(substring(…))
+    // extraction inline in every aggregate ran the string parse 64×
+    // per token row instead of 16× (round-10; same values bit-exactly —
+    // the split is pure common-subexpression factoring)
+    val nib = tok.select(col("doc_id") +: (1 to 16).map(i =>
+      conv(substring(col("hx"), i, 1), 16, 10).cast("int").as(s"n$i")): _*)
     // bit k (0 = LSB of the 64-bit word) lives in hex digit 16 - k/4
     // (digit 1 = most significant nibble), at in-nibble position k%4;
     // branch-free ±1 contribution: ((d>>(k%4))&1)*2 - 1
     val bitSums = (0 until 64).map { k =>
-      val d = conv(substring(col("hx"), 16 - k / 4, 1), 16, 10).cast("int")
+      val d = col(s"n${16 - k / 4}")
       sum((shiftright(d, k % 4).bitwiseAND(lit(1)) * 2 - 1).cast("long")).as(s"b$k")
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = nib.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { k =>
       when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))

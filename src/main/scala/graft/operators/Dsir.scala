@@ -18,7 +18,10 @@ import graft.functions.TextFns
   * Scale shape, stage by stage:
   *  - featurize: tokens → unigrams+bigrams → md5-prefix bucket, all
   *    codegen'd column arithmetic; one explode (gram-count rows, the
-  *    same volume every shingling operator here carries);
+  *    same volume every shingling operator here carries), immediately
+  *    COMPACTED to the per-doc count vector (doc_id, bucket, cnt) —
+  *    the frame both later passes read (persisted; raw gram rows are
+  *    never materialized twice nor cached);
   *  - bucket stats: ONE shuffle bounded by `nBuckets` keys (map-side
   *    partial sums make the exchange `nBuckets × partitions` rows at
   *    most) — the model is `nBuckets` log-ratios, nothing driver-side;
@@ -45,13 +48,26 @@ object Dsir {
   def importanceWeights(docsDf: DataFrame, isTarget: Column,
                         nBuckets: Int = 1024, selectK: Int = 250): DataFrame = {
     require(nBuckets > 0 && selectK >= 0, "nBuckets/selectK must be positive")
-    val grams = hashedGrams(docsDf, isTarget, nBuckets)
+    // The raw gram rows feed BOTH the bucket-stats training pass and
+    // the scoring pass; materializing them raw would persist a frame
+    // ~2× corpus tokens. Compacting to the per-document COUNT VECTOR
+    // first — (doc_id, tgt, bucket, cnt), ≤ docs × min(nBuckets,
+    // grams-per-doc) rows — is what actually gets persisted: it is the
+    // DSIR feature vector itself, it map-side-combines on the way in,
+    // and both consumers read it instead of re-running
+    // tokenize→explode→md5 per pass (round-10: RepBench sf0.1 min fell
+    // 3.5 s → see SCALING.md; output identical, sum(lam·cnt) vs
+    // Σ-per-occurrence differs at ~1e-16 relative, far below the
+    // 4-decimal rounding).
+    val gramCounts = hashedGrams(docsDf, isTarget, nBuckets)
+      .groupBy("doc_id", "tgt", "bucket").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // nBuckets-keyed stats + 1-row totals; the cross join is the
     // documented 1-row-broadcast shape (TrainingData e07 precedent).
-    val stats = grams.groupBy("bucket").agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val stats = gramCounts.groupBy("bucket").agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(col("cnt"))).as("cr"))
     val totals = stats.agg(
       sum("ct").as("t_total"), sum("cr").as("r_total"))
     val lambda = stats.crossJoin(broadcast(totals)).select(
@@ -63,14 +79,14 @@ object Dsir {
     // Persisted at the doc grain (one small row per document): the
     // scored frame is consumed twice — once to pick the top-K ids,
     // once in the final flag join — and without the persist the whole
-    // explode+train+score lineage runs twice (RepBench min 4.1 s →
-    // 1.5 s at sf0.1). The e05 aug.persist precedent.
-    val scored = grams.join(broadcast(lambda), "bucket")
+    // train+score lineage runs twice (RepBench min 4.1 s → 1.5 s at
+    // sf0.1). The e05 aug.persist precedent.
+    val scored = gramCounts.join(broadcast(lambda), "bucket")
       .groupBy("doc_id")
       // + 0.0 canonicalizes IEEE negative zero (a tiny negative mean
       // rounds to -0.0 in one engine and 0.0 in the other otherwise).
-      .agg(count(lit(1)).as("n_grams"),
-        (round(sum(col("lam")) / count(lit(1)), 4) + 0.0).as("log_w"))
+      .agg(sum("cnt").as("n_grams"),
+        (round(sum(col("lam") * col("cnt")) / sum("cnt"), 4) + 0.0).as("log_w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val topIds = scored
