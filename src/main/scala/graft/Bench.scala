@@ -95,7 +95,10 @@ object Bench {
     // truncated mid-map and "parsed" came back null), so the closer is
     // a compact summary: total + the slowest queries at ms precision,
     // with the full map's filename for the rest.
-    def ms3(t: Double): String = "%.3f".format(t)
+    // Locale.ROOT: a comma-decimal default locale would emit "0,123"
+    // and break the JSON
+    def ms3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(30)
       .map { case (k, (t, _)) => "\"" + k + "\":" + ms3(t) }
       .mkString("{", ",", "}")

@@ -168,6 +168,49 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Incremental (one-sided) novelty: score a NEW batch of documents
+    * against a STANDING corpus shingle-frequency index — the
+    * daily-ingest form of [[ngramNovelty]], exactly as
+    * [[ngramJaccardAgainst]] is t19's form of the pair miner. A
+    * shingle is novel when the corpus index has never seen it (the
+    * batch does not count against itself: two copies of a new page
+    * arriving in one batch both score novel — run [[ngramNovelty]]
+    * WITHIN the batch if intra-batch novelty matters).
+    *
+    * `corpusIndex` is (shingle: xxhash64 long, df: long) — the
+    * materialized aggregate a deployment maintains from ingest diffs
+    * ([[corpusShingleIndex]] builds it). Cost ∝ batch shingle volume:
+    * the batch side explodes and joins the index on the 8-byte key;
+    * the corpus is never re-scanned.
+    */
+  def ngramNoveltyAgainst(newDocs: DataFrame, corpusIndex: DataFrame,
+      n: Int): DataFrame = {
+    val sh = shingleRows(newDocs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val per = sh.join(corpusIndex.select(col("shingle"), col("df")),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_unique"))
+    newDocs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique") / col("n_shingles"), lit(1.0)), 4)
+          .as("novelty"))
+  }
+
+  /** The standing (shingle, df) aggregate [[ngramNoveltyAgainst]]
+    * consumes — one document-frequency aggregation over the corpus,
+    * maintainable append-only from ingest file diffs
+    * (`SnapshotCatalog.readIncremental`) the same way t19's inverted
+    * index is.
+    */
+  def corpusShingleIndex(corpus: DataFrame, n: Int): DataFrame =
+    shingleRows(corpus, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+
   /** Benchmark decontamination: flag corpus documents whose n-gram
     * shingles overlap an evaluation/benchmark set — the
     * remove-test-set-from-training-data pass every LLM data pipeline

@@ -2581,6 +2581,52 @@ object TrainingData {
        |  round((pow(total, 0.3) / gp) / (total * 1.0 / gt), 4) AS boost
        |FROM g, s ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t45
+  // Incremental novelty: the t43 signal in its daily-ingest form — a
+  // batch (doc_id % 37 == 0, the t15 split) scores against the
+  // STANDING corpus shingle-frequency index; the corpus is never
+  // re-paired (t19's precedent for the dedup miner). Same
+  // count()-elimination guard as t43 (left join on a distinct key).
+  private def t45(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.ngramNoveltyAgainst(
+        newDocs = d.filter(col("doc_id") % 37 === 0),
+        corpusIndex = Dedup.corpusShingleIndex(
+          d.filter(col("doc_id") % 37 =!= 0), n = 3),
+        n = 3)
+      .filter(col("novelty") >= 0)
+      .orderBy("doc_id")
+  }
+
+  private val t45Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), corp AS (
+      |  SELECT shingle, count(*) AS df FROM sh
+      |  WHERE doc_id % 37 <> 0 GROUP BY 1
+      |), bat AS (SELECT * FROM sh WHERE doc_id % 37 = 0),
+      |per AS (
+      |  SELECT b.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN c.df IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_unique
+      |  FROM bat b LEFT JOIN corp c USING (shingle) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_shingles, 0) AS n_shingles,
+      |  coalesce(p.n_unique, 0) AS n_unique,
+      |  round(coalesce(p.n_unique * 1.0 / p.n_shingles, 1.0), 4) AS novelty
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 37 = 0) d
+      |LEFT JOIN per p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e13
   // Per-label centroid-distance outliers: the 10 vectors farthest (by
   // cosine) from their own label's centroid — the prototypicality
@@ -2666,6 +2712,7 @@ object TrainingData {
     QuerySpec("t42_tokenizer_fertility", t42, Some(t42Sql)),
     QuerySpec("t43_ngram_novelty", t43, Some(t43Sql)),
     QuerySpec("t44_mixture_temperature", t44, Some(t44Sql)),
+    QuerySpec("t45_novelty_incremental", t45, Some(t45Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

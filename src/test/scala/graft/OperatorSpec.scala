@@ -1307,6 +1307,23 @@ class OperatorSpec extends SparkTestBase {
     assert(out(4L) == ((0L, 0L, 1.0)), s"shingle-less doc contract: $out")
   }
 
+  test("incremental novelty: batch scores against the standing corpus index only") {
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo"),
+      (2L, "foxtrot golf hotel india juliet")).toDF("doc_id", "text")
+    val index = Dedup.corpusShingleIndex(corpus, n = 3)
+    val batch = Seq(
+      (10L, "alpha bravo charlie delta echo"),   // fully known
+      (11L, "kilo lima mike november oscar"),    // fully new
+      (12L, "kilo lima mike november oscar")     // intra-batch copy: still new
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNoveltyAgainst(batch, index, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 0.0, s"known doc must score 0: $out")
+    assert(out(11L) == 1.0 && out(12L) == 1.0,
+      s"new docs score 1 against the CORPUS (batch does not self-count): $out")
+  }
+
   test("temperature weights: alpha=1 recovers shares, alpha=0 is uniform") {
     import graft.operators.Sampling
     val rows = (1 to 90).map(i => (i.toLong, "big", 10L)) ++
