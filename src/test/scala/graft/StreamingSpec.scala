@@ -214,6 +214,49 @@ class StreamingSpec extends SparkTestBase {
       .sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("streaming patchify: tiles stream per micro-batch and equal the batch operator") {
+    // the multimodal geometry op is stateless map-only column
+    // expressions, so it composes into readStream → transform →
+    // writeStream UNCHANGED — the streamed tile table must equal
+    // running Multimodal.patchGrid over the same rows in batch
+    import org.apache.spark.sql.types._
+    import graft.operators.Multimodal
+    val src = tmpDir("graft-patch-src")
+    val ckpt = tmpDir("graft-patch-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-patch-wh"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    def payload(seed: Int, n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(i => ((i * 31 + seed) % 251).toByte)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val tiles = Multimodal.patchGrid(stream, rowBytes = 32, patch = 8)
+      val q = Sinks.icebergLike(tiles, cat, "db", "tiles", ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    import spark.implicits._
+    val b1 = Seq((1L, payload(1, 600)), (2L, payload(2, 100))) // doc 2: no tiles
+    val b2 = Seq((3L, payload(3, 300)))
+    b1.toDF("doc_id", "payload").write.mode("append").parquet(src)
+    run()
+    b2.toDF("doc_id", "payload").write.mode("append").parquet(src)
+    run()
+
+    val streamed = cat.read("db", "tiles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    val batch = Multimodal.patchGrid(
+        (b1 ++ b2).toDF("doc_id", "payload"), rowBytes = 32, patch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed tiles (${streamed.size}) != batch tiles (${batch.size})")
+    assert(!streamed.exists(_._1 == 2L), "sub-tile payload must crop to nothing")
+  }
+
   test("partitioned parquet sink derives the connector's path format") {
     // 2024-01-05 07:09:11 UTC → year=2024/month=01/day=05/hour=07
     val ts = java.time.Instant.parse("2024-01-05T07:09:11Z").toEpochMilli
