@@ -94,6 +94,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Bitext-style margin mining (Artetxe & Schwenk, ACL 2019): align
+    * two embedding collections (languages, modalities, snapshots) by
+    * scoring each A-vector's best B-neighbor with the MARGIN criterion
+    * — cos(x,y) divided by the mean of both sides' top-k neighborhood
+    * similarities — which cancels hubness: a y that is everyone's
+    * near-neighbor has a high backward mean and its margins deflate,
+    * where raw cosine would pair half of A to it. The standard mined-
+    * parallel-corpus filter for multilingual training data.
+    *
+    * Output: (a_id, b_id, sim, margin) — each A's forward top-1 B,
+    * margin-ranked, top `topN` overall. Ranking runs on the rounded
+    * margin with an a_id tie-break (deterministic across engines);
+    * sims are the [[knnExact]] 4-decimal outputs, so the neighborhood
+    * means average the same grid values in both engines.
+    *
+    * Scale posture: this entry point scores exactly (two [[knnExact]]
+    * passes — the small-side-broadcast correctness baseline, guarded
+    * by `maxExactPairs`); at corpus scale swap the two passes for
+    * [[knnLsh]]/[[knnIvf]] candidates — the margin arithmetic
+    * downstream is unchanged (k rows per vector, two bounded
+    * aggregations, one TakeOrdered; no global sort).
+    */
+  def bitextMarginPairs(vecsA: DataFrame, vecsB: DataFrame, k: Int,
+      topN: Int, idCol: String = "vec_id"): DataFrame = {
+    val fwd = knnExact(vecsA, vecsB, k, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = knnExact(vecsB, vecsA, k, idCol)
+    val fm = fwd.groupBy("query_id").agg(avg("sim").as("fm"))
+    val bm = bwd.groupBy("query_id").agg(avg("sim").as("bm"))
+    fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("sim"))
+      .join(fm.withColumnRenamed("query_id", "a_id"), "a_id")
+      .join(bm.withColumnRenamed("query_id", "b_id"), "b_id")
+      .select(col("a_id"), col("b_id"), col("sim"),
+        round(col("sim") / ((col("fm") + col("bm")) / 2), 4).as("margin"))
+      .orderBy(col("margin").desc, col("a_id"))
+      .limit(topN)
+  }
+
   /** Near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *
     * With `candidates = None` this is the EXACT all-pairs baseline —

@@ -2667,6 +2667,51 @@ object TrainingData {
       |SELECT label, vec_id, sim FROM r WHERE rk <= 10
       |ORDER BY label, sim, vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- e14
+  // Bitext-style margin mining (Artetxe & Schwenk 2019): align the
+  // label<5 half of the embedding table against the label>=5 half by
+  // the margin criterion — cos(x,y) over the mean of both sides'
+  // top-4 neighborhood sims, which cancels hubness where raw cosine
+  // pairs half the corpus to one hub. Exact two-pass kNN here (the
+  // correctness baseline; the ANN passes swap in at scale — operator
+  // scaladoc); ranking on the rounded margin with an a_id tie-break.
+  private def e14(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bitextMarginPairs(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        k = 4, topN = 50)
+      .orderBy(col("margin").desc, col("a_id"))
+  }
+
+  private val e14Sql =
+    """WITH a AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE label < 5
+      |), b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE label >= 5
+      |), s AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         list_cosine_similarity(a.e, b.e) AS sraw
+      |  FROM a, b
+      |), fwd AS (
+      |  SELECT a_id, b_id, round(sraw, 4) AS sr,
+      |    row_number() OVER (PARTITION BY a_id ORDER BY sraw DESC, b_id) AS rk
+      |  FROM s
+      |), fm AS (SELECT a_id, avg(sr) AS m FROM fwd WHERE rk <= 4 GROUP BY 1),
+      |bwd AS (
+      |  SELECT a_id, b_id, round(sraw, 4) AS sr,
+      |    row_number() OVER (PARTITION BY b_id ORDER BY sraw DESC, a_id) AS rk
+      |  FROM s
+      |), bm AS (SELECT b_id, avg(sr) AS m FROM bwd WHERE rk <= 4 GROUP BY 1),
+      |cand AS (SELECT a_id, b_id, sr FROM fwd WHERE rk = 1),
+      |sc AS (
+      |  SELECT c.a_id, c.b_id, c.sr AS sim,
+      |         round(c.sr / ((fm.m + bm.m) / 2), 4) AS margin
+      |  FROM cand c JOIN fm USING (a_id) JOIN bm USING (b_id))
+      |SELECT a_id, b_id, sim, margin FROM sc
+      |ORDER BY margin DESC, a_id LIMIT 50""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2726,6 +2771,7 @@ object TrainingData {
     QuerySpec("e11_ann_cross_polytope", e11, Some(annAuditSql(5, annFloors("e11")))),
     QuerySpec("e12_ann_index_serve", e12, Some(annAuditSql(5, annFloors("e12")))),
     QuerySpec("e13_centroid_outliers", e13, Some(e13Sql)),
+    QuerySpec("e14_bitext_margin", e14, Some(e14Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -1346,6 +1346,30 @@ class OperatorSpec extends SparkTestBase {
     assert(mid("small")._2 > 0.1 && mid("small")._2 < 0.5, s"mid-alpha: $mid")
   }
 
+  test("bitext margin: the exclusive pair outranks pairs to a hub neighbor") {
+    // y0 is a HUB: moderately similar to every x2..x6 — raw cosine
+    // would rank those pairs near the top; the margin criterion
+    // divides by the hub's inflated backward neighborhood mean, so the
+    // exclusive x1↔y1 match must win
+    val rnd = new scala.util.Random(13L)
+    val y1 = Array(1.0, 0.0, 0.0)
+    val hub = Array(0.5, 0.5, 0.5)
+    val x1 = Array(0.995, 0.1, 0.0)
+    val xs = (2L to 6L).map(i =>
+      (i, hub.map(_ + rnd.nextGaussian() * 0.08)))
+    val a = ((1L, x1) +: xs).toDF("vec_id", "embedding")
+    val b = Seq((100L, hub), (101L, y1),
+      (102L, Array(0.45, 0.55, 0.5)), (103L, Array(0.55, 0.45, 0.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bitextMarginPairs(a, b, k = 3, topN = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.head._1 == 1L && out.head._2 == 101L,
+      s"exclusive pair should rank first: ${out.mkString(",")}")
+    assert(out.tail.forall(_._3 < out.head._3),
+      s"hub pairs must not outrank the exclusive match: ${out.mkString(",")}")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
   test("centroid outliers: the planted far vector ranks first in its group") {
     // group A: 30 vectors near +x, one planted at -x (the outlier);
     // group B: vectors near +y — must not absorb A's outlier
