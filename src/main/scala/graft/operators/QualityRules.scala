@@ -82,6 +82,118 @@ object QualityRules {
       r => ruleCols(r.getField("t"), r.getField("tk"), minWords, maxWords,
         minStopHits).last._2), 1)
 
+  /** Gopher REPETITION signals (Rae et al. 2021, App. A1.1
+    * "repetition removal" — the half of the Gopher gate [[gopher]]
+    * does not cover): per document,
+    *
+    *  - `top{topN}gram_chars` — characters covered by the single most
+    *    covering word topN-gram, max over grams of
+    *    `count × charlen(gram)` (charlen includes the joining spaces,
+    *    matching the character base below). Taking the max of the
+    *    COVERAGE product rather than argmax-count-then-length makes
+    *    the metric deterministic without a tie-break protocol — ties
+    *    in count resolve by what the rule actually cares about,
+    *    characters covered.
+    *  - `dup{dupN}gram_chars` — characters covered by ALL occurrences
+    *    of duplicated dupN-grams (`Σ count × charlen` over grams with
+    *    count > 1). Overlapping windows overlap in coverage, so the
+    *    fraction may exceed 1 on degenerate input — kept unclipped so
+    *    the metric stays a sum of exact integer products.
+    *  - fractions of `stream_chars` (the space-joined token stream —
+    *    punctuation-independent, identical in both engines), rounded
+    *    for display; the keep VERDICTS are integer cross-multiplied
+    *    against basis-point thresholds (`chars × 10000 ≤ bp × stream`)
+    *    — the same FP discipline as [[gopher]].
+    *
+    * Threshold defaults follow the paper's bands (top-2-gram ≤ 0.20,
+    * dup-5-gram ≤ 0.15), expressed in basis points.
+    *
+    * Scale shape: tokens materialize once; each n-gram family is one
+    * `explode` → (doc_id, gram) count with map-side partials → one
+    * doc_id aggregation. Per-doc state is gram counts, never text;
+    * nothing touches the driver. Line/paragraph-level duplicate
+    * signals live in [[lineRepetition]] (newline-bearing corpora).
+    */
+  def repetition(docsDf: DataFrame,
+                 topN: Int = 2,
+                 dupN: Int = 5,
+                 maxTopBp: Long = 2000,
+                 maxDupBp: Long = 1500): DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"),
+        length(concat_ws(" ", col("toks"))).cast("long").as("stream_chars"),
+        col("toks"))
+
+    // Spark's sequence(1, stop) counts DOWN when stop < 1 ([1, 0]) —
+    // a short doc must produce an explicitly empty index array, not a
+    // descending one that drives slice(start = 0) into an error.
+    def gramIdx(n: Int): Column =
+      when(size(col("toks")) >= n,
+        sequence(lit(1), size(col("toks")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+
+    def gramCoverage(n: Int, agg: Column => Column, as: String): DataFrame =
+      base
+        .select(col("doc_id"), explode(transform(gramIdx(n),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(agg(col("c") * length(col("gram")).cast("long")).as(as))
+
+    val top = gramCoverage(topN, max, "top_chars")
+    val dup = gramCoverage(dupN,
+      c => sum(when(col("c") > 1, c).otherwise(0L)), "dup_chars")
+
+    // Docs with fewer than n words emit no grams — left joins restore
+    // them with 0 coverage (an empty doc repeats nothing).
+    val safe = greatest(col("stream_chars"), lit(1L))
+    base.select("doc_id", "n_words", "stream_chars")
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("stream_chars"),
+        coalesce(col("top_chars"), lit(0L)).as("top_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .select(col("doc_id"), col("n_words"), col("stream_chars"),
+        col("top_chars"), col("dup_chars"),
+        round(col("top_chars") / safe, 4).as(s"top${topN}gram_frac"),
+        round(col("dup_chars") / safe, 4).as(s"dup${dupN}gram_frac"),
+        (col("top_chars") * 10000L <= lit(maxTopBp) * safe).as("r_top"),
+        (col("dup_chars") * 10000L <= lit(maxDupBp) * safe).as("r_dup"))
+      .withColumn("keep", col("r_top") && col("r_dup"))
+  }
+
+  /** Duplicate line / paragraph fractions (the remaining App. A1.1
+    * signals) for newline-bearing corpora: the count fraction of
+    * non-empty trimmed lines (paragraphs = blank-line-separated runs)
+    * that are repeats of an earlier one, and the char fraction those
+    * repeats cover. Map-only — every metric is an array expression
+    * over one `split`, no shuffle at all (duplicate detection is
+    * `array_distinct` against the full list, per row).
+    */
+  def lineRepetition(docsDf: DataFrame): DataFrame = {
+    def stats(unit: Column, prefix: String): Seq[(String, Column)] = {
+      val dist = array_distinct(unit)
+      val n = size(unit).cast("long")
+      val nd = size(dist).cast("long")
+      val chars = aggregate(unit, lit(0L), (acc, x) => acc + length(x))
+      val charsD = aggregate(dist, lit(0L), (acc, x) => acc + length(x))
+      val safeN = greatest(n, lit(1L))
+      val safeC = greatest(chars, lit(1L))
+      Seq(
+        s"n_${prefix}s" -> n,
+        s"dup_${prefix}_frac" -> round((n - nd) / safeN, 4),
+        s"dup_${prefix}_char_frac" -> round((chars - charsD) / safeC, 4))
+    }
+    val lines = filter(transform(split(col("text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    // paragraphs: blank-line-separated runs; any newline run >= 2 splits
+    val paras = filter(transform(split(col("text"), "\n\\s*\n"),
+      p => trim(p)), p => p =!= "")
+    val cols = stats(lines, "line") ++ stats(paras, "para")
+    docsDf.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
   // Every metric and verdict from a text column and its MATERIALIZED
   // token array — shared by gopher() (attribute inputs) and
   // keepColumn() (lambda-bound inputs). Ordered; `keep` is last.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns.asDouble
-import graft.functions.expressions.{CentroidOps, DotProduct, SignBuckets}
+import graft.functions.expressions.{CentroidOps, DotProduct, SignBuckets, Sq8}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -715,6 +715,56 @@ object Similarity {
       .select(col("id").as(idCol),
         coalesce(col("component"), col("id")).as("component"),
         coalesce(col("keep_doc"), lit(1L)).as("keep"))
+  }
+
+  /** SQ8 flat-scan ANN (the FAISS `SQ8` flat index, public
+    * architecture): L2-normalize once, quantize each coordinate to a
+    * signed byte ([[graft.functions.expressions.Sq8Encode]] — 64-dim
+    * vector → 64-byte `binary` code, a 4× cut in scan bandwidth vs
+    * float32), score every corpus code against each broadcast query
+    * code with the integer dot ([[graft.functions.expressions.Sq8Dot]],
+    * a primitive `byte[]` loop in WholeStageCodegen), then exact-rerank
+    * the top-`rerank` candidates per query on the full-precision unit
+    * vectors — the same rerank-depth rule as [[Pq.knnPq]].
+    *
+    * Where it sits in the ANN lineup: unlike LSH/IVF/PQ it prunes
+    * nothing — every vector is scored — so recall loss comes ONLY from
+    * int8 rounding inside the candidate cut (per-coordinate error
+    * ≤ 1/254 on unit vectors), making it the highest-recall/simplest
+    * index here and the standard first stop when the corpus fits the
+    * scan budget. At 100 TB the byte codes are the column you actually
+    * scan (the float vectors stay parquet-pruned until the tiny rerank
+    * join touches Q×rerank of them); compose with [[randomProject]] or
+    * an IVF cell restriction when even the byte scan is too wide.
+    *
+    * Output shape matches [[knnExact]]: (query_id, rank, neighbor_id,
+    * sim), sims from the exact rerank pass.
+    */
+  def knnSq8(vecs: DataFrame, k: Int, queryFilter: Column,
+      rerank: Int = 50, idCol: String = "vec_id"): DataFrame = {
+    Sq8.register(vecs.sparkSession)
+    // lazy persist (consumed by the code scan AND the rerank joins),
+    // released by CacheHygiene — the annFromBuckets contract
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coded = unit.select(col("id"), Sq8.encode(col("uv")).as("code"))
+    val queries = broadcast(coded.filter(queryFilter)
+      .select(col("id").as("query_id"), col("code").as("qcode")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("iscore").desc, col("neighbor_id"))
+    val cands = coded.withColumnRenamed("id", "neighbor_id")
+      .join(queries, col("query_id") =!= col("neighbor_id"))
+      .withColumn("iscore", Sq8.dot(col("qcode"), col("code")))
+      .withColumn("r", row_number().over(wa))
+      .filter(col("r") <= math.max(rerank, k))
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(unit.select(col("id").as("query_id"), col("uv").as("qv")),
+        Seq("query_id"))
+      .join(unit.select(col("id").as("neighbor_id"), col("uv").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored, k)
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

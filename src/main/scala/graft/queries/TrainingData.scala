@@ -770,7 +770,10 @@ object TrainingData {
     */
   private[graft] val annFloors: Map[String, Double] = Map(
     "e03" -> 0.70, "e04" -> 0.55, "e08" -> 0.65, "e09" -> 0.60,
-    "e10" -> 0.65, "e11" -> 0.75, "e12" -> 0.60)
+    "e10" -> 0.65, "e11" -> 0.75, "e12" -> 0.60,
+    // e15 scans everything (no bucket pruning) — int8 rounding is its
+    // only recall loss, so the floor sits near 1 (AnnRecall table).
+    "e15" -> 0.90)
 
   private def annAudit(s: SparkSession, dir: String, ann: DataFrame,
       k: Int, floor: Double): DataFrame = {
@@ -2712,6 +2715,88 @@ object TrainingData {
       |SELECT a_id, b_id, sim, margin FROM sc
       |ORDER BY margin DESC, a_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  // Gopher repetition signals (QualityRules.repetition): per-doc char
+  // coverage of the most covering word 2-gram and of all duplicated
+  // n-grams, with integer cross-multiplied keep verdicts — the App.
+  // A1.1 repetition-removal half that t17 (token-level) and t37 (the
+  // readability rules) do not cover. Two explode→count aggregations,
+  // both with map-side partials; per-doc state is gram counts.
+  // dupN pinned to 3 HERE (operator default 5, the paper's band):
+  // this corpus's short docs never repeat a 5-gram at any SF, so the
+  // paper default would drive the dup rule through the oracle as a
+  // constant; at n=3 / 0.10 both verdicts discriminate (sf0.01:
+  // 13 docs fail r_top, 5 fail r_dup).
+  private def t46(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.repetition(docs(s, dir), dupN = 3,
+      maxDupBp = 1000).orderBy("doc_id")
+
+  private val t46Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+      |         CAST(strlen(array_to_string(ts, ' ')) AS BIGINT) AS stream_chars,
+      |         ts
+      |  FROM toks
+      |), i2 AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+      |  FROM base
+      |), c2 AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram, count(*) AS c
+      |  FROM i2 GROUP BY 1, 2
+      |), a2 AS (
+      |  SELECT doc_id, max(c * CAST(strlen(gram) AS BIGINT)) AS top_chars
+      |  FROM c2 GROUP BY 1
+      |), i3 AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM base
+      |), c3 AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram,
+      |         count(*) AS c
+      |  FROM i3 GROUP BY 1, 2
+      |), a3 AS (
+      |  SELECT doc_id,
+      |         CAST(coalesce(sum(CASE WHEN c > 1
+      |                           THEN c * strlen(gram) END), 0) AS BIGINT)
+      |           AS dup_chars
+      |  FROM c3 GROUP BY 1
+      |)
+      |SELECT b.doc_id, b.n_words, b.stream_chars,
+      |  CAST(coalesce(a2.top_chars, 0) AS BIGINT) AS top_chars,
+      |  CAST(coalesce(a3.dup_chars, 0) AS BIGINT) AS dup_chars,
+      |  round(coalesce(a2.top_chars, 0) * 1.0
+      |        / greatest(b.stream_chars, 1), 4) AS top2gram_frac,
+      |  round(coalesce(a3.dup_chars, 0) * 1.0
+      |        / greatest(b.stream_chars, 1), 4) AS dup3gram_frac,
+      |  coalesce(a2.top_chars, 0) * 10000
+      |    <= 2000 * greatest(b.stream_chars, 1) AS r_top,
+      |  coalesce(a3.dup_chars, 0) * 10000
+      |    <= 1000 * greatest(b.stream_chars, 1) AS r_dup,
+      |  (coalesce(a2.top_chars, 0) * 10000
+      |     <= 2000 * greatest(b.stream_chars, 1))
+      |  AND (coalesce(a3.dup_chars, 0) * 10000
+      |     <= 1000 * greatest(b.stream_chars, 1)) AS keep
+      |FROM base b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- e15
+  // SQ8 flat-scan ANN (Similarity.knnSq8): byte-quantized codes scanned
+  // with the integer-dot expression, exact rerank of the top 50.
+  // Prunes nothing — recall loss is int8 rounding only — so its floor
+  // sits well above the bucketed families'. Audited vs exact kNN like
+  // every ANN query.
+  private[graft] def e15Raw(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnSq8(embs(s, dir), k = 5, queryFilter = col("id") < 50,
+      rerank = 50)
+
+  private def e15(s: SparkSession, dir: String): DataFrame =
+    annAudit(s, dir, e15Raw(s, dir), k = 5, floor = annFloors("e15"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2758,6 +2843,7 @@ object TrainingData {
     QuerySpec("t43_ngram_novelty", t43, Some(t43Sql)),
     QuerySpec("t44_mixture_temperature", t44, Some(t44Sql)),
     QuerySpec("t45_novelty_incremental", t45, Some(t45Sql)),
+    QuerySpec("t46_repetition_ngrams", t46, Some(t46Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -2772,6 +2858,7 @@ object TrainingData {
     QuerySpec("e12_ann_index_serve", e12, Some(annAuditSql(5, annFloors("e12")))),
     QuerySpec("e13_centroid_outliers", e13, Some(e13Sql)),
     QuerySpec("e14_bitext_margin", e14, Some(e14Sql)),
+    QuerySpec("e15_ann_sq8", e15, Some(annAuditSql(5, annFloors("e15")))),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

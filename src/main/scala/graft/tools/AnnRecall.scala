@@ -29,7 +29,8 @@ object AnnRecall {
       "e09" -> (TrainingData.e09Raw _),
       "e10" -> (TrainingData.e10Raw _),
       "e11" -> (TrainingData.e11Raw _),
-      "e12" -> (TrainingData.e12Raw _))
+      "e12" -> (TrainingData.e12Raw _),
+      "e15" -> (TrainingData.e15Raw _))
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()

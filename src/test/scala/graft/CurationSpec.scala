@@ -81,6 +81,59 @@ class CurationSpec extends SparkTestBase {
 
   // -------------------------------------------------------- winnowing
 
+  // ------------------------------------------------------- repetition
+
+  test("repetition: hand-computed n-gram coverage and verdicts") {
+    // tokens: "a b a b c" → 2-grams: "a b"(2), "b a"(1), "b c"(1);
+    // top coverage = 2 × len("a b") = 2×3 = 6; stream = "a b a b c" (9)
+    // 3-grams: "a b a", "b a b", "a b c" — all unique → dup = 0
+    val out = QualityRules.repetition(
+      Seq((1L, "a b a b c")).toDF("doc_id", "text"),
+      dupN = 3, maxDupBp = 1000).collect().head
+    assert(out.getAs[Long]("n_words") === 5L)
+    assert(out.getAs[Long]("stream_chars") === 9L)
+    assert(out.getAs[Long]("top_chars") === 6L)
+    assert(out.getAs[Long]("dup_chars") === 0L)
+    assert(out.getAs[Double]("top2gram_frac") === 0.6667)
+    // 0.6667 > the 0.20 band → r_top fails, keep false
+    assert(!out.getAs[Boolean]("r_top") && out.getAs[Boolean]("r_dup"))
+    assert(!out.getAs[Boolean]("keep"))
+  }
+
+  test("repetition: duplicated dupN-gram coverage counts every occurrence") {
+    // "x y z w v" twice → the five 3-grams spanning the repeat junction
+    // appear once, the three inside each copy twice. dup coverage =
+    // Σ c·len over grams with c=2 = 2·(5+5+5) = 30; stream = 19 chars.
+    val out = QualityRules.repetition(
+      Seq((1L, "x y z w v x y z w v")).toDF("doc_id", "text"),
+      dupN = 3, maxDupBp = 1000).collect().head
+    assert(out.getAs[Long]("dup_chars") === 30L)
+    assert(!out.getAs[Boolean]("r_dup"))
+  }
+
+  test("repetition: docs shorter than n words emit 0 coverage, keep=true") {
+    val out = QualityRules.repetition(
+      Seq((1L, "one")).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("top_chars") === 0L)
+    assert(out.getAs[Long]("dup_chars") === 0L)
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("lineRepetition: duplicate line and paragraph fractions") {
+    val text = "alpha beta\nalpha beta\ngamma\n\npara one\n\npara one"
+    // lines: [alpha beta, alpha beta, gamma, para one, para one] → 5,
+    // distinct 3 → dup_line_frac (5-3)/5 = 0.4; line chars 41, distinct
+    // 23 → char frac 18/41 = 0.439. paragraphs: [alpha beta\nalpha
+    // beta\ngamma, para one, para one] → 3, distinct 2 → frac 1/3.
+    val out = QualityRules.lineRepetition(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("n_lines") === 5L)
+    assert(out.getAs[Double]("dup_line_frac") === 0.4)
+    assert(out.getAs[Double]("dup_line_char_frac") === 0.439)
+    assert(out.getAs[Long]("n_paras") === 3L)
+    assert(out.getAs[Double]("dup_para_frac") === 0.3333)
+  }
+
   test("winnowing: shared substring of length k+w-1 guarantees a shared fp") {
     // Paper guarantee: any common substring of length >= k + w - 1
     // (= 11 at k=8, w=4) produces at least one common selected hash.
