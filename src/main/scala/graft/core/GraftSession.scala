@@ -25,8 +25,8 @@ object GraftSession {
     * loop, and the curation/media/text scalars (`graft_gopher_pass`,
     * `graft_winnow_digest`, `graft_cdc_cuts`, `graft_ahash64`,
     * `graft_lang_id`, `graft_quality_score`, `graft_token_count`,
-    * `graft_fingerprint`) — so `spark.sql` users get them without
-    * touching the Scala API.
+    * `graft_fingerprint`, `graft_sq8_encode`, `graft_sq8_dot`) — so
+    * `spark.sql` users get them without touching the Scala API.
     * (The optimizer rule is separate: register
     * `graft.plans.GraftExtensions` via `spark.sql.extensions`.)
     */

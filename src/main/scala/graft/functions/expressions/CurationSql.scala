@@ -35,8 +35,10 @@ object CurationSql {
   val TokenCountFn = "graft_token_count"
   val FingerprintFn = "graft_fingerprint"
 
-  /** Idempotent registry hookup for all eight functions above (the
-    * four curation/media kernels plus the four text-analysis scalars).
+  /** Idempotent registry hookup for the functions above (the four
+    * curation/media kernels plus the four text-analysis scalars), and
+    * the two SQ8 vector-codec functions ([[Sq8]]'s names — registered
+    * here too so the SQL bridge gets them without a separate call).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -72,6 +74,11 @@ object CurationSql {
         graft.functions.TextFns.tokens(c(es(0)))).cast("long")))
     reg(FingerprintFn, es => PlanExec.expressionOf(
       graft.functions.TextFns.fingerprint(c(es(0)))))
+    // the SQ8 codec (e15's kernels): raw-Expression builders, same
+    // names Sq8.register installs — whichever runs first wins, both
+    // build identical trees
+    reg(Sq8.EncodeFnName, es => Sq8Encode(es(0)))
+    reg(Sq8.DotFnName, es => Sq8Dot(es(0), es(1)))
   }
 }
 

@@ -2727,9 +2727,15 @@ object TrainingData {
   // paper default would drive the dup rule through the oracle as a
   // constant; at n=3 / 0.10 both verdicts discriminate (sf0.01:
   // 13 docs fail r_top, 5 fail r_dup).
+  // The top_chars-range predicate is semantically a no-op (coverage is
+  // never negative or null after the coalesce) but it REFERENCES the
+  // gram-aggregation joins' right side, so the bench's count() cannot
+  // eliminate the left-outer joins through the distinct-key rule and
+  // measure only the base scan — the t43 lesson (SCALING.md bench-
+  // protocol note); without it this query benches at 59 shuffle bytes.
   private def t46(s: SparkSession, dir: String): DataFrame =
     graft.operators.QualityRules.repetition(docs(s, dir), dupN = 3,
-      maxDupBp = 1000).orderBy("doc_id")
+      maxDupBp = 1000).filter(col("top_chars") >= 0).orderBy("doc_id")
 
   private val t46Sql =
     """WITH toks AS (

@@ -461,6 +461,43 @@ class EngineSpec extends SparkTestBase {
     assert(got.size == expected.size)
   }
 
+  test("sqlQuery: graft_sq8_encode/dot round-trip a unit vector in raw SQL") {
+    graft.core.GraftSession.registerFunctions(spark)
+    // self-dot of the encoded unit vector ≈ 127² · ‖u‖² = 16129, off
+    // only by int8 rounding — pin the EXACT value the Column API gives
+    val out = engine.sqlQuery(
+      s"""SELECT vec_id,
+         |  graft_sq8_dot(graft_sq8_encode(u), graft_sq8_encode(u)) AS d
+         |FROM (
+         |  SELECT vec_id,
+         |    transform(e, x -> x / sqrt(graft_dot(e, e))) AS u
+         |  FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e
+         |        FROM parquet.`$sf0001/embeddings.parquet`
+         |        WHERE vec_id < 10))
+         |ORDER BY vec_id""".stripMargin)
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.{DotProduct, Sq8}
+    Sq8.register(spark); DotProduct.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"),
+        transform(col("e"), x => x / sqrt(DotProduct.dot(col("e"), col("e"))))
+          .as("u"))
+    val expected = e.select(col("vec_id"),
+      Sq8.dot(Sq8.encode(col("u")), Sq8.encode(col("u"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = """\{"vec_id":(\d+),"d":(\d+)\}""".r
+      .findAllMatchIn(out)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+    assert(got == expected, s"sq8 self-dots diverged: $got vs $expected")
+    // sanity: every self-dot sits near 127²·‖u‖² = 16129. Rounding
+    // noise on the cross-term 2·127·uᵢ·δᵢ (|δᵢ| ≤ ½) has per-vector
+    // σ = √(254²/12 · Σuᵢ²) ≈ 73 at any dim, so 4σ ≈ 300 is a loose
+    // statistical envelope (sf0.001 actual max |Δ| = 124).
+    assert(expected.values.forall(d => math.abs(d - 16129L) <= 300L))
+  }
+
   test("sqlQuery: graft_winnow_digest equals fingerprints' fp_digest") {
     graft.core.GraftSession.registerFunctions(spark)
     val out = engine.sqlQuery(
