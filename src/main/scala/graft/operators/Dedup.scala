@@ -98,6 +98,45 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-group shingle-overlap matrix: for every pair of corpus
+    * groups (sources, dumps, snapshots), the number of distinct word
+    * n-grams they share and the group-level Jaccard — the standard
+    * inter-source contamination / duplication audit run before mixing
+    * corpora into a training set (which sources are re-crawls of each
+    * other, which benchmark split leaked into which dump).
+    *
+    * Scale shape: one explode → distinct on (group, shingle-hash) —
+    * the only data-sized shuffle — then a self-join keyed on the
+    * 8-byte hash whose fan-out per shingle is bounded by #groups², and
+    * an aggregation into a #groups²-row matrix; the per-group size
+    * joins broadcast. Nothing scales with document count after the
+    * distinct. Hash collisions can merge two shingles across the
+    * matrix at the same ~3e-8 birthday bound [[ngramJaccard]] accepts.
+    *
+    * Output: (src_a, src_b, n_common, n_a, n_b, jaccard), a < b,
+    * pairs that share at least one shingle.
+    */
+  def groupOverlap(docs: DataFrame, groupCol: String = "source",
+      n: Int = 3): DataFrame = {
+    val g = cached(docs
+      .select(col(groupCol).as("grp"), TextFns.tokens(col("text")).as("_toks"))
+      .select(col("grp"),
+        explode(TextFns.shinglesFromTokens(col("_toks"), n)).as("shingle"))
+      .select(col("grp"), xxhash64(col("shingle")).as("sh"))
+      .distinct())
+    val sizes = g.groupBy("grp").agg(count(lit(1)).as("n_sh"))
+    g.as("x").join(g.as("y"),
+        col("x.sh") === col("y.sh") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("src_a"), col("y.grp").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("grp").as("src_a"), col("n_sh").as("n_a")), "src_a")
+      .join(sizes.select(col("grp").as("src_b"), col("n_sh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")),
+          4).as("jaccard"))
+  }
+
   /** Incremental (one-sided) n-gram Jaccard: near-dup pairs between a
     * NEW batch of documents and an EXISTING corpus — the daily-ingest
     * dedup shape. Mining the full corpus pair graph per batch would be

@@ -767,6 +767,112 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` items that are relevant to the
+    * query but diverse among themselves —
+    * `argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the standard
+    * diversity-aware data-selection / prompt-example-selection pass
+    * over an embedding corpus.
+    *
+    * Determinism across engines: similarities are snapped to a
+    * basis-point grid (`round(sim·10⁴)` as int64) BEFORE the score
+    * arithmetic, and λ enters as the integer pair `lamNum/lamDen`, so
+    * every score is an exact integer in 1e-5 units (`score_e5 =
+    * lamNum·sq − (lamDen−lamNum)·max-sim`, empty-set diversity term
+    * = 0) and ties break on the candidate id — no float noise can
+    * reorder a pick between this and the SQL restatement.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, and
+    * that is the WHOLE driver footprint — each of the k rounds is one
+    * distributed scan of the candidates computing ≤|S| codegen'd dots
+    * against BROADCAST selected vectors (k×dim doubles riding the
+    * closure) followed by a TakeOrdered(1); one row returns per round.
+    * The query-side similarity `sq` is computed once and persisted
+    * (lazy, released by CacheHygiene — the annFromBuckets contract).
+    * At 100 TB: k scans of a byte-prunable cached column set, zero
+    * shuffles after the persist materializes.
+    */
+  def mmrSelect(vecs: DataFrame, queryId: Long, k: Int,
+      lamNum: Int = 7, lamDen: Int = 10,
+      idCol: String = "vec_id"): DataFrame = {
+    require(lamNum > 0 && lamNum <= lamDen, s"need 0 < λ ≤ 1, got $lamNum/$lamDen")
+    val spark = vecs.sparkSession
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+    val qv = unit.filter(col("id") === queryId).select("uv")
+      .head().getSeq[Double](0)
+    def bp(c: Column): Column = round(c * 10000d, 0).cast("long")
+    val cand = unit.filter(col("id") =!= queryId)
+      .select(col("id"), col("uv"),
+        bp(DotProduct.dot(col("uv"), typedlit(qv))).as("sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double])]
+    while (picked.size < k) {
+      val remaining =
+        if (picked.isEmpty) cand
+        else cand.filter(!col("id").isInCollection(picked.map(_._1)))
+      val score =
+        if (picked.isEmpty) col("sq") * lamNum
+        else {
+          val dots = picked.map(s => bp(DotProduct.dot(col("uv"), typedlit(s._3))))
+          val mx = if (dots.size == 1) dots.head else greatest(dots.toSeq: _*)
+          col("sq") * lamNum - mx * (lamDen - lamNum)
+        }
+      val row = remaining.withColumn("score", score)
+        .orderBy(col("score").desc, col("id"))
+        .select("id", "score", "uv").head()
+      picked += ((row.getLong(0), row.getLong(1), row.getSeq[Double](2)))
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s, _), i) => (i + 1L, id, s) }
+      .toDF("step", idCol, "score_e5")
+  }
+
+  /** Leave-one-out kNN label-consistency audit (the label-noise /
+    * mislabel-detection pass of Confident-Learning-style data quality,
+    * Northcutt et al. 2021, on the public kNN-agreement formulation):
+    * each query vector's k nearest neighbors (self excluded) vote with
+    * their labels; the majority label (count desc, label asc — a
+    * deterministic tie-break) is compared against the vector's own.
+    *
+    * Output per query vector: (idCol, own label, predicted label, the
+    * winner's votes, the own label's votes among the k, and the
+    * `mislabeled` verdict). All counts are exact integers.
+    *
+    * Exactness posture: rides [[knnExact]] (broadcast query side,
+    * `maxExactPairs`-guarded) — the correctness baseline. At corpus
+    * scale swap the neighbor source for [[knnIvf]]/[[knnSq8]]
+    * candidates; the vote/verdict arithmetic downstream is unchanged
+    * (k rows per query, one bounded aggregation, one ≤k-row window).
+    */
+  def labelAudit(vecs: DataFrame, k: Int, queryFilter: Column,
+      idCol: String = "vec_id", labelCol: String = "label",
+      maxExactPairs: Long = DefaultMaxExactPairs): DataFrame = {
+    val labels = vecs.select(col(idCol), col(labelCol).cast("long").as(labelCol))
+    val nn = knnExact(vecs.filter(queryFilter), vecs, k, idCol, maxExactPairs)
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_lbl")), "neighbor_id")
+    val votes = nn.groupBy(col("query_id"), col("n_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("n_lbl"))
+    val pred = votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("query_id"), col("n_lbl").as("pred_label"),
+        col("votes").as("votes_pred"))
+    val own = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("own_label"))
+    val ownVotes = votes.join(own, Seq("query_id"))
+      .filter(col("n_lbl") === col("own_label"))
+      .select(col("query_id"), col("votes").as("votes_own"))
+    pred.join(own, Seq("query_id"))
+      .join(ownVotes, Seq("query_id"), "left")
+      .select(col("query_id").as(idCol), col("own_label"),
+        col("pred_label"), col("votes_pred"),
+        coalesce(col("votes_own"), lit(0L)).as("votes_own"),
+        (col("pred_label") =!= col("own_label")).as("mislabeled"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

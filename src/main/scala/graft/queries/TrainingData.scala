@@ -2803,6 +2803,104 @@ object TrainingData {
   private def e15(s: SparkSession, dir: String): DataFrame =
     annAudit(s, dir, e15Raw(s, dir), k = 5, floor = annFloors("e15"))
 
+  // ---------------------------------------------------------------- t47
+  // Cross-source shingle-overlap matrix (Dedup.groupOverlap): which
+  // sources share content, as distinct-3-gram intersection counts and
+  // group Jaccard — the pre-mixing contamination audit. The oracle
+  // restates the whole matrix over string shingles; the operator's
+  // xxhash64 index must produce identical counts (collision bound
+  // ~3e-8, the ngramJaccard standard).
+  private def t47(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.groupOverlap(docs(s, dir), groupCol = "source",
+      n = 3).orderBy("src_a", "src_b")
+
+  private val t47Sql =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT source, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_common, ca.n AS n_a, cb.n AS n_b,
+      |  round(n_common * 1.0 / (ca.n + cb.n - n_common), 4) AS jaccard
+      |FROM pairs JOIN cnt ca ON pairs.src_a = ca.source
+      |           JOIN cnt cb ON pairs.src_b = cb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------- e16
+  // MMR diverse top-10 for query vector 0 over the full corpus
+  // (λ = 7/10). Every score is an exact integer in 1e-5 units (sims
+  // snapped to basis points before the arithmetic), so the greedy
+  // trajectory is bit-stable across engines; the oracle replays it
+  // with a recursive CTE carrying the selected-id list.
+  private def e16(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(embs(s, dir), queryId = 0L, k = 10).orderBy("step")
+
+  private val e16Sql =
+    """WITH RECURSIVE
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS e,
+      |    CAST(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.e)
+      |               * 10000) AS BIGINT) AS sq
+      |  FROM embeddings c, q WHERE c.vec_id <> 0),
+      |sel(step, id, score, ids) AS (
+      |  (SELECT CAST(1 AS BIGINT), id, 7 * sq, [id] FROM cand
+      |   ORDER BY sq DESC, id LIMIT 1)
+      |  UNION ALL
+      |  (SELECT sel.step + 1, nxt.id, nxt.score, list_append(sel.ids, nxt.id)
+      |   FROM sel, LATERAL (
+      |     SELECT c.id AS id,
+      |       7 * c.sq - 3 * (SELECT max(CAST(round(
+      |           list_cosine_similarity(c.e, s.e) * 10000) AS BIGINT))
+      |         FROM cand s WHERE list_contains(sel.ids, s.id)) AS score
+      |     FROM cand c WHERE NOT list_contains(sel.ids, c.id)
+      |     ORDER BY score DESC, id LIMIT 1) nxt
+      |   WHERE sel.step < 10))
+      |SELECT step, id AS vec_id, score AS score_e5 FROM sel ORDER BY step""".stripMargin
+
+  // ---------------------------------------------------------------- e17
+  // Leave-one-out 5-NN label-consistency audit over the first 500
+  // query vectors (the exact baseline; ANN sources swap in at scale).
+  // On this corpus the labels are nearly neighborhood-independent
+  // (~90% disagreement) — which is exactly what the audit exists to
+  // measure and report, vector by vector.
+  private def e17(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelAudit(embs(s, dir), k = 5,
+      queryFilter = col("vec_id") < 500).orderBy("vec_id")
+
+  private val e17Sql =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS qid, q.label AS own, c.vec_id AS nid, c.label AS nl,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS s
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 500),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rk
+      |      FROM sims),
+      |v AS (SELECT qid, own, nl, CAST(count(*) AS BIGINT) AS votes
+      |      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |p AS (SELECT qid, own, nl, votes,
+      |        row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS pr
+      |      FROM v),
+      |ow AS (SELECT qid, votes AS votes_own FROM v WHERE nl = own)
+      |SELECT p.qid AS vec_id, CAST(p.own AS BIGINT) AS own_label,
+      |  CAST(p.nl AS BIGINT) AS pred_label, p.votes AS votes_pred,
+      |  coalesce(ow.votes_own, CAST(0 AS BIGINT)) AS votes_own,
+      |  p.nl <> p.own AS mislabeled
+      |FROM p LEFT JOIN ow ON p.qid = ow.qid
+      |WHERE p.pr = 1 ORDER BY vec_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -2850,6 +2948,7 @@ object TrainingData {
     QuerySpec("t44_mixture_temperature", t44, Some(t44Sql)),
     QuerySpec("t45_novelty_incremental", t45, Some(t45Sql)),
     QuerySpec("t46_repetition_ngrams", t46, Some(t46Sql)),
+    QuerySpec("t47_source_overlap", t47, Some(t47Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -2865,6 +2964,8 @@ object TrainingData {
     QuerySpec("e13_centroid_outliers", e13, Some(e13Sql)),
     QuerySpec("e14_bitext_margin", e14, Some(e14Sql)),
     QuerySpec("e15_ann_sq8", e15, Some(annAuditSql(5, annFloors("e15")))),
+    QuerySpec("e16_mmr_select", e16, Some(e16Sql)),
+    QuerySpec("e17_label_audit", e17, Some(e17Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -1417,4 +1417,65 @@ class OperatorSpec extends SparkTestBase {
       s"planted outlier should be farthest in A: ${out.mkString(",")}")
     graft.core.CacheHygiene.releaseAll(spark)
   }
+
+  test("mmr: an exact duplicate of the first pick loses to a diverse candidate") {
+    // query 0 at +x; candidate 1 most relevant; 2 an EXACT duplicate
+    // of 1 (only the id differs); 3 slightly less relevant but
+    // diverse. Pure relevance would pick (1, 2); at λ = 1/2 the
+    // duplicate's max-sim penalty (1.0) must hand step 2 to 3.
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.995, 0.0999, 0.0)),
+      (2L, Array(0.995, 0.0999, 0.0)),
+      (3L, Array(0.97, 0.0, 0.2431))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(vecs, queryId = 0L, k = 2,
+      lamNum = 1, lamDen = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L),
+      s"expected picks (1, 3): ${out.mkString(",")}")
+    // step 1 is pure relevance on the basis-point grid: 1·round(sim·1e4)
+    assert(out.head._3 > 9900L && out.head._3 <= 10000L)
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
+  test("label audit: the planted mislabel is flagged with a 0-vote own label") {
+    // cluster at +x labeled 0 (except vec 3, planted label 1) and
+    // cluster at +y labeled 1; with k = 2, vec 3's neighbors are 1, 2
+    // (both label 0) so its majority vote contradicts its own label
+    val vecs = Seq(
+      (1L, Array(1.0, 0.01, 0.0), 0),
+      (2L, Array(1.0, 0.02, 0.0), 0),
+      (3L, Array(1.0, 0.03, 0.0), 1),
+      (4L, Array(0.0, 1.0, 0.01), 1),
+      (5L, Array(0.0, 1.0, 0.02), 1),
+      (6L, Array(0.0, 1.0, 0.03), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelAudit(vecs, k = 2, queryFilter = lit(true))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(3L) == ((1L, 0L, 2L, 0L, true)),
+      s"planted mislabel: ${out(3L)}")
+    assert(!out(4L)._5 && !out(5L)._5 && !out(6L)._5)
+    // vec 1's neighbors are 2 (label 0) and 3 (label 1): a 1-1 tie
+    // breaks to the smaller label, agreeing with its own
+    assert(out(1L) == ((0L, 0L, 1L, 1L, false)), s"tie-break: ${out(1L)}")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
+  test("group overlap: shared shingles count once per source pair") {
+    val d = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c x y", "s2"),
+      (3L, "p q r s t", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.groupOverlap(d, groupCol = "source", n = 3).collect()
+    assert(out.length == 1, s"only s1-s2 overlap: ${out.mkString(",")}")
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("s1", "s2", 1L, 3L, 3L, 0.2)))
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
 }
