@@ -80,4 +80,64 @@ object NgramLm {
       .agg(sum("k").as("n_bigrams"),
         (sum(col("k") * col("nll")) / sum("k")).as("avg_nll"))
   }
+
+  /** Interpolated (Jelinek–Mercer) TRIGRAM scoring — the higher-order
+    * LM filter of the KenLM/CCNet lineage (Wenzek et al. 2020 score
+    * with a 5-gram; the interpolation-of-ML-orders backoff here is the
+    * textbook JM form, Jelinek & Mercer 1980):
+    * `p(w3|w1w2) = λ3·c123/c12 + λ2·c23/c2 + λ1·c3/N`.
+    *
+    * Every order marginalizes the SAME trigram event stream (c23 =
+    * occurrences of (w2,w3) as a trigram tail, c2 of w2 as the middle,
+    * c3 of w3 as the third slot, N the total trigram count), so each
+    * ML term normalizes to exactly 1 over its predicted word and the
+    * interpolation is a proper distribution for any λ simplex — and
+    * the whole model derives from ONE grouped count table.
+    *
+    * Scale shape: per-doc trigram multisets aggregate first (map-side
+    * partials; the raw position rows never shuffle), the four
+    * marginals are re-aggregations of the c123 table, and scoring is
+    * four key joins whose model sides shrink monotonically (c12 ⊂
+    * c123 …) — prune c123 with a min-count and every model table
+    * becomes broadcastable, the [[perplexityScores]] `minCount` story
+    * one order up. Scoring the training corpus itself means every doc
+    * trigram exists in c123, so no unseen-event floor is needed; the
+    * λ1 unigram term is the backoff for cross-corpus scoring.
+    */
+  def trigramScores(docs: DataFrame, l3: Double = 0.6, l2: Double = 0.3,
+      l1: Double = 0.1, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(math.abs(l1 + l2 + l3 - 1.0) < 1e-9, "λ must sum to 1")
+    val dt = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"),
+            element_at(col("ts"), i + 2).as("w3")))).as("t"))
+      .groupBy(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c123 = dt.groupBy("w1", "w2", "w3").agg(sum("k").as("c123"))
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val c23 = c123.groupBy("w2", "w3").agg(sum("c123").as("c23"))
+    val c2 = c123.groupBy("w2").agg(sum("c123").as("c2"))
+    val c3 = c123.groupBy("w3").agg(sum("c123").as("c3"))
+    val total = c123.agg(sum("c123").as("_n"))
+    val p = lit(l3) * (col("c123") / col("c12")) +
+      lit(l2) * (col("c23") / col("c2")) +
+      lit(l1) * (col("c3") / col("_n"))
+    dt.join(c123, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2"))
+      .join(c3, Seq("w3"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(p))
+      .groupBy(col(idCol))
+      .agg(sum("k").as("n_trigrams"),
+        (sum(col("k") * col("nll")) / sum("k")).as("avg_nll"))
+  }
 }

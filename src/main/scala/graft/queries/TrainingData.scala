@@ -2837,6 +2837,42 @@ object TrainingData {
       |           JOIN cnt cb ON pairs.src_b = cb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+  // Interpolated trigram LM (NgramLm.trigramScores, λ = .6/.3/.1):
+  // the higher-order CCNet-style filter. The oracle restates the
+  // whole model — trigram table, its four marginals, the same
+  // division-then-scale arithmetic — so the 4-decimal rounding rides
+  // the t27 argument (~1e-13 relative agreement on exact-integer
+  // ratios).
+  private def t48(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.trigramScores(docs(s, dir))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+
+  private val t48Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+      |        FROM toks WHERE len(ts) >= 3),
+      |dt AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3,
+      |         count(*) AS k
+      |       FROM pos GROUP BY 1, 2, 3, 4),
+      |c123 AS (SELECT w1, w2, w3, sum(k) AS c123 FROM dt GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c123 GROUP BY 1, 2),
+      |c23 AS (SELECT w2, w3, sum(c123) AS c23 FROM c123 GROUP BY 1, 2),
+      |c2g AS (SELECT w2, sum(c123) AS c2 FROM c123 GROUP BY 1),
+      |c3g AS (SELECT w3, sum(c123) AS c3 FROM c123 GROUP BY 1),
+      |nt AS (SELECT sum(c123) AS n FROM c123),
+      |sc AS (SELECT dt.doc_id, dt.k,
+      |         -ln(0.6 * (c123.c123 / c12.c12) + 0.3 * (c23.c23 / c2g.c2)
+      |             + 0.1 * (c3g.c3 / nt.n)) AS nll
+      |       FROM dt JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+      |               JOIN c23 USING (w2, w3) JOIN c2g USING (w2)
+      |               JOIN c3g USING (w3) CROSS JOIN nt)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+      |       round(sum(k * nll) / sum(k), 4) AS avg_nll
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e16
   // MMR diverse top-10 for query vector 0 over the full corpus
   // (λ = 7/10). Every score is an exact integer in 1e-5 units (sims
@@ -2949,6 +2985,7 @@ object TrainingData {
     QuerySpec("t45_novelty_incremental", t45, Some(t45Sql)),
     QuerySpec("t46_repetition_ngrams", t46, Some(t46Sql)),
     QuerySpec("t47_source_overlap", t47, Some(t47Sql)),
+    QuerySpec("t48_lm_trigram", t48, Some(t48Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -1465,6 +1465,19 @@ class OperatorSpec extends SparkTestBase {
     graft.core.CacheHygiene.releaseAll(spark)
   }
 
+  test("trigram LM: hand-computed JM interpolation on a two-word loop") {
+    // "a b a b a b" → 4 trigram events: (a,b,a)×2, (b,a,b)×2.
+    // Every ML term is 1 except the unigram (2/4), so each event has
+    // p = 0.6 + 0.3 + 0.1·0.5 = 0.95 and avg_nll = −ln(0.95).
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = graft.operators.NgramLm.trigramScores(d).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 4L)
+    assert(math.abs(out.head.getDouble(2) - (-math.log(0.95))) < 1e-12,
+      s"avg_nll ${out.head.getDouble(2)}")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
   test("group overlap: shared shingles count once per source pair") {
     val d = Seq(
       (1L, "a b c d e", "s1"),
