@@ -2873,6 +2873,35 @@ object TrainingData {
       |       round(sum(k * nll) / sum(k), 4) AS avg_nll
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  // Per-source Zipf/vocabulary health profile (CorpusStats
+  // .zipfProfile): exact token/vocab counts, modal token, and the
+  // ln-ln rank-frequency slope over each source's top-50 tokens. The
+  // oracle recomputes the regression with DuckDB's regr_slope (the
+  // same moment form).
+  private def t49(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.zipfProfile(docs(s, dir),
+      groupCol = "source", zipfK = 50).orderBy("source")
+
+  private val t49Sql =
+    s"""WITH tf AS (
+      |  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT source, unnest($duckToks) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+      |                                    ORDER BY f DESC, tok) AS r FROM tf),
+      |tot AS (SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+      |          CAST(count(*) AS BIGINT) AS n_vocab
+      |        FROM tf GROUP BY 1),
+      |top AS (SELECT source, tok AS top_token, f AS top_freq FROM rk WHERE r = 1),
+      |z AS (SELECT source, regr_slope(ln(f), ln(r)) AS zipf_slope
+      |      FROM rk WHERE r <= 50 GROUP BY 1)
+      |SELECT source, n_tokens, n_vocab,
+      |  round(n_vocab * 1.0 / n_tokens, 4) AS ttr,
+      |  top_token, top_freq, round(zipf_slope, 4) AS zipf_slope
+      |FROM tot JOIN top USING (source) JOIN z USING (source)
+      |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- e16
   // MMR diverse top-10 for query vector 0 over the full corpus
   // (λ = 7/10). Every score is an exact integer in 1e-5 units (sims
@@ -2986,6 +3015,7 @@ object TrainingData {
     QuerySpec("t46_repetition_ngrams", t46, Some(t46Sql)),
     QuerySpec("t47_source_overlap", t47, Some(t47Sql)),
     QuerySpec("t48_lm_trigram", t48, Some(t48Sql)),
+    QuerySpec("t49_corpus_stats", t49, Some(t49Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -1478,6 +1478,27 @@ class OperatorSpec extends SparkTestBase {
     graft.core.CacheHygiene.releaseAll(spark)
   }
 
+  test("zipf profile: 1/r corpus slopes near -1, uniform corpus near 0") {
+    // zipfy: token w_r appears floor(120/r) times (r = 1..20);
+    // uniform: 10 tokens, 12 occurrences each
+    val zipfy = (1 to 20).flatMap(r => Seq.fill(120 / r)(s"w$r")).mkString(" ")
+    val uniform = (1 to 10).flatMap(r => Seq.fill(12)(s"u$r")).mkString(" ")
+    val d = Seq((1L, zipfy, "zipfy"), (2L, uniform, "flat"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.CorpusStats.zipfProfile(d, "source", zipfK = 50)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    val (nTok, nVoc, topTok, topF, slope) = {
+      val t = out("zipfy"); (t._1, t._2, t._3, t._4, t._5)
+    }
+    assert(nTok == (1 to 20).map(120 / _).sum.toLong && nVoc == 20L)
+    assert(topTok == "w1" && topF == 120L)
+    assert(slope < -0.85 && slope > -1.1, s"zipf slope $slope")
+    assert(math.abs(out("flat")._5) < 1e-9, s"uniform slope ${out("flat")._5}")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
   test("group overlap: shared shingles count once per source pair") {
     val d = Seq(
       (1L, "a b c d e", "s1"),
