@@ -121,6 +121,59 @@ object Similarity {
     val fwd = knnExact(vecsA, vecsB, k, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bwd = knnExact(vecsB, vecsA, k, idCol)
+    marginFromKnn(fwd, bwd, topN)
+  }
+
+  /** IVF-backed margin mining — [[bitextMarginPairs]] with both kNN
+    * passes swapped for [[knnIvfAgainst]] (the documented scale swap,
+    * now a first-class entry point): corpus-side cost per query drops
+    * from |B| to ~nProbe/nCells of |B|, turning the quadratic exact
+    * mine into the shape that survives full-corpus-×-full-corpus at
+    * 100 TB. The margin arithmetic downstream is IDENTICAL (same
+    * k-bounded aggregations over whatever neighbor lists arrive), so
+    * output quality is exactly the IVF passes' recall — measured on
+    * this corpus in OperatorSpec/SCALING.md rather than assumed.
+    * Centroids are trained once on the union of both sides (the two
+    * collections share a geometry by construction in bitext mining).
+    */
+  def bitextMarginPairsIvf(vecsA: DataFrame, vecsB: DataFrame, k: Int,
+      topN: Int, nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(vecsA.unionByName(vecsB), nCells, iters, idCol)
+    val fwd = knnIvfAgainst(vecsA, vecsB, k, nProbe, cents, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bwd = knnIvfAgainst(vecsB, vecsA, k, nProbe, cents, idCol)
+    marginFromKnn(fwd, bwd, topN)
+  }
+
+  /** Cross-collection IVF kNN: each `queries` vector's top-k among
+    * `corpus` vectors, restricted to the `nProbe` nearest of the given
+    * centroid cells. The cross-collection form of [[knnIvf]] (there
+    * the corpus queries itself): corpus vectors index into their home
+    * cell once, each query explodes into its probe cells, and the
+    * scoring join is keyed on the cell id — the corpus never meets a
+    * query outside a shared cell. No self-exclusion: the collections
+    * are distinct by contract.
+    */
+  def knnIvfAgainst(queries: DataFrame, corpus: DataFrame, k: Int,
+      nProbe: Int, centroids: Array[Array[Double]],
+      idCol: String = "vec_id"): DataFrame = {
+    val corpusCells = unitVectors(corpus, idCol, "id", "uv")
+      .withColumn("cell", homeCell(centroids))
+      .select(col("id").as("neighbor_id"), col("cell"), col("uv").as("nv"))
+    val queryProbes = unitVectors(queries, idCol, "id", "uv")
+      .withColumn("cell", explode(probeCells(centroids, nProbe)))
+      .select(col("id").as("query_id"), col("cell"), col("uv").as("qv"))
+    val scored = queryProbes.join(corpusCells, Seq("cell"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("nv")))
+    topK(scored, k)
+  }
+
+  // The margin criterion over any pair of (query_id, rank,
+  // neighbor_id, sim) neighbor lists: top-1 forward pairs scored by
+  // sim over the mean of both endpoints' neighborhood sims.
+  private def marginFromKnn(fwd: DataFrame, bwd: DataFrame,
+      topN: Int): DataFrame = {
     val fm = fwd.groupBy("query_id").agg(avg("sim").as("fm"))
     val bm = bwd.groupBy("query_id").agg(avg("sim").as("bm"))
     fwd.filter(col("rank") === 1)

@@ -2671,17 +2671,23 @@ object TrainingData {
       |ORDER BY label, sim, vec_id""".stripMargin
 
   // ---------------------------------------------------------------- e14
-  // Bitext-style margin mining (Artetxe & Schwenk 2019): align the
-  // label<5 half of the embedding table against the label>=5 half by
-  // the margin criterion — cos(x,y) over the mean of both sides'
-  // top-4 neighborhood sims, which cancels hubness where raw cosine
-  // pairs half the corpus to one hub. Exact two-pass kNN here (the
-  // correctness baseline; the ANN passes swap in at scale — operator
-  // scaladoc); ranking on the rounded margin with an a_id tie-break.
+  // Bitext-style margin mining (Artetxe & Schwenk 2019): align a
+  // BATCH of the label<5 half (vec_id < 500 — the incremental-mining
+  // production shape: today's new translations against the standing
+  // other-side corpus) against the full label>=5 half by the margin
+  // criterion — cos(x,y) over the mean of both sides' top-4
+  // neighborhood sims, which cancels hubness where raw cosine pairs
+  // half the corpus to one hub. Exact two-pass kNN here — with the A
+  // side a fixed batch both passes are LINEAR in the corpus (round-10
+  // fix: the unbounded half-×-half instance exact-scored |A|·|B|
+  // pairs and walled 26.9 s at the sf1 replica). The full-corpus-pair
+  // mine is Similarity.bitextMarginPairsIvf (sub-quadratic IVF
+  // passes, same margin arithmetic; recall pinned in OperatorSpec).
   private def e14(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.bitextMarginPairs(
-        e.filter(col("label") < 5), e.filter(col("label") >= 5),
+        e.filter(col("label") < 5 && col("vec_id") < 500),
+        e.filter(col("label") >= 5),
         k = 4, topN = 50)
       .orderBy(col("margin").desc, col("a_id"))
   }
@@ -2689,7 +2695,7 @@ object TrainingData {
   private val e14Sql =
     """WITH a AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |  FROM embeddings WHERE label < 5
+      |  FROM embeddings WHERE label < 5 AND vec_id < 500
       |), b AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings WHERE label >= 5
