@@ -129,13 +129,19 @@ object NgramLm {
     val p = lit(l3) * (col("c123") / col("c12")) +
       lit(l2) * (col("c23") / col("c2")) +
       lit(l1) * (col("c3") / col("_n"))
-    dt.join(c123, Seq("w1", "w2", "w3"))
+    // Score at the DISTINCT-trigram grain first (≤ the doc-grain row
+    // count, often ≪), so the four marginal joins touch model-sized
+    // tables; the doc-grain frame then joins exactly ONE scored table
+    // on its natural key. Same values, one fewer data-sized join side
+    // per marginal at scale.
+    val scoredModel = c123
       .join(c12, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
       .join(c2, Seq("w2"))
       .join(c3, Seq("w3"))
       .crossJoin(broadcast(total))
-      .withColumn("nll", -log(p))
+      .select(col("w1"), col("w2"), col("w3"), (-log(p)).as("nll"))
+    dt.join(scoredModel, Seq("w1", "w2", "w3"))
       .groupBy(col(idCol))
       .agg(sum("k").as("n_trigrams"),
         (sum(col("k") * col("nll")) / sum("k")).as("avg_nll"))
