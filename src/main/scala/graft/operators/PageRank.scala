@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank (Page, Brin, Motwani, Winograd 1999) and its
+  * seed-biased TrustRank variant (Gyöngyi, Garcia-Molina, Pedersen —
+  * "Combating Web Spam with TrustRank", VLDB 2004) as fixed power
+  * iterations over an edge list — the canonical iterative graph
+  * workload next to the repo's label-propagation family
+  * (Dedup.connectedComponents / starComponents). In a training-data
+  * pipeline these are the link-graph curation scores: Common Crawl
+  * ranks domains by centrality before sampling, and TrustRank
+  * propagates "vetted source" quality onto mirrors/recrawls through
+  * the duplicate graph.
+  *
+  * ==Exact integer arithmetic==
+  * Cross-engine float summation is order-dependent, and an iterative
+  * algorithm COMPOUNDS ulp drift — by iteration 3 a double-valued rank
+  * can land on either side of a rounding boundary (the q03 incident,
+  * amplified). So the whole computation runs on an int64 mass grid:
+  * total mass = `scale` units (1e12 by default), every step is integer
+  * division (truncation toward zero ≡ floor for the all-positive
+  * values here):
+  *
+  *   u        = scale DIV |S|               (S = teleport set: all
+  *                                           nodes for PageRank, the
+  *                                           seeds for TrustRank)
+  *   r0(v)    = u·[v ∈ S]
+  *   c(e)     = rank(src) DIV deg(src)      (per-edge contribution)
+  *   rank'(v) = ((15·u) DIV 100)·[v ∈ S] + (85 · Σ c) DIV 100
+  *
+  * Integer sums are associative, so the result is BIT-IDENTICAL in any
+  * engine and any partitioning — the DuckDB oracles restate the same
+  * recurrence with `//`. The deliberate truncation leaks < 1 unit of
+  * mass per division (≤ deg+2 units per node per round, ~1e-9 of total
+  * mass for the graphs here) — a deterministic quantization of the
+  * damping model, not an approximation of this recurrence.
+  *
+  * ==Scale shape (100 TB posture)==
+  * The adjacency list (src, dst, deg) comes out of the e⋈deg join
+  * already hash-partitioned by src and is persisted in that layout —
+  * iterations re-read it without re-shuffling the edges (an explicit
+  * repartition here would duplicate the join's own exchange; measured
+  * as one of two redundant full-edge shuffles in this operator's first
+  * cut, q52 sf1 10.7 s → see SCALING.md). Each round shuffles only
+  * narrow (long, long) rank rows: ranks move to the adjacency's
+  * partitioning, the groupBy(dst) runs with map-side partial sums
+  * (per-edge contributions collapse to ≤|V| rows per map partition),
+  * and the teleport-floor left join rides the same key. Per-round cost
+  * is Θ(|E|) compute with edge bytes touched in place — the
+  * Pregel/GraphX discipline. Rank frames are `localCheckpoint`ed per
+  * round so lineage stays flat for large `iters`; driver traffic is
+  * one scalar (the teleport-set count).
+  *
+  * Callers needing classic dangling-mass redistribution should
+  * symmetrize or self-loop sink nodes first (q52/t50 symmetrize); here
+  * a node with no out-edges simply radiates nothing, and every
+  * teleport-set node keeps receiving its share.
+  */
+object PageRank {
+
+  /** Ranks after `iters` exact-integer power iterations, teleporting
+    * to every node (classic PageRank).
+    *
+    * @param edges directed (src, dst) long pairs.
+    * @param dedupEdges set false when the input is distinct by
+    *   construction (e.g. a symmetrized distinct pair list) — the
+    *   dedup is a full |E| shuffle, the single biggest avoidable cost
+    *   here.
+    * @param symmetrize treat the input as CANONICAL undirected pairs
+    *   (each pair present once, e.g. a < b) and add the reversed
+    *   edges internally, persisting the directed list first so its
+    *   (possibly expensive, e.g. mined) pipeline runs once. Passing a
+    *   list that already contains both directions would double edges.
+    * @return (node: long, rank: long) — rank in `scale` units of mass.
+    */
+  def ranks(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      dedupEdges: Boolean = true, symmetrize: Boolean = false): DataFrame =
+    run(edges, None, iters, scale, dedupEdges, symmetrize)
+      .select("node", "rank")
+
+  /** TrustRank: teleport mass goes ONLY to `seeds`, so authority flows
+    * outward from vetted nodes — anything unreachable from every seed
+    * scores an exact 0 and stays in the frame (dropping it would hide
+    * "this doc is outside every trusted component" from the caller).
+    *
+    * @param seeds single-column (node) frame; rows collapse distinct.
+    * @return (node, rank, is_seed) for every node in the edge
+    *         universe ∪ seeds.
+    */
+  def trustRanks(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dedupEdges: Boolean = true,
+      symmetrize: Boolean = false): DataFrame =
+    run(edges, Some(seeds), iters, scale, dedupEdges, symmetrize)
+
+  private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+      scale: Long, dedupEdges: Boolean, symmetrize: Boolean): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val d = if (dedupEdges) e0.distinct() else e0
+    // symmetrize INSIDE the operator so the directed list is persisted
+    // before the union — a union's two branches each re-run their
+    // input, and for a mined pair list (t50: the whole Jaccard
+    // pipeline) that doubles the dominant cost. Same discipline as
+    // connectedComponents: cache the directed pairs, not the union.
+    val directed = if (symmetrize)
+      Some(d.persist(StorageLevel.MEMORY_AND_DISK)) else None
+    val e = directed match {
+      case Some(dd) =>
+        dd.union(dd.select(col("dst").as("src"), col("src").as("dst")))
+      case None => d
+    }
+    // out-degree via a window over the SAME src-hash exchange that
+    // the iteration joins need — one shuffle builds the whole
+    // adjacency, and persisting it here means the (possibly expensive:
+    // t50 feeds a mined near-dup pair list) edge pipeline runs ONCE.
+    // The first cut computed deg with a groupBy + join back and read
+    // unpersisted `e` three times (deg, adj, sink discovery) — at
+    // sf0.1 that re-ran t50's Jaccard mining twice over, 92 MB of
+    // shuffle for a 600-edge graph.
+    val adj = e.withColumn("deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // node universe = out-nodes plus pure sinks, both |V|-sized scans
+    // of the cached adjacency; the distincts partial-aggregate
+    // map-side so they ship ~|V| rows, not |E| (for symmetrized
+    // graphs the anti join is empty)
+    val outNodes = adj.select(col("src").as("node")).distinct()
+    val sinks = adj.select(col("dst").as("node")).distinct()
+      .join(outNodes, Seq("node"), "left_anti")
+    val base = outNodes.union(sinks)
+    val nodes = (seeds match {
+      case Some(sd0) =>
+        val sd = sd0.toDF("node").select(col("node").cast("long").as("node"))
+          .distinct()
+        base.union(sd).distinct()
+          .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      case None => base.select(col("node"), lit(1L).as("is_seed"))
+    }).localCheckpoint(true)
+
+    val nTeleport = nodes.filter(col("is_seed") === 1L).count()
+    require(nTeleport > 0, "PageRank: empty teleport set")
+    val u = scale / nTeleport
+    val teleport = (15L * u) / 100L
+
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * lit(u)).as("rank"))
+    for (_ <- 1 to iters) {
+      val sums = adj
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * lit(teleport) +
+            expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"),
+          col("is_seed"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist()
+    directed.foreach(_.unpersist())
+    ranks.select(col("node"), col("rank"), col("is_seed"))
+  }
+}

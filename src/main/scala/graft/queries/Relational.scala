@@ -1857,6 +1857,57 @@ object Relational {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  // Exact-integer PageRank over the customer–supplier trade graph:
+  // distinct (cust, supp) pairs from orders⋈lineitem, symmetrized
+  // (cust nodes even, supp nodes odd), 3 power iterations on the int64
+  // 1e-12 mass grid — see operators/PageRank.scala for the arithmetic
+  // and scale posture. Top-20 authorities, bit-exact vs the oracle's
+  // unrolled recurrence (integer sums are order-independent, so no
+  // float drift can compound across iterations). The reference's
+  // engine has no iterative-graph surface at all; here it rides the
+  // same co-partitioned adjacency discipline as connectedComponents.
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    // b is distinct even→odd pairs: canonical form for the operator's
+    // internal (persist-first) symmetrization; dedup would be a
+    // redundant |E| shuffle
+    graft.operators.PageRank.ranks(b, iters = 3, dedupEdges = false,
+      symmetrize = true)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q52Sql = {
+    def step(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node,
+        |  CAST(sum($prev.rank // deg.deg) AS BIGINT) AS m
+        |  FROM e JOIN deg USING (src) JOIN $prev ON $prev.node = e.src
+        |  GROUP BY 1),
+        |r$i AS (SELECT n.node, c.tp + (85 * coalesce(m, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN s$i USING (node), c)""".stripMargin
+    }
+    s"""WITH b AS (SELECT DISTINCT o_custkey * 2 AS src,
+      |  l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM deg),
+      |c AS (SELECT 1000000000000 // count(*) AS u,
+      |  (15 * (1000000000000 // count(*))) // 100 AS tp FROM nodes),
+      |r0 AS (SELECT node, c.u AS rank FROM nodes, c),
+      |${step(1)},
+      |${step(2)},
+      |${step(3)}
+      |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1909,5 +1960,6 @@ object Relational {
     QuerySpec("q48_skew_salted_agg", q48, Some(q48Sql)),
     QuerySpec("q49_mv_incremental", q49, Some(q49Sql)),
     QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)),
-    QuerySpec("q51_jsonl_roundtrip", q51, Some(q51Sql)))
+    QuerySpec("q51_jsonl_roundtrip", q51, Some(q51Sql)),
+    QuerySpec("q52_pagerank", q52, Some(q52Sql)))
 }

@@ -2908,6 +2908,84 @@ object TrainingData {
       |FROM tot JOIN top USING (source) JOIN z USING (source)
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+  // TrustRank quality propagation (Gyöngyi et al., VLDB 2004) over the
+  // near-dup graph: seed every document of the lexicographically first
+  // source as "vetted", then run 3 seed-biased power iterations on the
+  // exact int64 mass grid (operators/PageRank.trustRanks) — recrawls
+  // and mirrors of vetted content inherit trust through their
+  // duplicate edges, everything outside a trusted component scores an
+  // exact 0 and is filtered. Edges here are the exact-Jaccard pairs
+  // (t02's miner, the oracle-matchable form); at 100 TB the SAME
+  // operator rides the banded MinHash-LSH pairs (t07) — the edge list
+  // is a parameter, so the quadratic-free mining path carries over
+  // unchanged. Integer sums make the trust values bit-identical to
+  // the oracle's unrolled recurrence.
+  private def t50(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccard(d, n = 3, threshold = 0.5)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val minSrc = d.agg(min("source").as("ms"))
+    val seeds = d.join(broadcast(minSrc), d("source") === col("ms"))
+      .select(col("doc_id").as("node"))
+    graft.operators.PageRank.trustRanks(pairs, seeds, iters = 3,
+      dedupEdges = false, symmetrize = true)
+      .filter(col("rank") > 0)
+      .select(col("node").as("doc_id"), col("rank").as("trust"),
+        col("is_seed"))
+      .orderBy("doc_id")
+  }
+
+  private val t50Sql = {
+    def step(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""s$i AS (SELECT e.dst AS node,
+        |  CAST(sum($prev.rank // deg.deg) AS BIGINT) AS m
+        |  FROM e JOIN deg USING (src) JOIN $prev ON $prev.node = e.src
+        |  GROUP BY 1),
+        |r$i AS (SELECT n.node, n.is_seed * c.tp
+        |    + (85 * coalesce(m, 0)) // 100 AS rank, n.is_seed
+        |  FROM nodes n LEFT JOIN s$i USING (node), c)""".stripMargin
+    }
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a, b FROM common
+      |  JOIN cnt ca ON common.a = ca.doc_id
+      |  JOIN cnt cb ON common.b = cb.doc_id
+      |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |sd AS (SELECT doc_id AS node FROM documents
+      |       WHERE source = (SELECT min(source) FROM documents)),
+      |nodes AS (SELECT node,
+      |    CAST(node IN (SELECT node FROM sd) AS BIGINT) AS is_seed
+      |  FROM (SELECT DISTINCT node FROM
+      |    (SELECT src AS node FROM e UNION ALL SELECT node FROM sd))),
+      |c AS (SELECT 1000000000000 // count(*) AS u,
+      |  (15 * (1000000000000 // count(*))) // 100 AS tp FROM sd),
+      |r0 AS (SELECT node, is_seed * c.u AS rank, is_seed FROM nodes, c),
+      |${step(1)},
+      |${step(2)},
+      |${step(3)}
+      |SELECT node AS doc_id, rank AS trust, is_seed
+      |FROM r3 WHERE rank > 0 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- e16
   // MMR diverse top-10 for query vector 0 over the full corpus
   // (λ = 7/10). Every score is an exact integer in 1e-5 units (sims
@@ -3022,6 +3100,7 @@ object TrainingData {
     QuerySpec("t47_source_overlap", t47, Some(t47Sql)),
     QuerySpec("t48_lm_trigram", t48, Some(t48Sql)),
     QuerySpec("t49_corpus_stats", t49, Some(t49Sql)),
+    QuerySpec("t50_trust_propagation", t50, Some(t50Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

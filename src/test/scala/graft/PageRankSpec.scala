@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Reference model: the operator's exact integer recurrence, computed
+    * single-threaded — every intermediate must match bit-for-bit.
+    */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val u = scale / n
+    val teleport = (15L * u) / 100L
+    var r = nodes.map(_ -> u).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map(v => v -> (teleport + (85L * in.getOrElse(v, 0L)) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  private val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L,
+    3L -> 2L, 1L -> 3L, 4L -> 1L, 1L -> 4L)
+
+  test("pageRank matches the exact-integer reference recurrence") {
+    for (iters <- Seq(1, 3, 5)) {
+      val got = PageRank.ranks(chain.toDF("src", "dst"), iters,
+        scale = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refRanks(chain, iters, 1000000L),
+        s"mismatch at iters=$iters")
+    }
+  }
+
+  test("mass is conserved up to deterministic truncation leak") {
+    val scale = 1000000000000L
+    val ranks = PageRank.ranks(chain.toDF("src", "dst"), 3, scale)
+      .collect().map(_.getLong(1))
+    val total = ranks.sum
+    // each node leaks < deg+2 units per round to integer truncation
+    assert(total <= scale && total > scale - 100L * ranks.length)
+  }
+
+  test("symmetric star graph ranks the hub above the leaves") {
+    val star = (2L to 9L).flatMap(v => Seq(1L -> v, v -> 1L))
+    val got = PageRank.ranks(star.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = (2L to 9L).map(got)
+    assert(leaves.forall(_ < got(1L)))
+    assert(leaves.distinct.size == 1) // leaves are symmetric → equal rank
+    assert(got == refRanks(star, 3, 1000000000000L))
+  }
+
+  private def refTrust(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, scale: Long): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = ((e.map(_._1) ++ e.map(_._2)).toSet ++ seeds).toSeq.sorted
+    val u = scale / seeds.size
+    val teleport = (15L * u) / 100L
+    var r = nodes.map(v => v -> (if (seeds(v)) u else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = nodes.map { v =>
+        v -> ((if (seeds(v)) teleport else 0L) +
+          (85L * in.getOrElse(v, 0L)) / 100L)
+      }.toMap
+    }
+    nodes.map(v => v -> (r(v), if (seeds(v)) 1L else 0L)).toMap
+  }
+
+  test("trustRanks confines mass to seed-reachable components") {
+    // component {1,2,3} (cycle, seeded at 1) and component {4,5}
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 4L)
+    val got = PageRank.trustRanks(edges.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refTrust(edges, Set(1L), 3, 1000000000000L))
+    assert(got(4L)._1 == 0L && got(5L)._1 == 0L) // unreachable → exact 0
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > 0L && got(3L)._1 > 0L)
+  }
+
+  test("isolated seed keeps teleport mass and stays in the frame") {
+    val edges = Seq(1L -> 2L, 2L -> 1L)
+    val got = PageRank.trustRanks(edges.toDF("src", "dst"),
+        Seq(9L).toDF("node"), iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == refTrust(edges, Set(9L), 2, 1000000000000L))
+    assert(got(9L)._2 == 1L && got(9L)._1 > 0L)
+    assert(got(1L)._1 == 0L)
+  }
+
+  test("dangling sink keeps its teleport share and radiates nothing") {
+    // 1→2, 2 has no out-edges: 2 still receives, 1 only gets teleport
+    val got = PageRank.ranks(Seq(1L -> 2L).toDF("src", "dst"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refRanks(Seq(1L -> 2L), 2, 1000000000000L))
+    assert(got(2L) > got(1L))
+  }
+}
