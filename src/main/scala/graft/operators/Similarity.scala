@@ -926,6 +926,71 @@ object Similarity {
         (col("pred_label") =!= col("own_label")).as("mislabeled"))
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    * "ColBERT: Efficient and Effective Passage Search via Contextualized
+    * Late Interaction", SIGIR 2020): each embedding is viewed as `nSub`
+    * sub-vectors ("token embeddings") of dim/nSub, and
+    *
+    *   score(q, d) = Σ_i max_j cos(q_i, d_j)
+    *
+    * — the MaxSim operator, which rewards a document for matching EACH
+    * facet of the query somewhere rather than on one pooled vector.
+    *
+    * Determinism: every sub-cosine is snapped to a 1e-4 grid
+    * (`round(·×10000)` → int64, the e16 discipline) BEFORE max/sum, so
+    * the score arithmetic is exact integer and the ranking bit-stable
+    * against the oracle's replay.
+    *
+    * Scale shape: queries broadcast; the WHOLE nSub×nSub interaction
+    * matrix for a (query, doc) pair folds inside one codegen'd
+    * projection (nSub² [[DotProduct]]s → `greatest` per row → integer
+    * sum) — a map-only flat scan with NO explode and NO shuffle except
+    * GroupedTopK's partial-final pair (k rows per query per partition).
+    * This is the exact-scoring baseline; the 100 TB path prunes
+    * candidates first (PLAID's centroid pruning ≙ compose with the IVF
+    * cell index: score only docs sharing a probed cell), which reuses
+    * this scorer unchanged on the surviving candidates.
+    */
+  def maxSim(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nSub: Int = 4, idCol: String = "vec_id",
+      maxExactPairs: Long = DefaultMaxExactPairs): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0,
+      s"dim $dim must divide into nSub=$nSub sub-vectors")
+    guardExactPairs(BigInt(queries.count()) * BigInt(corpus.count()),
+      maxExactPairs, "maxSim")
+    DotProduct.register(queries.sparkSession)
+    val sub = dim / nSub
+    // per-side projection: normalized sub-vector columns _s0.._s{n-1}
+    def withSubs(vecs: DataFrame, idAs: String): DataFrame = {
+      val base = vecs.select(col(idCol).as(idAs),
+        asDouble(col("embedding")).as("_v"))
+      (0 until nSub).foldLeft(base) { (acc, j) =>
+        val s = slice(col("_v"), j * sub + 1, sub)
+        val n = sqrt(DotProduct.dot(s, s))
+        val nn = when(n === 0d, lit(1.0)).otherwise(n)
+        acc.withColumn(s"_s$j", transform(s, x => x / nn))
+      }.drop("_v")
+    }
+    val q = broadcast(withSubs(queries, "query_id"))
+    val d = withSubs(corpus, "doc_id")
+    val qs = (0 until nSub).map(i => col(s"_qs$i"))
+    val score = (0 until nSub).map { i =>
+      greatest((0 until nSub).map { j =>
+        round(DotProduct.dot(qs(i), col(s"_s$j")) * 10000, 0).cast("long")
+      }: _*)
+    }.reduce(_ + _)
+    val qRenamed = (0 until nSub).foldLeft(q)((acc, i) =>
+      acc.withColumnRenamed(s"_s$i", s"_qs$i"))
+    val scored = qRenamed.join(d, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), score.as("maxsim"))
+    val top = graft.plans.GroupedTopK(scored, Seq("query_id"),
+      Seq(("maxsim", false), ("doc_id", true)), k)
+    top.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("maxsim").desc, col("doc_id"))).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("maxsim"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))

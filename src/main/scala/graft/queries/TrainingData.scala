@@ -2856,8 +2856,11 @@ object TrainingData {
         round(col("avg_nll"), 4).as("avg_nll"))
       .orderBy("doc_id")
 
-  private val t48Sql =
-    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+  /** The trigram-model CTE chain shared by t48 and t51 (CCNet bucket
+    * assignment replays the identical per-doc score).
+    */
+  private val trigramScoreCtes =
+    s"""toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
       |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
       |        FROM toks WHERE len(ts) >= 3),
       |dt AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3,
@@ -2874,10 +2877,57 @@ object TrainingData {
       |             + 0.1 * (c3g.c3 / nt.n)) AS nll
       |       FROM dt JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
       |               JOIN c23 USING (w2, w3) JOIN c2g USING (w2)
-      |               JOIN c3g USING (w3) CROSS JOIN nt)
+      |               JOIN c3g USING (w3) CROSS JOIN nt)""".stripMargin
+
+  private val t48Sql =
+    s"""WITH $trigramScoreCtes
       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
       |       round(sum(k * nll) / sum(k), 4) AS avg_nll
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t51
+  // CCNet head/middle/tail perplexity buckets (Wenzek et al., "CCNet:
+  // Extracting High Quality Monolingual Datasets from Web Crawl Data",
+  // LREC 2020 §4.3): per LANGUAGE, rank documents by LM score and cut
+  // into tertiles — the quality gradation CCNet ships alongside the
+  // text so consumers can train on head-only or mix buckets. Scores
+  // are t48's interpolated trigram avg-NLL rounded to the proven 4dp
+  // grid BEFORE ranking (ordering on the raw double could diverge
+  // cross-engine below the rounding; on the grid, ties break by
+  // doc_id). Docs too short to score (< 3 tokens) drop, as in CCNet.
+  //
+  // Scale note: ntile-per-language is the declared bit-stable
+  // semantics; a language is one window partition, so the 100 TB path
+  // swaps the per-lang sort for approx-percentile cutoffs broadcast
+  // back as map-side bucket thresholds (the q24/q33 machinery) —
+  // same buckets away from cutoff ties at a fraction of the cost.
+  private def t51(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ds = graft.operators.NgramLm.trigramScores(d)
+      .select(col("doc_id"), round(col("avg_nll"), 4).as("avg_nll"))
+    d.select("doc_id", "lang").join(ds, "doc_id")
+      .withColumn("nt", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))))
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val t51Sql =
+    s"""WITH $trigramScoreCtes,
+      |ds AS (SELECT doc_id, round(sum(k * nll) / sum(k), 4) AS avg_nll
+      |       FROM sc GROUP BY doc_id),
+      |j AS (SELECT d.doc_id, d.lang, ds.avg_nll
+      |      FROM documents d JOIN ds ON d.doc_id = ds.doc_id),
+      |b AS (SELECT doc_id, lang, avg_nll,
+      |        ntile(3) OVER (PARTITION BY lang
+      |                       ORDER BY avg_nll, doc_id) AS nt
+      |      FROM j)
+      |SELECT doc_id, lang, avg_nll,
+      |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t49
   // Per-source Zipf/vocabulary health profile (CorpusStats
@@ -3050,6 +3100,92 @@ object TrainingData {
       |FROM p LEFT JOIN ow ON p.qid = ow.qid
       |WHERE p.pr = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  // WebDataset tar-shard round trip (ingest.WebDataset): every
+  // document becomes a two-file sample ({key}.txt + {key}.json
+  // metadata) packed into 8 USTAR shards by key hash — the packaging
+  // format multimodal training corpora actually ship in — then read
+  // back via the binaryFile source + from-scratch tar parser
+  // (checksum-verified per entry) and re-aggregated per language from
+  // the ROUND-TRIPPED bytes. A single corrupted header offset, size
+  // field, or padding byte shifts an entry and flips n_distinct /
+  // total_chars against the oracle, which reads the parquet originals
+  // — the round trip must be invisible (the q51 JSONL discipline,
+  // applied to the tar layer).
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_wds_${new java.io.File(dir).getName}"
+    val key = format_string("%08d", col("doc_id"))
+    val samples = docs(s, dir).select(key.as("key"),
+      array(
+        struct(concat(key, lit(".txt")).as("name"),
+          encode(col("text"), "UTF-8").as("data")),
+        struct(concat(key, lit(".json")).as("name"),
+          encode(to_json(struct(col("lang"), col("source"))), "UTF-8")
+            .as("data"))).as("files"))
+    graft.ingest.WebDataset.writeShards(samples, out, nShards = 8)
+    val rt = graft.ingest.WebDataset.readShards(s, out)
+    rt.groupBy("key").agg(
+        max(when(col("ext") === "txt", col("data"))).as("txt"),
+        max(when(col("ext") === "json", col("data"))).as("js"))
+      .select(decode(col("txt"), "UTF-8").as("text"),
+        get_json_object(decode(col("js"), "UTF-8"), "$.lang").as("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  private val m10Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  CAST(sum(len(text)) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- e18
+  // ColBERT MaxSim late-interaction retrieval (Similarity.maxSim):
+  // each 64-dim embedding read as 4 unit-normalized 16-dim
+  // "token" sub-vectors; score(q,d) = Σ_i max_j cos(q_i, d_j) with
+  // every sub-cosine snapped to the 1e-4 integer grid before max/sum,
+  // so the ranking is bit-stable and the oracle replays the exact
+  // arithmetic. 8 queries vs the rest of the corpus, top-5 each.
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.maxSim(e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8), k = 5, dim = 64, nSub = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  private val e18Sql =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 8),
+      |d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS e
+      |      FROM embeddings WHERE vec_id >= 8),
+      |qs AS (SELECT qid, i, e[i*16+1 : i*16+16] AS s
+      |       FROM q, generate_series(0, 3) t(i)),
+      |qn AS (SELECT qid, i, list_transform(s, x -> x /
+      |         CASE WHEN sqrt(list_dot_product(s, s)) = 0 THEN 1
+      |              ELSE sqrt(list_dot_product(s, s)) END) AS s FROM qs),
+      |ds AS (SELECT did, j, e[j*16+1 : j*16+16] AS s
+      |       FROM d, generate_series(0, 3) t(j)),
+      |dn AS (SELECT did, j, list_transform(s, x -> x /
+      |         CASE WHEN sqrt(list_dot_product(s, s)) = 0 THEN 1
+      |              ELSE sqrt(list_dot_product(s, s)) END) AS s FROM ds),
+      |mx AS (SELECT qid, did, i,
+      |         max(CAST(round(list_dot_product(qn.s, dn.s) * 10000)
+      |             AS BIGINT)) AS m
+      |       FROM qn, dn GROUP BY 1, 2, 3),
+      |sc AS (SELECT qid, did, CAST(sum(m) AS BIGINT) AS maxsim
+      |       FROM mx GROUP BY 1, 2),
+      |rk AS (SELECT qid, did, maxsim,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY maxsim DESC, did) AS rn
+      |       FROM sc)
+      |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, did AS doc_id,
+      |  maxsim
+      |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -3101,6 +3237,7 @@ object TrainingData {
     QuerySpec("t48_lm_trigram", t48, Some(t48Sql)),
     QuerySpec("t49_corpus_stats", t49, Some(t49Sql)),
     QuerySpec("t50_trust_propagation", t50, Some(t50Sql)),
+    QuerySpec("t51_ccnet_buckets", t51, Some(t51Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -3118,6 +3255,7 @@ object TrainingData {
     QuerySpec("e15_ann_sq8", e15, Some(annAuditSql(5, annFloors("e15")))),
     QuerySpec("e16_mmr_select", e16, Some(e16Sql)),
     QuerySpec("e17_label_audit", e17, Some(e17Sql)),
+    QuerySpec("e18_maxsim_retrieval", e18, Some(e18Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),
@@ -3126,5 +3264,6 @@ object TrainingData {
     QuerySpec("m06_audio_quality", m06, Some(m06Sql)),
     QuerySpec("m07_audio_windows", m07, Some(m07Sql)),
     QuerySpec("m08_video_demux", m08, Some(m08Sql)),
-    QuerySpec("m09_patch_grid", m09, Some(m09Sql)))
+    QuerySpec("m09_patch_grid", m09, Some(m09Sql)),
+    QuerySpec("m10_webdataset_rt", m10, Some(m10Sql)))
 }
