@@ -1857,6 +1857,36 @@ object Relational {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // Avro Object Container File round trip (ingest.AvroFiles): the
+  // reference's wire format (Kafka Avro values, schema/AvroSerde's
+  // StructType↔Schema mapping) exercised at FILE level — documents →
+  // 4 deterministic .avro container files (fixed sync marker,
+  // key-partitioned, key-sorted) → read back with a PINNED schema →
+  // per-source distinct-content aggregate. One corrupted varint,
+  // union branch, or block boundary in the serde shifts a record and
+  // flips n_distinct against the oracle, which reads the parquet
+  // originals — the container trip must be invisible (q51's JSONL
+  // discipline on the reference's own format).
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_avro_${new java.io.File(dir).getName}"
+    val d = t(s, dir, "documents")
+    graft.ingest.AvroFiles.write(d, out, nFiles = 4, keyCol = "doc_id")
+    graft.ingest.AvroFiles.read(s, out, d.schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  private val q53Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q52
   // Exact-integer PageRank over the customer–supplier trade graph:
   // distinct (cust, supp) pairs from orders⋈lineitem, symmetrized
@@ -1961,5 +1991,6 @@ object Relational {
     QuerySpec("q49_mv_incremental", q49, Some(q49Sql)),
     QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)),
     QuerySpec("q51_jsonl_roundtrip", q51, Some(q51Sql)),
-    QuerySpec("q52_pagerank", q52, Some(q52Sql)))
+    QuerySpec("q52_pagerank", q52, Some(q52Sql)),
+    QuerySpec("q53_avro_roundtrip", q53, Some(q53Sql)))
 }

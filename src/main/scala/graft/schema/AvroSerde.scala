@@ -82,7 +82,7 @@ object AvroSerde {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  private def toRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
+  private[graft] def toRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
     val rec = new GenericData.Record(nonNull(avro))
     st.fields.zipWithIndex.foreach { case (f, i) =>
       rec.put(f.name, toAvroValue(row.get(i), f.dataType,
