@@ -954,35 +954,101 @@ object Similarity {
   def maxSim(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nSub: Int = 4, idCol: String = "vec_id",
       maxExactPairs: Long = DefaultMaxExactPairs): DataFrame = {
-    require(nSub >= 1 && dim % nSub == 0,
-      s"dim $dim must divide into nSub=$nSub sub-vectors")
     guardExactPairs(BigInt(queries.count()) * BigInt(corpus.count()),
       maxExactPairs, "maxSim")
-    DotProduct.register(queries.sparkSession)
+    val q = broadcast(subVectors(queries, idCol, "query_id", dim, nSub, "_qs"))
+    val d = subVectors(corpus, idCol, "doc_id", dim, nSub, "_s")
+    val scored = q.join(d, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        maxSimScore(nSub).as("maxsim"))
+    maxSimTopK(scored, k)
+  }
+
+  /** PLAID-style pruned MaxSim (Santhanam et al., "PLAID: An Efficient
+    * Engine for Late Interaction Retrieval", CIKM 2022): cluster the
+    * corpus TOKEN sub-vectors into `nCells` centroids, index each doc
+    * by its sub-vectors' home cells, and score a (query, doc) pair
+    * only when SOME query sub-vector probes a cell holding SOME doc
+    * sub-vector — then run the exact [[maxSim]] scorer on the
+    * surviving candidates. With `nProbe = nCells` every pair survives
+    * and the output is row-for-row the exact operator (spec-pinned);
+    * partial probe trades recall for a candidate set ∝ cell overlap,
+    * the 100 TB posture (the flat scan never touches docs whose every
+    * token lives outside the probed cells).
+    */
+  def maxSimPruned(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nSub: Int = 4, nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id"): DataFrame = {
+    CentroidOps.register(queries.sparkSession)
     val sub = dim / nSub
-    // per-side projection: normalized sub-vector columns _s0.._s{n-1}
-    def withSubs(vecs: DataFrame, idAs: String): DataFrame = {
-      val base = vecs.select(col(idCol).as(idAs),
+    val q = broadcast(subVectors(queries, idCol, "query_id", dim, nSub, "_qs"))
+    val d = subVectors(corpus, idCol, "doc_id", dim, nSub, "_s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token-grain centroid training set: each corpus sub-vector is a
+    // row (id disambiguated by slot), clustered in sub-vector space
+    val tokens = corpus
+      .select(col(idCol).cast("long").as("_id"),
         asDouble(col("embedding")).as("_v"))
-      (0 until nSub).foldLeft(base) { (acc, j) =>
-        val s = slice(col("_v"), j * sub + 1, sub)
-        val n = sqrt(DotProduct.dot(s, s))
-        val nn = when(n === 0d, lit(1.0)).otherwise(n)
-        acc.withColumn(s"_s$j", transform(s, x => x / nn))
-      }.drop("_v")
-    }
-    val q = broadcast(withSubs(queries, "query_id"))
-    val d = withSubs(corpus, "doc_id")
-    val qs = (0 until nSub).map(i => col(s"_qs$i"))
-    val score = (0 until nSub).map { i =>
+      .select(explode(array((0 until nSub).map(j =>
+        struct(lit(j.toLong).as("j"),
+          slice(col("_v"), j * sub + 1, sub).as("s"))): _*)).as("t"),
+        col("_id"))
+      .select((col("_id") * nSub + col("t.j")).as("vec_id"),
+        col("t.s").as("embedding"))
+    val centroids = kmeansCentroids(tokens, nCells, iters = 2)
+    val dCells = d.select(col("doc_id"), explode(array((0 until nSub).map(j =>
+        col(s"_s$j")): _*)).as("uv"))
+      .withColumn("cell", homeCell(centroids))
+      .select("doc_id", "cell").distinct()
+    val qCells = q.select(col("query_id"), explode(array((0 until nSub).map(i =>
+        col(s"_qs$i")): _*)).as("uv"))
+      .select(col("query_id"),
+        explode(probeCells(centroids, math.min(nProbe, nCells))).as("cell"))
+      .distinct()
+    val cand = qCells.join(dCells, Seq("cell"))
+      .select("query_id", "doc_id").distinct()
+      .filter(col("query_id") =!= col("doc_id"))
+    val scored = cand.join(q, Seq("query_id")).join(d, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        maxSimScore(nSub).as("maxsim"))
+    // eager checkpoint so the sub-vector cache can be dropped without
+    // the caller's later action recomputing the whole candidate pass
+    val out = maxSimTopK(scored, k).localCheckpoint(true)
+    d.unpersist()
+    out
+  }
+
+  /** Normalized sub-vector columns `{prefix}0..{prefix}{nSub-1}` —
+    * the late-interaction "token embeddings" view of a flat vector.
+    */
+  private def subVectors(vecs: DataFrame, idCol: String, idAs: String,
+      dim: Int, nSub: Int, prefix: String): DataFrame = {
+    require(nSub >= 1 && dim % nSub == 0,
+      s"dim $dim must divide into nSub=$nSub sub-vectors")
+    DotProduct.register(vecs.sparkSession)
+    val sub = dim / nSub
+    val base = vecs.select(col(idCol).as(idAs),
+      asDouble(col("embedding")).as("_v"))
+    (0 until nSub).foldLeft(base) { (acc, j) =>
+      val s = slice(col("_v"), j * sub + 1, sub)
+      val n = sqrt(DotProduct.dot(s, s))
+      val nn = when(n === 0d, lit(1.0)).otherwise(n)
+      acc.withColumn(s"$prefix$j", transform(s, x => x / nn))
+    }.drop("_v")
+  }
+
+  /** Σ_i max_j of grid-snapped sub-cosines over `_qs*`/`_s*` columns —
+    * the whole nSub×nSub interaction folds in one codegen projection.
+    */
+  private def maxSimScore(nSub: Int): Column =
+    (0 until nSub).map { i =>
       greatest((0 until nSub).map { j =>
-        round(DotProduct.dot(qs(i), col(s"_s$j")) * 10000, 0).cast("long")
+        round(DotProduct.dot(col(s"_qs$i"), col(s"_s$j")) * 10000, 0)
+          .cast("long")
       }: _*)
     }.reduce(_ + _)
-    val qRenamed = (0 until nSub).foldLeft(q)((acc, i) =>
-      acc.withColumnRenamed(s"_s$i", s"_qs$i"))
-    val scored = qRenamed.join(d, col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id"), score.as("maxsim"))
+
+  private def maxSimTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.GroupedTopK(scored, Seq("query_id"),
       Seq(("maxsim", false), ("doc_id", true)), k)
     top.withColumn("rank",

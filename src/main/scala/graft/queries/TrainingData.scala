@@ -3186,6 +3186,75 @@ object TrainingData {
       |  maxsim
       |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- e19
+  // PLAID-pruned MaxSim (Similarity.maxSimPruned) audited against the
+  // exact late-interaction operator, the e03-e12 discipline: the
+  // output row per query carries the EXACT top-1 (oracle-replayable
+  // through e18's model) plus the measured pruned-vs-exact top-5
+  // recall gated on a floor — the oracle can restate the exact side
+  // and the constant floor, so a recall regression flips meets_floor
+  // and fails the hash. 16 token-centroid cells, half probed.
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") >= 8)
+    val exact = Similarity.maxSim(q, c, k = 5, dim = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    releasing(exact) {
+      val pruned = Similarity.maxSimPruned(q, c, k = 5, dim = 64,
+        nCells = 16, nProbe = 8)
+      val hits = pruned.select("query_id", "doc_id")
+        .join(exact.select("query_id", "doc_id"), Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val rec = exact.groupBy("query_id").agg(count(lit(1)).as("nk"))
+        .join(hits, Seq("query_id"), "left")
+        .agg((sum(coalesce(col("hits"), lit(0L))).cast("double") /
+          sum("nk")).as("mean_recall"))
+      exact.filter(col("rank") === 1)
+        .select(col("query_id"), col("doc_id").as("exact_top1"),
+          col("maxsim").as("exact_top1_maxsim"))
+        .crossJoin(broadcast(rec))
+        .select(col("query_id"), col("exact_top1"),
+          col("exact_top1_maxsim"), lit(5).as("k"),
+          lit(MaxSimRecallFloor).as("recall_floor"),
+          (col("mean_recall") >= MaxSimRecallFloor).cast("int")
+            .as("meets_floor"))
+        .orderBy("query_id")
+    }
+  }
+
+  private val MaxSimRecallFloor = 0.5
+
+  private val e19Sql =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 8),
+      |d AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS e
+      |      FROM embeddings WHERE vec_id >= 8),
+      |qs AS (SELECT qid, i, e[i*16+1 : i*16+16] AS s
+      |       FROM q, generate_series(0, 3) t(i)),
+      |qn AS (SELECT qid, i, list_transform(s, x -> x /
+      |         CASE WHEN sqrt(list_dot_product(s, s)) = 0 THEN 1
+      |              ELSE sqrt(list_dot_product(s, s)) END) AS s FROM qs),
+      |ds AS (SELECT did, j, e[j*16+1 : j*16+16] AS s
+      |       FROM d, generate_series(0, 3) t(j)),
+      |dn AS (SELECT did, j, list_transform(s, x -> x /
+      |         CASE WHEN sqrt(list_dot_product(s, s)) = 0 THEN 1
+      |              ELSE sqrt(list_dot_product(s, s)) END) AS s FROM ds),
+      |mx AS (SELECT qid, did, i,
+      |         max(CAST(round(list_dot_product(qn.s, dn.s) * 10000)
+      |             AS BIGINT)) AS m
+      |       FROM qn, dn GROUP BY 1, 2, 3),
+      |sc AS (SELECT qid, did, CAST(sum(m) AS BIGINT) AS maxsim
+      |       FROM mx GROUP BY 1, 2),
+      |rk AS (SELECT qid, did, maxsim,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY maxsim DESC, did) AS rn
+      |       FROM sc)
+      |SELECT qid AS query_id, did AS exact_top1,
+      |  maxsim AS exact_top1_maxsim, 5 AS k,
+      |  CAST(0.5 AS DOUBLE) AS recall_floor, 1 AS meets_floor
+      |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -3256,6 +3325,7 @@ object TrainingData {
     QuerySpec("e16_mmr_select", e16, Some(e16Sql)),
     QuerySpec("e17_label_audit", e17, Some(e17Sql)),
     QuerySpec("e18_maxsim_retrieval", e18, Some(e18Sql)),
+    QuerySpec("e19_maxsim_pruned", e19, Some(e19Sql)),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -1442,6 +1442,25 @@ class OperatorSpec extends SparkTestBase {
     graft.core.CacheHygiene.releaseAll(spark)
   }
 
+  test("maxSim pruned: probe-all equals exact; half-probe keeps most of top-k") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") >= 8 && col("vec_id") < 300)
+    val exact = Similarity.maxSim(q, c, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val probeAll = Similarity.maxSimPruned(q, c, k = 5, dim = 64,
+      nCells = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(probeAll.toSeq == exact.toSeq,
+      "probe-all pruned MaxSim must equal the exact operator row-for-row")
+    val pruned = Similarity.maxSimPruned(q, c, k = 5, dim = 64,
+      nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = exact.count(p => pruned((p._1, p._3))).toDouble / exact.length
+    assert(overlap >= 0.5, s"half-probe top-k overlap $overlap below floor")
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
+
   test("mmr: an exact duplicate of the first pick loses to a diverse candidate") {
     // query 0 at +x; candidate 1 most relevant; 2 an EXACT duplicate
     // of 1 (only the id differs); 3 slightly less relevant but
