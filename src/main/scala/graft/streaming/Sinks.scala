@@ -183,6 +183,34 @@ object Sinks {
     * connector's `path.format`; `flush.size=1000` becomes
     * maxRecordsPerFile, `rotate.interval.ms=10000` the 10 s trigger.
     */
+  /** WebDataset tar-shard streaming sink — the training-ingest
+    * archival shape: each micro-batch packs its samples (the
+    * `ingest.WebDataset` contract: (key, files[(name, data)]) rows)
+    * into `nShardsPerBatch` USTAR shards under `outputDir/batch=<id>/`.
+    * Batch-scoped subdirs make at-least-once foreachBatch idempotent
+    * BY CONSTRUCTION: a retried id rewrites its own directory, and the
+    * deterministic writer (fixed headers, key-partitioned + key-sorted
+    * layout) converges to byte-identical shards. Downstream training
+    * jobs treat the batch dirs as an append-only shard set
+    * (`readShards(spark, s"$dir/batch=*")` lists them all).
+    */
+  def webdatasetShards(
+      samples: DataFrame,
+      outputDir: String,
+      checkpointDir: String,
+      nShardsPerBatch: Int,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    samples.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(writeShardBatch(outputDir, nShardsPerBatch) _)
+
+  private[graft] def writeShardBatch(outputDir: String, nShards: Int)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.ingest.WebDataset.writeShards(batch,
+      s"$outputDir/batch=$batchId", nShards)
+
   def partitionedParquet(
       events: DataFrame,
       tsMsCol: String,

@@ -366,4 +366,32 @@ class StreamingSpec extends SparkTestBase {
     assert(back.count() == 8)
     assert(back.schema.fieldNames.contains("hour"))
   }
+
+  test("webdataset shard sink: micro-batches become tar shard sets, replay is idempotent") {
+    import spark.implicits._
+    val src = tmpDir("graft-wds-src")
+    val out = tmpDir("graft-wds-out")
+    val ckpt = tmpDir("graft-wds-ckpt")
+    def toSamples(df: org.apache.spark.sql.DataFrame) = {
+      val k = format_string("%013d", col("timestamp"))
+      df.select(k.as("key"), array(struct(
+        concat(k, lit(".txt")).as("name"),
+        encode(col("action"), "UTF-8").as("data"))).as("files"))
+    }
+    PurchaseEvents.batch(spark, 1704438551000L, 6)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(PurchaseEvents.schema).parquet(src)
+    val q = Sinks.webdatasetShards(toSamples(stream), out, ckpt,
+      nShardsPerBatch = 2, trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = graft.ingest.WebDataset.readShards(spark, s"$out/batch=*")
+    assert(back.count() == 6)
+    assert(back.select("ext").distinct().as[String].collect().toSeq == Seq("txt"))
+    // replayed batch id rewrites ITS OWN directory deterministically
+    val batchDf = toSamples(spark.read.parquet(src))
+    Sinks.writeShardBatch(out, 2)(batchDf, 0L)
+    val again = graft.ingest.WebDataset.readShards(spark, s"$out/batch=*")
+    assert(again.count() == 6)
+  }
 }
