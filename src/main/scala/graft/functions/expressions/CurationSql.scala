@@ -34,11 +34,15 @@ object CurationSql {
   val QualityScoreFn = "graft_quality_score"
   val TokenCountFn = "graft_token_count"
   val FingerprintFn = "graft_fingerprint"
+  val Fre100Fn = "graft_fre100"
+  val Fk100Fn = "graft_fk100"
+  val CleanLinesFn = "graft_clean_lines"
 
   /** Idempotent registry hookup for the functions above (the four
-    * curation/media kernels plus the four text-analysis scalars), and
-    * the two SQ8 vector-codec functions ([[Sq8]]'s names — registered
-    * here too so the SQL bridge gets them without a separate call).
+    * curation/media kernels, the four text-analysis scalars, and the
+    * readability / line-cleaning scalars), plus the two SQ8
+    * vector-codec functions ([[Sq8]]'s names — registered here too so
+    * the SQL bridge gets them without a separate call).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -74,6 +78,17 @@ object CurationSql {
         graft.functions.TextFns.tokens(c(es(0)))).cast("long")))
     reg(FingerprintFn, es => PlanExec.expressionOf(
       graft.functions.TextFns.fingerprint(c(es(0)))))
+    // readability (t52) and line cleaning (t53): the same
+    // one-builder-two-surfaces pattern
+    reg(Fre100Fn, es => PlanExec.expressionOf(
+      graft.operators.QualityRules.fre100Column(c(es(0)))))
+    reg(Fk100Fn, es => PlanExec.expressionOf(
+      graft.operators.QualityRules.fk100Column(c(es(0)))))
+    reg(CleanLinesFn, es => PlanExec.expressionOf(
+      graft.operators.QualityRules.cleanedColumn(c(es(0)),
+        minChars =
+          if (es.length > 1) litInt(es(1), "graft_clean_lines minChars")
+          else 30)))
     // the SQ8 codec (e15's kernels): raw-Expression builders, same
     // names Sq8.register installs — whichever runs first wins, both
     // build identical trees

@@ -95,6 +95,74 @@ object PageRank {
       symmetrize: Boolean = false): DataFrame =
     run(edges, Some(seeds), iters, scale, dedupEdges, symmetrize)
 
+  /** HITS hubs/authorities (Kleinberg, JACM 1999) on a DIRECTED edge
+    * list — the bipartite-flavored companion to [[ranks]]: hub scores
+    * live on sources, authority scores on destinations, and the two
+    * reinforce mutually (`a ← Σ h(in-neighbors)`, `h ← Σ a(out-
+    * neighbors)`, each side L1-normalized per round). In a curation
+    * pipeline this is the buyer/supplier- or page/host-shaped quality
+    * signal PageRank's single score conflates.
+    *
+    * Same exact-integer discipline as [[ranks]], with one twist: HITS
+    * normalizes by the ROUND's total, and `raw · scale` overflows int64
+    * once raw sums pass ~1e9·maxdeg — so the normalization runs through
+    * `DECIMAL(38,0)` (Catalyst's exact 128-bit path, still codegen'd)
+    * before `DIV` truncates back to the int64 grid:
+    *
+    *   h0(s)   = scale DIV |hubs|
+    *   araw(d) = Σ_{(s,d)∈E} h(s);  a(d) = (araw·scale) DIV Σ araw
+    *   hraw(s) = Σ_{(s,d)∈E} a(d);  h(s) = (hraw·scale) DIV Σ hraw
+    *
+    * Integer sums are order-independent, so the DuckDB oracle's
+    * unrolled recurrence (HUGEINT `//`) matches bit-for-bit.
+    *
+    * Scale shape: identical to [[ranks]] — the adjacency persists
+    * src-hash-partitioned, each half-round shuffles only narrow
+    * (long, long) score rows with map-side partial sums, and the
+    * round's total rides a 1-row broadcast cross join (never the
+    * driver). Score frames localCheckpoint per round to keep lineage
+    * flat.
+    *
+    * @return (node, side, score): side = 'hub' | 'auth'; a node
+    *         appearing on both sides gets a row per side.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val auths = e.select(col("dst").as("node")).distinct().localCheckpoint(true)
+    val nHubs = hubs.count()
+    require(nHubs > 0, "HITS: empty graph")
+
+    def normalized(raw: DataFrame): DataFrame = {
+      // raw: (node, raw). DECIMAL(38,0) widening before the multiply —
+      // raw ≤ total ≤ scale·maxdeg can push raw·scale past int64
+      val total = raw.agg(sum("raw").cast("decimal(38,0)").as("total"))
+      raw.crossJoin(broadcast(total))
+        .select(col("node"),
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * $scale DIV total AS BIGINT)")
+            .as("score"))
+    }
+
+    var h = hubs.select(col("node"), lit(scale / nHubs).as("score"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.select(col("node").as("src"), col("score")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("score").as("raw"))
+      a = normalized(araw).localCheckpoint(true)
+      val hraw = e.join(a.select(col("node").as("dst"), col("score")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("score").as("raw"))
+      h = normalized(hraw).localCheckpoint(true)
+    }
+    e.unpersist()
+    h.select(col("node"), lit("hub").as("side"), col("score"))
+      .union(a.select(col("node"), lit("auth").as("side"), col("score")))
+  }
+
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
       scale: Long, dedupEdges: Boolean, symmetrize: Boolean): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

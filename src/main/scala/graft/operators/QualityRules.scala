@@ -194,6 +194,131 @@ object QualityRules {
     docsDf.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Readability profile (Flesch 1948 / Kincaid et al. 1975) on an
+    * exact integer grid — the classic prose-difficulty score data
+    * mixes bucket by (simple-English subsets, grade-banded sampling).
+    * Counting heuristics, identical in both engines:
+    *
+    *  - words     = `TextFns.tokens` count
+    *  - sentences = maximal `[.!?]+` runs (min 1)
+    *  - syllables = maximal `[aeiouy]+` runs in the lowercased text —
+    *    the standard vowel-group approximation, applied streamwise
+    *    (word boundaries never split a vowel run, so counting over the
+    *    whole text equals the per-word sum)
+    *
+    * Scores are published ×100 on the integer grid with each division
+    * truncated (`DIV`), so the doc-level value is bit-stable
+    * cross-engine — the PageRank discipline applied to a formula with
+    * two mixed denominators:
+    *
+    *   fk100  = (39·words) DIV sents + (1180·syll) DIV words − 1559
+    *   fre100 = 20684 − (1015·words) DIV sents − (8460·syll) DIV words
+    *
+    * (The float constants 0.39/11.8/15.59 and 206.835/1.015/84.6
+    * quantize to ×100 once, here — a documented property of THIS
+    * metric, not drift.) `band` buckets fre100 at the conventional
+    * 60/30 thresholds. Map-only: one scan, zero shuffles, all codegen.
+    */
+  def readability(docsDf: DataFrame): DataFrame = {
+    val base = docsDf.select(col("doc_id"), readCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("c.w").as("n_words"),
+        col("c.s").as("n_sents"), col("c.y").as("n_syll"))
+    val (fk, fre) = readabilityScores(col("n_words"), col("n_sents"),
+      col("n_syll"))
+    base.select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+      fk.as("fk100"), fre.as("fre100"))
+      .withColumn("band",
+        when(col("fre100") >= 6000L, "easy")
+          .when(col("fre100") >= 3000L, "medium")
+          .otherwise("hard"))
+  }
+
+  /** fre100 / fk100 as SCALAR columns over any text expression — the
+    * SQL surface's `graft_fre100` / `graft_fk100`. Counts bind ONCE as
+    * a lambda-bound struct (the keepColumn trick), then feed the SAME
+    * score arithmetic the frame operator uses — one implementation,
+    * two surfaces, no drift.
+    */
+  def fre100Column(text: Column): Column = scoreColumn(text, fk = false)
+
+  def fk100Column(text: Column): Column = scoreColumn(text, fk = true)
+
+  private def scoreColumn(text: Column, fk: Boolean): Column =
+    element_at(transform(array(readCounts(text)), r => {
+      val (f, e) = readabilityScores(r.getField("w"), r.getField("s"),
+        r.getField("y"))
+      if (fk) f else e
+    }), 1)
+
+  // word / sentence-run / vowel-run counts, the single source for both
+  // readability surfaces
+  private def readCounts(text: Column): Column = struct(
+    size(TextFns.tokens(text)).cast("long").as("w"),
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))),
+      lit(1)).cast("long").as("s"),
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long").as("y"))
+
+  // integral divide as a Column (the SQL DIV operator's expression) —
+  // keeps the grid arithmetic exact on attribute AND lambda inputs
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  private def readabilityScores(w: Column, s: Column, y: Column)
+      : (Column, Column) = {
+    val safeW = greatest(w, lit(1L))
+    (idiv(lit(39L) * w, s) + idiv(lit(1180L) * y, safeW) - 1559L,
+      lit(20684L) - idiv(lit(1015L) * w, s) - idiv(lit(8460L) * y, safeW))
+  }
+
+  /** Boilerplate line removal (a jusText / Readability-lite gate,
+    * Pomikálek 2011's shape without the HTML DOM): per document,
+    * non-empty trimmed lines are dropped when they look like chrome
+    * rather than prose —
+    *
+    *  - shorter than `minChars` characters, or
+    *  - bullet-led ('-', '*', '•'), or
+    *  - without a single lowercase letter (ALL-CAPS headers, dividers,
+    *    numeric rows)
+    *
+    * Emits the audit a production extraction pass needs: line/char
+    * totals, kept counts, the kept-content md5 (so the CLEANED text is
+    * hash-pinned cross-engine, not just counted) and the kept-char
+    * fraction. Map-only — the line list, both filters, and the joined
+    * digest are array expressions over one `split`; text never
+    * shuffles, nothing reaches the driver.
+    */
+  def boilerplateLines(docsDf: DataFrame, minChars: Int = 30): DataFrame = {
+    val base = docsDf.select(col("doc_id"), docLines(col("text")).as("ls"))
+      .select(col("doc_id"), col("ls"),
+        filter(col("ls"), contentLine(minChars)).as("kept"))
+    val chars = (c: Column) => aggregate(c, lit(0L), (acc, x) => acc + length(x))
+    base.select(col("doc_id"),
+      size(col("ls")).cast("long").as("n_lines"),
+      size(col("kept")).cast("long").as("kept_lines"),
+      chars(col("ls")).as("total_chars"),
+      chars(col("kept")).as("kept_chars"),
+      md5(concat_ws("\n", col("kept"))).as("content_hash"))
+      .withColumn("kept_char_frac",
+        round(col("kept_chars") / greatest(col("total_chars"), lit(1L)), 4))
+  }
+
+  /** Cleaned text (surviving lines re-joined) as a SCALAR column — the
+    * SQL surface's `graft_clean_lines(text[, minChars])`. Same line
+    * model and content test as [[boilerplateLines]].
+    */
+  def cleanedColumn(text: Column, minChars: Int = 30): Column =
+    concat_ws("\n", filter(docLines(text), contentLine(minChars)))
+
+  // non-empty trimmed lines / the prose-line test — the single source
+  // for both boilerplate surfaces
+  private def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  private def contentLine(minChars: Int): Column => Column = l =>
+    length(l) >= minChars &&
+      !(l.startsWith("-") || l.startsWith("*") || l.startsWith("•")) &&
+      l.rlike("[a-z]")
+
   // Every metric and verdict from a text column and its MATERIALIZED
   // token array — shared by gopher() (attribute inputs) and
   // keepColumn() (lambda-bound inputs). Ordered; `keep` is last.

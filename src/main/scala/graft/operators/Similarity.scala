@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns.asDouble
-import graft.functions.expressions.{CentroidOps, DotProduct, SignBuckets, Sq8}
+import graft.functions.expressions.{CentroidOps, DotProduct, SignBits, SignBuckets, Sq8}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
@@ -808,6 +808,77 @@ object Similarity {
     val cands = coded.withColumnRenamed("id", "neighbor_id")
       .join(queries, col("query_id") =!= col("neighbor_id"))
       .withColumn("iscore", Sq8.dot(col("qcode"), col("code")))
+      .withColumn("r", row_number().over(wa))
+      .filter(col("r") <= math.max(rerank, k))
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(unit.select(col("id").as("query_id"), col("uv").as("qv")),
+        Seq("query_id"))
+      .join(unit.select(col("id").as("neighbor_id"), col("uv").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
+  /** Binary-quantized flat-scan ANN: each unit vector packs to a
+    * `nBits`-bit sign signature ([[graft.functions.expressions.SignBits]]
+    * — the same deterministic hyperplane family as sign-LSH, packed
+    * into one long column per 64 planes instead of per-table bucket
+    * ids), every corpus signature is scored against each broadcast
+    * query signature with built-in per-word `bit_count(sig ^ qsig)`
+    * Hamming distance, and the top-`rerank` candidates per query get
+    * the exact full-precision rerank — [[knnSq8]]'s flat-scan posture
+    * at the 1-bit-per-projection extreme.
+    *
+    * Where it sits in the ANN lineup: like SQ8 it prunes nothing —
+    * every vector is TOUCHED — but the touch is `nBits/8` bytes (32 at
+    * the default 256 bits, an 8× bandwidth cut vs these 256-byte
+    * float32 vectors), so this is the cheapest full-coverage first
+    * pass (the modern binary-quantization recipe: Hamming filter →
+    * exact rerank). Recall loss comes only from sign-quantization
+    * reordering inside the candidate cut, and bits×rerank is the
+    * measured knob (tools.HammingSweep, table in SCALING.md): on this
+    * low-cosine corpus 64 bits @ rerank 50 recalls 0.39-0.58 while
+    * 256 @ 100 holds 0.92-0.97 across SFs. The whole filter stage
+    * (XOR + popcount per word) runs inside WholeStageCodegen with zero
+    * allocation per row. Compose with an IVF cell restriction when
+    * even the 32-byte scan is too wide.
+    *
+    * Output shape matches [[knnExact]]: (query_id, rank, neighbor_id,
+    * sim), sims from the exact rerank pass.
+    */
+  def knnHamming(vecs: DataFrame, k: Int, queryFilter: Column,
+      nBits: Int = 256, dim: Int = 64, rerank: Int = 100,
+      idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
+    require(nBits >= 1 && nBits % 64 == 0 || nBits < 64,
+      s"nBits must be < 64 or a multiple of 64, got $nBits")
+    SignBits.register(vecs.sparkSession)
+    // nBits > dim is the standard binary-quantization regime (bits are
+    // cheap; 128 bits of a 64-dim vector still scan at 1/4 the float32
+    // bandwidth) — each 64-plane word packs into its own long column,
+    // and the scan distance is the sum of per-word popcounts, all
+    // built-in codegen.
+    val words = math.max(1, (nBits + 63) / 64)
+    val all = hyperplanes(nBits, dim, seed).map(_.toSeq).toSeq
+    def planesOf(w: Int): Column =
+      typedlit[Seq[Seq[Double]]](all.slice(w * 64, math.min((w + 1) * 64, nBits)))
+    // lazy persist (consumed by the signature scan AND the rerank
+    // joins), released by CacheHygiene — the annFromBuckets contract
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = unit.select(col("id") +:
+      (0 until words).map(w => SignBits.of(col("uv"), planesOf(w)).as(s"sig$w")): _*)
+    val queries = broadcast(sigs.filter(queryFilter)
+      .select(col("id").as("query_id") +:
+        (0 until words).map(w => col(s"sig$w").as(s"qsig$w")): _*))
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"sig$w").bitwiseXOR(col(s"qsig$w"))))
+      .reduce(_ + _)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val cands = sigs.withColumnRenamed("id", "neighbor_id")
+      .join(queries, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
       .withColumn("r", row_number().over(wa))
       .filter(col("r") <= math.max(rerank, k))
       .select("query_id", "neighbor_id")

@@ -1938,6 +1938,88 @@ object Relational {
       |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q54
+  // ORC round trip with a pushed filter: documents → ORC (Spark's
+  // built-in vectorized writer, the other big-data columnar format a
+  // 100 TB archive interop layer must read) → read back with a PINNED
+  // schema and a predicate that reaches the ORC reader as a pushed
+  // filter (min/max stripe pruning at scale — the reason this query
+  // filters on n_chars instead of post-filtering a full scan). The
+  // aggregate's distinct-content count flips the hash if one row is
+  // lost or duplicated across the stripe boundary; the oracle reads
+  // the parquet originals with the same predicate, so the format trip
+  // must be invisible (q51/q53's discipline on the third format).
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_orc_${new java.io.File(dir).getName}"
+    val d = t(s, dir, "documents")
+    d.coalesce(4).write.mode("overwrite").orc(out)
+    s.read.schema(d.schema).orc(out)
+      .filter(col("n_chars") >= 500)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val q54Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE n_chars >= 500
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // HITS hubs/authorities over the directed customer→supplier trade
+  // graph (Kleinberg 1999): customers who buy from authoritative
+  // suppliers are good hubs and vice versa — the mutually-reinforcing
+  // two-sided score q52's single PageRank conflates. Exact integer
+  // arithmetic throughout (DECIMAL(38,0) widening inside the
+  // normalization — see operators/PageRank.hits), so 2 full rounds are
+  // bit-identical to the oracle's unrolled recurrence. Top-10 per side.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("side").orderBy(col("score").desc, col("node"))
+    graft.operators.PageRank.hits(b, iters = 2, dedupEdges = false)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10)
+      .select("side", "r", "node", "score")
+      .orderBy("side", "r")
+  }
+
+  private val q55Sql = {
+    def round(i: Int, prevH: String): String =
+      s"""a${i}r AS (SELECT b.dst AS node, sum($prevH.score) AS raw
+        |  FROM b JOIN $prevH ON $prevH.node = b.src GROUP BY 1),
+        |a$i AS (SELECT node, CAST(raw * 1000000000
+        |    // (SELECT sum(raw) FROM a${i}r) AS BIGINT) AS score FROM a${i}r),
+        |h${i}r AS (SELECT b.src AS node, sum(a$i.score) AS raw
+        |  FROM b JOIN a$i ON a$i.node = b.dst GROUP BY 1),
+        |h$i AS (SELECT node, CAST(raw * 1000000000
+        |    // (SELECT sum(raw) FROM h${i}r) AS BIGINT) AS score FROM h${i}r)""".stripMargin
+    s"""WITH b AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |hubs AS (SELECT DISTINCT src FROM b),
+      |h0 AS (SELECT src AS node,
+      |  (SELECT 1000000000 // count(*) FROM hubs) AS score FROM hubs),
+      |${round(1, "h0")},
+      |${round(2, "h1")},
+      |sides AS (
+      |  SELECT node, 'hub' AS side, score FROM h2
+      |  UNION ALL SELECT node, 'auth' AS side, score FROM a2),
+      |ranked AS (SELECT side, node, score,
+      |  row_number() OVER (PARTITION BY side
+      |                     ORDER BY score DESC, node) AS r FROM sides)
+      |SELECT side, r, node, score FROM ranked
+      |WHERE r <= 10 ORDER BY side, r""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -1992,5 +2074,7 @@ object Relational {
     QuerySpec("q50_curation_sql_fn", q50, Some(q50Sql)),
     QuerySpec("q51_jsonl_roundtrip", q51, Some(q51Sql)),
     QuerySpec("q52_pagerank", q52, Some(q52Sql)),
-    QuerySpec("q53_avro_roundtrip", q53, Some(q53Sql)))
+    QuerySpec("q53_avro_roundtrip", q53, Some(q53Sql)),
+    QuerySpec("q54_orc_roundtrip", q54, Some(q54Sql)),
+    QuerySpec("q55_hits", q55, Some(q55Sql)))
 }

@@ -773,7 +773,12 @@ object TrainingData {
     "e10" -> 0.65, "e11" -> 0.75, "e12" -> 0.60,
     // e15 scans everything (no bucket pruning) — int8 rounding is its
     // only recall loss, so the floor sits near 1 (AnnRecall table).
-    "e15" -> 0.90)
+    "e15" -> 0.90,
+    // e20 also scans everything, but 1-bit projections reorder the
+    // candidate cut more than SQ8's bytes — tri-SF minimum 0.924 at
+    // 256 bits / rerank 100 (tools.HammingSweep), floor at the usual
+    // ~0.07 margin under it.
+    "e20" -> 0.85)
 
   private def annAudit(s: SparkSession, dir: String, ann: DataFrame,
       k: Int, floor: Double): DataFrame = {
@@ -3255,6 +3260,89 @@ object TrainingData {
       |  CAST(0.5 AS DOUBLE) AS recall_floor, 1 AS meets_floor
       |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- t52
+  // Readability profile (QualityRules.readability): Flesch-Kincaid
+  // grade and Reading Ease on the ×100 integer grid, with the vowel-
+  // group syllable heuristic — the prose-difficulty signal data-mix
+  // bucketing uses. Map-only; every division truncates (DIV / //), so
+  // the scores are bit-stable cross-engine.
+  private def t52(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.readability(docs(s, dir)).orderBy("doc_id")
+
+  private val t52Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                    t -> t <> '')) AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_words, n_sents, n_syll,
+      |    (39 * n_words) // n_sents
+      |      + (1180 * n_syll) // greatest(n_words, 1) - 1559 AS fk100,
+      |    20684 - (1015 * n_words) // n_sents
+      |      - (8460 * n_syll) // greatest(n_words, 1) AS fre100
+      |  FROM f)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_sents AS BIGINT) AS n_sents, CAST(n_syll AS BIGINT) AS n_syll,
+      |  CAST(fk100 AS BIGINT) AS fk100, CAST(fre100 AS BIGINT) AS fre100,
+      |  CASE WHEN fre100 >= 6000 THEN 'easy'
+      |       WHEN fre100 >= 3000 THEN 'medium' ELSE 'hard' END AS band
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t53
+  // Boilerplate line removal (QualityRules.boilerplateLines): the
+  // jusText-lite extraction gate — short / bullet-led / no-lowercase
+  // lines dropped, cleaned content hash-pinned so the oracle verifies
+  // the TEXT that survives, not just the counts.
+  private def t53(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.boilerplateLines(docs(s, dir))
+      .orderBy("doc_id")
+
+  private val t53Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(text, chr(10)),
+      |                               l -> trim(l)), l -> l <> '') AS ls
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ls,
+      |    list_filter(ls, l -> len(l) >= 30
+      |      AND NOT (starts_with(l, '-') OR starts_with(l, '*')
+      |               OR starts_with(l, '•'))
+      |      AND regexp_matches(l, '[a-z]')) AS kept
+      |  FROM f),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(kept) AS BIGINT) AS kept_lines,
+      |    CAST(coalesce(list_sum(list_transform(ls, l -> len(l))), 0)
+      |      AS BIGINT) AS total_chars,
+      |    CAST(coalesce(list_sum(list_transform(kept, l -> len(l))), 0)
+      |      AS BIGINT) AS kept_chars,
+      |    md5(array_to_string(kept, chr(10))) AS content_hash
+      |  FROM g)
+      |SELECT doc_id, n_lines, kept_lines, total_chars, kept_chars,
+      |  content_hash,
+      |  round(kept_chars * 1.0 / greatest(total_chars, 1), 4)
+      |    AS kept_char_frac
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- e20
+  // Binary-quantization flat-scan ANN (Similarity.knnHamming): 256-bit
+  // sign signatures (4 long words) scanned with built-in XOR+popcount,
+  // exact rerank of the top 100 — the 1-bit-per-projection sibling of
+  // e15's SQ8 byte codes, at 1/8th the scan bandwidth of float32.
+  // Config from the tools.HammingSweep bits×rerank table (SCALING.md);
+  // audited vs exact kNN like every ANN query.
+  private[graft] def e20Raw(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnHamming(embs(s, dir), k = 5, queryFilter = col("id") < 50,
+      nBits = 256, dim = 64, rerank = 100)
+
+  private def e20(s: SparkSession, dir: String): DataFrame =
+    annAudit(s, dir, e20Raw(s, dir), k = 5, floor = annFloors("e20"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -3307,6 +3395,8 @@ object TrainingData {
     QuerySpec("t49_corpus_stats", t49, Some(t49Sql)),
     QuerySpec("t50_trust_propagation", t50, Some(t50Sql)),
     QuerySpec("t51_ccnet_buckets", t51, Some(t51Sql)),
+    QuerySpec("t52_readability", t52, Some(t52Sql)),
+    QuerySpec("t53_boilerplate", t53, Some(t53Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -3326,6 +3416,7 @@ object TrainingData {
     QuerySpec("e17_label_audit", e17, Some(e17Sql)),
     QuerySpec("e18_maxsim_retrieval", e18, Some(e18Sql)),
     QuerySpec("e19_maxsim_pruned", e19, Some(e19Sql)),
+    QuerySpec("e20_ann_hamming", e20, Some(annAuditSql(5, annFloors("e20")))),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -30,7 +30,8 @@ object AnnRecall {
       "e10" -> (TrainingData.e10Raw _),
       "e11" -> (TrainingData.e11Raw _),
       "e12" -> (TrainingData.e12Raw _),
-      "e15" -> (TrainingData.e15Raw _))
+      "e15" -> (TrainingData.e15Raw _),
+      "e20" -> (TrainingData.e20Raw _))
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()

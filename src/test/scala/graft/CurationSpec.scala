@@ -335,4 +335,64 @@ class CurationSpec extends SparkTestBase {
     assert(out.filter(col("selected")).count() == 20)
     assert(out.count() == d.count())
   }
+
+  // ------------------------------------------------------ readability
+
+  test("readability: hand-computed FK/FRE on the integer grid") {
+    // 5 words, 2 sentence runs, 6 vowel groups (he-llo, wo-rld, it,
+    // is, good) — grid arithmetic checked by hand:
+    //   fk100  = (39·5)//2 + (1180·6)//5 − 1559 = 97 + 1416 − 1559 = −46
+    //   fre100 = 20684 − (1015·5)//2 − (8460·6)//5
+    //          = 20684 − 2537 − 10152 = 7995  → band 'easy'
+    val out = QualityRules.readability(
+      Seq((1L, "Hello world. It is good.")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_words") == 5L)
+    assert(out.getAs[Long]("n_sents") == 2L)
+    assert(out.getAs[Long]("n_syll") == 6L)
+    assert(out.getAs[Long]("fk100") == -46L)
+    assert(out.getAs[Long]("fre100") == 7995L)
+    assert(out.getAs[String]("band") == "easy")
+  }
+
+  test("readability: polysyllabic run-on prose scores harder") {
+    val easy = "The cat sat. The dog ran. It was fun."
+    val hard = "Antidisestablishmentarianism incontrovertibly " +
+      "characterizes institutionalization notwithstanding " +
+      "electroencephalographically unintelligible considerations"
+    val rows = QualityRules.readability(
+      Seq((1L, easy), (2L, hard)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("fre100") > rows(2L).getAs[Long]("fre100"))
+    assert(rows(1L).getAs[Long]("fk100") < rows(2L).getAs[Long]("fk100"))
+    assert(rows(2L).getAs[String]("band") == "hard")
+    // empty doc: clamped denominators, no divide-by-zero
+    val empty = QualityRules.readability(Seq((3L, "")).toDF("doc_id", "text"))
+      .collect().head
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.getAs[Long]("n_sents") == 1L)
+  }
+
+  // ------------------------------------------------- boilerplate lines
+
+  test("boilerplate lines: chrome drops, prose survives, hash pins it") {
+    val content =
+      "This is a long enough content line with lowercase letters here."
+    val text = Seq("TITLE IN CAPS", "- bullet item of navigation",
+      "   ", content, "short").mkString("\n")
+    val out = QualityRules.boilerplateLines(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("n_lines") == 4L) // blank line filtered
+    assert(out.getAs[Long]("kept_lines") == 1L)
+    assert(out.getAs[Long]("kept_chars") == content.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.getAs[String]("content_hash") == md)
+    // all-chrome doc keeps its row with an empty-content hash
+    val chrome = QualityRules.boilerplateLines(
+      Seq((2L, "NAV\n- a\n- b")).toDF("doc_id", "text")).collect().head
+    assert(chrome.getAs[Long]("kept_lines") == 0L)
+    assert(chrome.getAs[Double]("kept_char_frac") == 0.0)
+  }
 }

@@ -461,6 +461,40 @@ class EngineSpec extends SparkTestBase {
     assert(got.size == expected.size)
   }
 
+  test("sqlQuery: readability and line-cleaning scalars match their " +
+      "t52/t53 kernels") {
+    graft.core.GraftSession.registerFunctions(spark)
+    import org.apache.spark.sql.functions.{col, md5}
+    val out = engine.sqlQuery(
+      s"""SELECT doc_id, graft_fre100(text) AS fre,
+         |  graft_fk100(text) AS fk,
+         |  md5(graft_clean_lines(text)) AS ch
+         |FROM parquet.`$sf0001/documents.parquet`
+         |WHERE doc_id < 25 ORDER BY doc_id""".stripMargin)
+    assert(out.startsWith("""{"records":["""), out.take(120))
+    val q = graft.operators.QualityRules
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter("doc_id < 25")
+      .select(col("doc_id"), q.fre100Column(col("text")).as("fre"),
+        q.fk100Column(col("text")).as("fk"),
+        md5(q.cleanedColumn(col("text"))).as("ch"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val rec =
+      """\{"doc_id":(\d+),"fre":(-?\d+),"fk":(-?\d+),"ch":"([0-9a-f]{32})"\}""".r
+    val got = rec.findAllMatchIn(out).map(m => m.group(1).toLong ->
+      (m.group(2).toLong, m.group(3).toLong, m.group(4))).toMap
+    assert(got.size == expected.size && got == expected,
+      s"readability scalars diverged (${got.size}/${expected.size})")
+    // and the scalar surface agrees with the t52 FRAME operator's grid
+    val frame = q.readability(spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter("doc_id < 25"))
+      .select("doc_id", "fre100").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map { case (k, v) => k -> v._1 } == frame)
+  }
+
   test("sqlQuery: graft_sq8_encode/dot round-trip a unit vector in raw SQL") {
     graft.core.GraftSession.registerFunctions(spark)
     // self-dot of the encoded unit vector ≈ 127² · ‖u‖² = 16129, off

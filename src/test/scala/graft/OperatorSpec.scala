@@ -769,6 +769,28 @@ class OperatorSpec extends SparkTestBase {
     assert(rec >= 0.95, s"sq8 recall $rec")
   }
 
+  test("Hamming flat-scan ANN: rerank-all reproduces exact kNN; " +
+      "production rerank clears its floor") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = e.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+        .toSet
+    val exact = rows(Similarity.knnExact(e.filter(col("vec_id") < 50), e, 5))
+    // rerank ≥ corpus ⇒ the Hamming filter prunes nothing and the
+    // exact-rerank pass IS exact kNN, row for row (probe-all ≡ exact,
+    // the knnIvfAgainst discipline)
+    val all = rows(Similarity.knnHamming(e, 5, col("id") < 50, rerank = n))
+    assert(all == exact)
+    // production config (256-bit signatures, rerank 100 — the
+    // HammingSweep pick): recall above the e20 driver floor of 0.85
+    val ham = rows(Similarity.knnHamming(e, 5, col("id") < 50))
+    val rec = (ham.map(t => (t._1, t._3)) & exact.map(t => (t._1, t._3))).size /
+      exact.size.toDouble
+    assert(rec >= 0.85, s"hamming recall $rec")
+  }
+
   test("NgramLm: add-alpha bigram probabilities match the hand model") {
     import graft.operators.NgramLm
     import spark.implicits._

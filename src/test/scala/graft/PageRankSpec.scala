@@ -110,4 +110,57 @@ class PageRankSpec extends SparkTestBase {
     assert(got == refRanks(Seq(1L -> 2L), 2, 1000000000000L))
     assert(got(2L) > got(1L))
   }
+
+  /** Reference HITS: the operator's recurrence single-threaded, with
+    * BigInt standing in for the DECIMAL(38,0) widening (both truncate
+    * toward zero on all-positive values).
+    */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.distinct
+    val hubs = e.map(_._1).distinct
+    var h = hubs.map(_ -> scale / hubs.size).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => h(x._1)).sum
+      }
+      val ta = araw.values.map(BigInt(_)).sum
+      a = araw.map { case (d, r) => d -> ((BigInt(r) * scale) / ta).toLong }
+      val hraw = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(x => a(x._2)).sum
+      }
+      val th = hraw.values.map(BigInt(_)).sum
+      h = hraw.map { case (s, r) => s -> ((BigInt(r) * scale) / th).toLong }
+    }
+    (h, a)
+  }
+
+  private def collectHits(df: org.apache.spark.sql.DataFrame)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    (rows.filter(_._2 == "hub").map(r => r._1 -> r._3).toMap,
+      rows.filter(_._2 == "auth").map(r => r._1 -> r._3).toMap)
+  }
+
+  test("hits matches the exact-integer reference recurrence") {
+    // bipartite-ish with a shared node on both sides (10 is src AND dst)
+    val edges = Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 3L -> 12L,
+      10L -> 13L)
+    for (iters <- Seq(1, 2, 3)) {
+      val (h, a) = collectHits(PageRank.hits(edges.toDF("src", "dst"), iters))
+      assert((h, a) == refHits(edges, iters, 1000000000L),
+        s"mismatch at iters=$iters")
+    }
+  }
+
+  test("hits ranks the consensus authority and the broad hub on top") {
+    // authority 10 cited by all three hubs; hub 1 cites both authorities
+    val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 11L)
+    val (h, a) = collectHits(PageRank.hits(edges.toDF("src", "dst"), 2))
+    assert(a(10L) > a(11L))
+    assert(h(1L) > h(2L) && h(2L) == h(3L))
+    assert((h, a) == refHits(edges, 2, 1000000000L))
+  }
 }
