@@ -116,12 +116,20 @@ object PageRank {
     * Integer sums are order-independent, so the DuckDB oracle's
     * unrolled recurrence (HUGEINT `//`) matches bit-for-bit.
     *
-    * Scale shape: identical to [[ranks]] — the adjacency persists
-    * src-hash-partitioned, each half-round shuffles only narrow
-    * (long, long) score rows with map-side partial sums, and the
-    * round's total rides a 1-row broadcast cross join (never the
-    * driver). Score frames localCheckpoint per round to keep lineage
-    * flat.
+    * Scale shape: the [[ranks]] discipline, doubled — HITS joins the
+    * edge list on `src` in one half-round and on `dst` in the other,
+    * so the adjacency persists in BOTH hash layouts, each built by one
+    * shuffle up front. Every half-round then shuffles only narrow
+    * (long, long) score rows (the |E|-sized join output partial-
+    * aggregates map-side down to ≤|V| rows per partition before the
+    * groupBy ships it), and the round's total rides a 1-row broadcast
+    * cross join (never the driver). Score frames localCheckpoint per
+    * round to keep lineage flat. The first cut persisted ONE edge
+    * frame and let the join planner choose: at sf0.1 it broadcast the
+    * score frame, but at the 10× replica the score frame crossed the
+    * broadcast threshold and every half-round re-shuffled the FULL
+    * edge list — 64× shuffle growth for 10× data (9.5 MB → 610 MB,
+    * RepBench) until the pinned layouts capped it.
     *
     * @return (node, side, score): side = 'hub' | 'auth'; a node
     *         appearing on both sides gets a row per side.
@@ -131,10 +139,15 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val e = (if (dedupEdges) e0.distinct() else e0)
+    // base list persisted FIRST so the caller's (possibly expensive)
+    // edge pipeline runs once, not once per layout — the symmetrize
+    // discipline in run()
+    val eBase = (if (dedupEdges) e0.distinct() else e0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hubs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
-    val auths = e.select(col("dst").as("node")).distinct().localCheckpoint(true)
+    val eS = eBase.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eD = eBase.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs = eS.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
     val nHubs = hubs.count()
     require(nHubs > 0, "HITS: empty graph")
 
@@ -151,14 +164,16 @@ object PageRank {
     var h = hubs.select(col("node"), lit(scale / nHubs).as("score"))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = e.join(h.select(col("node").as("src"), col("score")), "src")
+      val araw = eS.join(h.select(col("node").as("src"), col("score")), "src")
         .groupBy(col("dst").as("node")).agg(sum("score").as("raw"))
       a = normalized(araw).localCheckpoint(true)
-      val hraw = e.join(a.select(col("node").as("dst"), col("score")), "dst")
+      val hraw = eD.join(a.select(col("node").as("dst"), col("score")), "dst")
         .groupBy(col("src").as("node")).agg(sum("score").as("raw"))
       h = normalized(hraw).localCheckpoint(true)
     }
-    e.unpersist()
+    eBase.unpersist()
+    eS.unpersist()
+    eD.unpersist()
     h.select(col("node"), lit("hub").as("side"), col("score"))
       .union(a.select(col("node"), lit("auth").as("side"), col("score")))
   }
