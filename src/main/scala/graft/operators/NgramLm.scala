@@ -81,6 +81,56 @@ object NgramLm {
         (sum(col("k") * col("nll")) / sum("k")).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney, ICASSP
+    * 1995) — the absolute-discounting smoothing KenLM ships, i.e. the
+    * actual model family behind the CCNet filter whose JM form
+    * [[trigramScores]] covers:
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B
+    *
+    * with c1 the context total, N1+(w1·) the context's DISTINCT
+    * continuation count, N1+(·w2) the word's distinct LEFT-context
+    * count, and B the distinct-bigram-type total. The signature KN
+    * idea is the continuation distribution: "san francisco" makes
+    * "francisco" frequent but N1+(·francisco)=1 keeps its unigram
+    * backoff tiny. The discount identity Σ_w2 p(w2|w1) =
+    * (c1 − D·N1+)/c1 + D·N1+/c1 · 1 = 1 makes it a proper
+    * distribution over the continuation vocabulary (Σ N1+(·w)=B).
+    *
+    * Same scale shape as [[perplexityScores]]: every model table is a
+    * re-aggregation of the distinct-bigram count table (B rows,
+    * shrinking marginals), scoring runs at the distinct-bigram grain
+    * (the t48 lesson), and the per-doc multisets aggregate before any
+    * shuffle. Self-scored corpora have no unseen events; for
+    * cross-corpus scoring compose with the continuation term alone as
+    * the backoff.
+    */
+  def kneserNeyScores(docs: DataFrame, discount: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1, s"need 0 < D < 1, got $discount")
+    val db = docBigrams(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n12 = db.groupBy("w1", "w2").agg(sum("k").as("c12"))
+    val n1 = n12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("t1"))
+    val cont = n12.groupBy("w2").agg(count(lit(1)).as("t2"))
+    val btypes = n12.agg(count(lit(1)).as("_b"))
+    val d = lit(discount)
+    // term order mirrors the oracle SQL verbatim — identical double
+    // arithmetic order, so the 4dp-rounded scores are bit-stable
+    val p = greatest(col("c12") - d, lit(0.0)) / col("c1") +
+      d * col("t1") / col("c1") * (col("t2") / col("_b"))
+    val scoredModel = n12
+      .join(n1, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"), (-log(p)).as("nll"))
+    db.join(scoredModel, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum("k").as("n_bigrams"),
+        (sum(col("k") * col("nll")) / sum("k")).as("avg_nll"))
+  }
+
   /** Interpolated (Jelinek–Mercer) TRIGRAM scoring — the higher-order
     * LM filter of the KenLM/CCNet lineage (Wenzek et al. 2020 score
     * with a 5-gram; the interpolation-of-ML-orders backoff here is the

@@ -3329,6 +3329,36 @@ object TrainingData {
       |    AS kept_char_frac
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t54
+  // Interpolated Kneser–Ney bigram LM (NgramLm.kneserNeyScores):
+  // absolute discounting + the continuation distribution — the KenLM
+  // smoothing, next to t27's add-α and t48's Jelinek–Mercer. Scores
+  // on the proven 4dp grid; docs with < 2 tokens drop (no bigrams).
+  private def t54(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.kneserNeyScores(docs(s, dir))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+
+  private val t54Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM toks WHERE len(ts) >= 2),
+      |db AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*) AS k
+      |       FROM pos GROUP BY 1, 2, 3),
+      |n12 AS (SELECT w1, w2, sum(k) AS c12 FROM db GROUP BY 1, 2),
+      |n1 AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM n12 GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS t2 FROM n12 GROUP BY 1),
+      |b AS (SELECT count(*) AS bt FROM n12),
+      |sc AS (SELECT w1, w2,
+      |  -ln(greatest(c12 - 0.75, 0.0) / c1
+      |      + 0.75 * t1 / c1 * (t2 / bt)) AS nll
+      |  FROM n12 JOIN n1 USING (w1) JOIN cont USING (w2), b)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |       round(sum(k * nll) / sum(k), 4) AS avg_nll
+      |FROM db JOIN sc USING (w1, w2) GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- e20
   // Binary-quantization flat-scan ANN (Similarity.knnHamming): 256-bit
   // sign signatures (4 long words) scanned with built-in XOR+popcount,
@@ -3397,6 +3427,7 @@ object TrainingData {
     QuerySpec("t51_ccnet_buckets", t51, Some(t51Sql)),
     QuerySpec("t52_readability", t52, Some(t52Sql)),
     QuerySpec("t53_boilerplate", t53, Some(t53Sql)),
+    QuerySpec("t54_lm_kneser_ney", t54, Some(t54Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -791,6 +791,33 @@ class OperatorSpec extends SparkTestBase {
     assert(rec >= 0.85, s"hamming recall $rec")
   }
 
+  test("NgramLm: Kneser-Ney discounting matches the hand model and " +
+      "normalizes per context") {
+    import graft.operators.NgramLm
+    import spark.implicits._
+    // corpus: (the,cat)x2, (cat,sat)x1, (cat,ran)x1
+    //   contexts: the c1=2 t1=1; cat c1=2 t1=2
+    //   continuations: cat t2=1, sat t2=1, ran t2=1; B=3
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    def p(c12: Double, c1: Double, t1: Double, t2: Double, b: Double) =
+      math.max(c12 - 0.75, 0.0) / c1 + 0.75 * t1 / c1 * (t2 / b)
+    val pCatGivenThe = p(2, 2, 1, 1, 3) // 0.625 + 0.125  = 0.75
+    val pSatGivenCat = p(1, 2, 2, 1, 3) // 0.125 + 0.25   = 0.375
+    val got = NgramLm.kneserNeyScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    val want = (-math.log(pCatGivenThe) - math.log(pSatGivenCat)) / 2
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - want) < 1e-12)
+    assert(math.abs(got(2L)._2 - want) < 1e-12) // ran symmetric to sat
+    // discount identity: p over the continuation vocab sums to exactly
+    // 1 per context (the KN mass-conservation property)
+    val contextSum = p(2, 2, 1, 1, 3) + // cat|the
+      p(0, 2, 1, 1, 3) + p(0, 2, 1, 1, 3) // unseen sat|the, ran|the
+    assert(math.abs(contextSum - 1.0) < 1e-12)
+  }
+
   test("NgramLm: add-alpha bigram probabilities match the hand model") {
     import graft.operators.NgramLm
     import spark.implicits._
