@@ -61,9 +61,12 @@ object NgramLm {
     */
   def perplexityScores(docs: DataFrame, alpha: Double = 0.5,
       minCount: Long = 1L, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val db = docBigrams(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idCol: String = "doc_id",
+      bigrams: Option[DataFrame] = None): DataFrame = {
+    // caller-supplied bigrams (already persisted, caller-owned) let
+    // multi-model scorings share ONE tokenize pass — the Doremi shape
+    val db = bigrams.getOrElse(docBigrams(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n12 = db.groupBy("w1", "w2").agg(sum("k").as("n12"))
       .filter(col("n12") >= minCount)
     val n1 = db.groupBy("w1").agg(sum("k").as("n1"))
@@ -106,10 +109,12 @@ object NgramLm {
     * the backoff.
     */
   def kneserNeyScores(docs: DataFrame, discount: Double = 0.75,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      bigrams: Option[DataFrame] = None): DataFrame = {
     require(discount > 0 && discount < 1, s"need 0 < D < 1, got $discount")
-    val db = docBigrams(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // see perplexityScores: caller-supplied frame shares the tokenize
+    val db = bigrams.getOrElse(docBigrams(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n12 = db.groupBy("w1", "w2").agg(sum("k").as("c12"))
     val n1 = n12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("t1"))

@@ -3359,6 +3359,70 @@ object TrainingData {
       |FROM db JOIN sc USING (w1, w2) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t55
+  // DoReMi domain reweighting (operators.Doremi): per-source excess
+  // loss of the weak add-α bigram proxy vs the Kneser–Ney reference
+  // (both corpus-trained from ONE shared bigram pass) drives the
+  // multiplicative weight update with uniform smoothing — the
+  // data-mixture optimization loop's inner step, computed entirely
+  // in-engine. The oracle recomposes both model chains from the same
+  // CTEs (t27's and t54's) and replays the update.
+  private def t55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Doremi.mixtureWeights(docs(s, dir))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("proxy_nll"), 4).as("proxy_nll"),
+        round(col("ref_nll"), 4).as("ref_nll"),
+        round(col("excess"), 4).as("excess"),
+        round(col("share"), 4).as("share"),
+        round(col("weight"), 4).as("weight"))
+      .orderBy("source")
+
+  private val t55Sql =
+    s"""WITH toks AS (SELECT doc_id, source, $duckToks AS ts FROM documents),
+      |pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM toks WHERE len(ts) >= 2),
+      |db AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, count(*) AS k
+      |       FROM pos GROUP BY 1, 2, 3),
+      |n12a AS (SELECT w1, w2, sum(k) AS n12 FROM db GROUP BY 1, 2),
+      |n1a AS (SELECT w1, sum(k) AS n1 FROM db GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ts) AS w FROM toks)),
+      |sca AS (SELECT db.doc_id, db.k,
+      |          -ln((n12 + 0.5) / (n1 + 0.5 * v.v)) AS nll
+      |        FROM db JOIN n12a USING (w1, w2) JOIN n1a USING (w1)
+      |        CROSS JOIN v),
+      |pd AS (SELECT doc_id, sum(k) AS kp, sum(k * nll) / sum(k) AS np
+      |       FROM sca GROUP BY 1),
+      |n12 AS (SELECT w1, w2, sum(k) AS c12 FROM db GROUP BY 1, 2),
+      |n1 AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM n12 GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS t2 FROM n12 GROUP BY 1),
+      |b AS (SELECT count(*) AS bt FROM n12),
+      |scr AS (SELECT db.doc_id, db.k,
+      |  -ln(greatest(c12 - 0.75, 0.0) / c1
+      |      + 0.75 * t1 / c1 * (t2 / bt)) AS nll
+      |  FROM db JOIN n12 USING (w1, w2) JOIN n1 USING (w1)
+      |  JOIN cont USING (w2), b),
+      |rd AS (SELECT doc_id, sum(k) AS kr, sum(k * nll) / sum(k) AS nr
+      |       FROM scr GROUP BY 1),
+      |base AS (SELECT doc_id, source, len(ts) AS nt FROM toks),
+      |dom AS (SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+      |          sum(kp * np) / sum(kp) AS proxy_nll,
+      |          sum(kr * nr) / sum(kr) AS ref_nll
+      |        FROM base LEFT JOIN pd USING (doc_id)
+      |        LEFT JOIN rd USING (doc_id) GROUP BY 1),
+      |ex AS (SELECT *, greatest(proxy_nll - ref_nll, 0.0) AS excess
+      |       FROM dom),
+      |tot AS (SELECT sum(n_tokens) AS t, count(*) AS d FROM ex),
+      |rawt AS (SELECT ex.*, n_tokens / t AS share,
+      |           (n_tokens / t) * exp(1.0 * excess) AS raw
+      |         FROM ex, tot),
+      |z AS (SELECT sum(raw) AS z FROM rawt)
+      |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(proxy_nll, 4) AS proxy_nll, round(ref_nll, 4) AS ref_nll,
+      |  round(excess, 4) AS excess, round(share, 4) AS share,
+      |  round(0.9 * (raw / z) + 0.1 / d, 4) AS weight
+      |FROM rawt, z, tot ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- e20
   // Binary-quantization flat-scan ANN (Similarity.knnHamming): 256-bit
   // sign signatures (4 long words) scanned with built-in XOR+popcount,
@@ -3428,6 +3492,7 @@ object TrainingData {
     QuerySpec("t52_readability", t52, Some(t52Sql)),
     QuerySpec("t53_boilerplate", t53, Some(t53Sql)),
     QuerySpec("t54_lm_kneser_ney", t54, Some(t54Sql)),
+    QuerySpec("t55_doremi_weights", t55, Some(t55Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -336,6 +336,42 @@ class CurationSpec extends SparkTestBase {
     assert(out.count() == d.count())
   }
 
+  // ----------------------------------------------------------- doremi
+
+  test("doremi: weights form a smoothed distribution that boosts " +
+      "excess-loss domains") {
+    import graft.operators.Doremi
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = Doremi.mixtureWeights(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("excess"),
+          r.getAs[Double]("weight"))).toMap
+    val nD = rows.size
+    assert(nD > 1)
+    // proper distribution: Σw = 1; uniform smoothing floors every
+    // domain at c/|D|
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(rows.values.forall(_._3 >= 0.1 / nD - 1e-12))
+    // multiplicative update: the UNSMOOTHED factor ŵ/share =
+    // exp(η·excess)/Z is strictly increasing in excess (the smoothing
+    // term redistributes absolutely, so weight/share is not)
+    val boosted = rows.values.map(v =>
+      (v._2, (v._3 - 0.1 / nD) / 0.9 / math.max(v._1, 1e-12)))
+    val hi = boosted.maxBy(_._1)
+    val lo = boosted.minBy(_._1)
+    assert(hi._1 - lo._1 < 1e-12 || hi._2 > lo._2,
+      s"excess ${lo._1}→${hi._1} but factor ${lo._2}→${hi._2}")
+    // identical domains ⇒ exactly equal weights
+    import spark.implicits._
+    val twin = Seq((1L, "a", "the cat sat on the mat with the dog"),
+      (2L, "b", "the cat sat on the mat with the dog"))
+      .toDF("doc_id", "source", "text")
+    val w = Doremi.mixtureWeights(twin).collect()
+      .map(_.getAs[Double]("weight"))
+    assert(w.length == 2 && math.abs(w(0) - w(1)) < 1e-12)
+    assert(math.abs(w.sum - 1.0) < 1e-9)
+  }
+
   // ------------------------------------------------------ readability
 
   test("readability: hand-computed FK/FRE on the integer grid") {
