@@ -3369,6 +3369,12 @@ object TrainingData {
   // CTEs (t27's and t54's) and replays the update.
   private def t55(s: SparkSession, dir: String): DataFrame =
     graft.operators.Doremi.mixtureWeights(docs(s, dir))
+      // no-op predicate on COMPUTED columns (weight ≥ c/|D| > 0 by
+      // construction): under count() Spark's column pruning would
+      // otherwise drop the score aggregates and the distinct-key rule
+      // would eliminate both LM joins — the t43/t46 bench-protocol
+      // trap, third sighting (SCALING.md)
+      .filter(col("weight") > 0.0 && col("excess") >= 0.0)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("proxy_nll"), 4).as("proxy_nll"),
         round(col("ref_nll"), 4).as("ref_nll"),
