@@ -891,6 +891,70 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF × binary-quantization composed ANN — the scale path
+    * [[knnHamming]]'s scaladoc promises: the coarse quantizer confines
+    * the scan to `nProbe` of `nCells` cells (cost fraction
+    * ~nProbe/nCells, similarity-independent), and WITHIN the probed
+    * cells candidates are filtered by the 8-byte-per-64-planes Hamming
+    * signature instead of full dots — [[Pq.knnIvfPq]]'s architecture
+    * with the simpler 1-bit codec. Exact rerank of the per-query
+    * top-`rerank` survivors, as everywhere.
+    *
+    * Identity pins (OperatorSpec): probe-all + rerank-all reproduces
+    * exact kNN row-for-row — neither stage can change WHICH answers
+    * exist, only how many candidates pay full-precision dots.
+    *
+    * Scale shape: the corpus is signed and cell-assigned in one
+    * projection (both are broadcast-literal expressions — no join),
+    * the candidate join keys on the cell id like [[knnIvf]], and the
+    * Hamming filter runs inside the probed-cell join before anything
+    * wide moves; only Q×rerank rows touch the float vectors.
+    */
+  def knnIvfHamming(vecs: DataFrame, k: Int, nCells: Int, nProbe: Int,
+      queryFilter: Column, nBits: Int = 256, dim: Int = 64,
+      rerank: Int = 100, idCol: String = "vec_id", seed: Long = 42L,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(nBits >= 1 && nBits % 64 == 0 || nBits < 64,
+      s"nBits must be < 64 or a multiple of 64, got $nBits")
+    SignBits.register(vecs.sparkSession)
+    val cents = centroids.getOrElse(seedCentroids(vecs, nCells, idCol))
+    val words = math.max(1, (nBits + 63) / 64)
+    val all = hyperplanes(nBits, dim, seed).map(_.toSeq).toSeq
+    def planesOf(w: Int): Column =
+      typedlit[Seq[Seq[Double]]](all.slice(w * 64, math.min((w + 1) * 64, nBits)))
+    // lazy persist (signature/cell scan + the rerank joins), released
+    // by CacheHygiene — the annFromBuckets contract
+    val unit = unitVectors(vecs, idCol, "id", "uv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusCells = unit.withColumn("cell", homeCell(cents))
+      .select(col("id").as("neighbor_id") +: col("cell") +:
+        (0 until words).map(w => SignBits.of(col("uv"), planesOf(w)).as(s"sig$w")): _*)
+    val queryProbes = unit.filter(queryFilter)
+      .withColumn("cell", explode(probeCells(cents, nProbe)))
+      .select(col("id").as("query_id") +: col("cell") +:
+        (0 until words).map(w => SignBits.of(col("uv"), planesOf(w)).as(s"qsig$w")): _*)
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"sig$w").bitwiseXOR(col(s"qsig$w"))))
+      .reduce(_ + _)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    // a corpus vector has ONE home cell, so (query, neighbor) pairs
+    // are join-unique — no distinct needed before the window
+    val cands = queryProbes.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
+      .withColumn("r", row_number().over(wa))
+      .filter(col("r") <= math.max(rerank, k))
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(unit.select(col("id").as("query_id"), col("uv").as("qv")),
+        Seq("query_id"))
+      .join(unit.select(col("id").as("neighbor_id"), col("uv").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR 1998): greedily pick `k` items that are relevant to the
     * query but diverse among themselves —

@@ -791,6 +791,29 @@ class OperatorSpec extends SparkTestBase {
     assert(rec >= 0.85, s"hamming recall $rec")
   }
 
+  test("IVF x Hamming composed ANN: probe-all + rerank-all is exact; " +
+      "production config holds recall") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = e.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+        .toSet
+    val exact = rows(Similarity.knnExact(e.filter(col("vec_id") < 50), e, 5))
+    // probe-all + rerank-all: neither the coarse quantizer nor the
+    // binary filter prunes anything ⇒ exact kNN row-for-row
+    val allOn = rows(Similarity.knnIvfHamming(e, 5, nCells = 16,
+      nProbe = 16, col("id") < 50, rerank = n))
+    assert(allOn == exact)
+    // production shape: 4/16 probes + 256-bit filter + rerank 100 —
+    // recall bounded by the IVF cell restriction (e04's regime)
+    val prod = rows(Similarity.knnIvfHamming(e, 5, nCells = 16,
+      nProbe = 4, col("id") < 50))
+    val rec = (prod.map(t => (t._1, t._3)) & exact.map(t => (t._1, t._3))).size /
+      exact.size.toDouble
+    assert(rec >= 0.55, s"ivf-hamming recall $rec")
+  }
+
   test("NgramLm: Kneser-Ney discounting matches the hand model and " +
       "normalizes per context") {
     import graft.operators.NgramLm
