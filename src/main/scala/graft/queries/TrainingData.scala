@@ -778,7 +778,13 @@ object TrainingData {
     // candidate cut more than SQ8's bytes — tri-SF minimum 0.924 at
     // 256 bits / rerank 100 (tools.HammingSweep), floor at the usual
     // ~0.07 margin under it.
-    "e20" -> 0.85)
+    "e20" -> 0.85,
+    // e21 composes e04's cell restriction (floor 0.55) with e20's
+    // binary filter — recall is bounded by the IVF term (measured
+    // 0.620-0.664 tri-SF, ≈ e04's 0.62-0.67: the Hamming filter at
+    // rerank 100 costs almost nothing extra); floor at the usual
+    // margin under the 0.620 minimum.
+    "e21" -> 0.55)
 
   private def annAudit(s: SparkSession, dir: String, ann: DataFrame,
       k: Int, floor: Double): DataFrame = {
@@ -3443,6 +3449,20 @@ object TrainingData {
   private def e20(s: SparkSession, dir: String): DataFrame =
     annAudit(s, dir, e20Raw(s, dir), k = 5, floor = annFloors("e20"))
 
+  // ---------------------------------------------------------------- e21
+  // IVF × binary-quantization composed ANN (Similarity.knnIvfHamming):
+  // coarse cells bound the scan fraction (nProbe/nCells, similarity-
+  // independent), the 256-bit Hamming filter bounds what the scan
+  // TOUCHES (32 bytes/vector), exact rerank bounds what pays full
+  // dots — the production big-corpus stack in one operator. Probe-all
+  // + rerank-all ≡ exact is spec-pinned; audited like every ANN query.
+  private[graft] def e21Raw(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnIvfHamming(embs(s, dir), k = 5, nCells = 16, nProbe = 4,
+      queryFilter = col("id") < 50, nBits = 256, rerank = 100)
+
+  private def e21(s: SparkSession, dir: String): DataFrame =
+    annAudit(s, dir, e21Raw(s, dir), k = 5, floor = annFloors("e21"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -3519,6 +3539,7 @@ object TrainingData {
     QuerySpec("e18_maxsim_retrieval", e18, Some(e18Sql)),
     QuerySpec("e19_maxsim_pruned", e19, Some(e19Sql)),
     QuerySpec("e20_ann_hamming", e20, Some(annAuditSql(5, annFloors("e20")))),
+    QuerySpec("e21_ann_ivf_hamming", e21, Some(annAuditSql(5, annFloors("e21")))),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),

@@ -31,7 +31,8 @@ object AnnRecall {
       "e11" -> (TrainingData.e11Raw _),
       "e12" -> (TrainingData.e12Raw _),
       "e15" -> (TrainingData.e15Raw _),
-      "e20" -> (TrainingData.e20Raw _))
+      "e20" -> (TrainingData.e20Raw _),
+      "e21" -> (TrainingData.e21Raw _))
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
