@@ -367,6 +367,62 @@ class StreamingSpec extends SparkTestBase {
     assert(back.schema.fieldNames.contains("hour"))
   }
 
+  test("streaming extraction gate: clean_lines scalar per micro-batch, " +
+      "boilerplateLines frame audits the publish") {
+    // the t53 extraction gate in its streaming form: the stream maps
+    // text → cleaned via the SCALAR QualityRules.cleanedColumn
+    // (map-only, so it runs per-micro-batch unchanged), drops
+    // all-chrome docs, and wapSink's audit re-runs the FRAME
+    // boilerplateLines over the staged batch, publishing only when
+    // the frame's content_hash equals the scalar's md5 on every row —
+    // the two surfaces cross-check each other on every batch.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.operators.QualityRules
+    val src = tmpDir("graft-bp-src")
+    val ckpt = tmpDir("graft-bp-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-bp-wh"))
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val content =
+      "This is a long enough content line with lowercase letters here."
+    val content2 =
+      "Another sufficiently long prose line that survives the gate too."
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("ts", TimestampType), StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(src)
+      val cleaned = stream.withWatermark("ts", "10 seconds")
+        .withColumn("cleaned", QualityRules.cleanedColumn(col("text")))
+        .filter(length(col("cleaned")) > 0)
+      val audit = (staged: org.apache.spark.sql.DataFrame) =>
+        QualityRules.boilerplateLines(staged)
+          .join(staged.select(col("doc_id"), md5(col("cleaned")).as("h")),
+            Seq("doc_id"))
+          .filter(col("content_hash") =!= col("h")).count() == 0
+      val q = Sinks.wapSink(cleaned, cat, "db", "cleaned", "staging",
+        audit, ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    Seq((t(100), 1L, s"TITLE IN CAPS\n- nav item\n$content\nshort"),
+      (t(101), 2L, "NAV\n- a\n- b")) // all chrome → dropped pre-stage
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    val got1 = cat.read("db", "cleaned").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned")).toMap
+    assert(got1 == Map(1L -> content))
+
+    // second micro-batch through the same checkpointed gate
+    Seq((t(110), 3L, s"HEADER\n$content2"))
+      .toDF("ts", "doc_id", "text").write.mode("append").parquet(src)
+    run()
+    val got2 = cat.read("db", "cleaned").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned")).toMap
+    assert(got2 == Map(1L -> content, 3L -> content2))
+  }
+
   test("webdataset shard sink: micro-batches become tar shard sets, replay is idempotent") {
     import spark.implicits._
     val src = tmpDir("graft-wds-src")
