@@ -273,6 +273,67 @@ object Audio {
     * media that the feature gates passed. Undecodable payloads emit
     * nothing (the features marker row is the corrupt-media signal).
     */
+  /** 2× linear-interpolation upsample on the EXACT integer grid — the
+    * sample-rate-normalization step every audio training pipeline runs
+    * before featurization (all clips to one rate; 2× is the integral
+    * ratio whose interpolant needs no windowed filter). Midpoints are
+    * emitted as integer NUMERATORS over 2·2^(bits−1): out[2i] = 2·kᵢ,
+    * out[2i+1] = kᵢ + kᵢ₊₁ — every value an exact int64, so the
+    * per-doc digest (md5 of the comma-joined sequence) and energy sums
+    * are bit-stable cross-engine, the PageRank discipline applied to
+    * DSP. Decode runs through the real [[decodePcm]] path per
+    * partition (the media mapPartitions exception); payloads never
+    * shuffle — only the 7-column audit row leaves the executor.
+    *
+    * `decoded=false` rows (payload did not decode) carry zeros and the
+    * empty-sequence digest, keeping the row-per-input contract of
+    * [[features]].
+    */
+  case class Resampled(
+      doc_id: Long,
+      decoded: Boolean,
+      n_in: Long,
+      n_out: Long, // 2·n_in − 1
+      sum_abs: Long, // Σ |out_j|, exact
+      sum_sq: Long, // Σ out_j², exact
+      digest: String) // md5 of the comma-joined out sequence
+
+  def resample2x(media: Dataset[MediaRow]): Dataset[Resampled] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(resampleOf))
+  }
+
+  private[graft] def resampleOf(r: MediaRow): Resampled = {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    decodePcm(r.payload) match {
+      case None => Resampled(r.doc_id, decoded = false, 0L, 0L, 0L, 0L,
+        md5Hex(""))
+      case Some(p) =>
+        val full = (1 << (p.bits - 1)).toDouble
+        val n = p.nFrames
+        // channel-0 integer numerators: sample() is raw/full with raw
+        // integral, so the product is exact
+        val k = Array.tabulate(n)(i => math.rint(p.sample(i, 0) * full).toLong)
+        val sb = new StringBuilder
+        var sumAbs = 0L
+        var sumSq = 0L
+        var j = 0
+        val nOut = 2 * n - 1
+        while (j < nOut) {
+          val v = if (j % 2 == 0) 2L * k(j / 2) else k(j / 2) + k(j / 2 + 1)
+          sumAbs += math.abs(v)
+          sumSq += v * v
+          if (j > 0) sb.append(',')
+          sb.append(v)
+          j += 1
+        }
+        Resampled(r.doc_id, decoded = true, n.toLong, nOut.toLong,
+          sumAbs, sumSq, md5Hex(sb.toString))
+    }
+  }
+
   def windows(media: Dataset[MediaRow], windowMs: Int = 200,
       stepMs: Int = 100): Dataset[AudioWindow] = {
     require(windowMs > 0 && stepMs > 0, "windowMs/stepMs must be positive")

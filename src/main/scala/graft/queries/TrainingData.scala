@@ -3365,6 +3365,40 @@ object TrainingData {
       |FROM db JOIN sc USING (w1, w2) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  // 2× audio resample (Audio.resample2x) on the m06 fixture WAVs: real
+  // decodePcm per partition, linear-interpolated midpoints as exact
+  // integer numerators over 2·128 — the per-doc digest pins the WHOLE
+  // resampled sequence (one flipped sample changes the md5), and the
+  // energy sums are exact int64 so nothing floats. The oracle rebuilds
+  // the sequence per character (out[2i] = 2·kᵢ, out[2i+1] = kᵢ+kᵢ₊₁)
+  // and md5s the same comma-joined rendering.
+  private def m11(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Audio.resample2x(audioMedia(s, dir)).toDF()
+      .orderBy("doc_id")
+
+  private val m11Sql =
+    s"""WITH $duckPcmChars,
+      |outs AS (
+      |  SELECT doc_id, pos * 2 AS j, 2 * k AS v FROM chars
+      |  UNION ALL
+      |  SELECT c1.doc_id, c1.pos * 2 + 1 AS j, c1.k + c2.k AS v
+      |  FROM chars c1 JOIN chars c2
+      |    ON c1.doc_id = c2.doc_id AND c2.pos = c1.pos + 1),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_out,
+      |    sum(abs(v)) AS sum_abs, sum(v * v) AS sum_sq,
+      |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY j)) AS digest
+      |  FROM outs GROUP BY 1)
+      |SELECT d.doc_id, TRUE AS decoded,
+      |  CAST(length(d.text) AS BIGINT) AS n_in,
+      |  CAST(a.n_out AS BIGINT) AS n_out,
+      |  CAST(a.sum_abs AS BIGINT) AS sum_abs,
+      |  CAST(a.sum_sq AS BIGINT) AS sum_sq,
+      |  a.digest
+      |FROM documents d JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t55
   // DoReMi domain reweighting (operators.Doremi): per-source excess
   // loss of the weak add-α bigram proxy vs the Kneser–Ney reference
@@ -3549,5 +3583,6 @@ object TrainingData {
     QuerySpec("m07_audio_windows", m07, Some(m07Sql)),
     QuerySpec("m08_video_demux", m08, Some(m08Sql)),
     QuerySpec("m09_patch_grid", m09, Some(m09Sql)),
-    QuerySpec("m10_webdataset_rt", m10, Some(m10Sql)))
+    QuerySpec("m10_webdataset_rt", m10, Some(m10Sql)),
+    QuerySpec("m11_audio_resample", m11, Some(m11Sql)))
 }

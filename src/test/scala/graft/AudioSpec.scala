@@ -136,4 +136,25 @@ class AudioSpec extends SparkTestBase {
     assert(f.zero_crossing_rate == 1.0 * 8000 / 2) // one neg→pos flip
     assert(f.clipped_ratio == 0.0)
   }
+
+  test("resample2x: exact integer midpoints, digest pins the sequence") {
+    // "AB": k0 = 65-128 = -63 (even), k1 = 127-66 = 61 (odd flip) —
+    // out = [2*-63, -63+61, 2*61] = [-126, -2, 122] over denom 256
+    val ds = Seq(MediaRow(1L, "audio/wav", Audio.wavFixture("AB")),
+      MediaRow(2L, "audio/wav", Array[Byte](1, 2, 3))).toDS()
+    val rows = Audio.resample2x(ds).collect()
+      .map(r => r.doc_id -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.decoded && r1.n_in == 2L && r1.n_out == 3L)
+    assert(r1.sum_abs == 126L + 2L + 122L)
+    assert(r1.sum_sq == 126L * 126 + 4L + 122L * 122)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("-126,-2,122".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.digest == md)
+    // undecodable payload keeps its row with zeros + empty digest
+    val r2 = rows(2L)
+    assert(!r2.decoded && r2.n_out == 0L)
+    assert(r2.digest == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
