@@ -285,6 +285,37 @@ object Dedup {
           .cast("long").as("contaminated"))
   }
 
+  /** Per-(document, benchmark-ITEM) contamination report — the
+    * adjudication grain of the GPT-3 appendix-C overlap methodology
+    * (Brown et al. 2020): [[decontaminate]] flags which training DOCS
+    * to drop, this reports which EVAL ITEMS each doc collides with and
+    * how much of the ITEM is covered (`bench_containment` =
+    * shared/|item shingles|) — the number an eval-integrity audit
+    * quotes when deciding whether to drop the doc, the item, or both.
+    *
+    * Same scale posture as [[decontaminate]]: both benchmark frames
+    * (distinct (item, shingle) rows and per-item totals) broadcast;
+    * corpus shingles travel as xxhash64 keys and the only shuffle is
+    * the (doc, item) pair count with map-side partials. The join
+    * fan-out is bounded by benchmark shingle multiplicity — corpus
+    * rows matching nothing drop at the broadcast hash probe.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minShared: Long = 2L): DataFrame = {
+    val cSh = shingleRows(corpus, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val bSh = shingleRows(benchmark, n)
+      .select(col("doc_id").as("bench_id"),
+        xxhash64(col("shingle")).as("shingle"))
+    val nb = bSh.groupBy("bench_id").agg(count(lit(1)).as("n_bench"))
+    cSh.join(broadcast(bSh), Seq("shingle"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(nb), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("shared"), col("n_bench"),
+        round(col("shared") / col("n_bench"), 4).as("bench_containment"))
+  }
+
   /** Bloom-pre-filtered decontamination: semantically IDENTICAL output
     * to [[decontaminate]] (Bloom filters have no false negatives, and
     * the exact semi-join still decides every hit) but corpus shingle

@@ -3365,6 +3365,47 @@ object TrainingData {
       |FROM db JOIN sc USING (w1, w2) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t56
+  // Per-(doc, benchmark-item) contamination report
+  // (Dedup.contaminationReport): the GPT-3 appendix-C adjudication
+  // grain — which eval items each training doc collides with and how
+  // much of the ITEM is covered, on t15's corpus/benchmark split.
+  // decontaminate (t15) decides which DOCS to drop; this is the
+  // which-ITEMS-are-burned audit that runs beside it.
+  private def t56(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.contaminationReport(
+        corpus = d.filter(col("doc_id") % 37 =!= 0),
+        benchmark = d.filter(col("doc_id") % 37 === 0),
+        n = 3, minShared = 2L)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private val t56Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             t -> t <> '') AS ts
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, ts,
+      |         unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM toks
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM idx
+      |), bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 37 = 0),
+      |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0),
+      |nb AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY 1),
+      |shared AS (
+      |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+      |  FROM corp c JOIN bench b USING (shingle)
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT s.doc_id, s.bench_id, CAST(s.shared AS BIGINT) AS shared,
+      |  CAST(nb.n_bench AS BIGINT) AS n_bench,
+      |  round(s.shared / nb.n_bench, 4) AS bench_containment
+      |FROM shared s JOIN nb USING (bench_id)
+      |ORDER BY s.doc_id, s.bench_id""".stripMargin
+
   // ---------------------------------------------------------------- m11
   // 2× audio resample (Audio.resample2x) on the m06 fixture WAVs: real
   // decodePcm per partition, linear-interpolated midpoints as exact
@@ -3553,6 +3594,7 @@ object TrainingData {
     QuerySpec("t53_boilerplate", t53, Some(t53Sql)),
     QuerySpec("t54_lm_kneser_ney", t54, Some(t54Sql)),
     QuerySpec("t55_doremi_weights", t55, Some(t55Sql)),
+    QuerySpec("t56_contamination_report", t56, Some(t56Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),

@@ -367,6 +367,61 @@ class StreamingSpec extends SparkTestBase {
     assert(back.schema.fieldNames.contains("hour"))
   }
 
+  test("streamed LM model: bigram counts maintained per micro-batch " +
+      "equal the batch-trained model") {
+    // the t27/t54/t55 model table (distinct-bigram counts) maintained
+    // as a streaming materialized view: occurrences explode per
+    // micro-batch, the update-mode aggregation carries counts across
+    // batches through the checkpoint, and upsertSink applies the
+    // changed rows in place (counts are monotone, so n12 is its own
+    // upsert sequence). Done = the standing table equals
+    // NgramLm.docBigrams' batch aggregation over everything ingested —
+    // the corpus LM is maintainable without re-scanning the corpus.
+    import spark.implicits._
+    import graft.functions.TextFns
+    val src = tmpDir("graft-lm-src")
+    val ckpt = tmpDir("graft-lm-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-lm-wh"))
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING"))
+        .parquet(src)
+      val model = stream.select(TextFns.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("n12"))
+        // tokens are [a-z0-9]+, so a space separator cannot collide
+        .select(concat_ws(" ", col("w1"), col("w2")).as("k"),
+          col("w1"), col("w2"), col("n12"))
+      val q = graft.streaming.Sinks.upsertSink(model, cat, "db", "lm",
+        keyCol = "k", seqCol = "n12", checkpointDir = ckpt,
+        trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    run()
+    Seq((3L, "the cat sat again"), (4L, "a dog")).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    run()
+
+    val streamed = cat.read("db", "lm")
+      .select("w1", "w2", "n12").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.NgramLm
+      .docBigrams(spark.read.parquet(src))
+      .groupBy("w1", "w2").agg(sum("k").as("n12")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(streamed(("the", "cat")) == 3L) // count grew ACROSS batches
+  }
+
   test("streaming extraction gate: clean_lines scalar per micro-batch, " +
       "boilerplateLines frame audits the publish") {
     // the t53 extraction gate in its streaming form: the stream maps
