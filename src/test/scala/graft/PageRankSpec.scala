@@ -155,6 +155,27 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("graph iterations keep equi-join plans: no nested-loop, no cartesian") {
+    // the q52/q55 scale posture is only real if the physical plan
+    // stays a hash/sort-merge equi-join pipeline — a stray non-equi
+    // condition would silently degrade to BNLJ and the 100 TB claim
+    // with it. (The 1-row normalization cross joins in hits() are
+    // broadcast by construction and not nested-loop over data.)
+    val edges = Seq(1L -> 10L, 1L -> 11L, 2L -> 10L, 3L -> 12L)
+      .toDF("src", "dst")
+    for (df <- Seq(PageRank.ranks(edges, 2),
+        PageRank.hits(edges, 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      // BroadcastNestedLoopJoin appears ONLY for the 1-row totals
+      // cross join in hits (Cross BuildRight over a broadcast scalar);
+      // any data×data instance is a regression
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val scalarCross = plan.contains("Cross BuildRight")
+      assert(bnlj == 0 || scalarCross, plan)
+    }
+  }
+
   test("hits ranks the consensus authority and the broad hub on top") {
     // authority 10 cited by all three hubs; hub 1 cites both authorities
     val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 11L)
