@@ -62,12 +62,23 @@ object AvroFiles {
         if (rows.hasNext) {
           val avro = new Schema.Parser().parse(avroJson)
           val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avro))
-          val part = TaskContext.getPartitionId()
-          val out = new FileOutputStream(
-            Paths.get(outDir, f"part-$part%05d.avro").toFile)
+          val tc = TaskContext.get()
+          val part = tc.partitionId()
+          // write-temp-then-atomic-rename: with task retries or
+          // speculative execution two attempts of the same partition
+          // must never interleave bytes into the final path — each
+          // attempt owns a unique temp file, the rename is the commit
+          val finalPath = Paths.get(outDir, f"part-$part%05d.avro")
+          val tmpPath = Paths.get(outDir,
+            f".part-$part%05d.avro.attempt-${tc.taskAttemptId()}%d.tmp")
+          val out = new FileOutputStream(tmpPath.toFile)
           w.create(avro, out, SyncMarker)
           try rows.foreach(r => w.append(AvroSerde.toRecord(r, st, avro)))
           finally w.close()
+          Files.move(tmpPath, finalPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
         }
       }
   }

@@ -4,6 +4,7 @@ import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.file.{Files, Paths}
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,8 +116,16 @@ object WebDataset {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val dir = Paths.get(outDir)
     if (Files.exists(dir)) {
-      val old = Files.list(dir).iterator()
-      while (old.hasNext) Files.delete(old.next())
+      // collect-then-delete (mutating a live directory stream is
+      // platform-dependent), close the stream (AvroFiles.write
+      // discipline), and only remove regular files — a subdirectory
+      // in the output dir is a caller error worth a clear message
+      val listing = Files.list(dir)
+      val old = try listing.iterator().asScala.toVector finally listing.close()
+      old.foreach { p =>
+        require(Files.isRegularFile(p), s"writeShards: $p is not a regular file")
+        Files.delete(p)
+      }
     } else Files.createDirectories(dir)
     samples
       .select(col("key").cast("string").as("key"), col("files"),
@@ -124,19 +133,30 @@ object WebDataset {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "key")
       .foreachPartition { rows: Iterator[Row] =>
+        // write-temp-then-atomic-rename per shard (AvroFiles.write
+        // discipline): concurrent task attempts each own a unique temp
+        // file; the rename is the commit, so retries/speculation can
+        // never interleave bytes into a final shard path
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         var current = -1L
         var out: BufferedOutputStream = null
+        var tmp: java.nio.file.Path = null
+        var fin: java.nio.file.Path = null
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](2 * BlockSize)) // end-of-archive
           out.close(); out = null
+          Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         rows.foreach { r =>
           val shard = r.getAs[Long]("shard")
           if (shard != current) {
             close()
             current = shard
-            out = new BufferedOutputStream(new FileOutputStream(
-              Paths.get(outDir, f"shard-$shard%05d.tar").toFile))
+            fin = Paths.get(outDir, f"shard-$shard%05d.tar")
+            tmp = Paths.get(outDir, f".shard-$shard%05d.tar.attempt-$attempt%d.tmp")
+            out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
           }
           r.getAs[Seq[Row]]("files").foreach { f =>
             val data = f.getAs[Array[Byte]]("data")
@@ -151,8 +171,9 @@ object WebDataset {
 
   /** Read tar shards back as one row per member file:
     * (shard: string, name: string, key: string, ext: string,
-    * data: binary) — `key`/`ext` split on the LAST dot, the WebDataset
-    * sample-grouping convention. One binaryFile task per shard.
+    * data: binary) — `key`/`ext` split on the FIRST dot of the
+    * basename, the WebDataset sample-grouping convention (extensions
+    * like `seg.png` stay whole). One binaryFile task per shard.
     */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -162,7 +183,7 @@ object WebDataset {
       .mapPartitions(_.flatMap { case (path, content) =>
         val shard = path.substring(path.lastIndexOf('/') + 1)
         parseTar(content).map { case (name, data) =>
-          val cut = name.lastIndexOf('.')
+          val cut = name.indexOf('.')
           val (key, ext) =
             if (cut < 0) (name, "") else (name.substring(0, cut), name.substring(cut + 1))
           (shard, name, key, ext, data)

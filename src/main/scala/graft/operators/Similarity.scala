@@ -850,8 +850,8 @@ object Similarity {
   def knnHamming(vecs: DataFrame, k: Int, queryFilter: Column,
       nBits: Int = 256, dim: Int = 64, rerank: Int = 100,
       idCol: String = "vec_id", seed: Long = 42L): DataFrame = {
-    require(nBits >= 1 && nBits % 64 == 0 || nBits < 64,
-      s"nBits must be < 64 or a multiple of 64, got $nBits")
+    require(nBits >= 1 && (nBits % 64 == 0 || nBits < 64),
+      s"nBits must be >= 1 and either < 64 or a multiple of 64, got $nBits")
     SignBits.register(vecs.sparkSession)
     // nBits > dim is the standard binary-quantization regime (bits are
     // cheap; 128 bits of a 64-dim vector still scan at 1/4 the float32
@@ -914,8 +914,8 @@ object Similarity {
       queryFilter: Column, nBits: Int = 256, dim: Int = 64,
       rerank: Int = 100, idCol: String = "vec_id", seed: Long = 42L,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    require(nBits >= 1 && nBits % 64 == 0 || nBits < 64,
-      s"nBits must be < 64 or a multiple of 64, got $nBits")
+    require(nBits >= 1 && (nBits % 64 == 0 || nBits < 64),
+      s"nBits must be >= 1 and either < 64 or a multiple of 64, got $nBits")
     SignBits.register(vecs.sparkSession)
     val cents = centroids.getOrElse(seedCentroids(vecs, nCells, idCol))
     val words = math.max(1, (nBits + 63) / 64)
@@ -987,14 +987,20 @@ object Similarity {
     val spark = vecs.sparkSession
     val unit = unitVectors(vecs, idCol, "id", "uv")
     val qv = unit.filter(col("id") === queryId).select("uv")
-      .head().getSeq[Double](0)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"mmrSelect: query id $queryId not present in the corpus"))
+      .getSeq[Double](0)
     def bp(c: Column): Column = round(c * 10000d, 0).cast("long")
     val cand = unit.filter(col("id") =!= queryId)
       .select(col("id"), col("uv"),
         bp(DotProduct.dot(col("uv"), typedlit(qv))).as("sq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Double])]
-    while (picked.size < k) {
+    var exhausted = false
+    // stop early (shorter result) when k exceeds the candidate count —
+    // the greedy argmax over an empty remaining set has no answer
+    while (picked.size < k && !exhausted) {
       val remaining =
         if (picked.isEmpty) cand
         else cand.filter(!col("id").isInCollection(picked.map(_._1)))
@@ -1005,10 +1011,13 @@ object Similarity {
           val mx = if (dots.size == 1) dots.head else greatest(dots.toSeq: _*)
           col("sq") * lamNum - mx * (lamDen - lamNum)
         }
-      val row = remaining.withColumn("score", score)
+      remaining.withColumn("score", score)
         .orderBy(col("score").desc, col("id"))
-        .select("id", "score", "uv").head()
-      picked += ((row.getLong(0), row.getLong(1), row.getSeq[Double](2)))
+        .select("id", "score", "uv").limit(1).collect().headOption match {
+        case Some(row) =>
+          picked += ((row.getLong(0), row.getLong(1), row.getSeq[Double](2)))
+        case None => exhausted = true
+      }
     }
     import spark.implicits._
     picked.toSeq.zipWithIndex

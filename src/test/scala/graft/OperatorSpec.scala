@@ -1627,4 +1627,42 @@ class OperatorSpec extends SparkTestBase {
       r.getLong(4), r.getDouble(5)) == (("s1", "s2", 1L, 3L, 3L, 0.2)))
     graft.core.CacheHygiene.releaseAll(spark)
   }
+
+  test("hamming nBits guard: zero and negative bit widths fail fast") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // nBits <= 0 would silently sign every vector to 0 (a degenerate
+    // scan) without the parenthesized guard — must throw instead
+    for (bad <- Seq(0, -64)) {
+      intercept[IllegalArgumentException] {
+        Similarity.knnHamming(e, 5, col("id") < 5, nBits = bad)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.knnIvfHamming(e, 5, nCells = 4, nProbe = 2,
+          col("id") < 5, nBits = bad)
+      }
+    }
+    // non-multiple above 64 still rejected; small widths still allowed
+    intercept[IllegalArgumentException] {
+      Similarity.knnHamming(e, 5, col("id") < 5, nBits = 100)
+    }
+  }
+
+  test("mmr: k beyond the candidate pool stops early; a missing query id " +
+      "fails with a descriptive error") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.9, 0.1)),
+      (2L, Array(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    // only 2 candidates exist (query excluded): k = 5 returns 2 rows
+    val out = Similarity.mmrSelect(vecs, queryId = 0L, k = 5,
+      lamNum = 1, lamDen = 2).orderBy("step").collect()
+    assert(out.length == 2, s"expected 2 picks, got ${out.length}")
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(vecs, queryId = 99L, k = 1)
+    }
+    assert(ex.getMessage.contains("99"), ex.getMessage)
+    graft.core.CacheHygiene.releaseAll(spark)
+  }
 }

@@ -84,6 +84,38 @@ class WebDatasetSpec extends SparkTestBase {
       "samples must be key-sorted within a shard")
   }
 
+  test("multi-dot extensions split on the FIRST dot (the WebDataset " +
+      "sample-grouping convention)") {
+    val dir = tmpDir("wds")
+    // one sample with a compound extension (`seg.png` — segmentation
+    // masks in externally produced shards) plus a plain member
+    val df = Seq(("sample00", "seg.png", "MASK"), ("sample00", "txt", "BODY"))
+      .toDF("key", "ext", "body")
+      .groupBy("key")
+      .agg(collect_list(struct(
+        concat(col("key"), lit("."), col("ext")).as("name"),
+        encode(col("body"), "UTF-8").as("data"))).as("files"))
+    WebDataset.writeShards(df, dir, nShards = 1)
+    val back = WebDataset.readShards(spark, dir)
+      .select("key", "ext").as[(String, String)].collect().toSet
+    assert(back == Set(("sample00", "seg.png"), ("sample00", "txt")),
+      s"got $back")
+  }
+
+  test("writeShards leaves no temp files and refuses a subdirectory " +
+      "in the output dir") {
+    val dir = tmpDir("wds")
+    WebDataset.writeShards(samplesDf(8), dir, nShards = 2)
+    val leftovers = Files.list(Paths.get(dir)).iterator().asScala()
+      .map(_.getFileName.toString).toVector
+    assert(leftovers.forall(_.matches("shard-\\d{5}\\.tar")),
+      s"unexpected files: $leftovers")
+    Files.createDirectory(Paths.get(dir, "sub"))
+    intercept[IllegalArgumentException] {
+      WebDataset.writeShards(samplesDf(2), dir, nShards = 1)
+    }
+  }
+
   test("padding edge: file sizes at and around the 512 boundary") {
     val dir = tmpDir("wds")
     val df = Seq((f"${0}%08d", "x" * 511), (f"${1}%08d", "y" * 512),
