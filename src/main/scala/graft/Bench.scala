@@ -99,7 +99,12 @@ object Bench {
     // and break the JSON
     def ms3(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(30)
+    // 12 slowest, not 30: the closer must fit WHOLE inside the
+    // driver's 2000-char tail window together with sbt's trailing
+    // "[success] Total time ..." line — the r10 closer (30 queries,
+    // ~1.9 KB) was cut mid-line and "parsed" came back null again.
+    // 12 queries ≈ 600 B; worst case leaves >1 KB of slack.
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
       .map { case (k, (t, _)) => "\"" + k + "\":" + ms3(t) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"queries":$slowest,"full":"$out"}""")

@@ -48,7 +48,7 @@ object Dedup {
     * lambda reads an attribute instead of re-tokenizing per gram
     * (TextFns.shinglesFromTokens scaladoc).
     */
-  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), TextFns.tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesFromTokens(col("_toks"), n)).as("shingle"))

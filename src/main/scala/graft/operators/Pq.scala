@@ -398,7 +398,7 @@ object Pq {
   /** Distinct cells probed by a query batch — same scoring + tie-break
     * as [[probeScoreIvf]]'s probe stage; collects at most nCells ints.
     */
-  private def probedCellIds(unitQueries: DataFrame,
+  private[graft] def probedCellIds(unitQueries: DataFrame,
       coarse: Array[Array[Double]], nProbe: Int): Seq[Int] = {
     val spark = unitQueries.sparkSession
     import spark.implicits._

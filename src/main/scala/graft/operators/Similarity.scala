@@ -29,7 +29,7 @@ object Similarity {
     * of going NaN — NaN scores would poison every downstream argmax /
     * top-k it participates in.
     */
-  private[operators] def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
+  private[graft] def unitVectors(vecs: DataFrame, idCol: String, idAs: String,
       vecAs: String): DataFrame = {
     DotProduct.register(vecs.sparkSession)
     CentroidOps.register(vecs.sparkSession)
@@ -953,6 +953,90 @@ object Similarity {
         Seq("neighbor_id"))
       .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
     topK(scored, k)
+  }
+
+  /** Materialized-index rows for the IVF × binary-quantization index
+    * ([[knnIvfHamming]]'s corpus side as a TABLE): one row per vector —
+    * (idCol, cell, sig0..sigW-1, uv) — computed by a PURE PROJECTION
+    * against fixed centroids and hyperplanes (both literal arguments of
+    * codegen'd expressions: no join, no shuffle, no state). The same
+    * rows serve batch backfill and streaming maintenance
+    * ([[graft.streaming.VectorIndex.hammingIndexSink]]): a micro-batch
+    * of new vectors costs one map pass regardless of index size, and
+    * appending its rows makes them immediately servable — no retrain,
+    * because the quantizer (centroids + planes) is frozen by contract
+    * (retraining is a new table + backfill, the
+    * [[graft.streaming.VectorIndex]] posture).
+    *
+    * The unit vector rides along (`uv`) so the exact rerank pass can
+    * serve from the index alone — the full-precision half of the
+    * standard two-level layout (code for the scan, vector for the
+    * rerank), laid out cell-partitioned so probes read only their
+    * cells' files.
+    */
+  def hammingIndexRows(vecs: DataFrame, centroids: Array[Array[Double]],
+      nBits: Int = 256, dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id"): DataFrame = {
+    require(nBits >= 1 && (nBits % 64 == 0 || nBits < 64),
+      s"nBits must be >= 1 and either < 64 or a multiple of 64, got $nBits")
+    SignBits.register(vecs.sparkSession)
+    val words = math.max(1, (nBits + 63) / 64)
+    val all = hyperplanes(nBits, dim, seed).map(_.toSeq).toSeq
+    def planesOf(w: Int): Column =
+      typedlit[Seq[Seq[Double]]](all.slice(w * 64, math.min((w + 1) * 64, nBits)))
+    unitVectors(vecs, idCol, "id", "uv")
+      .withColumn("cell", homeCell(centroids))
+      .select(col("id").as(idCol) +: col("cell") +:
+        (0 until words).map(w =>
+          SignBits.of(col("uv"), planesOf(w)).as(s"sig$w")) :+
+        col("uv"): _*)
+  }
+
+  /** Serve ANN queries from a MATERIALIZED [[hammingIndexRows]] index:
+    * query vectors probe their `nProbe` nearest cells, candidates
+    * inside the probed cells are filtered by Hamming distance on the
+    * stored signatures, and the per-query top-`rerank` survivors get
+    * exact dots against the stored unit vectors. Identity contract
+    * (pinned in VectorIndexSpec): with the same frozen
+    * centroids/planes, serving from the table equals [[knnIvfHamming]]
+    * recomputing the index in-query, row for row — so streamed index
+    * maintenance changes WHEN rows exist, never what a query answers.
+    *
+    * Output shape matches [[knnExact]]: (query_id, rank, neighbor_id,
+    * sim). Self-pairs (query id present in the index) are excluded.
+    */
+  def searchHammingIndex(index: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, centroids: Array[Array[Double]], nBits: Int = 256,
+      dim: Int = 64, rerank: Int = 100, seed: Long = 42L,
+      queryFilter: Column = lit(true), idCol: String = "vec_id"): DataFrame = {
+    require(nBits >= 1 && (nBits % 64 == 0 || nBits < 64),
+      s"nBits must be >= 1 and either < 64 or a multiple of 64, got $nBits")
+    SignBits.register(queries.sparkSession)
+    val words = math.max(1, (nBits + 63) / 64)
+    val all = hyperplanes(nBits, dim, seed).map(_.toSeq).toSeq
+    def planesOf(w: Int): Column =
+      typedlit[Seq[Seq[Double]]](all.slice(w * 64, math.min((w + 1) * 64, nBits)))
+    val queryProbes = unitVectors(queries, idCol, "id", "uv")
+      .filter(queryFilter)
+      .withColumn("cell", explode(probeCells(centroids, nProbe)))
+      .select(col("id").as("query_id") +: col("cell") +: col("uv").as("qv") +:
+        (0 until words).map(w =>
+          SignBits.of(col("uv"), planesOf(w)).as(s"qsig$w")): _*)
+    val corpus = index.select(col(idCol).as("neighbor_id") +: col("cell") +:
+      col("uv").as("cv") +:
+      (0 until words).map(w => col(s"sig$w")): _*)
+    val ham = (0 until words)
+      .map(w => bit_count(col(s"sig$w").bitwiseXOR(col(s"qsig$w"))))
+      .reduce(_ + _)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val scored = queryProbes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
+      .withColumn("r", row_number().over(wa))
+      .filter(col("r") <= math.max(rerank, k))
+      .withColumn("sim", DotProduct.dot(col("qv"), col("cv")))
+    topK(scored.select("query_id", "neighbor_id", "sim"), k)
   }
 
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,

@@ -15,10 +15,89 @@ import graft.catalog.SnapshotCatalog
   * plan (`df.limit` → CollectLimitExec) instead of the reference's
   * materialize-then-truncate, and the PyIceberg path's declared-but-
   * disabled limit is ENFORCED — declared semantics, not the bug.
+  *
+  * ==Serving hygiene (long-lived Engine behind [[HttpApi]])==
+  * Every query-executing entry point runs inside [[scopedRelease]]
+  * (block-manager state a query persisted/checkpointed is freed at
+  * quiescence — the stateless request-loop behavior of
+  * duckdb_rest_server.py:67-84, where each request's DuckDB state dies
+  * with the handler) and under a [[withBudget]] job group: a query
+  * exceeding `queryBudgetSec` has its Spark jobs cancelled
+  * (interrupt-on-cancel) and returns the reference's `{"error": …}`
+  * envelope instead of wedging a server thread forever — the
+  * reference's own 300 s bound on S3 reads (duckdb_rest_server.py:58).
   */
-class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
+class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
+    val queryBudgetSec: Int = 300) {
 
   import Engine._
+
+  /** Requests currently inside [[scopedRelease]]. */
+  private val activeScopes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val scopeLock = new Object
+  /** The persistent-RDD ids live at the last quiescent moment — state
+    * that predates the current burst of requests and must survive it
+    * (long-lived shared caches an embedding application owns).
+    */
+  @volatile private var quiescentRdds: Set[Int] =
+    graft.core.CacheHygiene.snapshotRdds(spark.sparkContext)
+
+  /** Scoped block-manager release for one served request.
+    *
+    * `releaseNewSince` frees every persistent RDD created since its
+    * snapshot — under CONCURRENT requests that would free another
+    * in-flight query's `localCheckpoint` blocks, which (unlike a
+    * dropped cache, which lazily recomputes) FAILS that query: a
+    * checkpoint block has truncated lineage (the CacheHygiene
+    * concurrency contract). So release is deferred to QUIESCENCE: the
+    * baseline snapshot is taken when the first request of a burst
+    * enters, and the release runs when the last request of the burst
+    * exits. Sequential loops (one request at a time) therefore release
+    * after every query — exactly the Bench/Verify discipline — while
+    * overlapping requests accumulate only for the duration of the
+    * overlap. Entry/exit bookkeeping is lock-ordered so a new request
+    * can never start creating state while a release is mid-flight.
+    */
+  private[graft] def scopedRelease[T](body: => T): T = {
+    scopeLock.synchronized {
+      if (activeScopes.getAndIncrement() == 0)
+        quiescentRdds = graft.core.CacheHygiene.snapshotRdds(spark.sparkContext)
+    }
+    try body
+    finally scopeLock.synchronized {
+      if (activeScopes.decrementAndGet() == 0)
+        graft.core.CacheHygiene.releaseNewSince(
+          spark.sparkContext, quiescentRdds, blocking = false)
+    }
+  }
+
+  /** Run `body`'s Spark jobs under a cancellable job group with a
+    * wall-clock budget: a shared daemon watchdog cancels the group
+    * (interrupting running tasks) once the budget expires, so the
+    * caller gets a SparkException → `{"error": …}` envelope within the
+    * budget instead of a wedged thread. Job groups are thread-local
+    * properties, so concurrent [[HttpApi]] pool threads don't cancel
+    * each other; the group is always cleared on exit (pool threads are
+    * reused).
+    */
+  private def withBudget[T](body: => T): T = {
+    val sc = spark.sparkContext
+    val group = s"graft-engine-${java.util.UUID.randomUUID().toString.take(8)}"
+    sc.setJobGroup(group,
+      s"engine query (budget ${queryBudgetSec}s)", interruptOnCancel = true)
+    val cancel = Engine.watchdog.schedule(new Runnable {
+      def run(): Unit = sc.cancelJobGroup(group)
+    }, queryBudgetSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    try body
+    finally {
+      cancel.cancel(false)
+      sc.clearJobGroup()
+    }
+  }
+
+  /** The serving wrapper every query-executing entry point uses. */
+  private def served(body: => String): String =
+    scopedRelease(withBudget(body))
 
   /** 3.1 — arbitrary SQL pass-through (duckdb_rest_server.py:67-84),
     * default row cap 1000 (line 74). Accepts the reference README's
@@ -26,7 +105,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     * tables (`ns.tbl`) with manifest pruning — see [[sqlDataFrame]].
     */
   def sqlQuery(sql: String, limit: Int = 1000): String =
-    envelope(Try(sqlDataFrame(sql)._1.limit(limit)))
+    served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
 
   /** The SQL → snapshot-catalog bridge. Parses the query with
     * Catalyst's parser (no regex SQL surgery for table detection),
@@ -478,7 +557,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     * (duckdb_rest_server.py:126-135; default 5).
     */
   def queryParquet(path: String, limit: Int = 5): String =
-    envelope(Try(spark.read.parquet(path).limit(limit)))
+    served(envelope(Try(spark.read.parquet(path).limit(limit))))
 
   /** Parquet file listing by glob (duckdb_rest_server.py:86-124),
     * INCLUDING the reference's error-path fallback (lines 101-122):
@@ -492,7 +571,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
     * collect); only a double failure errors, carrying both causes in
     * the reference's message shape.
     */
-  def listParquet(pathGlob: String): String = {
+  def listParquet(pathGlob: String): String = served {
     Try {
       // LIMIT-0 probe. mergeSchema forces a footer read of EVERY
       // matched file — the reference's read_parquet binds all matched
@@ -547,7 +626,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       filter: Option[Engine.RangeFilter] = None): String =
     if (!catalog.tableExists(ns, table))
       s"""{"error":${jsonStr(s"Table $ns.$table does not exist")}}"""
-    else filter match {
+    else served(filter match {
       case None => envelope(Try(catalog.read(ns, table, snapshotId).limit(limit)))
       case Some(f) =>
         Try {
@@ -579,7 +658,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
               s""","pruned":{"kept":$kept,"total":$total}}"""
           case Failure(e) => errorJson(e)
         }
-    }
+    })
 
   /** Point lookup (extension beyond the reference): one key's rows,
     * served through per-file BLOOM pruning — bloom-negative files are
@@ -593,7 +672,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
       value: String, limit: Int = 100): String =
     if (!catalog.tableExists(ns, table))
       s"""{"error":${jsonStr(s"Table $ns.$table does not exist")}}"""
-    else Try {
+    else served(Try {
       val snap = catalog.describe(ns, table).currentSnapshot
       val total = snap.map(_.files.size).getOrElse(0)
       val kept = snap.map(s => catalog.prunedFilesBloom(s, column, value).size).getOrElse(0)
@@ -604,7 +683,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
         if (env.startsWith("""{"error"""")) env
         else env.dropRight(1) + s""","pruned":{"kept":$kept,"total":$total}}"""
       case Failure(e) => errorJson(e)
-    }
+    })
 
   /** R7 (pyiceberg_rest_server.py:101-112). */
   def listNamespaces(): String =
@@ -687,6 +766,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog) {
 }
 
 object Engine {
+
+  /** Shared daemon watchdog for [[Engine.withBudget]] query-budget
+    * cancellation — one timer thread serves every Engine in the JVM
+    * (it only ever runs `cancelJobGroup`, a cheap scheduler call).
+    */
+  private[query] val watchdog: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-engine-watchdog")
+      t.setDaemon(true)
+      t
+    })
 
   /** The ≤30-line DuckDB-dialect pre-rewrite (SURVEY §2.5 dialect
     * note): lets the reference README's committed query texts

@@ -21,12 +21,32 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * (duckdb_rest_server.py:70-71), 404 on missing table
   * (pyiceberg_rest_server.py:167-168,230-231), 500 on execution errors
   * wrapped in the `{"error": …}` envelope.
+  *
+  * Requests are served by a small fixed thread pool (the reference's
+  * Flask default is threaded per-request), so cheap catalog/health
+  * reads overlap a long scan instead of queueing behind it. Safe
+  * because every Engine query entry point is individually scoped: job
+  * groups are thread-local (one request's budget cancellation can't
+  * touch another's jobs) and block-manager release is deferred to
+  * quiescence (an overlapping request never loses checkpoint blocks —
+  * Engine.scopedRelease scaladoc).
   */
-class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
+class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0,
+    poolSize: Int = 8) {
 
   import HttpApi._
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    poolSize, new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -95,11 +115,14 @@ class HttpApi(engine: Engine, kind: HttpApi.Kind, port: Int = 0) {
           (errorStatus(out, engine, ns, tbl), out)
         }
     }
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   private def route(path: String)(handler: HttpExchange => (Int, String)): Unit =
     server.createContext(path, (ex: HttpExchange) => {

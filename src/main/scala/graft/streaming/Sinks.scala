@@ -97,7 +97,8 @@ object Sinks {
       branch: String,
       audit: DataFrame => Boolean,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      auditBatchOnly: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -115,21 +116,49 @@ object Sinks {
                 Map(key -> batchId.toString)): Unit
           } else {
             // (re)point the staging branch at the published state,
-            // stage, audit the staged view, publish or discard. The
-            // batch marker rides the PUBLISH commit (the first one
-            // readers see): a crash after staging but before publish
-            // replays cleanly — the re-run resets the branch and the
-            // orphaned staging snapshot is abandoned history.
+            // stage, audit, publish or discard. The batch marker rides
+            // the PUBLISH commit (the first one readers see): a crash
+            // after staging but before publish replays cleanly — the
+            // re-run resets the branch and the orphaned staging
+            // snapshot is abandoned history.
+            //
+            // Audit scope: aggregate invariants (row counts, drift)
+            // need the whole staged view; a PER-ROW/PER-DOC gate
+            // (`auditBatchOnly`) is decided by the new rows alone —
+            // published rows already passed it — so at 100 TB the
+            // audit reads one micro-batch, not the accumulated table.
             if (catalog.describe(ns, table).refs.contains(branch))
               catalog.dropRef(ns, table, branch)
             catalog.createBranch(ns, table, branch)
             catalog.appendToBranch(ns, table, branch, batch)
-            if (audit(catalog.readRef(ns, table, branch)))
+            val auditFrame =
+              if (auditBatchOnly) batch else catalog.readRef(ns, table, branch)
+            if (audit(auditFrame))
               catalog.publish(ns, table, branch,
                 Map(key -> batchId.toString)): Unit
           }
         }
       }
+
+  /** The per-item contamination report (t56,
+    * [[graft.operators.Dedup.contaminationReport]]) as a WAP audit
+    * gate — the composition the reference's commit-gating implies
+    * (connector-config.json:27, commit-interval batching feeding an
+    * audited table): a staged micro-batch containing ANY document that
+    * shares ≥ `minShared` word-`n`-gram shingles with ANY benchmark
+    * item never publishes; the eval-set leak is stopped at the
+    * pointer, before a single reader sees it.
+    *
+    * Pass with `auditBatchOnly = true`: contamination is per-document,
+    * so the new rows alone decide it and the audit cost per batch is
+    * O(batch), not O(table). The benchmark side broadcasts (the
+    * [[graft.operators.Dedup.contaminationReport]] scale posture);
+    * `isEmpty` is a LIMIT-1 probe, not a full count.
+    */
+  def contaminationGate(benchmark: DataFrame, n: Int = 3,
+      minShared: Long = 2L): DataFrame => Boolean =
+    staged => graft.operators.Dedup
+      .contaminationReport(staged, benchmark, n, minShared).isEmpty
 
   /** CDC-style streaming MERGE sink: every micro-batch is UPSERTED
     * into the snapshot catalog by `keyCol` (`MERGE INTO … WHEN MATCHED

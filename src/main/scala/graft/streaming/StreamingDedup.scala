@@ -28,4 +28,40 @@ object StreamingDedup {
     docs.withColumn("fp", md5(col(contentCol).cast("string")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streamed maintenance of t45's standing (shingle, df) index
+    * ([[graft.operators.Dedup.corpusShingleIndex]] as a streaming
+    * MATERIALIZED VIEW): each micro-batch's docs explode into hashed
+    * word-`n`-gram shingles, an update-mode aggregation carries
+    * document frequencies across batches through the checkpoint, and
+    * [[Sinks.upsertSink]] applies only the CHANGED keys in place (df
+    * is monotone under appends, so it is its own upsert sequence —
+    * the streamed-LM-model discipline).
+    *
+    * Serving is unchanged batch code:
+    * `Dedup.ngramNoveltyAgainst(newBatch, catalog.read(ns, table), n)`
+    * scores a candidate batch against the standing index the moment a
+    * micro-batch commits — no corpus rescan, no index rebuild
+    * (StreamingSpec pins streamed == batch-built index equality).
+    *
+    * Scale posture: per-trigger state is one row per distinct shingle
+    * TOUCHED in the horizon (state-store keyed shuffle); the upsert
+    * rewrites only key-range-intersecting files. At 100 TB the index
+    * table is the (shingle, df) aggregate — orders of magnitude
+    * smaller than the corpus — and the ingest cost per batch is
+    * O(batch), exactly the t19/t45 incremental contract.
+    */
+  def shingleIndexSink(docs: DataFrame, n: Int,
+      catalog: graft.catalog.SnapshotCatalog, ns: String, table: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds")):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val df = graft.operators.Dedup.shingleRows(docs, n)
+      .select(xxhash64(col("shingle")).as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    Sinks.upsertSink(df, catalog, ns, table,
+      keyCol = "shingle", seqCol = "df", checkpointDir, trigger)
+  }
 }

@@ -52,6 +52,52 @@ object VectorIndex {
       .trigger(trigger)
       .foreachBatch(commitBatch(catalog, ns, table, checkpointDir) _)
 
+  /** Streamed maintenance of the e21-style IVF × Hamming index
+    * ([[graft.operators.Similarity.hammingIndexRows]]): same
+    * architecture as [[indexSink]] — stateless pure-projection
+    * encoding (frozen centroids + hyperplanes ride as expression
+    * literals), one atomic cell-partitioned append per micro-batch,
+    * replay-safe via the committed-batch marker. New vectors are
+    * servable the moment their batch publishes; the quantizer is
+    * never retrained in place (retrain = new table + backfill, the
+    * snapshot-isolation contract above).
+    */
+  def hammingIndexSink(vecs: DataFrame, centroids: Array[Array[Double]],
+      catalog: SnapshotCatalog, ns: String, table: String,
+      checkpointDir: String, nBits: Int = 256, dim: Int = 64,
+      seed: Long = 42L, idCol: String = "vec_id",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    graft.operators.Similarity
+      .hammingIndexRows(vecs, centroids, nBits, dim, seed, idCol)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(commitBatch(catalog, ns, table, checkpointDir) _)
+
+  /** Serve from the streamed Hamming index reading ONLY the probed
+    * cells' files (the [[graft.operators.Pq.searchIndexPruned]]
+    * discipline): the query batch's probe cells resolve through the
+    * manifest's recorded `identity(cell)` partition values
+    * (`readEquals`), so at 100 TB a query touches nProbe cells of
+    * data, never the accumulated firehose history.
+    */
+  def searchHammingPruned(catalog: SnapshotCatalog, ns: String,
+      table: String, queries: DataFrame, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]], nBits: Int = 256, dim: Int = 64,
+      rerank: Int = 100, seed: Long = 42L,
+      queryFilter: org.apache.spark.sql.Column = org.apache.spark.sql.functions.lit(true),
+      idCol: String = "vec_id"): DataFrame = {
+    val unitQ = graft.operators.Similarity
+      .unitVectors(queries, idCol, "id", "uv").filter(queryFilter)
+    val cells = graft.operators.Pq.probedCellIds(unitQ, centroids, nProbe)
+    val index = cells.map(c => catalog.readEquals(ns, table, "cell", c.toString))
+      .reduceOption(_.unionAll(_))
+      .getOrElse(catalog.read(ns, table).limit(0))
+    graft.operators.Similarity.searchHammingIndex(index, queries, k,
+      nProbe, centroids, nBits, dim, rerank, seed, queryFilter, idCol)
+  }
+
   /** Per-batch commit, extracted for direct replay testing
     * (VectorIndexSpec re-delivers a batchId and asserts one snapshot).
     */

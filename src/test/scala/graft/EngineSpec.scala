@@ -640,4 +640,53 @@ class EngineSpec extends SparkTestBase {
     // appear with no "h" key at all
     assert(out.contains("""{"id":2}"""), out)
   }
+
+  test("scopedRelease: a request's persisted state is freed at exit; " +
+      "an overlapping scope's exit defers release to quiescence") {
+    val sc = spark.sparkContext
+    graft.core.CacheHygiene.releaseAll(spark)
+    val before = sc.getPersistentRDDs.size
+    // sequential: checkpoint + persist inside one scope → gone after it
+    engine.scopedRelease {
+      import spark.implicits._
+      val ck = spark.range(100).toDF("x").localCheckpoint(true)
+      val cp = Seq(1, 2, 3).toDF("y").persist()
+      assert(cp.count() == 3 && ck.count() == 100)
+      assert(sc.getPersistentRDDs.size >= before + 2)
+    }
+    assert(sc.getPersistentRDDs.size == before,
+      "a sequential request loop must release per query (the stateless " +
+        "duckdb_rest_server request-loop behavior)")
+    // overlap: the inner scope exits while the outer is mid-flight —
+    // release MUST be deferred (freeing now would drop the outer
+    // query's checkpoint blocks, which cannot recompute)
+    engine.scopedRelease {
+      val ck = spark.range(50).toDF("z").localCheckpoint(true)
+      assert(ck.count() == 50)
+      engine.scopedRelease { engine.health() }
+      assert(sc.getPersistentRDDs.size > before,
+        "an overlapping request's exit must not free in-flight blocks")
+      assert(ck.count() == 50, "the checkpoint must still be readable")
+    }
+    assert(sc.getPersistentRDDs.size == before,
+      "the last scope of the burst releases everything")
+  }
+
+  test("query budget: a runaway SQL is cancelled within the budget and " +
+      "returns the reference error envelope") {
+    // reference behavior to match: duckdb_rest_server.py:58 bounds S3
+    // reads at 300 s — here the budget covers the whole query
+    val bounded = new Engine(spark, engine.catalog, queryBudgetSec = 3)
+    val t0 = System.nanoTime()
+    // ~1e13 products: hours of work if never cancelled
+    val out = bounded.sqlQuery(
+      "SELECT sum(a.id * b.id) AS s FROM range(1000) a CROSS JOIN range(10000000000) b")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.startsWith("""{"error":"""), out.take(200))
+    assert(sec < 90, s"cancellation returned only after $sec s")
+    // the session must stay healthy for the next request
+    val ok = bounded.sqlQuery(
+      s"SELECT count(*) AS n FROM parquet.`$sf0001/region.parquet`")
+    assert(ok.contains(""""n":5"""), ok)
+  }
 }

@@ -222,4 +222,55 @@ class HttpApiSpec extends SparkTestBase {
     assert(unescapeJson("""a\\\"b""") == "a\\\"b")
     assert(unescapeJson("""path\/x""") == "path/x")
   }
+
+  test("50 sequential queries through the server leave no persistent-RDD " +
+      "state behind (the stateless request loop of duckdb_rest_server.py)") {
+    val api = new HttpApi(engine, HttpApi.Kind.Sql)
+    api.start()
+    try {
+      val p = api.boundPort
+      graft.core.CacheHygiene.releaseAll(spark)
+      val before = spark.sparkContext.getPersistentRDDs.size
+      for (i <- 1 to 50) {
+        val (c, b) = post(p, "/query",
+          s"""{"query": "SELECT count(*) AS n FROM parquet.`$sf0001/region.parquet` WHERE r_regionkey >= ${i % 5}", "limit": 10}""")
+        assert(c == 200 && b.contains(""""n":"""), s"query $i: $c $b")
+      }
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "the request loop must return the block manager to its pre-loop state")
+    } finally api.stop()
+  }
+
+  test("concurrent serving: cheap reads overlap a long scan, every " +
+      "response is correct, and the scan's result survives the overlap") {
+    val api = new HttpApi(engine, HttpApi.Kind.Sql)
+    api.start()
+    try {
+      val p = api.boundPort
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      // ~2e10 codegen'd products: several seconds even on a warm JVM
+      val aN = 20000L; val bN = 1000000L
+      // (a%97)*(b%89): keeps the 2e10-row sum inside int64 (ANSI mode
+      // errors on overflow) and still factorizes for an exact oracle
+      val slow = Future(post(p, "/query",
+        s"""{"query": "SELECT sum((a.id % 97) * (b.id % 89)) AS s FROM range($aN) a CROSS JOIN range($bN) b"}"""))
+      Thread.sleep(300) // let the scan start
+      // cheap requests must complete while the scan is still running:
+      // under the old single-dispatcher server they would queue behind
+      // it, so completing first IS the overlap proof
+      val fasts = (1 to 5).map(_ => get(p, "/health")) ++
+        (1 to 3).map(_ => get(p, s"/query_parquet?path=$sf0001/region.parquet&limit=2"))
+      val fastsDone = !slow.isCompleted
+      assert(fasts.forall(_._1 == 200), fasts.map(_._1))
+      assert(fastsDone,
+        "the long scan should still be mid-flight after 8 cheap requests " +
+          "(if this flakes, grow bN)")
+      val (cs, bs) = Await.result(slow, 180.seconds)
+      // exact: the sum over the cross product factorizes
+      val expect = (0L until aN).map(_ % 97).sum * (0L until bN).map(_ % 89).sum
+      assert(cs == 200 && bs.contains(s""""s":$expect"""), s"$cs $bs")
+    } finally api.stop()
+  }
 }

@@ -176,6 +176,42 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("property: on random graphs with degree and scale sweeps, the " +
+      "DECIMAL(38,0) HITS path and the int64 rank grid match BigInt " +
+      "bit-for-bit") {
+    // the no-overflow claim (hits scaladoc: raw·scale can pass int64,
+    // DECIMAL(38,0) widening must truncate exactly like BigInt) proved
+    // over random graphs instead of fixtures: star edges force max
+    // degree ≈ |V| (mass concentration), and scale = 1e10 pushes
+    // raw·scale to ~1e20 — far past int64, where anything short of an
+    // exact 128-bit path diverges or errors
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(2, 16)
+      nE <- Gen.choose(1, 50)
+      es <- Gen.listOfN(nE,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      hub <- Gen.choose(0L, n - 1L)
+      star <- Gen.oneOf(true, false)
+      iters <- Gen.choose(1, 3)
+      scale <- Gen.oneOf(1000000000L, 3000000000L, 10000000000L)
+    } yield {
+      val all = if (star) es ++ (0L until n.toLong).map(d => (hub, d)) else es
+      (all.distinct, iters, scale)
+    }
+    val prop = Prop.forAll(gen) { case (edges, iters, scale) =>
+      val df = edges.toDF("src", "dst")
+      val (h, a) = collectHits(PageRank.hits(df, iters, scale))
+      val ranksGot = PageRank.ranks(df, iters, scale = 1000000000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ((h, a) == refHits(edges, iters, scale)) &&
+        ranksGot == refRanks(edges, iters, 1000000000000L)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("hits ranks the consensus authority and the broad hub on top") {
     // authority 10 cited by all three hubs; hub 1 cites both authorities
     val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 11L)

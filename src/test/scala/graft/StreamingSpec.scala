@@ -111,6 +111,48 @@ class StreamingSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 3)
   }
 
+  test("WAP + t56 contamination gate: a poisoned micro-batch is rejected " +
+      "on the branch and the published pointer never moves") {
+    import spark.implicits._
+    val src = tmpDir("graft-wapt56-src")
+    val ckpt = tmpDir("graft-wapt56-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapt56-wh"))
+    // one benchmark item; any doc sharing >= 2 of its 3-gram shingles
+    // is an eval leak and must block its whole batch at the pointer
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val audit = Sinks.contaminationGate(bench)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+        .parquet(src)
+      val q = Sinks.wapSink(stream, cat, "db", "docs", "staging", audit,
+        ckpt, trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        auditBatchOnly = true).start()
+      q.awaitTermination()
+    }
+    // clean batch publishes
+    Seq((1L, "shipping manifests log freight routes and customs paperwork"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "docs").count() == 1)
+    val publishedSnap = cat.describe("db", "docs").currentSnapshotId
+    // poisoned batch: quotes the benchmark item verbatim — staged on
+    // the branch, audit fails, pointer untouched
+    Seq((2L, "as the saying goes the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.describe("db", "docs").currentSnapshotId == publishedSnap,
+      "the published pointer moved past a contaminated batch")
+    assert(cat.read("db", "docs").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // the next clean batch publishes; the leak never lands
+    Seq((3L, "weather satellites relay pressure readings every six hours"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(cat.read("db", "docs").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("streaming curation: watermark dedup -> quality gate -> WAP publish") {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -420,6 +462,53 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed == batch)
     assert(streamed(("the", "cat")) == 3L) // count grew ACROSS batches
+  }
+
+  test("streamed shingle index: df maintained per micro-batch equals the " +
+      "batch-built index; novelty serving sees new batches without rebuild") {
+    // t45's standing (shingle, df) index in its streaming form
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val src = tmpDir("graft-shidx-src")
+    val ckpt = tmpDir("graft-shidx-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-shidx-wh"))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING"))
+        .parquet(src)
+      val q = StreamingDedup.shingleIndexSink(stream, n = 3, cat, "db",
+        "shidx", ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val novel = Seq((100L, "glaciers calve icebergs into northern fjords"))
+      .toDF("doc_id", "text")
+    Seq((1L, "the cat sat on the mat today"),
+        (2L, "a dog ran across the field"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    // the candidate is fully novel against wave 1
+    def novelty() = Dedup.ngramNoveltyAgainst(novel,
+        cat.read("db", "shidx"), n = 3)
+      .select("novelty").head().getDouble(0)
+    assert(novelty() == 1.0)
+    // wave 2 ingests a NEAR-COPY of the candidate: the standing index
+    // must see it without any rebuild, and df must accumulate across
+    // batches for repeated shingles
+    Seq((3L, "glaciers calve icebergs into northern fjords every spring"),
+        (4L, "the cat sat on the mat today"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(novelty() < 0.5,
+      "the streamed wave-2 append did not reach novelty serving")
+    // streamed == batch-built over everything ingested
+    val streamed = cat.read("db", "shidx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dedup.corpusShingleIndex(spark.read.parquet(src), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.values.max == 2L, "doc 4 repeats doc 1's shingles: df = 2")
   }
 
   test("streaming extraction gate: clean_lines scalar per micro-batch, " +

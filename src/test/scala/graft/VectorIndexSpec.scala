@@ -126,4 +126,58 @@ class VectorIndexSpec extends SparkTestBase {
     assert(oneFiles < allFiles,
       s"readEquals($c) scanned $oneFiles of $allFiles files — no pruning")
   }
+
+  test("streamed Hamming index: rows equal the batch projection; a new " +
+      "micro-batch updates served ANN answers with no retrain") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // quantizer trained ONCE and frozen — never touched again below
+    val cents = Similarity.kmeansCentroids(e, 8, iters = 2)
+    val src = tmpDir("graft-ham-src")
+    val ckpt = tmpDir("graft-ham-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-ham-wh"))
+    def runWave(): Unit = {
+      val stream = spark.readStream.schema(e.schema).parquet(src)
+      val q = VectorIndex.hammingIndexSink(stream, cents, cat, "ann",
+        "ivfham", ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    def serve() = VectorIndex.searchHammingPruned(cat, "ann", "ivfham",
+      e, k = 5, nProbe = 4, cents, queryFilter = col("id") < 20)
+
+    // wave 1: just under half the corpus
+    e.filter(col("vec_id") < 230).write.mode("append").parquet(src)
+    runWave()
+    val served1 = pairs(serve())
+    assert(served1.nonEmpty)
+    assert(served1.forall(_._3 < 230), "wave-1 serving saw unindexed ids")
+
+    // wave 2: the delta streams in — SAME centroids, no retrain
+    e.filter(col("vec_id") >= 230).write.mode("append").parquet(src)
+    runWave()
+    val streamed = cat.read("ann", "ivfham")
+    assert(streamed.count() == e.count())
+    assert(cat.describe("ann", "ivfham").snapshots.size == 2)
+    // streamed rows == batch projection over the full corpus
+    def rowKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "sig0").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rowKeys(streamed) ==
+      rowKeys(Similarity.hammingIndexRows(e, cents)))
+
+    // served answers now include wave-2 vectors: the index updated
+    // without a retrain (the quantizer literally never changed)
+    val served2 = pairs(serve())
+    assert(served2.exists(_._3 >= 230),
+      "no wave-2 vector entered any served top-k — the streamed " +
+        "append did not update serving")
+    // and serving from the table equals recomputing in-query with the
+    // same frozen quantizer (the searchHammingIndex identity contract)
+    val direct = pairs(Similarity.knnIvfHamming(e, k = 5, nCells = 8,
+      nProbe = 4, col("id") < 20, centroids = Some(cents)))
+    assert(served2 == direct)
+  }
 }
