@@ -784,7 +784,10 @@ object TrainingData {
     // 0.620-0.664 tri-SF, ≈ e04's 0.62-0.67: the Hamming filter at
     // rerank 100 costs almost nothing extra); floor at the usual
     // margin under the 0.620 minimum.
-    "e21" -> 0.55)
+    "e21" -> 0.55,
+    // e22 serves e21's exact answers from the materialized index
+    // (identity pinned in VectorIndexSpec) — same recall, same floor.
+    "e22" -> 0.55)
 
   private def annAudit(s: SparkSession, dir: String, ann: DataFrame,
       k: Int, floor: Double): DataFrame = {
@@ -3406,6 +3409,77 @@ object TrainingData {
       |FROM shared s JOIN nb USING (bench_id)
       |ORDER BY s.doc_id, s.bench_id""".stripMargin
 
+  // ---------------------------------------------------------------- t57
+  // PII redaction — the scrub pass every public-web corpus runs before
+  // training (emails, phone numbers, IP addresses → class tokens).
+  // The corpus is synthetic word soup with no real PII, so
+  // deterministic synthetic PII derived from doc_id is injected into
+  // overlapping thirds/quarters/fifths of the docs first — the
+  // injection IS the fixture, and both engines derive it identically.
+  // Three anchored regex passes count and remove each class; md5 of
+  // the redacted text pins the BYTE-EXACT removal (the t31 clean_fp
+  // discipline), not just the counts. All three passes are pure
+  // codegen'd expressions — map-only, zero shuffle beyond the sort.
+  private val t57Email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val t57Phone = "\\+1-\\d{3}-\\d{3}-\\d{4}"
+  private val t57Ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private def t57(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), (col("doc_id") % 250).cast("string"),
+          lit(".7"))).otherwise(lit("")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("pii_text"), t57Email, "[EMAIL]"), t57Phone, "[PHONE]"),
+      t57Ip, "[IP]")
+    docs(s, dir).withColumn("pii_text", pii)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(t57Email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(t57Phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(t57Ip), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(redacted).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val t57Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' ||
+      |              CAST(doc_id % 250 AS VARCHAR) || '.7'
+      |         ELSE '' END AS pii_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '\+1-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(pii_text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+1-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_fp
+      |FROM base ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- m11
   // 2× audio resample (Audio.resample2x) on the m06 fixture WAVs: real
   // decodePcm per partition, linear-interpolated midpoints as exact
@@ -3538,6 +3612,60 @@ object TrainingData {
   private def e21(s: SparkSession, dir: String): DataFrame =
     annAudit(s, dir, e21Raw(s, dir), k = 5, floor = annFloors("e21"))
 
+  // ---------------------------------------------------------------- e22
+  // Serving from the MATERIALIZED IVF × Hamming index over its full
+  // deployment path — e12's architecture with the 1-bit codec: the
+  // (id, cell, sig*, uv) rows built by Similarity.hammingIndexRows
+  // (one pure projection — the same rows streaming.VectorIndex
+  // .hammingIndexSink appends from a vector stream) are committed to
+  // a catalog table hidden-partitioned `identity(cell)`, and queries
+  // are answered by VectorIndex.searchHammingPruned — the batch's
+  // probed cells resolve through the snapshot manifest's partition
+  // values, so the scan lists ONLY those cells' files. With the same
+  // frozen quantizer the serve equals e21's in-query recompute row
+  // for row (VectorIndexSpec identity pin); audited vs exact kNN like
+  // every ANN query.
+  private case class E22Index(session: SparkSession, wh: String,
+      cat: graft.catalog.SnapshotCatalog, cents: Array[Array[Double]])
+  private val e22Built =
+    new java.util.concurrent.ConcurrentHashMap[String, E22Index]()
+
+  locally { // reclaim live e22 temp warehouses at JVM exit (e12 hook)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      e22Built.values.asScala.foreach(e => deleteRecursively(e.wh))
+    }))
+  }
+
+  private def e22Index(s: SparkSession, dir: String): E22Index =
+    e22Built.compute(dir, (_, cur) => {
+      if (cur != null && (cur.session eq s)) cur
+      else {
+        if (cur != null) deleteRecursively(cur.wh)
+        import graft.catalog.{PartitionSpec, SnapshotCatalog}
+        val e = embs(s, dir)
+        // e21's quantizer exactly: seeded centroids, 16 cells
+        val cents = Similarity.seedCentroids(e, 16)
+        val index = Similarity.hammingIndexRows(e, cents, nBits = 256)
+        val wh = java.nio.file.Files.createTempDirectory("graft_e22_wh").toString
+        val cat = new SnapshotCatalog(s, wh)
+        cat.createTable("ann", "ham_index", index.schema,
+          properties = Map(PartitionSpec.PropertyKey -> "identity(cell)"))
+        cat.append("ann", "ham_index", index)
+        E22Index(s, wh, cat, cents)
+      }
+    })
+
+  private[graft] def e22Raw(s: SparkSession, dir: String): DataFrame = {
+    val idx = e22Index(s, dir)
+    graft.streaming.VectorIndex.searchHammingPruned(idx.cat, "ann",
+      "ham_index", embs(s, dir), k = 5, nProbe = 4, idx.cents,
+      nBits = 256, rerank = 100, queryFilter = col("id") < 50)
+  }
+
+  private def e22(s: SparkSession, dir: String): DataFrame =
+    annAudit(s, dir, e22Raw(s, dir), k = 5, floor = annFloors("e22"))
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_dedup_exact", t01, Some(t01Sql)),
     QuerySpec("t02_dedup_ngram_jaccard", t02, Some(jaccardOracle)),
@@ -3595,6 +3723,7 @@ object TrainingData {
     QuerySpec("t54_lm_kneser_ney", t54, Some(t54Sql)),
     QuerySpec("t55_doremi_weights", t55, Some(t55Sql)),
     QuerySpec("t56_contamination_report", t56, Some(t56Sql)),
+    QuerySpec("t57_pii_redaction", t57, Some(t57Sql)),
     QuerySpec("e01_knn_exact", e01, Some(e01Sql)),
     QuerySpec("e02_neardup_cosine", e02, Some(e02Sql)),
     QuerySpec("e03_ann_lsh", e03, Some(annAuditSql(5, annFloors("e03")))),
@@ -3616,6 +3745,7 @@ object TrainingData {
     QuerySpec("e19_maxsim_pruned", e19, Some(e19Sql)),
     QuerySpec("e20_ann_hamming", e20, Some(annAuditSql(5, annFloors("e20")))),
     QuerySpec("e21_ann_ivf_hamming", e21, Some(annAuditSql(5, annFloors("e21")))),
+    QuerySpec("e22_ann_hamming_serve", e22, Some(annAuditSql(5, annFloors("e22")))),
     QuerySpec("m01_multimodal_features", m01, Some(m01Sql)),
     QuerySpec("m02_frame_sample", m02, Some(m02Sql)),
     QuerySpec("m03_frame_dedup", m03, Some(m03Sql)),
