@@ -748,6 +748,48 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         disjoint ++ newFiles, keptStats ++ newStats)
     }
 
+  /** Copy-on-write rewrite of a TARGETED file subset — the primitive
+    * under the SQL bridge's DELETE/UPDATE (query/Engine DML): callers
+    * pick the candidate files (typically via the same manifest
+    * range/bloom pruning the read path uses, so only files that MAY
+    * contain matching rows pay IO), `transform` rewrites their rows,
+    * and every other file is carried into the new snapshot untouched —
+    * file-level write amplification, the [[upsert]] discipline
+    * generalized to an arbitrary row transform. Old files stay
+    * referenced by older snapshots for time travel until expired.
+    *
+    * The transform's output is re-projected onto the table schema
+    * (same columns, same order), so a transform cannot accidentally
+    * evolve the schema through this path.
+    */
+  def rewriteFiles(ns: String, name: String, targets: Seq[String],
+      transform: DataFrame => DataFrame): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      val targetSet = targets.toSet.intersect(current.files.toSet)
+      val untouched = current.files.filterNot(targetSet)
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val newFiles =
+        if (targetSet.isEmpty) Seq.empty
+        else {
+          val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-rewrite")
+          transform(spark.read.schema(schema).parquet(targetSet.toSeq.sorted: _*))
+            .select(schema.fieldNames.map(col(_)).toSeq: _*)
+            .write.parquet(snapDir.toString)
+          Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath).sorted.toSeq
+        }
+      val newStats = collectFileStats(schema, newFiles,
+        bloomColsFor(ns, name, schema))
+      val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
+      commitReplacing(ns, name, version, meta, snapshotId,
+        untouched ++ newFiles, keptStats ++ newStats)
+    }
+
   /** Commit a snapshot whose manifest REPLACES the current file list
     * (compact/upsert/delete shape, vs append's cumulative one).
     */

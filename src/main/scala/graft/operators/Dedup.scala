@@ -149,11 +149,32 @@ object Dedup {
     * [[ngramJaccard]] restricted to cross-side pairs.
     */
   def ngramJaccardAgainst(newDocs: DataFrame, corpus: DataFrame, n: Int,
-      threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
-    def index(docs: DataFrame) = cached(shingleRows(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    val nw = index(newDocs)
-    val cp0 = index(corpus)
+      threshold: Double, maxShingleDf: Long = 0L): DataFrame =
+    ngramJaccardAgainstIndex(newDocs, postingRows(corpus, n), n,
+      threshold, maxShingleDf)
+
+  /** The (doc_id, hashed-shingle) posting rows both one-sided dedup
+    * forms consume — the STANDING inverted index as a projection.
+    * Append-only by construction (a new doc only adds its own rows),
+    * so [[graft.streaming.StreamingDedup.postingIndexSink]] maintains
+    * it from a document stream with plain atomic appends: no state
+    * store, no upsert — a micro-batch costs one map pass.
+    */
+  def postingRows(docs: DataFrame, n: Int): DataFrame =
+    shingleRows(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
+  /** [[ngramJaccardAgainst]] with the corpus side ALREADY materialized
+    * as posting rows ([[postingRows]] shape: doc_id, shingle) — the
+    * serving half of the standing-index deployment: the index is a
+    * catalog table maintained per micro-batch, and a fresh batch
+    * scores against `catalog.read(...)` without the corpus ever being
+    * re-shingled (pinned streamed == batch in StreamingSpec).
+    */
+  def ngramJaccardAgainstIndex(newDocs: DataFrame, corpusIndex: DataFrame,
+      n: Int, threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
+    val nw = cached(postingRows(newDocs, n))
+    val cp0 = cached(corpusIndex.select(col("doc_id"), col("shingle")))
     val cp =
       if (maxShingleDf <= 0) cp0
       else cp0.join(

@@ -2020,6 +2020,88 @@ object Relational {
       |WHERE r <= 10 ORDER BY side, r""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+  // SQL DML through the bridge (query/Engine.dmlExec): a catalog table
+  // is mutated by DELETE / UPDATE / MERGE statements submitted as raw
+  // SQL — each one atomic copy-on-write snapshot, DELETE/UPDATE
+  // candidates picked by the read path's manifest pruning, MERGE the
+  // whole-row upsert. Money rides the exact integer cent grid so the
+  // final per-status rollup is association-order-independent and the
+  // oracle (which replays the three mutations as pure SELECT algebra
+  // over the same parquet) hash-matches. The staged table lives in a
+  // per-call temp warehouse; the ≤|statuses| summary rows are
+  // materialized before it is reclaimed.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q56_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    cat.createTable("db", "o", base.schema)
+    cat.append("db", "o", base.filter(col("o_orderkey") < 2000))
+    def run(sql: String): Unit = {
+      val out = eng.sqlQuery(sql)
+      require(!out.startsWith("""{"error""""), s"DML failed: $out — $sql")
+    }
+    run("DELETE FROM db.o WHERE price_c >= 15000000")
+    run("UPDATE db.o SET price_c = price_c + 100 WHERE status = 'F'")
+    run(s"""MERGE INTO db.o t
+      |USING (SELECT o_orderkey, o_custkey,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |         o_orderstatus AS status
+      |       FROM parquet.`$dir/orders.parquet`
+      |       WHERE o_orderkey >= 1000 AND o_orderkey < 2100) s
+      |ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = cat.read("db", "o")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    // reclaim the per-call warehouse (rows are materialized above)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q56Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |kept AS (SELECT * FROM base WHERE price_c < 15000000),
+      |upd AS (SELECT o_orderkey, o_custkey,
+      |    CASE WHEN status = 'F' THEN price_c + 100 ELSE price_c END AS price_c,
+      |    status
+      |  FROM kept),
+      |src AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2100),
+      |fin AS (
+      |  SELECT * FROM src
+      |  UNION ALL
+      |  SELECT * FROM upd
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM fin GROUP BY 1 ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2076,5 +2158,6 @@ object Relational {
     QuerySpec("q52_pagerank", q52, Some(q52Sql)),
     QuerySpec("q53_avro_roundtrip", q53, Some(q53Sql)),
     QuerySpec("q54_orc_roundtrip", q54, Some(q54Sql)),
-    QuerySpec("q55_hits", q55, Some(q55Sql)))
+    QuerySpec("q55_hits", q55, Some(q55Sql)),
+    QuerySpec("q56_sql_dml", q56, Some(q56Sql)))
 }

@@ -3449,6 +3449,12 @@ object TrainingData {
         size(regexp_extract_all(col("pii_text"), lit(t57Ip), lit(0)))
           .cast("long").as("n_ips"),
         md5(redacted).as("clean_fp"))
+      // always-true predicate on the COMPUTED columns: under a
+      // count()-gated bench, column pruning would otherwise drop every
+      // regex pass and md5 and measure a bare scan (the t43/t46/t55
+      // bench-protocol rule in SCALING.md). No-op on results.
+      .filter(col("n_emails") >= 0 && col("n_phones") >= 0 &&
+        col("n_ips") >= 0 && length(col("clean_fp")) === 32)
       .orderBy("doc_id")
   }
 

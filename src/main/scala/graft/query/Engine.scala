@@ -144,6 +144,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
       return (spark.sql(sql), Nil)
 
+    parsed.toOption.flatMap(dmlExec) match {
+      case Some(dml) => return dml
+      case None => ()
+    }
+
     parsed.toOption.flatMap(metadataCountFast) match {
       case Some(fast) => return fast
       case None => ()
@@ -170,31 +175,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       val snap = catalog.describe(ref.ns, ref.table).currentSnapshot
       val (files, total) = snap match {
         case None => (Nil, 0)
-        case Some(s) =>
-          val kept = ref.bounds.foldLeft(s.files) { case (acc, b) =>
-            val pruned = b match {
-              case Engine.NumBounds(c, lo, hi) => catalog.prunedFilesRange(s, c, lo, hi)
-              case Engine.StrBounds(c, lo, hi) => catalog.prunedFilesStringRange(s, c, lo, hi)
-              // equality: bloom file skipping, intersected with the
-              // hidden-partition value when the table's spec covers the
-              // column with an equality-preserving transform (bucket/
-              // identity/truncate) — the metadata-only prune blooms
-              // can't give when every file's min/max spans the key
-              case Engine.EqValue(c, v) =>
-                val bloom = catalog.prunedFilesBloom(s, c, v)
-                catalog.partitionSpecOf(ref.ns, ref.table) match {
-                  case Some(p) if p.column == c && p.prunesEquality =>
-                    val dt = catalog.schemaOf(ref.ns, ref.table)(c).dataType
-                    val specStr = catalog.describe(ref.ns, ref.table)
-                      .properties(graft.catalog.PartitionSpec.PropertyKey)
-                    bloom.intersect(catalog.prunedFilesPval(s,
-                      catalog.pvalOfLiteral(p, v, dt), specStr))
-                  case _ => bloom
-                }
-            }
-            acc.intersect(pruned)
-          }
-          (kept, s.files.size)
+        case Some(s) => (prunedFilesFor(ref.ns, ref.table, s, ref.bounds),
+          s.files.size)
       }
       val schema = catalog.schemaOf(ref.ns, ref.table)
       val df =
@@ -253,6 +235,194 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       views.values.foreach(spark.catalog.dropTempView(_))
       metaViews.values.foreach(spark.catalog.dropTempView(_))
       ttViews.values.foreach(spark.catalog.dropTempView(_))
+    }
+  }
+
+  /** Manifest file pruning for one table snapshot under merged
+    * predicate bounds — range stats for inequalities, blooms (∩ the
+    * hidden-partition value when the spec's transform preserves
+    * equality) for point predicates. Conservative by construction:
+    * pruning may only ever KEEP extra files, never skip a matching
+    * one — which is what lets the DML path reuse it to pick
+    * copy-on-write rewrite candidates.
+    */
+  private def prunedFilesFor(ns: String, table: String,
+      s: graft.catalog.SnapshotCatalog.SnapshotMeta,
+      bounds: Seq[Engine.ColBounds]): Seq[String] =
+    bounds.foldLeft(s.files) { case (acc, b) =>
+      val pruned = b match {
+        case Engine.NumBounds(c, lo, hi) => catalog.prunedFilesRange(s, c, lo, hi)
+        case Engine.StrBounds(c, lo, hi) => catalog.prunedFilesStringRange(s, c, lo, hi)
+        // equality: bloom file skipping, intersected with the
+        // hidden-partition value when the table's spec covers the
+        // column with an equality-preserving transform (bucket/
+        // identity/truncate) — the metadata-only prune blooms
+        // can't give when every file's min/max spans the key
+        case Engine.EqValue(c, v) =>
+          val bloom = catalog.prunedFilesBloom(s, c, v)
+          catalog.partitionSpecOf(ns, table) match {
+            case Some(p) if p.column == c && p.prunesEquality =>
+              val dt = catalog.schemaOf(ns, table)(c).dataType
+              val specStr = catalog.describe(ns, table)
+                .properties(graft.catalog.PartitionSpec.PropertyKey)
+              bloom.intersect(catalog.prunedFilesPval(s,
+                catalog.pvalOfLiteral(p, v, dt), specStr))
+            case _ => bloom
+          }
+      }
+      acc.intersect(pruned)
+    }
+
+  /** SQL DML on snapshot-catalog tables — DELETE / UPDATE / MERGE
+    * routed to the catalog's copy-on-write primitives (an extension
+    * beyond the reference, whose DuckDB pass-through accepts DML on
+    * ITS in-memory tables — parity for the catalog surface):
+    *
+    *  - `DELETE FROM ns.tbl WHERE c` → candidate files picked by the
+    *    SAME manifest range/bloom pruning the read path uses
+    *    ([[prunedFilesFor]] over [[Engine.extractBounds]]), rewritten
+    *    with `NOT c`; every other file carries untouched
+    *    ([[SnapshotCatalog.rewriteFiles]]). At 100 TB a key-clustered
+    *    retention delete rewrites boundary files only.
+    *  - `UPDATE ns.tbl SET col = expr, … [WHERE c]` → same candidate
+    *    pruning; matching rows get the assignments (cast back to the
+    *    column's declared type), others pass through.
+    *  - `MERGE INTO ns.tbl t USING <src> s ON t.k = s.k WHEN MATCHED
+    *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` → the
+    *    whole-row upsert shape, routed to [[SnapshotCatalog.upsert]]
+    *    (key-range-pruned copy-on-write). The source is any relation
+    *    the stock analyzer resolves (parquet.`…`, VALUES, subqueries);
+    *    the ON condition must equate one same-named column.
+    *
+    * Every statement commits ONE atomic snapshot and returns a 1-row
+    * summary frame (operation, target, rows_affected, files_rewritten,
+    * files_total, snapshot_id) that renders through the normal records
+    * envelope. Unsupported DML shapes return None and fall through to
+    * Spark's own rejection — never a silent partial apply.
+    */
+  private def dmlExec(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Option[(DataFrame, Seq[Engine.PruneInfo])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.graft.PlanExec
+
+    def relOf(p: LogicalPlan): Option[(String, String)] = p match {
+      case SubqueryAlias(_, c) => relOf(c)
+      case r: UnresolvedRelation => r.multipartIdentifier match {
+        case Seq(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    /** Candidate files + read frame (aliased as the table name so
+      * `tbl.col` references in conditions resolve) for one rewrite.
+      */
+    def candidates(ns: String, t: String, cond: Expression) = {
+      val schema = catalog.schemaOf(ns, t)
+      val snap = catalog.describe(ns, t).currentSnapshot
+      val bounds = Engine.extractBounds(cond, schema)
+      val files = snap.map(s => prunedFilesFor(ns, t, s, bounds)).getOrElse(Nil)
+      val total = snap.map(_.files.size).getOrElse(0)
+      val df =
+        if (files.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(files: _*)
+      (files, total, df.as(t))
+    }
+
+    def summary(op: String, ns: String, t: String, affected: Long,
+        rewritten: Int, total: Int): (DataFrame, Seq[Engine.PruneInfo]) = {
+      val snapId = catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
+      val df = spark.range(1).select(
+        lit(op).as("operation"), lit(s"$ns.$t").as("target"),
+        lit(affected).as("rows_affected"),
+        lit(rewritten).as("files_rewritten"), lit(total).as("files_total"),
+        lit(snapId).as("snapshot_id"))
+      (df, Seq(Engine.PruneInfo(s"$ns.$t", rewritten, total)))
+    }
+
+    plan match {
+      case DeleteFromTable(rel, cond) =>
+        relOf(rel).map { case (ns, t) =>
+          val c = PlanExec.columnOf(cond)
+          val (files, total, df) = candidates(ns, t, cond)
+          val affected = df.filter(c).count()
+          if (affected > 0)
+            catalog.rewriteFiles(ns, t, files, d => d.as(t).filter(not(c)))
+          summary("DELETE", ns, t, affected,
+            if (affected > 0) files.size else 0, total)
+        }
+
+      case UpdateTable(rel, assignments, condition) =>
+        for {
+          (ns, t) <- relOf(rel)
+          // every assignment key must be a bare column of this table
+          names <- Some(assignments.map(_.key)).collect {
+            case ks if ks.forall {
+              case UnresolvedAttribute(Seq(n)) =>
+                catalog.schemaOf(ns, t).fieldNames.contains(n)
+              case _ => false
+            } => ks.map { case UnresolvedAttribute(Seq(n)) => n }
+          }
+        } yield {
+          val schema = catalog.schemaOf(ns, t)
+          val cond: Expression = condition.getOrElse(Literal(true))
+          val c = PlanExec.columnOf(cond)
+          val (files, total, df) = candidates(ns, t, cond)
+          val affected = df.filter(c).count()
+          if (affected > 0) {
+            val values = assignments.map(a => PlanExec.columnOf(a.value))
+            catalog.rewriteFiles(ns, t, files, { d0 =>
+              val d = d0.as(t)
+              names.zip(values).foldLeft(d) { case (acc, (n, v)) =>
+                acc.withColumn(n, org.apache.spark.sql.functions
+                  .when(c, v.cast(schema(n).dataType))
+                  .otherwise(col(n)))
+              }
+            })
+          }
+          summary("UPDATE", ns, t, affected,
+            if (affected > 0) files.size else 0, total)
+        }
+
+      case m: MergeIntoTable =>
+        val upsertShape =
+          m.matchedActions.toList.collect {
+            case UpdateStarAction(None) => ()
+          }.size == 1 && m.matchedActions.size == 1 &&
+          m.notMatchedActions.toList.collect {
+            case InsertStarAction(None) => ()
+          }.size == 1 && m.notMatchedActions.size == 1 &&
+          m.notMatchedBySourceActions.isEmpty
+        def sharedKey(cond: Expression): Option[String] = cond match {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.last == b.nameParts.last =>
+            Some(a.nameParts.last)
+          case _ => None
+        }
+        for {
+          (ns, t) <- relOf(m.targetTable)
+          if upsertShape
+          key <- sharedKey(m.mergeCondition)
+          schema = catalog.schemaOf(ns, t)
+          if schema.fieldNames.contains(key)
+        } yield {
+          val src = PlanExec.ofRows(spark, m.sourceTable)
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          val affected = src.count()
+          val totalBefore = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          catalog.upsert(ns, t, src, key)
+          summary("MERGE", ns, t, affected, totalBefore, totalBefore)
+        }
+
+      case _ => None
     }
   }
 

@@ -51,6 +51,27 @@ object StreamingDedup {
     * smaller than the corpus — and the ingest cost per batch is
     * O(batch), exactly the t19/t45 incremental contract.
     */
+  /** Streamed maintenance of t19's standing posting index
+    * ([[graft.operators.Dedup.postingRows]] as an append-only catalog
+    * table): the (doc_id, shingle) rows are a PURE PROJECTION of each
+    * micro-batch — no aggregation state at all — so the sink is a
+    * plain atomic append per batch ([[Sinks.icebergLike]] replay
+    * discipline). Serving is
+    * `Dedup.ngramJaccardAgainstIndex(batch, catalog.read(ns, table))`:
+    * a fresh ingest batch dedups against everything committed so far
+    * without the corpus ever being re-shingled — the t19 incremental
+    * contract with the index maintained BY the stream instead of a
+    * nightly rebuild.
+    */
+  def postingIndexSink(docs: DataFrame, n: Int,
+      catalog: graft.catalog.SnapshotCatalog, ns: String, table: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds")):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    Sinks.icebergLike(graft.operators.Dedup.postingRows(docs, n),
+      catalog, ns, table, checkpointDir, trigger)
+
   def shingleIndexSink(docs: DataFrame, n: Int,
       catalog: graft.catalog.SnapshotCatalog, ns: String, table: String,
       checkpointDir: String,

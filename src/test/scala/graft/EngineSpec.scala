@@ -641,6 +641,65 @@ class EngineSpec extends SparkTestBase {
     assert(out.contains("""{"id":2}"""), out)
   }
 
+  test("SQL DML through the bridge: DELETE prunes files, UPDATE casts " +
+      "assignments, MERGE upserts; snapshots stay time-travelable") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-dml"))
+    val eng = new Engine(spark, cat)
+    // three key-clustered files so range DML can prove file pruning
+    cat.createTable("db", "kv",
+      Seq.empty[(Long, String, Long)].toDF("id", "val", "score").schema)
+    for (lo <- Seq(0L, 10L, 20L))
+      cat.append("db", "kv",
+        (lo until lo + 10L).map(i => (i, s"v$i", i * 10L))
+          .toDF("id", "val", "score").coalesce(1))
+    val snapBefore = cat.describe("db", "kv").currentSnapshotId.get
+
+    // DELETE with a range predicate: only the intersecting file rewrites
+    val del = eng.sqlQuery("DELETE FROM db.kv WHERE id >= 25")
+    assert(del.contains(""""operation":"DELETE""""), del)
+    assert(del.contains(""""rows_affected":5"""), del)
+    // 3 files total, only the [20,29] file intersects id >= 25
+    assert(del.contains(""""files_rewritten":1""") &&
+      del.contains(""""files_total":3"""), del)
+    assert(cat.read("db", "kv").count() == 25)
+
+    // UPDATE with arithmetic on the column, bare-name references
+    val upd = eng.sqlQuery("UPDATE db.kv SET score = score * 2 WHERE id < 3")
+    assert(upd.contains(""""operation":"UPDATE"""") &&
+      upd.contains(""""rows_affected":3"""), upd)
+    val scores = cat.read("db", "kv")
+      .filter(org.apache.spark.sql.functions.col("id") < 5)
+      .orderBy("id").select("score").collect().map(_.getLong(0)).toSeq
+    assert(scores == Seq(0L, 20L, 40L, 30L, 40L), scores)
+
+    // MERGE upsert: id 2 replaced, id 100 inserted (VALUES source)
+    val mrg = eng.sqlQuery(
+      """MERGE INTO db.kv t
+        |USING (SELECT 2 AS id, 'merged' AS val, 999 AS score
+        |       UNION ALL SELECT 100, 'new', 1) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(mrg.contains(""""operation":"MERGE"""") &&
+      mrg.contains(""""rows_affected":2"""), mrg)
+    val after = cat.read("db", "kv").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(after(2L) == (("merged", 999L)) && after(100L) == (("new", 1L)))
+    assert(after.size == 26)
+
+    // each statement was one atomic snapshot; history time-travels
+    assert(cat.read("db", "kv", Some(snapBefore)).count() == 30)
+
+    // an unsupported DML shape falls through to a clean error, never
+    // a silent partial apply
+    val bad = eng.sqlQuery(
+      """MERGE INTO db.kv t USING (SELECT 1 AS id) s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(bad.startsWith("""{"error":"""), bad)
+    assert(cat.read("db", "kv").count() == 26, "partial apply detected")
+  }
+
   test("scopedRelease: a request's persisted state is freed at exit; " +
       "an overlapping scope's exit defers release to quiescence") {
     val sc = spark.sparkContext

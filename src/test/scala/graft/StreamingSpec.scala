@@ -511,6 +511,54 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.values.max == 2L, "doc 4 repeats doc 1's shingles: df = 2")
   }
 
+  test("streamed posting index: append-only per micro-batch; a fresh " +
+      "batch dedups against everything committed, streamed == batch") {
+    // t19's standing inverted index maintained BY the stream
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val src = tmpDir("graft-post-src")
+    val ckpt = tmpDir("graft-post-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-post-wh"))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING"))
+        .parquet(src)
+      val q = StreamingDedup.postingIndexSink(stream, n = 3, cat, "db",
+        "postings", ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val batch = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def pairs() = Dedup.ngramJaccardAgainstIndex(batch,
+        cat.read("db", "postings"), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq((1L, "completely unrelated text about glacier physics and ice"),
+        (2L, "another document on tidal forces and lunar orbits"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(pairs().isEmpty, "no near-dup exists in wave 1")
+    // wave 2 commits a near-copy: the appended postings must serve it
+    Seq((3L, "the quick brown fox jumps over the lazy dog every day"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    run()
+    assert(pairs() == Set((100L, 3L)),
+      "the wave-2 near-copy must be found against the standing index")
+    // streamed index == batch shingling of everything ingested, and
+    // the index serve equals the from-scratch one-sided dedup
+    val all = spark.read.parquet(src)
+    val direct = Dedup.ngramJaccardAgainst(batch, all, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == direct)
+    val streamed = cat.read("db", "postings").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.postingRows(all, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == rebuilt)
+    assert(cat.describe("db", "postings").snapshots.size == 2)
+  }
+
   test("streaming extraction gate: clean_lines scalar per micro-batch, " +
       "boilerplateLines frame audits the publish") {
     // the t53 extraction gate in its streaming form: the stream maps
