@@ -86,6 +86,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     meta
   }
 
+  /** Drop a table (the purge form — Iceberg's `DROP TABLE … PURGE`):
+    * the POINTER is removed first, so a reader racing the drop sees a
+    * clean missing-table state (the same atomicity unit every commit
+    * swaps), then the metadata and data trees are reclaimed.
+    */
+  def dropTable(ns: String, name: String): Unit = synchronized {
+    require(tableExists(ns, name), s"table $ns.$name does not exist")
+    Files.deleteIfExists(pointer(ns, name))
+    val root = tableDir(ns, name)
+    if (Files.exists(root)) {
+      val w = Files.walk(root)
+      try w.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p): Unit)
+      finally w.close()
+    }
+  }
+
   def tableExists(ns: String, name: String): Boolean =
     Files.exists(pointer(ns, name))
 

@@ -2056,6 +2056,10 @@ object Relational {
       |ON t.o_orderkey = s.o_orderkey
       |WHEN MATCHED THEN UPDATE SET *
       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    run(s"""INSERT INTO db.o
+      |SELECT o_orderkey + 10000000, o_custkey,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT), 'X'
+      |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey < 100""".stripMargin)
     val out = cat.read("db", "o")
       .groupBy("status")
       .agg(count(lit(1)).as("n_orders"),
@@ -2092,11 +2096,18 @@ object Relational {
       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
       |    o_orderstatus AS status
       |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2100),
+      |ins AS (
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    'X' AS status
+      |  FROM orders WHERE o_orderkey < 100),
       |fin AS (
       |  SELECT * FROM src
       |  UNION ALL
       |  SELECT * FROM upd
-      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL
+      |  SELECT * FROM ins)
       |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

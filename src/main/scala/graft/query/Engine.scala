@@ -141,13 +141,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     val refs = parsed.map(catalogRefs).getOrElse(Nil)
     val metaRefs = parsed.map(metadataRefs).getOrElse(Nil)
     val ttRefs = parsed.map(timeTravelRefs).getOrElse(Nil)
-    if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
-      return (spark.sql(sql), Nil)
-
+    // DML first: InsertIntoStatement holds its target relation as a
+    // FIELD (only the source query is a child), so the refs walk below
+    // cannot see it and the no-refs fall-through would hand the
+    // statement to Spark's analyzer, which rejects catalog tables
     parsed.toOption.flatMap(dmlExec) match {
       case Some(dml) => return dml
       case None => ()
     }
+
+    if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
+      return (spark.sql(sql), Nil)
 
     parsed.toOption.flatMap(metadataCountFast) match {
       case Some(fast) => return fast
@@ -273,10 +277,21 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       acc.intersect(pruned)
     }
 
-  /** SQL DML on snapshot-catalog tables — DELETE / UPDATE / MERGE
-    * routed to the catalog's copy-on-write primitives (an extension
-    * beyond the reference, whose DuckDB pass-through accepts DML on
-    * ITS in-memory tables — parity for the catalog surface):
+  /** SQL DDL + DML on snapshot-catalog tables — CREATE / CTAS / DROP /
+    * INSERT / DELETE / UPDATE / MERGE routed to the catalog's commit
+    * primitives (an extension beyond the reference, whose DuckDB
+    * pass-through accepts DDL/DML on ITS in-memory tables — parity for
+    * the catalog surface):
+    *
+    *  - `CREATE TABLE ns.tbl (cols…) [IF NOT EXISTS]` and
+    *    `CREATE TABLE ns.tbl AS <query>` → [[SnapshotCatalog
+    *    .createTable]] (+ one append snapshot for CTAS); partitioned
+    *    shapes fall through. `DROP TABLE [IF EXISTS] ns.tbl` → pointer
+    *    removed first, then the tree reclaimed.
+    *  - `INSERT INTO ns.tbl <query>` → positional column alignment,
+    *    cast to the declared types, one atomic append snapshot (the
+    *    plain append shape; partition specs / column lists / OVERWRITE
+    *    fall through).
     *
     *  - `DELETE FROM ns.tbl WHERE c` → candidate files picked by the
     *    SAME manifest range/bloom pruning the read path uses
@@ -319,6 +334,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case _ => None
     }
 
+    // DDL identifiers (CREATE targets don't exist yet, so this keys on
+    // the 2-part shape alone — the bridge's namespace.table convention)
+    def idOf(p: LogicalPlan): Option[(String, String)] = p match {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(
+          Seq(ns, t), _) => Some((ns, t))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        u.multipartIdentifier match {
+          case Seq(ns, t) => Some((ns, t))
+          case _ => None
+        }
+      case _ => None
+    }
+
     /** Candidate files + read frame (aliased as the table name so
       * `tbl.col` references in conditions resolve) for one rewrite.
       */
@@ -337,7 +365,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
 
     def summary(op: String, ns: String, t: String, affected: Long,
         rewritten: Int, total: Int): (DataFrame, Seq[Engine.PruneInfo]) = {
-      val snapId = catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
+      // the table may be gone (DROP) or never have existed (DROP IF
+      // EXISTS on a missing table) — no snapshot to report then
+      val snapId =
+        if (!catalog.tableExists(ns, t)) -1L
+        else catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
       val df = spark.range(1).select(
         lit(op).as("operation"), lit(s"$ns.$t").as("target"),
         lit(affected).as("rows_affected"),
@@ -388,6 +420,66 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           }
           summary("UPDATE", ns, t, affected,
             if (affected > 0) files.size else 0, total)
+        }
+
+      case CreateTable(nameP, columns, partitioning, _, ignoreIfExists)
+          if partitioning.isEmpty =>
+        idOf(nameP).map { case (ns, t) =>
+          val exists = catalog.tableExists(ns, t)
+          if (exists && !ignoreIfExists)
+            throw new IllegalArgumentException(s"table $ns.$t already exists")
+          if (!exists)
+            catalog.createTable(ns, t,
+              org.apache.spark.sql.types.StructType(
+                columns.map(_.toV1Column)))
+          summary("CREATE", ns, t, 0L, 0, 0)
+        }
+
+      case c: CreateTableAsSelect if c.partitioning.isEmpty =>
+        idOf(c.name).map { case (ns, t) =>
+          val exists = catalog.tableExists(ns, t)
+          if (exists && !c.ignoreIfExists)
+            throw new IllegalArgumentException(s"table $ns.$t already exists")
+          if (exists) summary("CREATE", ns, t, 0L, 0, 0) // IF NOT EXISTS no-op
+          else {
+            val src = PlanExec.ofRows(spark, c.query)
+            val affected = src.count()
+            catalog.createTable(ns, t, src.schema)
+            catalog.append(ns, t, src)
+            val total = catalog.describe(ns, t).currentSnapshot
+              .map(_.files.size).getOrElse(0)
+            summary("CTAS", ns, t, affected, 0, total)
+          }
+        }
+
+      case DropTable(child, ifExists, _) =>
+        idOf(child).flatMap { case (ns, t) =>
+          if (catalog.tableExists(ns, t)) {
+            catalog.dropTable(ns, t)
+            Some(summary("DROP", ns, t, 0L, 0, 0))
+          } else if (ifExists) Some(summary("DROP", ns, t, 0L, 0, 0))
+          else None // fall through to Spark's missing-table rejection
+        }
+
+      case i: InsertIntoStatement
+          if i.partitionSpec.isEmpty && !i.overwrite &&
+            !i.ifPartitionNotExists && i.userSpecifiedCols.isEmpty =>
+        relOf(i.table).map { case (ns, t) =>
+          val schema = catalog.schemaOf(ns, t)
+          val src = PlanExec.ofRows(spark, i.query)
+          require(src.columns.length == schema.fields.length,
+            s"INSERT INTO $ns.$t: ${src.columns.length} columns for " +
+              s"${schema.fields.length}-column table")
+          // positional semantics (no column list accepted above):
+          // rename by position, then cast to the declared types
+          val aligned = src.toDF(schema.fieldNames.toSeq: _*)
+            .select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+          val affected = aligned.count()
+          catalog.append(ns, t, aligned)
+          val total = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          summary("INSERT", ns, t, affected, 0, total)
         }
 
       case m: MergeIntoTable =>

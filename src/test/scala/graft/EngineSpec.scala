@@ -688,6 +688,16 @@ class EngineSpec extends SparkTestBase {
     assert(after(2L) == (("merged", 999L)) && after(100L) == (("new", 1L)))
     assert(after.size == 26)
 
+    // INSERT INTO: positional alignment + type cast, atomic append
+    val ins = eng.sqlQuery(
+      "INSERT INTO db.kv SELECT 200, 'ins', CAST(7 AS INT)")
+    assert(ins.contains(""""operation":"INSERT"""") &&
+      ins.contains(""""rows_affected":1"""), ins)
+    val inserted = cat.read("db", "kv")
+      .filter(org.apache.spark.sql.functions.col("id") === 200L).collect()
+    assert(inserted.length == 1 &&
+      inserted.head.getLong(2) == 7L, "cast to declared LONG type")
+
     // each statement was one atomic snapshot; history time-travels
     assert(cat.read("db", "kv", Some(snapBefore)).count() == 30)
 
@@ -697,7 +707,42 @@ class EngineSpec extends SparkTestBase {
       """MERGE INTO db.kv t USING (SELECT 1 AS id) s ON t.id = s.id
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(bad.startsWith("""{"error":"""), bad)
-    assert(cat.read("db", "kv").count() == 26, "partial apply detected")
+    assert(cat.read("db", "kv").count() == 27, "partial apply detected")
+  }
+
+  test("SQL DDL through the bridge: CREATE, CTAS, INSERT, SELECT, DROP " +
+      "— the full lifecycle in raw SQL") {
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-ddl"))
+    val eng = new Engine(spark, cat)
+    val ct = eng.sqlQuery("CREATE TABLE db.fresh (id BIGINT, name STRING)")
+    assert(ct.contains(""""operation":"CREATE""""), ct)
+    assert(cat.tableExists("db", "fresh"))
+    assert(cat.schemaOf("db", "fresh").fieldNames.toSeq == Seq("id", "name"))
+    // creating again fails; IF NOT EXISTS is a no-op
+    assert(eng.sqlQuery("CREATE TABLE db.fresh (x INT)")
+      .startsWith("""{"error":"""))
+    assert(eng.sqlQuery("CREATE TABLE IF NOT EXISTS db.fresh (x INT)")
+      .contains(""""operation":"CREATE""""))
+    assert(cat.schemaOf("db", "fresh").fieldNames.length == 2, "no clobber")
+    // populate + read back through the same SQL surface
+    assert(eng.sqlQuery("INSERT INTO db.fresh SELECT 1, 'a'")
+      .contains(""""rows_affected":1"""))
+    val ctas = eng.sqlQuery(
+      s"CREATE TABLE db.copies AS SELECT r_regionkey AS k, r_name AS v " +
+        s"FROM parquet.`$sf0001/region.parquet`")
+    assert(ctas.contains(""""operation":"CTAS"""") &&
+      ctas.contains(""""rows_affected":5"""), ctas)
+    val sel = eng.sqlQuery("SELECT count(*) AS n FROM db.copies")
+    assert(sel.contains(""""n":5"""), sel)
+    // drop: gone from the catalog, SELECT now errors, IF EXISTS no-op
+    assert(eng.sqlQuery("DROP TABLE db.copies")
+      .contains(""""operation":"DROP""""))
+    assert(!cat.tableExists("db", "copies"))
+    assert(eng.sqlQuery("SELECT * FROM db.copies")
+      .startsWith("""{"error":"""))
+    assert(eng.sqlQuery("DROP TABLE IF EXISTS db.copies")
+      .contains(""""operation":"DROP""""))
+    assert(eng.sqlQuery("DROP TABLE db.copies").startsWith("""{"error":"""))
   }
 
   test("scopedRelease: a request's persisted state is freed at exit; " +

@@ -223,6 +223,31 @@ class HttpApiSpec extends SparkTestBase {
     assert(unescapeJson("""path\/x""") == "path/x")
   }
 
+  test("SQL DML rides the reference's POST /query route: mutate, then " +
+      "read back, each statement one snapshot") {
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-http-dml"))
+    import spark.implicits._
+    cat.createTable("db", "kv",
+      Seq.empty[(Long, String)].toDF("id", "val").schema)
+    cat.append("db", "kv", Seq((1L, "a"), (2L, "b")).toDF("id", "val"))
+    val api = new HttpApi(new Engine(spark, cat), HttpApi.Kind.Sql)
+    api.start()
+    try {
+      val p = api.boundPort
+      val (c1, b1) = post(p, "/query",
+        """{"query": "INSERT INTO db.kv SELECT 3, 'c'"}""")
+      assert(c1 == 200 && b1.contains(""""rows_affected":1"""), s"$c1 $b1")
+      val (c2, b2) = post(p, "/query",
+        """{"query": "DELETE FROM db.kv WHERE id = 1"}""")
+      assert(c2 == 200 && b2.contains(""""rows_affected":1"""), s"$c2 $b2")
+      val (c3, b3) = post(p, "/query",
+        """{"query": "SELECT id, val FROM db.kv ORDER BY id"}""")
+      assert(c3 == 200 &&
+        b3.contains(""""id":2""") && b3.contains(""""id":3""") &&
+        !b3.contains(""""id":1"""), s"$c3 $b3")
+    } finally api.stop()
+  }
+
   test("50 sequential queries through the server leave no persistent-RDD " +
       "state behind (the stateless request loop of duckdb_rest_server.py)") {
     val api = new HttpApi(engine, HttpApi.Kind.Sql)
