@@ -779,13 +779,29 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * (same columns, same order), so a transform cannot accidentally
     * evolve the schema through this path.
     */
+  /** @param expectedSnapshotId optimistic-concurrency guard: callers
+    *   that picked `targets` from a snapshot OUTSIDE this lock (the
+    *   SQL DML path) pass the snapshot they read — if another commit
+    *   landed in between, the target list may be stale (rows can have
+    *   moved into files the caller never examined), so the rewrite
+    *   REFUSES with [[java.util.ConcurrentModificationException]] and
+    *   the caller re-plans against the new snapshot (the Iceberg
+    *   validate-and-retry discipline). None skips the check.
+    */
   def rewriteFiles(ns: String, name: String, targets: Seq[String],
-      transform: DataFrame => DataFrame): TableMeta =
+      transform: DataFrame => DataFrame,
+      expectedSnapshotId: Option[Long] = None): TableMeta =
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       val current = meta.currentSnapshot.getOrElse(
         throw new IllegalStateException(s"$ns.$name has no data"))
+      expectedSnapshotId.foreach { exp =>
+        if (current.snapshotId != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved to snapshot ${current.snapshotId} " +
+              s"(rewrite planned against $exp) — re-plan and retry")
+      }
       val targetSet = targets.toSet.intersect(current.files.toSet)
       val untouched = current.files.filterNot(targetSet)
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1

@@ -348,7 +348,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     }
 
     /** Candidate files + read frame (aliased as the table name so
-      * `tbl.col` references in conditions resolve) for one rewrite.
+      * `tbl.col` references in conditions resolve) for one rewrite,
+      * plus the snapshot the plan was made against — handed to
+      * [[SnapshotCatalog.rewriteFiles]] as its optimistic-concurrency
+      * guard.
       */
     def candidates(ns: String, t: String, cond: Expression) = {
       val schema = catalog.schemaOf(ns, t)
@@ -360,7 +363,28 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         if (files.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(files: _*)
-      (files, total, df.as(t))
+      (files, total, df.as(t), snap.map(_.snapshotId))
+    }
+
+    /** Validate-and-retry for plan-outside-lock rewrites: a concurrent
+      * commit between candidate selection and the rewrite makes the
+      * plan stale (rows may have moved into unexamined files), the
+      * catalog refuses, and the statement re-plans from the new
+      * snapshot — bounded attempts, then the conflict surfaces as the
+      * error envelope rather than a lost update.
+      */
+    def retryConcurrent[T](body: => T): T = {
+      var attempts = 0
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(body)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts += 1
+            if (attempts >= 3) throw e
+        }
+      }
+      out.get
     }
 
     def summary(op: String, ns: String, t: String, affected: Long,
@@ -381,13 +405,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     plan match {
       case DeleteFromTable(rel, cond) =>
         relOf(rel).map { case (ns, t) =>
-          val c = PlanExec.columnOf(cond)
-          val (files, total, df) = candidates(ns, t, cond)
-          val affected = df.filter(c).count()
-          if (affected > 0)
-            catalog.rewriteFiles(ns, t, files, d => d.as(t).filter(not(c)))
-          summary("DELETE", ns, t, affected,
-            if (affected > 0) files.size else 0, total)
+          retryConcurrent {
+            val c = PlanExec.columnOf(cond)
+            val (files, total, df, snapId) = candidates(ns, t, cond)
+            val affected = df.filter(c).count()
+            if (affected > 0)
+              catalog.rewriteFiles(ns, t, files,
+                d => d.as(t).filter(not(c)), snapId)
+            summary("DELETE", ns, t, affected,
+              if (affected > 0) files.size else 0, total)
+          }
         }
 
       case UpdateTable(rel, assignments, condition) =>
@@ -401,11 +428,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               case _ => false
             } => ks.map { case UnresolvedAttribute(Seq(n)) => n }
           }
-        } yield {
+        } yield retryConcurrent {
           val schema = catalog.schemaOf(ns, t)
           val cond: Expression = condition.getOrElse(Literal(true))
           val c = PlanExec.columnOf(cond)
-          val (files, total, df) = candidates(ns, t, cond)
+          val (files, total, df, snapId) = candidates(ns, t, cond)
           val affected = df.filter(c).count()
           if (affected > 0) {
             val values = assignments.map(a => PlanExec.columnOf(a.value))
@@ -416,7 +443,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                   .when(c, v.cast(schema(n).dataType))
                   .otherwise(col(n)))
               }
-            })
+            }, snapId)
           }
           summary("UPDATE", ns, t, affected,
             if (affected > 0) files.size else 0, total)

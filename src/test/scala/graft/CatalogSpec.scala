@@ -653,4 +653,28 @@ class CatalogSpec extends SparkTestBase {
     // short strings pass through untouched
     assert(cat.truncUpper("abc") == "abc")
   }
+
+  test("rewriteFiles optimistic guard: a plan made against a stale " +
+      "snapshot is refused; a fresh plan commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val stale = cat.describe("db", "t").currentSnapshot.get
+    // a concurrent writer lands between plan and rewrite
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      cat.rewriteFiles("db", "t", stale.files,
+        d => d.filter(col("id") =!= 1L), Some(stale.snapshotId))
+    }
+    // nothing moved: the refused rewrite committed no snapshot
+    assert(cat.read("db", "t").count() == 3)
+    // re-plan against the current snapshot → commits
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    cat.rewriteFiles("db", "t", cur.files,
+      d => d.filter(col("id") =!= 1L), Some(cur.snapshotId))
+    assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+  }
 }
