@@ -86,6 +86,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     meta
   }
 
+  /** Explicit schema evolution — `ALTER TABLE … ADD COLUMNS` as a
+    * METADATA-ONLY commit (no snapshot, no data IO): the declared
+    * schema gains the new nullable fields, existing files null-pad
+    * them on read (the read path's declared-schema contract), and the
+    * same BACKWARD gate that guards evolve-on-write rejects duplicate
+    * names or type changes.
+    */
+  def addColumns(ns: String, name: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      fields.foreach(f => require(!current.fieldNames.contains(f.name),
+        s"column ${f.name} already exists in $ns.$name"))
+      val target = StructType(current.fields ++
+        fields.map(_.copy(nullable = true)))
+      val evolved = SchemaCompat.evolve(current, target) match {
+        case Right(s) => s
+        case Left(violations) =>
+          throw new IllegalArgumentException(
+            "schema not BACKWARD-compatible: " +
+              violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
+      }
+      val newMeta = meta.copy(schemaJson = evolved.json)
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
   /** Drop a table (the purge form — Iceberg's `DROP TABLE … PURGE`):
     * the POINTER is removed first, so a reader racing the drop sees a
     * clean missing-table state (the same atomicity unit every commit

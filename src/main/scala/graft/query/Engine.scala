@@ -287,7 +287,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *    `CREATE TABLE ns.tbl AS <query>` → [[SnapshotCatalog
     *    .createTable]] (+ one append snapshot for CTAS); partitioned
     *    shapes fall through. `DROP TABLE [IF EXISTS] ns.tbl` → pointer
-    *    removed first, then the tree reclaimed.
+    *    removed first, then the tree reclaimed. `ALTER TABLE ns.tbl
+    *    ADD COLUMNS (…)` → a metadata-only schema-evolution commit
+    *    (old files null-pad on read; the BACKWARD gate rejects
+    *    duplicates/type changes).
     *  - `INSERT INTO ns.tbl <query>` → positional column alignment,
     *    cast to the declared types, one atomic append snapshot (the
     *    plain append shape; partition specs / column lists / OVERWRITE
@@ -340,6 +343,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier(
           Seq(ns, t), _) => Some((ns, t))
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        u.multipartIdentifier match {
+          case Seq(ns, t) => Some((ns, t))
+          case _ => None
+        }
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
         u.multipartIdentifier match {
           case Seq(ns, t) => Some((ns, t))
           case _ => None
@@ -477,6 +485,21 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               .map(_.files.size).getOrElse(0)
             summary("CTAS", ns, t, affected, 0, total)
           }
+        }
+
+      case AddColumns(tbl, cols)
+          if cols.forall(c => c.path.isEmpty && c.position.isEmpty &&
+            c.default.isEmpty) =>
+        for {
+          (ns, t) <- idOf(tbl)
+          if catalog.tableExists(ns, t)
+        } yield {
+          catalog.addColumns(ns, t, cols.map(c =>
+            org.apache.spark.sql.types.StructField(
+              c.colName, c.dataType, nullable = true)))
+          val total = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          summary("ALTER", ns, t, 0L, 0, total)
         }
 
       case DropTable(child, ifExists, _) =>

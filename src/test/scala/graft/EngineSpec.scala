@@ -743,6 +743,20 @@ class EngineSpec extends SparkTestBase {
     assert(eng.sqlQuery("DROP TABLE IF EXISTS db.copies")
       .contains(""""operation":"DROP""""))
     assert(eng.sqlQuery("DROP TABLE db.copies").startsWith("""{"error":"""))
+    // ALTER TABLE ADD COLUMNS: metadata-only evolution — the
+    // pre-evolution row null-pads, new inserts carry the column
+    assert(eng.sqlQuery("ALTER TABLE db.fresh ADD COLUMNS (score BIGINT)")
+      .contains(""""operation":"ALTER""""))
+    assert(eng.sqlQuery("INSERT INTO db.fresh SELECT 2, 'b', 9")
+      .contains(""""rows_affected":1"""))
+    val evolved = eng.sqlQuery(
+      "SELECT id, score FROM db.fresh ORDER BY id")
+    // records envelope omits null fields: row 1 has no score key
+    assert(evolved.contains("""{"id":1}""") &&
+      evolved.contains(""""id":2,"score":9"""), evolved)
+    // duplicate add rejected by the BACKWARD gate
+    assert(eng.sqlQuery("ALTER TABLE db.fresh ADD COLUMNS (score BIGINT)")
+      .startsWith("""{"error":"""))
   }
 
   test("scopedRelease: a request's persisted state is freed at exit; " +
