@@ -701,9 +701,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * conservatively rewritten. Old files stay referenced by older
     * snapshots for time travel until expired.
     */
-  def upsert(ns: String, name: String, df: DataFrame, keyCol: String): TableMeta = {
+  def upsert(ns: String, name: String, df: DataFrame, keyCol: String): TableMeta =
+    upsertCounted(ns, name, df, keyCol)._1
+
+  /** [[upsert]], additionally returning how many existing data files the
+    * key-range pruning selected for rewrite — the honest
+    * write-amplification number a DML summary should report (reporting
+    * the table's file total would overstate it).
+    */
+  def upsertCounted(ns: String, name: String, df: DataFrame,
+      keyCol: String): (TableMeta, Int) = {
     val preview = synchronized(loadMeta(ns, name)._2)
-    if (preview.currentSnapshot.isEmpty) return append(ns, name, df)
+    if (preview.currentSnapshot.isEmpty) return (append(ns, name, df), 0)
     // key-range pruning by the key's type: numeric keys compare via
     // the double stats, string keys lexicographically (both stat kinds
     // are collected on write) — so e.g. a changelog keyed on a string
@@ -744,8 +753,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newStats = collectFileStats(out.schema, newFiles,
         bloomColsFor(ns, name, out.schema))
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
-      commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, untouchedStats ++ newStats)
+      (commitReplacing(ns, name, version, meta, snapshotId,
+        untouched ++ newFiles, untouchedStats ++ newStats), touched.size)
     }
   }
 

@@ -183,7 +183,10 @@ object WebDataset {
       .mapPartitions(_.flatMap { case (path, content) =>
         val shard = path.substring(path.lastIndexOf('/') + 1)
         parseTar(content).map { case (name, data) =>
-          val cut = name.indexOf('.')
+          // first dot of the BASENAME: a directory component containing
+          // a dot (dir.v1/sample.jpg) must not cut the key there
+          val base = name.lastIndexOf('/') + 1
+          val cut = name.indexOf('.', base)
           val (key, ext) =
             if (cut < 0) (name, "") else (name.substring(0, cut), name.substring(cut + 1))
           (shard, name, key, ext, data)

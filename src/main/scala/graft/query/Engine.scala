@@ -325,7 +325,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
     import org.apache.spark.sql.graft.PlanExec
 
     def relOf(p: LogicalPlan): Option[(String, String)] = p match {
@@ -414,7 +414,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case DeleteFromTable(rel, cond) =>
         relOf(rel).map { case (ns, t) =>
           retryConcurrent {
-            val c = PlanExec.columnOf(cond)
+            // SQL DELETE removes rows where the predicate is TRUE only:
+            // not(NULL) is NULL (filtered away), so without the coalesce
+            // a `WHERE x > 5` would silently destroy every NULL-x row —
+            // and not count it in rows_affected. Coalescing BOTH sides
+            // keeps delete-set and count provably the same rows.
+            val c = coalesce(PlanExec.columnOf(cond), lit(false))
             val (files, total, df, snapId) = candidates(ns, t, cond)
             val affected = df.filter(c).count()
             if (affected > 0)
@@ -436,6 +441,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               case _ => false
             } => ks.map { case UnresolvedAttribute(Seq(n)) => n }
           }
+          // duplicate assignment targets are ambiguous — reject (as
+          // standard SQL does) instead of silently picking one
+          if names.distinct.size == names.size
         } yield retryConcurrent {
           val schema = catalog.schemaOf(ns, t)
           val cond: Expression = condition.getOrElse(Literal(true))
@@ -443,14 +451,21 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val (files, total, df, snapId) = candidates(ns, t, cond)
           val affected = df.filter(c).count()
           if (affected > 0) {
-            val values = assignments.map(a => PlanExec.columnOf(a.value))
+            val byName = names.zip(
+              assignments.map(a => PlanExec.columnOf(a.value))).toMap
             catalog.rewriteFiles(ns, t, files, { d0 =>
               val d = d0.as(t)
-              names.zip(values).foldLeft(d) { case (acc, (n, v)) =>
-                acc.withColumn(n, org.apache.spark.sql.functions
-                  .when(c, v.cast(schema(n).dataType))
-                  .otherwise(col(n)))
-              }
+              // ONE simultaneous projection: standard SQL evaluates
+              // every assignment RHS against the PRE-update row, so
+              // `SET a = a + 1, b = a` gives b the ORIGINAL a — a
+              // sequential withColumn chain would leak a's new value
+              d.select(schema.fields.map { f =>
+                byName.get(f.name) match {
+                  case Some(v) =>
+                    when(c, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                  case None => col(f.name)
+                }
+              }.toSeq: _*)
             }, snapId)
           }
           summary("UPDATE", ns, t, affected,
@@ -478,12 +493,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           if (exists) summary("CREATE", ns, t, 0L, 0, 0) // IF NOT EXISTS no-op
           else {
             val src = PlanExec.ofRows(spark, c.query)
-            val affected = src.count()
             catalog.createTable(ns, t, src.schema)
-            catalog.append(ns, t, src)
-            val total = catalog.describe(ns, t).currentSnapshot
-              .map(_.files.size).getOrElse(0)
-            summary("CTAS", ns, t, affected, 0, total)
+            // rows_affected from the COMMITTED snapshot's file stats —
+            // the source plan executes exactly once (the write), so a
+            // non-deterministic query (rand(), unordered LIMIT) can
+            // never disagree with the data it actually committed
+            val snap = catalog.append(ns, t, src).currentSnapshot
+            summary("CTAS", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
+              snap.map(_.files.size).getOrElse(0))
           }
         }
 
@@ -525,11 +542,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val aligned = src.toDF(schema.fieldNames.toSeq: _*)
             .select(schema.fields.map(f =>
               col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-          val affected = aligned.count()
-          catalog.append(ns, t, aligned)
-          val total = catalog.describe(ns, t).currentSnapshot
-            .map(_.files.size).getOrElse(0)
-          summary("INSERT", ns, t, affected, 0, total)
+          // one execution: the append's snapshot records the row count
+          // of exactly the files it committed (CTAS-note semantics)
+          val snap = catalog.append(ns, t, aligned).currentSnapshot
+          summary("INSERT", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
+            snap.map(_.files.size).getOrElse(0))
         }
 
       case m: MergeIntoTable =>
@@ -554,14 +571,23 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           schema = catalog.schemaOf(ns, t)
           if schema.fieldNames.contains(key)
         } yield {
+          // localCheckpoint: the source is materialized ONCE and both
+          // the count and the upsert read the same rows — a re-executed
+          // non-deterministic plan could otherwise commit different
+          // rows than it counted (truncated lineage fails rather than
+          // silently recomputing; freed at request quiescence)
           val src = PlanExec.ofRows(spark, m.sourceTable)
             .select(schema.fields.map(f =>
               col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            .localCheckpoint()
           val affected = src.count()
           val totalBefore = catalog.describe(ns, t).currentSnapshot
             .map(_.files.size).getOrElse(0)
-          catalog.upsert(ns, t, src, key)
-          summary("MERGE", ns, t, affected, totalBefore, totalBefore)
+          // files_rewritten = the files the key-range pruning actually
+          // selected, not the whole table — the observable
+          // write-amplification number the DELETE/UPDATE summaries report
+          val (_, touched) = catalog.upsertCounted(ns, t, src, key)
+          summary("MERGE", ns, t, affected, touched, totalBefore)
         }
 
       case _ => None

@@ -790,6 +790,38 @@ class EngineSpec extends SparkTestBase {
       "the last scope of the burst releases everything")
   }
 
+  test("DML semantics: DELETE keeps NULL-predicate rows; UPDATE evaluates " +
+      "all assignments against the pre-update row") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-dml-sem"))
+    val eng = new Engine(spark, cat)
+    // x = NULL rows: `WHERE x > 5` is NULL there → NOT deleted, NOT counted
+    cat.createTable("db", "nulls",
+      Seq.empty[(Long, Option[Long])].toDF("id", "x").schema)
+    cat.append("db", "nulls", Seq(
+      (1L, Some(10L)), (2L, Some(3L)), (3L, None), (4L, None))
+      .toDF("id", "x"))
+    val del = eng.sqlQuery("DELETE FROM db.nulls WHERE x > 5")
+    assert(del.contains(""""rows_affected":1"""), del)
+    val left = cat.read("db", "nulls").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(left == Seq(2L, 3L, 4L),
+      s"NULL-x rows must survive a `x > 5` DELETE, got ids $left")
+
+    // SET a = a + 1, b = a: b gets the ORIGINAL a (simultaneous eval)
+    cat.createTable("db", "sim",
+      Seq.empty[(Long, Long, Long)].toDF("id", "a", "b").schema)
+    cat.append("db", "sim", Seq((1L, 10L, 0L)).toDF("id", "a", "b"))
+    val upd = eng.sqlQuery("UPDATE db.sim SET a = a + 1, b = a")
+    assert(upd.contains(""""rows_affected":1"""), upd)
+    val r = cat.read("db", "sim").head()
+    assert(r.getLong(1) == 11L && r.getLong(2) == 10L,
+      s"b must see the pre-update a: got a=${r.getLong(1)} b=${r.getLong(2)}")
+    // duplicate assignment targets are rejected, not silently last-wins
+    assert(eng.sqlQuery("UPDATE db.sim SET a = 1, a = 2")
+      .startsWith("""{"error":"""))
+  }
+
   test("query budget: a runaway SQL is cancelled within the budget and " +
       "returns the reference error envelope") {
     // reference behavior to match: duckdb_rest_server.py:58 bounds S3

@@ -102,6 +102,23 @@ class WebDatasetSpec extends SparkTestBase {
       s"got $back")
   }
 
+  test("member names with a dotted directory component split on the " +
+      "first dot of the BASENAME, not the path") {
+    val dir = tmpDir("wds")
+    // dir.v1/sample.jpg: key must be dir.v1/sample, ext jpg — splitting
+    // at the path's first dot would yield key 'dir' and a '/' in ext
+    val df = Seq(("dir.v1/sample", "jpg", "IMG"))
+      .toDF("key", "ext", "body")
+      .groupBy("key")
+      .agg(collect_list(struct(
+        concat(col("key"), lit("."), col("ext")).as("name"),
+        encode(col("body"), "UTF-8").as("data"))).as("files"))
+    WebDataset.writeShards(df, dir, nShards = 1)
+    val back = WebDataset.readShards(spark, dir)
+      .select("key", "ext").as[(String, String)].collect().toSet
+    assert(back == Set(("dir.v1/sample", "jpg")), s"got $back")
+  }
+
   test("writeShards leaves no temp files and refuses a subdirectory " +
       "in the output dir") {
     val dir = tmpDir("wds")
