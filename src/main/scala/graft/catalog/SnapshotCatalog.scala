@@ -345,9 +345,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         (branches :+ (("main", "BRANCH",
           meta.currentSnapshotId.getOrElse(-1L))))
           .toDF("name", "type", "snapshot_id")
+      case "delete_files" =>
+        // the current snapshot's merge-on-read positional delete files
+        // (Iceberg's .delete_files introspection surface)
+        val dels = meta.currentSnapshot.map(s =>
+          s.deleteFiles.map { f =>
+            (f, s.deleteFileStats.find(_.path == f).map(_.rows).getOrElse(-1L))
+          }).getOrElse(Seq.empty)
+        dels.toDF("file_path", "record_count")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' — " +
-          "expected snapshots|files|history|refs")
+          "expected snapshots|files|history|refs|delete_files")
     }
   }
 
@@ -549,13 +557,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snap = meta.currentSnapshot.getOrElse(return read(ns, name))
     val keep = prunedFiles(snap, column, lower, upper)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(keep: _*)
-    base.filter(col(column).cast("double") >= lower &&
-      col(column).cast("double") <= upper)
+    readFilesOf(snap, schema, keep)
+      .filter(col(column).cast("double") >= lower &&
+        col(column).cast("double") <= upper)
   }
 
   /** The pruning decision, exposed for tests/inspection. */
@@ -674,15 +678,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case _ => snap.files.toSet
     }
     val keep = prunedFilesBloom(snap, column, value).filter(byPval)
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(keep: _*)
     // typed equality (literal cast to the column type) so the residual
     // still pushes into the parquet reader; for the supported bloom
     // types this equals string-rendering equality
-    base.filter(col(column) === lit(value).cast(schema(column).dataType))
+    readFilesOf(snap, schema, keep)
+      .filter(col(column) === lit(value).cast(schema(column).dataType))
   }
 
   // ----------------------------------------------------- row-level ops
@@ -741,7 +741,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val remain =
         if (touched.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else spark.read.schema(schema).parquet(touched: _*)
+        else readFilesOf(current, schema, touched)
           .join(df.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       val out = remain.unionByName(df, allowMissingColumns = true)
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
@@ -753,8 +753,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newStats = collectFileStats(out.schema, newFiles,
         bloomColsFor(ns, name, out.schema))
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
+      val (carryDel, carryDelStats) =
+        carryDeletes(ns, name, snapshotId, current, untouched)
       (commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, untouchedStats ++ newStats), touched.size)
+        untouched ++ newFiles, untouchedStats ++ newStats,
+        carryDel, carryDelStats), touched.size)
     }
   }
 
@@ -788,7 +791,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         if (straddling.isEmpty) Seq.empty
         else {
           val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete")
-          spark.read.schema(schema).parquet(straddling: _*)
+          readFilesOf(current, schema, straddling)
             .filter(!col(column).between(lower, upper))
             .write.parquet(snapDir.toString)
           Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
@@ -798,8 +801,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newStats = collectFileStats(schema, newFiles,
         bloomColsFor(ns, name, schema))
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
+      val (carryDel, carryDelStats) =
+        carryDeletes(ns, name, snapshotId, current, disjoint)
       commitReplacing(ns, name, version, meta, snapshotId,
-        disjoint ++ newFiles, keptStats ++ newStats)
+        disjoint ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats)
     }
 
   /** Copy-on-write rewrite of a TARGETED file subset — the primitive
@@ -846,7 +851,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         if (targetSet.isEmpty) Seq.empty
         else {
           val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-rewrite")
-          transform(spark.read.schema(schema).parquet(targetSet.toSeq.sorted: _*))
+          // merge-on-read interplay: the targets are read with their
+          // delete entries APPLIED (folded into the rewrite); entries
+          // for untouched files are carried forward below
+          transform(readFilesOf(current, schema, targetSet.toSeq.sorted))
             .select(schema.fieldNames.map(col(_)).toSeq: _*)
             .write.parquet(snapDir.toString)
           Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
@@ -856,16 +864,51 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newStats = collectFileStats(schema, newFiles,
         bloomColsFor(ns, name, schema))
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
+      val (carryDel, carryDelStats) =
+        carryDeletes(ns, name, snapshotId, current, untouched)
       commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, keptStats ++ newStats)
+        untouched ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats)
     }
+
+  /** Delete-side carryover for a copy-on-write rewrite that replaces
+    * some data files: entries pointing at SURVIVING files move to a
+    * fresh delete file (they still hide live rows); entries for
+    * replaced files were folded into the rewrite itself (the rewrite
+    * read via [[readFilesOf]]) and are dropped — keeping them would
+    * make [[SnapshotMeta.statsRowCount]] double-subtract. O(delete
+    * side) IO, which merge-on-read keeps small by construction.
+    */
+  private def carryDeletes(ns: String, name: String, snapshotId: Long,
+      current: SnapshotMeta,
+      survivors: Seq[String]): (Seq[String], Seq[FileStats]) = {
+    import org.apache.spark.sql.functions.col
+    if (current.deleteFiles.isEmpty) return (Seq.empty, Seq.empty)
+    import spark.implicits._
+    val survDf = survivors.toDF("file_path")
+    val kept = spark.read.schema(DeleteFileSchema)
+      .parquet(current.deleteFiles: _*)
+      .join(survDf, Seq("file_path"), "left_semi")
+    val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-carry")
+    kept.coalesce(1).write.parquet(delDir.toString)
+    val files = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    val stats = collectFileStats(DeleteFileSchema, files)
+    if (stats.map(_.rows).sum == 0L) {
+      // nothing survived: drop the empty carry file immediately
+      files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      (Seq.empty, Seq.empty)
+    } else (files, stats)
+  }
 
   /** Commit a snapshot whose manifest REPLACES the current file list
     * (compact/upsert/delete shape, vs append's cumulative one).
     */
   private def commitReplacing(ns: String, name: String, version: Int,
       meta: TableMeta, snapshotId: Long,
-      files: Seq[String], stats: Seq[FileStats]): TableMeta = {
+      files: Seq[String], stats: Seq[FileStats],
+      deleteFiles: Seq[String] = Seq.empty,
+      deleteFileStats: Seq[FileStats] = Seq.empty): TableMeta = {
     val snap = SnapshotMeta(
       snapshotId = snapshotId,
       parentId = meta.currentSnapshotId,
@@ -873,7 +916,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       files = files,
       rowCount = stats.map(_.rows).sum,
       createdAtMs = System.currentTimeMillis(),
-      fileStats = stats)
+      fileStats = stats,
+      deleteFiles = deleteFiles,
+      deleteFileStats = deleteFileStats)
     val newMeta = meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshots = meta.snapshots :+ snap)
@@ -900,9 +945,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val retained = meta.snapshots
         .filter(s => tail.exists(_.snapshotId == s.snapshotId) ||
           pinned.contains(s.snapshotId))
-      val referenced = retained.flatMap(_.files).toSet
-      val orphaned = meta.snapshots.flatMap(_.files).distinct
-        .filterNot(referenced.contains)
+      // delete files are referenced artifacts too — expiring a snapshot
+      // must never reap a delete file a retained snapshot still applies
+      val referenced = retained.flatMap(s => s.files ++ s.deleteFiles).toSet
+      val orphaned = meta.snapshots.flatMap(s => s.files ++ s.deleteFiles)
+        .distinct.filterNot(referenced.contains)
       val newMeta = meta.copy(snapshots = retained)
       commit(ns, name, version + 1, newMeta)
       orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
@@ -940,7 +987,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def removeOrphanFiles(ns: String, name: String): Seq[String] =
     synchronized {
       val (_, meta) = loadMeta(ns, name)
-      val referenced = meta.snapshots.flatMap(_.files)
+      val referenced = meta.snapshots.flatMap(s => s.files ++ s.deleteFiles)
         .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
       val dir = dataDir(ns, name)
       if (!Files.isDirectory(dir)) Seq.empty
@@ -981,7 +1028,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         throw new IllegalStateException(s"$ns.$name has no data to compact"))
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
       val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-compact")
-      val df = spark.read.schema(schema).parquet(current.files: _*)
+      // compact FOLDS merge-on-read delete files back into the data:
+      // the rewrite reads with deletes applied and the new snapshot
+      // carries none (SnapshotMeta.deleteFiles defaults empty below)
+      val df = readFilesOf(current, schema, current.files)
       val rewritten =
         if (clusterBy.isEmpty) df.repartition(numFiles)
         else df
@@ -1014,7 +1064,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   /** Read the table at its current snapshot, or time-travel to a
     * specific snapshot id. The declared table schema is applied, so
-    * files written before a column was added null-pad it.
+    * files written before a column was added null-pad it. Positional
+    * delete files of the snapshot (merge-on-read) are anti-joined away.
     */
   def read(ns: String, name: String, snapshotId: Option[Long] = None): DataFrame = {
     val meta = describe(ns, name)
@@ -1028,8 +1079,123 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]))
     }
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    spark.read.schema(schema).parquet(snap.files: _*)
+    readFilesOf(snap, schema, snap.files)
   }
+
+  /** Merge-on-read data-file read: `files` (a pruned subset of
+    * `snap.files`) with the snapshot's positional delete files applied.
+    * A snapshot with no delete files takes the plain vectorized-scan
+    * fast path — zero overhead for the overwhelmingly common case. With
+    * delete files present, each data row's (file, position) identity
+    * comes from the parquet reader's `_metadata` column (no extra IO —
+    * the reader maintains the row index as it scans) and delete entries
+    * are removed with a LEFT ANTI join; the delete side of a
+    * merge-on-read table is small by design (the write path falls back
+    * to copy-on-write for large matched fractions), so AQE broadcasts
+    * it and the anti-join adds no shuffle of the 100 TB side.
+    */
+  def readFilesOf(snap: SnapshotMeta, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (snap.deleteFiles.isEmpty) spark.read.schema(schema).parquet(files: _*)
+    else readFilesWithRowId(snap, schema, files)
+      .drop(RowIdFileCol, RowIdPosCol)
+  }
+
+  /** [[readFilesOf]] retaining each surviving row's (file, position)
+    * identity as [[RowIdFileCol]]/[[RowIdPosCol]] columns — the
+    * projection a positional DELETE writes its delete entries from.
+    */
+  def readFilesWithRowId(snap: SnapshotMeta, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    // `_metadata.file_path` renders local paths as file:// URIs;
+    // manifests store plain absolute paths — normalize so delete
+    // entries, manifests, and carryover filtering all speak one form
+    val base = spark.read.schema(schema).parquet(files: _*)
+      .withColumn(RowIdFileCol,
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn(RowIdPosCol, col("_metadata.row_index"))
+    if (snap.deleteFiles.isEmpty) base
+    else {
+      val dels = spark.read.schema(DeleteFileSchema)
+        .parquet(snap.deleteFiles: _*)
+        .select(col("file_path").as("__gd_file"), col("pos").as("__gd_pos"))
+      base.join(dels,
+        base(RowIdFileCol) === dels("__gd_file") &&
+          base(RowIdPosCol) === dels("__gd_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Commit a MERGE-ON-READ positional DELETE: `positions` is a frame
+    * with [[RowIdFileCol]]/[[RowIdPosCol]] columns (the
+    * [[readFilesWithRowId]] identities of the rows to hide). Data files
+    * are NOT touched — the new snapshot carries the same file list plus
+    * one more delete file, so a DELETE costs O(matched rows) write IO
+    * instead of rewriting every candidate file (the format-version-2
+    * write path; copy-on-write [[rewriteFiles]] remains the choice for
+    * large matched fractions, where rewriting beats carrying a delete
+    * side forever).
+    *
+    * Positions are deduped within the batch AND against the snapshot's
+    * existing delete files, so Σ delete-file rows never double-counts a
+    * row and the manifest's live-row arithmetic
+    * ([[SnapshotMeta.statsRowCount]]) stays exact. Returns the new meta
+    * and the deduped entry count actually written.
+    *
+    * @param expectedSnapshotId same optimistic validate-and-retry guard
+    *   as [[rewriteFiles]] — positions computed outside this lock are
+    *   stale if another commit landed in between.
+    */
+  def addDeleteFile(ns: String, name: String, positions: DataFrame,
+      expectedSnapshotId: Option[Long] = None): (TableMeta, Long) =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val (version, meta) = loadMeta(ns, name)
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      expectedSnapshotId.foreach { exp =>
+        if (current.snapshotId != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved to snapshot ${current.snapshotId} " +
+              s"(delete planned against $exp) — re-plan and retry")
+      }
+      val batch = positions
+        .select(col(RowIdFileCol).cast("string").as("file_path"),
+          col(RowIdPosCol).cast("long").as("pos"))
+        .dropDuplicates("file_path", "pos")
+      val fresh =
+        if (current.deleteFiles.isEmpty) batch
+        else batch.join(
+          spark.read.schema(DeleteFileSchema).parquet(current.deleteFiles: _*),
+          Seq("file_path", "pos"), "left_anti")
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-mor")
+      fresh.coalesce(1).write.parquet(delDir.toString)
+      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles)
+      val written = newDelStats.map(_.rows).sum
+      val snap = SnapshotMeta(
+        snapshotId = snapshotId,
+        parentId = meta.currentSnapshotId,
+        sequenceNumber = meta.snapshots.map(_.sequenceNumber).max + 1,
+        files = current.files,
+        rowCount = 0L, // a delete adds no rows
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = current.fileStats,
+        deleteFiles = current.deleteFiles ++ newDelFiles,
+        deleteFileStats = current.deleteFileStats ++ newDelStats)
+      val newMeta = meta.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshots = meta.snapshots :+ snap)
+      commit(ns, name, version + 1, newMeta)
+      (newMeta, written)
+    }
 
   /** Incremental (CDC-style) read: rows added strictly AFTER
     * `fromSnapshotId`, up to `toSnapshotId` (default: current). Data
@@ -1057,6 +1223,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         s"non-append history between snapshots $fromSnapshotId and " +
           s"${to.snapshotId} (${missing.size} files rewritten) — " +
           "incremental read requires append-only lineage")
+    // a merge-on-read DELETE between the snapshots is equally
+    // non-append: the data-file diff would claim "nothing changed"
+    // while rows silently vanished from already-consumed files
+    if (from.deleteFiles != to.deleteFiles)
+      throw new IllegalStateException(
+        s"positional deletes landed between snapshots $fromSnapshotId " +
+          s"and ${to.snapshotId} — incremental read requires " +
+          "append-only lineage")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val inc = to.files.diff(from.files)
     if (inc.isEmpty)
@@ -1091,6 +1265,33 @@ object SnapshotCatalog {
 
   /** Optimistic-concurrency commit retries before giving up. */
   val MaxCommitRetries = 10
+
+  /** Row-identity columns carried by [[SnapshotCatalog.readFilesWithRowId]]:
+    * the parquet reader's file path and within-file row index — the
+    * coordinates a positional delete file names rows by.
+    */
+  val RowIdFileCol = "__graft_file"
+  val RowIdPosCol = "__graft_pos"
+
+  /** Schema of a positional delete file (Iceberg v2 position deletes:
+    * file_path + pos, spec's required columns).
+    */
+  val DeleteFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Table property selecting the SQL DELETE write path (Iceberg's
+    * `write.delete.mode`): `copy-on-write` rewrites candidate files,
+    * `merge-on-read` writes positional delete files; unset = auto
+    * (merge-on-read when the matched fraction of the candidate files'
+    * rows is at most [[MorAutoFraction]], copy-on-write otherwise —
+    * small deletes shouldn't rewrite whole files, large ones shouldn't
+    * accrete a delete side bigger than the rewrite).
+    */
+  val DeleteModeProp = "write.delete.mode"
+  val MorAutoFraction = 0.3
 
   val DefaultProperties: Map[String, String] = Map(
     // mirrors connector-config.json:24-26
@@ -1176,7 +1377,30 @@ object SnapshotCatalog {
       files: Seq[String],
       rowCount: Long,
       createdAtMs: Long,
-      fileStats: Seq[FileStats] = Seq.empty)
+      fileStats: Seq[FileStats] = Seq.empty,
+      // Merge-on-read POSITIONAL DELETE files (the format-version-2
+      // hallmark, connector-config.json:24-26): parquet files of
+      // (file_path: string, pos: long) rows naming data-file rows this
+      // snapshot hides. Data files stay byte-identical; readers
+      // anti-join these away ([[SnapshotCatalog.readFilesOf]]);
+      // [[SnapshotCatalog.compact]] folds them back into data files.
+      // Positions are GLOBALLY DEDUPED on write (addDeleteFile), so
+      // live rows = Σ fileStats.rows − Σ deleteFileStats.rows exactly.
+      // Defaults keep pre-MoR metadata.json readable.
+      deleteFiles: Seq[String] = Seq.empty,
+      deleteFileStats: Seq[FileStats] = Seq.empty) {
+    /** Live-row count from the manifest alone, when every data AND
+      * delete file carries stats — None forces a scan, never a silent
+      * undercount (the metadata-count contract).
+      */
+    def statsRowCount: Option[Long] = {
+      val byPath = fileStats.map(st => st.path -> st.rows).toMap
+      val delByPath = deleteFileStats.map(st => st.path -> st.rows).toMap
+      if (files.forall(byPath.contains) && deleteFiles.forall(delByPath.contains))
+        Some(files.map(byPath).sum - deleteFiles.map(delByPath).sum)
+      else None
+    }
+  }
 
   final case class TableMeta(
       tableId: String,

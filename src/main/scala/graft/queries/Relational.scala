@@ -2113,6 +2113,88 @@ object Relational {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM fin GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  // Merge-on-read positional deletes (the defining Iceberg
+  // format-version-2 write path, reference connector-config.json:24-26):
+  // the SAME DELETE runs against two identical tables, one with
+  // `write.delete.mode=merge-on-read` (a positional delete file is
+  // committed, every data file stays byte-identical) and one with
+  // `copy-on-write` (candidate files rewritten). The query returns both
+  // tables' per-status aggregates plus the time-traveled pre-delete
+  // state — the oracle restates all three from pure SELECT algebra, so
+  // a hash match proves MoR ≡ CoW ≡ history-intact. In-query require()s
+  // additionally pin the physical MoR contract (unchanged file list,
+  // non-empty delete side): a silent CoW fallback fails the query.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q57_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    for (tb <- Seq("mor", "cow")) {
+      cat.createTable("db", tb, base.schema)
+      cat.updateProperties("db", tb, Map(
+        graft.catalog.SnapshotCatalog.DeleteModeProp ->
+          (if (tb == "mor") "merge-on-read" else "copy-on-write")))
+      cat.append("db", tb, base)
+    }
+    val preSnap = cat.describe("db", "mor").currentSnapshotId.get
+    val preFiles = cat.describe("db", "mor").currentSnapshot.get.files
+    for (tb <- Seq("mor", "cow")) {
+      val out = eng.sqlQuery(s"DELETE FROM db.$tb WHERE price_c % 7 = 0")
+      require(!out.startsWith("""{"error""""), s"DELETE failed: $out")
+    }
+    val morAfter = cat.describe("db", "mor").currentSnapshot.get
+    require(morAfter.files == preFiles,
+      "merge-on-read DELETE must leave the data-file list untouched")
+    require(morAfter.deleteFiles.nonEmpty,
+      "merge-on-read DELETE must commit a positional delete file")
+    def agg(df: DataFrame, path: String): DataFrame =
+      df.groupBy("status")
+        .agg(count(lit(1)).as("n_orders"), sum("price_c").as("sum_price_c"))
+        .select(lit(path).as("path"), col("status"),
+          col("n_orders"), col("sum_price_c"))
+    val out = agg(cat.read("db", "mor"), "mor")
+      .unionByName(agg(cat.read("db", "cow"), "cow"))
+      .unionByName(agg(cat.read("db", "mor", Some(preSnap)), "time_travel"))
+      .orderBy("path", "status")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q57Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 3000),
+      |kept AS (SELECT * FROM base WHERE NOT (price_c % 7 = 0)),
+      |paths AS (
+      |  SELECT 'mor' AS path, status, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(price_c) AS BIGINT) AS sum_price_c
+      |  FROM kept GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'cow', status, CAST(count(*) AS BIGINT),
+      |    CAST(sum(price_c) AS BIGINT)
+      |  FROM kept GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'time_travel', status, CAST(count(*) AS BIGINT),
+      |    CAST(sum(price_c) AS BIGINT)
+      |  FROM base GROUP BY 2)
+      |SELECT path, status, n_orders, sum_price_c FROM paths
+      |ORDER BY path, status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2170,5 +2252,6 @@ object Relational {
     QuerySpec("q53_avro_roundtrip", q53, Some(q53Sql)),
     QuerySpec("q54_orc_roundtrip", q54, Some(q54Sql)),
     QuerySpec("q55_hits", q55, Some(q55Sql)),
-    QuerySpec("q56_sql_dml", q56, Some(q56Sql)))
+    QuerySpec("q56_sql_dml", q56, Some(q56Sql)),
+    QuerySpec("q57_sql_delete_mor", q57, Some(q57Sql)))
 }

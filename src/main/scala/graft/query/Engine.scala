@@ -183,11 +183,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           s.files.size)
       }
       val schema = catalog.schemaOf(ref.ns, ref.table)
-      val df =
-        if (files.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(files: _*)
+      val df = snap match {
+        case Some(s) => catalog.readFilesOf(s, schema, files)
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
       val view = Engine.viewName(ref.ns, ref.table)
       df.createOrReplaceTempView(view)
       views((ref.ns, ref.table)) = view
@@ -367,11 +367,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       val bounds = Engine.extractBounds(cond, schema)
       val files = snap.map(s => prunedFilesFor(ns, t, s, bounds)).getOrElse(Nil)
       val total = snap.map(_.files.size).getOrElse(0)
-      val df =
-        if (files.isEmpty) spark.createDataFrame(
+      val df = snap match {
+        case Some(s) => catalog.readFilesOf(s, schema, files)
+        case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(files: _*)
-      (files, total, df.as(t), snap.map(_.snapshotId))
+      }
+      (files, total, df.as(t), snap)
     }
 
     /** Validate-and-retry for plan-outside-lock rewrites: a concurrent
@@ -420,13 +421,45 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             // and not count it in rows_affected. Coalescing BOTH sides
             // keeps delete-set and count provably the same rows.
             val c = coalesce(PlanExec.columnOf(cond), lit(false))
-            val (files, total, df, snapId) = candidates(ns, t, cond)
+            val (files, total, df, snap) = candidates(ns, t, cond)
             val affected = df.filter(c).count()
-            if (affected > 0)
-              catalog.rewriteFiles(ns, t, files,
-                d => d.as(t).filter(not(c)), snapId)
-            summary("DELETE", ns, t, affected,
-              if (affected > 0) files.size else 0, total)
+            if (affected == 0) summary("DELETE", ns, t, 0L, 0, total)
+            else {
+              // Write-path choice (Iceberg v2's write.delete.mode):
+              // merge-on-read commits a positional delete file and
+              // leaves every data file byte-identical — O(matched)
+              // write IO; copy-on-write rewrites the candidate files.
+              // Unset = auto by matched fraction of the CANDIDATE
+              // files' rows (from the manifest, no extra scan): small
+              // deletes shouldn't rewrite whole files, big ones
+              // shouldn't accrete a delete side larger than the
+              // rewrite it avoids.
+              val mode = catalog.describe(ns, t).properties
+                .get(SnapshotCatalog.DeleteModeProp)
+              val candRows = snap.map(s =>
+                files.flatMap(f => s.fileStats.find(_.path == f))
+                  .map(_.rows).sum).getOrElse(0L)
+              val useMor = mode match {
+                case Some("merge-on-read") => true
+                case Some("copy-on-write") => false
+                case _ => candRows > 0 &&
+                  affected <= (SnapshotCatalog.MorAutoFraction * candRows).toLong
+              }
+              if (useMor) {
+                val s = snap.get // affected > 0 ⇒ a snapshot exists
+                val positions = catalog
+                  .readFilesWithRowId(s, catalog.schemaOf(ns, t), files)
+                  .as(t).filter(c)
+                  .select(SnapshotCatalog.RowIdFileCol,
+                    SnapshotCatalog.RowIdPosCol)
+                catalog.addDeleteFile(ns, t, positions, Some(s.snapshotId))
+                summary("DELETE", ns, t, affected, 0, total)
+              } else {
+                catalog.rewriteFiles(ns, t, files,
+                  d => d.as(t).filter(not(c)), snap.map(_.snapshotId))
+                summary("DELETE", ns, t, affected, files.size, total)
+              }
+            }
           }
         }
 
@@ -448,7 +481,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val schema = catalog.schemaOf(ns, t)
           val cond: Expression = condition.getOrElse(Literal(true))
           val c = PlanExec.columnOf(cond)
-          val (files, total, df, snapId) = candidates(ns, t, cond)
+          val (files, total, df, snap) = candidates(ns, t, cond)
+          val snapId = snap.map(_.snapshotId)
           val affected = df.filter(c).count()
           if (affected > 0) {
             val byName = names.zip(
@@ -852,18 +886,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       // a version-only reference resolves without validation — an
       // unknown snapshot id must fall through for the normal rejection
       _ <- if (snapId.isDefined && snap.isEmpty) None else Some(())
-      // exact total = Σ per-file stats rows over the snapshot's file
-      // set (a snapshot's `rowCount` records the rows its own
-      // operation added, not the table total). A file without stats
-      // makes the metadata answer unprovable — fall through to the
-      // scan, never undercount silently.
+      // exact total = Σ per-file stats rows − Σ positional-delete rows
+      // over the snapshot (a snapshot's `rowCount` records the rows its
+      // own operation added, not the table total; delete entries are
+      // globally deduped on write, so the subtraction is exact). A
+      // file without stats makes the metadata answer unprovable — fall
+      // through to the scan, never undercount silently.
       n <- snap match {
         case None => Some(0L)
-        case Some(s) =>
-          val byPath = s.fileStats.map(st => st.path -> st.rows).toMap
-          if (s.files.forall(byPath.contains))
-            Some(s.files.map(byPath).sum)
-          else None
+        case Some(s) => s.statsRowCount
       }
     } yield {
       val df = spark.range(1).select(
@@ -979,10 +1010,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0, 0)
             case Some(snap) =>
               val keep = catalog.prunedFilesRange(snap, f.column, f.min, f.max)
-              val base =
-                if (keep.isEmpty) spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-                else spark.read.schema(schema).parquet(keep: _*)
+              val base = catalog.readFilesOf(snap, schema, keep)
               val c = col(f.column).cast("double")
               val residual = (f.min.map(c >= _).toSeq ++ f.max.map(c <= _).toSeq)
                 .reduceOption(_ && _).getOrElse(lit(true))
@@ -1127,7 +1155,7 @@ object Engine {
 
   /** Metadata-table suffixes served by the SQL bridge. */
   private[query] val MetadataKinds: Set[String] =
-    Set("snapshots", "files", "history", "refs")
+    Set("snapshots", "files", "history", "refs", "delete_files")
 
   private[query] val GlobRe =
     raw"(?i)glob\(\s*'([^']+)'\s*\)".r

@@ -677,4 +677,103 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(2L, 3L))
   }
+
+  private def md5Of(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+  }
+
+  test("merge-on-read positional deletes: data files stay byte-identical, " +
+      "reads hide deleted rows, time travel and stats arithmetic hold") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    for (lo <- Seq(0L, 10L, 20L))
+      cat.append("db", "t",
+        (lo until lo + 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val before = cat.describe("db", "t").currentSnapshot.get
+    val hashesBefore = before.files.map(f => f -> md5Of(f)).toMap
+
+    // delete ids 3..5 via a positional delete file
+    val positions = cat.readFilesWithRowId(before, schemaV1, before.files)
+      .filter(col("id").between(3L, 5L))
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    val (metaAfter, written) =
+      cat.addDeleteFile("db", "t", positions, Some(before.snapshotId))
+    assert(written == 3L)
+    val after = metaAfter.currentSnapshot.get
+    // the defining v2 property: the SAME data files, byte for byte
+    assert(after.files == before.files)
+    after.files.foreach(f => assert(md5Of(f) == hashesBefore(f),
+      s"data file $f changed under a merge-on-read delete"))
+    assert(after.deleteFiles.size == 1)
+    // reads hide the deleted rows; time travel still sees them
+    assert(cat.read("db", "t").count() == 27)
+    assert(!cat.read("db", "t").collect().map(_.getLong(0)).contains(4L))
+    assert(cat.read("db", "t", Some(before.snapshotId)).count() == 30)
+    // manifest live-row arithmetic is exact (the metadata-count path)
+    assert(after.statsRowCount.contains(27L))
+
+    // a second overlapping delete dedupes: only NEW positions count
+    val pos2 = cat.readFilesWithRowId(before, schemaV1, before.files)
+      .filter(col("id").between(5L, 7L))
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    val (m2, w2) = cat.addDeleteFile("db", "t", pos2, None)
+    assert(w2 == 2L, "id 5 was already deleted — must not double-count")
+    assert(m2.currentSnapshot.get.statsRowCount.contains(25L))
+    assert(cat.read("db", "t").count() == 25)
+
+    // pruned + equality reads apply deletes too
+    assert(cat.readWhere("db", "t", "id", 0.0, 9.0).count() == 5)
+    assert(cat.readEquals("db", "t", "id", "6").count() == 0)
+    assert(cat.readEquals("db", "t", "id", "8").count() == 1)
+
+    // incremental read across a delete snapshot must refuse
+    intercept[IllegalStateException] {
+      cat.readIncremental("db", "t", before.snapshotId).count()
+    }
+
+    // compact folds the delete side back into data files
+    val folded = cat.compact("db", "t", numFiles = 2).currentSnapshot.get
+    assert(folded.deleteFiles.isEmpty)
+    assert(cat.read("db", "t").count() == 25)
+    assert(folded.statsRowCount.contains(25L))
+  }
+
+  test("merge-on-read + copy-on-write interplay: a rewrite folds its " +
+      "targets' delete entries and carries the survivors'") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    for (lo <- Seq(0L, 10L))
+      cat.append("db", "t",
+        (lo until lo + 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val snap0 = cat.describe("db", "t").currentSnapshot.get
+    val fileOfLow = snap0.fileStats
+      .find(_.min.get("id").exists(_.toDouble == 0.0)).get.path
+    // delete one row in EACH file positionally
+    val pos = cat.readFilesWithRowId(snap0, schemaV1, snap0.files)
+      .filter(col("id").isin(2L, 12L))
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    assert(cat.read("db", "t").count() == 18)
+    // CoW-rewrite only the low file (delete id 5): its entry (id 2)
+    // folds into the rewrite; the high file's entry (id 12) carries
+    cat.rewriteFiles("db", "t", Seq(fileOfLow),
+      d => d.filter(col("id") =!= 5L), None)
+    val after = cat.describe("db", "t").currentSnapshot.get
+    assert(after.deleteFiles.size == 1, "survivor's delete entry must carry")
+    val ids = cat.read("db", "t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 20L).filterNot(Set(2L, 5L, 12L))),
+      s"got $ids")
+    assert(after.statsRowCount.contains(17L))
+    // maintenance never reaps a referenced delete file
+    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+    assert(cat.read("db", "t").count() == 17)
+    // expire old snapshots: current state (incl. its delete file) intact
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(cat.read("db", "t").count() == 17)
+    assert(cat.describe("db", "t").currentSnapshot.get.deleteFiles.size == 1)
+  }
 }

@@ -822,6 +822,70 @@ class EngineSpec extends SparkTestBase {
       .startsWith("""{"error":"""))
   }
 
+  test("SQL DELETE write-path: merge-on-read leaves data files " +
+      "byte-identical and hash-matches the copy-on-write answer") {
+    import spark.implicits._
+    def md5Of(p: String) = {
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    }
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-mor"))
+    val eng = new Engine(spark, cat)
+    def mkTable(t: String, mode: Option[String]): Unit = {
+      cat.createTable("db", t,
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      mode.foreach(m => cat.updateProperties("db", t,
+        Map(SnapshotCatalog.DeleteModeProp -> m)): Unit)
+      for (lo <- Seq(0L, 10L, 20L))
+        cat.append("db", t,
+          (lo until lo + 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+            .coalesce(1))
+    }
+    mkTable("mor", Some("merge-on-read"))
+    mkTable("cow", Some("copy-on-write"))
+    val morFiles = cat.describe("db", "mor").currentSnapshot.get.files
+    val morHashes = morFiles.map(f => f -> md5Of(f)).toMap
+
+    // same DELETE through both write paths
+    for (t <- Seq("mor", "cow"))
+      assert(eng.sqlQuery(s"DELETE FROM db.$t WHERE id >= 7 AND id < 13")
+        .contains(""""rows_affected":6"""))
+    // MoR: identical file list, identical bytes; files_rewritten = 0
+    val morAfter = cat.describe("db", "mor").currentSnapshot.get
+    assert(morAfter.files == morFiles && morAfter.deleteFiles.nonEmpty)
+    morFiles.foreach(f => assert(md5Of(f) == morHashes(f)))
+    // both paths give the same answer, row for row
+    val a = eng.sqlQuery("SELECT * FROM db.mor ORDER BY id")
+    val b = eng.sqlQuery("SELECT * FROM db.cow ORDER BY id")
+    assert(a == b, s"MoR and CoW answers diverged:\n$a\n$b")
+    // metadata-only count subtracts the delete side exactly
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.mor")
+      .contains(""""n":24"""))
+    // q43-style time travel still sees the pre-delete state
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM db.mor VERSION AS OF 3")
+      .contains(""""n":30"""))
+    // delete_files metadata table lists the delete side
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM db.mor.delete_files").contains(""""n":1"""))
+
+    // AUTO mode: a small fraction goes merge-on-read, a large one
+    // copy-on-write
+    mkTable("auto", None)
+    val autoFiles = cat.describe("db", "auto").currentSnapshot.get.files
+    eng.sqlQuery("DELETE FROM db.auto WHERE id = 3") // 1 of 10 candidate rows
+    val s1 = cat.describe("db", "auto").currentSnapshot.get
+    assert(s1.files == autoFiles && s1.deleteFiles.size == 1,
+      "small fraction must take the merge-on-read path")
+    eng.sqlQuery("DELETE FROM db.auto WHERE id < 25") // most rows
+    val s2 = cat.describe("db", "auto").currentSnapshot.get
+    assert(s2.files != autoFiles,
+      "large fraction must take the copy-on-write path")
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.auto")
+      .contains(""""n":5"""))
+  }
+
   test("query budget: a runaway SQL is cancelled within the budget and " +
       "returns the reference error envelope") {
     // reference behavior to match: duckdb_rest_server.py:58 bounds S3
