@@ -176,9 +176,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       df: DataFrame): TableMeta =
     appendImpl(ns, name, df, toBranch = Some(branch))
 
+  /** INSERT OVERWRITE semantics: one atomic snapshot whose manifest
+    * REPLACES the table's file list with the batch's files — old data
+    * files and any merge-on-read delete side stop being referenced (and
+    * stay time-travelable until expired). Same write machinery as
+    * append (hidden partitioning, schema evolution, optimistic retry).
+    */
+  def overwrite(ns: String, name: String, df: DataFrame): TableMeta =
+    appendImpl(ns, name, df, toBranch = None, replaceManifest = true)
+
   private def appendImpl(ns: String, name: String, df: DataFrame,
       toBranch: Option[String],
-      extraProperties: Map[String, String] = Map.empty): TableMeta =
+      extraProperties: Map[String, String] = Map.empty,
+      replaceManifest: Boolean = false): TableMeta =
     synchronized {
       // Data files are written once, into a dir keyed by a unique
       // write id; the commit loop below re-reads table state on each
@@ -246,10 +256,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           snapshotId = snapshotId,
           parentId = base.map(_.snapshotId),
           sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
-          files = base.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+          files =
+            if (replaceManifest) newFiles
+            else base.map(_.files).getOrElse(Seq.empty) ++ newFiles,
           rowCount = stats.map(_.rows).sum,
           createdAtMs = System.currentTimeMillis(),
-          fileStats = base.map(_.fileStats).getOrElse(Seq.empty) ++ stats)
+          fileStats =
+            if (replaceManifest) stats
+            else base.map(_.fileStats).getOrElse(Seq.empty) ++ stats,
+          // an overwrite references nothing old — the delete side
+          // (merge-on-read) dies with the replaced files; an append
+          // carries the base snapshot's delete side forward unchanged
+          deleteFiles =
+            if (replaceManifest) Seq.empty
+            else base.map(_.deleteFiles).getOrElse(Seq.empty),
+          deleteFileStats =
+            if (replaceManifest) Seq.empty
+            else base.map(_.deleteFileStats).getOrElse(Seq.empty))
         val newMeta = toBranch match {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
@@ -847,20 +870,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val targetSet = targets.toSet.intersect(current.files.toSet)
       val untouched = current.files.filterNot(targetSet)
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
-      val newFiles =
-        if (targetSet.isEmpty) Seq.empty
-        else {
-          val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-rewrite")
-          // merge-on-read interplay: the targets are read with their
-          // delete entries APPLIED (folded into the rewrite); entries
-          // for untouched files are carried forward below
-          transform(readFilesOf(current, schema, targetSet.toSeq.sorted))
-            .select(schema.fieldNames.map(col(_)).toSeq: _*)
-            .write.parquet(snapDir.toString)
-          Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet"))
-            .map(_.getAbsolutePath).sorted.toSeq
-        }
+      // the transform runs even with ZERO targets: a row-producing
+      // transform (the SQL MERGE's insert side) must still write its
+      // output — an empty input with a row-preserving transform writes
+      // no part files, so the no-op case stays free
+      val newFiles = {
+        val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-rewrite")
+        // merge-on-read interplay: the targets are read with their
+        // delete entries APPLIED (folded into the rewrite); entries
+        // for untouched files are carried forward below
+        transform(readFilesOf(current, schema, targetSet.toSeq.sorted))
+          .select(schema.fieldNames.map(col(_)).toSeq: _*)
+          .write.parquet(snapDir.toString)
+        Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      }
       val newStats = collectFileStats(schema, newFiles,
         bloomColsFor(ns, name, schema))
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))

@@ -2060,6 +2060,20 @@ object Relational {
       |SELECT o_orderkey + 10000000, o_custkey,
       |  CAST(round(o_totalprice * 100, 0) AS BIGINT), 'X'
       |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey < 100""".stripMargin)
+    // round-12 shapes: INSERT with an explicit column list (o_custkey
+    // null-pads) and a CONDITIONAL MERGE (first-TRUE-clause cascade:
+    // open orders get a bump, expensive others die)
+    run(s"""INSERT INTO db.o (o_orderkey, price_c, status)
+      |SELECT o_orderkey + 20000000, 77, 'Y'
+      |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey < 50""".stripMargin)
+    run(s"""MERGE INTO db.o t
+      |USING (SELECT o_orderkey,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amt
+      |       FROM parquet.`$dir/orders.parquet`
+      |       WHERE o_orderkey >= 500 AND o_orderkey < 1500) s
+      |ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED AND t.status = 'O' THEN UPDATE SET price_c = t.price_c + 1
+      |WHEN MATCHED AND s.amt > 20000000 THEN DELETE""".stripMargin)
     val out = cat.read("db", "o")
       .groupBy("status")
       .agg(count(lit(1)).as("n_orders"),
@@ -2107,11 +2121,27 @@ object Relational {
       |  SELECT * FROM upd
       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
       |  UNION ALL
-      |  SELECT * FROM ins)
+      |  SELECT * FROM ins),
+      |ins2 AS (
+      |  SELECT o_orderkey + 20000000 AS o_orderkey,
+      |    CAST(NULL AS BIGINT) AS o_custkey,
+      |    CAST(77 AS BIGINT) AS price_c, 'Y' AS status
+      |  FROM orders WHERE o_orderkey < 50),
+      |state1 AS (SELECT * FROM fin UNION ALL SELECT * FROM ins2),
+      |msrc AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amt
+      |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500),
+      |state2 AS (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.status = 'O'
+      |      THEN t.price_c + 1 ELSE t.price_c END AS price_c,
+      |    t.status
+      |  FROM state1 t LEFT JOIN msrc s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR t.status = 'O' OR NOT (s.amt > 20000000))
       |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-      |FROM fin GROUP BY 1 ORDER BY status""".stripMargin
+      |FROM state2 GROUP BY 1 ORDER BY status""".stripMargin
 
   // ---------------------------------------------------------------- q57
   // Merge-on-read positional deletes (the defining Iceberg

@@ -318,6 +318,46 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * envelope. Unsupported DML shapes return None and fall through to
     * Spark's own rejection — never a silent partial apply.
     */
+  /** Validate-and-retry for plan-outside-lock rewrites: a concurrent
+    * commit between candidate selection and the rewrite makes the
+    * plan stale (rows may have moved into unexamined files), the
+    * catalog refuses, and the statement re-plans from the new
+    * snapshot — bounded attempts, then the conflict surfaces as the
+    * error envelope rather than a lost update.
+    */
+  private def retryConcurrent[T](body: => T): T = {
+    var attempts = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 3) throw e
+      }
+    }
+    out.get
+  }
+
+  /** The 1-row DML/DDL result frame every statement renders through
+    * the records envelope.
+    */
+  private def summary(op: String, ns: String, t: String, affected: Long,
+      rewritten: Int, total: Int): (DataFrame, Seq[Engine.PruneInfo]) = {
+    import org.apache.spark.sql.functions.lit
+    // the table may be gone (DROP) or never have existed (DROP IF
+    // EXISTS on a missing table) — no snapshot to report then
+    val snapId =
+      if (!catalog.tableExists(ns, t)) -1L
+      else catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
+    val df = spark.range(1).select(
+      lit(op).as("operation"), lit(s"$ns.$t").as("target"),
+      lit(affected).as("rows_affected"),
+      lit(rewritten).as("files_rewritten"), lit(total).as("files_total"),
+      lit(snapId).as("snapshot_id"))
+    (df, Seq(Engine.PruneInfo(s"$ns.$t", rewritten, total)))
+  }
+
   private def dmlExec(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
       Option[(DataFrame, Seq[Engine.PruneInfo])] = {
@@ -373,42 +413,6 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
       (files, total, df.as(t), snap)
-    }
-
-    /** Validate-and-retry for plan-outside-lock rewrites: a concurrent
-      * commit between candidate selection and the rewrite makes the
-      * plan stale (rows may have moved into unexamined files), the
-      * catalog refuses, and the statement re-plans from the new
-      * snapshot — bounded attempts, then the conflict surfaces as the
-      * error envelope rather than a lost update.
-      */
-    def retryConcurrent[T](body: => T): T = {
-      var attempts = 0
-      var out: Option[T] = None
-      while (out.isEmpty) {
-        try out = Some(body)
-        catch {
-          case e: java.util.ConcurrentModificationException =>
-            attempts += 1
-            if (attempts >= 3) throw e
-        }
-      }
-      out.get
-    }
-
-    def summary(op: String, ns: String, t: String, affected: Long,
-        rewritten: Int, total: Int): (DataFrame, Seq[Engine.PruneInfo]) = {
-      // the table may be gone (DROP) or never have existed (DROP IF
-      // EXISTS on a missing table) — no snapshot to report then
-      val snapId =
-        if (!catalog.tableExists(ns, t)) -1L
-        else catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
-      val df = spark.range(1).select(
-        lit(op).as("operation"), lit(s"$ns.$t").as("target"),
-        lit(affected).as("rows_affected"),
-        lit(rewritten).as("files_rewritten"), lit(total).as("files_total"),
-        lit(snapId).as("snapshot_id"))
-      (df, Seq(Engine.PruneInfo(s"$ns.$t", rewritten, total)))
     }
 
     plan match {
@@ -506,31 +510,45 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             if (affected > 0) files.size else 0, total)
         }
 
-      case CreateTable(nameP, columns, partitioning, _, ignoreIfExists)
-          if partitioning.isEmpty =>
-        idOf(nameP).map { case (ns, t) =>
+      case CreateTable(nameP, columns, partitioning, _, ignoreIfExists) =>
+        for {
+          (ns, t) <- idOf(nameP)
+          // PARTITIONED BY maps to the catalog's hidden-partitioning
+          // property; an unmappable clause falls through to rejection
+          specOpt <- Engine.partitionSpecString(partitioning)
+        } yield {
           val exists = catalog.tableExists(ns, t)
           if (exists && !ignoreIfExists)
             throw new IllegalArgumentException(s"table $ns.$t already exists")
           if (!exists)
             catalog.createTable(ns, t,
               org.apache.spark.sql.types.StructType(
-                columns.map(_.toV1Column)))
+                columns.map(_.toV1Column)),
+              specOpt.map(s => Map(
+                graft.catalog.PartitionSpec.PropertyKey -> s))
+                .getOrElse(Map.empty))
           summary("CREATE", ns, t, 0L, 0, 0)
         }
 
-      case c: CreateTableAsSelect if c.partitioning.isEmpty =>
-        idOf(c.name).map { case (ns, t) =>
+      case c: CreateTableAsSelect =>
+        for {
+          (ns, t) <- idOf(c.name)
+          specOpt <- Engine.partitionSpecString(c.partitioning)
+        } yield {
           val exists = catalog.tableExists(ns, t)
           if (exists && !c.ignoreIfExists)
             throw new IllegalArgumentException(s"table $ns.$t already exists")
           if (exists) summary("CREATE", ns, t, 0L, 0, 0) // IF NOT EXISTS no-op
           else {
             val src = PlanExec.ofRows(spark, c.query)
-            catalog.createTable(ns, t, src.schema)
+            catalog.createTable(ns, t, src.schema,
+              specOpt.map(s => Map(
+                graft.catalog.PartitionSpec.PropertyKey -> s))
+                .getOrElse(Map.empty))
             // rows_affected from the COMMITTED snapshot's file stats —
-            // the source plan executes exactly once (the write), so a
-            // non-deterministic query (rand(), unordered LIMIT) can
+            // the source plan executes exactly once (the write, which
+            // splits into value-pure partition files under a spec), so
+            // a non-deterministic query (rand(), unordered LIMIT) can
             // never disagree with the data it actually committed
             val snap = catalog.append(ns, t, src).currentSnapshot
             summary("CTAS", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
@@ -563,23 +581,45 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         }
 
       case i: InsertIntoStatement
-          if i.partitionSpec.isEmpty && !i.overwrite &&
-            !i.ifPartitionNotExists && i.userSpecifiedCols.isEmpty =>
+          if i.partitionSpec.isEmpty && !i.ifPartitionNotExists =>
         relOf(i.table).map { case (ns, t) =>
           val schema = catalog.schemaOf(ns, t)
           val src = PlanExec.ofRows(spark, i.query)
-          require(src.columns.length == schema.fields.length,
-            s"INSERT INTO $ns.$t: ${src.columns.length} columns for " +
-              s"${schema.fields.length}-column table")
-          // positional semantics (no column list accepted above):
-          // rename by position, then cast to the declared types
-          val aligned = src.toDF(schema.fieldNames.toSeq: _*)
-            .select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-          // one execution: the append's snapshot records the row count
-          // of exactly the files it committed (CTAS-note semantics)
-          val snap = catalog.append(ns, t, aligned).currentSnapshot
-          summary("INSERT", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
+          val aligned = i.userSpecifiedCols match {
+            case Seq() =>
+              require(src.columns.length == schema.fields.length,
+                s"INSERT INTO $ns.$t: ${src.columns.length} columns for " +
+                  s"${schema.fields.length}-column table")
+              // positional semantics: rename by position, then cast to
+              // the declared types
+              src.toDF(schema.fieldNames.toSeq: _*)
+                .select(schema.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            case cols =>
+              // explicit column list: the query's columns bind to the
+              // NAMED table columns positionally; unnamed columns
+              // null-pad (standard SQL)
+              require(cols.length == src.columns.length,
+                s"INSERT INTO $ns.$t: column list names ${cols.length} " +
+                  s"columns but the query produces ${src.columns.length}")
+              require(cols.distinct.length == cols.length,
+                s"INSERT INTO $ns.$t: duplicate column in the list")
+              cols.foreach(c => require(schema.fieldNames.contains(c),
+                s"INSERT INTO $ns.$t: unknown column '$c'"))
+              val named = cols.toSet
+              src.toDF(cols: _*).select(schema.fields.map(f =>
+                (if (named(f.name)) col(f.name) else lit(null))
+                  .cast(f.dataType).as(f.name)).toSeq: _*)
+          }
+          // one execution: the commit's snapshot records the row count
+          // of exactly the files it committed (CTAS-note semantics);
+          // OVERWRITE replaces the manifest in the same atomic commit
+          val newMeta =
+            if (i.overwrite) catalog.overwrite(ns, t, aligned)
+            else catalog.append(ns, t, aligned)
+          val snap = newMeta.currentSnapshot
+          summary(if (i.overwrite) "INSERT OVERWRITE" else "INSERT",
+            ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
             snap.map(_.files.size).getOrElse(0))
         }
 
@@ -600,31 +640,215 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         }
         for {
           (ns, t) <- relOf(m.targetTable)
-          if upsertShape
           key <- sharedKey(m.mergeCondition)
           schema = catalog.schemaOf(ns, t)
           if schema.fieldNames.contains(key)
-        } yield {
-          // localCheckpoint: the source is materialized ONCE and both
-          // the count and the upsert read the same rows — a re-executed
-          // non-deterministic plan could otherwise commit different
-          // rows than it counted (truncated lineage fails rather than
-          // silently recomputing; freed at request quiescence)
-          val src = PlanExec.ofRows(spark, m.sourceTable)
-            .select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-            .localCheckpoint()
-          val affected = src.count()
-          val totalBefore = catalog.describe(ns, t).currentSnapshot
-            .map(_.files.size).getOrElse(0)
-          // files_rewritten = the files the key-range pruning actually
-          // selected, not the whole table — the observable
-          // write-amplification number the DELETE/UPDATE summaries report
-          val (_, touched) = catalog.upsertCounted(ns, t, src, key)
-          summary("MERGE", ns, t, affected, touched, totalBefore)
-        }
+          result <-
+            if (upsertShape) Some {
+              // whole-row upsert fast path: no join machinery, the
+              // catalog's key-range-pruned copy-on-write upsert.
+              // localCheckpoint: the source is materialized ONCE and
+              // both the count and the upsert read the same rows — a
+              // re-executed non-deterministic plan could otherwise
+              // commit different rows than it counted (truncated
+              // lineage fails rather than silently recomputing; freed
+              // at request quiescence)
+              val src = PlanExec.ofRows(spark, m.sourceTable)
+                .select(schema.fields.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+                .localCheckpoint()
+              val affected = src.count()
+              val totalBefore = catalog.describe(ns, t).currentSnapshot
+                .map(_.files.size).getOrElse(0)
+              // files_rewritten = the files the key-range pruning
+              // actually selected, not the whole table — the observable
+              // write-amplification number the other summaries report
+              val (_, touched) = catalog.upsertCounted(ns, t, src, key)
+              summary("MERGE", ns, t, affected, touched, totalBefore)
+            }
+            else mergeGeneral(m, ns, t, key)
+        } yield result
 
       case _ => None
+    }
+  }
+
+  /** General copy-on-write MERGE, for the shapes beyond the whole-row
+    * upsert fast path: conditional `WHEN MATCHED [AND c] THEN UPDATE
+    * SET col = expr, …` (subset assignments) and `THEN DELETE`,
+    * conditional `WHEN NOT MATCHED [AND c] THEN INSERT (cols…) VALUES
+    * …` / `INSERT *` (unnamed columns null-pad), and `WHEN NOT MATCHED
+    * BY SOURCE THEN UPDATE/DELETE`. Clause cascade follows the SQL
+    * rule: per row, the FIRST clause (in statement order) whose
+    * condition is TRUE fires; no firing clause keeps a matched/
+    * by-source row and drops a not-matched source row. Assignment RHS
+    * and clause conditions are arbitrary expressions over the
+    * statement's own target/source aliases.
+    *
+    * Execution is ONE full-outer join between the key-range-pruned
+    * target files (merge-on-read deletes applied) and the
+    * once-materialized source, projected through per-field
+    * when-cascades — a single pass emits updated, carried, and
+    * inserted rows together; untouched files carry by reference
+    * (the [[SnapshotCatalog.rewriteFiles]] discipline, optimistic
+    * validate-and-retry included). With notMatchedBySourceActions
+    * present every file is a rewrite target (such a row can live
+    * anywhere); otherwise only key-range-intersecting files rewrite —
+    * the same file-level write amplification as the fast path.
+    * Unsupported action shapes return None and fall through to Spark's
+    * rejection — never a silent partial apply.
+    */
+  private def mergeGeneral(
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
+      ns: String, t: String, key: String):
+      Option[(DataFrame, Seq[Engine.PruneInfo])] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    import org.apache.spark.sql.graft.PlanExec
+
+    val schema = catalog.schemaOf(ns, t)
+
+    def aliasOf(p: LogicalPlan, fallback: String): String = p match {
+      case SubqueryAlias(id, _) => id.name
+      case _ => fallback
+    }
+    val tAlias = aliasOf(m.targetTable, t)
+    val sAlias = aliasOf(m.sourceTable, "__graft_src")
+
+    // a NULL clause condition must not fire the clause (SQL TRUE-only)
+    def condOf(c: Option[Expression]): Column =
+      c.map(e => coalesce(PlanExec.columnOf(e), lit(false))).getOrElse(lit(true))
+    def colNameOf(e: Expression): Option[String] = e match {
+      case UnresolvedAttribute(Seq(n)) if schema.fieldNames.contains(n) => Some(n)
+      case UnresolvedAttribute(Seq(q, n))
+          if q == tAlias && schema.fieldNames.contains(n) => Some(n)
+      case _ => None
+    }
+    def compileAssigns(as: Seq[Assignment]): Option[Map[String, Column]] = {
+      val named = as.map(a => colNameOf(a.key).map(_ -> PlanExec.columnOf(a.value)))
+      if (named.exists(_.isEmpty)) None
+      else {
+        val kv = named.flatten
+        if (kv.map(_._1).distinct.size != kv.size) None // dup targets
+        else Some(kv.toMap)
+      }
+    }
+    val starFromSource: Map[String, Column] =
+      schema.fieldNames.map(n => n -> col(s"$sAlias.$n")).toMap
+
+    case class CAct(cond: Column, isDelete: Boolean, values: Map[String, Column])
+    def compileMatched(a: MergeAction): Option[CAct] = a match {
+      case DeleteAction(c) => Some(CAct(condOf(c), isDelete = true, Map.empty))
+      case UpdateAction(c, as, _) =>
+        compileAssigns(as).map(CAct(condOf(c), isDelete = false, _))
+      case UpdateStarAction(c) =>
+        Some(CAct(condOf(c), isDelete = false, starFromSource))
+      case _ => None
+    }
+    def compileInsert(a: MergeAction): Option[CAct] = a match {
+      case InsertAction(c, as) =>
+        compileAssigns(as).map(CAct(condOf(c), isDelete = false, _))
+      case InsertStarAction(c) =>
+        Some(CAct(condOf(c), isDelete = false, starFromSource))
+      case _ => None
+    }
+    def compileBySource(a: MergeAction): Option[CAct] = a match {
+      case DeleteAction(c) => Some(CAct(condOf(c), isDelete = true, Map.empty))
+      case UpdateAction(c, as, _) =>
+        compileAssigns(as).map(CAct(condOf(c), isDelete = false, _))
+      case _ => None
+    }
+    def all[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+      if (xs.exists(_.isEmpty)) None else Some(xs.flatten)
+
+    for {
+      mActs <- all(m.matchedActions.map(compileMatched))
+      iActs <- all(m.notMatchedActions.map(compileInsert))
+      nActs <- all(m.notMatchedBySourceActions.map(compileBySource))
+    } yield retryConcurrent {
+      val meta = catalog.describe(ns, t)
+      val current = meta.currentSnapshot
+      val total = current.map(_.files.size).getOrElse(0)
+      // once-materialized source (the upsert fast path's discipline)
+      val src = PlanExec.ofRows(spark, m.sourceTable).localCheckpoint()
+      def keyPruned(s: SnapshotCatalog.SnapshotMeta): Seq[String] =
+        if (!src.columns.contains(key)) s.files
+        else schema(key).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val b = src.agg(org.apache.spark.sql.functions.min(col(key)),
+              org.apache.spark.sql.functions.max(col(key))).head()
+            if (b.isNullAt(0)) Nil
+            else catalog.prunedFilesStringRange(s, key,
+              Some(b.getString(0)), Some(b.getString(1)))
+          case _ =>
+            val b = src.agg(
+              org.apache.spark.sql.functions.min(col(key)).cast("double"),
+              org.apache.spark.sql.functions.max(col(key)).cast("double")).head()
+            if (b.isNullAt(0)) Nil
+            else catalog.prunedFilesRange(s, key,
+              Some(b.getDouble(0)), Some(b.getDouble(1)))
+        }
+      val touched: Seq[String] = current match {
+        case None => Nil
+        // a not-matched-by-source row can live in ANY file
+        case Some(s) if nActs.nonEmpty => s.files
+        case Some(s) => keyPruned(s)
+      }
+      val tgt0 = current match {
+        case Some(s) => catalog.readFilesOf(s, schema, touched)
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      val tgt = tgt0.withColumn("__t_present", lit(true)).as(tAlias)
+      val srcA = src.withColumn("__s_present", lit(true)).as(sAlias)
+      val joined = tgt.join(srcA,
+        PlanExec.columnOf(m.mergeCondition), "full_outer")
+      val tP = coalesce(col("__t_present"), lit(false))
+      val sP = coalesce(col("__s_present"), lit(false))
+      val mFlag = tP && sP
+      val tOnly = tP && !sP
+      // first-TRUE-clause cascade: reverse fold nests the FIRST action
+      // outermost, so earlier clauses shadow later ones (the SQL rule)
+      def cascade(actions: Seq[CAct], base: String => Column):
+          (String => Column, Column, Column) = {
+        val drop = actions.reverse.foldLeft(lit(false)) { (els, a) =>
+          when(a.cond, lit(a.isDelete)).otherwise(els) }
+        val hit = actions.reverse.foldLeft(lit(false)) { (els, a) =>
+          when(a.cond, lit(true)).otherwise(els) }
+        val vf = (f: String) => actions.reverse.foldLeft(base(f)) { (els, a) =>
+          when(a.cond, a.values.getOrElse(f, base(f))).otherwise(els) }
+        (vf, drop, hit)
+      }
+      val tBase = (f: String) => col(s"$tAlias.$f")
+      val nullBase = (_: String) => lit(null)
+      val (mVf, mDrop, mHit) = cascade(mActs, tBase)
+      val (nVf, nDrop, nHit) = cascade(nActs, tBase)
+      val (iVf, _, iHit) = cascade(iActs, nullBase)
+      val keep = when(mFlag, !mDrop).when(tOnly, !nDrop).otherwise(iHit)
+      val outCols = schema.fields.map { f =>
+        when(mFlag, mVf(f.name)).when(tOnly, nVf(f.name))
+          .otherwise(iVf(f.name)).cast(f.dataType).as(f.name)
+      }.toSeq
+      val out = joined.filter(keep).select(outCols: _*)
+      // rows a clause actually fired on (target files immutable + src
+      // checkpointed ⇒ this pass and the write see the same rows)
+      val cnt = joined.agg(
+        sum(when(mFlag && mHit, 1L).otherwise(0L)),
+        sum(when(tOnly && nHit, 1L).otherwise(0L)),
+        sum(when(!tP && sP && iHit, 1L).otherwise(0L))).head()
+      val affected = (0 to 2)
+        .map(i => if (cnt.isNullAt(i)) 0L else cnt.getLong(i)).sum
+      current match {
+        case Some(s) =>
+          catalog.rewriteFiles(ns, t, touched, _ => out, Some(s.snapshotId))
+          summary("MERGE", ns, t, affected, touched.size, total)
+        case None =>
+          catalog.append(ns, t, out)
+          summary("MERGE", ns, t, affected, 0, 0)
+      }
     }
   }
 
@@ -1162,6 +1386,48 @@ object Engine {
 
   def rewriteDialect(sql: String): String =
     ReadParquetRe.replaceAllIn(sql, m => s"parquet.`${m.group(1)}`")
+
+  /** Map a DDL `PARTITIONED BY` clause to the catalog's hidden
+    * `partition.spec` property string. The catalog supports ONE
+    * transform over one top-level column (identity/days/months/hours/
+    * bucket/truncate — PartitionSpec.parse's grammar), matched through
+    * the PUBLIC connector-expression surface (name + arguments), so
+    * the mapping never depends on Spark-private case classes.
+    * Some(None) = unpartitioned; None = unsupported clause, the
+    * statement falls through to Spark's rejection.
+    */
+  private[graft] def partitionSpecString(
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform]):
+      Option[Option[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => CExpr, Literal => CLit, NamedReference}
+    def col1(e: CExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    transforms match {
+      case Seq() => Some(None)
+      case Seq(tr) =>
+        val args = tr.arguments().toSeq
+        tr.name() match {
+          case n @ ("identity" | "days" | "months" | "hours") =>
+            args match {
+              case Seq(a) => col1(a).map(c => Some(s"$n($c)"))
+              case _ => None
+            }
+          case n @ ("bucket" | "truncate") =>
+            args match {
+              case Seq(l: CLit[_], r) =>
+                col1(r).map(c => Some(s"$n(${l.value()}, $c)"))
+              case Seq(r, l: CLit[_]) =>
+                col1(r).map(c => Some(s"$n(${l.value()}, $c)"))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** One table's prune outcome: `kept` of `total` manifest files. */
   case class PruneInfo(table: String, kept: Int, total: Int)

@@ -741,6 +741,33 @@ class CatalogSpec extends SparkTestBase {
     assert(folded.statsRowCount.contains(25L))
   }
 
+  test("append after a merge-on-read delete carries the delete side — " +
+      "deleted rows never resurrect") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(snap, schemaV1, snap.files)
+      .filter(col("id") < 3L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    assert(cat.read("db", "t").count() == 7)
+    // the regression shape: a plain append commits a NEW snapshot — it
+    // must keep referencing the delete file, not silently drop it
+    cat.append("db", "t", Seq((100L, 1.0)).toDF("id", "v"))
+    val after = cat.describe("db", "t").currentSnapshot.get
+    assert(after.deleteFiles.size == 1,
+      "append dropped the merge-on-read delete side")
+    assert(cat.read("db", "t").count() == 8)
+    assert(after.statsRowCount.contains(8L))
+    // overwrite REPLACES everything: no stale delete side survives
+    cat.overwrite("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val ow = cat.describe("db", "t").currentSnapshot.get
+    assert(ow.deleteFiles.isEmpty && cat.read("db", "t").count() == 2)
+  }
+
   test("merge-on-read + copy-on-write interplay: a rewrite folds its " +
       "targets' delete entries and carries the survivors'") {
     import spark.implicits._

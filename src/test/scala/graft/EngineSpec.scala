@@ -701,13 +701,111 @@ class EngineSpec extends SparkTestBase {
     // each statement was one atomic snapshot; history time-travels
     assert(cat.read("db", "kv", Some(snapBefore)).count() == 30)
 
-    // an unsupported DML shape falls through to a clean error, never
-    // a silent partial apply
+    // an unsupported DML shape (non-equality ON) falls through to a
+    // clean error, never a silent partial apply
     val bad = eng.sqlQuery(
-      """MERGE INTO db.kv t USING (SELECT 1 AS id) s ON t.id = s.id
+      """MERGE INTO db.kv t USING (SELECT 1 AS id) s ON t.id >= s.id
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(bad.startsWith("""{"error":"""), bad)
     assert(cat.read("db", "kv").count() == 27, "partial apply detected")
+  }
+
+  test("general MERGE: conditional clauses, SET subsets, MATCHED DELETE, " +
+      "NOT MATCHED BY SOURCE; INSERT column lists and OVERWRITE; " +
+      "partitioned CTAS") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-dml2"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "acc",
+      Seq.empty[(Long, String, Long)].toDF("id", "st", "bal").schema)
+    for (lo <- Seq(0L, 10L))
+      cat.append("db", "acc",
+        (lo until lo + 10L).map(i => (i, if (i % 2 == 0) "open" else "hold", i * 100L))
+          .toDF("id", "st", "bal").coalesce(1))
+
+    // conditional MERGE: matched+open → SET subset; matched+hold →
+    // DELETE; not matched → INSERT with column list semantics via
+    // explicit values
+    val mrg = eng.sqlQuery(
+      """MERGE INTO db.acc t
+        |USING (SELECT 4 AS id, 77 AS amt
+        |       UNION ALL SELECT 5, 88
+        |       UNION ALL SELECT 100, 99) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.st = 'open' THEN UPDATE SET bal = t.bal + s.amt
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.amt > 50
+        |  THEN INSERT (id, st, bal) VALUES (s.id, 'new', s.amt)""".stripMargin)
+    assert(mrg.contains(""""operation":"MERGE"""") &&
+      mrg.contains(""""rows_affected":3"""), mrg)
+    val m = cat.read("db", "acc").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(m(4L) == (("open", 477L)), "SET subset must keep other columns")
+    assert(!m.contains(5L), "matched hold row must be deleted")
+    assert(m(100L) == (("new", 99L)), "conditional insert must fire")
+    assert(m.size == 20, s"got ${m.size} rows")
+    // the source key range [4,100] intersects both files' key ranges,
+    // so both rewrite (the key-range pruning bound, not table size)
+    assert(mrg.contains(""""files_rewritten":2""") &&
+      mrg.contains(""""files_total":2"""), mrg)
+
+    // NOT MATCHED BY SOURCE: rows absent from the source get updated
+    val nms = eng.sqlQuery(
+      """MERGE INTO db.acc t
+        |USING (SELECT 100 AS id, 0 AS amt) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET bal = 0
+        |WHEN NOT MATCHED BY SOURCE AND t.st = 'hold' THEN DELETE""".stripMargin)
+    assert(nms.contains(""""rows_affected":10"""), nms) // 1 matched + 9 holds
+    val after = cat.read("db", "acc").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(after(100L)._2 == 0L)
+    assert(!after.values.exists(_._1 == "hold"), "holds must be gone")
+
+    // INSERT with an explicit column list: unnamed columns null-pad
+    val insL = eng.sqlQuery("INSERT INTO db.acc (bal, id) SELECT 5, 500")
+    assert(insL.contains(""""rows_affected":1"""), insL)
+    val r500 = cat.read("db", "acc")
+      .filter(org.apache.spark.sql.functions.col("id") === 500L).head()
+    assert(r500.isNullAt(1) && r500.getLong(2) == 5L,
+      "unnamed column must null-pad; list order must bind positionally")
+    // unknown / duplicate names rejected cleanly
+    assert(eng.sqlQuery("INSERT INTO db.acc (nope) SELECT 1")
+      .startsWith("""{"error":"""))
+    assert(eng.sqlQuery("INSERT INTO db.acc (id, id) SELECT 1, 2")
+      .startsWith("""{"error":"""))
+
+    // INSERT OVERWRITE: one atomic snapshot replacing the manifest
+    val before = cat.describe("db", "acc").currentSnapshotId.get
+    val ovw = eng.sqlQuery(
+      "INSERT OVERWRITE db.acc SELECT 1, 'only', 42")
+    assert(ovw.contains(""""operation":"INSERT OVERWRITE"""") &&
+      ovw.contains(""""rows_affected":1"""), ovw)
+    assert(cat.read("db", "acc").count() == 1)
+    // history survives: the pre-overwrite snapshot still time-travels
+    assert(cat.read("db", "acc", Some(before)).count() > 1)
+
+    // partitioned CTAS: the PARTITIONED BY clause becomes the hidden
+    // partition.spec, appends split into value-pure files
+    val ctas = eng.sqlQuery(
+      """CREATE TABLE db.bydate PARTITIONED BY (bucket(4, k)) AS
+        |SELECT id AS k, CAST(id * 2 AS BIGINT) AS v FROM range(100)""".stripMargin)
+    assert(ctas.contains(""""operation":"CTAS"""") &&
+      ctas.contains(""""rows_affected":100"""), ctas)
+    assert(cat.describe("db", "bydate")
+      .properties(graft.catalog.PartitionSpec.PropertyKey) == "bucket(4, k)")
+    // equality lookups on the bucketed key prune to one bucket's files
+    val snapB = cat.describe("db", "bydate").currentSnapshot.get
+    val keptB = cat.prunedFilesBloom(snapB, "k", "7").size
+    assert(cat.readEquals("db", "bydate", "k", "7").count() == 1)
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.bydate")
+      .contains(""""n":100"""))
+    // a multi-transform clause falls through to a clean rejection
+    assert(eng.sqlQuery(
+      """CREATE TABLE db.multi (a BIGINT, b BIGINT)
+        |PARTITIONED BY (bucket(4, a), bucket(4, b))""".stripMargin)
+      .startsWith("""{"error":"""))
+    assert(keptB <= snapB.files.size)
   }
 
   test("SQL DDL through the bridge: CREATE, CTAS, INSERT, SELECT, DROP " +
