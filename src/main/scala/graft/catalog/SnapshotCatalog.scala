@@ -109,7 +109,127 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             "schema not BACKWARD-compatible: " +
               violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
       }
-      val newMeta = meta.copy(schemaJson = evolved.json)
+      val (extIds, extLast) =
+        extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
+      val newMeta = meta.copy(schemaJson = evolved.json,
+        fieldIds = extIds, lastFieldId = extLast)
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
+  /** The field-id mapping, ACTIVATED on demand: before any rename/drop
+    * the table carries none (physical names == declared names by
+    * construction); the first rename/drop initializes ids from the
+    * current schema order — at that instant every existing file's
+    * physical names ARE the current declared names, which is what
+    * makes the lazy activation sound.
+    */
+  private def activatedIds(meta: TableMeta, schema: StructType): Map[String, Int] =
+    if (meta.fieldIds.nonEmpty) meta.fieldIds
+    else schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  /** Fresh ids for columns evolution added (no-op while dormant),
+    * allocated above the table's ever-allocated high-water mark so a
+    * retired (dropped) id is never reused. Returns (ids, newLast).
+    */
+  private def extendFieldIds(ids: Map[String, Int], last: Int,
+      schema: StructType): (Map[String, Int], Int) =
+    if (ids.isEmpty) (ids, last)
+    else {
+      var next = math.max(last, ids.values.max)
+      val out = ids ++ schema.fieldNames.filterNot(ids.contains).map { n =>
+        next += 1; n -> next
+      }
+      (out, next)
+    }
+
+  /** The colIds stamp for files written NOW under `written` names. */
+  private def colIdsStamp(fieldIds: Map[String, Int],
+      written: StructType): Option[Map[String, Int]] =
+    if (fieldIds.isEmpty) None
+    else Some(written.fieldNames.flatMap(n =>
+      fieldIds.get(n).map(n -> _)).toMap)
+
+  /** `ALTER TABLE … RENAME COLUMN` as a METADATA-ONLY commit with the
+    * Iceberg field-id discipline: the declared schema renames, the
+    * field keeps its stable id, and every file keeps resolving by id —
+    * files written under the old name need no rewrite (and time travel
+    * to pre-rename snapshots reads correct data under the new name).
+    * Per-snapshot file stats and blooms re-key to the new name so
+    * manifest pruning keeps working; files without a recorded colIds
+    * mapping are backfilled with the at-activation identity mapping.
+    */
+  def renameColumn(ns: String, name: String, from: String,
+      to: String): TableMeta = synchronized {
+    val (version, meta) = loadMeta(ns, name)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from), s"no column $from in $ns.$name")
+    require(!schema.fieldNames.contains(to),
+      s"column $to already exists in $ns.$name")
+    require(!partitionSpecOf(ns, name).exists(_.column == from),
+      s"cannot rename partition column $from — evolve the spec first")
+    val ids0 = activatedIds(meta, schema)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    def remap[V](m: Map[String, V]): Map[String, V] =
+      m.map { case (k, v) => (if (k == from) to else k) -> v }
+    val snaps = meta.snapshots.map { s =>
+      s.copy(fileStats = s.fileStats.map { fs =>
+        fs.copy(min = remap(fs.min), max = remap(fs.max),
+          blooms = fs.blooms.map(remap),
+          // physical mapping: NOT remapped — it records what is in
+          // the file, which a metadata-only rename never changes
+          colIds = fs.colIds.orElse(Some(ids0)))
+      })
+    }
+    val props = meta.properties.get(BloomColumnsProp) match {
+      case Some(cs) => meta.properties + (BloomColumnsProp ->
+        cs.split(",").map(_.trim).map(c => if (c == from) to else c)
+          .mkString(","))
+      case None => meta.properties
+    }
+    val newMeta = meta.copy(schemaJson = newSchema.json,
+      fieldIds = (ids0 - from) + (to -> ids0(from)),
+      lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
+      snapshots = snaps, properties = props)
+    commit(ns, name, version + 1, newMeta)
+    newMeta
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: the
+    * declared schema loses the field, its id is retired, and its stats/
+    * bloom entries are removed from every snapshot (a later re-ADD of
+    * the same name gets a FRESH id, so old files' data and stats can
+    * never resurface under it). No data file is touched.
+    */
+  def dropColumn(ns: String, name: String, colName: String): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(colName),
+        s"no column $colName in $ns.$name")
+      require(schema.fields.length > 1,
+        s"cannot drop the only column of $ns.$name")
+      require(!partitionSpecOf(ns, name).exists(_.column == colName),
+        s"cannot drop partition column $colName — evolve the spec first")
+      val ids0 = activatedIds(meta, schema)
+      val newSchema = StructType(schema.fields.filterNot(_.name == colName))
+      val snaps = meta.snapshots.map { s =>
+        s.copy(fileStats = s.fileStats.map { fs =>
+          fs.copy(min = fs.min - colName, max = fs.max - colName,
+            blooms = fs.blooms.map(_ - colName),
+            colIds = fs.colIds.orElse(Some(ids0)))
+        })
+      }
+      val props = meta.properties.get(BloomColumnsProp) match {
+        case Some(cs) => meta.properties + (BloomColumnsProp ->
+          cs.split(",").map(_.trim).filterNot(_ == colName).mkString(","))
+        case None => meta.properties
+      }
+      val newMeta = meta.copy(schemaJson = newSchema.json,
+        fieldIds = ids0 - colName,
+        lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
+        snapshots = snaps, properties = props)
       commit(ns, name, version + 1, newMeta)
       newMeta
     }
@@ -252,6 +372,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
         }
         val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        // once field ids are active, evolution-added columns get fresh
+        // ids and every new file records its physical-name mapping
+        val (newIds, newLast) =
+          extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
+        val stamped = colIdsStamp(newIds, df.schema) match {
+          case None => stats
+          case stamp => stats.map(_.copy(colIds = stamp))
+        }
         val snap = SnapshotMeta(
           snapshotId = snapshotId,
           parentId = base.map(_.snapshotId),
@@ -259,11 +387,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           files =
             if (replaceManifest) newFiles
             else base.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          rowCount = stats.map(_.rows).sum,
+          rowCount = stamped.map(_.rows).sum,
           createdAtMs = System.currentTimeMillis(),
           fileStats =
-            if (replaceManifest) stats
-            else base.map(_.fileStats).getOrElse(Seq.empty) ++ stats,
+            if (replaceManifest) stamped
+            else base.map(_.fileStats).getOrElse(Seq.empty) ++ stamped,
           // an overwrite references nothing old — the delete side
           // (merge-on-read) dies with the replaced files; an append
           // carries the base snapshot's delete side forward unchanged
@@ -276,11 +404,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val newMeta = toBranch match {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
+            fieldIds = newIds, lastFieldId = newLast,
             snapshots = meta.snapshots :+ snap,
             refs = meta.refs + (b -> snapshotId),
             properties = meta.properties ++ extraProperties)
           case None => meta.copy(
             schemaJson = evolved.json,
+            fieldIds = newIds, lastFieldId = newLast,
             currentSnapshotId = Some(snapshotId),
             snapshots = meta.snapshots :+ snap,
             properties = meta.properties ++ extraProperties)
@@ -580,7 +710,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val snap = meta.currentSnapshot.getOrElse(return read(ns, name))
     val keep = prunedFiles(snap, column, lower, upper)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    readFilesOf(snap, schema, keep)
+    readFilesOf(snap, schema, keep, meta.fieldIds)
       .filter(col(column).cast("double") >= lower &&
         col(column).cast("double") <= upper)
   }
@@ -704,7 +834,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // typed equality (literal cast to the column type) so the residual
     // still pushes into the parquet reader; for the supported bloom
     // types this equals string-rendering equality
-    readFilesOf(snap, schema, keep)
+    readFilesOf(snap, schema, keep, meta.fieldIds)
       .filter(col(column) === lit(value).cast(schema(column).dataType))
   }
 
@@ -764,7 +894,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val remain =
         if (touched.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        else readFilesOf(current, schema, touched)
+        else readFilesOf(current, schema, touched, meta.fieldIds)
           .join(df.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       val out = remain.unionByName(df, allowMissingColumns = true)
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
@@ -774,7 +904,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val newStats = collectFileStats(out.schema, newFiles,
-        bloomColsFor(ns, name, out.schema))
+          bloomColsFor(ns, name, out.schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, out.schema)))
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
@@ -814,7 +945,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         if (straddling.isEmpty) Seq.empty
         else {
           val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete")
-          readFilesOf(current, schema, straddling)
+          readFilesOf(current, schema, straddling, meta.fieldIds)
             .filter(!col(column).between(lower, upper))
             .write.parquet(snapDir.toString)
           Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
@@ -822,7 +953,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             .map(_.getAbsolutePath).sorted.toSeq
         }
       val newStats = collectFileStats(schema, newFiles,
-        bloomColsFor(ns, name, schema))
+          bloomColsFor(ns, name, schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, disjoint)
@@ -879,7 +1011,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // merge-on-read interplay: the targets are read with their
         // delete entries APPLIED (folded into the rewrite); entries
         // for untouched files are carried forward below
-        transform(readFilesOf(current, schema, targetSet.toSeq.sorted))
+        transform(readFilesOf(current, schema, targetSet.toSeq.sorted,
+            meta.fieldIds))
           .select(schema.fieldNames.map(col(_)).toSeq: _*)
           .write.parquet(snapDir.toString)
         Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
@@ -887,7 +1020,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .map(_.getAbsolutePath).sorted.toSeq
       }
       val newStats = collectFileStats(schema, newFiles,
-        bloomColsFor(ns, name, schema))
+          bloomColsFor(ns, name, schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
@@ -1056,7 +1190,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // compact FOLDS merge-on-read delete files back into the data:
       // the rewrite reads with deletes applied and the new snapshot
       // carries none (SnapshotMeta.deleteFiles defaults empty below)
-      val df = readFilesOf(current, schema, current.files)
+      val df = readFilesOf(current, schema, current.files, meta.fieldIds)
       val rewritten =
         if (clusterBy.isEmpty) df.repartition(numFiles)
         else df
@@ -1069,7 +1203,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val stats = collectFileStats(schema, newFiles,
-        bloomColsFor(ns, name, schema))
+          bloomColsFor(ns, name, schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -1104,7 +1239,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]))
     }
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    readFilesOf(snap, schema, snap.files)
+    readFilesOf(snap, schema, snap.files, meta.fieldIds)
   }
 
   /** Merge-on-read data-file read: `files` (a pruned subset of
@@ -1120,12 +1255,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * it and the anti-join adds no shuffle of the 100 TB side.
     */
   def readFilesOf(snap: SnapshotMeta, schema: StructType,
-      files: Seq[String]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (snap.deleteFiles.isEmpty) spark.read.schema(schema).parquet(files: _*)
-    else readFilesWithRowId(snap, schema, files)
+      files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (snap.deleteFiles.isEmpty) baseRead(snap, schema, files, fieldIds,
+      withRowId = false)
+    else readFilesWithRowId(snap, schema, files, fieldIds)
       .drop(RowIdFileCol, RowIdPosCol)
   }
 
@@ -1134,15 +1267,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * projection a positional DELETE writes its delete entries from.
     */
   def readFilesWithRowId(snap: SnapshotMeta, schema: StructType,
-      files: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    // `_metadata.file_path` renders local paths as file:// URIs;
-    // manifests store plain absolute paths — normalize so delete
-    // entries, manifests, and carryover filtering all speak one form
-    val base = spark.read.schema(schema).parquet(files: _*)
-      .withColumn(RowIdFileCol,
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-      .withColumn(RowIdPosCol, col("_metadata.row_index"))
+      files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = baseRead(snap, schema, files, fieldIds, withRowId = true)
     if (snap.deleteFiles.isEmpty) base
     else {
       val dels = spark.read.schema(DeleteFileSchema)
@@ -1153,6 +1280,72 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           base(RowIdPosCol) === dels("__gd_pos"),
         "left_anti")
     }
+  }
+
+  /** The physical read under the DECLARED schema, resolving each
+    * file's columns by FIELD ID (the rename-safe discipline): files are
+    * grouped by their declared-name → physical-name mapping (from
+    * [[FileStats.colIds]]), each group reads with its physical names
+    * and projects back to the declared ones; a field id a file lacks
+    * null-pads — which is what keeps a re-added name (fresh id) from
+    * resurrecting dropped data. Tables that never renamed/dropped
+    * (`fieldIds` empty) take the single vectorized scan unchanged.
+    */
+  private def baseRead(snap: SnapshotMeta, schema: StructType,
+      files: Seq[String], fieldIds: Map[String, Int],
+      withRowId: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    // `_metadata.file_path` renders local paths as file:// URIs;
+    // manifests store plain absolute paths — normalize so delete
+    // entries, manifests, and carryover filtering all speak one form
+    def withIds(df: DataFrame): DataFrame =
+      if (!withRowId) df
+      else df.withColumn(RowIdFileCol,
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn(RowIdPosCol, col("_metadata.row_index"))
+    if (files.isEmpty) {
+      val s2 =
+        if (!withRowId) schema
+        else StructType(schema.fields ++ Seq(
+          StructField(RowIdFileCol, StringType),
+          StructField(RowIdPosCol, LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s2)
+    }
+    if (fieldIds.isEmpty)
+      return withIds(spark.read.schema(schema).parquet(files: _*))
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    def mappingOf(f: String): Map[String, Option[String]] =
+      statsByFile.get(f).flatMap(_.colIds) match {
+        // pre-activation file: physical names == declared names at
+        // activation == declared names now for never-renamed fields;
+        // renamed fields were backfilled with colIds, so this branch
+        // only ever sees identity mappings
+        case None => schema.fieldNames.map(n => n -> Option(n)).toMap
+        case Some(ids) =>
+          val byId = ids.map(_.swap)
+          schema.fieldNames.map(n =>
+            n -> fieldIds.get(n).flatMap(byId.get)).toMap
+      }
+    files.groupBy(mappingOf).toSeq.map { case (mp, fs) =>
+      if (schema.fieldNames.forall(n => mp(n).contains(n)))
+        withIds(spark.read.schema(schema).parquet(fs: _*))
+      else {
+        val physFields = schema.fields.flatMap(f =>
+          mp(f.name).map(pn => f.copy(name = pn)))
+        val rd = withIds(
+          spark.read.schema(StructType(physFields)).parquet(fs: _*))
+        val cols = schema.fields.map { f =>
+          mp(f.name) match {
+            case Some(pn) => col(pn).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        } ++ (if (withRowId) Seq(col(RowIdFileCol), col(RowIdPosCol))
+              else Seq.empty)
+        rd.select(cols.toSeq: _*)
+      }
+    }.reduce(_ unionByName _)
   }
 
   /** Commit a MERGE-ON-READ positional DELETE: `positions` is a frame
@@ -1345,7 +1538,17 @@ object SnapshotCatalog {
       // pruning by pval is only valid against the same spec (a file
       // bucketed mod 4 has a meaningless pval under a mod-8 spec), so
       // spec evolution keeps old-era files conservatively
-      pspec: Option[String] = None)
+      pspec: Option[String] = None,
+      // PHYSICAL column name → stable field id at write time (the
+      // Iceberg field-id discipline): after a RENAME COLUMN, readers
+      // resolve each declared field to this file's physical name by
+      // ID, so files written under the old name keep resolving; a
+      // field id absent here means the file predates the column
+      // (null-pad — crucially also for a re-added name after a DROP,
+      // which gets a FRESH id so old data never resurfaces). None =
+      // written before field ids were activated (physical names =
+      // declared names at activation, backfilled then).
+      colIds: Option[Map[String, Int]] = None)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the
@@ -1444,7 +1647,20 @@ object SnapshotCatalog {
       // SnapshotMeta.fileStats).
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
       refs: Map[String, Long] = Map.empty,
-      tagNames: Seq[String] = Seq.empty) {
+      tagNames: Seq[String] = Seq.empty,
+      // current declared name → stable field id (Iceberg schema
+      // evolution discipline). Empty until the first RENAME/DROP
+      // COLUMN activates it (pre-activation, physical names == declared
+      // names by construction, so no mapping is needed); from then on
+      // every new file records its physical mapping in
+      // [[FileStats.colIds]] and renames are metadata-only.
+      @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+      fieldIds: Map[String, Int] = Map.empty,
+      // high-water mark of ever-allocated field ids: a DROPPED
+      // column's id is retired FOREVER (never reused), otherwise a
+      // re-added same-named column would inherit the dead id and old
+      // files' data would resurface under it
+      lastFieldId: Int = 0) {
     def currentSnapshot: Option[SnapshotMeta] =
       currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
   }

@@ -2074,10 +2074,15 @@ object Relational {
       |ON t.o_orderkey = s.o_orderkey
       |WHEN MATCHED AND t.status = 'O' THEN UPDATE SET price_c = t.price_c + 1
       |WHEN MATCHED AND s.amt > 20000000 THEN DELETE""".stripMargin)
+    // field-id schema evolution over the multi-era files the DML left
+    // behind: rename + drop are metadata-only, every era still
+    // resolves by id in the final aggregate
+    run("ALTER TABLE db.o RENAME COLUMN price_c TO cents")
+    run("ALTER TABLE db.o DROP COLUMN o_custkey")
     val out = cat.read("db", "o")
       .groupBy("status")
       .agg(count(lit(1)).as("n_orders"),
-        sum("price_c").as("sum_price_c"),
+        sum("cents").as("sum_price_c"),
         min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"))
       .orderBy("status")

@@ -176,7 +176,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
-      val snap = catalog.describe(ref.ns, ref.table).currentSnapshot
+      val meta = catalog.describe(ref.ns, ref.table)
+      val snap = meta.currentSnapshot
       val (files, total) = snap match {
         case None => (Nil, 0)
         case Some(s) => (prunedFilesFor(ref.ns, ref.table, s, ref.bounds),
@@ -184,7 +185,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       }
       val schema = catalog.schemaOf(ref.ns, ref.table)
       val df = snap match {
-        case Some(s) => catalog.readFilesOf(s, schema, files)
+        case Some(s) => catalog.readFilesOf(s, schema, files, meta.fieldIds)
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -403,12 +404,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       */
     def candidates(ns: String, t: String, cond: Expression) = {
       val schema = catalog.schemaOf(ns, t)
-      val snap = catalog.describe(ns, t).currentSnapshot
+      val tMeta = catalog.describe(ns, t)
+      val snap = tMeta.currentSnapshot
       val bounds = Engine.extractBounds(cond, schema)
       val files = snap.map(s => prunedFilesFor(ns, t, s, bounds)).getOrElse(Nil)
       val total = snap.map(_.files.size).getOrElse(0)
       val df = snap match {
-        case Some(s) => catalog.readFilesOf(s, schema, files)
+        case Some(s) => catalog.readFilesOf(s, schema, files, tMeta.fieldIds)
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -452,7 +454,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               if (useMor) {
                 val s = snap.get // affected > 0 ⇒ a snapshot exists
                 val positions = catalog
-                  .readFilesWithRowId(s, catalog.schemaOf(ns, t), files)
+                  .readFilesWithRowId(s, catalog.schemaOf(ns, t), files,
+                    catalog.describe(ns, t).fieldIds)
                   .as(t).filter(c)
                   .select(SnapshotCatalog.RowIdFileCol,
                     SnapshotCatalog.RowIdPosCol)
@@ -566,6 +569,43 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           catalog.addColumns(ns, t, cols.map(c =>
             org.apache.spark.sql.types.StructField(
               c.colName, c.dataType, nullable = true)))
+          val total = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          summary("ALTER", ns, t, 0L, 0, total)
+        }
+
+      case RenameColumn(tbl, colF, newName) =>
+        for {
+          (ns, t) <- idOf(tbl)
+          if catalog.tableExists(ns, t)
+          from <- colF match {
+            case org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFieldName(Seq(n)) => Some(n)
+            case _ => None // nested fields fall through
+          }
+        } yield {
+          catalog.renameColumn(ns, t, from, newName)
+          val total = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          summary("ALTER", ns, t, 0L, 0, total)
+        }
+
+      case DropColumns(tbl, colFs, ifExists) =>
+        for {
+          (ns, t) <- idOf(tbl)
+          if catalog.tableExists(ns, t)
+          names <- Some(colFs.map {
+            case org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFieldName(Seq(n)) => Some(n)
+            case _ => None
+          }).filter(_.forall(_.isDefined)).map(_.flatten)
+        } yield {
+          names.foreach { n =>
+            if (catalog.schemaOf(ns, t).fieldNames.contains(n))
+              catalog.dropColumn(ns, t, n): Unit
+            else if (!ifExists)
+              throw new IllegalArgumentException(s"no column $n in $ns.$t")
+          }
           val total = catalog.describe(ns, t).currentSnapshot
             .map(_.files.size).getOrElse(0)
           summary("ALTER", ns, t, 0L, 0, total)
@@ -798,7 +838,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         case Some(s) => keyPruned(s)
       }
       val tgt0 = current match {
-        case Some(s) => catalog.readFilesOf(s, schema, touched)
+        case Some(s) => catalog.readFilesOf(s, schema, touched, meta.fieldIds)
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -1234,7 +1274,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0, 0)
             case Some(snap) =>
               val keep = catalog.prunedFilesRange(snap, f.column, f.min, f.max)
-              val base = catalog.readFilesOf(snap, schema, keep)
+              val base = catalog.readFilesOf(snap, schema, keep, meta.fieldIds)
               val c = col(f.column).cast("double")
               val residual = (f.min.map(c >= _).toSeq ++ f.max.map(c <= _).toSeq)
                 .reduceOption(_ && _).getOrElse(lit(true))

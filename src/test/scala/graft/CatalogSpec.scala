@@ -741,6 +741,73 @@ class CatalogSpec extends SparkTestBase {
     assert(folded.statsRowCount.contains(25L))
   }
 
+  test("RENAME/DROP COLUMN with field ids: old files resolve by id, " +
+      "time travel stays correct, re-added names never resurrect data") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1) // (id, v)
+    cat.append("db", "t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    val preRename = cat.describe("db", "t").currentSnapshotId.get
+
+    // metadata-only rename: NO data file rewritten
+    val filesBefore = cat.describe("db", "t").currentSnapshot.get.files
+    cat.renameColumn("db", "t", "v", "amount")
+    assert(cat.describe("db", "t").currentSnapshot.get.files == filesBefore)
+    assert(cat.schemaOf("db", "t").fieldNames.toSeq == Seq("id", "amount"))
+    // old files (written under 'v') resolve by field id
+    val rows = cat.read("db", "t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 20.0)), s"got $rows")
+    // time travel to a PRE-rename snapshot reads correct data too
+    assert(cat.read("db", "t", Some(preRename)).orderBy("id")
+      .collect().map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+    // appends under the NEW name mix with old-name files transparently
+    cat.append("db", "t", Seq((3L, 30.0)).toDF("id", "amount"))
+    assert(cat.read("db", "t").agg(sum("amount")).head().getDouble(0) == 60.0)
+    // stats re-keyed: pruning on the new name still works
+    val snapR = cat.describe("db", "t").currentSnapshot.get
+    assert(cat.readWhere("db", "t", "amount", 25.0, 35.0).count() == 1)
+    assert(snapR.fileStats.forall(_.min.contains("amount")))
+    assert(snapR.fileStats.forall(!_.min.contains("v")))
+    // rename collision + unknown source rejected
+    intercept[IllegalArgumentException](cat.renameColumn("db", "t", "id", "amount"))
+    intercept[IllegalArgumentException](cat.renameColumn("db", "t", "nope", "x"))
+
+    // DROP then re-ADD the same name: fresh id, old data must NOT
+    // resurface from files that physically still contain 'amount'
+    cat.dropColumn("db", "t", "amount")
+    assert(cat.schemaOf("db", "t").fieldNames.toSeq == Seq("id"))
+    assert(cat.read("db", "t").count() == 3)
+    cat.addColumns("db", "t", Seq(
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType)))
+    val resurrected = cat.read("db", "t")
+      .filter(col("amount").isNotNull).count()
+    assert(resurrected == 0,
+      s"dropped column data resurfaced in $resurrected rows")
+    // new writes under the re-added name are visible
+    cat.append("db", "t", Seq((4L, 40.0)).toDF("id", "amount"))
+    assert(cat.read("db", "t").filter(col("amount").isNotNull).count() == 1)
+  }
+
+  test("merge-on-read delete entries survive a rename (positions are " +
+      "name-independent)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(snap, schemaV1, snap.files)
+      .filter(col("id") < 4L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    cat.renameColumn("db", "t", "v", "w")
+    assert(cat.read("db", "t").count() == 6)
+    assert(cat.read("db", "t").agg(sum("w")).head().getDouble(0) ==
+      (4 to 9).sum.toDouble)
+  }
+
   test("append after a merge-on-read delete carries the delete side — " +
       "deleted rows never resurrect") {
     import spark.implicits._

@@ -855,6 +855,30 @@ class EngineSpec extends SparkTestBase {
     // duplicate add rejected by the BACKWARD gate
     assert(eng.sqlQuery("ALTER TABLE db.fresh ADD COLUMNS (score BIGINT)")
       .startsWith("""{"error":"""))
+    // RENAME COLUMN: metadata-only; rows 1 and 2 (written under the
+    // old name, in different schema eras) both resolve by field id
+    assert(eng.sqlQuery("ALTER TABLE db.fresh RENAME COLUMN name TO label")
+      .contains(""""operation":"ALTER""""))
+    val renamed = eng.sqlQuery(
+      "SELECT id, label FROM db.fresh ORDER BY id")
+    assert(renamed.contains(""""id":1,"label":"a"""") &&
+      renamed.contains(""""id":2,"label":"b""""), renamed)
+    // the old name is gone from the SQL surface
+    assert(eng.sqlQuery("SELECT name FROM db.fresh")
+      .startsWith("""{"error":"""))
+    // DROP COLUMN: metadata-only; re-adding the name gets a fresh id,
+    // so the dropped data never resurfaces
+    assert(eng.sqlQuery("ALTER TABLE db.fresh DROP COLUMN label")
+      .contains(""""operation":"ALTER""""))
+    assert(eng.sqlQuery("ALTER TABLE db.fresh ADD COLUMNS (label STRING)")
+      .contains(""""operation":"ALTER""""))
+    val readded = eng.sqlQuery(
+      "SELECT count(label) AS n FROM db.fresh")
+    assert(readded.contains(""""n":0"""), s"dropped data resurfaced: $readded")
+    assert(eng.sqlQuery("ALTER TABLE db.fresh DROP COLUMN nope")
+      .startsWith("""{"error":"""))
+    assert(eng.sqlQuery("ALTER TABLE db.fresh DROP COLUMN IF EXISTS nope")
+      .contains(""""operation":"ALTER""""))
   }
 
   test("scopedRelease: a request's persisted state is freed at exit; " +
