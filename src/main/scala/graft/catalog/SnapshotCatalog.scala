@@ -1220,6 +1220,54 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       newMeta
     }
 
+  /** One scheduled MAINTENANCE pass composing the three table-health
+    * primitives in dependency order — the nightly job a 100 TB
+    * streaming table needs to stay queryable:
+    *
+    *  1. [[compact]] (only when the live file count exceeds
+    *     `targetFiles`): folds small streaming-commit files — and any
+    *     merge-on-read delete side — into `targetFiles` files,
+    *     optionally Z-ordered by `clusterBy` so manifest pruning stays
+    *     sharp as layout entropy accumulates;
+    *  2. [[expireSnapshots]]: trims history to the last `keepLast`
+    *     snapshots and reclaims data/delete files no retained snapshot
+    *     references. The RETENTION GUARANTEE rides inside it: the
+    *     current snapshot and every branch/tag-referenced snapshot
+    *     (the WAP branches of [[graft.streaming.Sinks]], audit tags)
+    *     are pinned even when off the tail — a ref can never dangle;
+    *  3. [[removeOrphanFiles]]: sweeps aborted-write leftovers that no
+    *     snapshot ever referenced.
+    *
+    * This order matters: compacting FIRST makes the pre-compact small
+    * files expirable in the same pass (they drop off the retained
+    * tail), and orphan removal LAST also catches files a concurrent
+    * writer aborted mid-maintenance. Each step is its own atomic
+    * commit; a crash between steps leaves a consistent table that the
+    * next pass finishes.
+    */
+  def maintain(ns: String, name: String, keepLast: Int,
+      targetFiles: Int, clusterBy: Seq[String] = Nil): MaintenanceReport = {
+    val before = describe(ns, name)
+    val filesBefore = before.currentSnapshot.map(_.files.size).getOrElse(0)
+    val deleteFilesBefore =
+      before.currentSnapshot.map(_.deleteFiles.size).getOrElse(0)
+    val compacted =
+      if (filesBefore > targetFiles || deleteFilesBefore > 0) {
+        compact(ns, name, targetFiles, clusterBy)
+        true
+      } else false
+    expireSnapshots(ns, name, keepLast)
+    val orphans = removeOrphanFiles(ns, name)
+    val after = describe(ns, name)
+    MaintenanceReport(
+      compacted = compacted,
+      filesBefore = filesBefore,
+      filesAfter = after.currentSnapshot.map(_.files.size).getOrElse(0),
+      snapshotsBefore = before.snapshots.size,
+      snapshotsAfter = after.snapshots.size,
+      orphansRemoved = orphans.size)
+  }
+
   // ---------------------------------------------------------------- read
 
   /** Read the table at its current snapshot, or time-travel to a
@@ -1483,6 +1531,11 @@ object SnapshotCatalog {
 
   /** Optimistic-concurrency commit retries before giving up. */
   val MaxCommitRetries = 10
+
+  /** What one [[SnapshotCatalog.maintain]] pass did. */
+  final case class MaintenanceReport(compacted: Boolean,
+      filesBefore: Int, filesAfter: Int,
+      snapshotsBefore: Int, snapshotsAfter: Int, orphansRemoved: Int)
 
   /** Row-identity columns carried by [[SnapshotCatalog.readFilesWithRowId]]:
     * the parquet reader's file path and within-file row index — the

@@ -251,7 +251,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * one — which is what lets the DML path reuse it to pick
     * copy-on-write rewrite candidates.
     */
-  private def prunedFilesFor(ns: String, table: String,
+  private[graft] def prunedFilesFor(ns: String, table: String,
       s: graft.catalog.SnapshotCatalog.SnapshotMeta,
       bounds: Seq[Engine.ColBounds]): Seq[String] =
     bounds.foldLeft(s.files) { case (acc, b) =>

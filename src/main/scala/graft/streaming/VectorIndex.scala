@@ -98,6 +98,59 @@ object VectorIndex {
       nProbe, centroids, nBits, dim, rerank, seed, queryFilter, idCol)
   }
 
+  /** One audit's verdict: mean served recall@k over the sampled
+    * queries, the sample size, and whether the alarm threshold tripped.
+    */
+  final case class RecallAudit(recall: Double, queries: Long, alarm: Boolean)
+
+  /** Served-recall DRIFT AUDIT for a streamed Hamming index. The
+    * quantizer (centroids + hyperplanes) is frozen by design — retrain
+    * would break snapshot isolation — so as the streamed corpus drifts
+    * away from the training distribution, served recall decays
+    * SILENTLY: cell assignments stop separating the data and the
+    * probed cells miss true neighbors. This audit is the alarm: sample
+    * query vectors from the live corpus, compute EXACT top-k ground
+    * truth ([[graft.operators.Similarity.knnExact]] — the tiny sample
+    * broadcasts, the corpus is scanned ONCE with map-side top-k, so
+    * audit cost is one corpus pass scaled by `sampleFraction`, the e19
+    * audit discipline) and compare with the SERVED top-k
+    * ([[searchHammingPruned]], the exact path production queries take).
+    *
+    * Run it as a periodic audit batch (e.g. every N micro-batches or
+    * on a schedule). ON ALARM, the runbook is retrain-and-backfill:
+    * train fresh centroids on a current sample
+    * ([[graft.operators.Similarity.kmeansCentroids]]), build a NEW
+    * index table with a backfill pass ([[graft.operators.Similarity
+    * .hammingIndexRows]] over the corpus), point the serving layer at
+    * the new table, then drop the old one — never an in-place mutation,
+    * so readers keep snapshot isolation throughout.
+    */
+  def hammingRecallAudit(catalog: SnapshotCatalog, ns: String,
+      table: String, corpus: DataFrame, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]], nBits: Int = 256, dim: Int = 64,
+      rerank: Int = 100, seed: Long = 42L, idCol: String = "vec_id",
+      sampleFraction: Double = 0.05, sampleSeed: Long = 7L,
+      threshold: Double = 0.8): RecallAudit = {
+    import org.apache.spark.sql.functions.col
+    // one materialization: ground truth and the served path must see
+    // the IDENTICAL query sample
+    val sample = corpus
+      .sample(withReplacement = false, sampleFraction, sampleSeed)
+      .localCheckpoint()
+    val exact = graft.operators.Similarity.knnExact(sample, corpus, k, idCol)
+    val served = searchHammingPruned(catalog, ns, table, sample, k,
+      nProbe, centroids, nBits, dim, rerank, seed, idCol = idCol)
+    val denom = exact.count()
+    val hits =
+      if (denom == 0L) 0L
+      else exact.select(col("query_id"), col("neighbor_id"))
+        .join(served.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+    val recall = if (denom == 0L) 1.0 else hits.toDouble / denom
+    RecallAudit(recall, denom, alarm = recall < threshold)
+  }
+
   /** Per-batch commit, extracted for direct replay testing
     * (VectorIndexSpec re-delivers a batchId and asserts one snapshot).
     */

@@ -678,6 +678,47 @@ class CatalogSpec extends SparkTestBase {
       Seq(2L, 3L))
   }
 
+  test("maintain: 50 streamed micro-batches, then one maintenance pass — " +
+      "file count drops, tagged snapshot still time-travels, refs never dangle") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "s", schemaV1)
+    // a streaming sink's commit pattern: one tiny append per micro-batch
+    for (b <- 0 until 50)
+      cat.append("db", "s",
+        Seq((b.toLong, b.toDouble)).toDF("id", "v").coalesce(1),
+        Map("graft.test.batch" -> b.toString))
+    // audit tag early in the history (the WAP pattern's pinned ref)
+    val taggedSnap = cat.describe("db", "s").snapshots(9).snapshotId
+    cat.createTag("db", "s", "audit-b10", Some(taggedSnap))
+    // plus a merge-on-read delete so maintenance has a delete side to fold
+    val cur = cat.describe("db", "s").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+      .filter(col("id") < 5L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "s", pos, None)
+    val filesBefore = cat.describe("db", "s").currentSnapshot.get.files.size
+    assert(filesBefore >= 50)
+
+    val report = cat.maintain("db", "s", keepLast = 5, targetFiles = 4)
+    assert(report.compacted && report.filesAfter <= 4,
+      s"file count did not drop: $report")
+    assert(report.snapshotsAfter < report.snapshotsBefore)
+    // the current state reads correctly (delete side folded in)
+    assert(cat.read("db", "s").count() == 45)
+    assert(cat.describe("db", "s").currentSnapshot.get.deleteFiles.isEmpty)
+    // the TAGGED snapshot survived expiry and still time-travels
+    val tagged = cat.readRef("db", "s", "audit-b10")
+    assert(tagged.count() == 10)
+    assert(tagged.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+    // on-disk file population matches the retained manifests exactly:
+    // another orphan sweep finds nothing left to do
+    assert(cat.removeOrphanFiles("db", "s").isEmpty)
+    // a second maintenance pass is a cheap no-op (already compacted)
+    val again = cat.maintain("db", "s", keepLast = 5, targetFiles = 4)
+    assert(!again.compacted && again.orphansRemoved == 0)
+  }
+
   private def md5Of(path: String): String = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     java.security.MessageDigest.getInstance("MD5").digest(bytes)

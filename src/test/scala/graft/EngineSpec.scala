@@ -1008,6 +1008,128 @@ class EngineSpec extends SparkTestBase {
       .contains(""""n":5"""))
   }
 
+  test("property: manifest pruning under random predicates never skips " +
+      "a file containing a matching row, and pruned ≡ unpruned") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-prop"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "p",
+      Seq.empty[(Long, Double, String)].toDF("a", "b", "s").schema)
+    val schema = cat.schemaOf("db", "p")
+
+    case class R(a: Long, b: Double, s: String)
+    def cmp[T](op: String, x: T, y: T)(implicit o: Ordering[T]): Boolean =
+      op match {
+        case "<" => o.lt(x, y);  case "<=" => o.lteq(x, y)
+        case ">" => o.gt(x, y);  case ">=" => o.gteq(x, y)
+        case "=" => o.equiv(x, y)
+      }
+    sealed trait Atom { def sql: String; def eval(r: R): Boolean }
+    case class AtomA(op: String, v: Long, flip: Boolean) extends Atom {
+      def sql = if (flip) s"$v $op a" else s"a $op $v"
+      def eval(r: R) = if (flip) cmp(op, v, r.a) else cmp(op, r.a, v)
+    }
+    case class AtomB(op: String, v: Double, flip: Boolean) extends Atom {
+      def sql = if (flip) s"$v $op b" else s"b $op $v"
+      def eval(r: R) = if (flip) cmp(op, v, r.b) else cmp(op, r.b, v)
+    }
+    case class AtomS(op: String, v: String, flip: Boolean) extends Atom {
+      def sql = if (flip) s"'$v' $op s" else s"s $op '$v'"
+      def eval(r: R) = if (flip) cmp(op, v, r.s) else cmp(op, r.s, v)
+    }
+    case object Noise extends Atom { // extractBounds can't use this —
+      def sql = "a % 2 = 0"          // it must only make pruning looser
+      def eval(r: R) = r.a % 2 == 0
+    }
+    val genOp = Gen.oneOf("<", "<=", ">", ">=", "=")
+    val genRow = for {
+      a <- Gen.chooseNum(-20L, 20L)
+      b <- Gen.chooseNum(-10, 10).map(_ * 0.5)
+      s <- Gen.oneOf("aa", "ab", "ba", "bb", "ca", "z")
+    } yield R(a, b, s)
+    val genAtom: Gen[Atom] = Gen.frequency(
+      (4, for { o <- genOp; v <- Gen.chooseNum(-22L, 22L); f <- Gen.oneOf(true, false) } yield AtomA(o, v, f)),
+      (3, for { o <- genOp; v <- Gen.chooseNum(-11, 11).map(_ * 0.5); f <- Gen.oneOf(true, false) } yield AtomB(o, v, f)),
+      (3, for { o <- genOp; v <- Gen.oneOf("aa", "am", "ba", "bz", "z", "0"); f <- Gen.oneOf(true, false) } yield AtomS(o, v, f)),
+      (1, Gen.const(Noise: Atom)))
+    val genCase = for {
+      nFiles <- Gen.chooseNum(1, 4)
+      files <- Gen.listOfN(nFiles, Gen.nonEmptyListOf(genRow).map(_.take(12)))
+      nAtoms <- Gen.chooseNum(1, 4)
+      atoms <- Gen.listOfN(nAtoms, genAtom)
+      statless <- Gen.chooseNum(0, nFiles) // files w/o stats: always kept
+    } yield (files, atoms, statless)
+    val cases = Gen.listOfN(200, genCase)
+      .apply(Gen.Parameters.default, rng.Seed(1234L))
+      .getOrElse(sys.error("gen failed"))
+
+    // per-file stats EXACTLY as the write side renders them: numerics
+    // min/max as double strings, strings raw; blooms for a (integral
+    // rendering) and s (raw)
+    def bloomOf(values: Seq[String]): String = {
+      val bits = new Array[Byte](SnapshotCatalog.BloomBits / 8)
+      values.flatMap(SnapshotCatalog.bloomPositions).foreach { p =>
+        bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+      }
+      java.util.Base64.getEncoder.encodeToString(bits)
+    }
+    var checked = 0
+    cases.foreach { case (files, atoms, statless) =>
+      val stats = files.zipWithIndex.map { case (rows, i) =>
+        SnapshotCatalog.FileStats(
+          path = s"f$i", rows = rows.size,
+          min = Map(
+            "a" -> rows.map(_.a).min.toDouble.toString,
+            "b" -> rows.map(_.b).min.toString,
+            "s" -> rows.map(_.s).min),
+          max = Map(
+            "a" -> rows.map(_.a).max.toDouble.toString,
+            "b" -> rows.map(_.b).max.toString,
+            "s" -> rows.map(_.s).max),
+          blooms = Some(Map(
+            "a" -> bloomOf(rows.map(_.a.toString)),
+            "s" -> bloomOf(rows.map(_.s)))))
+      }.drop(statless) // statless files carry no stats at all
+      val snap = SnapshotCatalog.SnapshotMeta(
+        snapshotId = 1L, parentId = None, sequenceNumber = 1L,
+        files = files.indices.map(i => s"f$i"),
+        rowCount = files.map(_.size).sum.toLong,
+        createdAtMs = 0L, fileStats = stats)
+      val cond = spark.sessionState.sqlParser
+        .parseExpression(atoms.map(_.sql).mkString(" AND "))
+      val bounds = Engine.extractBounds(cond, schema)
+      val kept = eng.prunedFilesFor("db", "p", snap, bounds).toSet
+      files.zipWithIndex.foreach { case (rows, i) =>
+        if (rows.exists(r => atoms.forall(_.eval(r)))) {
+          assert(kept.contains(s"f$i"),
+            s"pruning dropped f$i which matches '${atoms.map(_.sql).mkString(" AND ")}' " +
+              s"(rows=$rows, bounds=$bounds)")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 100, s"property exercised only $checked matching files")
+
+    // end-to-end restatement on REAL files: pruned bridge read ≡
+    // unpruned filter, row for row
+    val rows = cases.take(3).flatMap(_._1.flatten)
+    rows.grouped(20).foreach(g =>
+      cat.append("db", "p", g.map(r => (r.a, r.b, r.s)).toDF("a", "b", "s")
+        .coalesce(1)))
+    for (pred <- Seq("a > 5", "a = 3 AND s = 'ab'", "b <= -1.5",
+        "s >= 'b' AND a < 0", "7 < a AND a % 2 = 0")) {
+      val (df, _) = eng.sqlDataFrame(
+        s"SELECT a, b, s FROM db.p WHERE $pred")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sorted.toSeq
+      val want = cat.read("db", "p")
+        .filter(org.apache.spark.sql.functions.expr(pred)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted.toSeq
+      assert(got == want, s"pruned ≠ unpruned for '$pred'")
+    }
+  }
+
   test("query budget: a runaway SQL is cancelled within the budget and " +
       "returns the reference error envelope") {
     // reference behavior to match: duckdb_rest_server.py:58 bounds S3

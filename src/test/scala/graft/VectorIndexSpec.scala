@@ -180,4 +180,47 @@ class VectorIndexSpec extends SparkTestBase {
       nProbe = 4, col("id") < 20, centroids = Some(cents)))
     assert(served2 == direct)
   }
+
+  test("recall drift audit: the trained corpus serves above threshold; " +
+      "a drifted wave trips the alarm") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, 8, iters = 2)
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-audit-wh"))
+    val ckpt = tmpDir("graft-audit-ckpt")
+    val commit = VectorIndex.commitBatch(cat, "ann", "audx", ckpt) _
+
+    // wave 1: the distribution the quantizer was trained on
+    commit(Similarity.hammingIndexRows(e, cents), 0L)
+    val healthy = VectorIndex.hammingRecallAudit(cat, "ann", "audx", e,
+      k = 5, nProbe = 4, cents, sampleFraction = 0.1, threshold = 0.5)
+    assert(healthy.queries > 10, s"sample too small: ${healthy.queries}")
+    assert(!healthy.alarm,
+      s"healthy corpus tripped the alarm (recall ${healthy.recall})")
+
+    // wave 2: DRIFT — a new modality the quantizer never saw:
+    // deterministic pseudo-random vectors (decorrelated across ids),
+    // so true neighbors spread across cells the frozen centroids
+    // cannot separate and nProbe-bounded serving misses them
+    val drifted = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (_, i) =>
+        pmod(xxhash64(col("vec_id"), i), lit(2001L)).cast("double")
+          / lit(1000.0) - lit(1.0))
+        .as("embedding"))
+    commit(Similarity.hammingIndexRows(drifted, cents), 1L)
+    // audit over the DRIFTED slice of the live corpus (the corpus a
+    // periodic audit batch would sample is the one being served)
+    val post = VectorIndex.hammingRecallAudit(cat, "ann", "audx",
+      drifted, k = 5, nProbe = 1, cents, rerank = 10,
+      sampleFraction = 0.1, threshold = 0.5)
+    assert(post.alarm,
+      s"drifted wave did not trip the alarm (recall ${post.recall} over " +
+        s"${post.queries} sampled neighbors)")
+    assert(post.recall < healthy.recall,
+      s"drift did not reduce recall: ${post.recall} vs ${healthy.recall}")
+    // the healthy slice still serves: the alarm isolates the drift
+    val stillOk = VectorIndex.hammingRecallAudit(cat, "ann", "audx",
+      e, k = 5, nProbe = 4, cents, sampleFraction = 0.1, threshold = 0.3)
+    assert(stillOk.recall > post.recall)
+  }
 }
