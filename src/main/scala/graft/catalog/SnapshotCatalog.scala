@@ -372,18 +372,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
         }
         val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        val seqNum = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
         // once field ids are active, evolution-added columns get fresh
-        // ids and every new file records its physical-name mapping
+        // ids and every new file records its physical-name mapping;
+        // every new file also records its commit sequence (the gate
+        // equality deletes apply under)
         val (newIds, newLast) =
           extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
-        val stamped = colIdsStamp(newIds, df.schema) match {
-          case None => stats
-          case stamp => stats.map(_.copy(colIds = stamp))
-        }
+        val stamped = stats.map(_.copy(
+          colIds = colIdsStamp(newIds, df.schema), seq = Some(seqNum)))
         val snap = SnapshotMeta(
           snapshotId = snapshotId,
           parentId = base.map(_.snapshotId),
-          sequenceNumber = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1,
+          sequenceNumber = seqNum,
           files =
             if (replaceManifest) newFiles
             else base.map(_.files).getOrElse(Seq.empty) ++ newFiles,
@@ -400,7 +401,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             else base.map(_.deleteFiles).getOrElse(Seq.empty),
           deleteFileStats =
             if (replaceManifest) Seq.empty
-            else base.map(_.deleteFileStats).getOrElse(Seq.empty))
+            else base.map(_.deleteFileStats).getOrElse(Seq.empty),
+          eqDeletes =
+            if (replaceManifest) Seq.empty
+            else base.map(_.eqDeletes).getOrElse(Seq.empty))
         val newMeta = toBranch match {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
@@ -499,13 +503,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           meta.currentSnapshotId.getOrElse(-1L))))
           .toDF("name", "type", "snapshot_id")
       case "delete_files" =>
-        // the current snapshot's merge-on-read positional delete files
-        // (Iceberg's .delete_files introspection surface)
-        val dels = meta.currentSnapshot.map(s =>
+        // the current snapshot's merge-on-read delete files, both
+        // flavors (Iceberg's .delete_files introspection surface)
+        val pos = meta.currentSnapshot.map(s =>
           s.deleteFiles.map { f =>
-            (f, s.deleteFileStats.find(_.path == f).map(_.rows).getOrElse(-1L))
+            (f, "position",
+              s.deleteFileStats.find(_.path == f).map(_.rows).getOrElse(-1L))
           }).getOrElse(Seq.empty)
-        dels.toDF("file_path", "record_count")
+        val eqs = meta.currentSnapshot.map(_.eqDeletes.map(d =>
+          (d.path, "equality", d.rows))).getOrElse(Seq.empty)
+        (pos ++ eqs).toDF("file_path", "kind", "record_count")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' — " +
           "expected snapshots|files|history|refs|delete_files")
@@ -905,13 +912,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .map(_.getAbsolutePath).sorted.toSeq
       val newStats = collectFileStats(out.schema, newFiles,
           bloomColsFor(ns, name, out.schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, out.schema)))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, out.schema),
+          seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
       (commitReplacing(ns, name, version, meta, snapshotId,
         untouched ++ newFiles, untouchedStats ++ newStats,
-        carryDel, carryDelStats), touched.size)
+        carryDel, carryDelStats, current.eqDeletes), touched.size)
     }
   }
 
@@ -954,12 +962,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }
       val newStats = collectFileStats(schema, newFiles,
           bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+          seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, disjoint)
       commitReplacing(ns, name, version, meta, snapshotId,
-        disjoint ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats)
+        disjoint ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats,
+        current.eqDeletes)
     }
 
   /** Copy-on-write rewrite of a TARGETED file subset — the primitive
@@ -1021,12 +1031,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       val newStats = collectFileStats(schema, newFiles,
           bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+          seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
+      // equality deletes carry whole: rewritten files get the NEW
+      // sequence number (the rewrite already applied the deletes), so
+      // they only keep applying to the untouched lower-seq files
       commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats)
+        untouched ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats,
+        current.eqDeletes)
     }
 
   /** Delete-side carryover for a copy-on-write rewrite that replaces
@@ -1067,7 +1082,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       meta: TableMeta, snapshotId: Long,
       files: Seq[String], stats: Seq[FileStats],
       deleteFiles: Seq[String] = Seq.empty,
-      deleteFileStats: Seq[FileStats] = Seq.empty): TableMeta = {
+      deleteFileStats: Seq[FileStats] = Seq.empty,
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty): TableMeta = {
     val snap = SnapshotMeta(
       snapshotId = snapshotId,
       parentId = meta.currentSnapshotId,
@@ -1106,8 +1122,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           pinned.contains(s.snapshotId))
       // delete files are referenced artifacts too — expiring a snapshot
       // must never reap a delete file a retained snapshot still applies
-      val referenced = retained.flatMap(s => s.files ++ s.deleteFiles).toSet
-      val orphaned = meta.snapshots.flatMap(s => s.files ++ s.deleteFiles)
+      val referenced = retained.flatMap(s =>
+        s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path)).toSet
+      val orphaned = meta.snapshots.flatMap(s =>
+        s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
         .distinct.filterNot(referenced.contains)
       val newMeta = meta.copy(snapshots = retained)
       commit(ns, name, version + 1, newMeta)
@@ -1146,7 +1164,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def removeOrphanFiles(ns: String, name: String): Seq[String] =
     synchronized {
       val (_, meta) = loadMeta(ns, name)
-      val referenced = meta.snapshots.flatMap(s => s.files ++ s.deleteFiles)
+      val referenced = meta.snapshots
+        .flatMap(s => s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
         .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
       val dir = dataDir(ns, name)
       if (!Files.isDirectory(dir)) Seq.empty
@@ -1204,7 +1223,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .map(_.getAbsolutePath).sorted.toSeq
       val stats = collectFileStats(schema, newFiles,
           bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+          seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -1249,8 +1269,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       targetFiles: Int, clusterBy: Seq[String] = Nil): MaintenanceReport = {
     val before = describe(ns, name)
     val filesBefore = before.currentSnapshot.map(_.files.size).getOrElse(0)
-    val deleteFilesBefore =
-      before.currentSnapshot.map(_.deleteFiles.size).getOrElse(0)
+    val deleteFilesBefore = before.currentSnapshot
+      .map(s => s.deleteFiles.size + s.eqDeletes.size).getOrElse(0)
     val compacted =
       if (filesBefore > targetFiles || deleteFilesBefore > 0) {
         compact(ns, name, targetFiles, clusterBy)
@@ -1304,8 +1324,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def readFilesOf(snap: SnapshotMeta, schema: StructType,
       files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
-    if (snap.deleteFiles.isEmpty) baseRead(snap, schema, files, fieldIds,
-      withRowId = false)
+    if (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty)
+      baseRead(snap, schema, files, fieldIds, withRowId = false)
     else readFilesWithRowId(snap, schema, files, fieldIds)
       .drop(RowIdFileCol, RowIdPosCol)
   }
@@ -1313,20 +1333,50 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   /** [[readFilesOf]] retaining each surviving row's (file, position)
     * identity as [[RowIdFileCol]]/[[RowIdPosCol]] columns — the
     * projection a positional DELETE writes its delete entries from.
+    * Applies BOTH delete flavors: positional entries anti-join on the
+    * row identity; equality entries anti-join on their key columns,
+    * gated on the data file's sequence number being strictly below the
+    * delete's (a row re-inserted after the delete survives it).
     */
   def readFilesWithRowId(snap: SnapshotMeta, schema: StructType,
       files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import spark.implicits._
     val base = baseRead(snap, schema, files, fieldIds, withRowId = true)
-    if (snap.deleteFiles.isEmpty) base
+    val posApplied =
+      if (snap.deleteFiles.isEmpty) base
+      else {
+        val dels = spark.read.schema(DeleteFileSchema)
+          .parquet(snap.deleteFiles: _*)
+          .select(col("file_path").as("__gd_file"), col("pos").as("__gd_pos"))
+        base.join(dels,
+          base(RowIdFileCol) === dels("__gd_file") &&
+            base(RowIdPosCol) === dels("__gd_pos"),
+          "left_anti")
+      }
+    if (snap.eqDeletes.isEmpty) posApplied
     else {
-      val dels = spark.read.schema(DeleteFileSchema)
-        .parquet(snap.deleteFiles: _*)
-        .select(col("file_path").as("__gd_file"), col("pos").as("__gd_pos"))
-      base.join(dels,
-        base(RowIdFileCol) === dels("__gd_file") &&
-          base(RowIdPosCol) === dels("__gd_pos"),
-        "left_anti")
+      // attach each row's data-file sequence number (manifest-sized
+      // broadcast map; files without one predate the feature = seq 0,
+      // older than any delete)
+      val seqByFile = snap.fileStats.map(s => s.path -> s.seq.getOrElse(0L)).toMap
+      val seqDf = files.map(f => (f, seqByFile.getOrElse(f, 0L)))
+        .toDF("__gs_file", "__gs_seq")
+      val withSeq = posApplied.join(broadcast(seqDf),
+        posApplied(RowIdFileCol) === seqDf("__gs_file"), "left")
+      val applied = snap.eqDeletes.groupBy(_.cols).foldLeft(withSeq) {
+        case (acc, (cols, dels)) =>
+          val keySchema = StructType(cols.map(c => schema(c)))
+          val keys = dels.map { d =>
+            spark.read.schema(keySchema).parquet(d.path)
+              .withColumn("__gd_seq", lit(d.seq))
+          }.reduce(_ unionByName _)
+            .select(cols.map(c => col(c).as(s"__gd_$c")) :+ col("__gd_seq"): _*)
+          val cond = cols.map(c => acc(c) === keys(s"__gd_$c"))
+            .reduce(_ && _) && acc("__gs_seq") < keys("__gd_seq")
+          acc.join(keys, cond, "left_anti")
+      }
+      applied.drop("__gs_file", "__gs_seq")
     }
   }
 
@@ -1455,12 +1505,141 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         createdAtMs = System.currentTimeMillis(),
         fileStats = current.fileStats,
         deleteFiles = current.deleteFiles ++ newDelFiles,
-        deleteFileStats = current.deleteFileStats ++ newDelStats)
+        deleteFileStats = current.deleteFileStats ++ newDelStats,
+        eqDeletes = current.eqDeletes)
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
       commit(ns, name, version + 1, newMeta)
       (newMeta, written)
+    }
+
+  /** Merge-on-read UPDATE commit: ONE atomic snapshot that both hides
+    * the matched rows (a positional delete file, [[addDeleteFile]]'s
+    * dedup discipline) and appends their updated versions as new data
+    * files — a reader can never observe the hidden-but-not-reinserted
+    * intermediate state, and the old versions' data files stay
+    * byte-identical (time travel reads them without the delete). The
+    * appended files are plain (no hidden-partition value) — pval
+    * pruning keeps them conservatively, which is correct and the cost
+    * of not re-deriving the spec here.
+    */
+  def addDeleteFileWithAppend(ns: String, name: String,
+      positions: DataFrame, rows: DataFrame,
+      expectedSnapshotId: Option[Long] = None): (TableMeta, Long) =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      expectedSnapshotId.foreach { exp =>
+        if (current.snapshotId != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved to snapshot ${current.snapshotId} " +
+              s"(update planned against $exp) — re-plan and retry")
+      }
+      val batch = positions
+        .select(col(RowIdFileCol).cast("string").as("file_path"),
+          col(RowIdPosCol).cast("long").as("pos"))
+        .dropDuplicates("file_path", "pos")
+      val fresh =
+        if (current.deleteFiles.isEmpty) batch
+        else batch.join(
+          spark.read.schema(DeleteFileSchema).parquet(current.deleteFiles: _*),
+          Seq("file_path", "pos"), "left_anti")
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
+      val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-mor")
+      fresh.coalesce(1).write.parquet(delDir.toString)
+      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles)
+      val dataDirNew = dataDir(ns, name).resolve(s"snap-$snapshotId-update-mor")
+      rows.select(schema.fieldNames.map(col(_)).toSeq: _*)
+        .write.parquet(dataDirNew.toString)
+      val newFiles = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val newStats = collectFileStats(schema, newFiles,
+          bloomColsFor(ns, name, schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+          seq = Some(seqNum)))
+      val snap = SnapshotMeta(
+        snapshotId = snapshotId,
+        parentId = meta.currentSnapshotId,
+        sequenceNumber = seqNum,
+        files = current.files ++ newFiles,
+        rowCount = newStats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = current.fileStats ++ newStats,
+        deleteFiles = current.deleteFiles ++ newDelFiles,
+        deleteFileStats = current.deleteFileStats ++ newDelStats,
+        eqDeletes = current.eqDeletes)
+      val newMeta = meta.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshots = meta.snapshots :+ snap)
+      commit(ns, name, version + 1, newMeta)
+      (newMeta, newDelStats.map(_.rows).sum)
+    }
+
+  /** Commit an EQUALITY delete file (Iceberg v2's delete-by-key):
+    * `keys` is a frame of the delete key columns `cols`; every data
+    * row whose `cols` values match an entry AND whose file predates
+    * this commit (file seq < this snapshot's seq) is hidden. NO data
+    * is read or rewritten — the CDC shape: a streaming key-delete
+    * costs one tiny file write regardless of table size, and a row
+    * re-appended AFTER the delete survives it (the sequence-number
+    * rule readers enforce). Folded into data files by [[compact]].
+    */
+  def addEqualityDeleteFile(ns: String, name: String, keys: DataFrame,
+      cols: Seq[String],
+      expectedSnapshotId: Option[Long] = None): (TableMeta, Long) =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      require(cols.nonEmpty, "equality delete needs at least one column")
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"no column $c in $ns.$name"))
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      expectedSnapshotId.foreach { exp =>
+        if (current.snapshotId != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved to snapshot ${current.snapshotId} " +
+              s"(delete planned against $exp) — re-plan and retry")
+      }
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
+      val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-eq")
+      val entries = keys
+        .select(cols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+        .dropDuplicates(cols)
+      entries.coalesce(1).write.parquet(delDir.toString)
+      val newFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val keySchema = StructType(cols.map(c => schema(c)))
+      val rows = collectFileStats(keySchema, newFiles).map(_.rows).sum
+      val newEq = newFiles.map(f => EqDeleteMeta(f, cols, seqNum, rows))
+      val snap = SnapshotMeta(
+        snapshotId = snapshotId,
+        parentId = meta.currentSnapshotId,
+        sequenceNumber = seqNum,
+        files = current.files,
+        rowCount = 0L,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = current.fileStats,
+        deleteFiles = current.deleteFiles,
+        deleteFileStats = current.deleteFileStats,
+        eqDeletes = current.eqDeletes ++ newEq)
+      val newMeta = meta.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshots = meta.snapshots :+ snap)
+      commit(ns, name, version + 1, newMeta)
+      (newMeta, rows)
     }
 
   /** Incremental (CDC-style) read: rows added strictly AFTER
@@ -1492,9 +1671,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // a merge-on-read DELETE between the snapshots is equally
     // non-append: the data-file diff would claim "nothing changed"
     // while rows silently vanished from already-consumed files
-    if (from.deleteFiles != to.deleteFiles)
+    if (from.deleteFiles != to.deleteFiles || from.eqDeletes != to.eqDeletes)
       throw new IllegalStateException(
-        s"positional deletes landed between snapshots $fromSnapshotId " +
+        s"row-level deletes landed between snapshots $fromSnapshotId " +
           s"and ${to.snapshotId} — incremental read requires " +
           "append-only lineage")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -1601,7 +1780,24 @@ object SnapshotCatalog {
       // which gets a FRESH id so old data never resurfaces). None =
       // written before field ids were activated (physical names =
       // declared names at activation, backfilled then).
-      colIds: Option[Map[String, Int]] = None)
+      colIds: Option[Map[String, Int]] = None,
+      // the commit SEQUENCE NUMBER the file was added at — equality
+      // deletes apply only to files with a STRICTLY SMALLER sequence
+      // (the Iceberg v2 rule: a row re-inserted after the delete must
+      // survive it). None = predates the feature = older than any
+      // future delete (conservatively deletable). contentAs: same
+      // Jackson Option-number boxing issue as SnapshotMeta.parentId.
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      seq: Option[Long] = None)
+
+  /** One equality delete file (Iceberg v2's second delete flavor):
+    * rows of `cols` values; a data row is hidden when its `cols`
+    * values equal some entry AND its file's sequence number is
+    * strictly below `seq`. The CDC workhorse: deleting by key costs
+    * ZERO read IO at write time (no positions to find).
+    */
+  final case class EqDeleteMeta(path: String, cols: Seq[String],
+      seq: Long, rows: Long)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the
@@ -1669,15 +1865,21 @@ object SnapshotCatalog {
       // live rows = Σ fileStats.rows − Σ deleteFileStats.rows exactly.
       // Defaults keep pre-MoR metadata.json readable.
       deleteFiles: Seq[String] = Seq.empty,
-      deleteFileStats: Seq[FileStats] = Seq.empty) {
+      deleteFileStats: Seq[FileStats] = Seq.empty,
+      // EQUALITY delete files (see [[EqDeleteMeta]]); like positional
+      // deletes they are folded back into data files by compact
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty) {
     /** Live-row count from the manifest alone, when every data AND
       * delete file carries stats — None forces a scan, never a silent
-      * undercount (the metadata-count contract).
+      * undercount (the metadata-count contract). Equality deletes make
+      * the count unprovable from metadata (their match count is
+      * data-dependent), so their presence always forces the scan.
       */
     def statsRowCount: Option[Long] = {
       val byPath = fileStats.map(st => st.path -> st.rows).toMap
       val delByPath = deleteFileStats.map(st => st.path -> st.rows).toMap
-      if (files.forall(byPath.contains) && deleteFiles.forall(delByPath.contains))
+      if (eqDeletes.isEmpty && files.forall(byPath.contains) &&
+          deleteFiles.forall(delByPath.contains))
         Some(files.map(byPath).sum - deleteFiles.map(delByPath).sum)
       else None
     }

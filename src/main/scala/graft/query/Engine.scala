@@ -491,26 +491,51 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val (files, total, df, snap) = candidates(ns, t, cond)
           val snapId = snap.map(_.snapshotId)
           val affected = df.filter(c).count()
-          if (affected > 0) {
-            val byName = names.zip(
-              assignments.map(a => PlanExec.columnOf(a.value))).toMap
-            catalog.rewriteFiles(ns, t, files, { d0 =>
-              val d = d0.as(t)
-              // ONE simultaneous projection: standard SQL evaluates
-              // every assignment RHS against the PRE-update row, so
-              // `SET a = a + 1, b = a` gives b the ORIGINAL a — a
-              // sequential withColumn chain would leak a's new value
-              d.select(schema.fields.map { f =>
-                byName.get(f.name) match {
-                  case Some(v) =>
-                    when(c, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-                  case None => col(f.name)
-                }
-              }.toSeq: _*)
-            }, snapId)
+          val byName = names.zip(
+            assignments.map(a => PlanExec.columnOf(a.value))).toMap
+          // write.update.mode = merge-on-read: ONE atomic commit hides
+          // the matched rows positionally and appends their updated
+          // versions — O(matched) write IO, old data files untouched.
+          // Default (unset / copy-on-write): rewrite candidate files.
+          val mor = catalog.describe(ns, t).properties
+            .get("write.update.mode").contains("merge-on-read")
+          if (affected > 0 && mor) {
+            val s = snap.get
+            val withId = catalog.readFilesWithRowId(s, schema, files,
+              catalog.describe(ns, t).fieldIds).as(t)
+            val matched = withId.filter(c)
+            val positions = matched.select(SnapshotCatalog.RowIdFileCol,
+              SnapshotCatalog.RowIdPosCol)
+            // all assignments against the PRE-update row, one projection
+            val updated = matched.select(schema.fields.map { f =>
+              byName.get(f.name) match {
+                case Some(v) => v.cast(f.dataType).as(f.name)
+                case None => col(f.name)
+              }
+            }.toSeq: _*)
+            catalog.addDeleteFileWithAppend(ns, t, positions, updated,
+              Some(s.snapshotId)): Unit
+            summary("UPDATE", ns, t, affected, 0, total)
+          } else {
+            if (affected > 0) {
+              catalog.rewriteFiles(ns, t, files, { d0 =>
+                val d = d0.as(t)
+                // ONE simultaneous projection: standard SQL evaluates
+                // every assignment RHS against the PRE-update row, so
+                // `SET a = a + 1, b = a` gives b the ORIGINAL a — a
+                // sequential withColumn chain would leak a's new value
+                d.select(schema.fields.map { f =>
+                  byName.get(f.name) match {
+                    case Some(v) =>
+                      when(c, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                    case None => col(f.name)
+                  }
+                }.toSeq: _*)
+              }, snapId)
+            }
+            summary("UPDATE", ns, t, affected,
+              if (affected > 0) files.size else 0, total)
           }
-          summary("UPDATE", ns, t, affected,
-            if (affected > 0) files.size else 0, total)
         }
 
       case CreateTable(nameP, columns, partitioning, _, ignoreIfExists) =>

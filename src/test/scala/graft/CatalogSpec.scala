@@ -876,6 +876,88 @@ class CatalogSpec extends SparkTestBase {
     assert(ow.deleteFiles.isEmpty && cat.read("db", "t").count() == 2)
   }
 
+  test("equality deletes: delete-by-key with zero read IO; a row " +
+      "re-appended AFTER the delete survives it (sequence rule)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val dataFiles = cat.describe("db", "t").currentSnapshot.get.files
+    val hashBefore = dataFiles.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).length)
+
+    // CDC-style delete of keys 2,3,99 (99 matches nothing)
+    val (m1, entries) = cat.addEqualityDeleteFile("db", "t",
+      Seq(2L, 3L, 99L).toDF("id"), Seq("id"))
+    assert(entries == 3L)
+    // zero read/write amplification: same data files, byte for byte
+    assert(m1.currentSnapshot.get.files == dataFiles)
+    assert(dataFiles.map(f => java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(f)).length) == hashBefore)
+    assert(cat.read("db", "t").count() == 8)
+    assert(!cat.read("db", "t").collect().map(_.getLong(0)).contains(2L))
+    // metadata count falls through to the scan (never a silent
+    // undercount): statsRowCount is unprovable under equality deletes
+    assert(m1.currentSnapshot.get.statsRowCount.isEmpty)
+
+    // THE SEQUENCE RULE: re-append id=2 after the delete — the new row
+    // must survive (its file's seq > the delete's seq)
+    cat.append("db", "t", Seq((2L, 22.0)).toDF("id", "v"))
+    val back = cat.read("db", "t").filter(col("id") === 2L).collect()
+    assert(back.length == 1 && back.head.getDouble(1) == 22.0,
+      "re-inserted row must survive an OLDER equality delete")
+    assert(cat.read("db", "t").count() == 9)
+
+    // positional + equality compose: positionally delete id=5 too
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(snap, schemaV1, snap.files)
+      .filter(col("id") === 5L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    assert(cat.read("db", "t").count() == 8)
+    // time travel: before any deletes all 10 rows
+    assert(cat.read("db", "t", Some(1L)).count() == 10)
+
+    // compact folds BOTH flavors into plain data files
+    val folded = cat.compact("db", "t", numFiles = 1).currentSnapshot.get
+    assert(folded.deleteFiles.isEmpty && folded.eqDeletes.isEmpty)
+    assert(cat.read("db", "t").count() == 8)
+    assert(folded.statsRowCount.contains(8L))
+    // maintenance never reaps a referenced equality delete file
+    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+  }
+
+  test("merge-on-read UPDATE: one atomic commit hides old versions and " +
+      "appends new ones; data files untouched") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val before = cat.describe("db", "t").currentSnapshot.get
+    val withId = cat.readFilesWithRowId(before, schemaV1, before.files)
+      .filter(col("id").between(3L, 5L))
+    val positions = withId.select(
+      SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    val updated = withId.select(col("id"), (col("v") * 10).as("v"))
+    val (m1, hidden) =
+      cat.addDeleteFileWithAppend("db", "t", positions, updated,
+        Some(before.snapshotId))
+    assert(hidden == 3L)
+    val s1 = m1.currentSnapshot.get
+    // ONE snapshot: old files all still present, new files appended
+    assert(m1.snapshots.size == 2)
+    assert(before.files.forall(s1.files.contains))
+    assert(s1.files.size > before.files.size && s1.deleteFiles.size == 1)
+    val rows = cat.read("db", "t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == (0L until 10L).map(i =>
+      (i, if (i >= 3 && i <= 5) i * 10.0 else i.toDouble)), s"got $rows")
+    // manifest arithmetic stays exact: 10 + 3 appended - 3 hidden
+    assert(s1.statsRowCount.contains(10L))
+  }
+
   test("merge-on-read + copy-on-write interplay: a rewrite folds its " +
       "targets' delete entries and carries the survivors'") {
     import spark.implicits._

@@ -992,6 +992,25 @@ class EngineSpec extends SparkTestBase {
     assert(eng.sqlQuery(
       "SELECT count(*) AS n FROM db.mor.delete_files").contains(""""n":1"""))
 
+    // merge-on-read UPDATE (write.update.mode): one atomic commit,
+    // data files untouched, answers identical to the CoW table
+    cat.updateProperties("db", "mor",
+      Map("write.update.mode" -> "merge-on-read"))
+    val preUpd = cat.describe("db", "mor").currentSnapshot.get
+    for (t <- Seq("mor", "cow"))
+      assert(eng.sqlQuery(
+        s"UPDATE db.$t SET v = v + 0.5 WHERE id >= 20 AND id < 24")
+        .contains(""""rows_affected":4"""))
+    val updAfter = cat.describe("db", "mor").currentSnapshot.get
+    assert(preUpd.files.forall(updAfter.files.contains),
+      "merge-on-read UPDATE must not rewrite old data files")
+    assert(updAfter.deleteFiles.size > preUpd.deleteFiles.size)
+    val a2 = eng.sqlQuery("SELECT * FROM db.mor ORDER BY id")
+    val b2 = eng.sqlQuery("SELECT * FROM db.cow ORDER BY id")
+    assert(a2 == b2, s"MoR and CoW UPDATE answers diverged:\n$a2\n$b2")
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.mor")
+      .contains(""""n":24"""))
+
     // AUTO mode: a small fraction goes merge-on-read, a large one
     // copy-on-write
     mkTable("auto", None)
