@@ -847,6 +847,81 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   // ----------------------------------------------------- row-level ops
 
+  /** CDC upsert commit, the merge-on-read flavor (the Flink/Kafka →
+    * Iceberg v2 sink pattern): ONE atomic snapshot that (a) commits an
+    * equality delete file over `keyCols` for every key the batch
+    * touches — upserted keys' OLD versions and `deletes`' keys vanish
+    * — and (b) appends the batch's new rows as data files. The
+    * appended files carry THIS commit's sequence number while the
+    * equality delete applies only to strictly-smaller sequences, so
+    * the batch's own rows survive their own delete — no read of
+    * existing data anywhere: a CDC batch costs O(batch) IO on a 100 TB
+    * table ([[upsert]], the copy-on-write alternative, pays file-level
+    * rewrite IO instead; [[compact]] folds the accumulated delete side
+    * periodically — [[maintain]]'s job).
+    */
+  /** @param extraProperties merged atomically with the same commit —
+    *   the [[append]]-style idempotence hook (at-least-once streaming
+    *   replays record their batch id in the very commit that applied
+    *   the batch).
+    */
+  def cdcUpsert(ns: String, name: String, rows: DataFrame,
+      deletes: DataFrame, keyCols: Seq[String],
+      extraProperties: Map[String, String] = Map.empty): TableMeta =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      require(keyCols.nonEmpty, "cdcUpsert needs at least one key column")
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      keyCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"no column $c in $ns.$name"))
+      val current = meta.currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"$ns.$name has no data"))
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
+      // equality delete side: every touched key, one deduped tiny file
+      val keyCast = keyCols.map(c => col(c).cast(schema(c).dataType).as(c))
+      val touched = rows.select(keyCast: _*)
+        .unionByName(deletes.select(keyCast: _*))
+        .dropDuplicates(keyCols)
+      val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-eq")
+      touched.coalesce(1).write.parquet(delDir.toString)
+      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val keySchema = StructType(keyCols.map(c => schema(c)))
+      val delRows = collectFileStats(keySchema, newDelFiles).map(_.rows).sum
+      val newEq = newDelFiles.map(f => EqDeleteMeta(f, keyCols, seqNum, delRows))
+      // data side: the batch's new row versions
+      val dataDirNew = dataDir(ns, name).resolve(s"snap-$snapshotId-cdc")
+      rows.select(schema.fieldNames.map(col(_)).toSeq: _*)
+        .write.parquet(dataDirNew.toString)
+      val newFiles = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val newStats = collectFileStats(schema, newFiles,
+          bloomColsFor(ns, name, schema))
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+          seq = Some(seqNum)))
+      val snap = SnapshotMeta(
+        snapshotId = snapshotId,
+        parentId = meta.currentSnapshotId,
+        sequenceNumber = seqNum,
+        files = current.files ++ newFiles,
+        rowCount = newStats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = current.fileStats ++ newStats,
+        deleteFiles = current.deleteFiles,
+        deleteFileStats = current.deleteFileStats,
+        eqDeletes = current.eqDeletes ++ newEq)
+      val newMeta = meta.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshots = meta.snapshots :+ snap,
+        properties = meta.properties ++ extraProperties)
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
   /** Copy-on-write MERGE (upsert) on a numeric key column: incoming
     * rows REPLACE existing rows with the same key and insert otherwise
     * — `MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` for

@@ -2230,6 +2230,100 @@ object Relational {
       |SELECT path, status, n_orders, sum_price_c FROM paths
       |ORDER BY path, status""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  // CDC changelog consumption via MERGE-ON-READ equality deletes (the
+  // Flink/Kafka → Iceberg v2 sink pattern, streaming.Sinks.cdcMorSink's
+  // commit): each batch is ONE atomic snapshot committing an equality
+  // delete file over every touched key plus the new row versions —
+  // zero existing data read or rewritten. Batch 2 RE-INSERTS keys
+  // batch 1 deleted, pinning the v2 sequencing rule (an equality
+  // delete applies only to files with a strictly smaller commit
+  // sequence, so re-inserted rows survive). In-query requires pin the
+  // physical contract (no data file ever rewritten, two delete files);
+  // the oracle replays both batches as pure SELECT algebra.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q58_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val src = t(s, dir, "orders")
+    def slice(lo: Long, hi: Long) =
+      src.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+    val base = src.filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    cat.createTable("db", "o", base.schema)
+    cat.append("db", "o", base)
+    val pre = cat.describe("db", "o").currentSnapshot.get.files
+    // batch 1: update keys [500,1000), delete keys [1500,1600)
+    cat.cdcUpsert("db", "o",
+      rows = slice(500, 1000).select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100, 0).cast("long") + 7).as("price_c"),
+        lit("U").as("status")),
+      deletes = slice(1500, 1600).select(col("o_orderkey")),
+      keyCols = Seq("o_orderkey"))
+    // batch 2: RE-INSERT keys [1550,1575) (deleted above — sequencing
+    // rule), delete keys [700,750)
+    cat.cdcUpsert("db", "o",
+      rows = slice(1550, 1575).select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100, 0).cast("long") * 2).as("price_c"),
+        lit("R").as("status")),
+      deletes = slice(700, 750).select(col("o_orderkey")),
+      keyCols = Seq("o_orderkey"))
+    val post = cat.describe("db", "o").currentSnapshot.get
+    require(pre.forall(post.files.contains),
+      "CDC merge-on-read commits must never rewrite existing data files")
+    require(post.eqDeletes.size == 2,
+      s"expected 2 equality delete files, got ${post.eqDeletes.size}")
+    val out = cat.read("db", "o")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("status")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q58Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |b1 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 7 AS price_c,
+      |    'U' AS status
+      |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000),
+      |s1 AS (
+      |  SELECT * FROM b1
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE k NOT IN (SELECT k FROM b1)
+      |    AND NOT (k >= 1500 AND k < 1600)),
+      |b2 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 AS price_c,
+      |    'R' AS status
+      |  FROM orders WHERE o_orderkey >= 1550 AND o_orderkey < 1575),
+      |s2 AS (
+      |  SELECT * FROM b2
+      |  UNION ALL
+      |  SELECT * FROM s1
+      |  WHERE k NOT IN (SELECT k FROM b2)
+      |    AND NOT (k >= 700 AND k < 750))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2288,5 +2382,6 @@ object Relational {
     QuerySpec("q54_orc_roundtrip", q54, Some(q54Sql)),
     QuerySpec("q55_hits", q55, Some(q55Sql)),
     QuerySpec("q56_sql_dml", q56, Some(q56Sql)),
-    QuerySpec("q57_sql_delete_mor", q57, Some(q57Sql)))
+    QuerySpec("q57_sql_delete_mor", q57, Some(q57Sql)),
+    QuerySpec("q58_cdc_mor", q58, Some(q58Sql)))
 }

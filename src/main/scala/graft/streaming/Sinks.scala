@@ -205,6 +205,61 @@ object Sinks {
         catalog.upsert(ns, table, latest, keyCol): Unit
       }
 
+  /** CDC changelog sink, the MERGE-ON-READ flavor (the Flink/Kafka →
+    * Iceberg v2 pattern): each micro-batch carries an op column
+    * ("I"/"U" = new row version, "D" = delete) and commits ONE atomic
+    * snapshot via [[SnapshotCatalog.cdcUpsert]] — an equality delete
+    * file over every touched key plus the new row versions as appended
+    * data files. ZERO existing data is read or rewritten, so a batch
+    * costs O(batch) IO regardless of table size — the shape that beats
+    * [[upsertSink]]'s copy-on-write rewrite when updates are frequent
+    * and scattered (compact/maintain folds the accumulated delete side
+    * on schedule). Last-write-per-key within a batch wins by `seqCol`;
+    * replay safety rides the committed-batch marker in the SAME commit
+    * (a re-delivered batch id is skipped whole).
+    */
+  def cdcMorSink(
+      events: DataFrame,
+      catalog: SnapshotCatalog,
+      ns: String,
+      table: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(cdcMorBatch(catalog, ns, table, keyCols, seqCol,
+        opCol, checkpointDir) _)
+
+  /** Per-batch CDC commit, extracted for direct replay testing. */
+  private[graft] def cdcMorBatch(catalog: SnapshotCatalog, ns: String,
+      table: String, keyCols: Seq[String], seqCol: String, opCol: String,
+      checkpointDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val key = lastBatchKey(checkpointDir)
+    if (!alreadyCommitted(catalog, ns, table, key, batchId)) {
+      val latest = batch
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)))
+        .filter(col("_rk") === 1).drop("_rk")
+      val rows = latest.filter(col(opCol) =!= "D").drop(opCol)
+      val dels = latest.filter(col(opCol) === "D")
+        .select(keyCols.map(col): _*)
+      if (!catalog.tableExists(ns, table))
+        catalog.createTable(ns, table, rows.schema)
+      val marker = Map(key -> batchId.toString)
+      if (catalog.describe(ns, table).currentSnapshot.isEmpty)
+        // first batch: nothing to delete against, plain marked append
+        catalog.append(ns, table, rows, marker): Unit
+      else
+        catalog.cdcUpsert(ns, table, rows, dels, keyCols, marker): Unit
+    }
+  }
+
   /** S7 — event-time partitioned parquet sink
     * (s3-connector-config.json:15-25): paths
     * `year=YYYY/month=MM/day=dd/hour=HH` derived from the RECORD's

@@ -97,6 +97,25 @@ object DmlScale {
          |WHEN MATCHED AND t.status = 'O' THEN UPDATE SET price_c = t.price_c + 1
          |WHEN MATCHED AND s.amt > 20000000 THEN DELETE""".stripMargin)
 
+    // the O(batch) merge-on-read write paths: UPDATE and a CDC batch
+    cat.updateProperties("db", "mor",
+      Map("write.update.mode" -> "merge-on-read")): Unit
+    run("update_mor",
+      "UPDATE db.mor SET price_c = price_c + 100 " +
+        "WHERE o_orderkey >= 20000 AND o_orderkey < 25000")
+    val t0 = System.nanoTime()
+    cat.cdcUpsert("db", "mor",
+      rows = orders.filter(col("o_orderkey") >= 80000 &&
+        col("o_orderkey") < 85000),
+      deletes = orders.filter(col("o_orderkey") >= 90000 &&
+        col("o_orderkey") < 95000).select("o_orderkey"),
+      keyCols = Seq("o_orderkey")): Unit
+    val cdcSec = (System.nanoTime() - t0) / 1e9
+    val post = cat.describe("db", "mor").currentSnapshot.get
+    println(s"""{"op":"cdc_upsert_mor","sf":"$sfDir","rows_affected":-1,""" +
+      s""""files_rewritten":0,"files_total":${post.files.size},""" +
+      s""""sec":${f"$cdcSec%.3f"}}""")
+
     println(s"""{"summary":"dml_scale","sf":"$sfDir","rows":$n,"files":$nFiles}""")
     spark.stop()
   }

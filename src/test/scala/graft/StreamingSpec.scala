@@ -642,4 +642,53 @@ class StreamingSpec extends SparkTestBase {
     val again = graft.ingest.WebDataset.readShards(spark, s"$out/batch=*")
     assert(again.count() == 6)
   }
+
+  test("CDC merge-on-read sink: changelog batches commit atomically with " +
+      "zero data-file rewrites; replayed batches skip whole") {
+    import spark.implicits._
+    val src = tmpDir("graft-cdc-src")
+    val ckpt = tmpDir("graft-cdc-ckpt")
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-cdc-wh"))
+    def wave(rows: Seq[(Long, String, Long, String)]): Unit = {
+      rows.toDF("id", "val", "seq", "op").coalesce(1)
+        .write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(Seq.empty[(Long, String, Long, String)]
+          .toDF("id", "val", "seq", "op").schema)
+        .parquet(src)
+      val q = Sinks.cdcMorSink(stream, cat, "db", "kv", Seq("id"),
+        "seq", "op", ckpt, trigger = Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1: three inserts (first batch = plain marked append)
+    wave(Seq((1L, "a", 1L, "I"), (2L, "b", 2L, "I"), (3L, "c", 3L, "I")))
+    assert(cat.read("db", "kv").count() == 3)
+    val files1 = cat.describe("db", "kv").currentSnapshot.get.files
+
+    // wave 2: update key 2 (twice — last per key wins), delete key 3,
+    // insert key 4. One atomic commit, old data files untouched.
+    wave(Seq((2L, "b1", 10L, "U"), (2L, "b2", 11L, "U"),
+      (3L, "c", 12L, "D"), (4L, "d", 13L, "I")))
+    val s2 = cat.describe("db", "kv").currentSnapshot.get
+    assert(files1.forall(s2.files.contains),
+      "CDC merge-on-read must never rewrite existing data files")
+    assert(s2.eqDeletes.size == 1)
+    val state = cat.read("db", "kv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 4L -> "d"), s"got $state")
+
+    // replay: re-delivering an already-committed batch id is a no-op
+    val snapCount = cat.describe("db", "kv").snapshots.size
+    Sinks.cdcMorBatch(cat, "db", "kv", Seq("id"), "seq", "op", ckpt)(
+      Seq((9L, "x", 99L, "I")).toDF("id", "val", "seq", "op"), 1L)
+    assert(cat.describe("db", "kv").snapshots.size == snapCount,
+      "replayed batch id must not commit")
+    assert(cat.read("db", "kv").count() == 3)
+
+    // maintenance folds the delete side; the state is unchanged
+    cat.maintain("db", "kv", keepLast = 2, targetFiles = 1)
+    assert(cat.describe("db", "kv").currentSnapshot.get.eqDeletes.isEmpty)
+    assert(cat.read("db", "kv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == state)
+  }
 }
