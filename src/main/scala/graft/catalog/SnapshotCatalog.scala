@@ -86,6 +86,29 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     meta
   }
 
+  /** Metadata-only commit with cross-process optimistic retry: `build`
+    * recomputes the new metadata from freshly loaded state on each
+    * attempt (the [[updateProperties]] discipline generalized), so a
+    * lost CREATE_NEW race is absorbed instead of surfacing.
+    */
+  private def retryMetaCommit(ns: String, name: String)(
+      build: TableMeta => TableMeta): TableMeta = {
+    var attempt = 0
+    while (true) {
+      val (version, meta) = loadMeta(ns, name)
+      val newMeta = build(meta)
+      try {
+        commit(ns, name, version + 1, newMeta)
+        return newMeta
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
+          attempt += 1
+          Thread.sleep(1L << math.min(attempt, 6))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Explicit schema evolution — `ALTER TABLE … ADD COLUMNS` as a
     * METADATA-ONLY commit (no snapshot, no data IO): the declared
     * schema gains the new nullable fields, existing files null-pad
@@ -96,25 +119,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def addColumns(ns: String, name: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): TableMeta =
     synchronized {
-      val (version, meta) = loadMeta(ns, name)
-      val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      fields.foreach(f => require(!current.fieldNames.contains(f.name),
-        s"column ${f.name} already exists in $ns.$name"))
-      val target = StructType(current.fields ++
-        fields.map(_.copy(nullable = true)))
-      val evolved = SchemaCompat.evolve(current, target) match {
-        case Right(s) => s
-        case Left(violations) =>
-          throw new IllegalArgumentException(
-            "schema not BACKWARD-compatible: " +
-              violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
+      retryMetaCommit(ns, name) { meta =>
+        val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        fields.foreach(f => require(!current.fieldNames.contains(f.name),
+          s"column ${f.name} already exists in $ns.$name"))
+        val target = StructType(current.fields ++
+          fields.map(_.copy(nullable = true)))
+        val evolved = SchemaCompat.evolve(current, target) match {
+          case Right(s) => s
+          case Left(violations) =>
+            throw new IllegalArgumentException(
+              "schema not BACKWARD-compatible: " +
+                violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
+        }
+        val (extIds, extLast) =
+          extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
+        meta.copy(schemaJson = evolved.json,
+          fieldIds = extIds, lastFieldId = extLast)
       }
-      val (extIds, extLast) =
-        extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
-      val newMeta = meta.copy(schemaJson = evolved.json,
-        fieldIds = extIds, lastFieldId = extLast)
-      commit(ns, name, version + 1, newMeta)
-      newMeta
     }
 
   /** The field-id mapping, ACTIVATED on demand: before any rename/drop
@@ -161,7 +183,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def renameColumn(ns: String, name: String, from: String,
       to: String): TableMeta = synchronized {
-    val (version, meta) = loadMeta(ns, name)
+    retryMetaCommit(ns, name) { meta =>
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(schema.fieldNames.contains(from), s"no column $from in $ns.$name")
     require(!schema.fieldNames.contains(to),
@@ -188,12 +210,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .mkString(","))
       case None => meta.properties
     }
-    val newMeta = meta.copy(schemaJson = newSchema.json,
+    meta.copy(schemaJson = newSchema.json,
       fieldIds = (ids0 - from) + (to -> ids0(from)),
       lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
       snapshots = snaps, properties = props)
-    commit(ns, name, version + 1, newMeta)
-    newMeta
+    }
   }
 
   /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: the
@@ -204,7 +225,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def dropColumn(ns: String, name: String, colName: String): TableMeta =
     synchronized {
-      val (version, meta) = loadMeta(ns, name)
+      retryMetaCommit(ns, name) { meta =>
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       require(schema.fieldNames.contains(colName),
         s"no column $colName in $ns.$name")
@@ -226,12 +247,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           cs.split(",").map(_.trim).filterNot(_ == colName).mkString(","))
         case None => meta.properties
       }
-      val newMeta = meta.copy(schemaJson = newSchema.json,
+      meta.copy(schemaJson = newSchema.json,
         fieldIds = ids0 - colName,
         lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
         snapshots = snaps, properties = props)
-      commit(ns, name, version + 1, newMeta)
-      newMeta
+      }
     }
 
   /** Drop a table (the purge form — Iceberg's `DROP TABLE … PURGE`):
@@ -871,55 +891,78 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     synchronized {
       import org.apache.spark.sql.functions.col
       require(keyCols.nonEmpty, "cdcUpsert needs at least one key column")
-      val (version, meta) = loadMeta(ns, name)
-      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val (_, meta0) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta0.schemaJson).asInstanceOf[StructType]
       keyCols.foreach(c => require(schema.fieldNames.contains(c),
         s"no column $c in $ns.$name"))
-      val current = meta.currentSnapshot.getOrElse(
-        throw new IllegalStateException(s"$ns.$name has no data"))
-      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
-      val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
-      // equality delete side: every touched key, one deduped tiny file
+      // Files are written ONCE under a unique write id; the commit loop
+      // below re-reads table state on each optimistic-concurrency
+      // conflict and re-attaches the same files — safe here because a
+      // CDC batch's content is independent of the base snapshot (the
+      // equality delete re-gates on whatever sequence number the
+      // winning retry lands at), the appendImpl retry discipline.
+      val writeId = java.util.UUID.randomUUID().toString.take(8)
       val keyCast = keyCols.map(c => col(c).cast(schema(c).dataType).as(c))
       val touched = rows.select(keyCast: _*)
         .unionByName(deletes.select(keyCast: _*))
         .dropDuplicates(keyCols)
-      val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-eq")
+      val delDir = dataDir(ns, name).resolve(s"cdc-$writeId-delete-eq")
       touched.coalesce(1).write.parquet(delDir.toString)
       val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val keySchema = StructType(keyCols.map(c => schema(c)))
       val delRows = collectFileStats(keySchema, newDelFiles).map(_.rows).sum
-      val newEq = newDelFiles.map(f => EqDeleteMeta(f, keyCols, seqNum, delRows))
-      // data side: the batch's new row versions
-      val dataDirNew = dataDir(ns, name).resolve(s"snap-$snapshotId-cdc")
-      rows.select(schema.fieldNames.map(col(_)).toSeq: _*)
+      val dataDirNew = dataDir(ns, name).resolve(s"cdc-$writeId-data")
+      // write the batch's OWN columns (cast to declared types): a batch
+      // narrower than a concurrently-evolved table schema is fine —
+      // readers null-pad the missing columns, the append discipline
+      rows.columns.foreach(c => require(schema.fieldNames.contains(c),
+        s"cdcUpsert batch column $c not in $ns.$name"))
+      rows.select(schema.fields.filter(f => rows.columns.contains(f.name))
+          .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         .write.parquet(dataDirNew.toString)
       val newFiles = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newStats = collectFileStats(schema, newFiles,
-          bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
-          seq = Some(seqNum)))
-      val snap = SnapshotMeta(
-        snapshotId = snapshotId,
-        parentId = meta.currentSnapshotId,
-        sequenceNumber = seqNum,
-        files = current.files ++ newFiles,
-        rowCount = newStats.map(_.rows).sum,
-        createdAtMs = System.currentTimeMillis(),
-        fileStats = current.fileStats ++ newStats,
-        deleteFiles = current.deleteFiles,
-        deleteFileStats = current.deleteFileStats,
-        eqDeletes = current.eqDeletes ++ newEq)
-      val newMeta = meta.copy(
-        currentSnapshotId = Some(snapshotId),
-        snapshots = meta.snapshots :+ snap,
-        properties = meta.properties ++ extraProperties)
-      commit(ns, name, version + 1, newMeta)
-      newMeta
+      val stats0 = collectFileStats(schema, newFiles,
+        bloomColsFor(ns, name, schema))
+      var attempt = 0
+      while (true) {
+        val (version, meta) = loadMeta(ns, name)
+        val current = meta.currentSnapshot.getOrElse(
+          throw new IllegalStateException(s"$ns.$name has no data"))
+        val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+        val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
+        val newEq = newDelFiles.map(f =>
+          EqDeleteMeta(f, keyCols, seqNum, delRows))
+        val newStats = stats0.map(_.copy(
+          colIds = colIdsStamp(meta.fieldIds, schema), seq = Some(seqNum)))
+        val snap = SnapshotMeta(
+          snapshotId = snapshotId,
+          parentId = meta.currentSnapshotId,
+          sequenceNumber = seqNum,
+          files = current.files ++ newFiles,
+          rowCount = newStats.map(_.rows).sum,
+          createdAtMs = System.currentTimeMillis(),
+          fileStats = current.fileStats ++ newStats,
+          deleteFiles = current.deleteFiles,
+          deleteFileStats = current.deleteFileStats,
+          eqDeletes = current.eqDeletes ++ newEq)
+        val newMeta = meta.copy(
+          currentSnapshotId = Some(snapshotId),
+          snapshots = meta.snapshots :+ snap,
+          properties = meta.properties ++ extraProperties)
+        try {
+          commit(ns, name, version + 1, newMeta)
+          return newMeta
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
+            attempt += 1
+            Thread.sleep(1L << math.min(attempt, 6))
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
   /** Copy-on-write MERGE (upsert) on a numeric key column: incoming
@@ -1119,6 +1162,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         current.eqDeletes)
     }
 
+
+  /** Commit a snapshot whose inputs were planned against a SPECIFIC
+    * base snapshot: a lost cross-process CREATE_NEW race means the
+    * table moved between this method's own loadMeta and its commit, so
+    * the plan (positions, candidate files) may be stale — surface the
+    * same [[java.util.ConcurrentModificationException]] the
+    * expectedSnapshotId check throws, and the caller re-plans
+    * (Engine.retryConcurrent's contract). In-process writers are
+    * serialized by the catalog lock; this closes the cross-process
+    * window.
+    */
+  private def commitPlanned(ns: String, name: String, version: Int,
+      meta: TableMeta): Unit =
+    try commit(ns, name, version, meta)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$ns.$name: a concurrent commit won the race — re-plan and retry")
+    }
+
   /** Delete-side carryover for a copy-on-write rewrite that replaces
     * some data files: entries pointing at SURVIVING files move to a
     * fresh delete file (they still hide live rows); entries for
@@ -1172,7 +1235,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val newMeta = meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshots = meta.snapshots :+ snap)
-    commit(ns, name, version + 1, newMeta)
+    commitPlanned(ns, name, version + 1, newMeta)
     newMeta
   }
 
@@ -1585,7 +1648,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
-      commit(ns, name, version + 1, newMeta)
+      commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, written)
     }
 
@@ -1655,7 +1718,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
-      commit(ns, name, version + 1, newMeta)
+      commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, newDelStats.map(_.rows).sum)
     }
 
@@ -1713,7 +1776,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
-      commit(ns, name, version + 1, newMeta)
+      commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, rows)
     }
 

@@ -79,4 +79,62 @@ class MultiProcessSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byWriter == Map("A" -> perWriter * 10L, "B" -> perWriter * 10L))
   }
+
+  test("separate catalog instances racing CDC + DDL commits: retries " +
+      "absorb lost races, no commit is lost") {
+    import spark.implicits._
+    // two catalog INSTANCES over one warehouse = two lock domains, the
+    // in-process stand-in for two JVMs (the commit protocol is the
+    // same CREATE_NEW + pointer swap either way)
+    val wh = tmpDir("graft_race_wh")
+    val c1 = new SnapshotCatalog(spark, wh)
+    val c2 = new SnapshotCatalog(spark, wh)
+    c1.createTable("db", "t",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    c1.append("db", "t",
+      (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v"))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // thread 1: CDC batches through c1; thread 2: ADD COLUMNS + an
+      // equality delete through c2 — interleaved commits must all land
+      val f1 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          for (b <- 0 until 4)
+            c1.cdcUpsert("db", "t",
+              rows = Seq((100L + b, 1.0)).toDF("id", "v"),
+              deletes = Seq(b.toLong).toDF("id"), Seq("id")): Unit
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          c2.addColumns("db", "t", Seq(
+            org.apache.spark.sql.types.StructField("tag",
+              org.apache.spark.sql.types.StringType))): Unit
+          c2.addEqualityDeleteFile("db", "t",
+            Seq(10L).toDF("id"), Seq("id")): Unit
+        }
+      })
+      f1.get(300, TimeUnit.SECONDS)
+      // c2's snapshot-specific delete may lose a race mid-plan — the
+      // re-plan contract: retry on ConcurrentModificationException
+      try f2.get(300, TimeUnit.SECONDS)
+      catch { case e: java.util.concurrent.ExecutionException
+          if e.getCause.isInstanceOf[java.util.ConcurrentModificationException] =>
+        c2.addEqualityDeleteFile("db", "t",
+          Seq(10L).toDF("id"), Seq("id")): Unit
+      }
+    } finally pool.shutdown()
+
+    val meta = c1.describe("db", "t")
+    // linear lineage, nothing lost: 20 - 4 cdc-deleted - id10 + 4 new
+    val snaps = meta.snapshots.sortBy(_.snapshotId)
+    assert(snaps.sliding(2).forall {
+      case Seq(p, c) => c.parentId.contains(p.snapshotId)
+      case _ => true
+    }, "forked lineage — a commit was lost")
+    assert(meta.schemaJson.contains("tag"), "ADD COLUMNS lost")
+    val ids = c1.read("db", "t").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 20L).toSet -- Set(0L, 1L, 2L, 3L, 10L) ++
+      (100L until 104L)), s"got $ids")
+  }
 }
