@@ -1821,6 +1821,80 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     else spark.read.schema(schema).parquet(inc: _*)
   }
 
+  /** CHANGELOG read (net-change semantics, Iceberg's changelog-scan
+    * shape): the row-level changes between two snapshots as the table
+    * columns plus `_change_type` ('insert' | 'delete') — the
+    * incremental-consumption surface for windows where
+    * [[readIncremental]] correctly refuses because row-level deletes
+    * landed. An update (merge-on-read UPDATE, CDC upsert) appears as
+    * its delete + insert pair, exactly what a downstream MERGE applies.
+    *
+    *  - INSERTS are the window's new data files read under the TARGET
+    *    snapshot's delete side — a row both inserted and deleted inside
+    *    the window never appears (net semantics); O(delta) IO.
+    *  - DELETES are rows visible at `from` but not at `to`, computed by
+    *    row identity (file, position) over only the CANDIDATE files:
+    *    files named by new positional delete entries — O(touched
+    *    files); new EQUALITY deletes widen candidates to every
+    *    `from`-file with a smaller sequence number (their matches are
+    *    data-dependent; the same cost Iceberg's changelog scan pays on
+    *    eq-delete windows, and compact resets it).
+    *
+    * Data files must be append-only across the window (same check as
+    * [[readIncremental]] — a compaction in between rewrites identity).
+    */
+  def readChangelog(ns: String, name: String, fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = describe(ns, name)
+    def snapOf(id: Long): SnapshotMeta = meta.snapshots.find(_.snapshotId == id)
+      .getOrElse(throw new NoSuchElementException(s"no snapshot $id in $ns.$name"))
+    val from = snapOf(fromSnapshotId)
+    val to = toSnapshotId.map(snapOf).orElse(meta.currentSnapshot).getOrElse(from)
+    val missing = from.files.diff(to.files)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"data files were rewritten between snapshots $fromSnapshotId " +
+          s"and ${to.snapshotId} (${missing.size} files) — changelog " +
+          "identity needs append-only data files; consume before compacting")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val ct = "_change_type"
+    val inserted = readFilesOf(to, schema, to.files.diff(from.files),
+        meta.fieldIds)
+      .withColumn(ct, lit("insert"))
+    val newPos = to.deleteFiles.diff(from.deleteFiles)
+    val newEq = to.eqDeletes.diff(from.eqDeletes)
+    val candidates: Seq[String] =
+      if (newEq.nonEmpty) from.files
+      else if (newPos.isEmpty) Nil
+      else {
+        // files actually named by the new positional entries
+        val named = spark.read.schema(DeleteFileSchema).parquet(newPos: _*)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+        from.files.filter(named)
+      }
+    val deleted =
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(ct,
+              org.apache.spark.sql.types.StringType)))
+      else {
+        val was = readFilesWithRowId(from, schema, candidates, meta.fieldIds)
+        val still = readFilesWithRowId(to, schema, candidates, meta.fieldIds)
+          .select(col(RowIdFileCol).as("__cl_file"),
+            col(RowIdPosCol).as("__cl_pos"))
+        was.join(still,
+            was(RowIdFileCol) === still("__cl_file") &&
+              was(RowIdPosCol) === still("__cl_pos"), "left_anti")
+          .drop(RowIdFileCol, RowIdPosCol)
+          .withColumn(ct, lit("delete"))
+      }
+    inserted.unionByName(deleted)
+  }
+
   // -------------------------------------------------------------- commit
 
   private def commit(ns: String, name: String, version: Int, meta: TableMeta): Unit = {

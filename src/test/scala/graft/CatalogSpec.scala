@@ -928,6 +928,60 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.removeOrphanFiles("db", "t").isEmpty)
   }
 
+  test("readChangelog: net row-level changes across delete-bearing " +
+      "windows, where readIncremental refuses") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    // window: a CDC batch (update key 3, delete key 7, insert key 100)
+    cat.cdcUpsert("db", "t",
+      rows = Seq((3L, 33.0), (100L, 1.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    // plus a positional delete of key 5
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+      .filter(col("id") === 5L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    // incremental read refuses the window...
+    intercept[IllegalStateException] {
+      cat.readIncremental("db", "t", s1).count()
+    }
+    // ...the changelog serves it: updates appear as delete+insert pairs
+    val changes = cat.readChangelog("db", "t", s1)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(changes == Set(
+      ("insert", 3L, 33.0), ("insert", 100L, 1.0),
+      ("delete", 3L, 3.0), ("delete", 7L, 7.0), ("delete", 5L, 5.0)),
+      s"got $changes")
+    // replaying the changelog onto the from-state yields the to-state
+    val fromState = cat.read("db", "t", Some(s1))
+    val ins = changes.filter(_._1 == "insert").map(c => (c._2, c._3)).toSeq
+    val delKeys = changes.filter(_._1 == "delete").map(_._2).toSeq
+    val replayed = fromState
+      .join(delKeys.toDF("id"), Seq("id"), "left_anti")
+      .unionByName(ins.toDF("id", "v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val toState = cat.read("db", "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(replayed == toState)
+    // a row inserted AND deleted inside the window never appears:
+    // add then delete key 200 in a second window
+    val s2 = cat.describe("db", "t").currentSnapshotId.get
+    cat.cdcUpsert("db", "t", rows = Seq((200L, 2.0)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    cat.cdcUpsert("db", "t", rows = Seq.empty[(Long, Double)].toDF("id", "v"),
+      deletes = Seq(200L).toDF("id"), Seq("id"))
+    val w2 = cat.readChangelog("db", "t", s2)
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(!w2.contains(("insert", 200L)),
+      s"transient row leaked into the net changelog: $w2")
+  }
+
   test("merge-on-read UPDATE: one atomic commit hides old versions and " +
       "appends new ones; data files untouched") {
     import spark.implicits._
