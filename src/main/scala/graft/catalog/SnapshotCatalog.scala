@@ -361,15 +361,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           case f if f.getName.endsWith(".parquet") => Seq(f)
           case _ => Seq.empty
         }
-      val newFiles = walk(snapDir.toFile).map(_.getAbsolutePath).sorted
+      val newFiles0 = walk(snapDir.toFile).map(_.getAbsolutePath).sorted
       val pvalRe = (PartitionSpec.HiddenCol + "=([^/]+)/").r
       def pvalOf(path: String): Option[String] =
         pvalRe.findFirstMatchIn(path)
           .map(m => PartitionSpec.unescapePathName(m.group(1)))
-      val stats = collectFileStats(df.schema, newFiles,
+      val stats = collectFileStats(df.schema, newFiles0,
           bloomColsFor(ns, name, df.schema))
         .map(s => s.copy(pval = pvalOf(s.path),
           pspec = specStr.filter(_ => pvalOf(s.path).isDefined)))
+      val newFiles = dropEmptyParts(newFiles0, stats)
 
       var attempt = 0
       while (true) {
@@ -653,6 +654,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Written part files with ZERO rows carry no stats row (the
+    * per-file aggregation yields nothing for them) — drop them from
+    * the manifest AND from disk. Referencing them would permanently
+    * poison the manifest's completeness (statsRowCount needs stats for
+    * every file, so the metadata-count fast path would die) and every
+    * read would list them for nothing. Empty parts appear whenever a
+    * write's input is empty (an all-deleted rewrite, an empty CDC data
+    * side) or a partition coalesces empty.
+    */
+  private def dropEmptyParts(files: Seq[String],
+      stats: Seq[FileStats]): Seq[String] = {
+    val withStats = stats.map(_.path).toSet
+    val (keep, empty) = files.partition(withStats)
+    empty.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    keep
+  }
+
   /** input_file_name yields a URI (file:///...); manifests store plain
     * absolute paths.
     */
@@ -908,11 +926,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .dropDuplicates(keyCols)
       val delDir = dataDir(ns, name).resolve(s"cdc-$writeId-delete-eq")
       touched.coalesce(1).write.parquet(delDir.toString)
-      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newDelFiles0 = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val keySchema = StructType(keyCols.map(c => schema(c)))
-      val delRows = collectFileStats(keySchema, newDelFiles).map(_.rows).sum
+      val delStats = collectFileStats(keySchema, newDelFiles0)
+      val delRows = delStats.map(_.rows).sum
+      val newDelFiles = dropEmptyParts(newDelFiles0, delStats)
       val dataDirNew = dataDir(ns, name).resolve(s"cdc-$writeId-data")
       // write the batch's OWN columns (cast to declared types): a batch
       // narrower than a concurrently-evolved table schema is fine —
@@ -922,11 +942,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       rows.select(schema.fields.filter(f => rows.columns.contains(f.name))
           .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         .write.parquet(dataDirNew.toString)
-      val newFiles = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
+      val newFiles0 = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val stats0 = collectFileStats(schema, newFiles,
+      val stats0 = collectFileStats(schema, newFiles0,
         bloomColsFor(ns, name, schema))
+      val newFiles = dropEmptyParts(newFiles0, stats0)
       var attempt = 0
       while (true) {
         val (version, meta) = loadMeta(ns, name)
@@ -1025,13 +1046,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
       val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-upsert")
       out.write.parquet(snapDir.toString)
-      val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newFiles0 = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newStats = collectFileStats(out.schema, newFiles,
+      val newStats = collectFileStats(out.schema, newFiles0,
           bloomColsFor(ns, name, out.schema))
         .map(_.copy(colIds = colIdsStamp(meta.fieldIds, out.schema),
           seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+      val newFiles = dropEmptyParts(newFiles0, newStats)
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
@@ -1082,11 +1104,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           bloomColsFor(ns, name, schema))
         .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
           seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+      val keptFiles = dropEmptyParts(newFiles, newStats)
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, disjoint)
       commitReplacing(ns, name, version, meta, snapshotId,
-        disjoint ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats,
+        disjoint ++ keptFiles, keptStats ++ newStats, carryDel, carryDelStats,
         current.eqDeletes)
     }
 
@@ -1151,6 +1174,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           bloomColsFor(ns, name, schema))
         .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
           seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+      val prunedNew = dropEmptyParts(newFiles, newStats)
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
         carryDeletes(ns, name, snapshotId, current, untouched)
@@ -1158,7 +1182,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // sequence number (the rewrite already applied the deletes), so
       // they only keep applying to the untouched lower-seq files
       commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, keptStats ++ newStats, carryDel, carryDelStats,
+        untouched ++ prunedNew, keptStats ++ newStats, carryDel, carryDelStats,
         current.eqDeletes)
     }
 
@@ -1231,7 +1255,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       createdAtMs = System.currentTimeMillis(),
       fileStats = stats,
       deleteFiles = deleteFiles,
-      deleteFileStats = deleteFileStats)
+      deleteFileStats = deleteFileStats,
+      eqDeletes = eqDeletes)
     val newMeta = meta.copy(
       currentSnapshotId = Some(snapshotId),
       snapshots = meta.snapshots :+ snap)
@@ -1356,13 +1381,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .sortWithinPartitions("_graft_z")
           .drop("_graft_z")
       rewritten.write.parquet(snapDir.toString)
-      val newFiles = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newFiles0 = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val stats = collectFileStats(schema, newFiles,
+      val stats = collectFileStats(schema, newFiles0,
           bloomColsFor(ns, name, schema))
         .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
           seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+      val newFiles = dropEmptyParts(newFiles0, stats)
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -1629,10 +1655,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
       val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-mor")
       fresh.coalesce(1).write.parquet(delDir.toString)
-      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newDelFiles0 = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles)
+      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles0)
+      val newDelFiles = dropEmptyParts(newDelFiles0, newDelStats)
       val written = newDelStats.map(_.rows).sum
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
@@ -1690,20 +1717,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
       val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-mor")
       fresh.coalesce(1).write.parquet(delDir.toString)
-      val newDelFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newDelFiles0 = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles)
+      val newDelStats = collectFileStats(DeleteFileSchema, newDelFiles0)
+      val newDelFiles = dropEmptyParts(newDelFiles0, newDelStats)
       val dataDirNew = dataDir(ns, name).resolve(s"snap-$snapshotId-update-mor")
       rows.select(schema.fieldNames.map(col(_)).toSeq: _*)
         .write.parquet(dataDirNew.toString)
-      val newFiles = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
+      val newFiles0 = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
-      val newStats = collectFileStats(schema, newFiles,
+      val newStats = collectFileStats(schema, newFiles0,
           bloomColsFor(ns, name, schema))
         .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
           seq = Some(seqNum)))
+      val newFiles = dropEmptyParts(newFiles0, newStats)
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -1756,11 +1785,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .select(cols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
         .dropDuplicates(cols)
       entries.coalesce(1).write.parquet(delDir.toString)
-      val newFiles = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
+      val newFiles0 = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
       val keySchema = StructType(cols.map(c => schema(c)))
-      val rows = collectFileStats(keySchema, newFiles).map(_.rows).sum
+      val eqStats = collectFileStats(keySchema, newFiles0)
+      val rows = eqStats.map(_.rows).sum
+      val newFiles = dropEmptyParts(newFiles0, eqStats)
       val newEq = newFiles.map(f => EqDeleteMeta(f, cols, seqNum, rows))
       val snap = SnapshotMeta(
         snapshotId = snapshotId,

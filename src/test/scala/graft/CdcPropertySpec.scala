@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.catalog.SnapshotCatalog
+
+/** Property-style check of the round-12 row-level-delete semantics:
+  * random CDC batch sequences (equality-delete + append commits) are
+  * applied BOTH through the catalog and a driver-side reference map,
+  * with compactions, positional deletes, and identity copy-on-write
+  * rewrites (the delete-carry path) interleaved at random — after
+  * every step the table must read exactly the reference state, and
+  * every suffix window's changelog must replay the from-state into
+  * the final state. This is the adversarial composition the unit
+  * tests can't enumerate: sequence-gated equality deletes over files
+  * of mixed commit eras, folded and carried through rewrites.
+  */
+class CdcPropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private sealed trait Step
+  private case class CdcBatch(upserts: Map[Long, Double],
+      deletes: Set[Long]) extends Step
+  private case object Compact extends Step
+  private case class PosDelete(key: Long) extends Step
+  private case class IdentityRewrite(nth: Int) extends Step
+
+  private val genKey = Gen.chooseNum(0L, 15L)
+  private val genStep: Gen[Step] = Gen.frequency(
+    (5, for {
+      nUp <- Gen.chooseNum(0, 4)
+      ups <- Gen.listOfN(nUp, for {
+        k <- genKey; v <- Gen.chooseNum(1, 99)
+      } yield k -> v.toDouble)
+      nDel <- Gen.chooseNum(0, 3)
+      dels <- Gen.listOfN(nDel, genKey)
+    } yield CdcBatch(ups.toMap, dels.toSet -- ups.map(_._1))),
+    (2, Gen.const(Compact)),
+    (2, genKey.map(PosDelete)),
+    (2, Gen.chooseNum(0, 7).map(IdentityRewrite)))
+
+  private val scenarios: List[List[Step]] = {
+    val g = Gen.listOfN(6, Gen.listOfN(9, genStep))
+    g.apply(Gen.Parameters.default, rng.Seed(4242L))
+      .getOrElse(sys.error("gen failed"))
+  }
+
+  test("random CDC/compact/rewrite sequences: table state equals the " +
+      "reference model at every step; changelog replays every window") {
+    scenarios.zipWithIndex.foreach { case (steps, si) =>
+      val cat = new SnapshotCatalog(spark, tmpDir(s"graft-cdcprop-$si"))
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      // seed state: keys 0..7
+      var ref: Map[Long, Double] = (0L until 8L).map(k => k -> k.toDouble).toMap
+      cat.append("db", "t", ref.toSeq.toDF("id", "v").coalesce(2))
+      def state(): Map[Long, Double] = cat.read("db", "t")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val checkpoints = scala.collection.mutable.ListBuffer[
+        (Long, Map[Long, Double])]()
+
+      steps.zipWithIndex.foreach { case (step, i) =>
+        step match {
+          case CdcBatch(ups, dels) =>
+            cat.cdcUpsert("db", "t",
+              rows = ups.toSeq.toDF("id", "v"),
+              deletes = dels.toSeq.toDF("id"), Seq("id"))
+            ref = ref -- dels ++ ups
+          case Compact =>
+            cat.compact("db", "t", numFiles = 2)
+          case PosDelete(k) =>
+            val snap = cat.describe("db", "t").currentSnapshot.get
+            val schema = cat.schemaOf("db", "t")
+            val pos = cat
+              .readFilesWithRowId(snap, schema, snap.files, Map.empty)
+              .filter(col("id") === k)
+              .select(SnapshotCatalog.RowIdFileCol,
+                SnapshotCatalog.RowIdPosCol)
+            cat.addDeleteFile("db", "t", pos, None)
+            ref = ref - k
+          case IdentityRewrite(nth) =>
+            val snap = cat.describe("db", "t").currentSnapshot.get
+            if (snap.files.nonEmpty) {
+              val target = snap.files(nth % snap.files.size)
+              cat.rewriteFiles("db", "t", Seq(target), d => d, None)
+            }
+        }
+        val got = state()
+        assert(got == ref,
+          s"scenario $si step $i ($step): table=$got ref=$ref")
+        val snap = cat.describe("db", "t").currentSnapshot.get
+        // manifest arithmetic, whenever it claims to be provable
+        snap.statsRowCount.foreach(n =>
+          assert(n == ref.size,
+            s"scenario $si step $i: statsRowCount=$n ref=${ref.size}"))
+        checkpoints += ((snap.snapshotId, ref))
+      }
+
+      // changelog replay: every recorded window must transform its
+      // from-state into the final state — unless data files were
+      // rewritten inside the window (compact/rewrite), where the
+      // changelog correctly refuses (identity is gone)
+      val finalRef = ref
+      checkpoints.toList.foreach { case (fromSnap, fromState) =>
+        try {
+          val changes = cat.readChangelog("db", "t", fromSnap).collect()
+          val dels = changes.filter(_.getString(2) == "delete")
+            .map(_.getLong(0)).toSet
+          val ins = changes.filter(_.getString(2) == "insert")
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          val replayed = (fromState -- dels) ++ ins
+          assert(replayed == finalRef,
+            s"scenario $si from snapshot $fromSnap: replay=$replayed " +
+              s"final=$finalRef (changes=${changes.toSeq})")
+        } catch {
+          case _: IllegalStateException => () // rewrite inside window
+        }
+      }
+    }
+  }
+}
