@@ -284,34 +284,45 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * pass-through accepts DDL/DML on ITS in-memory tables — parity for
     * the catalog surface):
     *
-    *  - `CREATE TABLE ns.tbl (cols…) [IF NOT EXISTS]` and
-    *    `CREATE TABLE ns.tbl AS <query>` → [[SnapshotCatalog
-    *    .createTable]] (+ one append snapshot for CTAS); partitioned
-    *    shapes fall through. `DROP TABLE [IF EXISTS] ns.tbl` → pointer
-    *    removed first, then the tree reclaimed. `ALTER TABLE ns.tbl
-    *    ADD COLUMNS (…)` → a metadata-only schema-evolution commit
-    *    (old files null-pad on read; the BACKWARD gate rejects
-    *    duplicates/type changes).
-    *  - `INSERT INTO ns.tbl <query>` → positional column alignment,
-    *    cast to the declared types, one atomic append snapshot (the
-    *    plain append shape; partition specs / column lists / OVERWRITE
-    *    fall through).
-    *
+    *  - `CREATE TABLE ns.tbl (cols…) [IF NOT EXISTS] [PARTITIONED BY
+    *    (transform)]` and `CREATE TABLE ns.tbl [PARTITIONED BY …] AS
+    *    <query>` → [[SnapshotCatalog.createTable]] (+ one append
+    *    snapshot for CTAS); a single supported transform maps to the
+    *    hidden partition.spec ([[Engine.partitionSpecString]]),
+    *    multi-transform clauses fall through. `DROP TABLE [IF EXISTS]
+    *    ns.tbl` → pointer removed first, then the tree reclaimed.
+    *    `ALTER TABLE ns.tbl ADD COLUMNS (…) | RENAME COLUMN a TO b |
+    *    DROP COLUMN [IF EXISTS] a` → metadata-only schema-evolution
+    *    commits (field-id discipline: old files resolve by id, dropped
+    *    ids are never reused; the BACKWARD gate rejects duplicates/
+    *    type changes).
+    *  - `INSERT INTO ns.tbl [(cols…)] <query>` → positional alignment
+    *    (an explicit column list binds positionally, unnamed columns
+    *    null-pad), cast to declared types, one atomic append snapshot;
+    *    `INSERT OVERWRITE` replaces the manifest in the same atomic
+    *    commit. Static-partition clauses fall through.
     *  - `DELETE FROM ns.tbl WHERE c` → candidate files picked by the
     *    SAME manifest range/bloom pruning the read path uses
-    *    ([[prunedFilesFor]] over [[Engine.extractBounds]]), rewritten
-    *    with `NOT c`; every other file carries untouched
-    *    ([[SnapshotCatalog.rewriteFiles]]). At 100 TB a key-clustered
-    *    retention delete rewrites boundary files only.
+    *    ([[prunedFilesFor]] over [[Engine.extractBounds]]); the write
+    *    path follows `write.delete.mode` — merge-on-read commits a
+    *    positional delete file (data files untouched), copy-on-write
+    *    rewrites candidates with `NOT c`, unset picks by matched
+    *    fraction. At 100 TB a key-clustered retention delete touches
+    *    boundary files only.
     *  - `UPDATE ns.tbl SET col = expr, … [WHERE c]` → same candidate
-    *    pruning; matching rows get the assignments (cast back to the
-    *    column's declared type), others pass through.
-    *  - `MERGE INTO ns.tbl t USING <src> s ON t.k = s.k WHEN MATCHED
-    *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` → the
-    *    whole-row upsert shape, routed to [[SnapshotCatalog.upsert]]
-    *    (key-range-pruned copy-on-write). The source is any relation
-    *    the stock analyzer resolves (parquet.`…`, VALUES, subqueries);
-    *    the ON condition must equate one same-named column.
+    *    pruning; all assignments evaluate against the PRE-update row
+    *    (cast back to declared types); `write.update.mode =
+    *    merge-on-read` commits delete-entries + updated versions in
+    *    one atomic snapshot instead of rewriting.
+    *  - `MERGE INTO ns.tbl t USING <src> s ON t.k = s.k …` → the
+    *    whole-row `UPDATE SET * / INSERT *` shape rides
+    *    [[SnapshotCatalog.upsert]] (key-range-pruned copy-on-write);
+    *    every other supported shape — conditional WHEN MATCHED
+    *    UPDATE/DELETE, SET subsets, INSERT column lists, NOT MATCHED
+    *    BY SOURCE — runs through [[mergeGeneral]]'s single-join
+    *    cascade. The source is any relation the stock analyzer
+    *    resolves (parquet.`…`, VALUES, subqueries); the ON condition
+    *    must equate one same-named column.
     *
     * Every statement commits ONE atomic snapshot and returns a 1-row
     * summary frame (operation, target, rows_affected, files_rewritten,
