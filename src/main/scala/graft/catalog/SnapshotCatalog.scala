@@ -202,7 +202,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // physical mapping: NOT remapped — it records what is in
           // the file, which a metadata-only rename never changes
           colIds = fs.colIds.orElse(Some(ids0)))
-      })
+      },
+        // equality-delete KEY columns follow the rename too (they are
+        // declared-name references, resolved under the current schema
+        // on every read/compact); the file's physical names are pinned
+        // in physCols first so the delete parquet keeps resolving
+        eqDeletes = s.eqDeletes.map { d =>
+          d.copy(physCols = d.physCols.orElse(Some(d.cols)),
+            cols = d.cols.map(c => if (c == from) to else c))
+        })
     }
     val props = meta.properties.get(BloomColumnsProp) match {
       case Some(cs) => meta.properties + (BloomColumnsProp ->
@@ -233,6 +241,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         s"cannot drop the only column of $ns.$name")
       require(!partitionSpecOf(ns, name).exists(_.column == colName),
         s"cannot drop partition column $colName — evolve the spec first")
+      // an equality delete keyed on the column would become
+      // unresolvable (readers anti-join on schema(col)), making every
+      // read/compact of a referencing snapshot throw — refuse, like
+      // Iceberg refuses dropping a column in any delete's equality_ids;
+      // compact first to fold the delete side away
+      require(!meta.snapshots.exists(_.eqDeletes.exists(_.cols.contains(colName))),
+        s"cannot drop column $colName — equality delete files of " +
+          s"$ns.$name key on it; compact to fold them first")
       val ids0 = activatedIds(meta, schema)
       val newSchema = StructType(schema.fields.filterNot(_.name == colName))
       val snaps = meta.snapshots.map { s =>
@@ -931,7 +947,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .map(_.getAbsolutePath).sorted.toSeq
       val keySchema = StructType(keyCols.map(c => schema(c)))
       val delStats = collectFileStats(keySchema, newDelFiles0)
-      val delRows = delStats.map(_.rows).sum
       val newDelFiles = dropEmptyParts(newDelFiles0, delStats)
       val dataDirNew = dataDir(ns, name).resolve(s"cdc-$writeId-data")
       // write the batch's OWN columns (cast to declared types): a batch
@@ -939,9 +954,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // readers null-pad the missing columns, the append discipline
       rows.columns.foreach(c => require(schema.fieldNames.contains(c),
         s"cdcUpsert batch column $c not in $ns.$name"))
-      rows.select(schema.fields.filter(f => rows.columns.contains(f.name))
+      val written = rows.select(
+        schema.fields.filter(f => rows.columns.contains(f.name))
           .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-        .write.parquet(dataDirNew.toString)
+      val writtenSchema = written.schema
+      written.write.parquet(dataDirNew.toString)
       val newFiles0 = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).sorted.toSeq
@@ -953,12 +970,31 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val (version, meta) = loadMeta(ns, name)
         val current = meta.currentSnapshot.getOrElse(
           throw new IllegalStateException(s"$ns.$name has no data"))
+        // revalidate against the FRESHLY loaded state every attempt: a
+        // cross-process RENAME/DROP landing between the write above and
+        // the winning commit would make the colIds stamp (and the
+        // declared keyCols) silently wrong — null-padded reads forever.
+        // Refuse loudly instead; the caller replays the batch.
+        val freshSchema =
+          DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        val renamedAway = keyCols.filterNot(freshSchema.fieldNames.contains) ++
+          (if (meta.fieldIds.isEmpty) Nil
+           else writtenSchema.fieldNames.filterNot(meta.fieldIds.contains))
+        if (renamedAway.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name columns ${renamedAway.distinct.mkString(", ")} were " +
+              "renamed/dropped concurrently with this CDC batch — replay it")
         val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
         val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
         val newEq = newDelFiles.map(f =>
-          EqDeleteMeta(f, keyCols, seqNum, delRows))
+          // per-FILE row count (the write coalesces to one part, but a
+          // multi-part delete write must not duplicate the total);
+          // physCols pins the parquet's physical key names for renames
+          EqDeleteMeta(f, keyCols, seqNum,
+            delStats.find(_.path == f).map(_.rows).getOrElse(0L),
+            physCols = Some(keyCols)))
         val newStats = stats0.map(_.copy(
-          colIds = colIdsStamp(meta.fieldIds, schema), seq = Some(seqNum)))
+          colIds = colIdsStamp(meta.fieldIds, writtenSchema), seq = Some(seqNum)))
         val snap = SnapshotMeta(
           snapshotId = snapshotId,
           parentId = meta.currentSnapshotId,
@@ -1404,15 +1440,229 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       newMeta
     }
 
+  /** Data files (among `among`) an equality-delete set MAY hit,
+    * decided from manifest stats + O(delete side) IO only: a file is a
+    * candidate for delete `d` when its sequence number is strictly
+    * below `d.seq` (the v2 gate) AND, for every key column, the file's
+    * min/max stats intersect the delete file's own key bounds. Files
+    * without stats (or with non-stat-typed key columns) are
+    * conservatively kept — pruning may only ever KEEP extra files.
+    * The changelog/compaction analogue of the read path's
+    * range pruning, so one eq-delete over a narrow key window costs
+    * O(touched files), not O(table).
+    */
+  private def eqDeleteCandidates(snap: SnapshotMeta, schema: StructType,
+      eqs: Seq[EqDeleteMeta], among: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin}
+    import org.apache.spark.sql.types._
+    if (eqs.isEmpty || among.isEmpty) return Nil
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    val hit = scala.collection.mutable.LinkedHashSet.empty[String]
+    eqs.foreach { d =>
+      val phys = d.physCols.getOrElse(d.cols)
+      // the key columns with comparable (stats-collected) renderings —
+      // doubles for numeric/timestamp, raw for strings, matching what
+      // collectFileStats recorded for the data files
+      val statCols = d.cols.zip(phys).flatMap { case (c, p) =>
+        schema(c).dataType match {
+          case _: NumericType => Some((c, fcol(p).cast("double"), true))
+          case TimestampType => Some((c, fcol(p).cast("double"), true))
+          case StringType => Some((c, fcol(p), false))
+          case _ => None
+        }
+      }
+      val keySchema = StructType(d.cols.zip(phys).map { case (c, p) =>
+        schema(c).copy(name = p) })
+      // SINGLE-column keys under the cap (the CDC shape — cdcUpsert
+      // keys on one id column) get EXACT sorted range-membership: the
+      // distinct keys are collected (≤ cap strings, driver-sized) and
+      // a file is a candidate only when SOME key falls inside its
+      // [min,max] — a batch mixing low-range deletes with high-range
+      // re-inserts no longer smears one global bound over every file
+      // in between. Multi-column or over-cap deletes fall back to
+      // per-column bounds intersection (conservative).
+      val singleExact = d.cols.size == 1 && statCols.size == 1 &&
+        d.rows <= EqCandidateKeysCap
+      val perFile: FileStats => Boolean =
+        if (singleExact) {
+          val (c, expr, num) = statCols.head
+          val keyVals = spark.read.schema(keySchema).parquet(d.path)
+            .select(expr.cast("string").as("_k")).na.drop().distinct()
+            .collect().map(_.getString(0))
+          if (keyVals.isEmpty) { _ => false } // all-NULL keys: inert
+          else if (num) {
+            val ks = keyVals.map(_.toDouble).sorted
+            fs => (fs.min.get(c), fs.max.get(c)) match {
+              case (Some(mn), Some(mx)) =>
+                val lo = mn.toDouble; val hi = mx.toDouble
+                var l = 0; var h = ks.length
+                while (l < h) { val m = (l + h) >>> 1
+                  if (ks(m) < lo) l = m + 1 else h = m }
+                l < ks.length && ks(l) <= hi
+              case _ => true
+            }
+          } else {
+            val ks = keyVals.sorted
+            fs => (fs.min.get(c), fs.max.get(c)) match {
+              case (Some(mn), Some(mx)) => // trunc bounds stay valid
+                var l = 0; var h = ks.length
+                while (l < h) { val m = (l + h) >>> 1
+                  if (ks(m) < mn) l = m + 1 else h = m }
+                l < ks.length && ks(l) <= mx
+              case _ => true
+            }
+          }
+        } else {
+          // per-key-column bounds of THIS delete file
+          val bounds: Map[String, (String, String, Boolean)] =
+            if (statCols.isEmpty) Map.empty
+            else {
+              val aggs = statCols.flatMap { case (c, e, _) =>
+                Seq(fmin(e).cast("string").as(s"_lo_$c"),
+                  fmax(e).cast("string").as(s"_hi_$c")) }
+              val r = spark.read.schema(keySchema).parquet(d.path)
+                .agg(aggs.head, aggs.tail: _*).head()
+              statCols.flatMap { case (c, _, num) =>
+                (Option(r.getAs[String](s"_lo_$c")),
+                  Option(r.getAs[String](s"_hi_$c"))) match {
+                  case (Some(lo), Some(hi)) => Some(c -> ((lo, hi, num)))
+                  case _ => None // all-NULL key column: see below
+                }
+              }.toMap
+            }
+          // a comparable key column whose entries are ALL NULL matches
+          // no data row at all (SQL equality) — the delete is inert
+          if (statCols.exists { case (c, _, _) => !bounds.contains(c) })
+            (_ => false)
+          else fs => bounds.forall { case (c, (lo, hi, num)) =>
+            (fs.min.get(c), fs.max.get(c)) match {
+              case (Some(mn), Some(mx)) =>
+                if (num) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+                else !(mx < lo || mn > hi) // trunc bounds stay valid
+              case _ => true
+            }
+          }
+        }
+      among.foreach { f =>
+        statsByFile.get(f) match {
+          case None => hit += f // no stats: conservative
+          case Some(fs) =>
+            if (fs.seq.getOrElse(0L) < d.seq && perFile(fs)) hit += f
+        }
+      }
+    }
+    among.filter(hit)
+  }
+
+  /** Max delete-side entries for which [[eqDeleteCandidates]] collects
+    * the exact key set (a driver-side string array) instead of falling
+    * back to bounds intersection.
+    */
+  private val EqCandidateKeysCap = 100000L
+
+  /** PER-FILE-GROUP compaction — the scale-honest maintenance rewrite
+    * (Iceberg's rewrite_data_files bin-pack, vs [[compact]]'s explicit
+    * whole-table layout rewrite): only files that are actually DIRTY
+    * pay IO —
+    *
+    *  - data files below `minFileBytes` (streaming-commit shards),
+    *    bin-packed together (skipped when there is only one — nothing
+    *    to pack it with);
+    *  - files NAMED by positional delete entries (their rows are the
+    *    ones the delete side hides);
+    *  - files whose key stats INTERSECT an equality delete's key
+    *    bounds with a smaller sequence number
+    *    ([[eqDeleteCandidates]]) — every other file provably holds no
+    *    matching row.
+    *
+    * Everything else is carried BYTE-UNTOUCHED into the new snapshot
+    * (same path, same stats). The rewrite reads with deletes applied,
+    * and because the rewrite set covers every file any delete entry
+    * can hit, the new snapshot carries an EMPTY delete side — the
+    * accumulated CDC debt is fully folded at a cost proportional to
+    * dirty bytes, not table bytes. At 100 TB under a steady CDC
+    * stream, that is the difference between a nightly job and an
+    * impossible one.
+    */
+  def compactFileGroups(ns: String, name: String,
+      minFileBytes: Long = DefaultMinFileBytes,
+      targetFileBytes: Long = DefaultTargetFileBytes): CompactReport =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val current = meta.currentSnapshot.getOrElse(
+        return CompactReport(0, 0, 0, 0L, 0, 0, compacted = false))
+      def sizeOf(f: String): Long =
+        scala.util.Try(Files.size(Paths.get(f))).getOrElse(0L)
+      val small = current.files.filter(f => sizeOf(f) < minFileBytes)
+      val smallSet: Set[String] =
+        if (small.size >= 2) small.toSet else Set.empty
+      val posTouched: Set[String] =
+        if (current.deleteFiles.isEmpty) Set.empty
+        else spark.read.schema(DeleteFileSchema)
+          .parquet(current.deleteFiles: _*)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+          .intersect(current.files.toSet)
+      val eqTouched = eqDeleteCandidates(current, schema,
+        current.eqDeletes, current.files).toSet
+      val rewrite = current.files.filter(f =>
+        smallSet(f) || posTouched(f) || eqTouched(f))
+      val dirtyDeleteSide =
+        current.deleteFiles.nonEmpty || current.eqDeletes.nonEmpty
+      if (rewrite.isEmpty && !dirtyDeleteSide)
+        return CompactReport(0, current.files.size, 0, 0L, 0, 0,
+          compacted = false)
+      val untouched = current.files.filterNot(rewrite.toSet)
+      val bytes = rewrite.map(sizeOf).sum
+      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val (newFiles, newStats) =
+        if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[FileStats])
+        else {
+          val numOut = math.max(1,
+            math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-binpack")
+          // coalesce, not repartition: bin-packing needs no shuffle
+          readFilesOf(current, schema, rewrite, meta.fieldIds)
+            .coalesce(numOut).write.parquet(snapDir.toString)
+          val fs0 = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath).sorted.toSeq
+          val st = collectFileStats(schema, fs0,
+              bloomColsFor(ns, name, schema))
+            .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+              seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+          (dropEmptyParts(fs0, st), st)
+        }
+      val untouchedStats =
+        current.fileStats.filter(s => untouched.contains(s.path))
+      // the rewrite set covers every file any delete entry can hit
+      // (positional by name, equality by candidate pruning), so the
+      // delete side folds away COMPLETELY — a dead eq-delete (no
+      // candidates at all) is dropped too
+      commitReplacing(ns, name, version, meta, snapshotId,
+        untouched ++ newFiles, untouchedStats ++ newStats)
+      CompactReport(
+        rewrittenFiles = rewrite.size,
+        untouchedFiles = untouched.size,
+        newFiles = newFiles.size,
+        bytesRewritten = bytes,
+        posDeleteFilesFolded = current.deleteFiles.size,
+        eqDeleteFilesFolded = current.eqDeletes.size,
+        compacted = true)
+    }
+
   /** One scheduled MAINTENANCE pass composing the three table-health
     * primitives in dependency order — the nightly job a 100 TB
     * streaming table needs to stay queryable:
     *
-    *  1. [[compact]] (only when the live file count exceeds
-    *     `targetFiles`): folds small streaming-commit files — and any
-    *     merge-on-read delete side — into `targetFiles` files,
-    *     optionally Z-ordered by `clusterBy` so manifest pruning stays
-    *     sharp as layout entropy accumulates;
+    *  1. [[compactFileGroups]] (when small files pile past
+    *     `targetFiles` or the delete side is dirty enough — see the
+    *     trigger below): folds small streaming-commit files and the
+    *     merge-on-read delete side at a cost proportional to DIRTY
+    *     bytes, never table bytes. With `clusterBy` set the pass
+    *     instead runs the explicit whole-table [[compact]] Z-order
+    *     (a layout OPTIMIZE is a deliberate full rewrite);
     *  2. [[expireSnapshots]]: trims history to the last `keepLast`
     *     snapshots and reclaims data/delete files no retained snapshot
     *     references. The RETENTION GUARANTEE rides inside it: the
@@ -1428,18 +1678,42 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * writer aborted mid-maintenance. Each step is its own atomic
     * commit; a crash between steps leaves a consistent table that the
     * next pass finishes.
+    *
+    * TRIGGER (the 100 TB discipline): the old "compact whenever any
+    * delete file exists" fired a full rewrite on every pass of a table
+    * under a steady CDC stream — there is ALWAYS a delete file then.
+    * Now compaction runs when the live file count exceeds
+    * `targetFiles` (small-file debt), OR the delete side holds at
+    * least [[SnapshotCatalog.DeleteFilesCompactThreshold]] files, OR
+    * manifest-counted delete entries exceed
+    * [[SnapshotCatalog.DeletedFractionThreshold]] of the table's rows
+    * — and even then [[compactFileGroups]] rewrites only the dirty
+    * files, so a pass between thresholds is a metadata no-op.
     */
   def maintain(ns: String, name: String, keepLast: Int,
-      targetFiles: Int, clusterBy: Seq[String] = Nil): MaintenanceReport = {
+      targetFiles: Int, clusterBy: Seq[String] = Nil,
+      minFileBytes: Long = DefaultMinFileBytes): MaintenanceReport = {
     val before = describe(ns, name)
     val filesBefore = before.currentSnapshot.map(_.files.size).getOrElse(0)
     val deleteFilesBefore = before.currentSnapshot
       .map(s => s.deleteFiles.size + s.eqDeletes.size).getOrElse(0)
+    val deletedFraction = before.currentSnapshot.map { s =>
+      val dataRows = s.files
+        .flatMap(f => s.fileStats.find(_.path == f)).map(_.rows).sum
+      val delRows = s.deleteFiles
+        .flatMap(f => s.deleteFileStats.find(_.path == f)).map(_.rows).sum +
+        s.eqDeletes.map(_.rows).sum
+      if (dataRows <= 0) 0.0 else delRows.toDouble / dataRows
+    }.getOrElse(0.0)
+    val due = filesBefore > targetFiles ||
+      deleteFilesBefore >= DeleteFilesCompactThreshold ||
+      deletedFraction > DeletedFractionThreshold
     val compacted =
-      if (filesBefore > targetFiles || deleteFilesBefore > 0) {
+      if (!due) false
+      else if (clusterBy.nonEmpty) { // explicit layout OPTIMIZE
         compact(ns, name, targetFiles, clusterBy)
         true
-      } else false
+      } else compactFileGroups(ns, name, minFileBytes).compacted
     expireSnapshots(ns, name, keepLast)
     val orphans = removeOrphanFiles(ns, name)
     val after = describe(ns, name)
@@ -1513,7 +1787,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val dels = spark.read.schema(DeleteFileSchema)
           .parquet(snap.deleteFiles: _*)
           .select(col("file_path").as("__gd_file"), col("pos").as("__gd_pos"))
-        base.join(dels,
+        val posRows = snap.deleteFileStats
+          .filter(s => snap.deleteFiles.contains(s.path)).map(_.rows).sum
+        base.join(morHinted(dels, posRows, "positional-delete"),
           base(RowIdFileCol) === dels("__gd_file") &&
             base(RowIdPosCol) === dels("__gd_pos"),
           "left_anti")
@@ -1528,19 +1804,52 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         .toDF("__gs_file", "__gs_seq")
       val withSeq = posApplied.join(broadcast(seqDf),
         posApplied(RowIdFileCol) === seqDf("__gs_file"), "left")
-      val applied = snap.eqDeletes.groupBy(_.cols).foldLeft(withSeq) {
-        case (acc, (cols, dels)) =>
-          val keySchema = StructType(cols.map(c => schema(c)))
-          val keys = dels.map { d =>
-            spark.read.schema(keySchema).parquet(d.path)
-              .withColumn("__gd_seq", lit(d.seq))
-          }.reduce(_ unionByName _)
-            .select(cols.map(c => col(c).as(s"__gd_$c")) :+ col("__gd_seq"): _*)
-          val cond = cols.map(c => acc(c) === keys(s"__gd_$c"))
-            .reduce(_ && _) && acc("__gs_seq") < keys("__gd_seq")
-          acc.join(keys, cond, "left_anti")
-      }
+      // group by (declared cols, physical cols): the delete parquet is
+      // read under its PHYSICAL names (what a rename never changes) and
+      // projected back to declared — the field-id discipline applied to
+      // the delete side
+      val applied = snap.eqDeletes
+        .groupBy(d => (d.cols, d.physCols.getOrElse(d.cols)))
+        .foldLeft(withSeq) {
+          case (acc, ((cols, phys), dels)) =>
+            val keySchema = StructType(cols.zip(phys).map {
+              case (c, p) => schema(c).copy(name = p) })
+            val keys = dels.map { d =>
+              spark.read.schema(keySchema).parquet(d.path)
+                .withColumn("__gd_seq", lit(d.seq))
+            }.reduce(_ unionByName _)
+              .select(cols.zip(phys).map { case (c, p) =>
+                col(p).as(s"__gd_$c") } :+ col("__gd_seq"): _*)
+            val hintedKeys =
+              morHinted(keys, dels.map(_.rows).sum, "equality-delete")
+            val cond = cols.map(c => acc(c) === hintedKeys(s"__gd_$c"))
+              .reduce(_ && _) && acc("__gs_seq") < hintedKeys("__gd_seq")
+            acc.join(hintedKeys, cond, "left_anti")
+        }
       applied.drop("__gs_file", "__gs_seq")
+    }
+  }
+
+  /** Pin the delete side's broadcast EXPLICITLY instead of trusting
+    * AQE: the merge-on-read contract is "anti-join adds no shuffle of
+    * the 100 TB data side", which only holds while the delete side
+    * broadcasts. The manifest knows the delete side's exact row count
+    * (delete entries are stats-collected on write), so the decision is
+    * metadata-only. A delete side past the threshold degrades LOUDLY —
+    * a warning names the table-service fix (compact folds the delete
+    * side) — instead of AQE silently sort-merge-shuffling the table.
+    */
+  private def morHinted(df: DataFrame, estRows: Long,
+      what: String): DataFrame = {
+    val max = spark.conf.getOption(MorBroadcastMaxRowsConf)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(MorBroadcastMaxRowsDefault)
+    if (estRows <= max) org.apache.spark.sql.functions.broadcast(df)
+    else {
+      Log.warn(s"merge-on-read $what side has $estRows entries " +
+        s"(> $max broadcast cap) — the anti-join will shuffle; run " +
+        "compact/maintain to fold the delete side into data files")
+      df
     }
   }
 
@@ -1792,7 +2101,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val eqStats = collectFileStats(keySchema, newFiles0)
       val rows = eqStats.map(_.rows).sum
       val newFiles = dropEmptyParts(newFiles0, eqStats)
-      val newEq = newFiles.map(f => EqDeleteMeta(f, cols, seqNum, rows))
+      val newEq = newFiles.map(f => EqDeleteMeta(f, cols, seqNum,
+        eqStats.find(_.path == f).map(_.rows).getOrElse(0L),
+        physCols = Some(cols)))
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -1864,16 +2175,37 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *    snapshot's delete side — a row both inserted and deleted inside
     *    the window never appears (net semantics); O(delta) IO.
     *  - DELETES are rows visible at `from` but not at `to`, computed by
-    *    row identity (file, position) over only the CANDIDATE files:
-    *    files named by new positional delete entries — O(touched
-    *    files); new EQUALITY deletes widen candidates to every
-    *    `from`-file with a smaller sequence number (their matches are
-    *    data-dependent; the same cost Iceberg's changelog scan pays on
-    *    eq-delete windows, and compact resets it).
+    *    row identity (file, position) over only the CANDIDATE files
+    *    ([[changelogCandidates]]): files named by new positional
+    *    delete entries, plus — for new EQUALITY deletes — the
+    *    `from`-files whose key stats intersect the delete keys' bounds
+    *    under a smaller sequence number ([[eqDeleteCandidates]]); a
+    *    narrow-key CDC window therefore reads O(touched files), never
+    *    O(table).
     *
     * Data files must be append-only across the window (same check as
     * [[readIncremental]] — a compaction in between rewrites identity).
     */
+  /** The DELETE-side candidate file set of [[readChangelog]] for the
+    * window `from` → `to`, exposed (like [[prunedFiles]]) so tests and
+    * operators can assert the O(touched-files) contract: files named
+    * by the window's new positional delete entries, plus the
+    * stat-pruned equality-delete candidates among `from`'s files.
+    */
+  def changelogCandidates(from: SnapshotMeta, to: SnapshotMeta,
+      schema: StructType): Seq[String] = {
+    val newPos = to.deleteFiles.diff(from.deleteFiles)
+    val newEq = to.eqDeletes.diff(from.eqDeletes)
+    val named: Set[String] =
+      if (newPos.isEmpty) Set.empty
+      else spark.read.schema(DeleteFileSchema).parquet(newPos: _*)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    // stats live on `to` (a superset carrying `from`'s files forward)
+    val eqCand = eqDeleteCandidates(to, schema, newEq, from.files).toSet
+    from.files.filter(f => named(f) || eqCand(f))
+  }
+
   def readChangelog(ns: String, name: String, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -1893,18 +2225,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val inserted = readFilesOf(to, schema, to.files.diff(from.files),
         meta.fieldIds)
       .withColumn(ct, lit("insert"))
-    val newPos = to.deleteFiles.diff(from.deleteFiles)
-    val newEq = to.eqDeletes.diff(from.eqDeletes)
-    val candidates: Seq[String] =
-      if (newEq.nonEmpty) from.files
-      else if (newPos.isEmpty) Nil
-      else {
-        // files actually named by the new positional entries
-        val named = spark.read.schema(DeleteFileSchema).parquet(newPos: _*)
-          .select("file_path").distinct()
-          .collect().map(_.getString(0)).toSet
-        from.files.filter(named)
-      }
+    val candidates = changelogCandidates(from, to, schema)
     val deleted =
       if (candidates.isEmpty)
         spark.createDataFrame(
@@ -1951,13 +2272,48 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
 object SnapshotCatalog {
 
+  private val Log = org.slf4j.LoggerFactory.getLogger(classOf[SnapshotCatalog])
+
   /** Optimistic-concurrency commit retries before giving up. */
   val MaxCommitRetries = 10
+
+  /** Session conf capping the delete-side rows [[SnapshotCatalog.readFilesWithRowId]]
+    * will pin with an explicit broadcast hint; above it the join is
+    * left to the planner and a loud warning points at compaction. The
+    * default (10 M entries ≈ a few hundred MB broadcast) is far above
+    * what the write path's CoW fallback lets accumulate.
+    */
+  val MorBroadcastMaxRowsConf = "spark.graft.mor.broadcastMaxRows"
+  val MorBroadcastMaxRowsDefault = 10000000L
 
   /** What one [[SnapshotCatalog.maintain]] pass did. */
   final case class MaintenanceReport(compacted: Boolean,
       filesBefore: Int, filesAfter: Int,
       snapshotsBefore: Int, snapshotsAfter: Int, orphansRemoved: Int)
+
+  /** What one [[SnapshotCatalog.compactFileGroups]] pass did —
+    * `bytesRewritten` is the honest maintenance-cost number (dirty
+    * bytes, which SCALING.md tracks against table bytes).
+    */
+  final case class CompactReport(rewrittenFiles: Int, untouchedFiles: Int,
+      newFiles: Int, bytesRewritten: Long, posDeleteFilesFolded: Int,
+      eqDeleteFilesFolded: Int, compacted: Boolean)
+
+  /** Bin-pack thresholds ([[SnapshotCatalog.compactFileGroups]]):
+    * files under `DefaultMinFileBytes` are small enough to pack;
+    * rewritten groups aim at `DefaultTargetFileBytes` per output file
+    * (Iceberg's 512 MB default target, ~75% min — scaled to what one
+    * executor comfortably rewrites).
+    */
+  val DefaultMinFileBytes: Long = 384L << 20
+  val DefaultTargetFileBytes: Long = 512L << 20
+
+  /** [[SnapshotCatalog.maintain]] delete-side triggers: compact when
+    * the delete side holds this many files, or hides more than this
+    * fraction of the table's manifest-counted rows.
+    */
+  val DeleteFilesCompactThreshold = 4
+  val DeletedFractionThreshold = 0.05
 
   /** Row-identity columns carried by [[SnapshotCatalog.readFilesWithRowId]]:
     * the parquet reader's file path and within-file row index — the
@@ -2038,9 +2394,17 @@ object SnapshotCatalog {
     * values equal some entry AND its file's sequence number is
     * strictly below `seq`. The CDC workhorse: deleting by key costs
     * ZERO read IO at write time (no positions to find).
+    *
+    * `cols` are CURRENT DECLARED names (renameColumn remaps them, the
+    * field-id discipline applied to the delete side — real Iceberg
+    * stores equality_ids for exactly this reason); `physCols` records
+    * the PHYSICAL column names inside the delete parquet file (the
+    * declared names at write time), which a metadata-only rename never
+    * changes — readers resolve the file under physCols and project
+    * back. None = physical names equal `cols` (pre-rename metadata).
     */
   final case class EqDeleteMeta(path: String, cols: Seq[String],
-      seq: Long, rows: Long)
+      seq: Long, rows: Long, physCols: Option[Seq[String]] = None)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the

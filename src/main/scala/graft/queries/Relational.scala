@@ -2324,6 +2324,193 @@ object Relational {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  // MERGE merge-on-read (`write.merge.mode`, completing the Iceberg v2
+  // DML triad after q57's DELETE and the UPDATE path): the SAME general
+  // MERGE — conditional WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+  // WHEN NOT MATCHED INSERT — runs against two identical tables, one
+  // merge-on-read (ONE atomic snapshot: positional deletes over the
+  // fired rows + the updated/inserted versions as new files; every
+  // pre-existing data file byte-untouched) and one copy-on-write
+  // (touched files rewritten). The query returns both tables' final
+  // aggregates plus the time-traveled pre-merge state; the oracle
+  // restates all three as pure SELECT algebra, so a hash match proves
+  // MoR ≡ CoW ≡ history-intact. In-query require()s pin the physical
+  // MoR contract.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q59_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    for (tb <- Seq("mor", "cow")) {
+      cat.createTable("db", tb, base.schema)
+      cat.updateProperties("db", tb, Map("write.merge.mode" ->
+        (if (tb == "mor") "merge-on-read" else "copy-on-write")))
+      cat.append("db", tb, base)
+    }
+    val preSnap = cat.describe("db", "mor").currentSnapshotId.get
+    val preFiles = cat.describe("db", "mor").currentSnapshot.get.files
+    val srcSql = "(SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) " +
+      s"AS BIGINT) AS amt FROM parquet.`$dir/orders.parquet` " +
+      "WHERE o_orderkey >= 1000 AND o_orderkey < 3500)"
+    for (tb <- Seq("mor", "cow")) {
+      val out = eng.sqlQuery(
+        s"""MERGE INTO db.$tb t USING $srcSql s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.status = 'O'
+           |  THEN UPDATE SET price_c = t.price_c + s.amt
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED
+           |  THEN INSERT (o_orderkey, price_c, status)
+           |  VALUES (s.o_orderkey, s.amt, 'N')""".stripMargin)
+      require(!out.startsWith("""{"error""""), s"MERGE failed: $out")
+    }
+    val morAfter = cat.describe("db", "mor").currentSnapshot.get
+    require(preFiles.forall(morAfter.files.contains),
+      "merge-on-read MERGE must leave pre-existing data files in place")
+    require(morAfter.deleteFiles.nonEmpty,
+      "merge-on-read MERGE must commit a positional delete file")
+    def agg(df: DataFrame, path: String): DataFrame =
+      df.groupBy("status")
+        .agg(count(lit(1)).as("n_orders"), sum("price_c").as("sum_price_c"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .select(lit(path).as("path"), col("status"),
+          col("n_orders"), col("sum_price_c"), col("min_key"), col("max_key"))
+    val out = agg(cat.read("db", "mor"), "mor")
+      .unionByName(agg(cat.read("db", "cow"), "cow"))
+      .unionByName(agg(cat.read("db", "mor", Some(preSnap)), "time_travel"))
+      .orderBy("path", "status")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q59Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 3000),
+      |src AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amt
+      |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3500),
+      |merged AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.status = 'O'
+      |      THEN t.price_c + s.amt ELSE t.price_c END AS price_c,
+      |    t.status
+      |  FROM base t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR t.status = 'O'
+      |  UNION ALL
+      |  SELECT s.o_orderkey, s.amt, 'N'
+      |  FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)),
+      |paths AS (
+      |  SELECT 'mor' AS path, status, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |  FROM merged GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'cow', status, CAST(count(*) AS BIGINT),
+      |    CAST(sum(price_c) AS BIGINT), min(o_orderkey), max(o_orderkey)
+      |  FROM merged GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'time_travel', status, CAST(count(*) AS BIGINT),
+      |    CAST(sum(price_c) AS BIGINT), min(o_orderkey), max(o_orderkey)
+      |  FROM base GROUP BY 2)
+      |SELECT path, status, n_orders, sum_price_c, min_key, max_key
+      |FROM paths ORDER BY path, status""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // The changelog through SQL: `changes('ns.tbl', from[, to])` is the
+  // bridge's table function over the catalog's net-change changelog
+  // read (the reference's whole query contract is SQL pass-through,
+  // duckdb_rest_server.py:73-78 — everything the engine can do must be
+  // SQL-reachable). Two CDC merge-on-read batches land (the q58
+  // topology: updates, deletes, a re-insert of previously-deleted
+  // keys), then ONE SQL query aggregates the window's net row-level
+  // changes. The oracle replays the window as pure SELECT algebra over
+  // the same parquet — insert/delete pairs, sequence rule included.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q60_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    val src = t(s, dir, "orders")
+    def slice(lo: Long, hi: Long) =
+      src.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+    val base = src.filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    cat.createTable("db", "o", base.schema)
+    cat.append("db", "o", base)
+    val s1 = cat.describe("db", "o").currentSnapshotId.get
+    cat.cdcUpsert("db", "o",
+      rows = slice(500, 1000).select(col("o_orderkey").as("k"),
+        (round(col("o_totalprice") * 100, 0).cast("long") + 7).as("price_c"),
+        lit("U").as("status")),
+      deletes = slice(1500, 1600).select(col("o_orderkey").as("k")),
+      keyCols = Seq("k"))
+    cat.cdcUpsert("db", "o",
+      rows = slice(1550, 1575).select(col("o_orderkey").as("k"),
+        (round(col("o_totalprice") * 100, 0).cast("long") * 2).as("price_c"),
+        lit("R").as("status")),
+      deletes = slice(700, 750).select(col("o_orderkey").as("k")),
+      keyCols = Seq("k"))
+    val out = eng.sqlDataFrame(
+      s"""SELECT _change_type, status, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+         |  min(k) AS min_key, max(k) AS max_key
+         |FROM changes('db.o', $s1)
+         |GROUP BY _change_type, status
+         |ORDER BY _change_type, status""".stripMargin)._1
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q60Sql =
+    """WITH orig AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |ch AS (
+      |  SELECT 'delete' AS _change_type, k, price_c, status FROM orig
+      |  WHERE (k >= 500 AND k < 1000) OR (k >= 1500 AND k < 1600)
+      |  UNION ALL
+      |  SELECT 'insert', o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 7, 'U'
+      |  FROM orders
+      |  WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      |    AND NOT (o_orderkey >= 700 AND o_orderkey < 750)
+      |  UNION ALL
+      |  SELECT 'insert', o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2, 'R'
+      |  FROM orders WHERE o_orderkey >= 1550 AND o_orderkey < 1575)
+      |SELECT _change_type, status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM ch GROUP BY 1, 2 ORDER BY _change_type, status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2383,5 +2570,7 @@ object Relational {
     QuerySpec("q55_hits", q55, Some(q55Sql)),
     QuerySpec("q56_sql_dml", q56, Some(q56Sql)),
     QuerySpec("q57_sql_delete_mor", q57, Some(q57Sql)),
-    QuerySpec("q58_cdc_mor", q58, Some(q58Sql)))
+    QuerySpec("q58_cdc_mor", q58, Some(q58Sql)),
+    QuerySpec("q59_merge_mor", q59, Some(q59Sql)),
+    QuerySpec("q60_changelog_sql", q60, Some(q60Sql)))
 }

@@ -141,6 +141,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     val refs = parsed.map(catalogRefs).getOrElse(Nil)
     val metaRefs = parsed.map(metadataRefs).getOrElse(Nil)
     val ttRefs = parsed.map(timeTravelRefs).getOrElse(Nil)
+    val chRefs = parsed.map(changesRefs).getOrElse(Nil)
     // DML first: InsertIntoStatement holds its target relation as a
     // FIELD (only the source query is a child), so the refs walk below
     // cannot see it and the no-refs fall-through would hand the
@@ -150,7 +151,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case None => ()
     }
 
-    if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty)
+    if (refs.isEmpty && metaRefs.isEmpty && ttRefs.isEmpty && chRefs.isEmpty)
       return (spark.sql(sql), Nil)
 
     parsed.toOption.flatMap(metadataCountFast) match {
@@ -173,6 +174,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         catalog.read(ns, t, Some(snapId)).createOrReplaceTempView(view)
         (ns, t, snapId) -> view
       }.toMap
+    // the changelog table function: `changes('ns.tbl', from[, to])`
+    // becomes a temp view over readChangelog — the net row-level
+    // changes of the window with a `_change_type` column, making CDC
+    // consumption reachable from the pass-through SQL surface
+    val chViews = chRefs.map { case key @ (ns, t, from, to) =>
+      val view = Engine.viewName(ns, s"${t}_ch${from}_${to.getOrElse(-1L)}")
+      catalog.readChangelog(ns, t, from, to).createOrReplaceTempView(view)
+      key -> view
+    }.toMap
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
@@ -217,6 +227,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               r.copy(multipartIdentifier = Seq(ttViews(key))))
           case _ => rt // left for Spark to reject as-written
         }
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if changesKey(tvf).exists(chViews.contains) =>
+        val key = changesKey(tvf).get
+        SubqueryAlias(
+          org.apache.spark.sql.catalyst.AliasIdentifier("changes",
+            Seq(key._1, key._2)),
+          UnresolvedRelation(Seq(chViews(key))))
       case r: UnresolvedRelation if !ttInner.contains(r) =>
         r.multipartIdentifier match {
           case Seq(ns, t) if views.contains((ns, t)) =>
@@ -240,7 +257,64 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       views.values.foreach(spark.catalog.dropTempView(_))
       metaViews.values.foreach(spark.catalog.dropTempView(_))
       ttViews.values.foreach(spark.catalog.dropTempView(_))
+      chViews.values.foreach(spark.catalog.dropTempView(_))
     }
+  }
+
+  /** Decode one `changes('ns.tbl', fromSnapshot[, toSnapshot])` table-
+    * function reference: (ns, table, from, to) for a literal-argument
+    * call on an existing catalog table; anything else is None and the
+    * node reaches Spark's own rejection untouched.
+    */
+  private def changesKey(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction):
+      Option[(String, String, Long, Option[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def num(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    def tbl(e: Expression): Option[(String, String)] = e match {
+      case Literal(s, StringType) if s != null =>
+        s.toString.split('.') match {
+          case Array(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) != Seq("changes"))
+      None
+    else tvf.functionArgs match {
+      case Seq(te, fe) => for { (ns, t) <- tbl(te); f <- num(fe) }
+        yield (ns, t, f, None)
+      case Seq(te, fe, toE) => for {
+        (ns, t) <- tbl(te); f <- num(fe); to <- num(toE)
+      } yield (ns, t, f, Some(to))
+      case _ => None
+    }
+  }
+
+  /** `changes(...)` references in the parsed plan — same subquery/CTE-
+    * aware walk as [[metadataRefs]].
+    */
+  private def changesRefs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Seq[(String, String, Long, Option[Long])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+    val out = scala.collection.mutable.LinkedHashSet
+      .empty[(String, String, Long, Option[Long])]
+    def walk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (_, rel, _) => walk(rel) }
+      case tvf: UnresolvedTableValuedFunction =>
+        changesKey(tvf).foreach(out += _)
+      case _ => ()
+    }
+    walk(plan)
+    out.toSeq
   }
 
   /** Manifest file pruning for one table snapshot under merged
@@ -352,10 +426,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
   }
 
   /** The 1-row DML/DDL result frame every statement renders through
-    * the records envelope.
+    * the records envelope. `delete_files_written` / `bytes_rewritten`
+    * make the merge-on-read-vs-copy-on-write choice OBSERVABLE per
+    * statement: MoR commits report the delete file and zero rewritten
+    * bytes, CoW reports the candidate files' input bytes — the number
+    * an operator watches to know which write path a 100 TB DML took.
     */
   private def summary(op: String, ns: String, t: String, affected: Long,
-      rewritten: Int, total: Int): (DataFrame, Seq[Engine.PruneInfo]) = {
+      rewritten: Int, total: Int, deleteFilesWritten: Long = 0L,
+      bytesRewritten: Long = 0L): (DataFrame, Seq[Engine.PruneInfo]) = {
     import org.apache.spark.sql.functions.lit
     // the table may be gone (DROP) or never have existed (DROP IF
     // EXISTS on a missing table) — no snapshot to report then
@@ -366,6 +445,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       lit(op).as("operation"), lit(s"$ns.$t").as("target"),
       lit(affected).as("rows_affected"),
       lit(rewritten).as("files_rewritten"), lit(total).as("files_total"),
+      lit(deleteFilesWritten).as("delete_files_written"),
+      lit(bytesRewritten).as("bytes_rewritten"),
       lit(snapId).as("snapshot_id"))
     (df, Seq(Engine.PruneInfo(s"$ns.$t", rewritten, total)))
   }
@@ -470,12 +551,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                   .as(t).filter(c)
                   .select(SnapshotCatalog.RowIdFileCol,
                     SnapshotCatalog.RowIdPosCol)
-                catalog.addDeleteFile(ns, t, positions, Some(s.snapshotId))
-                summary("DELETE", ns, t, affected, 0, total)
+                val (_, wrote) =
+                  catalog.addDeleteFile(ns, t, positions, Some(s.snapshotId))
+                summary("DELETE", ns, t, affected, 0, total,
+                  deleteFilesWritten = if (wrote > 0) 1 else 0)
               } else {
                 catalog.rewriteFiles(ns, t, files,
                   d => d.as(t).filter(not(c)), snap.map(_.snapshotId))
-                summary("DELETE", ns, t, affected, files.size, total)
+                summary("DELETE", ns, t, affected, files.size, total,
+                  bytesRewritten = Engine.bytesOf(files))
               }
             }
           }
@@ -524,9 +608,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                 case None => col(f.name)
               }
             }.toSeq: _*)
-            catalog.addDeleteFileWithAppend(ns, t, positions, updated,
-              Some(s.snapshotId)): Unit
-            summary("UPDATE", ns, t, affected, 0, total)
+            val (_, delWrote) = catalog.addDeleteFileWithAppend(
+              ns, t, positions, updated, Some(s.snapshotId))
+            summary("UPDATE", ns, t, affected, 0, total,
+              deleteFilesWritten = if (delWrote > 0) 1 else 0)
           } else {
             if (affected > 0) {
               catalog.rewriteFiles(ns, t, files, { d0 =>
@@ -545,7 +630,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               }, snapId)
             }
             summary("UPDATE", ns, t, affected,
-              if (affected > 0) files.size else 0, total)
+              if (affected > 0) files.size else 0, total,
+              bytesRewritten =
+                if (affected > 0) Engine.bytesOf(files) else 0L)
           }
         }
 
@@ -734,13 +821,29 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                   col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
                 .localCheckpoint()
               val affected = src.count()
-              val totalBefore = catalog.describe(ns, t).currentSnapshot
+              val tMeta = catalog.describe(ns, t)
+              val totalBefore = tMeta.currentSnapshot
                 .map(_.files.size).getOrElse(0)
-              // files_rewritten = the files the key-range pruning
-              // actually selected, not the whole table — the observable
-              // write-amplification number the other summaries report
-              val (_, touched) = catalog.upsertCounted(ns, t, src, key)
-              summary("MERGE", ns, t, affected, touched, totalBefore)
+              // write.merge.mode=merge-on-read: a whole-row upsert IS
+              // the CDC commit shape — one atomic snapshot of an
+              // equality delete over the batch's keys plus the batch
+              // as new data files, ZERO existing data read or
+              // rewritten (the cdcUpsert path q58 proves)
+              if (tMeta.properties.get("write.merge.mode")
+                    .contains("merge-on-read") &&
+                  tMeta.currentSnapshot.isDefined) {
+                catalog.cdcUpsert(ns, t, src,
+                  deletes = src.select(col(key)).limit(0), Seq(key))
+                summary("MERGE", ns, t, affected, 0, totalBefore,
+                  deleteFilesWritten = 1)
+              } else {
+                // files_rewritten = the files the key-range pruning
+                // actually selected, not the whole table — the
+                // observable write-amplification number the other
+                // summaries report
+                val (_, touched) = catalog.upsertCounted(ns, t, src, key)
+                summary("MERGE", ns, t, affected, touched, totalBefore)
+              }
             }
             else mergeGeneral(m, ns, t, key)
         } yield result
@@ -873,10 +976,21 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         case Some(s) if nActs.nonEmpty => s.files
         case Some(s) => keyPruned(s)
       }
+      // target rows carry their (file, position) identity: the MERGE
+      // cardinality check needs a per-target-row grain, and the
+      // merge-on-read write path needs the positions themselves
       val tgt0 = current match {
-        case Some(s) => catalog.readFilesOf(s, schema, touched, meta.fieldIds)
+        case Some(s) =>
+          catalog.readFilesWithRowId(s, schema, touched, meta.fieldIds)
         case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(
+              SnapshotCatalog.RowIdFileCol,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              SnapshotCatalog.RowIdPosCol,
+              org.apache.spark.sql.types.LongType))))
       }
       val tgt = tgt0.withColumn("__t_present", lit(true)).as(tAlias)
       val srcA = src.withColumn("__s_present", lit(true)).as(sAlias)
@@ -908,21 +1022,56 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         when(mFlag, mVf(f.name)).when(tOnly, nVf(f.name))
           .otherwise(iVf(f.name)).cast(f.dataType).as(f.name)
       }.toSeq
-      val out = joined.filter(keep).select(outCols: _*)
+      val rif = col(SnapshotCatalog.RowIdFileCol)
+      val rip = col(SnapshotCatalog.RowIdPosCol)
       // rows a clause actually fired on (target files immutable + src
-      // checkpointed ⇒ this pass and the write see the same rows)
+      // checkpointed ⇒ this pass and the write see the same rows) —
+      // plus, in the SAME pass, the MERGE cardinality check: matched
+      // join rows vs DISTINCT matched target identities. A target row
+      // matched by >1 source rows would be updated/duplicated once per
+      // copy — standard SQL, Spark, and Iceberg all raise instead.
       val cnt = joined.agg(
         sum(when(mFlag && mHit, 1L).otherwise(0L)),
         sum(when(tOnly && nHit, 1L).otherwise(0L)),
-        sum(when(!tP && sP && iHit, 1L).otherwise(0L))).head()
-      val affected = (0 to 2)
-        .map(i => if (cnt.isNullAt(i)) 0L else cnt.getLong(i)).sum
+        sum(when(!tP && sP && iHit, 1L).otherwise(0L)),
+        sum(when(mFlag, 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.countDistinct(
+          when(mFlag, org.apache.spark.sql.functions.struct(rif, rip)))).head()
+      def cell(i: Int): Long = if (cnt.isNullAt(i)) 0L else cnt.getLong(i)
+      if (cell(3) != cell(4))
+        throw new IllegalStateException(
+          "MERGE_CARDINALITY_VIOLATION: the ON condition matched " +
+            s"${cell(3)} source rows onto ${cell(4)} distinct target rows " +
+            s"of $ns.$t — a target row must match at most one source row")
+      val affected = (0 to 2).map(cell).sum
+      // write.merge.mode=merge-on-read completes the v2 DML triad:
+      // ONE atomic snapshot commits positional deletes for every row a
+      // matched/by-source clause fired on plus the new row versions
+      // (updated + inserted) — O(changed rows) write IO, every data
+      // file byte-untouched; copy-on-write (default) rewrites the
+      // touched files.
+      val mergeMor = meta.properties.get("write.merge.mode")
+        .contains("merge-on-read")
       current match {
+        case Some(s) if mergeMor =>
+          val positions = joined
+            .filter((mFlag && mHit) || (tOnly && nHit)).select(rif, rip)
+          val newRows = joined.filter(
+              (mFlag && mHit && !mDrop) || (tOnly && nHit && !nDrop) ||
+                (!tP && sP && iHit))
+            .select(outCols: _*)
+          val (_, delWritten) = catalog.addDeleteFileWithAppend(
+            ns, t, positions, newRows, Some(s.snapshotId))
+          summary("MERGE", ns, t, affected, 0, total,
+            deleteFilesWritten = if (delWritten > 0) 1 else 0)
         case Some(s) =>
+          val out = joined.filter(keep)
+            .select(outCols: _*)
           catalog.rewriteFiles(ns, t, touched, _ => out, Some(s.snapshotId))
-          summary("MERGE", ns, t, affected, touched.size, total)
+          summary("MERGE", ns, t, affected, touched.size, total,
+            bytesRewritten = Engine.bytesOf(touched))
         case None =>
-          catalog.append(ns, t, out)
+          catalog.append(ns, t, joined.filter(keep).select(outCols: _*))
           summary("MERGE", ns, t, affected, 0, 0)
       }
     }
@@ -966,7 +1115,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case Seq(ns, t) if catalog.tableExists(ns, t) =>
         val msOpt = (ts, v) match {
           case (None, Some(ver)) =>
-            return scala.util.Try(ver.toLong).toOption.map((ns, t, _))
+            // numeric = snapshot id; otherwise a NAMED REF — a tag or
+            // branch head resolves to its pinned snapshot (Iceberg's
+            // `VERSION AS OF 'audit-tag'` surface; refs are listed by
+            // the `ns.tbl.refs` metadata table)
+            return scala.util.Try(ver.toLong).toOption
+              .orElse(catalog.describe(ns, t).refs.get(ver))
+              .map((ns, t, _))
           case (Some(Literal(u, StringType)), None) =>
             // interpret the wall-clock string in the SESSION timezone
             // (java.sql.Timestamp.valueOf would use the JVM default,
@@ -1507,6 +1662,14 @@ object Engine {
 
   /** One table's prune outcome: `kept` of `total` manifest files. */
   case class PruneInfo(table: String, kept: Int, total: Int)
+
+  /** On-disk bytes of a file set — the `bytes_rewritten` a copy-on-
+    * write DML summary reports (input bytes of the candidate files the
+    * rewrite read; files already gone read as 0).
+    */
+  private[graft] def bytesOf(files: Seq[String]): Long =
+    files.map(f => scala.util.Try(
+      java.nio.file.Files.size(java.nio.file.Paths.get(f))).getOrElse(0L)).sum
 
   /** Numeric range filter for [[Engine.queryTable]] (None = unbounded
     * side); timestamps compare as epoch seconds, matching the stats.

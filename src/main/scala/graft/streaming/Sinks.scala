@@ -260,6 +260,74 @@ object Sinks {
     }
   }
 
+  /** Downstream CHANGELOG FOLLOWER — the reference's Kafka-Connect
+    * table-to-table topology (docker-compose.yml:108-225: a connector
+    * moving one store's changes into another) rebuilt on snapshots: a
+    * downstream table subscribes to an upstream catalog table by
+    * consuming its net-change changelog windows
+    * ([[SnapshotCatalog.readChangelog]]) and applying each window as
+    * ONE atomic CDC commit ([[SnapshotCatalog.cdcUpsert]]: equality
+    * delete over the window's delete keys + the window's inserts as
+    * new data files). The consumed upstream position rides IN the same
+    * downstream commit's properties, so a crashed/replayed window is
+    * idempotent — the at-least-once discipline every sink here uses.
+    * Each poll costs O(window delta) IO, never O(upstream table).
+    *
+    * `poll()` returns whether a window was applied; [[batch]] adapts
+    * it to foreachBatch so any ticking stream drives the subscription.
+    * An upstream compaction inside an unconsumed window surfaces as
+    * readChangelog's refusal (row identity was rewritten) — consume
+    * before compacting, the same contract incremental consumers have.
+    */
+  def changelogFollower(catalog: SnapshotCatalog, upNs: String,
+      upTable: String, downNs: String, downTable: String,
+      keyCols: Seq[String]): ChangelogFollower =
+    new ChangelogFollower(catalog, upNs, upTable, downNs, downTable, keyCols)
+
+  final class ChangelogFollower private[Sinks] (catalog: SnapshotCatalog,
+      upNs: String, upTable: String, downNs: String, downTable: String,
+      keyCols: Seq[String]) {
+    private val posKey = s"graft.follow.$upNs.$upTable.snapshot"
+
+    /** Consume everything committed upstream since the last poll.
+      * Returns true when a window was applied (false = caught up).
+      */
+    def poll(): Boolean = {
+      val upMeta = catalog.describe(upNs, upTable)
+      val upSnap = upMeta.currentSnapshotId.getOrElse(return false)
+      if (!catalog.tableExists(downNs, downTable))
+        catalog.createTable(downNs, downTable,
+          catalog.schemaOf(upNs, upTable)): Unit
+      val downMeta = catalog.describe(downNs, downTable)
+      downMeta.properties.get(posKey).map(_.toLong) match {
+        case None =>
+          // bootstrap: the upstream's current state, position recorded
+          // atomically with the copy
+          catalog.append(downNs, downTable, catalog.read(upNs, upTable),
+            Map(posKey -> upSnap.toString))
+          true
+        case Some(from) if from == upSnap => false // caught up
+        case Some(from) =>
+          val ct = catalog.readChangelog(upNs, upTable, from, Some(upSnap))
+          val ins = ct.filter(col("_change_type") === "insert")
+            .drop("_change_type")
+          val dels = ct.filter(col("_change_type") === "delete")
+            .select(keyCols.map(col): _*)
+          // an update is its delete+insert pair: the eq-delete hides
+          // the old version, the insert (same commit, higher sequence)
+          // survives it — exactly cdcUpsert's contract
+          catalog.cdcUpsert(downNs, downTable, ins, dels, keyCols,
+            Map(posKey -> upSnap.toString)): Unit
+          true
+      }
+    }
+
+    /** foreachBatch adapter: attach the subscription to any ticking
+      * stream (`rate` source, upstream commit notifications, …).
+      */
+    def batch(ignored: DataFrame, batchId: Long): Unit = { poll(); () }
+  }
+
   /** S7 — event-time partitioned parquet sink
     * (s3-connector-config.json:15-25): paths
     * `year=YYYY/month=MM/day=dd/hour=HH` derived from the RECORD's

@@ -1047,4 +1047,163 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 17)
     assert(cat.describe("db", "t").currentSnapshot.get.deleteFiles.size == 1)
   }
+
+  test("compactFileGroups: only DIRTY files rewrite — clean data files " +
+      "stay byte-identical, delete side folds, cost ∝ dirty bytes") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // 4 big files with disjoint key ranges + 2 tiny streaming shards
+    for (k <- 0 until 4)
+      cat.append("db", "t", (k * 1000L until k * 1000L + 500L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    cat.append("db", "t", Seq((9000L, 1.0)).toDF("id", "v").coalesce(1))
+    cat.append("db", "t", Seq((9001L, 2.0)).toDF("id", "v").coalesce(1))
+    // one positional delete, touching exactly one big file's row
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+      .filter(col("id") === 2001L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    val before = cat.describe("db", "t").currentSnapshot.get
+    def sz(f: String) = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    val statsBy = before.fileStats.map(s => s.path -> s).toMap
+    val (bigs, smalls) = before.files.partition(f => statsBy(f).rows > 1)
+    assert(bigs.size == 4 && smalls.size == 2)
+    // the dirty big file = the one whose key range covers 2001
+    val dirtyBig = bigs.filter(f => statsBy(f).min("id").toDouble <= 2001 &&
+      statsBy(f).max("id").toDouble >= 2001)
+    assert(dirtyBig.size == 1)
+    val cleanBigs = bigs.filterNot(dirtyBig.toSet)
+    val hashesBefore = cleanBigs.map(f => f -> md5Of(f)).toMap
+    val tableBytes = before.files.map(sz).sum
+    val report = cat.compactFileGroups("db", "t",
+      minFileBytes = bigs.map(sz).min, // big files are NOT small
+      targetFileBytes = 512L << 20)
+    // rewrite set = 2 small shards + the 1 delete-touched big file
+    assert(report.compacted && report.rewrittenFiles == 3,
+      s"unexpected report: $report")
+    assert(report.posDeleteFilesFolded == 1)
+    // maintenance cost ∝ dirty bytes: the 3 clean big files' bytes
+    // never moved (the full-table rewrite would have paid tableBytes)
+    assert(report.bytesRewritten < tableBytes / 2,
+      s"rewrote ${report.bytesRewritten} of $tableBytes table bytes")
+    val after = cat.describe("db", "t").currentSnapshot.get
+    assert(after.deleteFiles.isEmpty && after.eqDeletes.isEmpty)
+    cleanBigs.foreach { f =>
+      assert(after.files.contains(f), s"clean file $f dropped")
+      assert(md5Of(f) == hashesBefore(f), s"clean file $f was rewritten")
+    }
+    assert(!after.files.contains(dirtyBig.head))
+    assert(cat.read("db", "t").count() == 2001) // 2000 + 2 - 1 deleted
+    assert(after.statsRowCount.contains(2001L))
+    // a second pass is a no-op: nothing dirty remains (the packed
+    // output is a lone small file — nothing to pack it with)
+    val again = cat.compactFileGroups("db", "t",
+      minFileBytes = bigs.map(sz).min, targetFileBytes = 512L << 20)
+    assert(!again.compacted && again.rewrittenFiles == 0)
+  }
+
+  test("equality-delete keys survive RENAME COLUMN (field-id discipline " +
+      "on the delete side); DROP of a keyed column is refused") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    // CDC batch keyed on `id`: update 3, delete 7
+    cat.cdcUpsert("db", "t", rows = Seq((3L, 33.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    cat.renameColumn("db", "t", "id", "ident")
+    // the ADVICE failure mode: reads after renaming an eq-delete key
+    // column threw (schema("id") gone) — now the delete entries follow
+    // the rename and the delete parquet resolves under physical names
+    val out = cat.read("db", "t")
+    assert(out.schema.fieldNames.toSeq == Seq("ident", "v"))
+    assert(out.count() == 9)
+    assert(out.filter(col("ident") === 7L).isEmpty)
+    assert(out.filter(col("ident") === 3L).head().getDouble(1) == 33.0)
+    // DROP of the (still-referenced) key column refuses loudly
+    val e = intercept[IllegalArgumentException](
+      cat.dropColumn("db", "t", "ident"))
+    assert(e.getMessage.contains("equality delete"))
+    // compact folds the delete side post-rename (it reads through the
+    // same path the ADVICE showed breaking)...
+    assert(cat.compactFileGroups("db", "t",
+      minFileBytes = Long.MaxValue).compacted)
+    assert(cat.read("db", "t").count() == 9)
+    // ...and once no retained snapshot references the key, DROP works
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    cat.dropColumn("db", "t", "ident")
+    assert(cat.read("db", "t").schema.fieldNames.toSeq == Seq("v"))
+  }
+
+  test("changelog candidates are stat-pruned under equality deletes: a " +
+      "narrow-key window reads O(touched) files, and pruned ≡ brute force") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // 8 files with disjoint key ranges
+    for (k <- 0 until 8)
+      cat.append("db", "t", (k * 100L until k * 100L + 100L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    // CDC window: delete keys 250..259 (one file's range), insert fresh
+    cat.cdcUpsert("db", "t",
+      rows = (9000L until 9005L).map(i => (i, 1.0)).toDF("id", "v"),
+      deletes = (250L until 260L).toDF("id"), Seq("id"))
+    val meta = cat.describe("db", "t")
+    val from = meta.snapshots.find(_.snapshotId == s1).get
+    val to = meta.currentSnapshot.get
+    val cands = cat.changelogCandidates(from, to, schemaV1)
+    // the old code read ALL 8 from-files on any eq-delete window; the
+    // stat pruning keeps only the file whose range covers [250,260)
+    assert(cands.size == 1, s"expected 1 candidate, got ${cands.size}")
+    assert(from.files.size == 8)
+    // pruned result ≡ brute force over ALL from-files
+    val changes = cat.readChangelog("db", "t", s1)
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    val was = cat.readFilesWithRowId(from, schemaV1, from.files)
+    val still = cat.readFilesWithRowId(to, schemaV1, from.files)
+      .select(col(SnapshotCatalog.RowIdFileCol).as("__f"),
+        col(SnapshotCatalog.RowIdPosCol).as("__p"))
+    val bruteDeleted = was.join(still,
+        was(SnapshotCatalog.RowIdFileCol) === still("__f") &&
+          was(SnapshotCatalog.RowIdPosCol) === still("__p"), "left_anti")
+      .collect().map(r => ("delete", r.getLong(0))).toSet
+    val bruteInserted = (9000L until 9005L).map(("insert", _)).toSet
+    assert(changes == bruteDeleted ++ bruteInserted,
+      s"pruned=$changes brute=${bruteDeleted ++ bruteInserted}")
+  }
+
+  test("merge-on-read read path pins the delete-side broadcast; an " +
+      "oversized delete side still reads correctly") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t",
+      (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(2))
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+      .filter(col("id") < 3L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    cat.cdcUpsert("db", "t", rows = Seq((200L, 2.0)).toDF("id", "v"),
+      deletes = Seq(50L).toDF("id"), Seq("id"))
+    // under the default cap the anti-joins are EXPLICITLY broadcast —
+    // no AQE judgment call, no shuffle of the data side
+    val plan = cat.read("db", "t").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-joins, got:\n$plan")
+    val expect = cat.read("db", "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // cap 0 = every delete side "oversized": the hint is withheld (the
+    // loud-degrade path) but results are identical
+    spark.conf.set(SnapshotCatalog.MorBroadcastMaxRowsConf, "0")
+    try {
+      val got = cat.read("db", "t")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == expect)
+    } finally spark.conf.unset(SnapshotCatalog.MorBroadcastMaxRowsConf)
+  }
 }

@@ -1166,4 +1166,157 @@ class EngineSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM parquet.`$sf0001/region.parquet`")
     assert(ok.contains(""""n":5"""), ok)
   }
+
+  test("MERGE write.merge.mode=merge-on-read: general and whole-row " +
+      "shapes commit deletes + new versions atomically, data files " +
+      "untouched, answers hash-equal to copy-on-write") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-mmor"))
+    val eng = new Engine(spark, cat)
+    def mk(t: String, mor: Boolean): Unit = {
+      cat.createTable("db", t,
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      if (mor) cat.updateProperties("db", t,
+        Map("write.merge.mode" -> "merge-on-read")): Unit
+      for (lo <- Seq(0L, 10L))
+        cat.append("db", t,
+          (lo until lo + 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+            .coalesce(1))
+    }
+    mk("m", mor = true); mk("c", mor = false)
+    val morFiles = cat.describe("db", "m").currentSnapshot.get.files
+    val src = "(SELECT CAST(id AS BIGINT) AS id, CAST(id*10 AS DOUBLE) AS v " +
+      "FROM (VALUES (5),(6),(15),(100),(101)) AS x(id))"
+    def mergeSql(t: String) =
+      s"""MERGE INTO db.$t t USING $src s ON t.id = s.id
+         |WHEN MATCHED AND t.id < 10 THEN UPDATE SET v = s.v
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+        .stripMargin
+    for (t <- Seq("m", "c")) {
+      val out = eng.sqlQuery(mergeSql(t))
+      assert(out.contains(""""rows_affected":5"""), out)
+      // the MoR summary reports its delete file, the CoW one its bytes
+      if (t == "m") assert(out.contains(""""delete_files_written":1""") &&
+        out.contains(""""bytes_rewritten":0"""), out)
+      else assert(out.contains(""""delete_files_written":0""") &&
+        !out.contains(""""bytes_rewritten":0"""), out)
+    }
+    val after = cat.describe("db", "m").currentSnapshot.get
+    assert(morFiles.forall(after.files.contains),
+      "merge-on-read MERGE must not rewrite data files")
+    assert(after.deleteFiles.nonEmpty)
+    val a = eng.sqlQuery("SELECT * FROM db.m ORDER BY id")
+    val b = eng.sqlQuery("SELECT * FROM db.c ORDER BY id")
+    assert(a == b, s"MoR and CoW MERGE answers diverged:\n$a\n$b")
+
+    // whole-row fast path under MoR rides the CDC commit shape:
+    // equality delete + append, zero existing data read or rewritten
+    val pre2 = cat.describe("db", "m").currentSnapshot.get
+    def upSql(t: String) =
+      s"""MERGE INTO db.$t t USING $src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    for (t <- Seq("m", "c"))
+      assert(eng.sqlQuery(upSql(t)).contains(""""rows_affected":5"""))
+    val after2 = cat.describe("db", "m").currentSnapshot.get
+    assert(pre2.files.forall(after2.files.contains),
+      "whole-row MoR MERGE must not rewrite data files")
+    assert(after2.eqDeletes.nonEmpty)
+    val a2 = eng.sqlQuery("SELECT * FROM db.m ORDER BY id")
+    val b2 = eng.sqlQuery("SELECT * FROM db.c ORDER BY id")
+    assert(a2 == b2, s"MoR and CoW upsert answers diverged:\n$a2\n$b2")
+  }
+
+  test("MERGE cardinality violation: a target row matched by two source " +
+      "rows is rejected, not silently duplicated") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-mcard"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 5L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val out = eng.sqlQuery(
+      """MERGE INTO db.t t
+        |USING (SELECT CAST(id AS BIGINT) AS id, CAST(9 AS DOUBLE) AS v
+        |       FROM (VALUES (2),(2)) AS x(id)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(out.startsWith("""{"error""""), out)
+    assert(out.contains("MERGE_CARDINALITY_VIOLATION"), out)
+    // nothing committed
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t")
+      .contains(""""n":5"""))
+    assert(eng.sqlQuery("SELECT sum(v) AS s FROM db.t")
+      .contains(""""s":10.0"""))
+  }
+
+  test("changes() table function: SQL-reachable changelog; VERSION AS " +
+      "OF resolves named refs (tags)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-chsql"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    cat.createTag("db", "t", "audit-base", None)
+    cat.cdcUpsert("db", "t", rows = Seq((3L, 33.0), (100L, 1.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    val s2 = cat.describe("db", "t").currentSnapshotId.get
+    cat.cdcUpsert("db", "t", rows = Seq((200L, 2.0)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    // open window [s1, current]: both CDC batches
+    val out = eng.sqlQuery(
+      s"SELECT _change_type, id, v FROM changes('db.t', $s1) " +
+        "ORDER BY _change_type, id")
+    for (frag <- Seq(
+        """{"_change_type":"delete","id":3,"v":3.0}""",
+        """{"_change_type":"delete","id":7,"v":7.0}""",
+        """{"_change_type":"insert","id":3,"v":33.0}""",
+        """{"_change_type":"insert","id":100,"v":1.0}""",
+        """{"_change_type":"insert","id":200,"v":2.0}"""))
+      assert(out.contains(frag), s"missing $frag in $out")
+    // bounded window [s1, s2]: only the first batch; aggregation works
+    val agg = eng.sqlQuery(
+      s"SELECT _change_type, count(*) AS n FROM changes('db.t', $s1, $s2) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+    assert(agg.contains(""""_change_type":"delete","n":2""") &&
+      agg.contains(""""_change_type":"insert","n":2"""), agg)
+    // a named ref resolves through VERSION AS OF (tags pin audits)
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM db.t VERSION AS OF 'audit-base'")
+      .contains(""""n":10"""))
+    // unknown function / unknown ref still reject cleanly
+    assert(eng.sqlQuery("SELECT * FROM changes('db.missing', 1)")
+      .startsWith("""{"error""""))
+    assert(eng.sqlQuery("SELECT * FROM db.t VERSION AS OF 'no-such-ref'")
+      .startsWith("""{"error""""))
+  }
+
+  test("DML summaries expose delete_files_written / bytes_rewritten — " +
+      "the write-path choice observable per statement") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-dmlmx"))
+    val eng = new Engine(spark, cat)
+    for (t <- Seq("m", "c")) {
+      cat.createTable("db", t, Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.updateProperties("db", t, Map(
+        SnapshotCatalog.DeleteModeProp ->
+          (if (t == "m") "merge-on-read" else "copy-on-write"),
+        "write.update.mode" ->
+          (if (t == "m") "merge-on-read" else "copy-on-write")))
+      cat.append("db", t, (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    }
+    val dm = eng.sqlQuery("DELETE FROM db.m WHERE id < 3")
+    assert(dm.contains(""""delete_files_written":1""") &&
+      dm.contains(""""bytes_rewritten":0"""), dm)
+    val dc = eng.sqlQuery("DELETE FROM db.c WHERE id < 3")
+    assert(dc.contains(""""delete_files_written":0"""), dc)
+    assert("\"bytes_rewritten\":[1-9]".r.findFirstIn(dc).isDefined, dc)
+    val um = eng.sqlQuery("UPDATE db.m SET v = v + 1 WHERE id >= 18")
+    assert(um.contains(""""delete_files_written":1""") &&
+      um.contains(""""bytes_rewritten":0"""), um)
+    val uc = eng.sqlQuery("UPDATE db.c SET v = v + 1 WHERE id >= 18")
+    assert(uc.contains(""""delete_files_written":0"""), uc)
+    assert("\"bytes_rewritten\":[1-9]".r.findFirstIn(uc).isDefined, uc)
+  }
 }

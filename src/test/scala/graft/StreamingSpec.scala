@@ -691,4 +691,48 @@ class StreamingSpec extends SparkTestBase {
     assert(cat.read("db", "kv").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == state)
   }
+
+  test("changelog follower: a downstream table subscribes to an upstream " +
+      "one and converges across CDC windows, deletes included") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-chf-wh"))
+    cat.createTable("db", "up",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "up",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val f = Sinks.changelogFollower(cat, "db", "up", "db", "down", Seq("id"))
+    def converged(): Unit = {
+      val u = cat.read("db", "up").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val d = cat.read("db", "down").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(u == d, s"up=$u down=$d")
+    }
+    // window 1: bootstrap copy
+    assert(f.poll()); converged()
+    // window 2: updates + a fresh insert
+    cat.cdcUpsert("db", "up",
+      rows = Seq((3L, 33.0), (100L, 1.0)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(f.poll()); converged()
+    // window 3: DELETE-bearing — an equality delete AND a positional
+    // delete land upstream before the poll
+    cat.cdcUpsert("db", "up",
+      rows = Seq((4L, 44.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    val cur = cat.describe("db", "up").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, cat.schemaOf("db", "up"), cur.files)
+      .filter(org.apache.spark.sql.functions.col("id") === 5L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "up", pos, None)
+    assert(f.poll()); converged()
+    // caught up: an idle poll applies nothing (and the foreachBatch
+    // adapter is the same no-op)
+    assert(!f.poll())
+    f.batch(Seq.empty[Long].toDF("x"), 0L)
+    converged()
+    // the downstream mirror followed O(delta): its commits are the
+    // bootstrap append plus one CDC commit per non-empty window
+    assert(cat.describe("db", "down").snapshots.size == 3)
+  }
 }
