@@ -1576,12 +1576,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *    matching row.
     *
     * Everything else is carried BYTE-UNTOUCHED into the new snapshot
-    * (same path, same stats). The rewrite reads with deletes applied,
-    * and because the rewrite set covers every file any delete entry
-    * can hit, the new snapshot carries an EMPTY delete side — the
-    * accumulated CDC debt is fully folded at a cost proportional to
-    * dirty bytes, not table bytes. At 100 TB under a steady CDC
-    * stream, that is the difference between a nightly job and an
+    * (same path, same stats — including their recorded hidden-
+    * partition values; the rewritten files come out plain, which pval
+    * pruning treats conservatively). The rewrite reads with deletes
+    * applied, and because the rewrite set covers every file any
+    * delete entry can hit, the new snapshot carries an EMPTY delete
+    * side — the accumulated CDC debt is fully folded at a cost
+    * proportional to dirty bytes, not table bytes (measured scale-flat
+    * at 10×: tools.MaintScale, SCALING.md). At 100 TB under a steady
+    * CDC stream, that is the difference between a nightly job and an
     * impossible one.
     */
   def compactFileGroups(ns: String, name: String,

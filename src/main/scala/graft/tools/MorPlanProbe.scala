@@ -39,6 +39,16 @@ object MorPlanProbe {
         .select("o_orderkey"), Seq("o_orderkey"))
     println("========== merge-on-read full read plan ==========")
     cat.read("db", "o").explain("formatted")
+    // HARD assertion (round-13 item 5): the delete-side anti-joins must
+    // be pinned broadcasts — a sort-merge anti-join here means the
+    // 100 TB data side is being shuffled for a KB-sized delete side
+    val planStr = cat.read("db", "o").queryExecution.executedPlan.toString
+    require(planStr.contains("BroadcastHashJoin") &&
+      planStr.contains("LeftAnti"),
+      "MoR read plan lost its broadcast anti-join:\n" + planStr)
+    require(!planStr.contains("SortMergeJoin"),
+      "MoR read plan shuffles the data side:\n" + planStr)
+    println("""{"probe":"plan","broadcast_anti_join":true}""")
     def time(tag: String)(body: => Unit): Unit = {
       val best = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

@@ -24,6 +24,8 @@ class CdcPropertySpec extends SparkTestBase {
   private case class CdcBatch(upserts: Map[Long, Double],
       deletes: Set[Long]) extends Step
   private case object Compact extends Step
+  private case object BinPack extends Step
+  private case object RenameKey extends Step
   private case class PosDelete(key: Long) extends Step
   private case class IdentityRewrite(nth: Int) extends Step
 
@@ -38,6 +40,11 @@ class CdcPropertySpec extends SparkTestBase {
       dels <- Gen.listOfN(nDel, genKey)
     } yield CdcBatch(ups.toMap, dels.toSet -- ups.map(_._1))),
     (2, Gen.const(Compact)),
+    // round-13 paths under the same adversarial composition: the
+    // per-file-group maintenance rewrite (delete folding + candidate
+    // pruning) and a RENAME of the eq-delete KEY column mid-stream
+    (2, Gen.const(BinPack)),
+    (1, Gen.const(RenameKey)),
     (2, genKey.map(PosDelete)),
     (2, Gen.chooseNum(0, 7).map(IdentityRewrite)))
 
@@ -56,6 +63,10 @@ class CdcPropertySpec extends SparkTestBase {
       // seed state: keys 0..7
       var ref: Map[Long, Double] = (0L until 8L).map(k => k -> k.toDouble).toMap
       cat.append("db", "t", ref.toSeq.toDF("id", "v").coalesce(2))
+      // the key column's CURRENT declared name (RenameKey flips it) —
+      // batches and reads must always speak the current schema, while
+      // eq-delete files written under the OLD name keep applying
+      var keyName = "id"
       def state(): Map[Long, Double] = cat.read("db", "t")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val checkpoints = scala.collection.mutable.ListBuffer[
@@ -65,17 +76,26 @@ class CdcPropertySpec extends SparkTestBase {
         step match {
           case CdcBatch(ups, dels) =>
             cat.cdcUpsert("db", "t",
-              rows = ups.toSeq.toDF("id", "v"),
-              deletes = dels.toSeq.toDF("id"), Seq("id"))
+              rows = ups.toSeq.toDF(keyName, "v"),
+              deletes = dels.toSeq.toDF(keyName), Seq(keyName))
             ref = ref -- dels ++ ups
           case Compact =>
             cat.compact("db", "t", numFiles = 2)
+          case BinPack =>
+            // every test file is tiny, so this folds the whole delete
+            // side through the candidate-pruned per-group path
+            cat.compactFileGroups("db", "t"): Unit
+          case RenameKey =>
+            val next = if (keyName == "id") "ident" else "id"
+            cat.renameColumn("db", "t", keyName, next)
+            keyName = next
           case PosDelete(k) =>
-            val snap = cat.describe("db", "t").currentSnapshot.get
+            val meta = cat.describe("db", "t")
+            val snap = meta.currentSnapshot.get
             val schema = cat.schemaOf("db", "t")
             val pos = cat
-              .readFilesWithRowId(snap, schema, snap.files, Map.empty)
-              .filter(col("id") === k)
+              .readFilesWithRowId(snap, schema, snap.files, meta.fieldIds)
+              .filter(col(keyName) === k)
               .select(SnapshotCatalog.RowIdFileCol,
                 SnapshotCatalog.RowIdPosCol)
             cat.addDeleteFile("db", "t", pos, None)

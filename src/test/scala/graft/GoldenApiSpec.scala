@@ -118,4 +118,33 @@ class GoldenApiSpec extends SparkTestBase {
       "ts_ms", "user_id", "30 minutes", "10 minutes")
     assert(batch.count() == 3)
   }
+
+  test("SQL route serves refs, tag time travel, and the changes() " +
+      "changelog — the whole table-service surface over one endpoint " +
+      "(extension)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-golden-refs"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 6L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    cat.createTag("db", "t", "v1-audit", None)
+    cat.cdcUpsert("db", "t", rows = Seq((1L, 10.0)).toDF("id", "v"),
+      deletes = Seq(4L).toDF("id"), Seq("id"))
+    // refs metadata table lists the tag over the SQL route
+    val refs = eng.sqlQuery(
+      "SELECT name, type, snapshot_id FROM db.t.refs ORDER BY name")
+    assert(refs.contains(s""""name":"v1-audit","type":"TAG","snapshot_id":$s1"""),
+      refs)
+    // tag time travel over the SQL route
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM db.t VERSION AS OF 'v1-audit'")
+      .contains(""""n":6"""))
+    // the changelog over the SQL route
+    val ch = eng.sqlQuery(
+      s"SELECT _change_type, count(*) AS n FROM changes('db.t', $s1) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+    assert(ch.contains(""""_change_type":"delete","n":2""") &&
+      ch.contains(""""_change_type":"insert","n":1"""), ch)
+  }
 }
