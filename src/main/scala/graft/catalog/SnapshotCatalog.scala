@@ -209,7 +209,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // in physCols first so the delete parquet keeps resolving
         eqDeletes = s.eqDeletes.map { d =>
           d.copy(physCols = d.physCols.orElse(Some(d.cols)),
-            cols = d.cols.map(c => if (c == from) to else c))
+            cols = d.cols.map(c => if (c == from) to else c),
+            keyMin = d.keyMin.map(remap), keyMax = d.keyMax.map(remap))
         })
     }
     val props = meta.properties.get(BloomColumnsProp) match {
@@ -986,13 +987,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               "renamed/dropped concurrently with this CDC batch — replay it")
         val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
         val seqNum = meta.snapshots.map(_.sequenceNumber).max + 1
-        val newEq = newDelFiles.map(f =>
+        val newEq = newDelFiles.map { f =>
           // per-FILE row count (the write coalesces to one part, but a
           // multi-part delete write must not duplicate the total);
-          // physCols pins the parquet's physical key names for renames
-          EqDeleteMeta(f, keyCols, seqNum,
-            delStats.find(_.path == f).map(_.rows).getOrElse(0L),
-            physCols = Some(keyCols)))
+          // physCols pins the parquet's physical key names for renames;
+          // keyMin/keyMax make later candidate pruning metadata-only
+          val st = delStats.find(_.path == f)
+          EqDeleteMeta(f, keyCols, seqNum, st.map(_.rows).getOrElse(0L),
+            physCols = Some(keyCols),
+            keyMin = st.map(_.min), keyMax = st.map(_.max))
+        }
         val newStats = stats0.map(_.copy(
           colIds = colIdsStamp(meta.fieldIds, writtenSchema), seq = Some(seqNum)))
         val snap = SnapshotMeta(
@@ -1441,14 +1445,22 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
 
   /** Data files (among `among`) an equality-delete set MAY hit,
-    * decided from manifest stats + O(delete side) IO only: a file is a
-    * candidate for delete `d` when its sequence number is strictly
-    * below `d.seq` (the v2 gate) AND, for every key column, the file's
-    * min/max stats intersect the delete file's own key bounds. Files
-    * without stats (or with non-stat-typed key columns) are
-    * conservatively kept — pruning may only ever KEEP extra files.
-    * The changelog/compaction analogue of the read path's
-    * range pruning, so one eq-delete over a narrow key window costs
+    * decided METADATA-FIRST: a file is a candidate for delete `d` when
+    * its sequence number is strictly below `d.seq` (the v2 gate) AND,
+    * for every key column, the file's min/max stats intersect the
+    * delete's key bounds — taken from the MANIFEST
+    * ([[EqDeleteMeta.keyMin]]/`keyMax`, stamped at commit like
+    * Iceberg's delete-manifest lower/upper bounds), so a delete whose
+    * keys touch nothing is dismissed with ZERO IO. Single-column
+    * deletes under [[EqCandidateKeysCap]] entries that DO intersect
+    * something are refined exactly: the distinct keys are read (tiny,
+    * driver-sized) and a file stays a candidate only when SOME key
+    * falls inside its [min,max] — a CDC batch mixing low-range deletes
+    * with high-range re-inserts no longer smears one global bound over
+    * every file in between. Files without stats (or with
+    * non-stat-typed key columns) are conservatively kept — pruning may
+    * only ever KEEP extra files. The changelog/compaction analogue of
+    * the read path's range pruning: a narrow key window costs
     * O(touched files), not O(table).
     */
   private def eqDeleteCandidates(snap: SnapshotMeta, schema: StructType,
@@ -1473,50 +1485,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       val keySchema = StructType(d.cols.zip(phys).map { case (c, p) =>
         schema(c).copy(name = p) })
-      // SINGLE-column keys under the cap (the CDC shape — cdcUpsert
-      // keys on one id column) get EXACT sorted range-membership: the
-      // distinct keys are collected (≤ cap strings, driver-sized) and
-      // a file is a candidate only when SOME key falls inside its
-      // [min,max] — a batch mixing low-range deletes with high-range
-      // re-inserts no longer smears one global bound over every file
-      // in between. Multi-column or over-cap deletes fall back to
-      // per-column bounds intersection (conservative).
-      val singleExact = d.cols.size == 1 && statCols.size == 1 &&
-        d.rows <= EqCandidateKeysCap
-      val perFile: FileStats => Boolean =
-        if (singleExact) {
-          val (c, expr, num) = statCols.head
-          val keyVals = spark.read.schema(keySchema).parquet(d.path)
-            .select(expr.cast("string").as("_k")).na.drop().distinct()
-            .collect().map(_.getString(0))
-          if (keyVals.isEmpty) { _ => false } // all-NULL keys: inert
-          else if (num) {
-            val ks = keyVals.map(_.toDouble).sorted
-            fs => (fs.min.get(c), fs.max.get(c)) match {
-              case (Some(mn), Some(mx)) =>
-                val lo = mn.toDouble; val hi = mx.toDouble
-                var l = 0; var h = ks.length
-                while (l < h) { val m = (l + h) >>> 1
-                  if (ks(m) < lo) l = m + 1 else h = m }
-                l < ks.length && ks(l) <= hi
-              case _ => true
-            }
-          } else {
-            val ks = keyVals.sorted
-            fs => (fs.min.get(c), fs.max.get(c)) match {
-              case (Some(mn), Some(mx)) => // trunc bounds stay valid
-                var l = 0; var h = ks.length
-                while (l < h) { val m = (l + h) >>> 1
-                  if (ks(m) < mn) l = m + 1 else h = m }
-                l < ks.length && ks(l) <= mx
-              case _ => true
-            }
-          }
-        } else {
-          // per-key-column bounds of THIS delete file
-          val bounds: Map[String, (String, String, Boolean)] =
-            if (statCols.isEmpty) Map.empty
-            else {
+      // (lo, hi, numeric) per comparable key column — manifest-stamped
+      // bounds when present (zero IO), else one tiny read of the
+      // delete file (pre-bounds metadata). None = some comparable
+      // column is ALL NULL ⇒ no data row can equal any entry ⇒ inert.
+      val bounds: Option[Map[String, (String, String, Boolean)]] = {
+        val raw: Map[String, (String, String, Boolean)] =
+          (d.keyMin, d.keyMax) match {
+            case (Some(mn), Some(mx)) =>
+              statCols.flatMap { case (c, _, num) =>
+                (mn.get(c), mx.get(c)) match {
+                  case (Some(lo), Some(hi)) => Some(c -> ((lo, hi, num)))
+                  case _ => None
+                }
+              }.toMap
+            case _ if statCols.nonEmpty =>
               val aggs = statCols.flatMap { case (c, e, _) =>
                 Seq(fmin(e).cast("string").as(s"_lo_$c"),
                   fmax(e).cast("string").as(s"_hi_$c")) }
@@ -1526,28 +1509,66 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 (Option(r.getAs[String](s"_lo_$c")),
                   Option(r.getAs[String](s"_hi_$c"))) match {
                   case (Some(lo), Some(hi)) => Some(c -> ((lo, hi, num)))
-                  case _ => None // all-NULL key column: see below
+                  case _ => None
                 }
               }.toMap
-            }
-          // a comparable key column whose entries are ALL NULL matches
-          // no data row at all (SQL equality) — the delete is inert
-          if (statCols.exists { case (c, _, _) => !bounds.contains(c) })
-            (_ => false)
-          else fs => bounds.forall { case (c, (lo, hi, num)) =>
-            (fs.min.get(c), fs.max.get(c)) match {
-              case (Some(mn), Some(mx)) =>
-                if (num) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
-                else !(mx < lo || mn > hi) // trunc bounds stay valid
-              case _ => true
-            }
+            case _ => Map.empty
+          }
+        if (statCols.exists { case (c, _, _) => !raw.contains(c) }) None
+        else Some(raw)
+      }
+      def boundsPass(fs: FileStats,
+          b: Map[String, (String, String, Boolean)]): Boolean =
+        b.forall { case (c, (lo, hi, num)) =>
+          (fs.min.get(c), fs.max.get(c)) match {
+            case (Some(mn), Some(mx)) =>
+              if (num) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+              else !(mx < lo || mn > hi) // trunc bounds stay valid
+            case _ => true
           }
         }
-      among.foreach { f =>
-        statsByFile.get(f) match {
-          case None => hit += f // no stats: conservative
-          case Some(fs) =>
-            if (fs.seq.getOrElse(0L) < d.seq && perFile(fs)) hit += f
+      bounds.foreach { b =>
+        // bounds-level candidates (files without stats kept)
+        val coarse = among.filter { f =>
+          statsByFile.get(f) match {
+            case None => true
+            case Some(fs) => fs.seq.getOrElse(0L) < d.seq && boundsPass(fs, b)
+          }
+        }
+        // exact refinement for the CDC shape — pays the (tiny) key
+        // read ONLY when the bounds already intersect something
+        val exact = d.cols.size == 1 && statCols.size == 1 &&
+          d.rows <= EqCandidateKeysCap && coarse.nonEmpty
+        if (!exact) hit ++= coarse
+        else {
+          val (c, expr, num) = statCols.head
+          val keyVals = spark.read.schema(keySchema).parquet(d.path)
+            .select(expr.cast("string").as("_k")).na.drop().distinct()
+            .collect().map(_.getString(0))
+          val numKeys = if (num) keyVals.map(_.toDouble).sorted else Array.emptyDoubleArray
+          val strKeys = if (num) Array.empty[String] else keyVals.sorted
+          def anyKeyIn(mn: String, mx: String): Boolean =
+            if (num) {
+              val lo = mn.toDouble; val hi = mx.toDouble
+              var l = 0; var h = numKeys.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (numKeys(m) < lo) l = m + 1 else h = m }
+              l < numKeys.length && numKeys(l) <= hi
+            } else {
+              var l = 0; var h = strKeys.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (strKeys(m) < mn) l = m + 1 else h = m }
+              l < strKeys.length && strKeys(l) <= mx
+            }
+          if (keyVals.nonEmpty) hit ++= coarse.filter { f =>
+            statsByFile.get(f) match {
+              case None => true
+              case Some(fs) => (fs.min.get(c), fs.max.get(c)) match {
+                case (Some(mn), Some(mx)) => anyKeyIn(mn, mx)
+                case _ => true
+              }
+            }
+          }
         }
       }
     }
@@ -2104,9 +2125,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val eqStats = collectFileStats(keySchema, newFiles0)
       val rows = eqStats.map(_.rows).sum
       val newFiles = dropEmptyParts(newFiles0, eqStats)
-      val newEq = newFiles.map(f => EqDeleteMeta(f, cols, seqNum,
-        eqStats.find(_.path == f).map(_.rows).getOrElse(0L),
-        physCols = Some(cols)))
+      val newEq = newFiles.map { f =>
+        val st = eqStats.find(_.path == f)
+        EqDeleteMeta(f, cols, seqNum, st.map(_.rows).getOrElse(0L),
+          physCols = Some(cols),
+          keyMin = st.map(_.min), keyMax = st.map(_.max))
+      }
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
         parentId = meta.currentSnapshotId,
@@ -2405,9 +2429,19 @@ object SnapshotCatalog {
     * declared names at write time), which a metadata-only rename never
     * changes — readers resolve the file under physCols and project
     * back. None = physical names equal `cols` (pre-rename metadata).
+    *
+    * `keyMin`/`keyMax` are the delete file's own per-key-column bounds
+    * (declared-name keyed, same rendering as [[FileStats.min]]/`max`),
+    * stamped at commit — Iceberg's lower_bounds/upper_bounds for
+    * delete manifests. They make candidate pruning METADATA-ONLY for
+    * the common case: a delete whose key bounds touch no data file's
+    * stats is skipped without reading it at all. None = pre-bounds
+    * metadata (candidates computed by reading the file, as before).
     */
   final case class EqDeleteMeta(path: String, cols: Seq[String],
-      seq: Long, rows: Long, physCols: Option[Seq[String]] = None)
+      seq: Long, rows: Long, physCols: Option[Seq[String]] = None,
+      keyMin: Option[Map[String, String]] = None,
+      keyMax: Option[Map[String, String]] = None)
 
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the

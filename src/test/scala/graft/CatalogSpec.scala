@@ -1176,6 +1176,46 @@ class CatalogSpec extends SparkTestBase {
       s"pruned=$changes brute=${bruteDeleted ++ bruteInserted}")
   }
 
+  test("multi-column equality deletes: bounds-intersect candidates, " +
+      "compaction folds them, manifest bounds make misses zero-IO") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema3 = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", DoubleType)))
+    cat.createTable("db", "t", schema3)
+    // 4 files, disjoint id ranges, two group values
+    for (k <- 0 until 4)
+      cat.append("db", "t", (k * 100L until k * 100L + 100L)
+        .map(i => (i, if (k < 2) "a" else "b", i.toDouble))
+        .toDF("id", "grp", "v").coalesce(1))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    // composite-key delete: (id, grp) pairs inside file 1's range only
+    cat.addEqualityDeleteFile("db", "t",
+      Seq((150L, "a"), (160L, "a")).toDF("id", "grp"), Seq("id", "grp"))
+    val meta = cat.describe("db", "t")
+    val d = meta.currentSnapshot.get.eqDeletes.head
+    // bounds stamped into the manifest at commit
+    assert(d.keyMin.exists(_.get("id").exists(_.toDouble == 150.0)), d)
+    assert(d.keyMax.exists(_.get("grp").contains("a")), d)
+    // candidate pruning: only the file covering ids [100,200) × grp a
+    val from = meta.snapshots.find(_.snapshotId == s1).get
+    val cands = cat.changelogCandidates(from, meta.currentSnapshot.get,
+      schema3)
+    assert(cands.size == 1, s"expected 1 candidate, got $cands")
+    // rows actually vanish (both columns must match)
+    assert(cat.read("db", "t").count() == 398)
+    assert(cat.read("db", "t").filter(col("id") === 150L).isEmpty)
+    // per-group compaction folds it touching only that file
+    val pre = meta.currentSnapshot.get.files
+    val report = cat.compactFileGroups("db", "t", minFileBytes = 1L)
+    assert(report.compacted && report.rewrittenFiles == 1 &&
+      report.eqDeleteFilesFolded == 1, report)
+    val after = cat.describe("db", "t").currentSnapshot.get
+    assert(after.eqDeletes.isEmpty)
+    assert(pre.count(after.files.contains) == 3)
+    assert(cat.read("db", "t").count() == 398)
+  }
+
   test("merge-on-read read path pins the delete-side broadcast; an " +
       "oversized delete side still reads correctly") {
     val cat = freshCatalog()
