@@ -1608,9 +1608,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * CDC stream, that is the difference between a nightly job and an
     * impossible one.
     */
+  /** @param clusterBy optional Z-order columns for the REWRITTEN group
+    *   only (Iceberg's rewrite_data_files sort strategy): dirty files
+    *   come out clustered without touching clean ones — the scale-safe
+    *   way to keep layout entropy down on a CDC-fed table. The
+    *   whole-table [[compact]] remains the explicit global OPTIMIZE.
+    */
   def compactFileGroups(ns: String, name: String,
       minFileBytes: Long = DefaultMinFileBytes,
-      targetFileBytes: Long = DefaultTargetFileBytes): CompactReport =
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      clusterBy: Seq[String] = Nil): CompactReport =
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -1646,9 +1653,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val numOut = math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
           val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-binpack")
-          // coalesce, not repartition: bin-packing needs no shuffle
-          readFilesOf(current, schema, rewrite, meta.fieldIds)
-            .coalesce(numOut).write.parquet(snapDir.toString)
+          val df = readFilesOf(current, schema, rewrite, meta.fieldIds)
+          val packed =
+            if (clusterBy.isEmpty) df.coalesce(numOut) // no shuffle
+            else df // group-local Z-order: only dirty bytes shuffle
+              .withColumn("_graft_z",
+                graft.functions.ZOrder.scaled(df, clusterBy))
+              .repartitionByRange(numOut, col("_graft_z"))
+              .sortWithinPartitions("_graft_z")
+              .drop("_graft_z")
+          packed.write.parquet(snapDir.toString)
           val fs0 = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet"))
             .map(_.getAbsolutePath).sorted.toSeq
@@ -1684,9 +1698,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *     `targetFiles` or the delete side is dirty enough — see the
     *     trigger below): folds small streaming-commit files and the
     *     merge-on-read delete side at a cost proportional to DIRTY
-    *     bytes, never table bytes. With `clusterBy` set the pass
-    *     instead runs the explicit whole-table [[compact]] Z-order
-    *     (a layout OPTIMIZE is a deliberate full rewrite);
+    *     bytes, never table bytes. `clusterBy` Z-orders just the
+    *     rewritten group; a whole-table re-layout is only ever the
+    *     explicit [[compact]] call;
     *  2. [[expireSnapshots]]: trims history to the last `keepLast`
     *     snapshots and reclaims data/delete files no retained snapshot
     *     references. The RETENTION GUARANTEE rides inside it: the
@@ -1732,12 +1746,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val due = filesBefore > targetFiles ||
       deleteFilesBefore >= DeleteFilesCompactThreshold ||
       deletedFraction > DeletedFractionThreshold
+    // clusterBy Z-orders only the REWRITTEN group — maintenance never
+    // pays a whole-table rewrite; global re-layout is the explicit
+    // [[compact]] call, not a nightly side effect
     val compacted =
       if (!due) false
-      else if (clusterBy.nonEmpty) { // explicit layout OPTIMIZE
-        compact(ns, name, targetFiles, clusterBy)
-        true
-      } else compactFileGroups(ns, name, minFileBytes).compacted
+      else compactFileGroups(ns, name, minFileBytes,
+        clusterBy = clusterBy).compacted
     expireSnapshots(ns, name, keepLast)
     val orphans = removeOrphanFiles(ns, name)
     val after = describe(ns, name)

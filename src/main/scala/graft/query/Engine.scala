@@ -264,18 +264,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
   /** Decode one `changes('ns.tbl', fromSnapshot[, toSnapshot])` table-
     * function reference: (ns, table, from, to) for a literal-argument
     * call on an existing catalog table; anything else is None and the
-    * node reaches Spark's own rejection untouched.
+    * node reaches Spark's own rejection untouched. Window endpoints
+    * are snapshot ids, or NAMED REFS as string literals (the VERSION
+    * AS OF discipline: `changes('db.t', 'nightly-tag')` consumes
+    * everything since the tagged audit point).
     */
   private def changesKey(
       tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction):
       Option[(String, String, Long, Option[Long])] = {
     import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    def num(e: Expression): Option[Long] = e match {
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Long, LongType) => Some(v)
-      case _ => None
-    }
     def tbl(e: Expression): Option[(String, String)] = e match {
       case Literal(s, StringType) if s != null =>
         s.toString.split('.') match {
@@ -284,13 +282,23 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         }
       case _ => None
     }
+    def snap(ns: String, t: String)(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(s, StringType) if s != null =>
+        val v = s.toString
+        scala.util.Try(v.toLong).toOption
+          .orElse(catalog.describe(ns, t).refs.get(v))
+      case _ => None
+    }
     if (tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) != Seq("changes"))
       None
     else tvf.functionArgs match {
-      case Seq(te, fe) => for { (ns, t) <- tbl(te); f <- num(fe) }
-        yield (ns, t, f, None)
+      case Seq(te, fe) => for {
+        (ns, t) <- tbl(te); f <- snap(ns, t)(fe)
+      } yield (ns, t, f, None)
       case Seq(te, fe, toE) => for {
-        (ns, t) <- tbl(te); f <- num(fe); to <- num(toE)
+        (ns, t) <- tbl(te); f <- snap(ns, t)(fe); to <- snap(ns, t)(toE)
       } yield (ns, t, f, Some(to))
       case _ => None
     }

@@ -1216,6 +1216,46 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 398)
   }
 
+  test("compactFileGroups clusterBy: the rewritten group comes out " +
+      "range-clustered while clean files stay byte-identical") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    for (k <- 0 until 2)
+      cat.append("db", "t", (k * 500L until k * 500L + 500L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    // 4 tiny shards with INTERLEAVED ids — the layout-entropy shape a
+    // streaming sink accumulates
+    for (k <- 0 until 4)
+      cat.append("db", "t",
+        Seq(1000L + k, 1010L + k, 1020L + k).map(i => (i, 1.0))
+          .toDF("id", "v").coalesce(1))
+    val before = cat.describe("db", "t").currentSnapshot.get
+    def sz(f: String) = java.nio.file.Files.size(java.nio.file.Paths.get(f))
+    val statsBy = before.fileStats.map(s => s.path -> s).toMap
+    val (bigs, smalls) = before.files.partition(f => statsBy(f).rows > 3)
+    assert(bigs.size == 2 && smalls.size == 4)
+    val hashes = bigs.map(f => f -> md5Of(f)).toMap
+    val report = cat.compactFileGroups("db", "t",
+      minFileBytes = bigs.map(sz).min,
+      targetFileBytes = smalls.map(sz).sum / 2, clusterBy = Seq("id"))
+    assert(report.compacted && report.rewrittenFiles == 4, report)
+    val after = cat.describe("db", "t").currentSnapshot.get
+    bigs.foreach(f => assert(after.files.contains(f) &&
+      md5Of(f) == hashes(f), s"clean file $f was touched"))
+    // the packed output is range-clustered: new files' id ranges are
+    // pairwise disjoint, so manifest pruning stays sharp
+    val newStats = after.fileStats.filterNot(s => before.files.contains(s.path))
+    val ranges = newStats.map(s =>
+      (s.min("id").toDouble, s.max("id").toDouble)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"overlapping clustered ranges: $ranges")
+      case _ => ()
+    }
+    assert(cat.read("db", "t").count() == 1012)
+  }
+
   test("merge-on-read read path pins the delete-side broadcast; an " +
       "oversized delete side still reads correctly") {
     val cat = freshCatalog()

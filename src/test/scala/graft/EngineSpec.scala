@@ -1285,6 +1285,10 @@ class EngineSpec extends SparkTestBase {
     assert(eng.sqlQuery(
       "SELECT count(*) AS n FROM db.t VERSION AS OF 'audit-base'")
       .contains(""""n":10"""))
+    // ...and as a changes() window endpoint: consume since the tag
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM changes('db.t', 'audit-base')")
+      .contains(""""n":5"""))
     // unknown function / unknown ref still reject cleanly
     assert(eng.sqlQuery("SELECT * FROM changes('db.missing', 1)")
       .startsWith("""{"error""""))
