@@ -339,8 +339,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * stay time-travelable until expired). Same write machinery as
     * append (hidden partitioning, schema evolution, optimistic retry).
     */
-  def overwrite(ns: String, name: String, df: DataFrame): TableMeta =
-    appendImpl(ns, name, df, toBranch = None, replaceManifest = true)
+  def overwrite(ns: String, name: String, df: DataFrame,
+      extraProperties: Map[String, String] = Map.empty): TableMeta =
+    appendImpl(ns, name, df, toBranch = None, extraProperties,
+      replaceManifest = true)
 
   private def appendImpl(ns: String, name: String, df: DataFrame,
       toBranch: Option[String],

@@ -2511,6 +2511,93 @@ object Relational {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM ch GROUP BY 1, 2 ORDER BY _change_type, status""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // Maintenance through SQL procedures (`CALL system.*`, the
+  // Spark-Iceberg convention — everything the engine can do must be
+  // reachable from the reference's pass-through contract,
+  // duckdb_rest_server.py:73-78): a CDC batch and a merge-on-read
+  // DELETE land on the table, then `CALL system.rewrite_data_files`
+  // folds the whole delete side (per-file-group, in-query requires pin
+  // an empty delete side after) and `CALL system.expire_snapshots`
+  // trims history — and the FINAL AGGREGATES ARE BYTE-IDENTICAL to the
+  // pure SELECT algebra of the mutations alone: maintenance is
+  // result-invariant, which is the whole point of the oracle here.
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q61_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    val src = t(s, dir, "orders")
+    val base = src.filter(col("o_orderkey") < 2500)
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+        col("o_orderstatus").as("status"))
+    cat.createTable("db", "o", base.schema)
+    cat.updateProperties("db", "o", Map(
+      graft.catalog.SnapshotCatalog.DeleteModeProp -> "merge-on-read"))
+    cat.append("db", "o", base)
+    // CDC batch: update keys [500,800) (+7, 'U'), delete [2000,2100)
+    cat.cdcUpsert("db", "o",
+      rows = src.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 800)
+        .select(col("o_orderkey").as("k"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + 7).as("price_c"),
+          lit("U").as("status")),
+      deletes = src.filter(col("o_orderkey") >= 2000 &&
+        col("o_orderkey") < 2100).select(col("o_orderkey").as("k")),
+      keyCols = Seq("k"))
+    // merge-on-read SQL DELETE on the post-batch state
+    val del = eng.sqlQuery("DELETE FROM db.o WHERE price_c % 11 = 0")
+    require(!del.startsWith("""{"error""""), s"DELETE failed: $del")
+    val dirty = cat.describe("db", "o").currentSnapshot.get
+    require(dirty.deleteFiles.nonEmpty && dirty.eqDeletes.nonEmpty,
+      "expected both delete flavors before maintenance")
+    // maintenance through the SQL procedure surface
+    val rw = eng.sqlQuery("CALL system.rewrite_data_files('db.o')")
+    require(!rw.startsWith("""{"error""""), s"rewrite_data_files: $rw")
+    val folded = cat.describe("db", "o").currentSnapshot.get
+    require(folded.deleteFiles.isEmpty && folded.eqDeletes.isEmpty,
+      "maintenance must fold the whole delete side")
+    val ex = eng.sqlQuery("CALL system.expire_snapshots('db.o', 1)")
+    require(!ex.startsWith("""{"error""""), s"expire_snapshots: $ex")
+    val out = cat.read("db", "o")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      .orderBy("status")
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val schema = out.schema
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    } finally walk.close()
+    s.createDataFrame(rows, schema)
+  }
+
+  private val q61Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2500),
+      |upd AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 7 AS price_c,
+      |    'U' AS status
+      |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 800),
+      |s1 AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE k NOT IN (SELECT k FROM upd)
+      |    AND NOT (k >= 2000 AND k < 2100)),
+      |s2 AS (SELECT * FROM s1 WHERE NOT (price_c % 11 = 0))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2572,5 +2659,6 @@ object Relational {
     QuerySpec("q57_sql_delete_mor", q57, Some(q57Sql)),
     QuerySpec("q58_cdc_mor", q58, Some(q58Sql)),
     QuerySpec("q59_merge_mor", q59, Some(q59Sql)),
-    QuerySpec("q60_changelog_sql", q60, Some(q60Sql)))
+    QuerySpec("q60_changelog_sql", q60, Some(q60Sql)),
+    QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)))
 }

@@ -794,6 +794,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             snap.map(_.files.size).getOrElse(0))
         }
 
+      // Iceberg-style MAINTENANCE PROCEDURES (`CALL system.<proc>(…)`):
+      // the table-service tier reachable from the pass-through SQL
+      // surface, like Spark-Iceberg's system procedures. Each runs one
+      // catalog primitive and renders a 1-row report through the
+      // records envelope. Positional literal args only; anything else
+      // falls through to Spark's rejection.
+      case org.apache.spark.sql.catalyst.plans.logical.Call(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(nameParts),
+          args, _) =>
+        callExec(nameParts, args)
+
       case m: MergeIntoTable =>
         val upsertShape =
           m.matchedActions.toList.collect {
@@ -856,6 +867,121 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             else mergeGeneral(m, ns, t, key)
         } yield result
 
+      case _ => None
+    }
+  }
+
+  /** `CALL system.<proc>('ns.tbl', …)` — the maintenance surface as
+    * SQL procedures (the Spark-Iceberg `system.*` convention, rebuilt
+    * on the snapshot catalog):
+    *
+    *  - `rewrite_data_files('ns.tbl'[, min_file_bytes[, target_file_bytes]])`
+    *    → [[SnapshotCatalog.compactFileGroups]] (per-group, dirty-bytes
+    *    cost; the report's numbers land in the result row);
+    *  - `expire_snapshots('ns.tbl', keep_last)`;
+    *  - `remove_orphan_files('ns.tbl')`;
+    *  - `rollback_to_snapshot('ns.tbl', snapshot_id)`;
+    *  - `maintain('ns.tbl', keep_last, target_files)` — the composed
+    *    nightly pass;
+    *  - `create_tag('ns.tbl', 'name')` / `create_branch('ns.tbl', 'name')`
+    *    / `fast_forward('ns.tbl', 'branch')` (WAP publish).
+    *
+    * The `system` qualifier is optional. Unknown procedures or
+    * non-literal args return None → Spark's own rejection.
+    */
+  private def callExec(nameParts: Seq[String],
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Option[(DataFrame, Seq[Engine.PruneInfo])] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def str(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] =
+      e match {
+        case Literal(s, StringType) if s != null => Some(s.toString)
+        case _ => None
+      }
+    def num(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+      e match {
+        case Literal(v: Int, IntegerType) => Some(v.toLong)
+        case Literal(v: Long, LongType) => Some(v)
+        case _ => None
+      }
+    def tbl(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[(String, String)] =
+      str(e).flatMap(_.split('.') match {
+        case Array(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
+        case _ => None
+      })
+    def report(ns: String, t: String, kvs: (String, Any)*): (DataFrame, Seq[Engine.PruneInfo]) = {
+      val snapId = catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
+      val cols = lit(s"$ns.$t").as("target") +:
+        kvs.map { case (k, v) => lit(v).as(k) } :+ lit(snapId).as("snapshot_id")
+      (spark.range(1).select(cols: _*), Nil)
+    }
+    val proc = nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Seq("system", p) => p
+      case Seq(p) => p
+      case _ => return None
+    }
+    (proc, args) match {
+      case ("rewrite_data_files", (te +: rest)) if rest.forall(num(_).isDefined) =>
+        tbl(te).map { case (ns, t) =>
+          val r = catalog.compactFileGroups(ns, t,
+            minFileBytes = rest.lift(0).flatMap(num)
+              .getOrElse(SnapshotCatalog.DefaultMinFileBytes),
+            targetFileBytes = rest.lift(1).flatMap(num)
+              .getOrElse(SnapshotCatalog.DefaultTargetFileBytes))
+          report(ns, t, "operation" -> "rewrite_data_files",
+            "rewritten_files" -> r.rewrittenFiles,
+            "untouched_files" -> r.untouchedFiles,
+            "new_files" -> r.newFiles,
+            "bytes_rewritten" -> r.bytesRewritten,
+            "delete_files_folded" ->
+              (r.posDeleteFilesFolded + r.eqDeleteFilesFolded).toLong)
+        }
+      case ("expire_snapshots", Seq(te, ke)) =>
+        for { (ns, t) <- tbl(te); k <- num(ke) } yield {
+          val before = catalog.describe(ns, t).snapshots.size
+          catalog.expireSnapshots(ns, t, k.toInt)
+          val after = catalog.describe(ns, t).snapshots.size
+          report(ns, t, "operation" -> "expire_snapshots",
+            "expired" -> (before - after).toLong, "retained" -> after.toLong)
+        }
+      case ("remove_orphan_files", Seq(te)) =>
+        tbl(te).map { case (ns, t) =>
+          val removed = catalog.removeOrphanFiles(ns, t)
+          report(ns, t, "operation" -> "remove_orphan_files",
+            "removed" -> removed.size.toLong)
+        }
+      case ("rollback_to_snapshot", Seq(te, se)) =>
+        for { (ns, t) <- tbl(te); id <- num(se) } yield {
+          catalog.rollback(ns, t, id)
+          report(ns, t, "operation" -> "rollback_to_snapshot")
+        }
+      case ("maintain", Seq(te, ke, fe)) =>
+        for { (ns, t) <- tbl(te); k <- num(ke); f <- num(fe) } yield {
+          val r = catalog.maintain(ns, t, k.toInt, f.toInt)
+          report(ns, t, "operation" -> "maintain",
+            "compacted" -> r.compacted,
+            "files_before" -> r.filesBefore.toLong,
+            "files_after" -> r.filesAfter.toLong,
+            "snapshots_after" -> r.snapshotsAfter.toLong,
+            "orphans_removed" -> r.orphansRemoved.toLong)
+        }
+      case ("create_tag", Seq(te, ne)) =>
+        for { (ns, t) <- tbl(te); n <- str(ne) } yield {
+          catalog.createTag(ns, t, n, None)
+          report(ns, t, "operation" -> "create_tag", "ref" -> n)
+        }
+      case ("create_branch", Seq(te, ne)) =>
+        for { (ns, t) <- tbl(te); n <- str(ne) } yield {
+          catalog.createBranch(ns, t, n, None)
+          report(ns, t, "operation" -> "create_branch", "ref" -> n)
+        }
+      case ("fast_forward", Seq(te, ne)) =>
+        for { (ns, t) <- tbl(te); n <- str(ne) } yield {
+          catalog.publish(ns, t, n)
+          report(ns, t, "operation" -> "fast_forward", "ref" -> n)
+        }
       case _ => None
     }
   }

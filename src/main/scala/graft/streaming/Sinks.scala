@@ -275,9 +275,14 @@ object Sinks {
     *
     * `poll()` returns whether a window was applied; [[batch]] adapts
     * it to foreachBatch so any ticking stream drives the subscription.
-    * An upstream compaction inside an unconsumed window surfaces as
-    * readChangelog's refusal (row identity was rewritten) — consume
-    * before compacting, the same contract incremental consumers have.
+    * An upstream compaction inside an unconsumed window destroys row
+    * identity, so readChangelog refuses — the follower then RESYNCS:
+    * one atomic OVERWRITE of the downstream with the upstream's
+    * current state (position recorded in the same commit). O(upstream)
+    * once, loudly logged — the "full refresh" every CDC mirror needs
+    * as its escape hatch — and the next polls are incremental again.
+    * Keeping maintenance cadence slower than consumption cadence keeps
+    * resyncs at zero.
     */
   def changelogFollower(catalog: SnapshotCatalog, upNs: String,
       upTable: String, downNs: String, downTable: String,
@@ -308,16 +313,29 @@ object Sinks {
           true
         case Some(from) if from == upSnap => false // caught up
         case Some(from) =>
-          val ct = catalog.readChangelog(upNs, upTable, from, Some(upSnap))
-          val ins = ct.filter(col("_change_type") === "insert")
-            .drop("_change_type")
-          val dels = ct.filter(col("_change_type") === "delete")
-            .select(keyCols.map(col): _*)
-          // an update is its delete+insert pair: the eq-delete hides
-          // the old version, the insert (same commit, higher sequence)
-          // survives it — exactly cdcUpsert's contract
-          catalog.cdcUpsert(downNs, downTable, ins, dels, keyCols,
-            Map(posKey -> upSnap.toString)): Unit
+          try {
+            val ct = catalog.readChangelog(upNs, upTable, from, Some(upSnap))
+            val ins = ct.filter(col("_change_type") === "insert")
+              .drop("_change_type")
+            val dels = ct.filter(col("_change_type") === "delete")
+              .select(keyCols.map(col): _*)
+            // an update is its delete+insert pair: the eq-delete hides
+            // the old version, the insert (same commit, higher
+            // sequence) survives it — exactly cdcUpsert's contract
+            catalog.cdcUpsert(downNs, downTable, ins, dels, keyCols,
+              Map(posKey -> upSnap.toString)): Unit
+          } catch {
+            case e: IllegalStateException =>
+              // data files rewritten inside the window (compaction):
+              // identity-based deltas are gone — full refresh, once
+              org.slf4j.LoggerFactory.getLogger(classOf[ChangelogFollower])
+                .warn(s"changelog window $from->$upSnap of " +
+                  s"$upNs.$upTable lost row identity (${e.getMessage}); " +
+                  "resyncing downstream with one atomic overwrite")
+              catalog.overwrite(downNs, downTable,
+                catalog.read(upNs, upTable),
+                Map(posKey -> upSnap.toString)): Unit
+          }
           true
       }
     }

@@ -1296,6 +1296,47 @@ class EngineSpec extends SparkTestBase {
       .startsWith("""{"error""""))
   }
 
+  test("CALL system.* procedures: the maintenance tier through SQL — " +
+      "rewrite_data_files, expire, orphans, rollback, tags, maintain") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-call"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    for (b <- 0 until 5)
+      cat.append("db", "t", Seq((b.toLong, b.toDouble)).toDF("id", "v")
+        .coalesce(1))
+    cat.cdcUpsert("db", "t", rows = Seq((9L, 9.0)).toDF("id", "v"),
+      deletes = Seq(2L).toDF("id"), Seq("id"))
+    // tag BEFORE maintenance so expiry must pin it
+    val out0 = eng.sqlQuery("CALL system.create_tag('db.t', 'pre-maint')")
+    assert(out0.contains(""""operation":"create_tag""""), out0)
+    // per-group rewrite folds the delete side; report carries numbers
+    val out1 = eng.sqlQuery("CALL system.rewrite_data_files('db.t')")
+    assert(out1.contains(""""operation":"rewrite_data_files"""") &&
+      out1.contains(""""delete_files_folded":1"""), out1)
+    assert(cat.describe("db", "t").currentSnapshot.get.eqDeletes.isEmpty)
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t").contains(""""n":5"""))
+    // expire + orphan sweep through SQL; the tag survives
+    val out2 = eng.sqlQuery("CALL system.expire_snapshots('db.t', 1)")
+    assert(out2.contains(""""operation":"expire_snapshots""""), out2)
+    assert(eng.sqlQuery("CALL remove_orphan_files('db.t')") // unqualified too
+      .contains(""""operation":"remove_orphan_files""""))
+    assert(eng.sqlQuery(
+      "SELECT count(*) AS n FROM db.t VERSION AS OF 'pre-maint'")
+      .contains(""""n":5"""))
+    // composed maintain + rollback round-trip
+    val preRoll = cat.describe("db", "t").currentSnapshotId.get
+    cat.append("db", "t", Seq((100L, 1.0)).toDF("id", "v"))
+    assert(eng.sqlQuery(s"CALL system.rollback_to_snapshot('db.t', $preRoll)")
+      .contains(""""operation":"rollback_to_snapshot""""))
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t").contains(""""n":5"""))
+    val out3 = eng.sqlQuery("CALL system.maintain('db.t', 1, 4)")
+    assert(out3.contains(""""operation":"maintain""""), out3)
+    // unknown procedure → clean rejection, not a silent no-op
+    assert(eng.sqlQuery("CALL system.no_such_proc('db.t')")
+      .startsWith("""{"error""""))
+  }
+
   test("DML summaries expose delete_files_written / bytes_rewritten — " +
       "the write-path choice observable per statement") {
     import spark.implicits._

@@ -734,5 +734,17 @@ class StreamingSpec extends SparkTestBase {
     // the downstream mirror followed O(delta): its commits are the
     // bootstrap append plus one CDC commit per non-empty window
     assert(cat.describe("db", "down").snapshots.size == 3)
+    // window 4: an upstream COMPACTION lands inside an unconsumed
+    // window (a CDC batch then maintenance) — row identity is gone, so
+    // the follower resyncs with one atomic overwrite and converges
+    cat.cdcUpsert("db", "up", rows = Seq((6L, 66.0)).toDF("id", "v"),
+      deletes = Seq(1L).toDF("id"), Seq("id"))
+    cat.compactFileGroups("db", "up")
+    assert(f.poll()); converged()
+    // and the follower is incremental again afterwards
+    cat.cdcUpsert("db", "up", rows = Seq((8L, 88.0)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(f.poll()); converged()
+    assert(!f.poll())
   }
 }
