@@ -923,7 +923,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case _ => return None
     }
     (proc, args) match {
-      case ("rewrite_data_files", (te +: rest)) if rest.forall(num(_).isDefined) =>
+      case ("rewrite_data_files", (te +: rest))
+          if rest.size <= 2 && rest.forall(num(_).isDefined) =>
         tbl(te).map { case (ns, t) =>
           val r = catalog.compactFileGroups(ns, t,
             minFileBytes = rest.lift(0).flatMap(num)

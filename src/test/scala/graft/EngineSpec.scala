@@ -1289,6 +1289,13 @@ class EngineSpec extends SparkTestBase {
     assert(eng.sqlQuery(
       "SELECT count(*) AS n FROM changes('db.t', 'audit-base')")
       .contains(""""n":5"""))
+    // changes() composes through CTEs and joins like any relation
+    assert(eng.sqlQuery(
+      s"""WITH w AS (SELECT * FROM changes('db.t', $s1))
+         |SELECT count(*) AS n FROM w
+         |JOIN db.t cur ON w.id = cur.id
+         |WHERE w._change_type = 'insert'""".stripMargin)
+      .contains(""""n":3"""), "CTE-wrapped changes() failed")
     // unknown function / unknown ref still reject cleanly
     assert(eng.sqlQuery("SELECT * FROM changes('db.missing', 1)")
       .startsWith("""{"error""""))

@@ -746,5 +746,18 @@ class StreamingSpec extends SparkTestBase {
       deletes = Seq.empty[Long].toDF("id"), Seq("id"))
     assert(f.poll()); converged()
     assert(!f.poll())
+    // window 5: driven by a REAL stream trigger — the foreachBatch
+    // composition the subscription is meant for
+    cat.cdcUpsert("db", "up", rows = Seq((9L, 99.0)).toDF("id", "v"),
+      deletes = Seq(0L).toDF("id"), Seq("id"))
+    val tick = tmpDir("graft-chf-tick") + "/src"
+    Seq(1L).toDF("x").coalesce(1).write.parquet(tick)
+    val q = spark.readStream.schema(Seq.empty[Long].toDF("x").schema)
+      .parquet(tick)
+      .writeStream.foreachBatch(f.batch _)
+      .option("checkpointLocation", tmpDir("graft-chf-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    converged()
   }
 }
