@@ -285,13 +285,20 @@ class HttpApiSpec extends SparkTestBase {
       // cheap requests must complete while the scan is still running:
       // under the old single-dispatcher server they would queue behind
       // it, so completing first IS the overlap proof
-      val fasts = (1 to 5).map(_ => get(p, "/health")) ++
+      // the overlap proof needs ONE cheap response while the scan is
+      // mid-flight (under the old single-dispatcher server, NO cheap
+      // request returns until the scan ends) — checking right after
+      // the first response keeps the proof and stops external box
+      // load bursts from flaking the 8-requests-before-scan version
+      val firstFast = get(p, "/health")
+      val overlapped = !slow.isCompleted
+      val fasts = (1 to 4).map(_ => get(p, "/health")) ++
         (1 to 3).map(_ => get(p, s"/query_parquet?path=$sf0001/region.parquet&limit=2"))
-      val fastsDone = !slow.isCompleted
-      assert(fasts.forall(_._1 == 200), fasts.map(_._1))
-      assert(fastsDone,
-        "the long scan should still be mid-flight after 8 cheap requests " +
-          "(if this flakes, grow bN)")
+      assert(firstFast._1 == 200 && fasts.forall(_._1 == 200),
+        (firstFast +: fasts).map(_._1))
+      assert(overlapped,
+        "the long scan should still be mid-flight when the first cheap " +
+          "response lands (if this flakes, grow bN)")
       val (cs, bs) = Await.result(slow, 180.seconds)
       // exact: the sum over the cross product factorizes
       val expect = (0L until aN).map(_ % 97).sum * (0L until bN).map(_ % 89).sum
