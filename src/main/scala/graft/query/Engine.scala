@@ -408,9 +408,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *
     * Every statement commits ONE atomic snapshot and returns a 1-row
     * summary frame (operation, target, rows_affected, files_rewritten,
-    * files_total, snapshot_id) that renders through the normal records
-    * envelope. Unsupported DML shapes return None and fall through to
-    * Spark's own rejection — never a silent partial apply.
+    * files_total, delete_files_written, bytes_rewritten, snapshot_id)
+    * that renders through the normal records envelope. The maintenance
+    * tier is also reachable as `CALL system.<proc>(…)` ([[callExec]]).
+    * Unsupported DML shapes return None and fall through to Spark's
+    * own rejection — never a silent partial apply.
     */
   /** Validate-and-retry for plan-outside-lock rewrites: a concurrent
     * commit between candidate selection and the rewrite makes the
@@ -1129,8 +1131,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       }
       val tgt = tgt0.withColumn("__t_present", lit(true)).as(tAlias)
       val srcA = src.withColumn("__s_present", lit(true)).as(sAlias)
+      // the join feeds up to three actions (cardinality+affected
+      // counts, the delete positions, the new rows) — persist so the
+      // full-outer join materializes ONCE per statement; spill-safe,
+      // and released in the finally (plus the request's scopedRelease
+      // backstop)
       val joined = tgt.join(srcA,
-        PlanExec.columnOf(m.mergeCondition), "full_outer")
+          PlanExec.columnOf(m.mergeCondition), "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val tP = coalesce(col("__t_present"), lit(false))
       val sP = coalesce(col("__s_present"), lit(false))
       val mFlag = tP && sP
@@ -1209,6 +1218,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           catalog.append(ns, t, joined.filter(keep).select(outCols: _*))
           summary("MERGE", ns, t, affected, 0, 0)
       }
+      } finally joined.unpersist(blocking = false)
     }
   }
 
