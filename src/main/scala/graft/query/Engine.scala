@@ -744,6 +744,45 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           summary("ALTER", ns, t, 0L, 0, total)
         }
 
+      case TruncateTable(child) =>
+        idOf(child).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            // one atomic empty-manifest snapshot: rows vanish, history
+            // stays time-travelable until expired (Iceberg TRUNCATE)
+            val before = catalog.describe(ns, t).currentSnapshot
+              .flatMap(_.statsRowCount).getOrElse(-1L)
+            val schema = catalog.schemaOf(ns, t)
+            catalog.overwrite(ns, t, spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+            summary("TRUNCATE", ns, t, before, 0, 0)
+          }
+
+      case DescribeRelation(rel, partSpec, _, _) if partSpec.isEmpty =>
+        idOf(rel).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            // the standard 3-column DESCRIBE shape over the declared
+            // schema (the SQL twin of the HTTP describeTable endpoint)
+            import spark.implicits._
+            val df = catalog.schemaOf(ns, t).fields.toSeq
+              .map(f => (f.name, f.dataType.simpleString,
+                f.getComment().getOrElse("")))
+              .toDF("col_name", "data_type", "comment")
+            (df, Seq(Engine.PruneInfo(s"$ns.$t", 0, 0)))
+          }
+
+      case ShowTables(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(
+            Seq(ns), _), pattern, _) if catalog.listNamespaces().contains(ns) =>
+        Some {
+          import spark.implicits._
+          val names = catalog.listTables(ns).filter(t =>
+            pattern.forall(p => t.matches(
+              p.replace("*", ".*").replace("|", "|"))))
+          (names.map(t => (ns, t, false))
+            .toDF("namespace", "tableName", "isTemporary"),
+            Seq.empty[Engine.PruneInfo])
+        }
+
       case DropTable(child, ifExists, _) =>
         idOf(child).flatMap { case (ns, t) =>
           if (catalog.tableExists(ns, t)) {

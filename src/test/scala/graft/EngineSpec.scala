@@ -1344,6 +1344,39 @@ class EngineSpec extends SparkTestBase {
       .startsWith("""{"error""""))
   }
 
+  test("catalog ergonomics through SQL: TRUNCATE TABLE, DESCRIBE, " +
+      "SHOW TABLES — with time travel across the truncate") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-ddl2"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "a", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.createTable("db", "b", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "a", (0L until 7L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val pre = cat.describe("db", "a").currentSnapshotId.get
+    // SHOW TABLES lists both; LIKE filters
+    val st = eng.sqlQuery("SHOW TABLES IN db")
+    assert(st.contains(""""tableName":"a"""") &&
+      st.contains(""""tableName":"b""""), st)
+    assert(!eng.sqlQuery("SHOW TABLES IN db LIKE 'a*'")
+      .contains(""""tableName":"b""""))
+    // DESCRIBE renders the declared schema
+    val de = eng.sqlQuery("DESCRIBE db.a")
+    assert(de.contains(""""col_name":"id","data_type":"bigint"""), de)
+    // TRUNCATE: rows vanish atomically, history stays time-travelable
+    val tr = eng.sqlQuery("TRUNCATE TABLE db.a")
+    assert(tr.contains(""""operation":"TRUNCATE"""") &&
+      tr.contains(""""rows_affected":7"""), tr)
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.a").contains(""""n":0"""))
+    assert(eng.sqlQuery(
+      s"SELECT count(*) AS n FROM db.a VERSION AS OF $pre")
+      .contains(""""n":7"""))
+    // appends after a truncate start clean
+    cat.append("db", "a", Seq((99L, 9.0)).toDF("id", "v"))
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.a").contains(""""n":1"""))
+    // missing table still rejects cleanly
+    assert(eng.sqlQuery("TRUNCATE TABLE db.zzz").startsWith("""{"error""""))
+  }
+
   test("DML summaries expose delete_files_written / bytes_rewritten — " +
       "the write-path choice observable per statement") {
     import spark.implicits._
