@@ -49,11 +49,19 @@ object MaintScale {
           .select(col("id").as("o_orderkey"),
             lit(1L).as("price_c"), lit("S").as("status"))
           .coalesce(1))
+    val preCdc = cat.describe("db", "t").currentSnapshot.get
     cat.cdcUpsert("db", "t",
       rows = spark.range(0, 0).select(col("id").as("o_orderkey"),
         lit(0L).as("price_c"), lit("X").as("status")),
       deletes = spark.range(100, 200).select(col("id").as("o_orderkey")),
       keyCols = Seq("o_orderkey"))
+    // changelog candidate pruning under the eq-delete window: the
+    // narrow key range must cost O(touched files) at every scale
+    val curSnap = cat.describe("db", "t").currentSnapshot.get
+    val cands = cat.changelogCandidates(preCdc, curSnap,
+      cat.schemaOf("db", "t"))
+    println(s"""{"phase":"changelog_candidates","sf":"$sfDir",""" +
+      s""""from_files":${preCdc.files.size},"candidates":${cands.size}}""")
 
     def sz(f: String) =
       scala.util.Try(java.nio.file.Files.size(
