@@ -1544,11 +1544,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         if (!exact) hit ++= coarse
         else {
           val (c, expr, num) = statCols.head
-          val keyVals = spark.read.schema(keySchema).parquet(d.path)
-            .select(expr.cast("string").as("_k")).na.drop().distinct()
-            .collect().map(_.getString(0))
+          // two renderings per key: the stats rendering for range
+          // membership, the RAW column rendering for bloom probes (the
+          // write side hashes md5(col.cast(string)) of the column's
+          // own type — "250", not the double-stat "250.0")
+          val pairs = spark.read.schema(keySchema).parquet(d.path)
+            .select(expr.cast("string").as("_k"),
+              org.apache.spark.sql.functions.col(phys.head)
+                .cast("string").as("_raw"))
+            .na.drop().distinct()
+            .collect().map(r => (r.getString(0), r.getString(1)))
+          val keyVals = pairs.map(_._1).distinct
           val numKeys = if (num) keyVals.map(_.toDouble).sorted else Array.emptyDoubleArray
           val strKeys = if (num) Array.empty[String] else keyVals.sorted
+          // bloom veto: per-key probe positions computed ONCE; a file
+          // whose bloom excludes every delete key is pruned even when
+          // its [min,max] straddles a key (overlapping-range layouts)
+          val keyPositions: Array[Seq[Int]] =
+            if (pairs.length > BloomVetoMaxKeys) Array.empty
+            else pairs.map(p => bloomPositions(p._2)).distinct
+          def bloomKeeps(fs: FileStats): Boolean =
+            keyPositions.isEmpty || (fs.blooms.flatMap(_.get(c)) match {
+              case None => true
+              case Some(b64) =>
+                val bits = java.util.Base64.getDecoder.decode(b64)
+                keyPositions.exists(_.forall(p =>
+                  (bits(p >> 3) & (1 << (p & 7))) != 0))
+            })
           def anyKeyIn(mn: String, mx: String): Boolean =
             if (num) {
               val lo = mn.toDouble; val hi = mx.toDouble
@@ -1565,10 +1587,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           if (keyVals.nonEmpty) hit ++= coarse.filter { f =>
             statsByFile.get(f) match {
               case None => true
-              case Some(fs) => (fs.min.get(c), fs.max.get(c)) match {
-                case (Some(mn), Some(mx)) => anyKeyIn(mn, mx)
-                case _ => true
-              }
+              case Some(fs) =>
+                val inRange = (fs.min.get(c), fs.max.get(c)) match {
+                  case (Some(mn), Some(mx)) => anyKeyIn(mn, mx)
+                  case _ => true
+                }
+                inRange && bloomKeeps(fs)
             }
           }
         }
@@ -1582,6 +1606,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * back to bounds intersection.
     */
   private val EqCandidateKeysCap = 100000L
+
+  /** Max delete keys for which the candidate pass additionally probes
+    * data-file BLOOMS (4 md5 positions per key, precomputed once) — a
+    * needle delete skips even range-straddling files on bloom-declared
+    * key columns.
+    */
+  private val BloomVetoMaxKeys = 4096
 
   /** PER-FILE-GROUP compaction — the scale-honest maintenance rewrite
     * (Iceberg's rewrite_data_files bin-pack, vs [[compact]]'s explicit

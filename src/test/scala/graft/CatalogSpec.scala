@@ -1216,6 +1216,38 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 398)
   }
 
+  test("eq-delete candidates: bloom veto skips range-straddling files " +
+      "that provably lack the key") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.updateProperties("db", "t",
+      Map(SnapshotCatalog.BloomColumnsProp -> "id"))
+    // three files with OVERLAPPING id ranges — range stats alone can't
+    // tell which holds a given key
+    cat.append("db", "t", Seq(0L, 10L, 20L, 100L).map(i => (i, 1.0))
+      .toDF("id", "v").coalesce(1))
+    cat.append("db", "t", Seq(5L, 15L, 55L, 95L).map(i => (i, 2.0))
+      .toDF("id", "v").coalesce(1))
+    cat.append("db", "t", Seq(1L, 33L, 66L, 99L).map(i => (i, 3.0))
+      .toDF("id", "v").coalesce(1))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    // delete key 55: inside every file's [min,max], present in one
+    cat.addEqualityDeleteFile("db", "t", Seq(55L).toDF("id"), Seq("id"))
+    val meta = cat.describe("db", "t")
+    val from = meta.snapshots.find(_.snapshotId == s1).get
+    val cands = cat.changelogCandidates(from, meta.currentSnapshot.get,
+      schemaV1)
+    assert(cands.size == 1, s"bloom veto failed: $cands")
+    // and the candidate is the file that actually holds 55
+    val st = meta.currentSnapshot.get.fileStats
+      .find(_.path == cands.head).get
+    assert(st.min("v").toDouble == 2.0 && st.max("v").toDouble == 2.0)
+    // correctness unchanged: 55 is gone, everything else stays
+    assert(cat.read("db", "t").count() == 11)
+    assert(cat.read("db", "t").filter(col("id") === 55L).isEmpty)
+  }
+
   test("compactFileGroups clusterBy: the rewritten group comes out " +
       "range-clustered while clean files stay byte-identical") {
     val cat = freshCatalog()
