@@ -1631,8 +1631,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *
     * Everything else is carried BYTE-UNTOUCHED into the new snapshot
     * (same path, same stats — including their recorded hidden-
-    * partition values; the rewritten files come out plain, which pval
-    * pruning treats conservatively). The rewrite reads with deletes
+    * partition values; rewritten files are re-split value-pure under
+    * the table's partition spec and record fresh pvals, so partition
+    * pruning never erodes). The rewrite reads with deletes
     * applied, and because the rewrite set covers every file any
     * delete entry can hit, the new snapshot carries an EMPTY delete
     * side — the accumulated CDC debt is fully folded at a cost
@@ -1695,14 +1696,39 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               .repartitionByRange(numOut, col("_graft_z"))
               .sortWithinPartitions("_graft_z")
               .drop("_graft_z")
-          packed.write.parquet(snapDir.toString)
-          val fs0 = Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet"))
-            .map(_.getAbsolutePath).sorted.toSeq
+          // partitioned tables keep their HIDDEN-PARTITION layout
+          // through maintenance (the appendImpl write shape):
+          // value-pure rewritten files record fresh pvals, so pval
+          // pruning stays metadata-exact instead of eroding to
+          // conservative keeps with every bin-pack pass
+          val specStr = meta.properties.get(PartitionSpec.PropertyKey)
+            .map(_.trim)
+          specStr.map(PartitionSpec.parse) match {
+            case Some(p) =>
+              packed.withColumn(PartitionSpec.HiddenCol,
+                  p.valueExprFor(
+                    schema.find(_.name == p.column).map(_.dataType)))
+                .write.partitionBy(PartitionSpec.HiddenCol)
+                .parquet(snapDir.toString)
+            case None => packed.write.parquet(snapDir.toString)
+          }
+          def walk(dd: File): Seq[File] =
+            Option(dd.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+              case f if f.isDirectory => walk(f)
+              case f if f.getName.endsWith(".parquet") => Seq(f)
+              case _ => Seq.empty
+            }
+          val fs0 = walk(snapDir.toFile).map(_.getAbsolutePath).sorted
+          val pvalRe = (PartitionSpec.HiddenCol + "=([^/]+)/").r
+          def pvalOf(path: String): Option[String] =
+            pvalRe.findFirstMatchIn(path)
+              .map(m => PartitionSpec.unescapePathName(m.group(1)))
           val st = collectFileStats(schema, fs0,
               bloomColsFor(ns, name, schema))
-            .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
-              seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
+            .map(s => s.copy(colIds = colIdsStamp(meta.fieldIds, schema),
+              seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1),
+              pval = pvalOf(s.path),
+              pspec = specStr.filter(_ => pvalOf(s.path).isDefined)))
           (dropEmptyParts(fs0, st), st)
         }
       val untouchedStats =

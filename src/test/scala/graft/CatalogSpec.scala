@@ -1216,6 +1216,44 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 398)
   }
 
+  test("compactFileGroups on a partitioned table: rewritten files stay " +
+      "value-pure with fresh pvals — partition pruning never erodes") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable("db", "bk", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    // several small partitioned appends (the streaming-commit shape)
+    for (b <- 0 until 3)
+      cat.append("db", "bk",
+        (b * 100L until b * 100L + 100L).map(i => (i, i * 10)).toDF("k", "v"))
+    // a positional delete so the pass has a delete side to fold
+    val cur = cat.describe("db", "bk").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schema, cur.files)
+      .filter(col("k") === 42L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "bk", pos, None)
+    val report = cat.compactFileGroups("db", "bk")
+    assert(report.compacted && report.posDeleteFilesFolded == 1, report)
+    val after = cat.describe("db", "bk").currentSnapshot.get
+    assert(after.deleteFiles.isEmpty)
+    // every rewritten file is value-pure under the SAME spec era
+    val newStats = after.fileStats
+    assert(newStats.nonEmpty && newStats.forall(s =>
+      s.pval.isDefined && s.pspec.contains("bucket(4, k)")),
+      s"pvals lost in maintenance: $newStats")
+    // bucket pruning still metadata-exact post-maintenance
+    val spec = cat.partitionSpecOf("db", "bk").get
+    val pv = cat.pvalOfLiteral(spec, "43", LongType)
+    val kept = cat.prunedFilesPval(after, pv, "bucket(4, k)")
+    assert(kept.size < after.files.size,
+      "bucket pruning eroded after compaction")
+    assert(cat.readEquals("db", "bk", "k", "43").count() == 1)
+    assert(cat.read("db", "bk").count() == 299) // 300 - the deleted 42
+  }
+
   test("eq-delete candidates: bloom veto skips range-straddling files " +
       "that provably lack the key") {
     import spark.implicits._
