@@ -585,6 +585,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     newMeta
   }
 
+  /** Create OR MOVE a branch ref to `snapshotId` in one atomic commit —
+    * the consumer-position pin ([[graft.streaming.Sinks.ChangelogFollower]]):
+    * a downstream subscriber advances its ref as it consumes, and
+    * because [[expireSnapshots]] always retains ref'd snapshots, the
+    * subscriber's `from` endpoint can never be expired out from under
+    * it while the pin holds (Iceberg's branch-as-consumer-bookmark
+    * pattern). Tags stay immutable — moving one is refused.
+    */
+  def setRef(ns: String, name: String, ref: String,
+      snapshotId: Long): TableMeta = synchronized {
+    retryMetaCommit(ns, name) { meta =>
+      require(!meta.tagNames.contains(ref),
+        s"'$ref' is a tag — tags are immutable")
+      require(meta.snapshots.exists(_.snapshotId == snapshotId),
+        s"no snapshot $snapshotId in $ns.$name")
+      meta.copy(refs = meta.refs + (ref -> snapshotId))
+    }
+  }
+
   /** Drop a branch or tag; snapshots stay until [[expireSnapshots]]. */
   def dropRef(ns: String, name: String, ref: String): TableMeta = synchronized {
     val (version, meta) = loadMeta(ns, name)
@@ -1312,8 +1331,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * no longer referenced by any retained snapshot (Iceberg
     * expire-snapshots semantics; safe because file lists are
     * append-cumulative).
+    *
+    * @param olderThanMs Iceberg's operative retention knob
+    *   (`older_than` + `retain_last` floor): when set, ONLY snapshots
+    *   committed strictly before this wall-clock instant are eligible
+    *   to expire — younger ones are retained regardless of how many,
+    *   and `keepLast` stays a floor of most-recent snapshots kept even
+    *   when the whole history is old. None = pure count-based trim.
     */
-  def expireSnapshots(ns: String, name: String, keepLast: Int): TableMeta =
+  def expireSnapshots(ns: String, name: String, keepLast: Int,
+      olderThanMs: Option[Long] = None): TableMeta =
     synchronized {
       require(keepLast >= 1, "must retain at least one snapshot")
       val (version, meta) = loadMeta(ns, name)
@@ -1324,7 +1351,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId
       val retained = meta.snapshots
         .filter(s => tail.exists(_.snapshotId == s.snapshotId) ||
-          pinned.contains(s.snapshotId))
+          pinned.contains(s.snapshotId) ||
+          olderThanMs.exists(s.createdAtMs >= _))
       // delete files are referenced artifacts too — expiring a snapshot
       // must never reap a delete file a retained snapshot still applies
       val referenced = retained.flatMap(s =>
@@ -1789,7 +1817,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def maintain(ns: String, name: String, keepLast: Int,
       targetFiles: Int, clusterBy: Seq[String] = Nil,
-      minFileBytes: Long = DefaultMinFileBytes): MaintenanceReport = {
+      minFileBytes: Long = DefaultMinFileBytes,
+      olderThanMs: Option[Long] = None): MaintenanceReport = {
     val before = describe(ns, name)
     val filesBefore = before.currentSnapshot.map(_.files.size).getOrElse(0)
     val deleteFilesBefore = before.currentSnapshot
@@ -1812,7 +1841,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       if (!due) false
       else compactFileGroups(ns, name, minFileBytes,
         clusterBy = clusterBy).compacted
-    expireSnapshots(ns, name, keepLast)
+    expireSnapshots(ns, name, keepLast, olderThanMs)
     val orphans = removeOrphanFiles(ns, name)
     val after = describe(ns, name)
     MaintenanceReport(
@@ -1849,48 +1878,186 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   /** Merge-on-read data-file read: `files` (a pruned subset of
     * `snap.files`) with the snapshot's positional delete files applied.
     * A snapshot with no delete files takes the plain vectorized-scan
-    * fast path — zero overhead for the overwhelmingly common case. With
-    * delete files present, each data row's (file, position) identity
-    * comes from the parquet reader's `_metadata` column (no extra IO —
-    * the reader maintains the row index as it scans) and delete entries
-    * are removed with a LEFT ANTI join; the delete side of a
-    * merge-on-read table is small by design (the write path falls back
-    * to copy-on-write for large matched fractions), so AQE broadcasts
-    * it and the anti-join adds no shuffle of the 100 TB side.
+    * fast path — zero overhead for the overwhelmingly common case.
+    *
+    * With delete files present, the read SPLITS by [[deleteTouchedFiles]]:
+    * files no delete entry can touch (the overwhelming majority of a
+    * 100 TB table with a needle delete) take the same vectorized fast
+    * path, and ONLY the dirty candidates pay the row-identity
+    * projection + anti-join tax — the read-side twin of
+    * [[compactFileGroups]]'s dirty-bytes discipline. Before the split,
+    * ONE live delete routed every scanned row through the `_metadata` +
+    * anti-join path: a measured ~10× full-scan penalty at sf1 that
+    * GREW with table size while the dirty set stayed one file
+    * (tools.MorPlanProbe, SCALING.md). For the dirty files, each row's
+    * (file, position) identity comes from the parquet reader's
+    * `_metadata` column (no extra IO) and delete entries are removed
+    * with a broadcast LEFT ANTI join — the delete side is small by
+    * design (the write path falls back to copy-on-write for large
+    * matched fractions), so the anti-join never shuffles the data side.
     */
   def readFilesOf(snap: SnapshotMeta, schema: StructType,
       files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
     if (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty)
-      baseRead(snap, schema, files, fieldIds, withRowId = false)
-    else readFilesWithRowId(snap, schema, files, fieldIds)
+      return baseRead(snap, schema, files, fieldIds, withRowId = false)
+    val dirty = deleteTouchedFiles(snap, schema, files)
+    val clean = files.filterNot(dirty.toSet)
+    if (dirty.isEmpty)
+      return baseRead(snap, schema, clean, fieldIds, withRowId = false)
+    val dirtyDf = deletesApplied(snap, schema, dirty, fieldIds)
       .drop(RowIdFileCol, RowIdPosCol)
+    if (clean.isEmpty) dirtyDf
+    else baseRead(snap, schema, clean, fieldIds, withRowId = false)
+      .unionByName(dirtyDf)
   }
+
+  /** The DIRTY file set of a merge-on-read read: files (among `files`)
+    * the snapshot's delete side MAY touch — files NAMED by positional
+    * delete entries (one O(delete-side) read of the entries, tiny by
+    * the MoR write discipline) plus the stat/bloom-pruned equality-
+    * delete candidates ([[eqDeleteCandidates]], metadata-only in the
+    * common case). Everything else provably holds no deleted row and
+    * may skip delete application entirely. Conservative by
+    * construction — pruning only ever KEEPS extra files.
+    */
+  private[graft] def deleteTouchedFiles(snap: SnapshotMeta,
+      schema: StructType, files: Seq[String]): Seq[String] = {
+    if (files.isEmpty ||
+        (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty)) return Nil
+    val all = dirtyOfSnapshot(snap, schema)
+    files.filter(all)
+  }
+
+  /** The dirty set over the WHOLE snapshot, memoized: snapshots are
+    * immutable (a new commit = a new SnapshotMeta), so the set is
+    * computed once per snapshot — a long-lived engine serving many
+    * reads of the same snapshot pays the (tiny, O(delete-side))
+    * candidate jobs once, not per query. Keyed by the snapshot's
+    * CONTENT (id + files + delete side), so two catalog instances or a
+    * post-rename reload can never alias. Per-file candidate decisions
+    * are independent, so filtering the memoized whole-snapshot set by
+    * any pruned `files` subset equals computing over that subset
+    * (modulo extra conservatism, which is always safe).
+    */
+  private def dirtyOfSnapshot(snap: SnapshotMeta,
+      schema: StructType): Set[String] = {
+    val key = (snap.snapshotId, snap.createdAtMs, snap.files.hashCode,
+      snap.deleteFiles.hashCode, snap.eqDeletes.hashCode)
+    dirtyCache.synchronized(Option(dirtyCache.get(key))) match {
+      case Some(s) => s
+      case None =>
+        val named: Set[String] =
+          if (snap.deleteFiles.isEmpty) Set.empty
+          else spark.read.schema(DeleteFileSchema)
+            .parquet(snap.deleteFiles: _*)
+            .select("file_path").distinct()
+            .collect().map(_.getString(0)).toSet
+        val eqCand =
+          eqDeleteCandidates(snap, schema, snap.eqDeletes, snap.files).toSet
+        val s = snap.files.filter(f => named(f) || eqCand(f)).toSet
+        dirtyCache.synchronized(dirtyCache.put(key, s)): Unit
+        s
+    }
+  }
+
+  /** Bounded LRU memo for [[dirtyOfSnapshot]] (access-ordered; old
+    * snapshots age out as maintenance advances the table).
+    */
+  private val dirtyCache =
+    new java.util.LinkedHashMap[Any, Set[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Set[String]]): Boolean = size > 64
+    }
+
+  /** The snapshot's positional delete entries grouped by data file,
+    * memoized per snapshot — only consulted when the delete side is at
+    * most [[PosInlineMaxRows]] entries, so the cached footprint is
+    * bounded and tiny.
+    */
+  private def posEntriesInline(
+      snap: SnapshotMeta): Seq[(String, Seq[Long])] = {
+    val key = ("pos", snap.snapshotId, snap.createdAtMs,
+      snap.deleteFiles.hashCode)
+    posCache.synchronized(Option(posCache.get(key))) match {
+      case Some(s) => s
+      case None =>
+        val s = spark.read.schema(DeleteFileSchema)
+          .parquet(snap.deleteFiles: _*)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).toSeq).toSeq
+        posCache.synchronized(posCache.put(key, s)): Unit
+        s
+    }
+  }
+
+  private val posCache =
+    new java.util.LinkedHashMap[Any, Seq[(String, Seq[Long])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Seq[(String, Seq[Long])]]): Boolean =
+        size > 64
+    }
 
   /** [[readFilesOf]] retaining each surviving row's (file, position)
     * identity as [[RowIdFileCol]]/[[RowIdPosCol]] columns — the
     * projection a positional DELETE writes its delete entries from.
-    * Applies BOTH delete flavors: positional entries anti-join on the
-    * row identity; equality entries anti-join on their key columns,
-    * gated on the data file's sequence number being strictly below the
-    * delete's (a row re-inserted after the delete survives it).
+    * Same clean/dirty split as [[readFilesOf]]: clean files scan
+    * vectorized (their `_metadata` identity is still projected — that
+    * part is free — but they skip every anti-join); only
+    * delete-touched candidates pay the delete application.
     */
   def readFilesWithRowId(snap: SnapshotMeta, schema: StructType,
       files: Seq[String], fieldIds: Map[String, Int] = Map.empty): DataFrame = {
+    if (snap.deleteFiles.isEmpty && snap.eqDeletes.isEmpty)
+      return baseRead(snap, schema, files, fieldIds, withRowId = true)
+    val dirty = deleteTouchedFiles(snap, schema, files)
+    val clean = files.filterNot(dirty.toSet)
+    if (dirty.isEmpty)
+      return baseRead(snap, schema, clean, fieldIds, withRowId = true)
+    val dirtyDf = deletesApplied(snap, schema, dirty, fieldIds)
+    if (clean.isEmpty) dirtyDf
+    else baseRead(snap, schema, clean, fieldIds, withRowId = true)
+      .unionByName(dirtyDf)
+  }
+
+  /** The delete-application machinery over an (already dirty-pruned)
+    * file set: positional entries anti-join on the row identity;
+    * equality entries anti-join on their key columns, gated on the
+    * data file's sequence number being strictly below the delete's (a
+    * row re-inserted after the delete survives it).
+    */
+  private def deletesApplied(snap: SnapshotMeta, schema: StructType,
+      files: Seq[String], fieldIds: Map[String, Int]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     import spark.implicits._
     val base = baseRead(snap, schema, files, fieldIds, withRowId = true)
     val posApplied =
       if (snap.deleteFiles.isEmpty) base
       else {
-        val dels = spark.read.schema(DeleteFileSchema)
-          .parquet(snap.deleteFiles: _*)
-          .select(col("file_path").as("__gd_file"), col("pos").as("__gd_pos"))
         val posRows = snap.deleteFileStats
           .filter(s => snap.deleteFiles.contains(s.path)).map(_.rows).sum
-        base.join(morHinted(dels, posRows, "positional-delete"),
-          base(RowIdFileCol) === dels("__gd_file") &&
-            base(RowIdPosCol) === dels("__gd_pos"),
-          "left_anti")
+        if (posRows <= PosInlineMaxRows) {
+          // NEEDLE path: a tiny positional delete side becomes a
+          // LITERAL filter — no broadcast exchange, no join stage, and
+          // the entries are memoized per snapshot, so a steady reader
+          // pays ZERO delete-side jobs per query. This is what keeps a
+          // full scan with one live delete within noise of the
+          // delete-free scan (tools.MorPlanProbe).
+          val byFile = posEntriesInline(snap)
+          byFile.foldLeft(base) { case (acc, (f, positions)) =>
+            acc.filter(!(col(RowIdFileCol) === lit(f) &&
+              col(RowIdPosCol).isInCollection(positions)))
+          }
+        } else {
+          val dels = spark.read.schema(DeleteFileSchema)
+            .parquet(snap.deleteFiles: _*)
+            .select(col("file_path").as("__gd_file"),
+              col("pos").as("__gd_pos"))
+          base.join(morHinted(dels, posRows, "positional-delete"),
+            base(RowIdFileCol) === dels("__gd_file") &&
+              base(RowIdPosCol) === dels("__gd_pos"),
+            "left_anti")
+        }
       }
     if (snap.eqDeletes.isEmpty) posApplied
     else {
@@ -2377,6 +2544,14 @@ object SnapshotCatalog {
 
   /** Optimistic-concurrency commit retries before giving up. */
   val MaxCommitRetries = 10
+
+  /** Positional delete sides at or below this many entries apply as an
+    * inline literal filter instead of a broadcast anti-join (see
+    * [[SnapshotCatalog.readFilesWithRowId]]): the needle-delete case
+    * costs zero extra jobs per query. Small enough that the filter
+    * expression and the per-snapshot memo stay trivial.
+    */
+  val PosInlineMaxRows = 1000L
 
   /** Session conf capping the delete-side rows [[SnapshotCatalog.readFilesWithRowId]]
     * will pin with an explicit broadcast hint; above it the join is

@@ -2456,6 +2456,11 @@ object Relational {
     cat.createTable("db", "o", base.schema)
     cat.append("db", "o", base)
     val s1 = cat.describe("db", "o").currentSnapshotId.get
+    val s1Ms = cat.describe("db", "o").snapshots
+      .find(_.snapshotId == s1).get.createdAtMs
+    // the CDC commits below must be strictly later than s1's wall
+    // clock so the at-or-before timestamp endpoint resolves to s1
+    Thread.sleep(5)
     cat.cdcUpsert("db", "o",
       rows = slice(500, 1000).select(col("o_orderkey").as("k"),
         (round(col("o_totalprice") * 100, 0).cast("long") + 7).as("price_c"),
@@ -2478,6 +2483,24 @@ object Relational {
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     out.collect().foreach(rows.add)
     val schema = out.schema
+    // the TIMESTAMP endpoint (round 14): the same window addressed by
+    // wall clock — s1's commit instant resolves at-or-before to s1
+    // itself (the `TIMESTAMP AS OF` rule), so the result is IDENTICAL;
+    // this is the "changes since last night 02:00" consumer surface
+    val ts1 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.Instant.ofEpochMilli(s1Ms))
+    val outTs = eng.sqlDataFrame(
+      s"""SELECT _change_type, status, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+         |  min(k) AS min_key, max(k) AS max_key
+         |FROM changes('db.o', '$ts1')
+         |GROUP BY _change_type, status
+         |ORDER BY _change_type, status""".stripMargin)._1
+    require(outTs.collect().toSeq ==
+      scala.jdk.CollectionConverters.ListHasAsScala(rows).asScala.toSeq,
+      "timestamp-endpoint changes() must equal the snapshot-id window")
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
     try {
       import scala.jdk.CollectionConverters._
@@ -2556,8 +2579,21 @@ object Relational {
     val folded = cat.describe("db", "o").currentSnapshot.get
     require(folded.deleteFiles.isEmpty && folded.eqDeletes.isEmpty,
       "maintenance must fold the whole delete side")
-    val ex = eng.sqlQuery("CALL system.expire_snapshots('db.o', 1)")
+    // AGE-based expiry (round 14): older_than=0 age-protects every
+    // snapshot — a provable no-op even with keep_last=1 …
+    val nBefore = cat.describe("db", "o").snapshots.size
+    require(nBefore > 1, "expected history before the age cut")
+    val exNoop = eng.sqlQuery("CALL system.expire_snapshots('db.o', 1, 0)")
+    require(!exNoop.startsWith("""{"error""""), s"expire_snapshots: $exNoop")
+    require(cat.describe("db", "o").snapshots.size == nBefore,
+      "older_than=0 must age-protect the whole history")
+    // … then a real age cut at 'now' expires everything but the
+    // keep_last floor, result-invariant by construction
+    val ex = eng.sqlQuery(
+      s"CALL system.expire_snapshots('db.o', 1, ${System.currentTimeMillis() + 1000})")
     require(!ex.startsWith("""{"error""""), s"expire_snapshots: $ex")
+    require(cat.describe("db", "o").snapshots.size == 1,
+      "age cut at now must trim to the keep_last floor")
     val out = cat.read("db", "o")
       .groupBy("status")
       .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),

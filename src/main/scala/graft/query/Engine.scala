@@ -265,15 +265,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * function reference: (ns, table, from, to) for a literal-argument
     * call on an existing catalog table; anything else is None and the
     * node reaches Spark's own rejection untouched. Window endpoints
-    * are snapshot ids, or NAMED REFS as string literals (the VERSION
+    * are snapshot ids, NAMED REFS as string literals (the VERSION
     * AS OF discipline: `changes('db.t', 'nightly-tag')` consumes
-    * everything since the tagged audit point).
+    * everything since the tagged audit point), or TIMESTAMPS — a
+    * `TIMESTAMP '…'` literal or a 'yyyy-MM-dd HH:mm:ss[.f]' string —
+    * resolved to the latest snapshot committed at-or-before (the same
+    * rule as `TIMESTAMP AS OF`): the CDC consumer's natural "changes
+    * since last night 02:00" is one SQL call, no snapshot-id lookup.
     */
   private def changesKey(
       tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction):
       Option[(String, String, Long, Option[Long])] = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
     def tbl(e: Expression): Option[(String, String)] = e match {
       case Literal(s, StringType) if s != null =>
         s.toString.split('.') match {
@@ -285,10 +289,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     def snap(ns: String, t: String)(e: Expression): Option[Long] = e match {
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Long, LongType) => Some(v)
+      // TIMESTAMP '…' parses as Cast(string, timestamp) or a resolved
+      // timestamp literal depending on the parser path — accept both
+      case Cast(Literal(s, StringType), TimestampType, _, _) if s != null =>
+        parseSessionTimestampMs(s.toString)
+          .flatMap(snapshotAtOrBefore(ns, t, _))
+      case Literal(micros: Long, TimestampType) =>
+        snapshotAtOrBefore(ns, t, micros / 1000L)
       case Literal(s, StringType) if s != null =>
         val v = s.toString
         scala.util.Try(v.toLong).toOption
           .orElse(catalog.describe(ns, t).refs.get(v))
+          .orElse(parseSessionTimestampMs(v)
+            .flatMap(snapshotAtOrBefore(ns, t, _)))
       case _ => None
     }
     if (tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) != Seq("changes"))
@@ -919,11 +932,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *  - `rewrite_data_files('ns.tbl'[, min_file_bytes[, target_file_bytes]])`
     *    → [[SnapshotCatalog.compactFileGroups]] (per-group, dirty-bytes
     *    cost; the report's numbers land in the result row);
-    *  - `expire_snapshots('ns.tbl', keep_last)`;
+    *  - `expire_snapshots('ns.tbl', keep_last[, older_than])` —
+    *    `older_than` (epoch millis or a 'yyyy-MM-dd HH:mm:ss[.f]'
+    *    session-timezone string) makes expiry AGE-based with
+    *    `keep_last` as the retained floor, Iceberg's operative knob;
     *  - `remove_orphan_files('ns.tbl')`;
     *  - `rollback_to_snapshot('ns.tbl', snapshot_id)`;
-    *  - `maintain('ns.tbl', keep_last, target_files)` — the composed
-    *    nightly pass;
+    *  - `maintain('ns.tbl', keep_last, target_files[, older_than])` —
+    *    the composed nightly pass;
     *  - `create_tag('ns.tbl', 'name')` / `create_branch('ns.tbl', 'name')`
     *    / `fast_forward('ns.tbl', 'branch')` (WAP publish).
     *
@@ -980,10 +996,22 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             "delete_files_folded" ->
               (r.posDeleteFilesFolded + r.eqDeleteFilesFolded).toLong)
         }
-      case ("expire_snapshots", Seq(te, ke)) =>
-        for { (ns, t) <- tbl(te); k <- num(ke) } yield {
+      case ("expire_snapshots", te +: ke +: rest) if rest.size <= 1 =>
+        // optional older_than: epoch millis, or a session-timezone
+        // 'yyyy-MM-dd HH:mm:ss[.f]' string (Iceberg's operative
+        // retention knob; keep_last stays the floor). Unparseable →
+        // None overall → Spark's own rejection.
+        val older: Option[Option[Long]] = rest.headOption match {
+          case None => Some(None)
+          case Some(e) =>
+            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
+              case Some(ms) => Some(Some(ms))
+              case None => None
+            }
+        }
+        for { (ns, t) <- tbl(te); k <- num(ke); o <- older } yield {
           val before = catalog.describe(ns, t).snapshots.size
-          catalog.expireSnapshots(ns, t, k.toInt)
+          catalog.expireSnapshots(ns, t, k.toInt, o)
           val after = catalog.describe(ns, t).snapshots.size
           report(ns, t, "operation" -> "expire_snapshots",
             "expired" -> (before - after).toLong, "retained" -> after.toLong)
@@ -999,9 +1027,20 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           catalog.rollback(ns, t, id)
           report(ns, t, "operation" -> "rollback_to_snapshot")
         }
-      case ("maintain", Seq(te, ke, fe)) =>
-        for { (ns, t) <- tbl(te); k <- num(ke); f <- num(fe) } yield {
-          val r = catalog.maintain(ns, t, k.toInt, f.toInt)
+      case ("maintain", te +: ke +: fe +: rest) if rest.size <= 1 =>
+        val older: Option[Option[Long]] = rest.headOption match {
+          case None => Some(None)
+          case Some(e) =>
+            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
+              case Some(ms) => Some(Some(ms))
+              case None => None
+            }
+        }
+        for {
+          (ns, t) <- tbl(te); k <- num(ke); f <- num(fe); o <- older
+        } yield {
+          val r = catalog.maintain(ns, t, k.toInt, f.toInt,
+            olderThanMs = o)
           report(ns, t, "operation" -> "maintain",
             "compacted" -> r.compacted,
             "files_before" -> r.filesBefore.toLong,
@@ -1307,36 +1346,46 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               .orElse(catalog.describe(ns, t).refs.get(ver))
               .map((ns, t, _))
           case (Some(Literal(u, StringType)), None) =>
-            // interpret the wall-clock string in the SESSION timezone
-            // (java.sql.Timestamp.valueOf would use the JVM default,
-            // silently resolving to a different snapshot when the two
-            // differ) — snapshot createdAtMs is epoch-based
-            scala.util.Try {
-              val fmt = new java.time.format.DateTimeFormatterBuilder()
-                .appendPattern("yyyy-MM-dd HH:mm:ss")
-                .optionalStart()
-                .appendFraction(
-                  java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
-                .optionalEnd()
-                .toFormatter
-              java.time.LocalDateTime.parse(u.toString, fmt)
-                .atZone(java.time.ZoneId.of(
-                  spark.sessionState.conf.sessionLocalTimeZone))
-                .toInstant.toEpochMilli
-            }.toOption
+            parseSessionTimestampMs(u.toString)
           case (Some(Literal(micros: Long, TimestampType)), None) =>
             Some(micros / 1000L)
           case _ => None
         }
-        msOpt.flatMap { ms =>
-          catalog.describe(ns, t).snapshots
-            .filter(_.createdAtMs <= ms)
-            .maxByOption(_.createdAtMs)
-            .map(s => (ns, t, s.snapshotId))
-        }
+        msOpt.flatMap(snapshotAtOrBefore(ns, t, _)).map((ns, t, _))
       case _ => None
     }
   }
+
+  /** Wall-clock string → epoch millis, interpreted in the SESSION
+    * timezone (java.sql.Timestamp.valueOf would use the JVM default,
+    * silently resolving to a different snapshot when the two differ) —
+    * snapshot createdAtMs is epoch-based. Shared by `TIMESTAMP AS OF`
+    * and `changes()` timestamp endpoints.
+    */
+  private def parseSessionTimestampMs(s: String): Option[Long] =
+    scala.util.Try {
+      val fmt = new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern("yyyy-MM-dd HH:mm:ss")
+        .optionalStart()
+        .appendFraction(
+          java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+        .optionalEnd()
+        .toFormatter
+      java.time.LocalDateTime.parse(s, fmt)
+        .atZone(java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone))
+        .toInstant.toEpochMilli
+    }.toOption
+
+  /** The latest snapshot committed at-or-before `ms` (the Iceberg
+    * time-travel rule), or None when the table has no snapshot yet.
+    */
+  private def snapshotAtOrBefore(ns: String, t: String,
+      ms: Long): Option[Long] =
+    catalog.describe(ns, t).snapshots
+      .filter(_.createdAtMs <= ms)
+      .maxByOption(_.createdAtMs)
+      .map(_.snapshotId)
 
   /** The UnresolvedRelation instances sitting INSIDE RelationTimeTravel
     * nodes, by identity — they belong to the time-travel substitution

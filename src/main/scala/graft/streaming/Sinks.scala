@@ -276,13 +276,23 @@ object Sinks {
     * `poll()` returns whether a window was applied; [[batch]] adapts
     * it to foreachBatch so any ticking stream drives the subscription.
     * An upstream compaction inside an unconsumed window destroys row
-    * identity, so readChangelog refuses — the follower then RESYNCS:
-    * one atomic OVERWRITE of the downstream with the upstream's
-    * current state (position recorded in the same commit). O(upstream)
-    * once, loudly logged — the "full refresh" every CDC mirror needs
-    * as its escape hatch — and the next polls are incremental again.
-    * Keeping maintenance cadence slower than consumption cadence keeps
-    * resyncs at zero.
+    * identity, and an upstream [[SnapshotCatalog.expireSnapshots]] can
+    * take the follower's `from` snapshot with it — in BOTH cases
+    * readChangelog refuses and the follower RESYNCS: one atomic
+    * OVERWRITE of the downstream with the upstream's current state
+    * (position recorded in the same commit). O(upstream) once, loudly
+    * logged — the "full refresh" every CDC mirror needs as its escape
+    * hatch — and the next polls are incremental again.
+    *
+    * The common case never needs it: each consumed position is ALSO
+    * pinned with an upstream branch ref (`graft.follow.<downNs>.
+    * <downTable>`, advanced via [[SnapshotCatalog.setRef]] right after
+    * the downstream commit), and expireSnapshots always retains ref'd
+    * snapshots — so a follower lagging arbitrarily far behind a
+    * maintained upstream still finds its `from` snapshot alive. The
+    * pin trails the downstream commit by one non-atomic step; a crash
+    * in between leaves the pin one window old, which at worst means
+    * one resync — never a wrong result.
     */
   def changelogFollower(catalog: SnapshotCatalog, upNs: String,
       upTable: String, downNs: String, downTable: String,
@@ -293,6 +303,10 @@ object Sinks {
       upNs: String, upTable: String, downNs: String, downTable: String,
       keyCols: Seq[String]) {
     private val posKey = s"graft.follow.$upNs.$upTable.snapshot"
+    /** The upstream branch ref pinning the consumed position against
+      * snapshot expiry (see the class scaladoc).
+      */
+    private[graft] val posRef = s"graft.follow.$downNs.$downTable"
 
     /** Consume everything committed upstream since the last poll.
       * Returns true when a window was applied (false = caught up).
@@ -310,6 +324,7 @@ object Sinks {
           // atomically with the copy
           catalog.append(downNs, downTable, catalog.read(upNs, upTable),
             Map(posKey -> upSnap.toString))
+          pin(upSnap)
           true
         case Some(from) if from == upSnap => false // caught up
         case Some(from) =>
@@ -325,20 +340,39 @@ object Sinks {
             catalog.cdcUpsert(downNs, downTable, ins, dels, keyCols,
               Map(posKey -> upSnap.toString)): Unit
           } catch {
-            case e: IllegalStateException =>
-              // data files rewritten inside the window (compaction):
-              // identity-based deltas are gone — full refresh, once
+            // IllegalStateException: data files rewritten inside the
+            // window (compaction) — identity-based deltas are gone.
+            // NoSuchElementException: the `from` snapshot itself was
+            // expired (the pin was dropped, or trailed a crash).
+            // Either way: full refresh, once, loudly.
+            case e @ (_: IllegalStateException | _: NoSuchElementException) =>
               org.slf4j.LoggerFactory.getLogger(classOf[ChangelogFollower])
                 .warn(s"changelog window $from->$upSnap of " +
-                  s"$upNs.$upTable lost row identity (${e.getMessage}); " +
+                  s"$upNs.$upTable is unreadable (${e.getMessage}); " +
                   "resyncing downstream with one atomic overwrite")
               catalog.overwrite(downNs, downTable,
                 catalog.read(upNs, upTable),
                 Map(posKey -> upSnap.toString)): Unit
           }
+          pin(upSnap)
           true
       }
     }
+
+    /** Advance the retention pin to the consumed position. Best-effort
+      * (the position PROPERTY in the downstream commit is the
+      * authoritative bookmark): if the upstream races a concurrent
+      * expiry/rollback that already dropped `upSnap`, the pin simply
+      * stays where it was and the next poll resyncs.
+      */
+    private def pin(upSnap: Long): Unit =
+      try catalog.setRef(upNs, upTable, posRef, upSnap): Unit
+      catch {
+        case e: IllegalArgumentException =>
+          org.slf4j.LoggerFactory.getLogger(classOf[ChangelogFollower])
+            .warn(s"could not pin follower position $upSnap on " +
+              s"$upNs.$upTable: ${e.getMessage}")
+      }
 
     /** foreachBatch adapter: attach the subscription to any ticking
       * stream (`rate` source, upstream commit notifications, …).

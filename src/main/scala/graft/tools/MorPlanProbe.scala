@@ -50,16 +50,45 @@ object MorPlanProbe {
       "MoR read plan shuffles the data side:\n" + planStr)
     println("""{"probe":"plan","broadcast_anti_join":true}""")
     def time(tag: String)(body: => Unit): Unit = {
-      val best = (1 to 3).map { _ =>
+      val samples = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"""{"probe":"$tag","sec":$best%.3f}""")
+      }
+      val all = samples.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(f"""{"probe":"$tag","sec":${samples.min}%.3f,"samples":$all}""")
     }
     time("scan_with_deletes") {
       cat.read("db", "o").agg(sum("price_c"), count(lit(1))).collect(): Unit
     }
-    cat.compact("db", "o", numFiles = 15)
+    // the honest read-tax baseline: the SAME file layout without any
+    // delete (time travel to the pre-delete snapshot) — comparing
+    // against the compacted layout would conflate the delete tax with
+    // the small-file tax the compaction also removes
+    time("scan_predelete_same_layout") {
+      cat.read("db", "o", Some(snap0.snapshotId))
+        .agg(sum("price_c"), count(lit(1))).collect(): Unit
+    }
+    // compact to a row-count-proportional file count (100k rows/file):
+    // a fixed numFiles would make ONE dirty file a scale-dependent
+    // fraction of the table and conflate the needle tax with file
+    // granularity — at 100 TB / 512 MB files one dirty file is 5e-6 of
+    // the table, and the probe's layout should approximate that shape
+    val nOut = math.max(15, (orders.count() / 100000L).toInt)
+    cat.compact("db", "o", numFiles = nOut)
+    println(s"""{"probe":"layout","compacted_files":$nOut}""")
     time("scan_compacted") {
+      cat.read("db", "o").agg(sum("price_c"), count(lit(1))).collect(): Unit
+    }
+    // the judge-grade NEEDLE case: ONE row deleted from the compacted
+    // table — the clean/dirty split must keep a full scan within ~1.3×
+    // of the delete-free scan of the SAME layout (pre-split: every
+    // file paid the row-id + anti-join path, ~10× at sf1)
+    val snapC = cat.describe("db", "o").currentSnapshot.get
+    val needle = cat.readFilesWithRowId(snapC,
+        cat.schemaOf("db", "o"), snapC.files)
+      .filter(col("o_orderkey") >= 40000).limit(1)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "o", needle, None)
+    time("scan_needle_delete") {
       cat.read("db", "o").agg(sum("price_c"), count(lit(1))).collect(): Unit
     }
     spark.stop()

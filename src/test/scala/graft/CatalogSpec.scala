@@ -1356,4 +1356,96 @@ class CatalogSpec extends SparkTestBase {
       assert(got == expect)
     } finally spark.conf.unset(SnapshotCatalog.MorBroadcastMaxRowsConf)
   }
+
+  test("age-based snapshot expiry: older_than expires only old " +
+      "snapshots, keep_last floors, refs stay pinned") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // four snapshots with distinct wall-clock ages
+    for (i <- 0 until 4) {
+      cat.append("db", "t", Seq((i.toLong, i.toDouble)).toDF("id", "v"))
+      Thread.sleep(5)
+    }
+    val metaAll = cat.describe("db", "t")
+    assert(metaAll.snapshots.size == 4)
+    val ids = metaAll.snapshots.sortBy(_.snapshotId).map(_.snapshotId)
+    cat.createTag("db", "t", "pin", Some(ids.head)) // pin the OLDEST
+    val cutMs = metaAll.snapshots
+      .find(_.snapshotId == ids(2)).get.createdAtMs
+    // only snapshots strictly older than the cut are eligible: ids(1)
+    // expires; ids(0) is equally old but TAG-pinned; ids(2)/ids(3) are
+    // age-protected
+    cat.expireSnapshots("db", "t", keepLast = 1, olderThanMs = Some(cutMs))
+    assert(cat.describe("db", "t").snapshots.map(_.snapshotId).toSet ==
+      Set(ids(0), ids(2), ids(3)))
+    // older_than = 0 age-protects everything — a no-op regardless of
+    // keep_last
+    cat.expireSnapshots("db", "t", keepLast = 1, olderThanMs = Some(0L))
+    assert(cat.describe("db", "t").snapshots.size == 3)
+    // all old (far-future cut): keep_last floors what survives, the
+    // pin still holds
+    cat.expireSnapshots("db", "t", keepLast = 1,
+      olderThanMs = Some(Long.MaxValue))
+    assert(cat.describe("db", "t").snapshots.map(_.snapshotId).toSet ==
+      Set(ids(0), ids(3)))
+    // current state unaffected throughout (appends are cumulative)
+    assert(cat.read("db", "t").count() == 4)
+    // the pinned snapshot still time-travels
+    assert(cat.read("db", "t", Some(ids(0))).count() == 1)
+  }
+
+  test("merge-on-read clean/dirty split: files no delete entry touches " +
+      "scan vectorized, without row-identity or anti-join stages") {
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // three key-clustered files: ids [0,100), [100,200), [200,300)
+    cat.append("db", "t",
+      (0L until 300L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"))
+    val snap0 = cat.describe("db", "t").currentSnapshot.get
+    assert(snap0.files.size == 3)
+    // a NEEDLE positional delete in exactly one file
+    val pos = cat.readFilesWithRowId(snap0, schemaV1, snap0.files)
+      .filter(col("id") === 42L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val dirty = cat.deleteTouchedFiles(cur, schemaV1, cur.files)
+    assert(dirty.size == 1, s"expected 1 dirty file, got $dirty")
+    val ds = cur.fileStats.find(_.path == dirty.head).get
+    assert(ds.min("id").toDouble <= 42 && ds.max("id").toDouble >= 42)
+    val df = cat.read("db", "t")
+    val plan = df.queryExecution.executedPlan.toString
+    // a NEEDLE positional delete applies as an inline literal filter:
+    // NO anti-join, NO broadcast exchange, NO delete-file scan — just
+    // the clean vectorized scan unioned with one filtered dirty scan
+    assert(!plan.contains("LeftAnti"),
+      s"needle delete must inline as a filter, got:\n$plan")
+    assert(plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") == 2, s"expected 2 scans, got:\n$plan")
+    // the clean files' scan (2 paths) carries NO row-identity columns
+    val cleanScan = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("(2 paths)"))
+    assert(cleanScan.exists(l =>
+      !l.contains("row_index") && !l.contains("_metadata")),
+      s"row identity leaked into the clean scan:\n$plan")
+    // semantics unchanged: 299 rows, the needle gone
+    assert(df.count() == 299 && df.filter(col("id") === 42L).count() == 0)
+
+    // an EQUALITY delete over keys in the third file dirties it too —
+    // candidates stay stat-pruned, the first file remains clean
+    cat.addEqualityDeleteFile("db", "t",
+      (250L until 260L).toDF("id"), Seq("id"))
+    val cur2 = cat.describe("db", "t").currentSnapshot.get
+    val dirty2 = cat.deleteTouchedFiles(cur2, schemaV1, cur2.files)
+    assert(dirty2.size == 2, s"expected 2 dirty files, got $dirty2")
+    val clean2 = cur2.files.filterNot(dirty2.toSet)
+    assert(clean2.size == 1)
+    val cs = cur2.fileStats.find(_.path == clean2.head).get
+    // the untouched middle file [100,200)
+    assert(cs.min("id").toDouble >= 100 && cs.max("id").toDouble < 200)
+    assert(cat.read("db", "t").count() == 289)
+  }
 }

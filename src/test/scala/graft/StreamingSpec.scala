@@ -760,4 +760,76 @@ class StreamingSpec extends SparkTestBase {
     q.awaitTermination()
     converged()
   }
+
+  test("changelog follower durability: the position pin survives " +
+      "aggressive expiry (no resync); an expired position resyncs " +
+      "instead of crashing") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-chfd-wh"))
+    cat.createTable("db", "up",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "up",
+      (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val f = Sinks.changelogFollower(cat, "db", "up", "db", "down", Seq("id"))
+    def converged(): Unit = {
+      val u = cat.read("db", "up").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val d = cat.read("db", "down").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(u == d, s"up=$u down=$d")
+    }
+    assert(f.poll()); converged() // bootstrap; position pinned
+    val pinned = cat.describe("db", "up").refs(f.posRef)
+    assert(pinned == cat.describe("db", "down")
+      .properties(s"graft.follow.db.up.snapshot").toLong)
+
+    // the follower LAGS: three upstream CDC windows land, then an
+    // AGGRESSIVE expiry — the pin keeps the position snapshot alive
+    for (i <- 1 to 3)
+      cat.cdcUpsert("db", "up",
+        rows = Seq((100L + i, i.toDouble)).toDF("id", "v"),
+        deletes = Seq(i.toLong).toDF("id"), Seq("id"))
+    cat.expireSnapshots("db", "up", keepLast = 1)
+    assert(cat.describe("db", "up").snapshots
+      .exists(_.snapshotId == pinned), "pin must survive expiry")
+    val beforeFiles = cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet
+    assert(f.poll()); converged()
+    // INCREMENTAL consumption, not a resync: a cdcUpsert appends to
+    // the downstream manifest (old files carried), an overwrite
+    // replaces it
+    val afterFiles = cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet
+    assert(beforeFiles.subsetOf(afterFiles),
+      "the pinned position must be consumed incrementally, not resynced")
+    // and the pin advanced with the consumption
+    assert(cat.describe("db", "up").refs(f.posRef) ==
+      cat.describe("db", "up").currentSnapshotId.get)
+
+    // now the pin is LOST (operator dropped the ref) and the position
+    // snapshot expires — poll must RESYNC, not crash permanently
+    cat.cdcUpsert("db", "up",
+      rows = Seq((200L, 2.0)).toDF("id", "v"),
+      deletes = Seq(5L).toDF("id"), Seq("id"))
+    cat.dropRef("db", "up", f.posRef)
+    cat.cdcUpsert("db", "up",
+      rows = Seq((201L, 2.1)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    cat.expireSnapshots("db", "up", keepLast = 1)
+    val preResync = cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet
+    assert(f.poll()); converged()
+    val postResync = cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet
+    assert(!preResync.subsetOf(postResync),
+      "an expired position must take the full-refresh escape hatch")
+    // incremental again afterwards, pin restored
+    cat.cdcUpsert("db", "up",
+      rows = Seq((202L, 2.2)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(f.poll()); converged()
+    assert(!f.poll())
+    assert(cat.describe("db", "up").refs(f.posRef) ==
+      cat.describe("db", "up").currentSnapshotId.get)
+  }
 }
