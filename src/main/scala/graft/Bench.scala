@@ -70,6 +70,55 @@ object Bench {
         else runs.minBy(_._1)
       spec.name -> best
     }
+    // Honest-cost probes (round 14, VERDICT r13 item 8): the MoR read
+    // tax and the maintenance dirty-bytes cost ride the round-over-
+    // round bench signal, not just the green queries — a regression in
+    // either shows up here even though the 152-query surface keeps
+    // only tiny delete-bearing windows. Runs AFTER the query loop so
+    // it inherits nothing and pollutes nothing.
+    def fmt(v: Double, digits: Int = 3): String = String.format(
+      java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val probes: String = try {
+      import org.apache.spark.sql.functions.{col, count, lit, round => fround, sum}
+      val wh = java.nio.file.Files.createTempDirectory("graft-bench-probe")
+      val cat = new graft.catalog.SnapshotCatalog(spark, wh.toString)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"),
+          fround(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      cat.createTable("db", "o", orders.schema)
+      cat.append("db", "o", orders.repartitionByRange(15, col("o_orderkey")))
+      def scanSec(): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        cat.read("db", "o").agg(sum("price_c"), count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val cleanSec = scanSec()
+      val snap = cat.describe("db", "o").currentSnapshot.get
+      val pos = cat.readFilesWithRowId(snap, orders.schema, snap.files)
+        .filter(col("o_orderkey") >= 1000).limit(1)
+        .select(graft.catalog.SnapshotCatalog.RowIdFileCol,
+          graft.catalog.SnapshotCatalog.RowIdPosCol)
+      cat.addDeleteFile("db", "o", pos, None)
+      val needleSec = scanSec() // full scan with ONE live delete
+      // maintenance: fixed small-file + delete debt, dirty-bytes cost
+      for (b <- 0 until 4)
+        cat.append("db", "o", spark.range(b * 5L, b * 5L + 5L)
+          .select(col("id").as("o_orderkey"), lit(1L).as("price_c"))
+          .coalesce(1))
+      val pre = cat.describe("db", "o").currentSnapshot.get
+      def sz(f: String): Long = scala.util.Try(
+        java.nio.file.Files.size(java.nio.file.Paths.get(f))).getOrElse(0L)
+      val tableBytes = math.max(1L, pre.files.map(sz).sum)
+      val t0 = System.nanoTime()
+      val rep = cat.compactFileGroups("db", "o", minFileBytes = 64L << 10)
+      val maintSec = (System.nanoTime() - t0) / 1e9
+      s"""{"mor_clean_sec":${fmt(cleanSec)},""" +
+        s""""mor_needle_sec":${fmt(needleSec)},""" +
+        s""""maint_dirty_frac":${fmt(
+          rep.bytesRewritten.toDouble / tableBytes, 4)},""" +
+        s""""maint_sec":${fmt(maintSec)}}"""
+    } catch { case _: Throwable => "{}" }
+
     val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     // engine metrics of each query's fastest run (VERDICT r8 item 4):
@@ -78,7 +127,7 @@ object Bench {
     val ms = results.map { case (k, (_, m)) => "\"" + k + "\":" + m.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","metrics":$ms}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probes":$probes,"metrics":$ms}"""
     println(line)
     // The COMPLETE line (113 queries + per-query engine metrics, ~16 KB)
     // is the file artifact; SPARK_GRAFT_BENCH_OUT overrides the name
@@ -107,7 +156,7 @@ object Bench {
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
       .map { case (k, (t, _)) => "\"" + k + "\":" + ms3(t) }
       .mkString("{", ",", "}")
-    val closer = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"queries":$slowest,"full":"$out"}"""
+    val closer = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.length},"queries":$slowest,"probes":$probes,"full":"$out"}"""
     // Belt and braces for the driver's tail-parse (BENCH_r11 item 2):
     // (a) build.sbt sets `run / outputStrategy := StdoutOutput`, so this
     //     println reaches the log UNPREFIXED (sbt's "[info] " was what

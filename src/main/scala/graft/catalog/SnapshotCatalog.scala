@@ -1481,13 +1481,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * delete's key bounds — taken from the MANIFEST
     * ([[EqDeleteMeta.keyMin]]/`keyMax`, stamped at commit like
     * Iceberg's delete-manifest lower/upper bounds), so a delete whose
-    * keys touch nothing is dismissed with ZERO IO. Single-column
-    * deletes under [[EqCandidateKeysCap]] entries that DO intersect
-    * something are refined exactly: the distinct keys are read (tiny,
-    * driver-sized) and a file stays a candidate only when SOME key
-    * falls inside its [min,max] — a CDC batch mixing low-range deletes
-    * with high-range re-inserts no longer smears one global bound over
-    * every file in between. Files without stats (or with
+    * keys touch nothing is dismissed with ZERO IO. Deletes under
+    * [[EqCandidateKeysCap]] entries whose key columns are ALL
+    * stat-typed and that DO intersect something are refined exactly:
+    * the distinct keys are read (tiny, driver-sized) and a file stays
+    * a candidate only when SOME key falls inside its [min,max] (every
+    * column at once for composite keys — per-column bounds alone
+    * would smear a delete touching (t1, low) and (t2, high) over
+    * every file in between), with a per-key bloom veto on
+    * bloom-declared columns. Files without stats (or with
     * non-stat-typed key columns) are conservatively kept — pruning may
     * only ever KEEP extra files. The changelog/compaction analogue of
     * the read path's range pruning: a narrow key window costs
@@ -1567,9 +1569,111 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }
         // exact refinement for the CDC shape — pays the (tiny) key
         // read ONLY when the bounds already intersect something
-        val exact = d.cols.size == 1 && statCols.size == 1 &&
+        val exact = statCols.size == d.cols.size &&
           d.rows <= EqCandidateKeysCap && coarse.nonEmpty
         if (!exact) hit ++= coarse
+        else if (statCols.size > 1) {
+          // MULTI-COLUMN exact refinement (round 14 — the realistic
+          // (tenant_id, row_id) composite-key CDC shape): per-column
+          // bounds intersection SMEARS (a delete touching (t1, low)
+          // and (t2, high) coarsely matches every file between), so
+          // read the distinct key TUPLES once and keep a file only
+          // when SOME tuple fits inside its per-column [min,max] —
+          // with a per-tuple bloom veto on bloom-declared columns.
+          // Tuples sort by first column so each file checks only the
+          // span its first-column range admits (clustered layouts →
+          // tiny spans); capped by EqCandidateKeysCap like the
+          // single-column path.
+          val n = statCols.size
+          val sel = statCols.map { case (c, e, _) =>
+            e.cast("string").as(s"_k_$c") } ++
+            d.cols.zip(phys).map { case (c, p) =>
+              org.apache.spark.sql.functions.col(p).cast("string")
+                .as(s"_r_$c") }
+          val tupleRows = spark.read.schema(keySchema).parquet(d.path)
+            .select(sel: _*)
+            .na.drop(statCols.map { case (c, _, _) => s"_k_$c" })
+            .distinct().collect()
+          val tuples = tupleRows.map(r =>
+            (Array.tabulate(n)(i => r.getString(i)),
+              Array.tabulate(n)(i => r.getString(n + i))))
+          val firstNum = statCols.head._3
+          val sortedT =
+            if (firstNum) tuples.sortBy(_._1(0).toDouble)
+            else tuples.sortBy(_._1(0))
+          val firstD: Array[Double] =
+            if (firstNum) sortedT.map(_._1(0).toDouble) else null
+          val firstS: Array[String] =
+            if (firstNum) null else sortedT.map(_._1(0))
+          val probeBlooms = tuples.length <= BloomVetoMaxKeys
+          val posMemo = scala.collection.mutable.HashMap.empty[String, Seq[Int]]
+          def lowerBound(mn: String): Int =
+            if (firstNum) {
+              val lo = mn.toDouble
+              var l = 0; var h = firstD.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (firstD(m) < lo) l = m + 1 else h = m }
+              l
+            } else {
+              var l = 0; var h = firstS.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (firstS(m) < mn) l = m + 1 else h = m }
+              l
+            }
+          def upperBound(mx: String): Int =
+            if (firstNum) {
+              val hiV = mx.toDouble
+              var l = 0; var h = firstD.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (firstD(m) <= hiV) l = m + 1 else h = m }
+              l
+            } else {
+              var l = 0; var h = firstS.length
+              while (l < h) { val m = (l + h) >>> 1
+                if (firstS(m) <= mx) l = m + 1 else h = m }
+              l
+            }
+          if (tuples.nonEmpty) hit ++= coarse.filter { f =>
+            statsByFile.get(f) match {
+              case None => true
+              case Some(fs) =>
+                val colBounds = Array.tabulate(n) { i =>
+                  for { mn <- fs.min.get(d.cols(i))
+                        mx <- fs.max.get(d.cols(i)) } yield (mn, mx)
+                }
+                val colBlooms: Array[Option[Array[Byte]]] =
+                  Array.tabulate(n) { i =>
+                    if (!probeBlooms) None
+                    else fs.blooms.flatMap(_.get(d.cols(i)))
+                      .map(java.util.Base64.getDecoder.decode)
+                  }
+                def fits(i: Int, stat: String, raw: String): Boolean = {
+                  val rangeOk = colBounds(i) match {
+                    case None => true
+                    case Some((mn, mx)) =>
+                      if (statCols(i)._3) {
+                        val x = stat.toDouble
+                        x >= mn.toDouble && x <= mx.toDouble
+                      } else stat >= mn && stat <= mx
+                  }
+                  rangeOk && (colBlooms(i) match {
+                    case None => true
+                    case Some(bits) =>
+                      posMemo.getOrElseUpdate(raw, bloomPositions(raw))
+                        .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+                  })
+                }
+                val (lo, hi) = colBounds(0) match {
+                  case None => (0, sortedT.length)
+                  case Some((mn, mx)) => (lowerBound(mn), upperBound(mx))
+                }
+                (lo until hi).exists { j =>
+                  val (stat, raw) = sortedT(j)
+                  (0 until n).forall(i => fits(i, stat(i), raw(i)))
+                }
+            }
+          }
+        }
         else {
           val (c, expr, num) = statCols.head
           // two renderings per key: the stats rendering for range
@@ -1676,12 +1780,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *   way to keep layout entropy down on a CDC-fed table. The
     *   whole-table [[compact]] remains the explicit global OPTIMIZE.
     */
+  /** Concurrency (round 14): the group REWRITE — the long part at real
+    * file sizes — runs OUTSIDE the catalog lock; only the final
+    * validate-and-commit step serializes (the cdcUpsert/rewriteFiles
+    * write-outside/commit-inside discipline), so an in-process CDC
+    * commit lands DURING a slow compaction instead of queuing behind
+    * it. If the table moved while rewriting, the written files are
+    * discarded and the pass re-plans against the new state (bounded);
+    * the last attempt holds the lock end-to-end so the pass always
+    * terminates.
+    */
   def compactFileGroups(ns: String, name: String,
       minFileBytes: Long = DefaultMinFileBytes,
       targetFileBytes: Long = DefaultTargetFileBytes,
-      clusterBy: Seq[String] = Nil): CompactReport =
-    synchronized {
-      val (version, meta) = loadMeta(ns, name)
+      clusterBy: Seq[String] = Nil): CompactReport = {
+    var attempt = 0
+    while (true) {
+      try {
+        return if (attempt >= 2)
+          synchronized(compactGroupsOnce(ns, name, minFileBytes,
+            targetFileBytes, clusterBy))
+        else compactGroupsOnce(ns, name, minFileBytes,
+          targetFileBytes, clusterBy)
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempt < 2 =>
+          attempt += 1 // a commit landed mid-rewrite: re-plan
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def compactGroupsOnce(ns: String, name: String,
+      minFileBytes: Long, targetFileBytes: Long,
+      clusterBy: Seq[String]): CompactReport = {
+      val (_, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       val current = meta.currentSnapshot.getOrElse(
         return CompactReport(0, 0, 0, 0L, 0, 0, compacted = false))
@@ -1708,13 +1840,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           compacted = false)
       val untouched = current.files.filterNot(rewrite.toSet)
       val bytes = rewrite.map(sizeOf).sum
-      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      // the rewrite dir is keyed by a unique write id, not the target
+      // snapshot id — a re-planned attempt must never collide with an
+      // abandoned one's directory
+      val writeId = java.util.UUID.randomUUID().toString.take(8)
       val (newFiles, newStats) =
         if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[FileStats])
         else {
           val numOut = math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-binpack")
+          val snapDir = dataDir(ns, name).resolve(s"binpack-$writeId")
           val df = readFilesOf(current, schema, rewrite, meta.fieldIds)
           val packed =
             if (clusterBy.isEmpty) df.coalesce(numOut) // no shuffle
@@ -1764,9 +1899,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // the rewrite set covers every file any delete entry can hit
       // (positional by name, equality by candidate pruning), so the
       // delete side folds away COMPLETELY — a dead eq-delete (no
-      // candidates at all) is dropped too
-      commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ newFiles, untouchedStats ++ newStats)
+      // candidates at all) is dropped too.
+      // VALIDATE-AND-COMMIT under the lock: the plan is only valid
+      // against the snapshot it was made from — if the table moved
+      // while rewriting, discard the written files and re-plan
+      synchronized {
+        val (v2, m2) = loadMeta(ns, name)
+        def discard(): Unit =
+          newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+        if (m2.currentSnapshotId != meta.currentSnapshotId) {
+          discard()
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved during compaction — re-plan and retry")
+        }
+        // snapshot/sequence ids from the VALIDATED state (a branch
+        // commit may have advanced them without moving the pointer);
+        // the rewritten files' seq restamps to the commit's own
+        val commitSeq = m2.snapshots.map(_.sequenceNumber).max + 1
+        val restamped = newStats.map(_.copy(seq = Some(commitSeq)))
+        try commitReplacing(ns, name, v2, m2,
+          m2.snapshots.map(_.snapshotId).max + 1,
+          untouched ++ newFiles, untouchedStats ++ restamped)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            discard(); throw e
+        }
+      }
       CompactReport(
         rewrittenFiles = rewrite.size,
         untouchedFiles = untouched.size,

@@ -788,9 +788,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             Seq(ns), _), pattern, _) if catalog.listNamespaces().contains(ns) =>
         Some {
           import spark.implicits._
-          val names = catalog.listTables(ns).filter(t =>
-            pattern.forall(p => t.matches(
-              p.replace("*", ".*").replace("|", "|"))))
+          // Spark's SHOW TABLES LIKE glob semantics ('|'-alternation,
+          // '*' wildcard, everything else LITERAL, case-insensitive —
+          // StringUtils.filterPattern): literal segments are
+          // regex-quoted so 't.' can't match 'tx' and '+'/'(' can't
+          // throw PatternSyntaxException
+          def globMatch(t: String, p: String): Boolean =
+            p.split("\\|").exists { sub =>
+              val regex = sub.trim.split("\\*", -1)
+                .map(java.util.regex.Pattern.quote).mkString(".*")
+              t.matches("(?i)" + regex)
+            }
+          val names = catalog.listTables(ns)
+            .filter(t => pattern.forall(globMatch(t, _)))
           (names.map(t => (ns, t, false))
             .toDF("namespace", "tableName", "isTemporary"),
             Seq.empty[Engine.PruneInfo])
@@ -905,10 +915,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               if (tMeta.properties.get("write.merge.mode")
                     .contains("merge-on-read") &&
                   tMeta.currentSnapshot.isDefined) {
-                catalog.cdcUpsert(ns, t, src,
+                val eqBefore = tMeta.currentSnapshot
+                  .map(_.eqDeletes.size).getOrElse(0)
+                val newMeta = catalog.cdcUpsert(ns, t, src,
                   deletes = src.select(col(key)).limit(0), Seq(key))
+                // derived from the COMMITTED snapshot's eqDeletes delta
+                // — an empty batch drops its empty delete parquet and
+                // commits zero entries, and the summary must say so
+                val eqAfter = newMeta.currentSnapshot
+                  .map(_.eqDeletes.size).getOrElse(0)
                 summary("MERGE", ns, t, affected, 0, totalBefore,
-                  deleteFilesWritten = 1)
+                  deleteFilesWritten = (eqAfter - eqBefore).toLong)
               } else {
                 // files_rewritten = the files the key-range pruning
                 // actually selected, not the whole table — the
@@ -1260,7 +1277,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         org.apache.spark.sql.functions.countDistinct(
           when(mFlag, org.apache.spark.sql.functions.struct(rif, rip)))).head()
       def cell(i: Int): Long = if (cnt.isNullAt(i)) 0L else cnt.getLong(i)
-      if (cell(3) != cell(4))
+      // cardinality is only a violation when a matched/by-source
+      // clause could act on the duplicated row — standard SQL, Spark,
+      // and Iceberg all PERMIT insert-only MERGE over a many-to-one
+      // ON condition (the kept target row is simply emitted once)
+      val insertOnly = mActs.isEmpty && nActs.isEmpty
+      if (!insertOnly && cell(3) != cell(4))
         throw new IllegalStateException(
           "MERGE_CARDINALITY_VIOLATION: the ON condition matched " +
             s"${cell(3)} source rows onto ${cell(4)} distinct target rows " +
@@ -1275,6 +1297,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       val mergeMor = meta.properties.get("write.merge.mode")
         .contains("merge-on-read")
       current match {
+        case Some(s) if insertOnly =>
+          // insert-only MERGE changes NO target row (a multiply-matched
+          // target row is simply kept, once, in its untouched file) —
+          // append the fired inserts with zero rewrites, under the same
+          // optimistic snapshot guard
+          val inserts = joined.filter(!tP && sP && iHit).select(outCols: _*)
+          catalog.rewriteFiles(ns, t, Nil, _ => inserts, Some(s.snapshotId))
+          summary("MERGE", ns, t, affected, 0, total)
         case Some(s) if mergeMor =>
           val positions = joined
             .filter((mFlag && mHit) || (tOnly && nHit)).select(rif, rip)

@@ -299,6 +299,35 @@ object Sinks {
       keyCols: Seq[String]): ChangelogFollower =
     new ChangelogFollower(catalog, upNs, upTable, downNs, downTable, keyCols)
 
+  /** The subscription as a FIRST-CLASS Structured Streaming query: a
+    * rate-ticked stream drives [[ChangelogFollower.poll]] every
+    * trigger — `Sinks.changelogStream(...).start()` is the whole
+    * table→table topology. Restart semantics are stronger than the
+    * checkpoint's: the consumed position is recorded IN the downstream
+    * table's own commits (and ref-pinned upstream), so a restarted
+    * query — even with a fresh checkpoint — resumes exactly after the
+    * last applied window; a replayed tick that finds nothing new
+    * commits nothing (no window is ever skipped or duplicated). The
+    * checkpoint only makes the TICKING resumable.
+    */
+  def changelogStream(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: SnapshotCatalog,
+      upNs: String, upTable: String,
+      downNs: String, downTable: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val f = changelogFollower(catalog, upNs, upTable, downNs, downTable,
+      keyCols)
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(f.batch _)
+  }
+
   final class ChangelogFollower private[Sinks] (catalog: SnapshotCatalog,
       upNs: String, upTable: String, downNs: String, downTable: String,
       keyCols: Seq[String]) {

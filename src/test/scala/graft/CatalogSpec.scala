@@ -1216,6 +1216,56 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 398)
   }
 
+  test("composite-key exact refinement: tuple-level candidates beat " +
+      "the per-column smear; random composite deletes stay exact " +
+      "(property)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema3 = StructType(Seq(StructField("grp", StringType),
+      StructField("id", LongType), StructField("v", DoubleType)))
+    cat.createTable("db", "t", schema3)
+    // 8 files: disjoint id ranges [k*100,(k+1)*100), grp alternating
+    val rows = for (k <- 0 until 8; i <- 0 until 100) yield
+      ((if (k % 2 == 0) "a" else "b"), k * 100L + i, (k * 100 + i).toDouble)
+    for (k <- 0 until 8)
+      cat.append("db", "t", rows.slice(k * 100, k * 100 + 100)
+        .toDF("grp", "id", "v").coalesce(1))
+    assert(cat.describe("db", "t").currentSnapshot.get.files.size == 8)
+    // the SMEAR case: tuples at opposite corners of the key space —
+    // per-column bounds (grp∈[a,b], id∈[50,750]) coarsely match ALL
+    // files; tuple-exact refinement keeps only the two real homes
+    cat.addEqualityDeleteFile("db", "t",
+      Seq(("a", 50L), ("b", 750L)).toDF("grp", "id"), Seq("grp", "id"))
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val dirty = cat.deleteTouchedFiles(cur, schema3, cur.files)
+    assert(dirty.size == 2,
+      s"per-column smear not refined to tuple grain: ${dirty.size} dirty")
+    assert(cat.read("db", "t").count() == 798)
+    assert(cat.read("db", "t").filter(col("id") === 50L).isEmpty)
+    assert(cat.read("db", "t").filter(col("id") === 150L).count() == 1)
+
+    // property: random composite deletes (hits and misses mixed) —
+    // the pruned read stays EXACTLY the set-minus semantics
+    val rnd = new scala.util.Random(7)
+    val allKeys = rows.map { case (g, i, _) => (g, i) }
+    var expected = allKeys.toSet - (("a", 50L)) - (("b", 750L))
+    for (_ <- 0 until 3) {
+      val dels = Seq.fill(5)(
+        if (rnd.nextBoolean()) allKeys(rnd.nextInt(allKeys.size))
+        else ((if (rnd.nextBoolean()) "a" else "b"),
+          rnd.between(0L, 1000L)))
+      cat.addEqualityDeleteFile("db", "t",
+        dels.toDF("grp", "id"), Seq("grp", "id"))
+      expected = expected -- dels
+      val got = cat.read("db", "t").select("grp", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, "pruned read diverged from set semantics")
+      val snap = cat.describe("db", "t").currentSnapshot.get
+      assert(cat.deleteTouchedFiles(snap, schema3, snap.files).size <
+        snap.files.size, "narrow composite window must prune")
+    }
+  }
+
   test("compactFileGroups on a partitioned table: rewritten files stay " +
       "value-pure with fresh pvals — partition pruning never erodes") {
     import graft.catalog.PartitionSpec
@@ -1355,6 +1405,48 @@ class CatalogSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(got == expect)
     } finally spark.conf.unset(SnapshotCatalog.MorBroadcastMaxRowsConf)
+  }
+
+  test("compactFileGroups write-outside/commit-inside: CDC commits " +
+      "land DURING the rewrite; both sides commit, reads stay correct") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    // real rewrite work: 20 small files + delete debt
+    for (k <- 0 until 20)
+      cat.append("db", "t", (k * 1000L until k * 1000L + 1000L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    cat.cdcUpsert("db", "t", rows = Seq((100000L, 1.0)).toDF("id", "v"),
+      deletes = Seq(5L).toDF("id"), Seq("id"))
+    @volatile var report: SnapshotCatalog.CompactReport = null
+    @volatile var err: Throwable = null
+    val th = new Thread(() => {
+      try report = cat.compactFileGroups("db", "t", minFileBytes = 1L << 20)
+      catch { case e: Throwable => err = e }
+    })
+    th.start()
+    // a concurrent CDC stream while the compaction rewrites — before
+    // round 14 these queued behind the whole-rewrite lock; now they
+    // land mid-flight and the compaction re-plans (bounded, final
+    // attempt serialized)
+    var k = 0L
+    while (th.isAlive && k < 50) {
+      cat.cdcUpsert("db", "t",
+        rows = Seq((200000L + k, k.toDouble)).toDF("id", "v"),
+        deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+      k += 1
+    }
+    th.join(120000)
+    assert(err == null, s"compaction failed: $err")
+    assert(report != null && report.compacted, report)
+    val got = cat.read("db", "t")
+    assert(got.filter(col("id") >= 200000L).count() == k,
+      "a concurrent CDC commit was lost")
+    assert(got.filter(col("id") === 5L).isEmpty)
+    assert(got.count() == 20000L + k)
+    // no torn state: every referenced file exists
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    assert(cur.files.forall(f => new java.io.File(f).exists))
   }
 
   test("age-based snapshot expiry: older_than expires only old " +

@@ -1250,6 +1250,84 @@ class EngineSpec extends SparkTestBase {
       .contains(""""s":10.0"""))
   }
 
+  test("insert-only MERGE over a many-to-one ON condition is LEGAL: " +
+      "kept rows stay single, inserts land, zero rewrites") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-mins"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 5L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    // id=2 matches TWICE — standard SQL permits this when no matched/
+    // by-source action exists; id=7 is the one real insert
+    val out = eng.sqlQuery(
+      """MERGE INTO db.t t
+        |USING (SELECT CAST(id AS BIGINT) AS id, CAST(9 AS DOUBLE) AS v
+        |       FROM (VALUES (2),(2),(7)) AS x(id)) s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!out.startsWith("""{"error""""), out)
+    assert(out.contains(""""rows_affected":1"""), out)
+    assert(out.contains(""""files_rewritten":0"""), out)
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t")
+      .contains(""""n":6"""))
+    // the doubly-matched target row was kept exactly ONCE
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t WHERE id = 2")
+      .contains(""""n":1"""))
+    assert(eng.sqlQuery("SELECT v AS v FROM db.t WHERE id = 7")
+      .contains(""""v":9.0"""))
+  }
+
+  test("whole-row MoR MERGE with an EMPTY source reports zero delete " +
+      "files written") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-mempty"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.updateProperties("db", "t", Map("write.merge.mode" -> "merge-on-read"))
+    cat.append("db", "t", (0L until 5L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val out = eng.sqlQuery(
+      """MERGE INTO db.t t
+        |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(1 AS DOUBLE) AS v
+        |       WHERE 1 = 0) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!out.startsWith("""{"error""""), out)
+    assert(out.contains(""""rows_affected":0"""), out)
+    // cdcUpsert drops the empty delete parquet — the summary must not
+    // claim a delete file that was never committed
+    assert(out.contains(""""delete_files_written":0"""), out)
+    assert(cat.describe("db", "t").currentSnapshot.get.eqDeletes.isEmpty)
+  }
+
+  test("SHOW TABLES LIKE follows glob semantics: literal metacharacters " +
+      "are quoted, '*' and '|' translate") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-like"))
+    val eng = new Engine(spark, cat)
+    val schema = Seq.empty[(Long, Double)].toDF("id", "v").schema
+    cat.createTable("db", "tx", schema)
+    cat.createTable("db", "t1", schema)
+    cat.createTable("db", "other", schema)
+    // a literal '.' must NOT behave as regex any-char
+    assert(!eng.sqlQuery("SHOW TABLES IN db LIKE 't.'")
+      .contains(""""tableName""""))
+    // regex metacharacters must not throw (PatternSyntaxException)
+    assert(!eng.sqlQuery("SHOW TABLES IN db LIKE 't+'")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery("SHOW TABLES IN db LIKE '('")
+      .startsWith("""{"error""""))
+    // '*' glob and '|' alternation
+    val globbed = eng.sqlQuery("SHOW TABLES IN db LIKE 't*'")
+    assert(globbed.contains(""""tableName":"tx"""") &&
+      globbed.contains(""""tableName":"t1"""") &&
+      !globbed.contains(""""tableName":"other""""), globbed)
+    val alts = eng.sqlQuery("SHOW TABLES IN db LIKE 'tx|other'")
+    assert(alts.contains(""""tableName":"tx"""") &&
+      alts.contains(""""tableName":"other"""") &&
+      !alts.contains(""""tableName":"t1""""), alts)
+  }
+
   test("changes() table function: SQL-reachable changelog; VERSION AS " +
       "OF resolves named refs (tags)") {
     import spark.implicits._
