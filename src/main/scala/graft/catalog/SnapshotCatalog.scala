@@ -348,12 +348,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       toBranch: Option[String],
       extraProperties: Map[String, String] = Map.empty,
       replaceManifest: Boolean = false): TableMeta =
-    synchronized {
+    {
       // Data files are written once, into a dir keyed by a unique
       // write id; the commit loop below re-reads table state on each
       // optimistic-concurrency conflict and re-attaches the same files
       // — the Iceberg retry protocol (files immutable, metadata
-      // contended).
+      // contended). The write runs OUTSIDE the catalog lock (round 14:
+      // the streaming-append hot path must not serialize every other
+      // in-process commit behind its file IO); only each commit
+      // attempt below serializes.
       val writeId = java.util.UUID.randomUUID().toString.take(8)
       val snapDir = dataDir(ns, name).resolve(s"write-$writeId")
       // Hidden partitioning (PartitionSpec scaladoc): the spec's value
@@ -393,6 +396,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
       var attempt = 0
       while (true) {
+        // each ATTEMPT (load → build → commit) holds the lock, so
+        // in-process writers interleave between attempts instead of
+        // colliding on CREATE_NEW; cross-process races still resolve
+        // through the CREATE_NEW retry below
+        val committed: Option[TableMeta] = synchronized {
         val (version, meta) = loadMeta(ns, name)
         // base = branch head (re-resolved per retry — the branch may
         // have moved) or the table's current snapshot
@@ -461,10 +469,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         }
         try {
           commit(ns, name, version + 1, newMeta)
-          return newMeta
+          Some(newMeta)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
-            attempt += 1 // lost the race: reload state and retry
+            None // lost a cross-process race: reload state and retry
+        }
+        }
+        committed match {
+          case Some(m) => return m
+          case None =>
+            attempt += 1
             // the winner may not have moved the pointer yet, in which
             // case the reload still sees the old version — back off so
             // the pointer lands instead of burning all retries spinning
@@ -944,7 +958,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def cdcUpsert(ns: String, name: String, rows: DataFrame,
       deletes: DataFrame, keyCols: Seq[String],
       extraProperties: Map[String, String] = Map.empty): TableMeta =
-    synchronized {
+    {
       import org.apache.spark.sql.functions.col
       require(keyCols.nonEmpty, "cdcUpsert needs at least one key column")
       val (_, meta0) = loadMeta(ns, name)
@@ -989,6 +1003,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = dropEmptyParts(newFiles0, stats0)
       var attempt = 0
       while (true) {
+        // per-attempt lock (appendImpl discipline): the batch's file
+        // writes above ran UNLOCKED, so a CDC commit never serializes
+        // other in-process commits behind its IO
+        val committed: Option[TableMeta] = synchronized {
         val (version, meta) = loadMeta(ns, name)
         val current = meta.currentSnapshot.getOrElse(
           throw new IllegalStateException(s"$ns.$name has no data"))
@@ -1037,9 +1055,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           properties = meta.properties ++ extraProperties)
         try {
           commit(ns, name, version + 1, newMeta)
-          return newMeta
+          Some(newMeta)
         } catch {
           case _: java.nio.file.FileAlreadyExistsException if attempt < MaxCommitRetries =>
+            None
+        }
+        }
+        committed match {
+          case Some(m) => return m
+          case None =>
             attempt += 1
             Thread.sleep(1L << math.min(attempt, 6))
         }
@@ -1117,7 +1141,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = dropEmptyParts(newFiles0, newStats)
       val untouchedStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
-        carryDeletes(ns, name, snapshotId, current, untouched)
+        carryDeletes(ns, name, snapshotId.toString, current, untouched)
       (commitReplacing(ns, name, version, meta, snapshotId,
         untouched ++ newFiles, untouchedStats ++ newStats,
         carryDel, carryDelStats, current.eqDeletes), touched.size)
@@ -1168,7 +1192,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val keptFiles = dropEmptyParts(newFiles, newStats)
       val keptStats = current.fileStats.filter(s => disjoint.contains(s.path))
       val (carryDel, carryDelStats) =
-        carryDeletes(ns, name, snapshotId, current, disjoint)
+        carryDeletes(ns, name, snapshotId.toString, current, disjoint)
       commitReplacing(ns, name, version, meta, snapshotId,
         disjoint ++ keptFiles, keptStats ++ newStats, carryDel, carryDelStats,
         current.eqDeletes)
@@ -1200,8 +1224,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def rewriteFiles(ns: String, name: String, targets: Seq[String],
       transform: DataFrame => DataFrame,
       expectedSnapshotId: Option[Long] = None): TableMeta =
-    synchronized {
-      val (version, meta) = loadMeta(ns, name)
+    {
+      // Plan + write OUTSIDE the catalog lock (round 14, the
+      // compactFileGroups discipline): a large CoW DELETE/UPDATE/MERGE
+      // rewrite must not serialize every other in-process commit
+      // behind its IO. Only the validate-and-commit step locks; if the
+      // table moved mid-rewrite, the written files are discarded and
+      // ConcurrentModificationException sends the CALLER back to
+      // re-plan (Engine.retryConcurrent's contract — the same signal
+      // the expectedSnapshotId check raises).
+      val (_, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       val current = meta.currentSnapshot.getOrElse(
         throw new IllegalStateException(s"$ns.$name has no data"))
@@ -1213,13 +1245,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       val targetSet = targets.toSet.intersect(current.files.toSet)
       val untouched = current.files.filterNot(targetSet)
-      val snapshotId = meta.snapshots.map(_.snapshotId).max + 1
+      val writeId = java.util.UUID.randomUUID().toString.take(8)
       // the transform runs even with ZERO targets: a row-producing
       // transform (the SQL MERGE's insert side) must still write its
       // output — an empty input with a row-preserving transform writes
       // no part files, so the no-op case stays free
       val newFiles = {
-        val snapDir = dataDir(ns, name).resolve(s"snap-$snapshotId-rewrite")
+        val snapDir = dataDir(ns, name).resolve(s"rewrite-$writeId")
         // merge-on-read interplay: the targets are read with their
         // delete entries APPLIED (folded into the rewrite); entries
         // for untouched files are carried forward below
@@ -1231,20 +1263,37 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .filter(_.getName.endsWith(".parquet"))
           .map(_.getAbsolutePath).sorted.toSeq
       }
-      val newStats = collectFileStats(schema, newFiles,
+      val newStats0 = collectFileStats(schema, newFiles,
           bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema),
-          seq = Some(meta.snapshots.map(_.sequenceNumber).max + 1)))
-      val prunedNew = dropEmptyParts(newFiles, newStats)
+        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
+      val prunedNew = dropEmptyParts(newFiles, newStats0)
       val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
       val (carryDel, carryDelStats) =
-        carryDeletes(ns, name, snapshotId, current, untouched)
-      // equality deletes carry whole: rewritten files get the NEW
-      // sequence number (the rewrite already applied the deletes), so
-      // they only keep applying to the untouched lower-seq files
-      commitReplacing(ns, name, version, meta, snapshotId,
-        untouched ++ prunedNew, keptStats ++ newStats, carryDel, carryDelStats,
-        current.eqDeletes)
+        carryDeletes(ns, name, writeId, current, untouched)
+      synchronized {
+        val (v2, m2) = loadMeta(ns, name)
+        if (m2.currentSnapshotId != meta.currentSnapshotId) {
+          (prunedNew ++ carryDel).foreach(f =>
+            Files.deleteIfExists(Paths.get(f)))
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name moved during the rewrite — re-plan and retry")
+        }
+        // equality deletes carry whole: rewritten files get the NEW
+        // sequence number (the rewrite already applied the deletes), so
+        // they only keep applying to the untouched lower-seq files
+        val commitSeq = m2.snapshots.map(_.sequenceNumber).max + 1
+        val newStats = newStats0.map(_.copy(seq = Some(commitSeq)))
+        try commitReplacing(ns, name, v2, m2,
+          m2.snapshots.map(_.snapshotId).max + 1,
+          untouched ++ prunedNew, keptStats ++ newStats,
+          carryDel, carryDelStats, current.eqDeletes)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            (prunedNew ++ carryDel).foreach(f =>
+              Files.deleteIfExists(Paths.get(f)))
+            throw e
+        }
+      }
     }
 
 
@@ -1275,7 +1324,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * make [[SnapshotMeta.statsRowCount]] double-subtract. O(delete
     * side) IO, which merge-on-read keeps small by construction.
     */
-  private def carryDeletes(ns: String, name: String, snapshotId: Long,
+  private def carryDeletes(ns: String, name: String, writeId: String,
       current: SnapshotMeta,
       survivors: Seq[String]): (Seq[String], Seq[FileStats]) = {
     import org.apache.spark.sql.functions.col
@@ -1285,7 +1334,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val kept = spark.read.schema(DeleteFileSchema)
       .parquet(current.deleteFiles: _*)
       .join(survDf, Seq("file_path"), "left_semi")
-    val delDir = dataDir(ns, name).resolve(s"snap-$snapshotId-delete-carry")
+    val delDir = dataDir(ns, name).resolve(s"delete-carry-$writeId")
     kept.coalesce(1).write.parquet(delDir.toString)
     val files = Option(delDir.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
@@ -2691,9 +2740,38 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val version = new String(Files.readAllBytes(pointer(ns, name)),
       StandardCharsets.UTF_8).trim.toInt
     val metaPath = metaDir(ns, name).resolve(f"v$version%05d.metadata.json")
-    val meta = Mapper.readValue(Files.readAllBytes(metaPath), classOf[TableMeta])
+    // The JSON parse is O(manifest) — per-file stats make a big
+    // table's metadata megabytes, and re-parsing it on EVERY read and
+    // commit attempt is driver work that grows with the table. The
+    // pointer read above stays fresh (that is the OCC primitive);
+    // only the version→content parse is memoized. Metadata files are
+    // immutable once written (CREATE_NEW), so content is identified
+    // by (path, size, mtime) — the attribute guard covers a DROP +
+    // re-CREATE reusing version numbers.
+    val attrs = Files.readAttributes(metaPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = (metaPath.toString, attrs.size,
+      attrs.lastModifiedTime.toInstant)
+    val meta = metaParseCache.synchronized(
+        Option(metaParseCache.get(key))) match {
+      case Some(m) => m
+      case None =>
+        val m = Mapper.readValue(Files.readAllBytes(metaPath),
+          classOf[TableMeta])
+        metaParseCache.synchronized(metaParseCache.put(key, m)): Unit
+        m
+    }
     (version, meta)
   }
+
+  /** Bounded LRU for [[loadMeta]]'s parse (TableMeta is immutable and
+    * shared structurally across versions, so entries are cheap).
+    */
+  private val metaParseCache =
+    new java.util.LinkedHashMap[Any, TableMeta](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, TableMeta]): Boolean = size > 16
+    }
 }
 
 object SnapshotCatalog {

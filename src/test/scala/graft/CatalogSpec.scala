@@ -1449,6 +1449,31 @@ class CatalogSpec extends SparkTestBase {
     assert(cur.files.forall(f => new java.io.File(f).exists))
   }
 
+  test("in-process commits are write-parallel: concurrent appends and " +
+      "CDC batches all land, none lost") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t", Seq((0L, 0.0)).toDF("id", "v")) // seed
+    @volatile var err: Throwable = null
+    val threads = (1 to 6).map { i =>
+      new Thread(() => try {
+        if (i % 2 == 0)
+          cat.append("db", "t",
+            Seq((i * 100L, i.toDouble)).toDF("id", "v")): Unit
+        else
+          cat.cdcUpsert("db", "t",
+            rows = Seq((i * 100L + 1, i.toDouble)).toDF("id", "v"),
+            deletes = Seq.empty[Long].toDF("id"), Seq("id")): Unit
+      } catch { case e: Throwable => err = e })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(err == null, s"concurrent commit failed: $err")
+    assert(cat.read("db", "t").count() == 7)
+    assert(cat.describe("db", "t").snapshots.size == 7,
+      "every concurrent commit must produce its own snapshot")
+  }
+
   test("age-based snapshot expiry: older_than expires only old " +
       "snapshots, keep_last floors, refs stay pinned") {
     val cat = freshCatalog()
