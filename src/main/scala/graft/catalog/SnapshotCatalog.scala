@@ -567,9 +567,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val eqs = meta.currentSnapshot.map(_.eqDeletes.map(d =>
           (d.path, "equality", d.rows))).getOrElse(Seq.empty)
         (pos ++ eqs).toDF("file_path", "kind", "record_count")
+      case "partitions" =>
+        // per-partition file/row rollup of the current snapshot
+        // (Iceberg's .partitions surface): hidden-partition values
+        // come from the manifest, so this is metadata-only; files
+        // written without a pval (unpartitioned eras, MoR update
+        // appends) roll up under NULL — the conservative bucket
+        // partition pruning also treats them as
+        val cur = meta.currentSnapshot
+        val stats = cur.map(s => s.fileStats.filter(fs =>
+          s.files.contains(fs.path))).getOrElse(Seq.empty)
+        stats.groupBy(fs => (fs.pval, fs.pspec)).toSeq
+          .map { case ((pval, pspec), fss) =>
+            (pval.orNull, pspec.orNull, fss.size.toLong,
+              fss.map(_.rows).sum)
+          }
+          .toDF("partition_value", "partition_spec", "n_files",
+            "record_count")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' — " +
-          "expected snapshots|files|history|refs|delete_files")
+          "expected snapshots|files|history|refs|delete_files|partitions")
     }
   }
 
@@ -1439,12 +1456,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * snapshot references (Iceberg remove-orphan-files semantics):
     * leftovers of failed/aborted writes. Returns the deleted paths.
     * Metadata is NOT rewritten — orphans are by definition invisible
-    * to every reader, so this needs no commit and cannot race a
-    * concurrent reader; a concurrent WRITER is excluded by the same
-    * catalog lock all commits take.
+    * to every reader, so this needs no commit.
+    *
+    * @param olderThanMs SAFETY WINDOW (Iceberg's `older_than`
+    *   contract, round 14): only files last modified STRICTLY BEFORE
+    *   the cutoff are eligible; default = now −
+    *   [[SnapshotCatalog.OrphanSafetyWindowMs]]. This is load-bearing,
+    *   not cosmetic — data files are written OUTSIDE the catalog lock
+    *   (appendImpl/cdcUpsert/rewriteFiles/compactFileGroups write
+    *   first, commit after; other PROCESSES always wrote lock-free),
+    *   so a fresh unreferenced file may be a concurrent writer's
+    *   not-yet-committed output, not garbage. A file that is still an
+    *   orphan a window later is a true aborted-write leftover.
     */
-  def removeOrphanFiles(ns: String, name: String): Seq[String] =
+  def removeOrphanFiles(ns: String, name: String,
+      olderThanMs: Option[Long] = None): Seq[String] =
     synchronized {
+      val cutoff = olderThanMs.getOrElse(
+        System.currentTimeMillis() - OrphanSafetyWindowMs)
       val (_, meta) = loadMeta(ns, name)
       val referenced = meta.snapshots
         .flatMap(s => s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
@@ -1458,9 +1487,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val orphans = it.iterator().asScala
             .filter(p => Files.isRegularFile(p) &&
               p.getFileName.toString.endsWith(".parquet") &&
-              !referenced.contains(p.toAbsolutePath.normalize.toString))
+              !referenced.contains(p.toAbsolutePath.normalize.toString) &&
+              scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                .getOrElse(Long.MaxValue) < cutoff)
             .toList
-          orphans.foreach(Files.delete(_))
+          orphans.foreach(p => Files.deleteIfExists(p): Unit)
           orphans.map(_.toString)
         } finally it.close()
       }
@@ -2788,6 +2819,14 @@ object SnapshotCatalog {
     * expression and the per-snapshot memo stay trivial.
     */
   val PosInlineMaxRows = 1000L
+
+  /** Default [[SnapshotCatalog.removeOrphanFiles]] safety window: an
+    * unreferenced file younger than this may belong to a concurrent
+    * writer that hasn't committed yet (writes run outside the catalog
+    * lock) — never reap it. Iceberg defaults to 3 days; one hour fits
+    * a single-box commit latency by orders of magnitude.
+    */
+  val OrphanSafetyWindowMs: Long = 3600L * 1000
 
   /** Session conf capping the delete-side rows [[SnapshotCatalog.readFilesWithRowId]]
     * will pin with an explicit broadcast hint; above it the join is

@@ -1033,9 +1033,20 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           report(ns, t, "operation" -> "expire_snapshots",
             "expired" -> (before - after).toLong, "retained" -> after.toLong)
         }
-      case ("remove_orphan_files", Seq(te)) =>
-        tbl(te).map { case (ns, t) =>
-          val removed = catalog.removeOrphanFiles(ns, t)
+      case ("remove_orphan_files", te +: rest) if rest.size <= 1 =>
+        // optional older_than cutoff, like expire_snapshots; the
+        // DEFAULT applies the safety window (a fresh unreferenced file
+        // may be a concurrent writer's in-flight output)
+        val older: Option[Option[Long]] = rest.headOption match {
+          case None => Some(None)
+          case Some(e) =>
+            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
+              case Some(ms) => Some(Some(ms))
+              case None => None
+            }
+        }
+        for { (ns, t) <- tbl(te); o <- older } yield {
+          val removed = catalog.removeOrphanFiles(ns, t, o)
           report(ns, t, "operation" -> "remove_orphan_files",
             "removed" -> removed.size.toLong)
         }
@@ -1873,7 +1884,8 @@ object Engine {
 
   /** Metadata-table suffixes served by the SQL bridge. */
   private[query] val MetadataKinds: Set[String] =
-    Set("snapshots", "files", "history", "refs", "delete_files")
+    Set("snapshots", "files", "history", "refs", "delete_files",
+      "partitions")
 
   private[query] val GlobRe =
     raw"(?i)glob\(\s*'([^']+)'\s*\)".r

@@ -270,13 +270,21 @@ class CatalogSpec extends SparkTestBase {
         java.nio.file.Paths.get(stray.toString + ".dir"))
       .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
     java.nio.file.Files.move(part, stray)
-    val deleted = cat.removeOrphanFiles("db", "t")
+    // the DEFAULT sweep refuses the fresh stray: an unreferenced file
+    // younger than the safety window may be a concurrent writer's
+    // in-flight output (writes run outside the catalog lock) — the
+    // Iceberg older_than contract
+    assert(cat.removeOrphanFiles("db", "t").isEmpty,
+      "a fresh unreferenced file must survive the default sweep")
+    val deleted = cat.removeOrphanFiles("db", "t",
+      Some(System.currentTimeMillis() + 1000))
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
       Seq("stray.parquet"))
     assert(!java.nio.file.Files.exists(stray))
     // referenced data intact; a second vacuum is a no-op
     assert(cat.read("db", "t").count() == 2)
-    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+    assert(cat.removeOrphanFiles("db", "t",
+      Some(System.currentTimeMillis() + 1000)).isEmpty)
   }
 
   test("incremental dedup pipeline: CDC file-diff feeds batch-vs-corpus dedup") {

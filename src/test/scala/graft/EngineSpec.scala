@@ -324,6 +324,33 @@ class EngineSpec extends SparkTestBase {
     assert(joined.head().getLong(1) == 3L)
   }
 
+  test("partitions metadata table: per-partition file/row rollup from " +
+      "the manifest, metadata-only") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-meta-part"))
+    cat.createTable("db", "pt",
+      Seq.empty[(Long, Double)].toDF("k", "v").schema,
+      Map(graft.catalog.PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    cat.append("db", "pt",
+      (0L until 200L).map(i => (i, i.toDouble)).toDF("k", "v"))
+    val eng = new Engine(spark, cat)
+    val (parts, _) = eng.sqlDataFrame(
+      """SELECT partition_value, n_files, record_count
+        |FROM db.pt.partitions ORDER BY partition_value""".stripMargin)
+    val rows = parts.collect()
+    assert(rows.length == 4, s"bucket(4) must roll up to 4 partitions")
+    assert(rows.map(_.getLong(2)).sum == 200L)
+    assert(rows.forall(r => r.getString(0) != null && r.getLong(1) >= 1L))
+    // an unpartitioned table rolls up under a single NULL partition
+    cat.createTable("db", "up0",
+      Seq.empty[(Long, Double)].toDF("k", "v").schema)
+    cat.append("db", "up0", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    val (np, _) = eng.sqlDataFrame(
+      "SELECT partition_value, record_count FROM db.up0.partitions")
+    val nr = np.collect()
+    assert(nr.length == 1 && nr.head.isNullAt(0) && nr.head.getLong(1) == 2L)
+  }
+
   test("CTEs over catalog tables resolve and prune") {
     val (df, infos) = bridgeEngine.sqlDataFrame(
       "WITH w AS (SELECT * FROM db.m WHERE id >= 1000 AND id <= 1100) " +
