@@ -278,6 +278,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def dropTable(ns: String, name: String): Unit = synchronized {
     require(tableExists(ns, name), s"table $ns.$name does not exist")
+    // drop memoized metadata parses for this table: a re-CREATE reuses
+    // version numbers, and on a coarse-mtime filesystem a same-size
+    // rewrite within the timestamp granule could otherwise alias the
+    // old incarnation's cached TableMeta
+    val prefix = metaDir(ns, name).toString
+    metaParseCache.synchronized {
+      val it = metaParseCache.keySet().iterator()
+      while (it.hasNext) it.next() match {
+        case (p: String, _, _) if p.startsWith(prefix) => it.remove()
+        case _ => ()
+      }
+    }
     Files.deleteIfExists(pointer(ns, name))
     val root = tableDir(ns, name)
     if (Files.exists(root)) {
@@ -575,8 +587,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // appends) roll up under NULL — the conservative bucket
         // partition pruning also treats them as
         val cur = meta.currentSnapshot
-        val stats = cur.map(s => s.fileStats.filter(fs =>
-          s.files.contains(fs.path))).getOrElse(Seq.empty)
+        val stats = cur.map { s =>
+          val live = s.files.toSet
+          s.fileStats.filter(fs => live(fs.path))
+        }.getOrElse(Seq.empty)
         stats.groupBy(fs => (fs.pval, fs.pspec)).toSeq
           .map { case ((pval, pspec), fss) =>
             (pval.orNull, pspec.orNull, fss.size.toLong,
@@ -1272,10 +1286,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // merge-on-read interplay: the targets are read with their
         // delete entries APPLIED (folded into the rewrite); entries
         // for untouched files are carried forward below
-        transform(readFilesOf(current, schema, targetSet.toSeq.sorted,
+        try transform(readFilesOf(current, schema, targetSet.toSeq.sorted,
             meta.fieldIds))
           .select(schema.fieldNames.map(col(_)).toSeq: _*)
           .write.parquet(snapDir.toString)
+        catch { case e: Throwable => throw staleOrRethrow(ns, name, meta, e) }
         Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .map(_.getAbsolutePath).sorted.toSeq
@@ -1313,6 +1328,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
     }
 
+
+  /** An unlocked plan-phase read/write failed: if the table MOVED off
+    * the planned-against state, the failure is almost certainly the
+    * staleness itself (a concurrent commit + expiry deleted the
+    * planned snapshot's files mid-scan) — convert it to the re-plan
+    * signal the callers already retry on, instead of surfacing an
+    * opaque FileNotFound-wrapped SparkException. If the table did NOT
+    * move, the failure is real and rethrows unchanged.
+    */
+  private def staleOrRethrow(ns: String, name: String,
+      planned: TableMeta, e: Throwable): Throwable = {
+    val movedTo = scala.util.Try(loadMeta(ns, name)._2.currentSnapshotId)
+      .toOption.flatten
+    if (movedTo != planned.currentSnapshotId) {
+      val cme = new java.util.ConcurrentModificationException(
+        s"$ns.$name moved during an unlocked rewrite read " +
+          s"(planned=${planned.currentSnapshotId} now=$movedTo) — " +
+          "re-plan and retry")
+      cme.initCause(e)
+      cme
+    } else e
+  }
 
   /** Commit a snapshot whose inputs were planned against a SPECIFIC
     * base snapshot: a lost cross-process CREATE_NEW race means the
@@ -1946,7 +1983,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // conservative keeps with every bin-pack pass
           val specStr = meta.properties.get(PartitionSpec.PropertyKey)
             .map(_.trim)
-          specStr.map(PartitionSpec.parse) match {
+          try specStr.map(PartitionSpec.parse) match {
             case Some(p) =>
               packed.withColumn(PartitionSpec.HiddenCol,
                   p.valueExprFor(
@@ -1954,6 +1991,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 .write.partitionBy(PartitionSpec.HiddenCol)
                 .parquet(snapDir.toString)
             case None => packed.write.parquet(snapDir.toString)
+          }
+          catch {
+            case e: Throwable => throw staleOrRethrow(ns, name, meta, e)
           }
           def walk(dd: File): Seq[File] =
             Option(dd.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -2062,10 +2102,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val deleteFilesBefore = before.currentSnapshot
       .map(s => s.deleteFiles.size + s.eqDeletes.size).getOrElse(0)
     val deletedFraction = before.currentSnapshot.map { s =>
-      val dataRows = s.files
-        .flatMap(f => s.fileStats.find(_.path == f)).map(_.rows).sum
-      val delRows = s.deleteFiles
-        .flatMap(f => s.deleteFileStats.find(_.path == f)).map(_.rows).sum +
+      val statRows = s.fileStats.map(fs => fs.path -> fs.rows).toMap
+      val delStatRows = s.deleteFileStats.map(fs => fs.path -> fs.rows).toMap
+      val dataRows = s.files.flatMap(statRows.get).sum
+      val delRows = s.deleteFiles.flatMap(delStatRows.get).sum +
         s.eqDeletes.map(_.rows).sum
       if (dataRows <= 0) 0.0 else delRows.toDouble / dataRows
     }.getOrElse(0.0)
@@ -2166,45 +2206,73 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     files.filter(all)
   }
 
-  /** The dirty set over the WHOLE snapshot, memoized: snapshots are
-    * immutable (a new commit = a new SnapshotMeta), so the set is
-    * computed once per snapshot — a long-lived engine serving many
-    * reads of the same snapshot pays the (tiny, O(delete-side))
-    * candidate jobs once, not per query. Keyed by the snapshot's
-    * CONTENT (id + files + delete side), so two catalog instances or a
-    * post-rename reload can never alias. Per-file candidate decisions
-    * are independent, so filtering the memoized whole-snapshot set by
-    * any pruned `files` subset equals computing over that subset
-    * (modulo extra conservatism, which is always safe).
+  /** The dirty set over the snapshot's files, memoized INCREMENTALLY
+    * per delete side: the per-file dirty decision is a pure function
+    * of (the file's immutable stats, the immutable delete-side
+    * content), so decisions are cached in a per-delete-side map keyed
+    * by STRUCTURAL content (no hash-collision risk; delete-file paths
+    * are table-scoped, so keys can't alias across tables). A query
+    * only computes decisions for files the map hasn't seen — a
+    * steady-append stream (delete side carried forward unchanged)
+    * pays O(new files) per commit instead of re-running the candidate
+    * jobs per snapshot, and a ROLLBACK to a snapshot whose files were
+    * later rewritten away decides those files freshly on first read
+    * (a whole-set memo would have served them as clean).
     */
   private def dirtyOfSnapshot(snap: SnapshotMeta,
       schema: StructType): Set[String] = {
-    val key = (snap.snapshotId, snap.createdAtMs, snap.files.hashCode,
-      snap.deleteFiles.hashCode, snap.eqDeletes.hashCode)
-    dirtyCache.synchronized(Option(dirtyCache.get(key))) match {
+    val key = (snap.deleteFiles, snap.eqDeletes)
+    val decided: Map[String, Boolean] =
+      dirtyCache.synchronized(Option(dirtyCache.get(key)))
+        .getOrElse(Map.empty)
+    val undecided = snap.files.filterNot(decided.contains)
+    val updated =
+      if (undecided.isEmpty) decided
+      else {
+        val named = posNamedFiles(snap)
+        val eqCand = eqDeleteCandidates(snap, schema, snap.eqDeletes,
+          undecided).toSet
+        val add = undecided.map(f => f -> (named(f) || eqCand(f)))
+        val m = decided ++ add
+        dirtyCache.synchronized(dirtyCache.put(key, m)): Unit
+        m
+      }
+    snap.files.filter(f => updated.getOrElse(f, true)).toSet
+  }
+
+  /** Data files NAMED by the snapshot's positional delete entries —
+    * one O(delete-side) read, memoized per delete-side content.
+    */
+  private def posNamedFiles(snap: SnapshotMeta): Set[String] = {
+    if (snap.deleteFiles.isEmpty) return Set.empty
+    val key = snap.deleteFiles
+    namedCache.synchronized(Option(namedCache.get(key))) match {
       case Some(s) => s
       case None =>
-        val named: Set[String] =
-          if (snap.deleteFiles.isEmpty) Set.empty
-          else spark.read.schema(DeleteFileSchema)
-            .parquet(snap.deleteFiles: _*)
-            .select("file_path").distinct()
-            .collect().map(_.getString(0)).toSet
-        val eqCand =
-          eqDeleteCandidates(snap, schema, snap.eqDeletes, snap.files).toSet
-        val s = snap.files.filter(f => named(f) || eqCand(f)).toSet
-        dirtyCache.synchronized(dirtyCache.put(key, s)): Unit
+        val s = spark.read.schema(DeleteFileSchema)
+          .parquet(snap.deleteFiles: _*)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+        namedCache.synchronized(namedCache.put(key, s)): Unit
         s
     }
   }
 
-  /** Bounded LRU memo for [[dirtyOfSnapshot]] (access-ordered; old
-    * snapshots age out as maintenance advances the table).
+  /** Bounded LRU memos for [[dirtyOfSnapshot]]/[[posNamedFiles]]
+    * (access-ordered; retired delete sides age out as maintenance
+    * folds them away).
     */
   private val dirtyCache =
+    new java.util.LinkedHashMap[Any, Map[String, Boolean]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Map[String, Boolean]]): Boolean =
+        size > 32
+    }
+
+  private val namedCache =
     new java.util.LinkedHashMap[Any, Set[String]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Any, Set[String]]): Boolean = size > 64
+          e: java.util.Map.Entry[Any, Set[String]]): Boolean = size > 32
     }
 
   /** The snapshot's positional delete entries grouped by data file,
@@ -2214,8 +2282,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def posEntriesInline(
       snap: SnapshotMeta): Seq[(String, Seq[Long])] = {
-    val key = ("pos", snap.snapshotId, snap.createdAtMs,
-      snap.deleteFiles.hashCode)
+    // content-keyed like [[dirtyOfSnapshot]]: entries depend only on
+    // the (immutable) delete files themselves
+    val key = snap.deleteFiles
     posCache.synchronized(Option(posCache.get(key))) match {
       case Some(s) => s
       case None =>
@@ -2823,10 +2892,11 @@ object SnapshotCatalog {
   /** Default [[SnapshotCatalog.removeOrphanFiles]] safety window: an
     * unreferenced file younger than this may belong to a concurrent
     * writer that hasn't committed yet (writes run outside the catalog
-    * lock) — never reap it. Iceberg defaults to 3 days; one hour fits
-    * a single-box commit latency by orders of magnitude.
+    * lock) — never reap it. Iceberg's default (3 days): the window
+    * must bound WRITE DURATION, not commit latency — a multi-hour
+    * 100 TB rewrite writes its first part file long before it commits.
     */
-  val OrphanSafetyWindowMs: Long = 3600L * 1000
+  val OrphanSafetyWindowMs: Long = 3L * 24 * 3600 * 1000
 
   /** Session conf capping the delete-side rows [[SnapshotCatalog.readFilesWithRowId]]
     * will pin with an explicit broadcast hint; above it the join is

@@ -985,6 +985,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         case Array(ns, t) if catalog.tableExists(ns, t) => Some((ns, t))
         case _ => None
       })
+    // optional trailing older_than: epoch millis, or a session-timezone
+    // 'yyyy-MM-dd HH:mm:ss[.f]' string. Some(None) = absent,
+    // Some(Some(ms)) = parsed, None = unparseable → Spark's rejection.
+    def olderArg(
+        rest: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+        Option[Option[Long]] = rest.headOption match {
+      case None => Some(None)
+      case Some(e) =>
+        num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
+          case Some(ms) => Some(Some(ms))
+          case None => None
+        }
+    }
     def report(ns: String, t: String, kvs: (String, Any)*): (DataFrame, Seq[Engine.PruneInfo]) = {
       val snapId = catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
       val cols = lit(s"$ns.$t").as("target") +:
@@ -1014,19 +1027,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
               (r.posDeleteFilesFolded + r.eqDeleteFilesFolded).toLong)
         }
       case ("expire_snapshots", te +: ke +: rest) if rest.size <= 1 =>
-        // optional older_than: epoch millis, or a session-timezone
-        // 'yyyy-MM-dd HH:mm:ss[.f]' string (Iceberg's operative
-        // retention knob; keep_last stays the floor). Unparseable →
-        // None overall → Spark's own rejection.
-        val older: Option[Option[Long]] = rest.headOption match {
-          case None => Some(None)
-          case Some(e) =>
-            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
-              case Some(ms) => Some(Some(ms))
-              case None => None
-            }
-        }
-        for { (ns, t) <- tbl(te); k <- num(ke); o <- older } yield {
+        // older_than = Iceberg's operative retention knob; keep_last
+        // stays the floor
+        for { (ns, t) <- tbl(te); k <- num(ke); o <- olderArg(rest) } yield {
           val before = catalog.describe(ns, t).snapshots.size
           catalog.expireSnapshots(ns, t, k.toInt, o)
           val after = catalog.describe(ns, t).snapshots.size
@@ -1034,18 +1037,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             "expired" -> (before - after).toLong, "retained" -> after.toLong)
         }
       case ("remove_orphan_files", te +: rest) if rest.size <= 1 =>
-        // optional older_than cutoff, like expire_snapshots; the
-        // DEFAULT applies the safety window (a fresh unreferenced file
-        // may be a concurrent writer's in-flight output)
-        val older: Option[Option[Long]] = rest.headOption match {
-          case None => Some(None)
-          case Some(e) =>
-            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
-              case Some(ms) => Some(Some(ms))
-              case None => None
-            }
-        }
-        for { (ns, t) <- tbl(te); o <- older } yield {
+        // the DEFAULT applies the safety window (a fresh unreferenced
+        // file may be a concurrent writer's in-flight output)
+        for { (ns, t) <- tbl(te); o <- olderArg(rest) } yield {
           val removed = catalog.removeOrphanFiles(ns, t, o)
           report(ns, t, "operation" -> "remove_orphan_files",
             "removed" -> removed.size.toLong)
@@ -1056,16 +1050,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           report(ns, t, "operation" -> "rollback_to_snapshot")
         }
       case ("maintain", te +: ke +: fe +: rest) if rest.size <= 1 =>
-        val older: Option[Option[Long]] = rest.headOption match {
-          case None => Some(None)
-          case Some(e) =>
-            num(e).orElse(str(e).flatMap(parseSessionTimestampMs)) match {
-              case Some(ms) => Some(Some(ms))
-              case None => None
-            }
-        }
         for {
-          (ns, t) <- tbl(te); k <- num(ke); f <- num(fe); o <- older
+          (ns, t) <- tbl(te); k <- num(ke); f <- num(fe); o <- olderArg(rest)
         } yield {
           val r = catalog.maintain(ns, t, k.toInt, f.toInt,
             olderThanMs = o)
@@ -1420,12 +1406,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
 
   /** The latest snapshot committed at-or-before `ms` (the Iceberg
     * time-travel rule), or None when the table has no snapshot yet.
+    * Same-millisecond commits (back-to-back appends do this routinely)
+    * tie-break by snapshot id — commit order — so "at or before" never
+    * silently resolves one commit early.
     */
   private def snapshotAtOrBefore(ns: String, t: String,
       ms: Long): Option[Long] =
     catalog.describe(ns, t).snapshots
       .filter(_.createdAtMs <= ms)
-      .maxByOption(_.createdAtMs)
+      .maxByOption(s => (s.createdAtMs, s.snapshotId))
       .map(_.snapshotId)
 
   /** The UnresolvedRelation instances sitting INSIDE RelationTimeTravel

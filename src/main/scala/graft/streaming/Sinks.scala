@@ -397,7 +397,12 @@ object Sinks {
     private def pin(upSnap: Long): Unit =
       try catalog.setRef(upNs, upTable, posRef, upSnap): Unit
       catch {
-        case e: IllegalArgumentException =>
+        // best-effort means BEST-EFFORT: a lost commit race after
+        // retries (FileAlreadyExistsException) or a concurrently
+        // expired/rolled-back target must not fail the poll whose
+        // authoritative bookmark already landed downstream — the pin
+        // simply stays where it was and the next poll advances it
+        case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger(classOf[ChangelogFollower])
             .warn(s"could not pin follower position $upSnap on " +
               s"$upNs.$upTable: ${e.getMessage}")

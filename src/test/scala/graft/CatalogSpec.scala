@@ -1457,6 +1457,37 @@ class CatalogSpec extends SparkTestBase {
     assert(cur.files.forall(f => new java.io.File(f).exists))
   }
 
+  test("dirty-set memo is rollback-safe: a rolled-back-to file is " +
+      "decided freshly — deleted rows never resurface") {
+    import spark.implicits._
+    val wh = tmpDir("graft-rbmemo")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    cat.append("db", "t",
+      (100L until 200L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    cat.addEqualityDeleteFile("db", "t", Seq(5L).toDF("id"), Seq("id"))
+    val s2 = cat.describe("db", "t").currentSnapshotId.get
+    // rewrite the file holding id=5 (folds the delete into its rows);
+    // the eq-delete entry is CARRIED unchanged into the new snapshot
+    val snap2 = cat.describe("db", "t").currentSnapshot.get
+    val lowFile = snap2.files.find(f => snap2.fileStats
+      .find(_.path == f).exists(_.min("id").toDouble <= 5)).get
+    cat.rewriteFiles("db", "t", Seq(lowFile), d => d, None)
+    // a FRESH catalog instance (cold caches) whose first read is
+    // post-rewrite: the memo for this delete side decides only the
+    // post-rewrite files…
+    val cat2 = new SnapshotCatalog(spark, wh)
+    assert(cat2.read("db", "t").count() == 199)
+    // …then a rollback resurfaces the PRE-rewrite file — it must be
+    // decided freshly (dirty), not served from the memo as clean
+    cat2.rollback("db", "t", s2)
+    assert(cat2.read("db", "t").count() == 199,
+      "deleted rows resurfaced after rollback — stale dirty-set memo")
+    assert(cat2.read("db", "t").filter(col("id") === 5L).isEmpty)
+  }
+
   test("in-process commits are write-parallel: concurrent appends and " +
       "CDC batches all land, none lost") {
     import spark.implicits._

@@ -280,6 +280,10 @@ class EngineSpec extends SparkTestBase {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
     cat.append("db", "mt", Seq(1L, 2L).toDF("id"))
+    // the TIMESTAMP AS OF case below anchors on snapshot 1's commit
+    // instant; same-millisecond commits correctly resolve to the
+    // LATER snapshot (commit-order tie-break), so keep them apart
+    Thread.sleep(5)
     cat.append("db", "mt", Seq(3L).toDF("id"))
     cat.createBranch("db", "mt", "audit")
     val eng = new Engine(spark, cat)
