@@ -584,8 +584,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // (Iceberg's .partitions surface): hidden-partition values
         // come from the manifest, so this is metadata-only; files
         // written without a pval (unpartitioned eras, MoR update
-        // appends) roll up under NULL — the conservative bucket
-        // partition pruning also treats them as
+        // appends) roll up under NULL — the same files partition
+        // pruning conservatively keeps on every lookup
         val cur = meta.currentSnapshot
         val stats = cur.map { s =>
           val live = s.files.toSet
@@ -1277,31 +1277,39 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val targetSet = targets.toSet.intersect(current.files.toSet)
       val untouched = current.files.filterNot(targetSet)
       val writeId = java.util.UUID.randomUUID().toString.take(8)
-      // the transform runs even with ZERO targets: a row-producing
+      // the WHOLE unlocked plan/write phase (target read + transform
+      // write + stats + delete-side carry, all of which read
+      // planned-state files) converts failures through staleOrRethrow
+      // — a concurrent commit + expiry deleting planned files mid-scan
+      // must surface as the re-plan signal, wherever it strikes.
+      // The transform runs even with ZERO targets: a row-producing
       // transform (the SQL MERGE's insert side) must still write its
       // output — an empty input with a row-preserving transform writes
-      // no part files, so the no-op case stays free
-      val newFiles = {
+      // no part files, so the no-op case stays free.
+      val (prunedNew, newStats0, keptStats, carryDel, carryDelStats) = try {
         val snapDir = dataDir(ns, name).resolve(s"rewrite-$writeId")
         // merge-on-read interplay: the targets are read with their
         // delete entries APPLIED (folded into the rewrite); entries
         // for untouched files are carried forward below
-        try transform(readFilesOf(current, schema, targetSet.toSeq.sorted,
+        transform(readFilesOf(current, schema, targetSet.toSeq.sorted,
             meta.fieldIds))
           .select(schema.fieldNames.map(col(_)).toSeq: _*)
           .write.parquet(snapDir.toString)
-        catch { case e: Throwable => throw staleOrRethrow(ns, name, meta, e) }
-        Option(snapDir.toFile.listFiles()).getOrElse(Array.empty)
+        val newFiles = Option(snapDir.toFile.listFiles())
+          .getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .map(_.getAbsolutePath).sorted.toSeq
+        val st = collectFileStats(schema, newFiles,
+            bloomColsFor(ns, name, schema))
+          .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
+        val pruned = dropEmptyParts(newFiles, st)
+        val kept = current.fileStats.filter(s => untouched.contains(s.path))
+        val (cd, cds) = carryDeletes(ns, name, writeId, current, untouched)
+        (pruned, st, kept, cd, cds)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw staleOrRethrow(ns, name, meta, e)
       }
-      val newStats0 = collectFileStats(schema, newFiles,
-          bloomColsFor(ns, name, schema))
-        .map(_.copy(colIds = colIdsStamp(meta.fieldIds, schema)))
-      val prunedNew = dropEmptyParts(newFiles, newStats0)
-      val keptStats = current.fileStats.filter(s => untouched.contains(s.path))
-      val (carryDel, carryDelStats) =
-        carryDeletes(ns, name, writeId, current, untouched)
       synchronized {
         val (v2, m2) = loadMeta(ns, name)
         if (m2.currentSnapshotId != meta.currentSnapshotId) {
@@ -1939,15 +1947,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val small = current.files.filter(f => sizeOf(f) < minFileBytes)
       val smallSet: Set[String] =
         if (small.size >= 2) small.toSet else Set.empty
-      val posTouched: Set[String] =
-        if (current.deleteFiles.isEmpty) Set.empty
-        else spark.read.schema(DeleteFileSchema)
-          .parquet(current.deleteFiles: _*)
-          .select("file_path").distinct()
-          .collect().map(_.getString(0)).toSet
-          .intersect(current.files.toSet)
-      val eqTouched = eqDeleteCandidates(current, schema,
-        current.eqDeletes, current.files).toSet
+      // the dirty-set reads touch planned-state delete files that a
+      // concurrent commit + expiry can take mid-scan — route failures
+      // through staleOrRethrow (the re-plan signal) like the rewrite
+      // below
+      val (posTouched: Set[String], eqTouched: Set[String]) = try {
+        val pos: Set[String] =
+          if (current.deleteFiles.isEmpty) Set.empty
+          else spark.read.schema(DeleteFileSchema)
+            .parquet(current.deleteFiles: _*)
+            .select("file_path").distinct()
+            .collect().map(_.getString(0)).toSet
+            .intersect(current.files.toSet)
+        val eq = eqDeleteCandidates(current, schema,
+          current.eqDeletes, current.files).toSet
+        (pos, eq)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw staleOrRethrow(ns, name, meta, e)
+      }
       val rewrite = current.files.filter(f =>
         smallSet(f) || posTouched(f) || eqTouched(f))
       val dirtyDeleteSide =
@@ -1963,7 +1981,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val writeId = java.util.UUID.randomUUID().toString.take(8)
       val (newFiles, newStats) =
         if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[FileStats])
-        else {
+        else try {
           val numOut = math.max(1,
             math.ceil(bytes.toDouble / targetFileBytes).toInt)
           val snapDir = dataDir(ns, name).resolve(s"binpack-$writeId")
@@ -1983,7 +2001,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           // conservative keeps with every bin-pack pass
           val specStr = meta.properties.get(PartitionSpec.PropertyKey)
             .map(_.trim)
-          try specStr.map(PartitionSpec.parse) match {
+          specStr.map(PartitionSpec.parse) match {
             case Some(p) =>
               packed.withColumn(PartitionSpec.HiddenCol,
                   p.valueExprFor(
@@ -1991,9 +2009,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 .write.partitionBy(PartitionSpec.HiddenCol)
                 .parquet(snapDir.toString)
             case None => packed.write.parquet(snapDir.toString)
-          }
-          catch {
-            case e: Throwable => throw staleOrRethrow(ns, name, meta, e)
           }
           def walk(dd: File): Seq[File] =
             Option(dd.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -2013,6 +2028,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               pval = pvalOf(s.path),
               pspec = specStr.filter(_ => pvalOf(s.path).isDefined)))
           (dropEmptyParts(fs0, st), st)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            throw staleOrRethrow(ns, name, meta, e)
         }
       val untouchedStats =
         current.fileStats.filter(s => untouched.contains(s.path))
@@ -2077,10 +2095,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *
     * This order matters: compacting FIRST makes the pre-compact small
     * files expirable in the same pass (they drop off the retained
-    * tail), and orphan removal LAST also catches files a concurrent
-    * writer aborted mid-maintenance. Each step is its own atomic
-    * commit; a crash between steps leaves a consistent table that the
-    * next pass finishes.
+    * tail), and orphan removal LAST sweeps aborted-write leftovers
+    * that have aged past the safety window (a nightly pass therefore
+    * reaps yesterday's aborts under Iceberg's 3-day default; a FORCED
+    * sweep is the explicit `removeOrphanFiles(..., olderThanMs)` /
+    * `CALL system.remove_orphan_files('t', older_than)`, never part
+    * of the composed pass — fresh unreferenced files may be a
+    * concurrent writer's in-flight output). Each step is its own
+    * atomic commit; a crash between steps leaves a consistent table
+    * that the next pass finishes.
     *
     * TRIGGER (the 100 TB discipline): the old "compact whenever any
     * delete file exists" fired a full rewrite on every pass of a table

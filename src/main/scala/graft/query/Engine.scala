@@ -953,7 +953,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *    `older_than` (epoch millis or a 'yyyy-MM-dd HH:mm:ss[.f]'
     *    session-timezone string) makes expiry AGE-based with
     *    `keep_last` as the retained floor, Iceberg's operative knob;
-    *  - `remove_orphan_files('ns.tbl')`;
+    *  - `remove_orphan_files('ns.tbl'[, older_than])` — the default
+    *    applies the in-flight-write safety window; an explicit
+    *    `older_than` forces the sweep;
     *  - `rollback_to_snapshot('ns.tbl', snapshot_id)`;
     *  - `maintain('ns.tbl', keep_last, target_files[, older_than])` —
     *    the composed nightly pass;

@@ -721,7 +721,8 @@ class CatalogSpec extends SparkTestBase {
     assert(tagged.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
     // on-disk file population matches the retained manifests exactly:
     // another orphan sweep finds nothing left to do
-    assert(cat.removeOrphanFiles("db", "s").isEmpty)
+    assert(cat.removeOrphanFiles("db", "s",
+      Some(System.currentTimeMillis() + 1000)).isEmpty)
     // a second maintenance pass is a cheap no-op (already compacted)
     val again = cat.maintain("db", "s", keepLast = 5, targetFiles = 4)
     assert(!again.compacted && again.orphansRemoved == 0)
@@ -933,7 +934,8 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 8)
     assert(folded.statsRowCount.contains(8L))
     // maintenance never reaps a referenced equality delete file
-    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+    assert(cat.removeOrphanFiles("db", "t",
+      Some(System.currentTimeMillis() + 1000)).isEmpty)
   }
 
   test("readChangelog: net row-level changes across delete-bearing " +
@@ -1048,7 +1050,8 @@ class CatalogSpec extends SparkTestBase {
       s"got $ids")
     assert(after.statsRowCount.contains(17L))
     // maintenance never reaps a referenced delete file
-    assert(cat.removeOrphanFiles("db", "t").isEmpty)
+    assert(cat.removeOrphanFiles("db", "t",
+      Some(System.currentTimeMillis() + 1000)).isEmpty)
     assert(cat.read("db", "t").count() == 17)
     // expire old snapshots: current state (incl. its delete file) intact
     cat.expireSnapshots("db", "t", keepLast = 1)
