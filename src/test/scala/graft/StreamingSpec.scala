@@ -806,6 +806,50 @@ class StreamingSpec extends SparkTestBase {
         s"got ${cat.describe("db", "down").snapshots.size} commits")
   }
 
+  test("follower churn (property): randomized upstream CDC + " +
+      "maintenance + rollback — the follower converges after every poll") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-churn-wh"))
+    cat.createTable("db", "up",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "up",
+      (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val f = Sinks.changelogFollower(cat, "db", "up", "db", "down", Seq("id"))
+    assert(f.poll()) // bootstrap
+    def upSet() = cat.read("db", "up").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    def downSet() = cat.read("db", "down").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rnd = new scala.util.Random(41)
+    var polls = 0
+    for (step <- 0 until 30) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // CDC window: upserts + deletes over random keys
+          val ups = Seq.fill(rnd.nextInt(3) + 1)(
+            (rnd.between(0L, 40L), rnd.nextInt(1000).toDouble))
+          val dels = Seq.fill(rnd.nextInt(2))(rnd.between(0L, 40L))
+          cat.cdcUpsert("db", "up", ups.toDF("id", "v"),
+            dels.toDF("id"), Seq("id")): Unit
+        case 2 => // maintenance: compaction + aggressive expiry
+          cat.compactFileGroups("db", "up", minFileBytes = 1L << 20): Unit
+          cat.expireSnapshots("db", "up",
+            keepLast = 1 + rnd.nextInt(2)): Unit
+        case 3 => // incident recovery: roll back to a retained snapshot
+          val snaps = cat.describe("db", "up").snapshots
+          cat.rollback("db", "up",
+            snaps(rnd.nextInt(snaps.size)).snapshotId): Unit
+        case _ => // consume: one poll must land the downstream exactly
+          f.poll(): Unit
+          assert(upSet() == downSet(), s"diverged at step $step")
+          polls += 1
+      }
+    }
+    // drain and converge at the end regardless of where churn stopped
+    while (f.poll()) ()
+    assert(upSet() == downSet(), "final convergence")
+    assert(polls > 0)
+  }
+
   test("changelog follower durability: the position pin survives " +
       "aggressive expiry (no resync); an expired position resyncs " +
       "instead of crashing") {
