@@ -526,6 +526,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Remove table properties (the `ALTER TABLE … UNSET TBLPROPERTIES`
+    * primitive): metadata-only commit via the same optimistic retry.
+    * With `ifExists = false` a missing key refuses (the standard SQL
+    * contract) — evaluated against freshly loaded state per attempt.
+    */
+  def removeProperties(ns: String, name: String, keys: Seq[String],
+      ifExists: Boolean = false): TableMeta = synchronized {
+    retryMetaCommit(ns, name) { meta =>
+      if (!ifExists) {
+        val missing = keys.filterNot(meta.properties.contains)
+        require(missing.isEmpty,
+          s"no such properties on $ns.$name: ${missing.mkString(", ")} " +
+            "(use IF EXISTS)")
+      }
+      meta.copy(properties = meta.properties -- keys)
+    }
+  }
+
   /** Iceberg-style METADATA TABLES: the table's commit history, file
     * inventory, and refs exposed as DataFrames (`db.t.snapshots`,
     * `.files`, `.history`, `.refs` through the SQL bridge — the

@@ -757,6 +757,29 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           summary("ALTER", ns, t, 0L, 0, total)
         }
 
+      // `ALTER TABLE … SET TBLPROPERTIES (…)` / `UNSET TBLPROPERTIES
+      // [IF EXISTS] (…)`: the knobs that pick write paths
+      // (write.delete.mode/write.update.mode/write.merge.mode), bloom
+      // columns, and the hidden partition spec become SQL-reachable —
+      // metadata-only commits, the updateProperties discipline
+      case SetTableProperties(tbl, props) =>
+        idOf(tbl).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            catalog.updateProperties(ns, t, props)
+            val total = catalog.describe(ns, t).currentSnapshot
+              .map(_.files.size).getOrElse(0)
+            summary("ALTER", ns, t, 0L, 0, total)
+          }
+
+      case UnsetTableProperties(tbl, keys, ifExists) =>
+        idOf(tbl).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            catalog.removeProperties(ns, t, keys, ifExists)
+            val total = catalog.describe(ns, t).currentSnapshot
+              .map(_.files.size).getOrElse(0)
+            summary("ALTER", ns, t, 0L, 0, total)
+          }
+
       case TruncateTable(child) =>
         idOf(child).filter { case (ns, t) => catalog.tableExists(ns, t) }
           .map { case (ns, t) =>

@@ -1331,6 +1331,34 @@ class EngineSpec extends SparkTestBase {
     assert(cat.describe("db", "t").currentSnapshot.get.eqDeletes.isEmpty)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES through SQL drives the " +
+      "write-path knobs") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-props"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val st = eng.sqlQuery(
+      "ALTER TABLE db.t SET TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    assert(st.contains(""""operation":"ALTER""""), st)
+    assert(cat.describe("db", "t").properties
+      .get("write.delete.mode").contains("merge-on-read"))
+    // the property picks the write path: a needle DELETE goes MoR
+    val del = eng.sqlQuery("DELETE FROM db.t WHERE id = 3")
+    assert(del.contains(""""delete_files_written":1""") &&
+      del.contains(""""files_rewritten":0"""), del)
+    // UNSET drops it; a missing key refuses without IF EXISTS
+    assert(!eng.sqlQuery(
+      "ALTER TABLE db.t UNSET TBLPROPERTIES ('write.delete.mode')")
+      .startsWith("""{"error""""))
+    assert(!cat.describe("db", "t").properties.contains("write.delete.mode"))
+    assert(eng.sqlQuery("ALTER TABLE db.t UNSET TBLPROPERTIES ('nope')")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery(
+      "ALTER TABLE db.t UNSET TBLPROPERTIES IF EXISTS ('nope')")
+      .startsWith("""{"error""""))
+  }
+
   test("SHOW TABLES LIKE follows glob semantics: literal metacharacters " +
       "are quoted, '*' and '|' translate") {
     import spark.implicits._
