@@ -352,8 +352,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * append (hidden partitioning, schema evolution, optimistic retry).
     */
   def overwrite(ns: String, name: String, df: DataFrame,
-      extraProperties: Map[String, String] = Map.empty): TableMeta =
-    appendImpl(ns, name, df, toBranch = None, extraProperties,
+      extraProperties: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): TableMeta =
+    appendImpl(ns, name, df, toBranch, extraProperties,
       replaceManifest = true)
 
   private def appendImpl(ns: String, name: String, df: DataFrame,
@@ -648,6 +649,39 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     newMeta
   }
 
+  /** The base snapshot a WRITE targets: `toBranch`'s head when set
+    * (tags refused — immutable), else the table's current snapshot.
+    * This is what gives every row-level commit primitive its
+    * WRITE-AUDIT-PUBLISH mode (round 15): a DELETE/UPDATE/MERGE staged
+    * on a branch reads the BRANCH's state, commits by moving only the
+    * branch ref, and no reader of the table's current pointer ever
+    * sees it until `publish`/`fast_forward` — the Iceberg
+    * `spark.wap.branch` discipline extended from appends to the full
+    * DML surface, which is the audit story for risky mutations at
+    * 100 TB (stage the MERGE, validate via `VERSION AS OF branch`,
+    * publish one pointer move or walk away at zero cost).
+    */
+  private def writeBase(meta: TableMeta, ns: String, name: String,
+      toBranch: Option[String]): Option[SnapshotMeta] = toBranch match {
+    case Some(b) =>
+      require(meta.refs.contains(b), s"no ref '$b' in $ns.$name")
+      require(!meta.tagNames.contains(b), s"'$b' is a tag — tags are immutable")
+      meta.snapshots.find(_.snapshotId == meta.refs(b))
+    case None => meta.currentSnapshot
+  }
+
+  /** Attach `snap` and advance the write target: the branch REF moves
+    * (the readers' current pointer untouched — WAP staging), or the
+    * current pointer for main-line commits.
+    */
+  private def advanced(meta: TableMeta, toBranch: Option[String],
+      snap: SnapshotMeta): TableMeta = toBranch match {
+    case Some(b) => meta.copy(refs = meta.refs + (b -> snap.snapshotId),
+      snapshots = meta.snapshots :+ snap)
+    case None => meta.copy(currentSnapshotId = Some(snap.snapshotId),
+      snapshots = meta.snapshots :+ snap)
+  }
+
   /** Create OR MOVE a branch ref to `snapshotId` in one atomic commit —
     * the consumer-position pin ([[graft.streaming.Sinks.ChangelogFollower]]):
     * a downstream subscriber advances its ref as it consumes, and
@@ -935,6 +969,49 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Per-ERA partition-value pruning (round 15 — Iceberg's per-file
+    * spec-id model, the v2 partition-spec-evolution discipline): each
+    * file prunes under the spec it was WRITTEN with. `FileStats.pspec`
+    * records the exact spec string per file (the spec-id analog —
+    * self-describing, so no spec lookup table is needed), so after a
+    * `partition.spec` evolution (bucket(4,k) → bucket(8,k), or
+    * days(ts) → hours(ts)) an equality lookup prunes EXACTLY in BOTH
+    * eras: for every distinct spec era that covers `column` with an
+    * equality-preserving transform, the literal's partition value is
+    * derived once under THAT era's transform and compared against the
+    * era's files' recorded pvals. Files of eras that don't cover the
+    * column (or predate partitioning) are conservatively kept —
+    * [[prunedFilesPval]] only ever prunes the CURRENT era and keeps
+    * the rest, which at 100 TB would mean a re-partitioned table scans
+    * its entire pre-evolution history for every point lookup until
+    * compaction migrates it. Re-partitioning a live table is a
+    * when-not-if operation at that scale; this keeps it metadata-only.
+    * ([[compactFileGroups]] migrates every file it rewrites to the
+    * current spec — value-pure re-split, fresh pval/pspec — so the old
+    * era drains with normal maintenance.)
+    */
+  def prunedFilesPvalEras(snap: SnapshotMeta, column: String,
+      value: String, dt: DataType): Seq[String] = {
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    // literal pval per distinct era covering `column` — one tiny local
+    // one-row projection per era, no job
+    val eras: Map[String, String] = snap.fileStats
+      .flatMap(_.pspec).distinct
+      .flatMap { specStr =>
+        scala.util.Try(PartitionSpec.parse(specStr)).toOption
+          .filter(p => p.column == column && p.prunesEquality)
+          .map(p => specStr -> pvalOfLiteral(p, value, dt))
+      }.toMap
+    snap.files.filter { f =>
+      statsByFile.get(f).forall { s =>
+        s.pspec.flatMap(eras.get) match {
+          case Some(litPval) => s.pval.forall(_ == litPval)
+          case None => true // unknown/uncovering era: keep
+        }
+      }
+    }
+  }
+
   /** The table's partition spec, if `partition.spec` is declared. */
   def partitionSpecOf(ns: String, name: String): Option[PartitionSpec] =
     PartitionSpec.of(describe(ns, name).properties)
@@ -969,13 +1046,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val snap = meta.currentSnapshot.getOrElse(
       return read(ns, name).filter(col(column) === lit(value)))
-    val byPval = PartitionSpec.of(meta.properties) match {
-      case Some(p) if p.column == column && p.prunesEquality =>
-        prunedFilesPval(snap,
-          pvalOfLiteral(p, value, schema(column).dataType),
-          meta.properties(PartitionSpec.PropertyKey)).toSet
-      case _ => snap.files.toSet
-    }
+    // per-ERA pval pruning: every spec era that covers the column
+    // prunes exactly, current and historical alike — a no-op (all
+    // files kept) on unpartitioned tables
+    val byPval = prunedFilesPvalEras(snap, column, value,
+      schema(column).dataType).toSet
     val keep = prunedFilesBloom(snap, column, value).filter(byPval)
     // typed equality (literal cast to the column type) so the residual
     // still pushes into the parquet reader; for the supported bloom
@@ -1006,7 +1081,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def cdcUpsert(ns: String, name: String, rows: DataFrame,
       deletes: DataFrame, keyCols: Seq[String],
-      extraProperties: Map[String, String] = Map.empty): TableMeta =
+      extraProperties: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): TableMeta =
     {
       import org.apache.spark.sql.functions.col
       require(keyCols.nonEmpty, "cdcUpsert needs at least one key column")
@@ -1057,7 +1133,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // other in-process commits behind its IO
         val committed: Option[TableMeta] = synchronized {
         val (version, meta) = loadMeta(ns, name)
-        val current = meta.currentSnapshot.getOrElse(
+        val current = writeBase(meta, ns, name, toBranch).getOrElse(
           throw new IllegalStateException(s"$ns.$name has no data"))
         // revalidate against the FRESHLY loaded state every attempt: a
         // cross-process RENAME/DROP landing between the write above and
@@ -1089,7 +1165,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           colIds = colIdsStamp(meta.fieldIds, writtenSchema), seq = Some(seqNum)))
         val snap = SnapshotMeta(
           snapshotId = snapshotId,
-          parentId = meta.currentSnapshotId,
+          parentId = Some(current.snapshotId),
           sequenceNumber = seqNum,
           files = current.files ++ newFiles,
           rowCount = newStats.map(_.rows).sum,
@@ -1098,10 +1174,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           deleteFiles = current.deleteFiles,
           deleteFileStats = current.deleteFileStats,
           eqDeletes = current.eqDeletes ++ newEq)
-        val newMeta = meta.copy(
-          currentSnapshotId = Some(snapshotId),
-          snapshots = meta.snapshots :+ snap,
-          properties = meta.properties ++ extraProperties)
+        val newMeta = advanced(meta, toBranch, snap)
+          .copy(properties = meta.properties ++ extraProperties)
         try {
           commit(ns, name, version + 1, newMeta)
           Some(newMeta)
@@ -1134,8 +1208,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * conservatively rewritten. Old files stay referenced by older
     * snapshots for time travel until expired.
     */
-  def upsert(ns: String, name: String, df: DataFrame, keyCol: String): TableMeta =
-    upsertCounted(ns, name, df, keyCol)._1
+  def upsert(ns: String, name: String, df: DataFrame, keyCol: String,
+      toBranch: Option[String] = None): TableMeta =
+    upsertCounted(ns, name, df, keyCol, toBranch)._1
 
   /** [[upsert]], additionally returning how many existing data files the
     * key-range pruning selected for rewrite — the honest
@@ -1143,9 +1218,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * the table's file total would overstate it).
     */
   def upsertCounted(ns: String, name: String, df: DataFrame,
-      keyCol: String): (TableMeta, Int) = {
+      keyCol: String, toBranch: Option[String] = None): (TableMeta, Int) = {
     val preview = synchronized(loadMeta(ns, name)._2)
-    if (preview.currentSnapshot.isEmpty) return (append(ns, name, df), 0)
+    if (writeBase(preview, ns, name, toBranch).isEmpty)
+      return (append(ns, name, df), 0)
     // key-range pruning by the key's type: numeric keys compare via
     // the double stats, string keys lexicographically (both stat kinds
     // are collected on write) — so e.g. a changelog keyed on a string
@@ -1168,7 +1244,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      val current = meta.currentSnapshot.get
+      val current = writeBase(meta, ns, name, toBranch).get
       val touched = touchedIn(current)
       val untouched = current.files.filterNot(touched.toSet)
       val remain =
@@ -1193,7 +1269,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         carryDeletes(ns, name, snapshotId.toString, current, untouched)
       (commitReplacing(ns, name, version, meta, snapshotId,
         untouched ++ newFiles, untouchedStats ++ newStats,
-        carryDel, carryDelStats, current.eqDeletes), touched.size)
+        carryDel, carryDelStats, current.eqDeletes,
+        toBranch, Some(current.snapshotId)), touched.size)
     }
   }
 
@@ -1272,7 +1349,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def rewriteFiles(ns: String, name: String, targets: Seq[String],
       transform: DataFrame => DataFrame,
-      expectedSnapshotId: Option[Long] = None): TableMeta =
+      expectedSnapshotId: Option[Long] = None,
+      toBranch: Option[String] = None): TableMeta =
     {
       // Plan + write OUTSIDE the catalog lock (round 14, the
       // compactFileGroups discipline): a large CoW DELETE/UPDATE/MERGE
@@ -1284,8 +1362,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // the expectedSnapshotId check raises).
       val (_, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      val current = meta.currentSnapshot.getOrElse(
+      val current = writeBase(meta, ns, name, toBranch).getOrElse(
         throw new IllegalStateException(s"$ns.$name has no data"))
+      // the head this plan binds to — branch ref or current pointer
+      def headOf(m: TableMeta): Option[Long] = toBranch match {
+        case Some(b) => m.refs.get(b)
+        case None => m.currentSnapshotId
+      }
       expectedSnapshotId.foreach { exp =>
         if (current.snapshotId != exp)
           throw new java.util.ConcurrentModificationException(
@@ -1304,8 +1387,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // transform (the SQL MERGE's insert side) must still write its
       // output — an empty input with a row-preserving transform writes
       // no part files, so the no-op case stays free.
+      // both write dirs are deterministic functions of the writeId so
+      // the discard paths below can reap them WHOLE (dir + _SUCCESS
+      // marker, not just the parquet parts — round-14 ADVICE item 5:
+      // per-file deletes left abandoned-attempt directories
+      // accumulating unboundedly under commit churn)
+      val snapDir = dataDir(ns, name).resolve(s"rewrite-$writeId")
+      val carryDir = dataDir(ns, name).resolve(s"delete-carry-$writeId")
+      def discardWrite(): Unit = {
+        deleteRecursively(snapDir); deleteRecursively(carryDir)
+      }
       val (prunedNew, newStats0, keptStats, carryDel, carryDelStats) = try {
-        val snapDir = dataDir(ns, name).resolve(s"rewrite-$writeId")
         // merge-on-read interplay: the targets are read with their
         // delete entries APPLIED (folded into the rewrite); entries
         // for untouched files are carried forward below
@@ -1330,11 +1422,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       synchronized {
         val (v2, m2) = loadMeta(ns, name)
-        if (m2.currentSnapshotId != meta.currentSnapshotId) {
-          (prunedNew ++ carryDel).foreach(f =>
-            Files.deleteIfExists(Paths.get(f)))
+        if (headOf(m2) != headOf(meta)) {
+          discardWrite()
           throw new java.util.ConcurrentModificationException(
             s"$ns.$name moved during the rewrite — re-plan and retry")
+        }
+        // a metadata-only ALTER (pointer unmoved — the snapshot guard
+        // above can't see it) changes the schema/field ids the written
+        // files' colIds stamps were planned against; committing them
+        // would silently bind stale-schema stamps (round-14 ADVICE
+        // item 1) — refuse and re-plan like any other conflict
+        if (m2.schemaJson != meta.schemaJson || m2.fieldIds != meta.fieldIds) {
+          discardWrite()
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name schema evolved during the rewrite — re-plan and retry")
         }
         // equality deletes carry whole: rewritten files get the NEW
         // sequence number (the rewrite already applied the deletes), so
@@ -1344,11 +1445,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         try commitReplacing(ns, name, v2, m2,
           m2.snapshots.map(_.snapshotId).max + 1,
           untouched ++ prunedNew, keptStats ++ newStats,
-          carryDel, carryDelStats, current.eqDeletes)
+          carryDel, carryDelStats, current.eqDeletes,
+          toBranch, Some(current.snapshotId))
         catch {
           case e: java.util.ConcurrentModificationException =>
-            (prunedNew ++ carryDel).foreach(f =>
-              Files.deleteIfExists(Paths.get(f)))
+            discardWrite()
             throw e
         }
       }
@@ -1421,10 +1522,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       .map(_.getAbsolutePath).sorted.toSeq
     val stats = collectFileStats(DeleteFileSchema, files)
     if (stats.map(_.rows).sum == 0L) {
-      // nothing survived: drop the empty carry file immediately
-      files.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      // nothing survived: drop the whole empty carry dir immediately
+      deleteRecursively(delDir)
       (Seq.empty, Seq.empty)
     } else (files, stats)
+  }
+
+  /** Best-effort recursive delete of an abandoned WRITE DIRECTORY —
+    * parquet parts, `_SUCCESS` marker and the dir itself go together,
+    * so a discarded optimistic-concurrency attempt leaves nothing for
+    * [[removeOrphanFiles]] to age out.
+    */
+  private def deleteRecursively(dir: Path): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rm(_)) finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    try rm(dir) catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Commit a snapshot whose manifest REPLACES the current file list
@@ -1435,10 +1552,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       files: Seq[String], stats: Seq[FileStats],
       deleteFiles: Seq[String] = Seq.empty,
       deleteFileStats: Seq[FileStats] = Seq.empty,
-      eqDeletes: Seq[EqDeleteMeta] = Seq.empty): TableMeta = {
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty,
+      toBranch: Option[String] = None,
+      parentId: Option[Long] = None): TableMeta = {
     val snap = SnapshotMeta(
       snapshotId = snapshotId,
-      parentId = meta.currentSnapshotId,
+      parentId = parentId.orElse(meta.currentSnapshotId),
       sequenceNumber = meta.snapshots.map(_.sequenceNumber).max + 1,
       files = files,
       rowCount = stats.map(_.rows).sum,
@@ -1447,9 +1566,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       deleteFiles = deleteFiles,
       deleteFileStats = deleteFileStats,
       eqDeletes = eqDeletes)
-    val newMeta = meta.copy(
-      currentSnapshotId = Some(snapshotId),
-      snapshots = meta.snapshots :+ snap)
+    val newMeta = advanced(meta, toBranch, snap)
     commitPlanned(ns, name, version + 1, newMeta)
     newMeta
   }
@@ -1555,6 +1672,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 .getOrElse(Long.MaxValue) < cutoff)
             .toList
           orphans.foreach(p => Files.deleteIfExists(p): Unit)
+          // Reap abandoned WRITE DIRECTORIES (round-14 ADVICE item 5):
+          // a discarded attempt that predates the whole-dir discard, or
+          // one that crashed between write and commit, leaves a dir
+          // holding only a `_SUCCESS` marker (and .crc siblings) after
+          // the parquet sweep above. A directory that (a) isn't the
+          // data root, (b) holds no referenced file anywhere below it,
+          // and (c) whose every remaining entry is such a marker older
+          // than the safety window deletes whole — bottom-up so nested
+          // hidden-partition subdirs fold first. An IN-FLIGHT writer's
+          // dir is never eligible: Spark's committer puts a fresh
+          // `_temporary` subtree there immediately, and fresh anything
+          // fails (c).
+          def marker(p: Path): Boolean = {
+            val n = p.getFileName.toString
+            n == "_SUCCESS" || n.endsWith(".crc")
+          }
+          def reap(d: Path): Boolean = {
+            val entries = {
+              val s = Files.list(d)
+              try { import scala.jdk.CollectionConverters._
+                s.iterator().asScala.toList } finally s.close()
+            }
+            val left = entries.filterNot(c => Files.isDirectory(c) && reap(c))
+            val deletable = d != dir && left.forall(p =>
+              Files.isRegularFile(p) && marker(p) &&
+                !referenced.contains(p.toAbsolutePath.normalize.toString) &&
+                scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                  .getOrElse(Long.MaxValue) < cutoff)
+            if (deletable) {
+              left.foreach(p => Files.deleteIfExists(p): Unit)
+              scala.util.Try(Files.deleteIfExists(d)).getOrElse(false)
+            } else false
+          }
+          reap(dir): Unit
           orphans.map(_.toString)
         } finally it.close()
       }
@@ -1640,31 +1791,128 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def eqDeleteCandidates(snap: SnapshotMeta, schema: StructType,
       eqs: Seq[EqDeleteMeta], among: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin}
-    import org.apache.spark.sql.types._
     if (eqs.isEmpty || among.isEmpty) return Nil
     val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
     val hit = scala.collection.mutable.LinkedHashSet.empty[String]
     eqs.foreach { d =>
-      val phys = d.physCols.getOrElse(d.cols)
-      // the key columns with comparable (stats-collected) renderings —
-      // doubles for numeric/timestamp, raw for strings, matching what
-      // collectFileStats recorded for the data files
-      val statCols = d.cols.zip(phys).flatMap { case (c, p) =>
-        schema(c).dataType match {
-          case _: NumericType => Some((c, fcol(p).cast("double"), true))
-          case TimestampType => Some((c, fcol(p).cast("double"), true))
-          case StringType => Some((c, fcol(p), false))
-          case _ => None
+      hit ++= eqCandidatesOfEntry(d, schema, statsByFile, among)
+    }
+    among.filter(hit)
+  }
+
+  /** Per-ENTRY candidate decision, with the entry's expensive parsed
+    * state MEMOIZED ([[eqStateCache]], round-15 VERDICT item 1): a
+    * changelog FOLLOWER's consecutive windows each carry a different
+    * delete side (one new entry per window), which used to defeat the
+    * whole-side memo and re-run every entry's bounds/key reads per
+    * window — O(windows x entries) delete-file jobs. Keying the parsed
+    * bounds + sorted key tuples on the (immutable) entry itself makes
+    * each entry pay its Spark read ONCE ever; re-deciding a new
+    * snapshot's files is then pure driver CPU (binary search over
+    * pre-parsed arrays — also the round-14 ADVICE fix: per-column
+    * Double arrays are parsed once per entry, never per (file, tuple,
+    * column)).
+    */
+  private def eqCandidatesOfEntry(d: EqDeleteMeta, schema: StructType,
+      statsByFile: Map[String, FileStats],
+      among: Seq[String]): Seq[String] = {
+    val state = eqEntryStateOf(d, schema)
+    state.bounds match {
+      case None => Nil // some comparable key column is ALL NULL: inert
+      case Some(b) =>
+        val coarse = among.filter { f =>
+          statsByFile.get(f) match {
+            case None => true
+            case Some(fs) => fs.seq.getOrElse(0L) < d.seq &&
+              eqBoundsPass(state, fs, b)
+          }
         }
+        val exact = state.exactEligible && coarse.nonEmpty
+        if (!exact) coarse
+        else {
+          val t = state.tuples(eqTuplesOf(d, schema, state))
+          if (t.count == 0) Nil
+          else coarse.filter { f =>
+            statsByFile.get(f) match {
+              case None => true
+              case Some(fs) => eqTuplesKeep(state, t, d, fs)
+            }
+          }
+        }
+    }
+  }
+
+  /** The comparable (stats-collected) key columns of an entry:
+    * (declared name, physical name, numeric-stat rendering). Numeric
+    * and timestamp columns compare as doubles, strings raw — matching
+    * what [[collectFileStats]] records for the data files.
+    */
+  private def eqStatCols(d: EqDeleteMeta,
+      schema: StructType): Seq[(String, String, Boolean)] = {
+    import org.apache.spark.sql.types._
+    val phys = d.physCols.getOrElse(d.cols)
+    d.cols.zip(phys).flatMap { case (c, p) =>
+      schema(c).dataType match {
+        case _: NumericType => Some((c, p, true))
+        case TimestampType => Some((c, p, true))
+        case StringType => Some((c, p, false))
+        case _ => None
       }
-      val keySchema = StructType(d.cols.zip(phys).map { case (c, p) =>
-        schema(c).copy(name = p) })
-      // (lo, hi, numeric) per comparable key column — manifest-stamped
-      // bounds when present (zero IO), else one tiny read of the
-      // delete file (pre-bounds metadata). None = some comparable
-      // column is ALL NULL ⇒ no data row can equal any entry ⇒ inert.
-      val bounds: Option[Map[String, (String, String, Boolean)]] = {
+    }
+  }
+
+  private def eqKeySchema(d: EqDeleteMeta, schema: StructType): StructType = {
+    val phys = d.physCols.getOrElse(d.cols)
+    StructType(d.cols.zip(phys).map { case (c, p) =>
+      schema(c).copy(name = p) })
+  }
+
+  /** Parsed per-entry state: key-column typing, (lo, hi, numeric)
+    * bounds per comparable column — manifest-stamped when present
+    * (zero IO), else ONE tiny read of the delete file — and a lazy
+    * slot for the exact-refinement tuples. `bounds` None = some
+    * comparable column is ALL NULL, so no data row can equal any entry
+    * (the delete is inert).
+    */
+  private final class EqEntryState(
+      val statCols: Array[(String, String, Boolean)],
+      val bounds: Option[Map[String, (String, String, Boolean)]],
+      val exactEligible: Boolean) {
+    // built on the FIRST call whose coarse candidates are non-empty
+    // (the only time the key read pays for itself), reused forever
+    @volatile private var tuplesRef: EqTuples = null
+    def tuples(build: => EqTuples): EqTuples = {
+      val t0 = tuplesRef
+      if (t0 != null) t0
+      else synchronized {
+        if (tuplesRef == null) tuplesRef = build
+        tuplesRef
+      }
+    }
+  }
+
+  /** The exact-refinement key tuples of one entry, sorted by first
+    * column, with every numeric rendering PRE-PARSED to primitive
+    * doubles and every bloom probe position precomputed — per-file
+    * decisions compare primitives only.
+    */
+  private final class EqTuples(
+      val count: Int,
+      val statS: Array[Array[String]],      // [tuple][col] stat renderings
+      val statD: Array[Array[Double]],      // [tuple][col] doubles (NaN for string cols)
+      val positions: Array[Array[Seq[Int]]], // [tuple][col] bloom positions (null = not probing)
+      val firstD: Array[Double],            // sorted first-col keys (numeric entries)
+      val firstS: Array[String])            // or string entries
+
+  private def eqEntryStateOf(d: EqDeleteMeta,
+      schema: StructType): EqEntryState = {
+    val statCols = eqStatCols(d, schema)
+    val cacheKey = (d, statCols)
+    eqStateCache.synchronized(Option(eqStateCache.get(cacheKey))) match {
+      case Some(s) => s
+      case None =>
+        import org.apache.spark.sql.functions.{col => fcol, max => fmax, min => fmin}
+        val keySchema = eqKeySchema(d, schema)
         val raw: Map[String, (String, String, Boolean)] =
           (d.keyMin, d.keyMax) match {
             case (Some(mn), Some(mx)) =>
@@ -1675,7 +1923,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 }
               }.toMap
             case _ if statCols.nonEmpty =>
-              val aggs = statCols.flatMap { case (c, e, _) =>
+              val aggs = statCols.flatMap { case (c, p, num) =>
+                val e = if (num) fcol(p).cast("double") else fcol(p)
                 Seq(fmin(e).cast("string").as(s"_lo_$c"),
                   fmax(e).cast("string").as(s"_hi_$c")) }
               val r = spark.read.schema(keySchema).parquet(d.path)
@@ -1689,192 +1938,179 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
               }.toMap
             case _ => Map.empty
           }
-        if (statCols.exists { case (c, _, _) => !raw.contains(c) }) None
-        else Some(raw)
+        val bounds =
+          if (statCols.exists { case (c, _, _) => !raw.contains(c) }) None
+          else Some(raw)
+        val st = new EqEntryState(statCols.toArray, bounds,
+          exactEligible = statCols.size == d.cols.size &&
+            d.rows <= EqCandidateKeysCap)
+        eqStateCache.synchronized(eqStateCache.put(cacheKey, st)): Unit
+        st
+    }
+  }
+
+  /** One read of the entry's DISTINCT key tuples (driver-sized, capped
+    * by [[EqCandidateKeysCap]]), sorted by first column: each file
+    * then checks only the span its first-column range admits
+    * (clustered layouts yield tiny spans). Two renderings per key: the
+    * stats rendering for range membership, the RAW column rendering
+    * for bloom probes (the write side hashes md5(col.cast(string)) of
+    * the column's own type — "250", not the double-stat "250.0").
+    */
+  private def eqTuplesOf(d: EqDeleteMeta, schema: StructType,
+      state: EqEntryState): EqTuples = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val statCols = state.statCols
+    val n = statCols.length
+    val keySchema = eqKeySchema(d, schema)
+    val sel = statCols.toSeq.map { case (c, p, num) =>
+      val e = if (num) fcol(p).cast("double") else fcol(p)
+      e.cast("string").as(s"_k_$c") } ++
+      statCols.toSeq.map { case (c, p, _) =>
+        fcol(p).cast("string").as(s"_r_$c") }
+    val rows = spark.read.schema(keySchema).parquet(d.path)
+      .select(sel: _*)
+      .na.drop(statCols.map { case (c, _, _) => s"_k_$c" }.toSeq)
+      .distinct().collect()
+    val firstNum = n > 0 && statCols(0)._3
+    val sorted =
+      if (firstNum) rows.sortBy(_.getString(0).toDouble)
+      else rows.sortBy(_.getString(0))
+    val count = sorted.length
+    val probeBlooms = count <= BloomVetoMaxKeys
+    val statS = Array.tabulate(count, n)((j, i) => sorted(j).getString(i))
+    val statD = Array.tabulate(count, n) { (j, i) =>
+      if (statCols(i)._3) statS(j)(i).toDouble else Double.NaN }
+    val posMemo = scala.collection.mutable.HashMap.empty[String, Seq[Int]]
+    val positions: Array[Array[Seq[Int]]] =
+      if (!probeBlooms) null
+      else Array.tabulate(count, n) { (j, i) =>
+        val rawV = sorted(j).getString(n + i)
+        if (rawV == null) null
+        else posMemo.getOrElseUpdate(rawV, bloomPositions(rawV))
       }
-      def boundsPass(fs: FileStats,
-          b: Map[String, (String, String, Boolean)]): Boolean =
-        b.forall { case (c, (lo, hi, num)) =>
-          (fs.min.get(c), fs.max.get(c)) match {
-            case (Some(mn), Some(mx)) =>
-              if (num) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
-              else !(mx < lo || mn > hi) // trunc bounds stay valid
-            case _ => true
-          }
-        }
-      bounds.foreach { b =>
-        // bounds-level candidates (files without stats kept)
-        val coarse = among.filter { f =>
-          statsByFile.get(f) match {
-            case None => true
-            case Some(fs) => fs.seq.getOrElse(0L) < d.seq && boundsPass(fs, b)
-          }
-        }
-        // exact refinement for the CDC shape — pays the (tiny) key
-        // read ONLY when the bounds already intersect something
-        val exact = statCols.size == d.cols.size &&
-          d.rows <= EqCandidateKeysCap && coarse.nonEmpty
-        if (!exact) hit ++= coarse
-        else if (statCols.size > 1) {
-          // MULTI-COLUMN exact refinement (round 14 — the realistic
-          // (tenant_id, row_id) composite-key CDC shape): per-column
-          // bounds intersection SMEARS (a delete touching (t1, low)
-          // and (t2, high) coarsely matches every file between), so
-          // read the distinct key TUPLES once and keep a file only
-          // when SOME tuple fits inside its per-column [min,max] —
-          // with a per-tuple bloom veto on bloom-declared columns.
-          // Tuples sort by first column so each file checks only the
-          // span its first-column range admits (clustered layouts →
-          // tiny spans); capped by EqCandidateKeysCap like the
-          // single-column path.
-          val n = statCols.size
-          val sel = statCols.map { case (c, e, _) =>
-            e.cast("string").as(s"_k_$c") } ++
-            d.cols.zip(phys).map { case (c, p) =>
-              org.apache.spark.sql.functions.col(p).cast("string")
-                .as(s"_r_$c") }
-          val tupleRows = spark.read.schema(keySchema).parquet(d.path)
-            .select(sel: _*)
-            .na.drop(statCols.map { case (c, _, _) => s"_k_$c" })
-            .distinct().collect()
-          val tuples = tupleRows.map(r =>
-            (Array.tabulate(n)(i => r.getString(i)),
-              Array.tabulate(n)(i => r.getString(n + i))))
-          val firstNum = statCols.head._3
-          val sortedT =
-            if (firstNum) tuples.sortBy(_._1(0).toDouble)
-            else tuples.sortBy(_._1(0))
-          val firstD: Array[Double] =
-            if (firstNum) sortedT.map(_._1(0).toDouble) else null
-          val firstS: Array[String] =
-            if (firstNum) null else sortedT.map(_._1(0))
-          val probeBlooms = tuples.length <= BloomVetoMaxKeys
-          val posMemo = scala.collection.mutable.HashMap.empty[String, Seq[Int]]
-          def lowerBound(mn: String): Int =
-            if (firstNum) {
-              val lo = mn.toDouble
-              var l = 0; var h = firstD.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (firstD(m) < lo) l = m + 1 else h = m }
-              l
-            } else {
-              var l = 0; var h = firstS.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (firstS(m) < mn) l = m + 1 else h = m }
-              l
-            }
-          def upperBound(mx: String): Int =
-            if (firstNum) {
-              val hiV = mx.toDouble
-              var l = 0; var h = firstD.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (firstD(m) <= hiV) l = m + 1 else h = m }
-              l
-            } else {
-              var l = 0; var h = firstS.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (firstS(m) <= mx) l = m + 1 else h = m }
-              l
-            }
-          if (tuples.nonEmpty) hit ++= coarse.filter { f =>
-            statsByFile.get(f) match {
-              case None => true
-              case Some(fs) =>
-                val colBounds = Array.tabulate(n) { i =>
-                  for { mn <- fs.min.get(d.cols(i))
-                        mx <- fs.max.get(d.cols(i)) } yield (mn, mx)
-                }
-                val colBlooms: Array[Option[Array[Byte]]] =
-                  Array.tabulate(n) { i =>
-                    if (!probeBlooms) None
-                    else fs.blooms.flatMap(_.get(d.cols(i)))
-                      .map(java.util.Base64.getDecoder.decode)
-                  }
-                def fits(i: Int, stat: String, raw: String): Boolean = {
-                  val rangeOk = colBounds(i) match {
-                    case None => true
-                    case Some((mn, mx)) =>
-                      if (statCols(i)._3) {
-                        val x = stat.toDouble
-                        x >= mn.toDouble && x <= mx.toDouble
-                      } else stat >= mn && stat <= mx
-                  }
-                  rangeOk && (colBlooms(i) match {
-                    case None => true
-                    case Some(bits) =>
-                      posMemo.getOrElseUpdate(raw, bloomPositions(raw))
-                        .forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
-                  })
-                }
-                val (lo, hi) = colBounds(0) match {
-                  case None => (0, sortedT.length)
-                  case Some((mn, mx)) => (lowerBound(mn), upperBound(mx))
-                }
-                (lo until hi).exists { j =>
-                  val (stat, raw) = sortedT(j)
-                  (0 until n).forall(i => fits(i, stat(i), raw(i)))
-                }
-            }
-          }
-        }
-        else {
-          val (c, expr, num) = statCols.head
-          // two renderings per key: the stats rendering for range
-          // membership, the RAW column rendering for bloom probes (the
-          // write side hashes md5(col.cast(string)) of the column's
-          // own type — "250", not the double-stat "250.0")
-          val pairs = spark.read.schema(keySchema).parquet(d.path)
-            .select(expr.cast("string").as("_k"),
-              org.apache.spark.sql.functions.col(phys.head)
-                .cast("string").as("_raw"))
-            .na.drop().distinct()
-            .collect().map(r => (r.getString(0), r.getString(1)))
-          val keyVals = pairs.map(_._1).distinct
-          val numKeys = if (num) keyVals.map(_.toDouble).sorted else Array.emptyDoubleArray
-          val strKeys = if (num) Array.empty[String] else keyVals.sorted
-          // bloom veto: per-key probe positions computed ONCE; a file
-          // whose bloom excludes every delete key is pruned even when
-          // its [min,max] straddles a key (overlapping-range layouts)
-          val keyPositions: Array[Seq[Int]] =
-            if (pairs.length > BloomVetoMaxKeys) Array.empty
-            else pairs.map(p => bloomPositions(p._2)).distinct
-          def bloomKeeps(fs: FileStats): Boolean =
-            keyPositions.isEmpty || (fs.blooms.flatMap(_.get(c)) match {
-              case None => true
-              case Some(b64) =>
-                val bits = java.util.Base64.getDecoder.decode(b64)
-                keyPositions.exists(_.forall(p =>
-                  (bits(p >> 3) & (1 << (p & 7))) != 0))
-            })
-          def anyKeyIn(mn: String, mx: String): Boolean =
-            if (num) {
-              val lo = mn.toDouble; val hi = mx.toDouble
-              var l = 0; var h = numKeys.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (numKeys(m) < lo) l = m + 1 else h = m }
-              l < numKeys.length && numKeys(l) <= hi
-            } else {
-              var l = 0; var h = strKeys.length
-              while (l < h) { val m = (l + h) >>> 1
-                if (strKeys(m) < mn) l = m + 1 else h = m }
-              l < strKeys.length && strKeys(l) <= mx
-            }
-          if (keyVals.nonEmpty) hit ++= coarse.filter { f =>
-            statsByFile.get(f) match {
-              case None => true
-              case Some(fs) =>
-                val inRange = (fs.min.get(c), fs.max.get(c)) match {
-                  case (Some(mn), Some(mx)) => anyKeyIn(mn, mx)
-                  case _ => true
-                }
-                inRange && bloomKeeps(fs)
-            }
-          }
-        }
+    new EqTuples(count, statS, statD, positions,
+      if (firstNum) statD.map(_(0)) else null,
+      if (firstNum) null else statS.map(_(0)))
+  }
+
+  /** Coarse bounds intersection of one file against the entry's key
+    * bounds — per column: ranges must overlap; missing stats keep.
+    */
+  private def eqBoundsPass(state: EqEntryState, fs: FileStats,
+      b: Map[String, (String, String, Boolean)]): Boolean =
+    b.forall { case (c, (lo, hi, num)) =>
+      (fs.min.get(c), fs.max.get(c)) match {
+        case (Some(mn), Some(mx)) =>
+          if (num) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+          else !(mx < lo || mn > hi) // trunc bounds stay valid
+        case _ => true
       }
     }
-    among.filter(hit)
+
+  /** Exact refinement of one file against the sorted tuple set: the
+    * file stays a candidate only when SOME tuple fits inside its
+    * per-column [min,max] — every column at once for composite keys
+    * (per-column bounds alone would smear a delete touching (t1, low)
+    * and (t2, high) over every file in between) — with a per-tuple
+    * bloom veto on bloom-declared columns. The file's own min/max
+    * parse ONCE here; tuple comparisons are primitive-only.
+    */
+  private def eqTuplesKeep(state: EqEntryState, t: EqTuples,
+      d: EqDeleteMeta, fs: FileStats): Boolean = {
+    val statCols = state.statCols
+    val n = statCols.length
+    // per-column file bounds, parsed once per (file, entry) decision
+    val hasB = new Array[Boolean](n)
+    val loD = new Array[Double](n); val hiD = new Array[Double](n)
+    val loS = new Array[String](n); val hiS = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val c = d.cols(i)
+      (fs.min.get(c), fs.max.get(c)) match {
+        case (Some(mn), Some(mx)) =>
+          hasB(i) = true
+          if (statCols(i)._3) { loD(i) = mn.toDouble; hiD(i) = mx.toDouble }
+          else { loS(i) = mn; hiS(i) = mx }
+        case _ => hasB(i) = false
+      }
+      i += 1
+    }
+    val colBlooms: Array[Array[Byte]] =
+      if (t.positions == null) null
+      else Array.tabulate(n) { k =>
+        fs.blooms.flatMap(_.get(d.cols(k)))
+          .map(java.util.Base64.getDecoder.decode)
+          .orNull
+      }
+    def lowerBound(): Int =
+      if (!hasB(0)) 0
+      else if (t.firstD != null) {
+        val lo = loD(0)
+        var l = 0; var h = t.firstD.length
+        while (l < h) { val m = (l + h) >>> 1
+          if (t.firstD(m) < lo) l = m + 1 else h = m }
+        l
+      } else {
+        val lo = loS(0)
+        var l = 0; var h = t.firstS.length
+        while (l < h) { val m = (l + h) >>> 1
+          if (t.firstS(m) < lo) l = m + 1 else h = m }
+        l
+      }
+    def upperBound(): Int =
+      if (!hasB(0)) t.count
+      else if (t.firstD != null) {
+        val hiV = hiD(0)
+        var l = 0; var h = t.firstD.length
+        while (l < h) { val m = (l + h) >>> 1
+          if (t.firstD(m) <= hiV) l = m + 1 else h = m }
+        l
+      } else {
+        val hiV = hiS(0)
+        var l = 0; var h = t.firstS.length
+        while (l < h) { val m = (l + h) >>> 1
+          if (t.firstS(m) <= hiV) l = m + 1 else h = m }
+        l
+      }
+    def fits(j: Int, i2: Int): Boolean = {
+      val rangeOk = !hasB(i2) || {
+        if (statCols(i2)._3) {
+          val x = t.statD(j)(i2)
+          x >= loD(i2) && x <= hiD(i2)
+        } else {
+          val s = t.statS(j)(i2)
+          s >= loS(i2) && s <= hiS(i2)
+        }
+      }
+      rangeOk && (colBlooms == null || colBlooms(i2) == null || {
+        val ps = t.positions(j)(i2)
+        ps == null || ps.forall(p =>
+          (colBlooms(i2)(p >> 3) & (1 << (p & 7))) != 0)
+      })
+    }
+    val lo = lowerBound(); val hi = upperBound()
+    var j = lo
+    while (j < hi) {
+      var ok = true
+      var i2 = 0
+      while (ok && i2 < n) { ok = fits(j, i2); i2 += 1 }
+      if (ok) return true
+      j += 1
+    }
+    false
   }
+
+  /** Bounded LRU for per-entry parsed state ([[eqEntryStateOf]]) —
+    * entries are immutable content (the cache key includes the key
+    * columns' stat typing), retired delete sides age out as
+    * maintenance folds them away.
+    */
+  private val eqStateCache =
+    new java.util.LinkedHashMap[Any, EqEntryState](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, EqEntryState]): Boolean = size > 64
+    }
 
   /** Max delete-side entries for which [[eqDeleteCandidates]] collects
     * the exact key set (a driver-side string array) instead of falling
@@ -1930,13 +2166,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * commit lands DURING a slow compaction instead of queuing behind
     * it. If the table moved while rewriting, the written files are
     * discarded and the pass re-plans against the new state (bounded);
-    * the last attempt holds the lock end-to-end so the pass always
-    * terminates.
+    * later attempts hold the in-process lock end-to-end so in-process
+    * committers can no longer interleave. The lock does NOT exclude a
+    * CROSS-PROCESS committer (round-14 VERDICT item 2), so locked
+    * attempts keep retrying on conflict up to a bound — under any
+    * realistic churn one of them lands; a churn rate that defeats all
+    * of them surfaces the ConcurrentModificationException to the
+    * caller (the pass terminates either way, never spins).
     */
   def compactFileGroups(ns: String, name: String,
       minFileBytes: Long = DefaultMinFileBytes,
       targetFileBytes: Long = DefaultTargetFileBytes,
       clusterBy: Seq[String] = Nil): CompactReport = {
+    val maxAttempts = 6
     var attempt = 0
     while (true) {
       try {
@@ -1946,7 +2188,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         else compactGroupsOnce(ns, name, minFileBytes,
           targetFileBytes, clusterBy)
       } catch {
-        case _: java.util.ConcurrentModificationException if attempt < 2 =>
+        case _: java.util.ConcurrentModificationException
+            if attempt < maxAttempts =>
           attempt += 1 // a commit landed mid-rewrite: re-plan
       }
     }
@@ -2062,11 +2305,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       synchronized {
         val (v2, m2) = loadMeta(ns, name)
         def discard(): Unit =
-          newFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+          deleteRecursively(dataDir(ns, name).resolve(s"binpack-$writeId"))
         if (m2.currentSnapshotId != meta.currentSnapshotId) {
           discard()
           throw new java.util.ConcurrentModificationException(
             s"$ns.$name moved during compaction — re-plan and retry")
+        }
+        // metadata-only ALTER guard (the rewriteFiles discipline): the
+        // rewritten files' colIds/pspec stamps bind the PLANNED schema
+        if (m2.schemaJson != meta.schemaJson || m2.fieldIds != meta.fieldIds) {
+          discard()
+          throw new java.util.ConcurrentModificationException(
+            s"$ns.$name schema evolved during compaction — re-plan and retry")
         }
         // snapshot/sequence ids from the VALIDATED state (a branch
         // commit may have advanced them without moving the pointer);
@@ -2281,22 +2531,51 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     snap.files.filter(f => updated.getOrElse(f, true)).toSet
   }
 
-  /** Data files NAMED by the snapshot's positional delete entries —
-    * one O(delete-side) read, memoized per delete-side content.
+  /** Data files NAMED by the snapshot's positional delete entries,
+    * memoized PER DELETE FILE (round 15): a follower/stream whose
+    * delete side grows by one file per commit used to miss the
+    * whole-side memo every window and re-read the ENTIRE accumulated
+    * delete side — O(windows x delete files) jobs. Per-file keying
+    * makes each window read only its UNSEEN delete files (one batched
+    * job, source-attributed via `_metadata.file_path`), so steady
+    * consumption pays O(delta) forever. Delete files are immutable
+    * once committed — content is identified by path.
     */
-  private def posNamedFiles(snap: SnapshotMeta): Set[String] = {
-    if (snap.deleteFiles.isEmpty) return Set.empty
-    val key = snap.deleteFiles
-    namedCache.synchronized(Option(namedCache.get(key))) match {
-      case Some(s) => s
-      case None =>
-        val s = spark.read.schema(DeleteFileSchema)
-          .parquet(snap.deleteFiles: _*)
-          .select("file_path").distinct()
-          .collect().map(_.getString(0)).toSet
-        namedCache.synchronized(namedCache.put(key, s)): Unit
-        s
+  private def posNamedFiles(snap: SnapshotMeta): Set[String] =
+    namedOf(snap.deleteFiles)
+
+  private def namedOf(deleteFiles: Seq[String]): Set[String] =
+    namedByFile(deleteFiles).values
+      .foldLeft(Set.empty[String])(_ ++ _)
+
+  /** Per-DELETE-FILE map of the data files its entries name, from the
+    * same memo — the read path uses it to SKIP delete files that name
+    * none of the files being read ([[deletesApplied]]).
+    */
+  private def namedByFile(deleteFiles: Seq[String]): Map[String, Set[String]] = {
+    if (deleteFiles.isEmpty) return Map.empty
+    val unseen = deleteFiles.filterNot(f =>
+      namedCache.synchronized(namedCache.containsKey(f)))
+    if (unseen.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("__src"),
+          col("file_path")).distinct()
+        .collect()
+      val bySrc = rows.groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+      unseen.foreach { f =>
+        val norm = Paths.get(f).toAbsolutePath.normalize.toString
+        val s = bySrc.getOrElse(norm, Set.empty[String])
+        namedCache.synchronized(namedCache.put(f, s)): Unit
+      }
     }
+    deleteFiles.iterator
+      .map(f => f -> namedCache.synchronized(Option(namedCache.get(f)))
+        .getOrElse(Set.empty[String]))
+      .toMap
   }
 
   /** Bounded LRU memos for [[dirtyOfSnapshot]]/[[posNamedFiles]]
@@ -2311,9 +2590,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     }
 
   private val namedCache =
-    new java.util.LinkedHashMap[Any, Set[String]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Set[String]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Any, Set[String]]): Boolean = size > 32
+          e: java.util.Map.Entry[String, Set[String]]): Boolean = size > 256
     }
 
   /** The snapshot's positional delete entries grouped by data file,
@@ -2322,28 +2601,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * bounded and tiny.
     */
   private def posEntriesInline(
-      snap: SnapshotMeta): Seq[(String, Seq[Long])] = {
-    // content-keyed like [[dirtyOfSnapshot]]: entries depend only on
-    // the (immutable) delete files themselves
-    val key = snap.deleteFiles
-    posCache.synchronized(Option(posCache.get(key))) match {
-      case Some(s) => s
-      case None =>
-        val s = spark.read.schema(DeleteFileSchema)
-          .parquet(snap.deleteFiles: _*)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).view
-          .mapValues(_.map(_._2).toSeq).toSeq
-        posCache.synchronized(posCache.put(key, s)): Unit
-        s
+      deleteFiles: Seq[String]): Seq[(String, Seq[Long])] = {
+    // memoized PER DELETE FILE (the posNamedFiles discipline): a
+    // growing delete side re-reads only its unseen files, one batched
+    // source-attributed job — consecutive follower windows pay
+    // O(delta), not O(accumulated side)
+    val unseen = deleteFiles.filterNot(f =>
+      posCache.synchronized(posCache.containsKey(f)))
+    if (unseen.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
+        .select(
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+            .as("__src"),
+          col("file_path"), col("pos"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val bySrc = rows.groupBy(_._1)
+      unseen.foreach { f =>
+        val norm = Paths.get(f).toAbsolutePath.normalize.toString
+        val s = bySrc.getOrElse(norm, Array.empty[(String, String, Long)])
+          .groupBy(_._2).view
+          .mapValues(_.map(_._3).toSeq).toSeq
+        posCache.synchronized(posCache.put(f, s)): Unit
+      }
     }
+    deleteFiles
+      .flatMap(f => posCache.synchronized(Option(posCache.get(f)))
+        .getOrElse(Seq.empty))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2)).toSeq
   }
 
   private val posCache =
-    new java.util.LinkedHashMap[Any, Seq[(String, Seq[Long])]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Seq[(String, Seq[Long])]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Any, Seq[(String, Seq[Long])]]): Boolean =
-        size > 64
+          e: java.util.Map.Entry[String, Seq[(String, Seq[Long])]]): Boolean =
+        size > 256
     }
 
   /** [[readFilesOf]] retaining each surviving row's (file, position)
@@ -2379,26 +2673,41 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     import spark.implicits._
     val base = baseRead(snap, schema, files, fieldIds, withRowId = true)
+    val fileSet = files.toSet
+    // PER-READ delete-side pruning (round 15): only the delete entries
+    // that can actually touch `files` apply — a positional delete file
+    // naming none of them matches no row by construction (the join key
+    // is the file path), and an equality entry with zero candidates
+    // among them provably hides no row (candidate pruning is
+    // conservative). A narrow read against a debt-laden snapshot (a
+    // changelog window's few candidate files under months of
+    // accumulated CDC entries) now reads O(relevant entries), not
+    // O(accumulated delete side) — the read-side twin of the dirty-file
+    // split, on the delete axis.
+    val relPos = snap.deleteFiles.filter(df =>
+      namedByFile(snap.deleteFiles).getOrElse(df, Set.empty)
+        .exists(fileSet))
     val posApplied =
-      if (snap.deleteFiles.isEmpty) base
+      if (relPos.isEmpty) base
       else {
         val posRows = snap.deleteFileStats
-          .filter(s => snap.deleteFiles.contains(s.path)).map(_.rows).sum
+          .filter(s => relPos.contains(s.path)).map(_.rows).sum
         if (posRows <= PosInlineMaxRows) {
           // NEEDLE path: a tiny positional delete side becomes a
           // LITERAL filter — no broadcast exchange, no join stage, and
-          // the entries are memoized per snapshot, so a steady reader
-          // pays ZERO delete-side jobs per query. This is what keeps a
-          // full scan with one live delete within noise of the
+          // the entries are memoized per delete file, so a steady
+          // reader pays ZERO delete-side jobs per query. This is what
+          // keeps a full scan with one live delete within noise of the
           // delete-free scan (tools.MorPlanProbe).
-          val byFile = posEntriesInline(snap)
+          val byFile = posEntriesInline(relPos)
+            .filter { case (f, _) => fileSet(f) }
           byFile.foldLeft(base) { case (acc, (f, positions)) =>
             acc.filter(!(col(RowIdFileCol) === lit(f) &&
               col(RowIdPosCol).isInCollection(positions)))
           }
         } else {
           val dels = spark.read.schema(DeleteFileSchema)
-            .parquet(snap.deleteFiles: _*)
+            .parquet(relPos: _*)
             .select(col("file_path").as("__gd_file"),
               col("pos").as("__gd_pos"))
           base.join(morHinted(dels, posRows, "positional-delete"),
@@ -2407,7 +2716,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             "left_anti")
         }
       }
-    if (snap.eqDeletes.isEmpty) posApplied
+    val statsByFile = snap.fileStats.map(s => s.path -> s).toMap
+    val relEqs = snap.eqDeletes.filter(d =>
+      eqCandidatesOfEntry(d, schema, statsByFile, files).nonEmpty)
+    if (relEqs.isEmpty) posApplied
     else {
       // attach each row's data-file sequence number (manifest-sized
       // broadcast map; files without one predate the feature = seq 0,
@@ -2421,7 +2733,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // read under its PHYSICAL names (what a rename never changes) and
       // projected back to declared — the field-id discipline applied to
       // the delete side
-      val applied = snap.eqDeletes
+      val applied = relEqs
         .groupBy(d => (d.cols, d.physCols.getOrElse(d.cols)))
         .foldLeft(withSeq) {
           case (acc, ((cols, phys), dels)) =>
@@ -2553,11 +2865,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     *   stale if another commit landed in between.
     */
   def addDeleteFile(ns: String, name: String, positions: DataFrame,
-      expectedSnapshotId: Option[Long] = None): (TableMeta, Long) =
+      expectedSnapshotId: Option[Long] = None,
+      toBranch: Option[String] = None): (TableMeta, Long) =
     synchronized {
       import org.apache.spark.sql.functions.col
       val (version, meta) = loadMeta(ns, name)
-      val current = meta.currentSnapshot.getOrElse(
+      val current = writeBase(meta, ns, name, toBranch).getOrElse(
         throw new IllegalStateException(s"$ns.$name has no data"))
       expectedSnapshotId.foreach { exp =>
         if (current.snapshotId != exp)
@@ -2585,7 +2898,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val written = newDelStats.map(_.rows).sum
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
-        parentId = meta.currentSnapshotId,
+        parentId = Some(current.snapshotId),
         sequenceNumber = meta.snapshots.map(_.sequenceNumber).max + 1,
         files = current.files,
         rowCount = 0L, // a delete adds no rows
@@ -2594,9 +2907,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         deleteFiles = current.deleteFiles ++ newDelFiles,
         deleteFileStats = current.deleteFileStats ++ newDelStats,
         eqDeletes = current.eqDeletes)
-      val newMeta = meta.copy(
-        currentSnapshotId = Some(snapshotId),
-        snapshots = meta.snapshots :+ snap)
+      val newMeta = advanced(meta, toBranch, snap)
       commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, written)
     }
@@ -2613,12 +2924,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   def addDeleteFileWithAppend(ns: String, name: String,
       positions: DataFrame, rows: DataFrame,
-      expectedSnapshotId: Option[Long] = None): (TableMeta, Long) =
+      expectedSnapshotId: Option[Long] = None,
+      toBranch: Option[String] = None): (TableMeta, Long) =
     synchronized {
       import org.apache.spark.sql.functions.col
       val (version, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      val current = meta.currentSnapshot.getOrElse(
+      val current = writeBase(meta, ns, name, toBranch).getOrElse(
         throw new IllegalStateException(s"$ns.$name has no data"))
       expectedSnapshotId.foreach { exp =>
         if (current.snapshotId != exp)
@@ -2657,7 +2969,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newFiles = dropEmptyParts(newFiles0, newStats)
       val snap = SnapshotMeta(
         snapshotId = snapshotId,
-        parentId = meta.currentSnapshotId,
+        parentId = Some(current.snapshotId),
         sequenceNumber = seqNum,
         files = current.files ++ newFiles,
         rowCount = newStats.map(_.rows).sum,
@@ -2666,9 +2978,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         deleteFiles = current.deleteFiles ++ newDelFiles,
         deleteFileStats = current.deleteFileStats ++ newDelStats,
         eqDeletes = current.eqDeletes)
-      val newMeta = meta.copy(
-        currentSnapshotId = Some(snapshotId),
-        snapshots = meta.snapshots :+ snap)
+      val newMeta = advanced(meta, toBranch, snap)
       commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, newDelStats.map(_.rows).sum)
     }
@@ -2812,11 +3122,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       schema: StructType): Seq[String] = {
     val newPos = to.deleteFiles.diff(from.deleteFiles)
     val newEq = to.eqDeletes.diff(from.eqDeletes)
-    val named: Set[String] =
-      if (newPos.isEmpty) Set.empty
-      else spark.read.schema(DeleteFileSchema).parquet(newPos: _*)
-        .select("file_path").distinct()
-        .collect().map(_.getString(0)).toSet
+    // per-delete-file memo shared with the MoR read path: a follower's
+    // window usually touches delete files its own reads already parsed
+    val named: Set[String] = namedOf(newPos)
     // stats live on `to` (a superset carrying `from`'s files forward)
     val eqCand = eqDeleteCandidates(to, schema, newEq, from.files).toSet
     from.files.filter(f => named(f) || eqCand(f))
@@ -2887,12 +3195,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // pointer read above stays fresh (that is the OCC primitive);
     // only the version→content parse is memoized. Metadata files are
     // immutable once written (CREATE_NEW), so content is identified
-    // by (path, size, mtime) — the attribute guard covers a DROP +
-    // re-CREATE reusing version numbers.
+    // by (path, size, mtime, fileKey) — fileKey is the filesystem's
+    // own object identity (device+inode on POSIX), so a cross-process
+    // DROP + re-CREATE reusing version numbers can never alias a
+    // cached parse even when the new file lands same-size inside one
+    // mtime granule (round-14 ADVICE item 2: the (path, size, mtime)
+    // triple alone left that residual window).
     val attrs = Files.readAttributes(metaPath,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val key = (metaPath.toString, attrs.size,
-      attrs.lastModifiedTime.toInstant)
+      attrs.lastModifiedTime.toInstant, Option(attrs.fileKey()))
     val meta = metaParseCache.synchronized(
         Option(metaParseCache.get(key))) match {
       case Some(m) => m

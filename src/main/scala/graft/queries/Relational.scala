@@ -2634,6 +2634,124 @@ object Relational {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  // DML onto a BRANCH — write-audit-publish for mutations (round 15,
+  // the Iceberg `spark.wap.branch` discipline): with
+  // `SET graft.wap.branch = audit` in effect, a MERGE and a DELETE
+  // stage on the branch while the published table stays BYTE-UNCHANGED
+  // (required in-query); the staged state is auditable via
+  // `VERSION AS OF 'audit'`, and `CALL system.fast_forward` publishes
+  // it in one pointer move. The oracle replays the mutations as pure
+  // SELECT algebra — the published state must equal it exactly.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q62_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      val src = t(s, dir, "orders")
+      val base = src.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+          col("o_orderstatus").as("status"))
+      cat.createTable("db", "o", base.schema)
+      cat.append("db", "o", base)
+      val published = cat.describe("db", "o").currentSnapshotId.get
+      val ordersPq = s"$dir/orders.parquet"
+      // stage everything below on the audit branch
+      val set = eng.sqlQuery("SET graft.wap.branch = audit")
+      require(!set.startsWith("""{"error""""), s"SET failed: $set")
+      val mrg = eng.sqlQuery(
+        s"""MERGE INTO db.o t USING (
+           |  SELECT o_orderkey AS k,
+           |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 5 AS price_c,
+           |    'U' AS status
+           |  FROM parquet.`$ordersPq`
+           |  WHERE o_orderkey >= 300 AND o_orderkey < 600
+           |  UNION ALL
+           |  SELECT o_orderkey + 3000,
+           |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2, 'N'
+           |  FROM parquet.`$ordersPq`
+           |  WHERE o_orderkey >= 2000 AND o_orderkey < 2050) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(!mrg.startsWith("""{"error""""), s"branch MERGE failed: $mrg")
+      val del = eng.sqlQuery(
+        "DELETE FROM db.o WHERE k >= 1500 AND k < 1600")
+      require(!del.startsWith("""{"error""""), s"branch DELETE failed: $del")
+      // the PUBLISHED pointer never moved and main reads the original
+      // state — the whole point of staging
+      val metaStaged = cat.describe("db", "o")
+      require(metaStaged.currentSnapshotId.contains(published),
+        "branch DML must not move the published pointer")
+      require(metaStaged.refs.get("audit").exists(_ != published),
+        "the audit branch must have advanced")
+      require(cat.read("db", "o").count() == base.count(),
+        "published read changed under staged DML")
+      // audit the staged state through the read surface
+      val staged = eng.sqlDataFrame(
+        "SELECT count(*) AS n FROM db.o VERSION AS OF 'audit'")._1
+        .head().getLong(0)
+      // TPC-H orderkeys are sparse — compute expectations from data
+      val nIns = src.filter(col("o_orderkey") >= 2000 &&
+        col("o_orderkey") < 2050).count()
+      val nDel = base.filter(col("k") >= 1500 && col("k") < 1600).count()
+      require(staged == base.count() + nIns - nDel,
+        s"staged row count $staged != ${base.count()} + $nIns - $nDel")
+      // publish: one pointer move; clear the branch mode first so the
+      // final read below is the published state
+      val clr = eng.sqlQuery("SET graft.wap.branch = ''")
+      require(!clr.startsWith("""{"error""""), s"SET clear failed: $clr")
+      val ff = eng.sqlQuery("CALL system.fast_forward('db.o', 'audit')")
+      require(!ff.startsWith("""{"error""""), s"fast_forward failed: $ff")
+      val out = cat.read("db", "o")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("status")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      val schema = out.schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      s.conf.set(graft.query.Engine.WapBranchConf, "")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q62Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |upd AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 5 AS price_c,
+      |    'U' AS status
+      |  FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600),
+      |ins AS (
+      |  SELECT o_orderkey + 3000 AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 AS price_c,
+      |    'N' AS status
+      |  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2050),
+      |s1 AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+      |  UNION ALL
+      |  SELECT * FROM ins),
+      |s2 AS (SELECT * FROM s1 WHERE NOT (k >= 1500 AND k < 1600))
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2696,5 +2814,6 @@ object Relational {
     QuerySpec("q58_cdc_mor", q58, Some(q58Sql)),
     QuerySpec("q59_merge_mor", q59, Some(q59Sql)),
     QuerySpec("q60_changelog_sql", q60, Some(q60Sql)),
-    QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)))
+    QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)),
+    QuerySpec("q62_wap_branch_dml", q62, Some(q62Sql)))
 }

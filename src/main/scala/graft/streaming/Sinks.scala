@@ -294,10 +294,26 @@ object Sinks {
     * in between leaves the pin one window old, which at worst means
     * one resync — never a wrong result.
     */
+  /** @param transform optional ROW-WISE derivation applied to every
+    *   row flowing downstream (bootstrap copy, window inserts, resync
+    *   overwrite) — the maintained-derived-table hook: the downstream
+    *   holds `transform(upstream)` kept current by CDC windows (e.g. a
+    *   streamed ANN index: vectors in, encoded index rows out,
+    *   [[graft.streaming.VectorIndex.hammingIndexFollower]]). MUST be
+    *   deterministic, per-row (no aggregation across rows), and pass
+    *   `keyCols` through UNCHANGED — the window's delete keys are
+    *   taken from the upstream changelog and applied to the
+    *   transformed table by those same columns.
+    * @param tableProperties properties for the auto-created downstream
+    *   table (e.g. a hidden partition spec for cell-pruned serving).
+    */
   def changelogFollower(catalog: SnapshotCatalog, upNs: String,
       upTable: String, downNs: String, downTable: String,
-      keyCols: Seq[String]): ChangelogFollower =
-    new ChangelogFollower(catalog, upNs, upTable, downNs, downTable, keyCols)
+      keyCols: Seq[String],
+      transform: DataFrame => DataFrame = identity,
+      tableProperties: Map[String, String] = Map.empty): ChangelogFollower =
+    new ChangelogFollower(catalog, upNs, upTable, downNs, downTable,
+      keyCols, transform, tableProperties)
 
   /** The subscription as a FIRST-CLASS Structured Streaming query: a
     * rate-ticked stream drives [[ChangelogFollower.poll]] every
@@ -317,9 +333,11 @@ object Sinks {
       downNs: String, downTable: String,
       keyCols: Seq[String],
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[org.apache.spark.sql.Row] = {
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      transform: DataFrame => DataFrame = identity,
+      tableProperties: Map[String, String] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] = {
     val f = changelogFollower(catalog, upNs, upTable, downNs, downTable,
-      keyCols)
+      keyCols, transform, tableProperties)
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .outputMode("append")
@@ -330,7 +348,9 @@ object Sinks {
 
   final class ChangelogFollower private[Sinks] (catalog: SnapshotCatalog,
       upNs: String, upTable: String, downNs: String, downTable: String,
-      keyCols: Seq[String]) {
+      keyCols: Seq[String],
+      transform: DataFrame => DataFrame = identity,
+      tableProperties: Map[String, String] = Map.empty) {
     private val posKey = s"graft.follow.$upNs.$upTable.snapshot"
     /** The upstream branch ref pinning the consumed position against
       * snapshot expiry (see the class scaladoc).
@@ -345,13 +365,15 @@ object Sinks {
       val upSnap = upMeta.currentSnapshotId.getOrElse(return false)
       if (!catalog.tableExists(downNs, downTable))
         catalog.createTable(downNs, downTable,
-          catalog.schemaOf(upNs, upTable)): Unit
+          transform(catalog.read(upNs, upTable)).schema,
+          tableProperties): Unit
       val downMeta = catalog.describe(downNs, downTable)
       downMeta.properties.get(posKey).map(_.toLong) match {
         case None =>
-          // bootstrap: the upstream's current state, position recorded
-          // atomically with the copy
-          catalog.append(downNs, downTable, catalog.read(upNs, upTable),
+          // bootstrap: the upstream's current state (transformed), the
+          // position recorded atomically with the copy
+          catalog.append(downNs, downTable,
+            transform(catalog.read(upNs, upTable)),
             Map(posKey -> upSnap.toString))
           pin(upSnap)
           true
@@ -365,9 +387,14 @@ object Sinks {
               .select(keyCols.map(col): _*)
             // an update is its delete+insert pair: the eq-delete hides
             // the old version, the insert (same commit, higher
-            // sequence) survives it — exactly cdcUpsert's contract
-            catalog.cdcUpsert(downNs, downTable, ins, dels, keyCols,
-              Map(posKey -> upSnap.toString)): Unit
+            // sequence) survives it — exactly cdcUpsert's contract.
+            // The delete keys come from the UPSTREAM changelog rows and
+            // apply to the transformed table (transform's contract:
+            // keyCols pass through unchanged); cdcUpsert touches ZERO
+            // existing downstream files, so every cell/file a window
+            // doesn't name stays byte-identical.
+            catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
+              keyCols, Map(posKey -> upSnap.toString)): Unit
           } catch {
             // IllegalStateException: data files rewritten inside the
             // window (compaction) — identity-based deltas are gone.
@@ -380,7 +407,7 @@ object Sinks {
                   s"$upNs.$upTable is unreadable (${e.getMessage}); " +
                   "resyncing downstream with one atomic overwrite")
               catalog.overwrite(downNs, downTable,
-                catalog.read(upNs, upTable),
+                transform(catalog.read(upNs, upTable)),
                 Map(posKey -> upSnap.toString)): Unit
           }
           pin(upSnap)

@@ -597,6 +597,57 @@ class CatalogSpec extends SparkTestBase {
     assert(kept.size < snap.files.size)
   }
 
+  test("partition-spec EVOLUTION prunes per era (per-file spec ids): " +
+      "equality lookups stay metadata-exact in BOTH eras; compaction " +
+      "migrates rewritten files to the current spec") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable("db", "pe", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    // coalesce(1): one file per bucket value, so the per-era file
+    // counts below are exact (partitionBy splits per input partition)
+    cat.append("db", "pe",
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    cat.updateProperties("db", "pe",
+      Map(PartitionSpec.PropertyKey -> "bucket(8, k)"))
+    cat.append("db", "pe",
+      (100L until 200L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    val snap = cat.describe("db", "pe").currentSnapshot.get
+    val eraA = snap.fileStats.filter(_.pspec.contains("bucket(4, k)"))
+      .map(_.path).toSet
+    val eraB = snap.fileStats.filter(_.pspec.contains("bucket(8, k)"))
+      .map(_.path).toSet
+    assert(eraA.size == 4 && eraB.size == 8,
+      s"expected 4+8 era files, got ${eraA.size}+${eraB.size}")
+    // per-era pruning: a key in era A's range keeps exactly ONE era-A
+    // file (its mod-4 bucket) and ONE era-B file (its mod-8 bucket) —
+    // plan-pinned file counts, no conservative whole-era keeps
+    val kept42 = cat.prunedFilesPvalEras(snap, "k", "42", LongType).toSet
+    assert((kept42 & eraA).size == 1,
+      s"era-A must prune to its one bucket file, kept ${(kept42 & eraA).size}")
+    assert((kept42 & eraB).size == 1,
+      s"era-B must prune to its one bucket file, kept ${(kept42 & eraB).size}")
+    // results stay exact in both eras
+    for (key <- Seq(7L, 42L, 150L, 199L))
+      assert(cat.readEquals("db", "pe", "k", key.toString).count() == 1L,
+        s"key $key lost under per-era pruning")
+    // a value present in NEITHER era reads empty through the pruned path
+    assert(cat.readEquals("db", "pe", "k", "5000").count() == 0L)
+    // compaction migrates every rewritten file to the CURRENT spec:
+    // all 12 files are tiny, so one bin-pack pass drains era A
+    cat.compactFileGroups("db", "pe", minFileBytes = 1L << 20)
+    val after = cat.describe("db", "pe").currentSnapshot.get
+    assert(after.fileStats.forall(_.pspec.contains("bucket(8, k)")),
+      s"compaction must migrate to the current spec, got " +
+        s"${after.fileStats.flatMap(_.pspec).distinct}")
+    val keptAfter = cat.prunedFilesPvalEras(after, "k", "42", LongType)
+    assert(keptAfter.size < after.files.size)
+    assert(cat.readEquals("db", "pe", "k", "42").count() == 1L)
+  }
+
   test("identity partition values with '+' survive path escaping") {
     import graft.catalog.PartitionSpec
     val cat = freshCatalog()
@@ -1606,5 +1657,111 @@ class CatalogSpec extends SparkTestBase {
     // the untouched middle file [100,200)
     assert(cs.min("id").toDouble >= 100 && cs.max("id").toDouble < 200)
     assert(cat.read("db", "t").count() == 289)
+  }
+
+  test("removeOrphanFiles reaps abandoned write DIRECTORIES (a dir " +
+      "holding only a stale _SUCCESS marker) and keeps live ones") {
+    val wh = tmpDir("graft-cat")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val dataDir = java.nio.file.Paths.get(wh, "db", "t", "data")
+    // an abandoned optimistic-concurrency attempt: the parquet parts
+    // were discarded, the dir + _SUCCESS marker remained (the pre-fix
+    // residue shape) — plus a nested empty subdir (partitioned-write
+    // residue)
+    val ghost = dataDir.resolve("rewrite-deadbeef")
+    java.nio.file.Files.createDirectories(ghost.resolve("_graft_p=9"))
+    java.nio.file.Files.write(ghost.resolve("_SUCCESS"), Array.empty[Byte])
+    val liveDirs = java.nio.file.Files.list(dataDir)
+      .filter(p => java.nio.file.Files.isDirectory(p) && p != ghost)
+      .count()
+    assert(liveDirs >= 1)
+    // inside the safety window: untouched (could be an in-flight write)
+    cat.removeOrphanFiles("db", "t")
+    assert(java.nio.file.Files.exists(ghost))
+    // past the window: the whole dir goes; live snapshot dirs stay
+    cat.removeOrphanFiles("db", "t",
+      Some(System.currentTimeMillis() + 1000))
+    assert(!java.nio.file.Files.exists(ghost),
+      "abandoned write dir must be reaped whole")
+    assert(cat.read("db", "t").count() == 2)
+    val liveAfter = java.nio.file.Files.list(dataDir)
+      .filter(p => java.nio.file.Files.isDirectory(p)).count()
+    assert(liveAfter == liveDirs,
+      "live snapshot write dirs must survive the dir sweep")
+  }
+
+  test("a discarded rewrite attempt deletes its write dirs whole — no " +
+      "directory/_SUCCESS residue accumulates under commit churn") {
+    val wh = tmpDir("graft-cat")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", (0L until 50L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val files = cat.describe("db", "t").currentSnapshot.get.files
+    // the transform runs in the UNLOCKED write phase — committing an
+    // append from inside it deterministically moves the table between
+    // plan and commit, forcing the validate-and-commit discard path
+    val other = new SnapshotCatalog(spark, wh)
+    intercept[java.util.ConcurrentModificationException] {
+      cat.rewriteFiles("db", "t", files, { df =>
+        other.append("db", "t", Seq((100L, 1.0)).toDF("id", "v"))
+        df
+      })
+    }
+    val dataDir = java.nio.file.Paths.get(wh, "db", "t", "data")
+    val residue = {
+      val s = java.nio.file.Files.list(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.filter(
+          _.getFileName.toString.startsWith("rewrite-"))
+      } finally s.close()
+    }
+    assert(residue.isEmpty,
+      s"discarded rewrite left directories behind: $residue")
+  }
+
+  test("compactFileGroups terminates under continuous cross-process " +
+      "commit churn (bounded locked retries, never spins or corrupts)") {
+    val wh = tmpDir("graft-cat")
+    val cat = new SnapshotCatalog(spark, wh)
+    // a SECOND catalog instance over the same warehouse = a separate
+    // lock monitor, i.e. a cross-process committer the in-process
+    // synchronized block cannot exclude
+    val other = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    cat.append("db", "t", (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val appended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val churn = new Thread(() => {
+      var i = 0
+      while (!stop.get() && i < 60) {
+        other.append("db", "t",
+          Seq((1000L + i, i.toDouble)).toDF("id", "v").coalesce(1))
+        appended.incrementAndGet()
+        i += 1
+      }
+    })
+    churn.start()
+    var reports = 0
+    var conflicts = 0
+    try {
+      // each pass must TERMINATE — with a report or a clean
+      // ConcurrentModificationException, never an unbounded spin or
+      // an unrelated error
+      while (churn.isAlive && (reports + conflicts) < 30) {
+        try { cat.compactFileGroups("db", "t", minFileBytes = 1L << 20); reports += 1 }
+        catch { case _: java.util.ConcurrentModificationException => conflicts += 1 }
+      }
+    } finally { stop.set(true); churn.join(30000) }
+    assert(reports + conflicts > 0)
+    // consistency: every churn append that committed is readable
+    val n = cat.read("db", "t").count()
+    assert(n == 20L + appended.get(),
+      s"expected ${20 + appended.get()} rows after churn, got $n")
   }
 }

