@@ -465,7 +465,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             else base.map(_.deleteFileStats).getOrElse(Seq.empty),
           eqDeletes =
             if (replaceManifest) Seq.empty
-            else base.map(_.eqDeletes).getOrElse(Seq.empty))
+            else base.map(_.eqDeletes).getOrElse(Seq.empty),
+          operation = Some(if (replaceManifest) "overwrite" else "append"))
         val newMeta = toBranch match {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
@@ -560,9 +561,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       case "snapshots" =>
         meta.snapshots.map(s => (s.snapshotId, s.parentId,
           s.sequenceNumber, new java.sql.Timestamp(s.createdAtMs),
-          s.files.size.toLong, s.rowCount))
+          s.files.size.toLong, s.rowCount,
+          s.operation.getOrElse("unknown")))
           .toDF("snapshot_id", "parent_id", "sequence_number",
-            "committed_at", "n_files", "added_rows")
+            "committed_at", "n_files", "added_rows", "operation")
       case "files" =>
         val cur = meta.currentSnapshot.map(_.files).getOrElse(Seq.empty).toSet
         val stats = meta.currentSnapshot.map(_.fileStats).getOrElse(Seq.empty)
@@ -1173,7 +1175,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           fileStats = current.fileStats ++ newStats,
           deleteFiles = current.deleteFiles,
           deleteFileStats = current.deleteFileStats,
-          eqDeletes = current.eqDeletes ++ newEq)
+          eqDeletes = current.eqDeletes ++ newEq,
+          operation = Some("overwrite")) // row-delta (Iceberg's label)
         val newMeta = advanced(meta, toBranch, snap)
           .copy(properties = meta.properties ++ extraProperties)
         try {
@@ -1321,7 +1324,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         carryDeletes(ns, name, snapshotId.toString, current, disjoint)
       commitReplacing(ns, name, version, meta, snapshotId,
         disjoint ++ keptFiles, keptStats ++ newStats, carryDel, carryDelStats,
-        current.eqDeletes)
+        current.eqDeletes, operation = "delete")
     }
 
   /** Copy-on-write rewrite of a TARGETED file subset — the primitive
@@ -1554,7 +1557,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       deleteFileStats: Seq[FileStats] = Seq.empty,
       eqDeletes: Seq[EqDeleteMeta] = Seq.empty,
       toBranch: Option[String] = None,
-      parentId: Option[Long] = None): TableMeta = {
+      parentId: Option[Long] = None,
+      operation: String = "overwrite"): TableMeta = {
     val snap = SnapshotMeta(
       snapshotId = snapshotId,
       parentId = parentId.orElse(meta.currentSnapshotId),
@@ -1565,7 +1569,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       fileStats = stats,
       deleteFiles = deleteFiles,
       deleteFileStats = deleteFileStats,
-      eqDeletes = eqDeletes)
+      eqDeletes = eqDeletes,
+      operation = Some(operation))
     val newMeta = advanced(meta, toBranch, snap)
     commitPlanned(ns, name, version + 1, newMeta)
     newMeta
@@ -1609,6 +1614,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val newMeta = meta.copy(snapshots = retained)
       commit(ns, name, version + 1, newMeta)
       orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      // dropped snapshots' side manifests are unreferenced artifacts
+      // too (per-snapshot, never shared) — reclaim them with the data
+      val keptManifests = retained.flatMap(_.manifestPath).toSet
+      meta.snapshots.flatMap(_.manifestPath)
+        .filterNot(keptManifests).foreach { p =>
+          manifestCache.synchronized(manifestCache.remove(p)): Unit
+          Files.deleteIfExists(Paths.get(p)): Unit
+        }
       newMeta
     }
 
@@ -1658,6 +1671,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val referenced = meta.snapshots
         .flatMap(s => s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
         .map(f => Paths.get(f).toAbsolutePath.normalize.toString).toSet
+      // SIDE MANIFESTS orphaned by a crashed commit (manifest written,
+      // metadata CREATE_NEW never reached, in-process cleanup died
+      // with the writer): anything manifest-* the current metadata
+      // doesn't reference and older than the safety window is garbage
+      // — every LIVE snapshot's manifest is referenced by the current
+      // version (snapshot lists are carried whole), and an in-flight
+      // concurrent commit's manifest is younger than the window.
+      val refManifests = meta.snapshots.flatMap(_.manifestPath)
+        .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+      val mdir = metaDir(ns, name)
+      if (Files.isDirectory(mdir)) {
+        val ms = Files.list(mdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          ms.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("manifest-") &&
+              !refManifests.contains(p.toAbsolutePath.normalize.toString) &&
+              scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                .getOrElse(Long.MaxValue) < cutoff)
+            .foreach { p =>
+              manifestCache.synchronized(
+                manifestCache.remove(p.toString)): Unit
+              Files.deleteIfExists(p): Unit
+            }
+        } finally ms.close()
+      }
       val dir = dataDir(ns, name)
       if (!Files.isDirectory(dir)) Seq.empty
       else {
@@ -1760,7 +1799,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         files = newFiles,
         rowCount = stats.map(_.rows).sum,
         createdAtMs = System.currentTimeMillis(),
-        fileStats = stats)
+        fileStats = stats,
+        operation = Some("replace")) // content-preserving layout rewrite
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
@@ -2325,7 +2365,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val restamped = newStats.map(_.copy(seq = Some(commitSeq)))
         try commitReplacing(ns, name, v2, m2,
           m2.snapshots.map(_.snapshotId).max + 1,
-          untouched ++ newFiles, untouchedStats ++ restamped)
+          untouched ++ newFiles, untouchedStats ++ restamped,
+          operation = "replace") // content-preserving: consumers skip it
         catch {
           case e: java.util.ConcurrentModificationException =>
             discard(); throw e
@@ -2906,7 +2947,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         fileStats = current.fileStats,
         deleteFiles = current.deleteFiles ++ newDelFiles,
         deleteFileStats = current.deleteFileStats ++ newDelStats,
-        eqDeletes = current.eqDeletes)
+        eqDeletes = current.eqDeletes,
+        operation = Some("delete"))
       val newMeta = advanced(meta, toBranch, snap)
       commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, written)
@@ -2977,7 +3019,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         fileStats = current.fileStats ++ newStats,
         deleteFiles = current.deleteFiles ++ newDelFiles,
         deleteFileStats = current.deleteFileStats ++ newDelStats,
-        eqDeletes = current.eqDeletes)
+        eqDeletes = current.eqDeletes,
+        operation = Some("overwrite"))
       val newMeta = advanced(meta, toBranch, snap)
       commitPlanned(ns, name, version + 1, newMeta)
       (newMeta, newDelStats.map(_.rows).sum)
@@ -3040,7 +3083,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         fileStats = current.fileStats,
         deleteFiles = current.deleteFiles,
         deleteFileStats = current.deleteFileStats,
-        eqDeletes = current.eqDeletes ++ newEq)
+        eqDeletes = current.eqDeletes ++ newEq,
+        operation = Some("delete"))
       val newMeta = meta.copy(
         currentSnapshotId = Some(snapshotId),
         snapshots = meta.snapshots :+ snap)
@@ -3130,33 +3174,80 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     from.files.filter(f => named(f) || eqCand(f))
   }
 
+  /** Output carries `_change_ordinal` (Iceberg's changelog-scan
+    * column): 0 for a window whose data files are append-only end to
+    * end; when the window CROSSES content-preserving "replace"
+    * snapshots (compaction/Z-order), the window DECOMPOSES into
+    * maximal row-changing runs between them — each run contributes
+    * its net changes under its own ordinal, replaces contribute
+    * nothing, and consumers apply runs in ordinal order (a row
+    * updated in two runs appears as two delete+insert pairs whose
+    * ordering the ordinal preserves). A row-CHANGING rewrite (INSERT
+    * OVERWRITE, copy-on-write DML over files the window still needs)
+    * still refuses — identity is genuinely gone there.
+    */
   def readChangelog(ns: String, name: String, fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val meta = describe(ns, name)
     def snapOf(id: Long): SnapshotMeta = meta.snapshots.find(_.snapshotId == id)
       .getOrElse(throw new NoSuchElementException(s"no snapshot $id in $ns.$name"))
     val from = snapOf(fromSnapshotId)
     val to = toSnapshotId.map(snapOf).orElse(meta.currentSnapshot).getOrElse(from)
-    val missing = from.files.diff(to.files)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"data files were rewritten between snapshots $fromSnapshotId " +
-          s"and ${to.snapshotId} (${missing.size} files) — changelog " +
-          "identity needs append-only data files; consume before compacting")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val ord = "_change_ordinal"
+    def rewriteError(a: SnapshotMeta, b: SnapshotMeta): Nothing =
+      throw new IllegalStateException(
+        s"data files were rewritten between snapshots ${a.snapshotId} " +
+          s"and ${b.snapshotId} (${a.files.diff(b.files).size} files) — " +
+          "changelog identity needs append-only data files; consume " +
+          "before compacting")
+    if (from.files.diff(to.files).isEmpty)
+      return changelogWindow(meta, schema, from, to).withColumn(ord, lit(0))
+    // identity broken inside the window: decompose at content-
+    // preserving "replace" snapshots via the parent chain; a broken
+    // chain (expired intermediates) can prove nothing — refuse
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val chain = scala.collection.mutable.ListBuffer.empty[SnapshotMeta]
+    var cur = Option(to)
+    while (cur.isDefined && cur.get.snapshotId != from.snapshotId) {
+      chain.prepend(cur.get)
+      cur = cur.get.parentId.flatMap(byId.get)
+    }
+    if (cur.isEmpty) rewriteError(from, to)
+    val runs = Seq.newBuilder[(SnapshotMeta, SnapshotMeta)]
+    var runFrom = from
+    var prev = from
+    chain.foreach { s =>
+      if (s.operation.contains("replace")) {
+        if (runFrom.snapshotId != prev.snapshotId) runs += ((runFrom, prev))
+        runFrom = s // the replace edge contributes no changes
+      }
+      prev = s
+    }
+    if (runFrom.snapshotId != prev.snapshotId) runs += ((runFrom, prev))
+    val rs = runs.result()
+    rs.foreach { case (a, b) =>
+      if (a.files.diff(b.files).nonEmpty) rewriteError(a, b)
+    }
+    if (rs.isEmpty) // only replaces inside: zero changes by definition
+      return emptyChangeFrame(schema).withColumn(ord, lit(0))
+    rs.zipWithIndex.map { case ((a, b), i) =>
+      changelogWindow(meta, schema, a, b).withColumn(ord, lit(i))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One append-only window's net changes (no ordinal column). */
+  private def changelogWindow(meta: TableMeta, schema: StructType,
+      from: SnapshotMeta, to: SnapshotMeta): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val ct = "_change_type"
     val inserted = readFilesOf(to, schema, to.files.diff(from.files),
         meta.fieldIds)
       .withColumn(ct, lit("insert"))
     val candidates = changelogCandidates(from, to, schema)
     val deleted =
-      if (candidates.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(schema.fields :+
-            org.apache.spark.sql.types.StructField(ct,
-              org.apache.spark.sql.types.StringType)))
+      if (candidates.isEmpty) emptyChangeFrame(schema)
       else {
         val was = readFilesWithRowId(from, schema, candidates, meta.fieldIds)
         val still = readFilesWithRowId(to, schema, candidates, meta.fieldIds)
@@ -3171,18 +3262,122 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     inserted.unionByName(deleted)
   }
 
+  private def emptyChangeFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType)))
+
   // -------------------------------------------------------------- commit
 
+  /** Commit = write the NEW snapshots' manifests (immutable side
+    * files, one per snapshot), then the SLIM metadata.json (O(1) per
+    * snapshot — ids, counts, ref map, manifest pointer), then move the
+    * version hint. Carried-forward snapshots reuse their existing
+    * manifests untouched, so a commit's metadata IO is O(its own new
+    * files) + O(#snapshots), never O(history x files) — at 100 TB
+    * (millions of live files, long histories) the old inline shape
+    * would have re-serialized hundreds of MB of per-file stats on
+    * EVERY commit. A losing CREATE_NEW race deletes the manifests it
+    * just wrote (they are referenced by nothing).
+    */
   private def commit(ns: String, name: String, version: Int, meta: TableMeta): Unit = {
-    val metaPath = metaDir(ns, name).resolve(f"v$version%05d.metadata.json")
+    val dir = metaDir(ns, name)
+    val metaPath = dir.resolve(f"v$version%05d.metadata.json")
+    val written = scala.collection.mutable.ListBuffer.empty[Path]
+    val replaced = scala.collection.mutable.ListBuffer.empty[String]
+    def writeManifest(sn: SnapshotMeta): String = {
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val mf = dir.resolve(s"manifest-${sn.snapshotId}-$uid.json")
+      val doc = ManifestDoc(sn.files, sn.fileStats, sn.deleteFiles,
+        sn.deleteFileStats, sn.eqDeletes)
+      Files.write(mf, Mapper.writeValueAsBytes(doc),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      written += mf
+      manifestCache.synchronized(
+        manifestCache.put(mf.toString, doc)): Unit
+      mf.toString
+    }
+    val slimSnaps = meta.snapshots.map { sn =>
+      val stripped = sn.copy(files = Seq.empty, fileStats = Seq.empty,
+        deleteFiles = Seq.empty, deleteFileStats = Seq.empty,
+        eqDeletes = Seq.empty)
+      sn.manifestPath match {
+        case Some(p) =>
+          // committed manifests are immutable — reuse, UNLESS this
+          // commit mutated the snapshot's heavy payload in memory
+          // (ALTER RENAME/DROP backfill colIds / remap stats across
+          // history): reference-identity against the cached doc is the
+          // O(1) staleness check (hydrate shares the doc's field
+          // references, and the ALTER paths rebuild the Seqs). A cache
+          // miss can't prove identity and rewrites — safe, rare.
+          val cached = manifestCache.synchronized(
+            Option(manifestCache.get(p)))
+          val unchanged = cached.exists(d =>
+            (d.files eq sn.files) && (d.fileStats eq sn.fileStats) &&
+              (d.deleteFiles eq sn.deleteFiles) &&
+              (d.deleteFileStats eq sn.deleteFileStats) &&
+              (d.eqDeletes eq sn.eqDeletes))
+          if (unchanged) stripped
+          else { replaced += p; stripped.copy(manifestPath = Some(writeManifest(sn))) }
+        case None =>
+          stripped.copy(manifestPath = Some(writeManifest(sn)))
+      }
+    }
+    val slim = meta.copy(snapshots = slimSnaps)
     // CREATE_NEW: optimistic-concurrency guard — a losing writer throws.
-    Files.write(metaPath, Mapper.writeValueAsBytes(meta),
+    try Files.write(metaPath, Mapper.writeValueAsBytes(slim),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    val tmp = metaDir(ns, name).resolve(s".version-hint.$version.tmp")
+    catch {
+      case e: Throwable =>
+        written.foreach { mf =>
+          manifestCache.synchronized(
+            manifestCache.remove(mf.toString)): Unit
+          scala.util.Try(Files.deleteIfExists(mf)): Unit
+        }
+        throw e
+    }
+    val tmp = dir.resolve(s".version-hint.$version.tmp")
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(ns, name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // manifests superseded by this commit (ALTER rewrote the payload)
+    // are referenced by nothing current — reclaim them now; a racing
+    // reader still parsing the previous version takes loadMeta's
+    // moved-pointer reload
+    replaced.foreach { p =>
+      manifestCache.synchronized(manifestCache.remove(p)): Unit
+      scala.util.Try(Files.deleteIfExists(Paths.get(p))): Unit
+    }
   }
+
+  /** Rehydrate one snapshot from its manifest (parse-once LRU;
+    * manifests are immutable, so content is identified by path).
+    */
+  private def hydrate(sn: SnapshotMeta): SnapshotMeta = sn.manifestPath match {
+    case None => sn
+    case Some(p) =>
+      val doc = manifestCache.synchronized(
+          Option(manifestCache.get(p))) match {
+        case Some(d) => d
+        case None =>
+          val d = Mapper.readValue(Files.readAllBytes(Paths.get(p)),
+            classOf[ManifestDoc])
+          manifestCache.synchronized(manifestCache.put(p, d)): Unit
+          d
+      }
+      sn.copy(files = doc.files, fileStats = doc.fileStats,
+        deleteFiles = doc.deleteFiles,
+        deleteFileStats = doc.deleteFileStats,
+        eqDeletes = doc.eqDeletes)
+  }
+
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, ManifestDoc](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ManifestDoc]): Boolean = size > 256
+    }
 
   private def loadMeta(ns: String, name: String): (Int, TableMeta) = {
     require(tableExists(ns, name), s"no such table: $ns.$name")
@@ -3209,8 +3404,25 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         Option(metaParseCache.get(key))) match {
       case Some(m) => m
       case None =>
-        val m = Mapper.readValue(Files.readAllBytes(metaPath),
+        val slim = Mapper.readValue(Files.readAllBytes(metaPath),
           classOf[TableMeta])
+        // rehydrate the snapshots' heavy payload from their immutable
+        // side manifests (parse-once LRU); cached metas are ALWAYS
+        // hydrated, so nothing downstream knows manifests exist. A
+        // missing manifest means a concurrent expiry deleted it
+        // between our pointer read and this parse — reload from the
+        // moved pointer (the fresh version no longer references it);
+        // an unmoved pointer with a missing manifest is real
+        // corruption and rethrows.
+        val m = try slim.copy(snapshots = slim.snapshots.map(hydrate))
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            val nowVersion = new String(
+              Files.readAllBytes(pointer(ns, name)),
+              StandardCharsets.UTF_8).trim.toInt
+            if (nowVersion != version) return loadMeta(ns, name)
+            else throw e
+        }
         metaParseCache.synchronized(metaParseCache.put(key, m)): Unit
         m
     }
@@ -3390,6 +3602,16 @@ object SnapshotCatalog {
       keyMin: Option[Map[String, String]] = None,
       keyMax: Option[Map[String, String]] = None)
 
+  /** One snapshot's heavy payload as stored in its side manifest file
+    * (see [[SnapshotMeta.manifestPath]]).
+    */
+  final case class ManifestDoc(
+      files: Seq[String],
+      fileStats: Seq[FileStats] = Seq.empty,
+      deleteFiles: Seq[String] = Seq.empty,
+      deleteFileStats: Seq[FileStats] = Seq.empty,
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty)
+
   /** Bloom sizing: 8192 bits / 4 probes ≈ 1.2% false-positive rate at
     * 1000 distinct values per file, 1 KiB per (file, column) in the
     * manifest — the Iceberg-puffin-style tradeoff: metadata stays tiny
@@ -3459,7 +3681,29 @@ object SnapshotCatalog {
       deleteFileStats: Seq[FileStats] = Seq.empty,
       // EQUALITY delete files (see [[EqDeleteMeta]]); like positional
       // deletes they are folded back into data files by compact
-      eqDeletes: Seq[EqDeleteMeta] = Seq.empty) {
+      eqDeletes: Seq[EqDeleteMeta] = Seq.empty,
+      // Iceberg's snapshot `operation` summary field. The load-bearing
+      // value is "replace": the commit REWROTE the file layout while
+      // provably preserving row content (compaction/Z-order) — an
+      // incremental consumer skips such snapshots instead of
+      // full-refreshing ([[graft.streaming.Sinks.ChangelogFollower]]),
+      // which is what keeps routine maintenance from breaking every
+      // subscriber of a 100 TB table. "append"/"delete"/"overwrite"
+      // are informational (surfaced by the `snapshots` metadata
+      // table). None = pre-round-15 metadata: treated as
+      // row-CHANGING, the conservative direction (at worst one
+      // resync, never a wrong result).
+      operation: Option[String] = None,
+      // Side MANIFEST file holding this snapshot's heavy payload
+      // (file list + per-file stats + delete side) — the Iceberg
+      // manifest-list discipline (round 15): the versioned
+      // metadata.json carries only O(1) per snapshot, so a COMMIT
+      // writes O(its own new files), never O(history x files); the
+      // manifest is immutable once written and parsed at most once
+      // per process ([[SnapshotCatalog.loadMeta]] rehydrates through
+      // an LRU). None = heavy fields inline (pre-split metadata reads
+      // unchanged; in-memory snapshots are ALWAYS hydrated).
+      manifestPath: Option[String] = None) {
     /** Live-row count from the manifest alone, when every data AND
       * delete file carries stats — None forces a scan, never a silent
       * undercount (the metadata-count contract). Equality deletes make

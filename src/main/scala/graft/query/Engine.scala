@@ -176,7 +176,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       }.toMap
     // the changelog table function: `changes('ns.tbl', from[, to])`
     // becomes a temp view over readChangelog — the net row-level
-    // changes of the window with a `_change_type` column, making CDC
+    // changes of the window with `_change_type` and `_change_ordinal`
+    // columns (a window crossing a compaction decomposes into
+    // ordinal-ordered runs around the content-preserving replace
+    // snapshot — consumers apply runs in ordinal order), making CDC
     // consumption reachable from the pass-through SQL surface
     val chViews = chRefs.map { case key @ (ns, t, from, to) =>
       val view = Engine.viewName(ns, s"${t}_ch${from}_${to.getOrElse(-1L)}")

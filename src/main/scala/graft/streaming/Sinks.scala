@@ -380,24 +380,78 @@ object Sinks {
         case Some(from) if from == upSnap => false // caught up
         case Some(from) =>
           try {
-            val ct = catalog.readChangelog(upNs, upTable, from, Some(upSnap))
-            val ins = ct.filter(col("_change_type") === "insert")
-              .drop("_change_type")
-            val dels = ct.filter(col("_change_type") === "delete")
-              .select(keyCols.map(col): _*)
-            // an update is its delete+insert pair: the eq-delete hides
-            // the old version, the insert (same commit, higher
-            // sequence) survives it — exactly cdcUpsert's contract.
-            // The delete keys come from the UPSTREAM changelog rows and
-            // apply to the transformed table (transform's contract:
-            // keyCols pass through unchanged); cdcUpsert touches ZERO
-            // existing downstream files, so every cell/file a window
-            // doesn't name stays byte-identical.
-            catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
-              keyCols, Map(posKey -> upSnap.toString)): Unit
+            // Walk the upstream snapshot chain from→upSnap and SKIP
+            // content-preserving "replace" snapshots (compaction /
+            // Z-order — Iceberg changelog scans skip them the same
+            // way): maximal runs of row-changing commits between
+            // replaces apply as one atomic window each, and a replace
+            // edge contributes nothing. Before round 15 ANY compaction
+            // inside an unconsumed window — including routine
+            // maintenance on a caught-up upstream — forced the
+            // O(upstream) full-refresh resync; now maintenance and
+            // subscription compose. A broken chain (expired
+            // intermediate) or a row-CHANGING rewrite (INSERT
+            // OVERWRITE, CoW DML) still lands in the resync below.
+            val byId = upMeta.snapshots.map(s => s.snapshotId -> s).toMap
+            val chainBuf = scala.collection.mutable.ListBuffer
+              .empty[graft.catalog.SnapshotCatalog.SnapshotMeta]
+            var cur = byId.get(upSnap)
+            while (cur.isDefined && cur.get.snapshotId != from) {
+              chainBuf.prepend(cur.get)
+              cur = cur.get.parentId.flatMap(byId.get)
+            }
+            // chain broken = intermediate snapshots EXPIRED while the
+            // pinned endpoints live on (the lagging-follower shape).
+            // File lists are cumulative, so the direct endpoint window
+            // still reads fine — consume it whole (the replace-skip
+            // walk needs the intact chain and is skipped: an edge is
+            // only provably content-preserving against its true
+            // parent); only a rewrite inside the window
+            // (IllegalStateException below) forces the resync.
+            val intact = cur.isDefined
+            def applyWindow(a: Long, b: Long): Unit = {
+              // each applied window is a single ordinal by construction
+              // (the chain walk already split at replaces), so the
+              // ordinal column is constant — dropped before the commit
+              val ct = catalog.readChangelog(upNs, upTable, a, Some(b))
+              val ins = ct.filter(col("_change_type") === "insert")
+                .drop("_change_type", "_change_ordinal")
+              val dels = ct.filter(col("_change_type") === "delete")
+                .select(keyCols.map(col): _*)
+              // an update is its delete+insert pair: the eq-delete
+              // hides the old version, the insert (same commit, higher
+              // sequence) survives it — exactly cdcUpsert's contract.
+              // The delete keys come from the UPSTREAM changelog rows
+              // and apply to the transformed table (transform's
+              // contract: keyCols pass through unchanged); cdcUpsert
+              // touches ZERO existing downstream files, so every
+              // cell/file a window doesn't name stays byte-identical.
+              catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
+                keyCols, Map(posKey -> b.toString)): Unit
+            }
+            if (!intact) applyWindow(from, upSnap)
+            else {
+              var runFrom = from
+              var prev = from
+              chainBuf.foreach { s =>
+                if (s.operation.contains("replace")) {
+                  if (runFrom != prev) applyWindow(runFrom, prev)
+                  runFrom = s.snapshotId // skip the replace edge
+                }
+                prev = s.snapshotId
+              }
+              if (runFrom != prev) applyWindow(runFrom, prev)
+            }
+            // trailing replace snapshots applied no window — advance
+            // the authoritative bookmark with a metadata-only commit
+            if (catalog.describe(downNs, downTable).properties
+                  .get(posKey).map(_.toLong).getOrElse(from) != upSnap)
+              catalog.updateProperties(downNs, downTable,
+                Map(posKey -> upSnap.toString)): Unit
           } catch {
-            // IllegalStateException: data files rewritten inside the
-            // window (compaction) — identity-based deltas are gone.
+            // IllegalStateException: data files rewritten by a
+            // row-CHANGING commit inside a window (INSERT OVERWRITE,
+            // CoW DML) — identity-based deltas are gone.
             // NoSuchElementException: the `from` snapshot itself was
             // expired (the pin was dropped, or trailed a crash).
             // Either way: full refresh, once, loudly.
@@ -406,6 +460,7 @@ object Sinks {
                 .warn(s"changelog window $from->$upSnap of " +
                   s"$upNs.$upTable is unreadable (${e.getMessage}); " +
                   "resyncing downstream with one atomic overwrite")
+              resyncCount += 1
               catalog.overwrite(downNs, downTable,
                 transform(catalog.read(upNs, upTable)),
                 Map(posKey -> upSnap.toString)): Unit
@@ -414,6 +469,11 @@ object Sinks {
           true
       }
     }
+
+    /** Full-refresh resyncs taken so far — observable so tests (and
+      * operators) can assert maintenance did NOT force one.
+      */
+    private[graft] var resyncCount: Int = 0
 
     /** Advance the retention pin to the consumed position. Best-effort
       * (the position PROPERTY in the downstream commit is the

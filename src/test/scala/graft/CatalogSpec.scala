@@ -363,10 +363,14 @@ class CatalogSpec extends SparkTestBase {
     cat.createTable("db", "t", schemaV1)
     import spark.implicits._
     cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
-    // v00001 (create) and v00002 (append) both exist; pointer at 2
+    // v00001 (create) and v00002 (append) both exist; pointer at 2;
+    // the append's heavy payload went to its side manifest (round 15)
     val metaDir = new java.io.File(s"${cat.warehouse}/db/t/metadata")
-    val versions = metaDir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    val versions = metaDir.listFiles().map(_.getName)
+      .filter(_.startsWith("v")).filter(_.endsWith(".json")).sorted
     assert(versions.toSeq == Seq("v00001.metadata.json", "v00002.metadata.json"))
+    assert(metaDir.listFiles().map(_.getName)
+      .count(_.startsWith("manifest-")) == 1)
     intercept[java.nio.file.FileAlreadyExistsException] {
       java.nio.file.Files.write(
         metaDir.toPath.resolve("v00002.metadata.json"), "x".getBytes,
@@ -1238,6 +1242,58 @@ class CatalogSpec extends SparkTestBase {
       s"pruned=$changes brute=${bruteDeleted ++ bruteInserted}")
   }
 
+  test("readChangelog CROSSES a compaction: the window decomposes into " +
+      "ordinal-ordered runs around the replace snapshot; ordinal replay " +
+      "reconstructs the final state; a row-changing rewrite still refuses") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.createTable("db", "t", schemaV1)
+    for (b <- 0 until 3)
+      cat.append("db", "t", (b * 10L until b * 10L + 10L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    // run 0: update 3 -> 33, delete 7
+    cat.cdcUpsert("db", "t", rows = Seq((3L, 33.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    // the replace: folds the delete side, rewrites identity
+    val rep = cat.compactFileGroups("db", "t", minFileBytes = 1L << 20)
+    assert(rep.compacted)
+    // run 1: update 3 -> 66, insert 300
+    cat.cdcUpsert("db", "t", rows = Seq((3L, 66.0), (300L, 1.0)).toDF("id", "v"),
+      deletes = Seq.empty[Long].toDF("id"), Seq("id"))
+    val rows = cat.readChangelog("db", "t", s1).collect()
+    val ords = rows.map(_.getInt(3)).distinct.sorted
+    assert(ords.toSeq == Seq(0, 1), s"expected 2 ordinal runs, got $ords")
+    // run 0 carries the FIRST version transition, run 1 the second —
+    // the ordering the ordinal exists to preserve
+    def ofOrd(o: Int) = rows.filter(_.getInt(3) == o)
+      .map(r => (r.getString(2), r.getLong(0), r.getDouble(1))).toSet
+    assert(ofOrd(0) == Set(("delete", 3L, 3.0), ("delete", 7L, 7.0),
+      ("insert", 3L, 33.0)), s"run0=${ofOrd(0)}")
+    assert(ofOrd(1) == Set(("delete", 3L, 33.0), ("insert", 3L, 66.0),
+      ("insert", 300L, 1.0)), s"run1=${ofOrd(1)}")
+    // ordinal replay over the from-state == the current state
+    var state = cat.read("db", "t", Some(s1)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ords.foreach { o =>
+      val dels = rows.filter(r => r.getInt(3) == o &&
+        r.getString(2) == "delete").map(_.getLong(0)).toSet
+      val ins = rows.filter(r => r.getInt(3) == o &&
+        r.getString(2) == "insert")
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      state = (state -- dels) ++ ins
+    }
+    val current = cat.read("db", "t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == current)
+    // a genuinely row-changing rewrite still refuses
+    val s2 = cat.describe("db", "t").currentSnapshotId.get
+    cat.overwrite("db", "t", Seq((1L, -1.0)).toDF("id", "v"))
+    intercept[IllegalStateException] {
+      cat.readChangelog("db", "t", s2).count()
+    }
+  }
+
   test("multi-column equality deletes: bounds-intersect candidates, " +
       "compaction folds them, manifest bounds make misses zero-IO") {
     import spark.implicits._
@@ -1657,6 +1713,76 @@ class CatalogSpec extends SparkTestBase {
     // the untouched middle file [100,200)
     assert(cs.min("id").toDouble >= 100 && cs.max("id").toDouble < 200)
     assert(cat.read("db", "t").count() == 289)
+  }
+
+  test("manifest split: slim metadata + immutable side manifests — " +
+      "commits serialize O(new files); cold reads rehydrate; expiry " +
+      "reclaims manifests; pre-split inline metadata still reads") {
+    val wh = tmpDir("graft-mansplit")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    import spark.implicits._
+    // one WIDE snapshot (many files) + two small ones
+    cat.append("db", "t",
+      (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartition(40))
+    cat.append("db", "t", Seq((1000L, 1.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((1001L, 1.0)).toDF("id", "v"))
+    val mdir = java.nio.file.Paths.get(wh, "db", "t", "metadata")
+    def names() = {
+      val s = java.nio.file.Files.list(mdir)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList }
+      finally s.close()
+    }
+    assert(names().count(_.startsWith("manifest-")) == 3)
+    // the slim metadata carries NO per-file payload: the latest
+    // version file is small and does not scale with the wide
+    // snapshot's 40 files — its manifest holds that
+    val latest = names().filter(_.endsWith(".metadata.json")).max
+    val slimBytes = java.nio.file.Files.size(mdir.resolve(latest))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      mdir.resolve(latest)), "UTF-8")
+    assert(!raw.contains("\"min\""), "slim metadata leaked file stats")
+    val wideManifest = names().filter(_.startsWith("manifest-2")).head
+    assert(java.nio.file.Files.size(mdir.resolve(wideManifest)) > slimBytes,
+      "the wide snapshot's manifest must dwarf the slim metadata")
+    // cold process (fresh catalog instance = empty caches) reads whole
+    val cold = new SnapshotCatalog(spark, wh)
+    assert(cold.read("db", "t").count() == 402)
+    assert(cold.describe("db", "t").currentSnapshot.get.fileStats.nonEmpty)
+    // expiry reclaims dropped snapshots' manifests with their files
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(names().count(_.startsWith("manifest-")) == 1)
+    assert(cat.read("db", "t").count() == 402)
+    // PRE-SPLIT compatibility: a legacy metadata version with the
+    // heavy payload INLINE (no manifestPath) must keep reading
+    val hydrated = cat.describe("db", "t")
+    val legacy = hydrated.copy(snapshots = hydrated.snapshots.map(
+      _.copy(manifestPath = None)))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(
+      com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    val curV = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(wh, "db", "t", "metadata",
+        "version-hint.text")), "UTF-8").trim.toInt
+    java.nio.file.Files.write(
+      mdir.resolve(f"v${curV + 1}%05d.metadata.json"),
+      m.writeValueAsBytes(legacy))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, "db", "t", "metadata",
+        "version-hint.text"),
+      (curV + 1).toString.getBytes("UTF-8"))
+    val legacyRead = new SnapshotCatalog(spark, wh)
+    assert(legacyRead.read("db", "t").count() == 402)
+    assert(legacyRead.describe("db", "t")
+      .currentSnapshot.get.fileStats.nonEmpty)
+    // and the next commit MIGRATES the inline payload out to manifests
+    legacyRead.append("db", "t", Seq((2000L, 2.0)).toDF("id", "v"))
+    val newest = names().filter(_.endsWith(".metadata.json")).max
+    assert(!new String(java.nio.file.Files.readAllBytes(
+      mdir.resolve(newest)), "UTF-8").contains("\"min\""))
+    assert(legacyRead.read("db", "t").count() == 403)
   }
 
   test("removeOrphanFiles reaps abandoned write DIRECTORIES (a dir " +

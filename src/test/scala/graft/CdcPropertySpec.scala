@@ -119,23 +119,29 @@ class CdcPropertySpec extends SparkTestBase {
       }
 
       // changelog replay: every recorded window must transform its
-      // from-state into the final state — unless data files were
-      // rewritten inside the window (compact/rewrite), where the
-      // changelog correctly refuses (identity is gone)
+      // from-state into the final state. Windows crossing a COMPACTION
+      // now DECOMPOSE into ordinal-ordered runs (round 15 — replace
+      // snapshots are content-preserving and contribute nothing), so
+      // the replay applies run by run; only a row-CHANGING rewrite
+      // still refuses (identity is genuinely gone there)
       val finalRef = ref
       checkpoints.toList.foreach { case (fromSnap, fromState) =>
         try {
           val changes = cat.readChangelog("db", "t", fromSnap).collect()
-          val dels = changes.filter(_.getString(2) == "delete")
-            .map(_.getLong(0)).toSet
-          val ins = changes.filter(_.getString(2) == "insert")
-            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-          val replayed = (fromState -- dels) ++ ins
-          assert(replayed == finalRef,
-            s"scenario $si from snapshot $fromSnap: replay=$replayed " +
+          val byOrd = changes.groupBy(_.getInt(3)).toSeq.sortBy(_._1)
+          var state = fromState
+          byOrd.foreach { case (_, rows) =>
+            val dels = rows.filter(_.getString(2) == "delete")
+              .map(_.getLong(0)).toSet
+            val ins = rows.filter(_.getString(2) == "insert")
+              .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+            state = (state -- dels) ++ ins
+          }
+          assert(state == finalRef,
+            s"scenario $si from snapshot $fromSnap: replay=$state " +
               s"final=$finalRef (changes=${changes.toSeq})")
         } catch {
-          case _: IllegalStateException => () // rewrite inside window
+          case _: IllegalStateException => () // row-changing rewrite inside
         }
       }
     }

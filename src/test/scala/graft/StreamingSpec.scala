@@ -921,4 +921,63 @@ class StreamingSpec extends SparkTestBase {
     assert(cat.describe("db", "up").refs(f.posRef) ==
       cat.describe("db", "up").currentSnapshotId.get)
   }
+
+  test("follower skips REPLACE snapshots: upstream compaction inside " +
+      "an unconsumed window no longer forces the O(table) resync — " +
+      "maintenance and subscription compose") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-chfr-wh"))
+    cat.createTable("db", "up",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    // several small files so the bin-pack has something to fold
+    for (b <- 0 until 4)
+      cat.append("db", "up", (b * 10L until b * 10L + 10L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val f = Sinks.changelogFollower(cat, "db", "up", "db", "down", Seq("id"))
+    def converged(): Unit = {
+      val u = cat.read("db", "up").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val d = cat.read("db", "down").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(u == d, s"up=$u down=$d")
+    }
+    assert(f.poll()); converged()
+
+    // the unconsumed window: CDC → COMPACTION → more CDC; the replace
+    // snapshot preserves content, so the follower must consume the two
+    // CDC runs around it and skip the rewrite
+    cat.cdcUpsert("db", "up",
+      rows = Seq((100L, 1.0), (5L, 55.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    val rep = cat.compactFileGroups("db", "up", minFileBytes = 1L << 20)
+    assert(rep.compacted, "compaction must actually rewrite")
+    assert(cat.describe("db", "up").currentSnapshot.get
+      .operation.contains("replace"))
+    cat.cdcUpsert("db", "up",
+      rows = Seq((101L, 2.0)).toDF("id", "v"),
+      deletes = Seq(9L).toDF("id"), Seq("id"))
+
+    val beforeFiles = cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet
+    assert(f.poll()); converged()
+    assert(f.resyncCount == 0,
+      "a content-preserving compaction must not force a resync")
+    // incremental application: pre-existing downstream files carried
+    assert(beforeFiles.subsetOf(cat.describe("db", "down")
+      .currentSnapshot.get.files.toSet))
+
+    // TRAILING replace: compaction with nothing after it — the poll
+    // advances the bookmark with a metadata-only commit, no data moves
+    cat.compact("db", "up", numFiles = 1)
+    assert(f.poll())
+    assert(f.resyncCount == 0)
+    assert(!f.poll()) // caught up at the compacted head
+    converged()
+    // a genuinely row-CHANGING rewrite still takes the escape hatch
+    cat.overwrite("db", "up",
+      (0L until 5L).map(i => (i, -i.toDouble)).toDF("id", "v"))
+    assert(f.poll()); converged()
+    assert(f.resyncCount == 1,
+      "an INSERT OVERWRITE must resync — content changed")
+  }
 }
