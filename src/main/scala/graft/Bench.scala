@@ -182,11 +182,17 @@ object Bench {
     val calibFloorSec = Bench.CalibrationFloorSec
     val minCalib = if (passCalib.isEmpty) -1.0 else passCalib.min
     val loadSuspect = minCalib > calibFloorSec * 1.3
+    // flapping = the passes DISAGREE (bursty external load): per-query
+    // minimums may still be clean, but the TOTAL mixes loaded passes —
+    // compare per-query, not by total, when this is set
+    val loadFlapping = passCalib.nonEmpty &&
+      passCalib.max > math.max(minCalib, 1e-9) * 1.5
     val loadJson =
       s"""{"loadavg":${passLoad.mkString("[", ",", "]")},""" +
         s""""calibration_sec":${passCalib.map(fmt(_)).mkString("[", ",", "]")},""" +
         s""""calibration_floor_sec":${fmt(calibFloorSec)},""" +
-        s""""load_suspect":$loadSuspect}"""
+        s""""load_suspect":$loadSuspect,""" +
+        s""""load_flapping":$loadFlapping}"""
 
     val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")

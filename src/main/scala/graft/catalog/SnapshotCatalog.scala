@@ -725,13 +725,36 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * [[rollback]]); readers atomically see everything staged on the
     * branch.
     */
+  /** FAST-FORWARD only (round 15, the Iceberg `fast_forward`
+    * contract): the current snapshot must be an ANCESTOR of the branch
+    * head (or the table empty). Without this guard, a concurrent
+    * main-line commit landing after the branch forked would be
+    * SILENTLY DISCARDED by the pointer move — lost rows, the one
+    * failure mode a table format must never have. A refused publish
+    * means the branch is stale: re-stage against the new current state
+    * (the WAP sink's retried batch does exactly that) or re-point the
+    * branch and re-apply.
+    */
   def publish(ns: String, name: String, branch: String,
       extraProperties: Map[String, String] = Map.empty): TableMeta =
     synchronized {
       val (version, meta) = loadMeta(ns, name)
       require(meta.refs.contains(branch), s"no ref '$branch' in $ns.$name")
       require(!meta.tagNames.contains(branch), s"'$branch' is a tag")
-      val newMeta = meta.copy(currentSnapshotId = Some(meta.refs(branch)),
+      val head = meta.refs(branch)
+      meta.currentSnapshotId.foreach { cur =>
+        val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+        val ancestors = Iterator.iterate(byId.get(head))(
+            _.flatMap(_.parentId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+        if (!ancestors.contains(cur))
+          throw new java.util.ConcurrentModificationException(
+            s"cannot fast-forward $ns.$name to branch '$branch': the " +
+              s"current snapshot $cur is not an ancestor of the branch " +
+              s"head $head — the table moved since the branch forked; " +
+              "re-stage the branch against the new current state")
+      }
+      val newMeta = meta.copy(currentSnapshotId = Some(head),
         properties = meta.properties ++ extraProperties)
       commit(ns, name, version + 1, newMeta)
       newMeta

@@ -2752,6 +2752,115 @@ object Relational {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM s2 GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  // Changelog ACROSS a compaction (round 15): two CDC windows land
+  // with a `CALL system.rewrite_data_files` REPLACE between them, then
+  // ONE `changes()` call over the whole span. The replace snapshot is
+  // content-preserving, so instead of refusing ("identity rewritten"),
+  // the read decomposes into ordinal-ordered runs around it —
+  // `_change_ordinal` 0 = the pre-compaction window's net changes,
+  // 1 = the post-compaction window's, and a consumer applying runs in
+  // ordinal order reconstructs the final state. The oracle replays
+  // both runs as pure SELECT algebra (run 1's delete side reads the
+  // POST-run-0 state — the ordering the ordinal exists to carry).
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q63_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      val src = t(s, dir, "orders")
+      def slice(lo: Long, hi: Long) =
+        src.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      val base = src.filter(col("o_orderkey") < 2500)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+          col("o_orderstatus").as("status"))
+      cat.createTable("db", "o", base.schema)
+      cat.append("db", "o", base)
+      val s1 = cat.describe("db", "o").currentSnapshotId.get
+      // run 0: update [100,200) (+3, 'A'), delete [900,950)
+      cat.cdcUpsert("db", "o",
+        rows = slice(100, 200).select(col("o_orderkey").as("k"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + 3).as("price_c"),
+          lit("A").as("status")),
+        deletes = slice(900, 950).select(col("o_orderkey").as("k")),
+        keyCols = Seq("k"))
+      // the replace between the runs — folds the delete side whole
+      val rw = eng.sqlQuery("CALL system.rewrite_data_files('db.o')")
+      require(!rw.startsWith("""{"error""""), s"rewrite_data_files: $rw")
+      // the snapshots metadata table labels it (Iceberg's operation)
+      val op = eng.sqlDataFrame(
+        """SELECT operation FROM db.o.snapshots
+          |ORDER BY snapshot_id DESC LIMIT 1""".stripMargin)._1
+        .head().getString(0)
+      require(op == "replace", s"expected a replace snapshot, got $op")
+      // run 1: update [150,250) (*2, 'B'), delete [300,320)
+      cat.cdcUpsert("db", "o",
+        rows = slice(150, 250).select(col("o_orderkey").as("k"),
+          (round(col("o_totalprice") * 100, 0).cast("long") * 2).as("price_c"),
+          lit("B").as("status")),
+        deletes = slice(300, 320).select(col("o_orderkey").as("k")),
+        keyCols = Seq("k"))
+      val out = eng.sqlDataFrame(
+        s"""SELECT _change_ordinal AS run, _change_type,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+           |  min(k) AS min_key, max(k) AS max_key
+           |FROM changes('db.o', $s1)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)._1
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q63Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2500),
+      |updA AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) + 3 AS price_c,
+      |    'A' AS status
+      |  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200),
+      |run0 AS (
+      |  SELECT 0 AS run, 'delete' AS _change_type, k, price_c FROM base
+      |  WHERE k IN (SELECT k FROM updA)
+      |     OR (k >= 900 AND k < 950)
+      |  UNION ALL
+      |  SELECT 0, 'insert', k, price_c FROM updA),
+      |stateA AS (
+      |  SELECT * FROM updA
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE k NOT IN (SELECT k FROM updA)
+      |    AND NOT (k >= 900 AND k < 950)),
+      |updB AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 AS price_c,
+      |    'B' AS status
+      |  FROM orders WHERE o_orderkey >= 150 AND o_orderkey < 250),
+      |run1 AS (
+      |  SELECT 1 AS run, 'delete' AS _change_type, k, price_c FROM stateA
+      |  WHERE k IN (SELECT k FROM updB)
+      |     OR (k >= 300 AND k < 320)
+      |  UNION ALL
+      |  SELECT 1, 'insert', k, price_c FROM updB)
+      |SELECT run, _change_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM (SELECT * FROM run0 UNION ALL SELECT * FROM run1)
+      |GROUP BY 1, 2 ORDER BY run, _change_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2815,5 +2924,6 @@ object Relational {
     QuerySpec("q59_merge_mor", q59, Some(q59Sql)),
     QuerySpec("q60_changelog_sql", q60, Some(q60Sql)),
     QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)),
-    QuerySpec("q62_wap_branch_dml", q62, Some(q62Sql)))
+    QuerySpec("q62_wap_branch_dml", q62, Some(q62Sql)),
+    QuerySpec("q63_changelog_across_compaction", q63, Some(q63Sql)))
 }

@@ -1715,6 +1715,37 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 289)
   }
 
+  test("publish is FAST-FORWARD only: a concurrent main-line commit " +
+      "after the branch fork refuses the pointer move instead of " +
+      "silently discarding it") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.createBranch("db", "t", "audit")
+    cat.appendToBranch("db", "t", "audit", Seq((2L, 2.0)).toDF("id", "v"))
+    // the clean fast-forward: current is the fork parent = an ancestor
+    cat.publish("db", "t", "audit")
+    assert(cat.read("db", "t").count() == 2)
+    // stage again, but let a MAIN commit land after the fork
+    cat.createBranch("db", "t", "audit2")
+    cat.appendToBranch("db", "t", "audit2", Seq((3L, 3.0)).toDF("id", "v"))
+    cat.append("db", "t", Seq((100L, 100.0)).toDF("id", "v")) // concurrent
+    val before = cat.read("db", "t").count()
+    intercept[java.util.ConcurrentModificationException] {
+      cat.publish("db", "t", "audit2")
+    }
+    // nothing moved, nothing lost
+    assert(cat.read("db", "t").count() == before)
+    assert(cat.read("db", "t").filter(col("id") === 100L).count() == 1)
+    // re-staging against the new current state publishes cleanly
+    cat.dropRef("db", "t", "audit2")
+    cat.createBranch("db", "t", "audit2")
+    cat.appendToBranch("db", "t", "audit2", Seq((3L, 3.0)).toDF("id", "v"))
+    cat.publish("db", "t", "audit2")
+    assert(cat.read("db", "t").count() == before + 1)
+  }
+
   test("manifest split: slim metadata + immutable side manifests — " +
       "commits serialize O(new files); cold reads rehydrate; expiry " +
       "reclaims manifests; pre-split inline metadata still reads") {
