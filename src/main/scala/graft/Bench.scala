@@ -18,8 +18,15 @@ object Bench {
     * 1.3x this floor: per-query times in such a run are inflated by
     * external load, not code (the BENCH_r14 failure mode — committed
     * 174.5 s vs the judge's idle-box 140.1 s re-run).
+    *
+    * The constant is THIS box's floor; on a different machine set
+    * `SPARK_GRAFT_CALIB_FLOOR` (seconds) or the suspect verdict is
+    * meaningless — the flag compares load, not hardware.
     */
-  val CalibrationFloorSec: Double = 0.30
+  val CalibrationFloorSec: Double =
+    sys.env.get("SPARK_GRAFT_CALIB_FLOOR")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(0.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

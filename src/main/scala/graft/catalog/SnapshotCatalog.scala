@@ -211,7 +211,11 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           d.copy(physCols = d.physCols.orElse(Some(d.cols)),
             cols = d.cols.map(c => if (c == from) to else c),
             keyMin = d.keyMin.map(remap), keyMax = d.keyMax.map(remap))
-        })
+        },
+        // heavy payload mutated -> the commit must write a FRESH
+        // manifest (the commit-reuse contract); the old file becomes
+        // an orphan the manifest sweep reaps
+        manifestPath = None)
     }
     val props = meta.properties.get(BloomColumnsProp) match {
       case Some(cs) => meta.properties + (BloomColumnsProp ->
@@ -257,7 +261,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           fs.copy(min = fs.min - colName, max = fs.max - colName,
             blooms = fs.blooms.map(_ - colName),
             colIds = fs.colIds.orElse(Some(ids0)))
-        })
+        },
+          // heavy payload mutated -> fresh manifest (commit contract)
+          manifestPath = None)
       }
       val props = meta.properties.get(BloomColumnsProp) match {
         case Some(cs) => meta.properties + (BloomColumnsProp ->
@@ -418,10 +424,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // base = branch head (re-resolved per retry — the branch may
         // have moved) or the table's current snapshot
         val base = toBranch match {
-          case Some(b) =>
-            require(meta.refs.contains(b), s"no ref '$b' in $ns.$name")
+          case Some(b) if meta.refs.contains(b) =>
             require(!meta.tagNames.contains(b), s"'$b' is a tag — tags are immutable")
             meta.snapshots.find(_.snapshotId == meta.refs(b))
+          case Some(b) =>
+            // BOOTSTRAP staging (round 15): an EMPTY table has no
+            // snapshot to branch from, but a WAP writer must still be
+            // able to stage its first batch unpublished — the branch
+            // ref is created BY this commit (refs + (b -> new id))
+            // while the current pointer stays None, so no reader sees
+            // the rows until publish
+            require(meta.currentSnapshotId.isEmpty,
+              s"no ref '$b' in $ns.$name")
+            None
           case None => meta.currentSnapshot
         }
         val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -1144,12 +1159,43 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         schema.fields.filter(f => rows.columns.contains(f.name))
           .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       val writtenSchema = written.schema
-      written.write.parquet(dataDirNew.toString)
-      val newFiles0 = Option(dataDirNew.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).sorted.toSeq
+      // honor the table's HIDDEN PARTITION SPEC like the append path
+      // (round 15): a CDC batch on a partitioned table splits
+      // value-pure and records pval/pspec per file, so partition
+      // pruning (cell-pruned ANN serving, bucket lookups) never erodes
+      // as windows accumulate — before this, every CDC-committed file
+      // spanned all partitions and was conservatively kept by every
+      // pruned read
+      val specStr = meta0.properties.get(PartitionSpec.PropertyKey)
+        .map(_.trim)
+      val spec0 = specStr.map(PartitionSpec.parse)
+        .filter(p => writtenSchema.fieldNames.contains(p.column))
+      spec0 match {
+        case Some(p) =>
+          written.withColumn(PartitionSpec.HiddenCol,
+              p.valueExprFor(
+                writtenSchema.find(_.name == p.column).map(_.dataType)))
+            .write.partitionBy(PartitionSpec.HiddenCol)
+            .parquet(dataDirNew.toString)
+        case None => written.write.parquet(dataDirNew.toString)
+      }
+      def walkCdc(d: File): Seq[File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case f if f.isDirectory => walkCdc(f)
+          case f if f.getName.endsWith(".parquet") => Seq(f)
+          case _ => Seq.empty
+        }
+      val newFiles0 = walkCdc(dataDirNew.toFile)
+        .map(_.getAbsolutePath).sorted
+      val pvalRe = (PartitionSpec.HiddenCol + "=([^/]+)/").r
+      def pvalOf(path: String): Option[String] =
+        pvalRe.findFirstMatchIn(path)
+          .map(m => PartitionSpec.unescapePathName(m.group(1)))
       val stats0 = collectFileStats(schema, newFiles0,
-        bloomColsFor(ns, name, schema))
+          bloomColsFor(ns, name, schema))
+        .map(s => s.copy(pval = pvalOf(s.path),
+          pspec = specStr.filter(_ =>
+            spec0.isDefined && pvalOf(s.path).isDefined)))
       val newFiles = dropEmptyParts(newFiles0, stats0)
       var attempt = 0
       while (true) {
@@ -1246,8 +1292,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def upsertCounted(ns: String, name: String, df: DataFrame,
       keyCol: String, toBranch: Option[String] = None): (TableMeta, Int) = {
     val preview = synchronized(loadMeta(ns, name)._2)
-    if (writeBase(preview, ns, name, toBranch).isEmpty)
-      return (append(ns, name, df), 0)
+    // an upsert with no base is an append; under a branch the append
+    // STAGES (bootstrap-capable: an empty table's first staged commit
+    // creates the ref, the current pointer stays None)
+    val base0 = toBranch match {
+      case Some(b) if !preview.refs.contains(b) &&
+          preview.currentSnapshotId.isEmpty => None
+      case _ => writeBase(preview, ns, name, toBranch)
+    }
+    if (base0.isEmpty)
+      return (toBranch match {
+        case Some(b) => appendToBranch(ns, name, b, df)
+        case None => append(ns, name, df)
+      }, 0)
     // key-range pruning by the key's type: numeric keys compare via
     // the double stats, string keys lexicographically (both stat kinds
     // are collected on write) — so e.g. a changelog keyed on a string
@@ -1634,7 +1691,31 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val orphaned = meta.snapshots.flatMap(s =>
         s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
         .distinct.filterNot(referenced.contains)
-      val newMeta = meta.copy(snapshots = retained)
+      // RE-PARENT survivors over the expired gaps (round 15): a
+      // retained snapshot whose parent expired points at its nearest
+      // RETAINED ancestor instead, so ancestry stays WALKABLE — the
+      // fast-forward publish guard and the follower's replace-skip
+      // chain walk keep working across expiry (before this, expiring
+      // a staged branch's intermediates made a legitimate publish
+      // refuse forever). The stitched edge spans only expired commits,
+      // whose file lists the surviving child carries cumulatively —
+      // exactly the endpoints-window the changelog already reads.
+      val retainedIds = retained.map(_.snapshotId).toSet
+      val parentOf = meta.snapshots
+        .map(s => s.snapshotId -> s.parentId).toMap
+      @scala.annotation.tailrec
+      def nearestRetained(id: Option[Long]): Option[Long] = id match {
+        case Some(p) if retainedIds(p) => Some(p)
+        case Some(p) => nearestRetained(parentOf.getOrElse(p, None))
+        case None => None
+      }
+      val healed = retained.map { s =>
+        if (s.parentId.exists(p => !retainedIds(p)))
+          s.copy(parentId = nearestRetained(s.parentId),
+            stitched = Some(true))
+        else s
+      }
+      val newMeta = meta.copy(snapshots = healed)
       commit(ns, name, version + 1, newMeta)
       orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
       // dropped snapshots' side manifests are unreferenced artifacts
@@ -1757,11 +1838,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
                 s.iterator().asScala.toList } finally s.close()
             }
             val left = entries.filterNot(c => Files.isDirectory(c) && reap(c))
-            val deletable = d != dir && left.forall(p =>
-              Files.isRegularFile(p) && marker(p) &&
-                !referenced.contains(p.toAbsolutePath.normalize.toString) &&
-                scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-                  .getOrElse(Long.MaxValue) < cutoff)
+            // an EMPTY dir has no entry to age-check — gate on the
+            // dir's own mtime instead, or a writer's just-created
+            // output dir would vanish between mkdir and first file
+            val deletable = d != dir &&
+              (left.nonEmpty || scala.util.Try(
+                Files.getLastModifiedTime(d).toMillis)
+                .getOrElse(Long.MaxValue) < cutoff) &&
+              left.forall(p =>
+                Files.isRegularFile(p) && marker(p) &&
+                  !referenced.contains(p.toAbsolutePath.normalize.toString) &&
+                  scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+                    .getOrElse(Long.MaxValue) < cutoff)
             if (deletable) {
               left.foreach(p => Files.deleteIfExists(p): Unit)
               scala.util.Try(Files.deleteIfExists(d)).getOrElse(false)
@@ -2621,14 +2709,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val unseen = deleteFiles.filterNot(f =>
       namedCache.synchronized(namedCache.containsKey(f)))
     if (unseen.nonEmpty) {
-      import org.apache.spark.sql.functions.{col, regexp_replace}
+      import org.apache.spark.sql.functions.col
+      // source attribution decodes the (possibly %-encoded) file URI
+      // through normalizePath — a raw-string strip would silently key
+      // every special-character path to the empty set and resurrect
+      // its deleted rows
       val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
-        .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
-            .as("__src"),
+        .select(col("_metadata.file_path").as("__src"),
           col("file_path")).distinct()
         .collect()
-      val bySrc = rows.groupBy(_.getString(0)).view
+      val bySrc = rows.groupBy(r => normalizePath(r.getString(0))).view
         .mapValues(_.map(_.getString(1)).toSet).toMap
       unseen.foreach { f =>
         val norm = Paths.get(f).toAbsolutePath.normalize.toString
@@ -2673,14 +2763,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val unseen = deleteFiles.filterNot(f =>
       posCache.synchronized(posCache.containsKey(f)))
     if (unseen.nonEmpty) {
-      import org.apache.spark.sql.functions.{col, regexp_replace}
+      import org.apache.spark.sql.functions.col
+      // decoded attribution, the namedByFile discipline
       val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
-        .select(
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
-            .as("__src"),
+        .select(col("_metadata.file_path").as("__src"),
           col("file_path"), col("pos"))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .map(r => (normalizePath(r.getString(0)), r.getString(1),
+          r.getLong(2)))
       val bySrc = rows.groupBy(_._1)
       unseen.foreach { f =>
         val norm = Paths.get(f).toAbsolutePath.normalize.toString
@@ -2748,9 +2838,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // accumulated CDC entries) now reads O(relevant entries), not
     // O(accumulated delete side) — the read-side twin of the dirty-file
     // split, on the delete axis.
+    val namedMap = namedByFile(snap.deleteFiles)
     val relPos = snap.deleteFiles.filter(df =>
-      namedByFile(snap.deleteFiles).getOrElse(df, Set.empty)
-        .exists(fileSet))
+      namedMap.getOrElse(df, Set.empty).exists(fileSet))
     val posApplied =
       if (relPos.isEmpty) base
       else {
@@ -3242,7 +3332,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     var runFrom = from
     var prev = from
     chain.foreach { s =>
-      if (s.operation.contains("replace")) {
+      // a STITCHED edge spans expired commits — never skip it, even
+      // when the surviving child is itself a replace
+      if (s.operation.contains("replace") && !s.stitched.contains(true)) {
         if (runFrom.snapshotId != prev.snapshotId) runs += ((runFrom, prev))
         runFrom = s // the replace edge contributes no changes
       }
@@ -3309,7 +3401,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val dir = metaDir(ns, name)
     val metaPath = dir.resolve(f"v$version%05d.metadata.json")
     val written = scala.collection.mutable.ListBuffer.empty[Path]
-    val replaced = scala.collection.mutable.ListBuffer.empty[String]
     def writeManifest(sn: SnapshotMeta): String = {
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val mf = dir.resolve(s"manifest-${sn.snapshotId}-$uid.json")
@@ -3327,23 +3418,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         deleteFiles = Seq.empty, deleteFileStats = Seq.empty,
         eqDeletes = Seq.empty)
       sn.manifestPath match {
-        case Some(p) =>
-          // committed manifests are immutable — reuse, UNLESS this
-          // commit mutated the snapshot's heavy payload in memory
-          // (ALTER RENAME/DROP backfill colIds / remap stats across
-          // history): reference-identity against the cached doc is the
-          // O(1) staleness check (hydrate shares the doc's field
-          // references, and the ALTER paths rebuild the Seqs). A cache
-          // miss can't prove identity and rewrites — safe, rare.
-          val cached = manifestCache.synchronized(
-            Option(manifestCache.get(p)))
-          val unchanged = cached.exists(d =>
-            (d.files eq sn.files) && (d.fileStats eq sn.fileStats) &&
-              (d.deleteFiles eq sn.deleteFiles) &&
-              (d.deleteFileStats eq sn.deleteFileStats) &&
-              (d.eqDeletes eq sn.eqDeletes))
-          if (unchanged) stripped
-          else { replaced += p; stripped.copy(manifestPath = Some(writeManifest(sn))) }
+        // committed manifests are immutable and reused UNCONDITIONALLY
+        // — the decision must not depend on manifestCache residency, or
+        // a history longer than the LRU would rewrite the evicted tail
+        // on every commit. THE CONTRACT: any mutator that changes a
+        // committed snapshot's heavy payload in memory (ALTER
+        // RENAME/DROP's stat remap/backfill) MUST clear manifestPath on
+        // the snapshots it touched; the superseded manifest files
+        // become unreferenced and removeOrphanFiles reaps them past the
+        // safety window.
+        case Some(_) => stripped
         case None =>
           stripped.copy(manifestPath = Some(writeManifest(sn)))
       }
@@ -3365,14 +3449,6 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer(ns, name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // manifests superseded by this commit (ALTER rewrote the payload)
-    // are referenced by nothing current — reclaim them now; a racing
-    // reader still parsing the previous version takes loadMeta's
-    // moved-pointer reload
-    replaced.foreach { p =>
-      manifestCache.synchronized(manifestCache.remove(p)): Unit
-      scala.util.Try(Files.deleteIfExists(Paths.get(p))): Unit
-    }
   }
 
   /** Rehydrate one snapshot from its manifest (parse-once LRU;
@@ -3726,7 +3802,15 @@ object SnapshotCatalog {
       // per process ([[SnapshotCatalog.loadMeta]] rehydrates through
       // an LRU). None = heavy fields inline (pre-split metadata reads
       // unchanged; in-memory snapshots are ALWAYS hydrated).
-      manifestPath: Option[String] = None) {
+      manifestPath: Option[String] = None,
+      // TRUE when [[SnapshotCatalog.expireSnapshots]] re-pointed
+      // parentId across EXPIRED commits: the (parent -> this) edge
+      // then spans more than this snapshot's own commit, so
+      // edge-consumers must not special-case it by this snapshot's
+      // `operation` (a stitched "replace" edge may hide expired ROW
+      // CHANGES — skipping it would lose them; reading it as a normal
+      // endpoints window is always sound).
+      stitched: Option[Boolean] = None) {
     /** Live-row count from the manifest alone, when every data AND
       * delete file carries stats — None forces a scan, never a silent
       * undercount (the metadata-count contract). Equality deletes make

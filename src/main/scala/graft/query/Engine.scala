@@ -494,7 +494,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         val m =
           if (meta.refs.contains(b)) meta
           else if (meta.currentSnapshotId.isEmpty) meta // nothing to branch
-          else catalog.createBranch(ns, t, b, None)
+          else try catalog.createBranch(ns, t, b, None)
+          catch {
+            // a concurrent session under the same WAP branch won the
+            // check-then-create race — its branch is ours too
+            case _: IllegalArgumentException => catalog.describe(ns, t)
+          }
         m.refs.get(b).flatMap(id => m.snapshots.find(_.snapshotId == id))
       case None => meta.currentSnapshot
     }
@@ -924,9 +929,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           // one execution: the commit's snapshot records the row count
           // of exactly the files it committed (CTAS-note semantics);
           // OVERWRITE replaces the manifest in the same atomic commit
-          val wb = wapBranch().filter(_ =>
-            catalog.describe(ns, t).currentSnapshotId.isDefined)
-          wb.foreach(b => dmlBase(ns, t, catalog.describe(ns, t)): Unit)
+          val wb = wapBranch()
+          // nonempty table: ensure the branch exists (auto-create at
+          // current); empty table: the staged commit bootstraps the
+          // ref itself with the current pointer left at None
+          wb.foreach(_ => dmlBase(ns, t, catalog.describe(ns, t)): Unit)
           val newMeta = (i.overwrite, wb) match {
             case (true, Some(b)) => catalog.overwrite(ns, t, aligned,
               toBranch = Some(b))
@@ -989,8 +996,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                 .localCheckpoint()
               val affected = src.count()
               val tMeta = catalog.describe(ns, t)
-              val wb = wapBranch().filter(_ =>
-                tMeta.currentSnapshotId.isDefined)
+              val wb = wapBranch()
               val base = dmlBase(ns, t, tMeta)
               val totalBefore = base.map(_.files.size).getOrElse(0)
               // write.merge.mode=merge-on-read: a whole-row upsert IS
@@ -1270,7 +1276,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     } yield retryConcurrent {
       val meta = catalog.describe(ns, t)
       // under a WAP branch the MERGE reads and commits the BRANCH state
-      val wb = wapBranch().filter(_ => meta.currentSnapshotId.isDefined)
+      val wb = wapBranch()
       val current = dmlBase(ns, t, meta)
       val total = current.map(_.files.size).getOrElse(0)
       // once-materialized source (the upsert fast path's discipline)
@@ -1415,7 +1421,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           summary("MERGE", ns, t, affected, touched.size, total,
             bytesRewritten = Engine.bytesOf(touched))
         case None =>
-          catalog.append(ns, t, joined.filter(keep).select(outCols: _*))
+          val outRows = joined.filter(keep).select(outCols: _*)
+          wb match {
+            // empty table under WAP: the first staged commit
+            // BOOTSTRAPS the branch ref, current pointer stays None
+            case Some(b) => catalog.appendToBranch(ns, t, b, outRows)
+            case None => catalog.append(ns, t, outRows)
+          }
           summary("MERGE", ns, t, affected, 0, 0)
       }
       } finally joined.unpersist(blocking = false)

@@ -434,7 +434,10 @@ object Sinks {
               var runFrom = from
               var prev = from
               chainBuf.foreach { s =>
-                if (s.operation.contains("replace")) {
+                // a STITCHED edge (expiry re-parented it across expired
+                // commits) may hide row changes — never skip it
+                if (s.operation.contains("replace") &&
+                    !s.stitched.contains(true)) {
                   if (runFrom != prev) applyWindow(runFrom, prev)
                   runFrom = s.snapshotId // skip the replace edge
                 }

@@ -1746,6 +1746,93 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == before + 1)
   }
 
+  test("expiry re-parents survivors over expired gaps: a staged branch " +
+      "stays publishable after its intermediates expire; a stitched " +
+      "replace edge is never skipped as changeless") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    // stage a 4-commit chain on the branch, then expire aggressively:
+    // keepLast=1 retains {head, current(pinned)}; the intermediates go
+    cat.createBranch("db", "t", "audit")
+    for (i <- 2 to 5)
+      cat.appendToBranch("db", "t", "audit",
+        Seq((i.toLong, i.toDouble)).toDF("id", "v"))
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    val meta = cat.describe("db", "t")
+    assert(meta.snapshots.size == 2, meta.snapshots.map(_.snapshotId))
+    // the surviving branch head was re-parented onto the retained
+    // ancestor and marked stitched
+    val head = meta.snapshots.maxBy(_.snapshotId)
+    assert(head.parentId == meta.currentSnapshotId)
+    assert(head.stitched.contains(true))
+    // publish still fast-forwards: current IS an ancestor via the heal
+    cat.publish("db", "t", "audit")
+    assert(cat.read("db", "t").count() == 5)
+
+    // stitched REPLACE edge: cdc (expired) then compaction (retained)
+    // — skipping it would lose the expired window's changes
+    val cat2 = freshCatalog()
+    cat2.createTable("db", "u", schemaV1)
+    for (b <- 0 until 3)
+      cat2.append("db", "u", (b * 10L until b * 10L + 10L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val f = graft.streaming.Sinks.changelogFollower(
+      cat2, "db", "u", "db", "d", Seq("id"))
+    assert(f.poll())
+    cat2.cdcUpsert("db", "u", rows = Seq((100L, 1.0)).toDF("id", "v"),
+      deletes = Seq(5L).toDF("id"), Seq("id"))
+    cat2.compactFileGroups("db", "u", minFileBytes = 1L << 20)
+    // the follower's pin holds its position; the cdc snapshot between
+    // position and the replace head expires
+    cat2.expireSnapshots("db", "u", keepLast = 1)
+    val upMeta = cat2.describe("db", "u")
+    assert(upMeta.currentSnapshot.get.stitched.contains(true),
+      "the surviving replace head must be marked stitched")
+    assert(f.poll())
+    // it must RESYNC (the stitched edge hides row changes), never
+    // skip-as-replace — and converge
+    assert(f.resyncCount == 1,
+      s"stitched replace must resync, got ${f.resyncCount}")
+    val u = cat2.read("db", "u").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val d = cat2.read("db", "d").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(u == d)
+  }
+
+  test("cdcUpsert honors the hidden partition spec: CDC-committed files " +
+      "are value-pure with recorded pval/pspec, so pruning never erodes") {
+    import graft.catalog.PartitionSpec
+    val cat = freshCatalog()
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType)))
+    cat.createTable("db", "pc", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(4, k)"))
+    cat.append("db", "pc",
+      (0L until 100L).map(i => (i, i)).toDF("k", "v").coalesce(1))
+    // two CDC windows — updates + inserts across buckets
+    cat.cdcUpsert("db", "pc",
+      rows = (0L until 20L).map(i => (i, i * 10)).toDF("k", "v"),
+      deletes = Seq(50L).toDF("k"), Seq("k"))
+    cat.cdcUpsert("db", "pc",
+      rows = (200L until 220L).map(i => (i, i)).toDF("k", "v"),
+      deletes = Seq.empty[Long].toDF("k"), Seq("k"))
+    val snap = cat.describe("db", "pc").currentSnapshot.get
+    // every CDC-committed data file is value-pure under the spec
+    assert(snap.fileStats.forall(s =>
+      s.pval.isDefined && s.pspec.contains("bucket(4, k)")),
+      s"CDC files missing pval/pspec: ${snap.fileStats.filter(_.pval.isEmpty).map(_.path)}")
+    // and equality pruning keeps working across accumulated windows
+    val kept = cat.prunedFilesPvalEras(snap, "k", "7", LongType)
+    assert(kept.size < snap.files.size, "pval pruning eroded under CDC")
+    assert(cat.readEquals("db", "pc", "k", "7").count() == 1)
+    assert(cat.readEquals("db", "pc", "k", "210").count() == 1)
+    assert(cat.readEquals("db", "pc", "k", "50").count() == 0) // deleted
+  }
+
   test("manifest split: slim metadata + immutable side manifests — " +
       "commits serialize O(new files); cold reads rehydrate; expiry " +
       "reclaims manifests; pre-split inline metadata still reads") {
@@ -1836,8 +1923,13 @@ class CatalogSpec extends SparkTestBase {
       .count()
     assert(liveDirs >= 1)
     // inside the safety window: untouched (could be an in-flight write)
+    // — including the fresh EMPTY nested dir, which has no entry to
+    // age-check and must gate on its own mtime (a writer's just-created
+    // output dir looks exactly like this between mkdir and first file)
     cat.removeOrphanFiles("db", "t")
     assert(java.nio.file.Files.exists(ghost))
+    assert(java.nio.file.Files.exists(ghost.resolve("_graft_p=9")),
+      "a fresh empty dir must survive the default sweep")
     // past the window: the whole dir goes; live snapshot dirs stay
     cat.removeOrphanFiles("db", "t",
       Some(System.currentTimeMillis() + 1000))

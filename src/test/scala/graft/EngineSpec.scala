@@ -1614,4 +1614,40 @@ class EngineSpec extends SparkTestBase {
       assert(after.filter(col("id") === 50L).head().getDouble(1) == -1.0)
     } finally spark.conf.set(Engine.WapBranchConf, "")
   }
+
+  test("WAP branch DML bootstraps an EMPTY table: the first staged " +
+      "INSERT creates the branch with the published pointer untouched " +
+      "— no unaudited rows ever publish themselves") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapboot"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      val i = eng.sqlQuery(
+        "INSERT INTO db.t SELECT id, CAST(id AS DOUBLE) FROM range(10)")
+      assert(!i.startsWith("""{"error""""), i)
+      // the published table is STILL EMPTY — the staged batch went to
+      // the auto-bootstrapped branch
+      val meta = cat.describe("db", "t")
+      assert(meta.currentSnapshotId.isEmpty,
+        "bootstrap staging must not publish")
+      assert(meta.refs.contains("audit"))
+      assert(cat.read("db", "t").count() == 0)
+      assert(cat.readRef("db", "t", "audit").count() == 10)
+      // further staged DML chains on the branch
+      assert(!eng.sqlQuery("DELETE FROM db.t WHERE id < 3")
+        .startsWith("""{"error""""))
+      assert(cat.readRef("db", "t", "audit").count() == 7)
+      assert(cat.read("db", "t").count() == 0)
+      // publish (empty current = trivially fast-forwardable)
+      assert(!eng.sqlQuery("SET graft.wap.branch = ''")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("CALL system.fast_forward('db.t', 'audit')")
+        .startsWith("""{"error""""))
+      assert(cat.read("db", "t").count() == 7)
+    } finally spark.conf.set(Engine.WapBranchConf, "")
+  }
 }
