@@ -1615,6 +1615,25 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.set(Engine.WapBranchConf, "")
   }
 
+  test("CALL system.fast_forward on a stale branch returns the error " +
+      "envelope — the refused publish is SQL-observable, nothing moves") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-ffstale"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.createBranch("db", "t", "audit")
+    cat.appendToBranch("db", "t", "audit", Seq((2L, 2.0)).toDF("id", "v"))
+    // main moves after the fork — the branch is stale
+    cat.append("db", "t", Seq((100L, 100.0)).toDF("id", "v"))
+    val before = cat.describe("db", "t").currentSnapshotId
+    val out = eng.sqlQuery("CALL system.fast_forward('db.t', 'audit')")
+    assert(out.startsWith("""{"error"""") &&
+      out.contains("not an ancestor"), out)
+    assert(cat.describe("db", "t").currentSnapshotId == before)
+    assert(cat.read("db", "t").count() == 2) // ids 1 and 100, untouched
+  }
+
   test("WAP branch DML bootstraps an EMPTY table: the first staged " +
       "INSERT creates the branch with the published pointer untouched " +
       "— no unaudited rows ever publish themselves") {
