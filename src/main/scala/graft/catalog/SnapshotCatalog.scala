@@ -55,6 +55,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def dataDir(ns: String, t: String): Path = tableDir(ns, t).resolve("data")
   private def pointer(ns: String, t: String): Path =
     metaDir(ns, t).resolve("version-hint.text")
+  private def uuidFile(ns: String, t: String): Path =
+    metaDir(ns, t).resolve("table-uuid.text")
+
+  /** The table's per-incarnation uuid ([[createTable]]); empty for
+    * tables created before the uuid file existed.
+    */
+  def incarnationUuid(ns: String, t: String): String =
+    if (Files.exists(uuidFile(ns, t)))
+      new String(Files.readAllBytes(uuidFile(ns, t)),
+        StandardCharsets.UTF_8).trim
+    else ""
 
   // ---------------------------------------------------------- namespaces
 
@@ -72,8 +83,24 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     createNamespace(ns)
     Files.createDirectories(metaDir(ns, name))
     Files.createDirectories(dataDir(ns, name))
+    // per-INCARNATION uuid (Iceberg's table-uuid): written once at
+    // CREATE, deleted by DROP, so a DROP + re-CREATE that reuses
+    // version numbers can never alias a cached metadata parse — the
+    // uuid is part of [[loadMeta]]'s cache key, closing the residual
+    // cross-process window that (path, size, mtime, fileKey) alone
+    // leaves open when the filesystem reuses an inode
+    val uuid = java.util.UUID.randomUUID().toString
+    try Files.write(uuidFile(ns, name),
+      uuid.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    catch {
+      // a concurrent creator wrote it — same incarnation either way
+      // (only one racer's v1 commit can win)
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
     val meta = TableMeta(
       tableId = s"$ns.$name",
+      tableUuid = incarnationUuid(ns, name),
       namespace = ns,
       name = name,
       location = tableDir(ns, name).toString,
@@ -291,11 +318,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val prefix = metaDir(ns, name).toString
     metaParseCache.synchronized {
       val it = metaParseCache.keySet().iterator()
+      // key shape-agnostic match (the key tuple has grown twice; a
+      // fixed-arity pattern here silently stopped evicting anything)
       while (it.hasNext) it.next() match {
-        case (p: String, _, _) if p.startsWith(prefix) => it.remove()
+        case k: Product if k.productArity > 0 &&
+            (k.productElement(0) match {
+              case p: String => p.startsWith(prefix)
+              case _ => false
+            }) => it.remove()
         case _ => ()
       }
     }
+    hydratedByPath.synchronized(
+      hydratedByPath.remove(metaDir(ns, name).toString)): Unit
     Files.deleteIfExists(pointer(ns, name))
     val root = tableDir(ns, name)
     if (Files.exists(root)) {
@@ -851,7 +886,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def normalizePath(raw: String): String =
     scala.util.Try(new java.net.URI(raw).getPath)
-      .toOption.filter(_ != null).getOrElse(raw.stripPrefix("file:"))
+      .toOption.filter(_ != null)
+      // fallback for URI-hostile paths: strip the scheme and collapse
+      // the authority slashes to ONE leading slash, so the key matches
+      // the Paths.get(...).toAbsolutePath form used everywhere else —
+      // a mismatched key would silently attribute a delete file to the
+      // empty set and resurrect its deleted rows
+      .getOrElse("/" + raw.stripPrefix("file:").dropWhile(_ == '/'))
 
   private def collectFileStats(schema: StructType,
       files: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[FileStats] = {
@@ -2706,30 +2747,49 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private def namedByFile(deleteFiles: Seq[String]): Map[String, Set[String]] = {
     if (deleteFiles.isEmpty) return Map.empty
-    val unseen = deleteFiles.filterNot(f =>
-      namedCache.synchronized(namedCache.containsKey(f)))
-    if (unseen.nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      // source attribution decodes the (possibly %-encoded) file URI
-      // through normalizePath — a raw-string strip would silently key
-      // every special-character path to the empty set and resurrect
-      // its deleted rows
-      val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
-        .select(col("_metadata.file_path").as("__src"),
-          col("file_path")).distinct()
-        .collect()
-      val bySrc = rows.groupBy(r => normalizePath(r.getString(0))).view
-        .mapValues(_.map(_.getString(1)).toSet).toMap
-      unseen.foreach { f =>
-        val norm = Paths.get(f).toAbsolutePath.normalize.toString
-        val s = bySrc.getOrElse(norm, Set.empty[String])
-        namedCache.synchronized(namedCache.put(f, s)): Unit
-      }
-    }
-    deleteFiles.iterator
-      .map(f => f -> namedCache.synchronized(Option(namedCache.get(f)))
-        .getOrElse(Set.empty[String]))
-      .toMap
+    // Snapshot the cached values UP FRONT and merge with the freshly
+    // read ones: the result never depends on a post-fill cache lookup,
+    // so LRU eviction (a delete side larger than the cap, or a
+    // concurrent reader churning the cache) can only cost a re-read —
+    // never silently turn an evicted file into "names no rows".
+    val cached = deleteFiles.iterator.flatMap(f =>
+      namedCache.synchronized(Option(namedCache.get(f))).map(f -> _)).toMap
+    val unseen = deleteFiles.filterNot(cached.contains)
+    if (unseen.isEmpty) return cached
+    import org.apache.spark.sql.functions.col
+    // source attribution decodes the (possibly %-encoded) file URI
+    // through normalizePath — a raw-string strip would silently key
+    // every special-character path to the empty set and resurrect
+    // its deleted rows
+    val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
+      .select(col("_metadata.file_path").as("__src"),
+        col("file_path")).distinct()
+      .collect()
+    val bySrc = rows.groupBy(r => normalizePath(r.getString(0))).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val norms = unseen.map(f =>
+      f -> Paths.get(f).toAbsolutePath.normalize.toString).toMap
+    requireAttributed(bySrc.keySet, norms.values.toSet)
+    val fresh = unseen.map { f =>
+      val s = bySrc.getOrElse(norms(f), Set.empty[String])
+      namedCache.synchronized(namedCache.put(f, s)): Unit
+      f -> s
+    }.toMap
+    cached ++ fresh
+  }
+
+  /** Fail LOUD when delete-file source attribution mismatches: a
+    * `_metadata.file_path` key that matched none of the requested
+    * files means path normalization diverged, and treating it as "that
+    * file names no rows" would silently resurrect deleted rows.
+    */
+  private def requireAttributed(srcKeys: Set[String],
+      requested: Set[String]): Unit = {
+    val orphans = srcKeys -- requested
+    require(orphans.isEmpty,
+      s"delete-file source attribution mismatch: read rows from " +
+        s"${orphans.mkString(", ")} but requested paths were " +
+        s"${requested.mkString(", ")} — path normalization diverged")
   }
 
   /** Bounded LRU memos for [[dirtyOfSnapshot]]/[[posNamedFiles]]
@@ -2743,10 +2803,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         size > 32
     }
 
+  /** Cap for the per-delete-file memos — conf-overridable so tests can
+    * pin the eviction-safety contract (results NEVER depend on a
+    * post-fill cache lookup) at a tiny cap instead of writing 256+
+    * delete files.
+    */
+  private def deleteMemoCap: Int =
+    spark.conf.getOption("spark.graft.catalog.deleteMemoCap")
+      .map(_.toInt).getOrElse(256)
+
   private val namedCache =
     new java.util.LinkedHashMap[String, Set[String]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Set[String]]): Boolean = size > 256
+          e: java.util.Map.Entry[String, Set[String]]): Boolean =
+        size > deleteMemoCap
     }
 
   /** The snapshot's positional delete entries grouped by data file,
@@ -2759,30 +2829,38 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // memoized PER DELETE FILE (the posNamedFiles discipline): a
     // growing delete side re-reads only its unseen files, one batched
     // source-attributed job — consecutive follower windows pay
-    // O(delta), not O(accumulated side)
-    val unseen = deleteFiles.filterNot(f =>
-      posCache.synchronized(posCache.containsKey(f)))
-    if (unseen.nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      // decoded attribution, the namedByFile discipline
-      val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
-        .select(col("_metadata.file_path").as("__src"),
-          col("file_path"), col("pos"))
-        .collect()
-        .map(r => (normalizePath(r.getString(0)), r.getString(1),
-          r.getLong(2)))
-      val bySrc = rows.groupBy(_._1)
-      unseen.foreach { f =>
-        val norm = Paths.get(f).toAbsolutePath.normalize.toString
-        val s = bySrc.getOrElse(norm, Array.empty[(String, String, Long)])
-          .groupBy(_._2).view
-          .mapValues(_.map(_._3).toSeq).toSeq
-        posCache.synchronized(posCache.put(f, s)): Unit
+    // O(delta), not O(accumulated side). Cached values are snapshotted
+    // UP FRONT and merged with the fresh reads (the namedByFile
+    // eviction-safety discipline): LRU eviction can only cost a
+    // re-read, never turn an evicted file into "no delete entries".
+    val cached = deleteFiles.iterator.flatMap(f =>
+      posCache.synchronized(Option(posCache.get(f))).map(f -> _)).toMap
+    val unseen = deleteFiles.filterNot(cached.contains)
+    val fresh: Map[String, Seq[(String, Seq[Long])]] =
+      if (unseen.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        // decoded attribution, the namedByFile discipline
+        val rows = spark.read.schema(DeleteFileSchema).parquet(unseen: _*)
+          .select(col("_metadata.file_path").as("__src"),
+            col("file_path"), col("pos"))
+          .collect()
+          .map(r => (normalizePath(r.getString(0)), r.getString(1),
+            r.getLong(2)))
+        val bySrc = rows.groupBy(_._1)
+        val norms = unseen.map(f =>
+          f -> Paths.get(f).toAbsolutePath.normalize.toString).toMap
+        requireAttributed(bySrc.keySet, norms.values.toSet)
+        unseen.map { f =>
+          val s = bySrc.getOrElse(norms(f), Array.empty[(String, String, Long)])
+            .groupBy(_._2).view
+            .mapValues(_.map(_._3).toSeq).toSeq
+          posCache.synchronized(posCache.put(f, s)): Unit
+          f -> s
+        }.toMap
       }
-    }
     deleteFiles
-      .flatMap(f => posCache.synchronized(Option(posCache.get(f)))
-        .getOrElse(Seq.empty))
+      .flatMap(f => cached.getOrElse(f, fresh.getOrElse(f, Seq.empty)))
       .groupBy(_._1).view
       .mapValues(_.flatMap(_._2)).toSeq
   }
@@ -2791,7 +2869,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     new java.util.LinkedHashMap[String, Seq[(String, Seq[Long])]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Seq[(String, Seq[Long])]]): Boolean =
-        size > 256
+        size > deleteMemoCap
     }
 
   /** [[readFilesOf]] retaining each surviving row's (file, position)
@@ -2944,15 +3022,21 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   private def baseRead(snap: SnapshotMeta, schema: StructType,
       files: Seq[String], fieldIds: Map[String, Int],
       withRowId: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace, url_decode}
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
-    // `_metadata.file_path` renders local paths as file:// URIs;
-    // manifests store plain absolute paths — normalize so delete
-    // entries, manifests, and carryover filtering all speak one form
+    // `_metadata.file_path` renders local paths as PERCENT-ENCODED
+    // file:// URIs; manifests store plain absolute paths — normalize
+    // so delete entries, manifests, and carryover filtering all speak
+    // one form. The decode must percent-decode (a space in the
+    // warehouse path otherwise mismatches EVERY row identity and
+    // deletes silently drop) without the form-urlencoded '+'→space
+    // rule, so literal '+' is protected as %2B first.
     def withIds(df: DataFrame): DataFrame =
       if (!withRowId) df
       else df.withColumn(RowIdFileCol,
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+          url_decode(regexp_replace(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+            "\\+", "%2B")))
         .withColumn(RowIdPosCol, col("_metadata.row_index"))
     if (files.isEmpty) {
       val s2 =
@@ -3489,16 +3573,18 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     // pointer read above stays fresh (that is the OCC primitive);
     // only the version→content parse is memoized. Metadata files are
     // immutable once written (CREATE_NEW), so content is identified
-    // by (path, size, mtime, fileKey) — fileKey is the filesystem's
-    // own object identity (device+inode on POSIX), so a cross-process
-    // DROP + re-CREATE reusing version numbers can never alias a
-    // cached parse even when the new file lands same-size inside one
-    // mtime granule (round-14 ADVICE item 2: the (path, size, mtime)
-    // triple alone left that residual window).
+    // by (path, size, mtime, fileKey, incarnationUuid) — fileKey is
+    // the filesystem's own object identity (device+inode on POSIX)
+    // and the uuid is the table's per-incarnation stamp ([[uuidFile]],
+    // round-14 ADVICE item 2 closed for good in round 16): a
+    // cross-process DROP + re-CREATE reusing version numbers can never
+    // alias a cached parse, even when the filesystem reuses the inode
+    // for a same-size file inside one mtime granule.
     val attrs = Files.readAttributes(metaPath,
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val key = (metaPath.toString, attrs.size,
-      attrs.lastModifiedTime.toInstant, Option(attrs.fileKey()))
+      attrs.lastModifiedTime.toInstant, Option(attrs.fileKey()),
+      incarnationUuid(ns, name))
     val meta = metaParseCache.synchronized(
         Option(metaParseCache.get(key))) match {
       case Some(m) => m
@@ -3506,14 +3592,30 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val slim = Mapper.readValue(Files.readAllBytes(metaPath),
           classOf[TableMeta])
         // rehydrate the snapshots' heavy payload from their immutable
-        // side manifests (parse-once LRU); cached metas are ALWAYS
-        // hydrated, so nothing downstream knows manifests exist. A
-        // missing manifest means a concurrent expiry deleted it
-        // between our pointer read and this parse — reload from the
-        // moved pointer (the fresh version no longer references it);
-        // an unmoved pointer with a missing manifest is real
-        // corruption and rethrows.
-        val m = try slim.copy(snapshots = slim.snapshots.map(hydrate))
+        // side manifests; cached metas are ALWAYS hydrated, so nothing
+        // downstream knows manifests exist. Carried-forward snapshots
+        // REUSE the previous loaded version's in-memory payloads
+        // (manifests are immutable and identified by path — structural
+        // sharing, zero IO), so a commit's load reads only ITS OWN new
+        // manifests no matter how long the history is; the bounded
+        // manifestCache is just the fallback for cold loads, and its
+        // cap can no longer reintroduce O(history x files) IO per
+        // commit (round-15 ADVICE). A missing manifest means a
+        // concurrent expiry deleted it between our pointer read and
+        // this parse — reload from the moved pointer (the fresh
+        // version no longer references it); an unmoved pointer with a
+        // missing manifest is real corruption and rethrows.
+        val prev = hydratedByPath.synchronized(
+          Option(hydratedByPath.get(metaDir(ns, name).toString)))
+          .getOrElse(Map.empty[String, SnapshotMeta])
+        val m = try slim.copy(snapshots = slim.snapshots.map { sn =>
+          sn.manifestPath.flatMap(prev.get) match {
+            case Some(h) => sn.copy(files = h.files,
+              fileStats = h.fileStats, deleteFiles = h.deleteFiles,
+              deleteFileStats = h.deleteFileStats, eqDeletes = h.eqDeletes)
+            case None => hydrate(sn)
+          }
+        })
         catch {
           case e: java.nio.file.NoSuchFileException =>
             val nowVersion = new String(
@@ -3523,6 +3625,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             else throw e
         }
         metaParseCache.synchronized(metaParseCache.put(key, m)): Unit
+        // refresh this table's manifestPath -> hydrated-snapshot view
+        // (references the SAME immutable SnapshotMeta objects as the
+        // cached TableMeta — structural sharing, no copies)
+        hydratedByPath.synchronized(hydratedByPath.put(
+          metaDir(ns, name).toString,
+          m.snapshots.flatMap(s => s.manifestPath.map(_ -> s)).toMap)): Unit
         m
     }
     (version, meta)
@@ -3535,6 +3643,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     new java.util.LinkedHashMap[Any, TableMeta](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Any, TableMeta]): Boolean = size > 16
+    }
+
+  /** Per-table view of the LAST loaded version's hydrated snapshots
+    * keyed by manifest path — the structural-sharing source
+    * [[loadMeta]] reuses so consecutive version loads pay IO only for
+    * NEW manifests (one map of references per table; bounded by live
+    * tables).
+    */
+  private val hydratedByPath =
+    new java.util.LinkedHashMap[String, Map[String, SnapshotMeta]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, SnapshotMeta]]): Boolean =
+        size > 64
     }
 }
 
@@ -3829,6 +3951,10 @@ object SnapshotCatalog {
 
   final case class TableMeta(
       tableId: String,
+      // per-incarnation uuid (Iceberg's table-uuid) — stamped at
+      // CREATE, part of the metadata parse cache key; empty only for
+      // metadata written before the uuid existed
+      tableUuid: String = "",
       namespace: String,
       name: String,
       location: String,

@@ -481,7 +481,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * a session-level switch write-only.
     */
   private def wapBranch(): Option[String] =
-    spark.conf.getOption(Engine.WapBranchConf).map(_.trim).filter(_.nonEmpty)
+    spark.conf.getOption(Engine.WapBranchConf)
+      .map(v => Engine.stripQuotePair(v.trim)).filter(_.nonEmpty)
 
   /** The snapshot a DML statement plans against: the WAP branch head
     * (auto-created at current on first use) or the current snapshot.
@@ -1964,6 +1965,29 @@ object Engine {
     * contract; Iceberg's `spark.wap.branch` analog).
     */
   val WapBranchConf = "graft.wap.branch"
+
+  /** Session conf redirecting READS at the WAP branch (opt-in Iceberg
+    * `spark.wap.branch` read parity, round 16): with
+    * `SET graft.wap.read = true`, plain SELECT and `changes()` against
+    * a catalog table resolve through the staged branch head when
+    * [[WapBranchConf]] names an existing branch; without it reads stay
+    * published-only (the write-only blast radius documented on
+    * [[Engine.wapBranch]]).
+    */
+  val WapReadConf = "graft.wap.read"
+
+  /** Spark's `SET k = ''` stores the LITERAL two-character string `''`
+    * (verified on the shipped 4.1.2) — without unquoting, the
+    * documented clear idiom would leave every subsequent DML staging
+    * onto a branch literally named `''` while the published table
+    * silently receives nothing. Strip one matching surrounding
+    * quote pair so `''`/`""`/`'name'` behave as SQL intends;
+    * `RESET graft.wap.branch` also clears.
+    */
+  private[query] def stripQuotePair(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1).trim
+    else s
 
   /** Shared daemon watchdog for [[Engine.withBudget]] query-budget
     * cancellation — one timer thread serves every Engine in the JVM

@@ -2013,4 +2013,105 @@ class CatalogSpec extends SparkTestBase {
     assert(n == 20L + appended.get(),
       s"expected ${20 + appended.get()} rows after churn, got $n")
   }
+
+  test("delete-memo eviction is semantics-free: a delete side larger " +
+      "than the memo cap still hides every deleted row") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 40L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    // cap the per-delete-file memos far below the delete-file count:
+    // with the pre-fix final-lookup-falls-to-empty behavior, evicted
+    // files would be treated as naming NO rows and their deletes
+    // silently resurrect
+    spark.conf.set("spark.graft.catalog.deleteMemoCap", "3")
+    try {
+      for (i <- 0L until 10L) {
+        val cur = cat.describe("db", "t").currentSnapshot.get
+        val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+          .filter(col("id") === i)
+          .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+        cat.addDeleteFile("db", "t", pos, None)
+      }
+      assert(cat.describe("db", "t").currentSnapshot.get.deleteFiles.size == 10)
+      val got = cat.read("db", "t").collect().map(_.getLong(0)).toSet
+      assert(got == (10L until 40L).toSet,
+        s"rows resurrected under memo eviction: ${(got -- (10L until 40L)).toSeq.sorted}")
+      // the changelog path consults the same memos
+      val meta = cat.describe("db", "t")
+      val first = meta.snapshots.head.snapshotId
+      val last = meta.currentSnapshotId.get
+      val ch = cat.readChangelog("db", "t", first, Some(last))
+      assert(ch.filter(col("_change_type") === "delete").count() == 10)
+    } finally spark.conf.unset("spark.graft.catalog.deleteMemoCap")
+  }
+
+  test("URI-hostile warehouse path (spaces): MoR deletes attribute " +
+      "correctly — never silently dropped") {
+    import spark.implicits._
+    val wh = tmpDir("graft wh space") // a space in every file URI
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t",
+      (0L until 20L).map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val pos = cat.readFilesWithRowId(cur, schemaV1, cur.files)
+      .filter(col("id") < 5L)
+      .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+    cat.addDeleteFile("db", "t", pos, None)
+    assert(cat.read("db", "t").count() == 15,
+      "deletes dropped under a URI-hostile warehouse path")
+    assert(cat.read("db", "t").filter(col("id") < 5L).isEmpty)
+    // the changelog's row-identity anti-join speaks the same form
+    val meta = cat.describe("db", "t")
+    val ch = cat.readChangelog("db", "t",
+      meta.snapshots.head.snapshotId, meta.currentSnapshotId)
+    assert(ch.filter(col("_change_type") === "delete").count() == 5)
+  }
+
+  test("per-incarnation uuid: DROP + re-CREATE through a second " +
+      "catalog instance is seen by the first — no stale cached parse") {
+    import spark.implicits._
+    val wh = tmpDir("graft-incarn")
+    val catA = new SnapshotCatalog(spark, wh)
+    catA.createTable("db", "t", schemaV1)
+    catA.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    assert(catA.read("db", "t").count() == 1) // warm catA's caches
+    val uuid1 = catA.incarnationUuid("db", "t")
+    assert(uuid1.nonEmpty)
+    // second instance = a different process's catalog: drop and
+    // re-create with the SAME version numbers
+    val catB = new SnapshotCatalog(spark, wh)
+    catB.dropTable("db", "t")
+    catB.createTable("db", "t", schemaV1)
+    catB.append("db", "t", Seq((7L, 7.0), (8L, 8.0)).toDF("id", "v"))
+    val uuid2 = catA.incarnationUuid("db", "t")
+    assert(uuid2.nonEmpty && uuid2 != uuid1,
+      "re-CREATE must mint a fresh incarnation uuid")
+    assert(catA.describe("db", "t").tableUuid == uuid2)
+    // the first instance's next read reflects the NEW incarnation
+    assert(catA.read("db", "t").collect().map(_.getLong(0)).toSet ==
+      Set(7L, 8L), "stale cached parse served across incarnations")
+  }
+
+  test("hydration reuse: a history deeper than the manifest cache " +
+      "stays exact across commits") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    // more snapshots than hydratedByPath strictly needs, each tiny;
+    // every loadMeta along the way must keep ALL history exact
+    for (i <- 0L until 12L)
+      cat.append("db", "t", Seq((i, i.toDouble)).toDF("id", "v"))
+    val meta = cat.describe("db", "t")
+    assert(meta.snapshots.size == 12)
+    // every snapshot's hydrated payload is complete (files grow 1/commit)
+    meta.snapshots.sortBy(_.snapshotId).zipWithIndex.foreach {
+      case (s, i) => assert(s.files.size == i + 1,
+        s"snapshot ${s.snapshotId} lost hydrated files")
+    }
+    assert(cat.read("db", "t").count() == 12)
+    assert(cat.read("db", "t", Some(5L)).count() == 5)
+  }
 }

@@ -1669,4 +1669,47 @@ class EngineSpec extends SparkTestBase {
       assert(cat.read("db", "t").count() == 7)
     } finally spark.conf.set(Engine.WapBranchConf, "")
   }
+
+  test("SET graft.wap.branch = '' CLEARS the mode: DML after the " +
+      "SQL-level clear lands on the published table, not a branch " +
+      "literally named ''") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapclear"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.append("db", "t",
+        (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("DELETE FROM db.t WHERE id = 0")
+        .startsWith("""{"error""""))
+      assert(cat.read("db", "t").count() == 10) // staged only
+      // the documented clear idiom — Spark stores the LITERAL '' for
+      // `SET k = ''`; wapBranch must unquote it, or this DML silently
+      // stages onto a branch named ''
+      assert(!eng.sqlQuery("SET graft.wap.branch = ''")
+        .startsWith("""{"error""""))
+      val d = eng.sqlQuery("DELETE FROM db.t WHERE id = 1")
+      assert(d.contains(""""rows_affected":1"""), d)
+      assert(cat.read("db", "t").count() == 9,
+        "post-clear DML did not publish — the clear idiom is broken")
+      assert(!cat.describe("db", "t").refs.keySet.exists(_.contains("'")),
+        "a quote-named branch was created by the clear idiom")
+      // double-quoted clear and RESET both work too
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("SET graft.wap.branch = \"\"")
+        .startsWith("""{"error""""))
+      val d2 = eng.sqlQuery("DELETE FROM db.t WHERE id = 2")
+      assert(d2.contains(""""rows_affected":1"""), d2)
+      assert(cat.read("db", "t").count() == 8)
+      assert(!eng.sqlQuery("RESET graft.wap.branch")
+        .startsWith("""{"error""""))
+      val d3 = eng.sqlQuery("DELETE FROM db.t WHERE id = 3")
+      assert(d3.contains(""""rows_affected":1"""), d3)
+      assert(cat.read("db", "t").count() == 7)
+    } finally spark.conf.set(Engine.WapBranchConf, "")
+  }
 }
