@@ -166,6 +166,74 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
     }
 
+  /** `ALTER TABLE … ALTER COLUMN <c> TYPE <t>` — Iceberg's SAFE type
+    * promotion (int→long, float→double, decimal precision widen at the
+    * same scale) as a METADATA-ONLY commit: the declared schema gains
+    * the wide type and every existing file is CAST AT READ (the
+    * parquet reader widens int32→int64 / float→double / decimal
+    * natively under the declared read schema — verified on the shipped
+    * Spark, so old-era files need no rewrite and no per-file branch).
+    * Renderings in the manifests stay valid: min/max stats are
+    * collected through a cast-to-double that already widens, and
+    * blooms exist only for string+integral columns whose canonical
+    * string rendering is promotion-stable ("5" as int == "5" as long).
+    * The one surface promotion CAN break is a hidden-partition pval
+    * whose derivation is type-dependent (`bucket`'s xxhash64 hashes
+    * int and long differently; float renderings change under
+    * identity/truncate) — any live spec era like that refuses the
+    * promotion loudly rather than silently mis-pruning old files.
+    * The implicit write-side BACKWARD gate still rejects ALL type
+    * changes: promotion is an explicit DDL act, as in Iceberg.
+    */
+  def promoteColumnType(ns: String, name: String, colName: String,
+      newType: DataType): TableMeta = synchronized {
+    retryMetaCommit(ns, name) { meta =>
+      val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(colName),
+        s"no column $colName in $ns.$name")
+      val from = schema(colName).dataType
+      require(SchemaCompat.safePromotion(from, newType),
+        s"unsafe type change ${from.simpleString} -> " +
+          s"${newType.simpleString} for $colName — safe promotions are " +
+          "int->bigint, float->double, decimal(P,S)->decimal(P',S) with " +
+          "P' >= P")
+      // every live spec era (current property + per-file pspec stamps)
+      // that derives a pval from this column must derive the SAME pval
+      // from the widened type, or old files would silently mis-prune
+      val eras = (meta.properties.get(PartitionSpec.PropertyKey).toSeq ++
+        meta.snapshots.flatMap(_.fileStats.flatMap(_.pspec))).distinct
+      eras.flatMap(e => scala.util.Try(PartitionSpec.parse(e)).toOption)
+        .filter(_.column == colName)
+        .foreach { p =>
+          require(pvalStableUnderPromotion(p.transform, from, newType),
+            s"cannot promote $colName under partition spec " +
+              s"'${p.transform}(${p.column})' — the transform's value " +
+              "derivation is type-dependent; evolve the spec (and let " +
+              "compaction migrate old files) first")
+        }
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == colName) f.copy(dataType = newType) else f))
+      meta.copy(schemaJson = newSchema.json)
+    }
+  }
+
+  /** Whether a partition transform derives the SAME pval from a value
+    * before and after the promotion. `bucket` never does for int→long
+    * (xxhash64 is type-dependent) and decimal hashing crosses the
+    * 18-digit representation boundary, so it is refused outright;
+    * float renderings change under every transform.
+    */
+  private def pvalStableUnderPromotion(transform: String,
+      from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    if (from == to) true
+    else (from, to) match {
+      case (IntegerType, LongType) => transform != "bucket"
+      case (_: DecimalType, _: DecimalType) => transform != "bucket"
+      case _ => false // float->double: string renderings diverge
+    }
+  }
+
   /** The field-id mapping, ACTIVATED on demand: before any rename/drop
     * the table carries none (physical names == declared names by
     * construction); the first rename/drop initializes ids from the
@@ -211,6 +279,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def renameColumn(ns: String, name: String, from: String,
       to: String): TableMeta = synchronized {
     retryMetaCommit(ns, name) { meta =>
+      renameBuild(ns, name, from, to, meta)
+    }: Unit
+    // reload: the returned view must carry the remapped (current-name)
+    // manifest entries, not the pre-DDL in-memory ones
+    describe(ns, name)
+  }
+
+  private def renameBuild(ns: String, name: String, from: String,
+      to: String, meta: TableMeta): TableMeta = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(schema.fieldNames.contains(from), s"no column $from in $ns.$name")
     require(!schema.fieldNames.contains(to),
@@ -220,42 +297,34 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     val ids0 = activatedIds(meta, schema)
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    def remap[V](m: Map[String, V]): Map[String, V] =
-      m.map { case (k, v) => (if (k == from) to else k) -> v }
-    val snaps = meta.snapshots.map { s =>
-      s.copy(fileStats = s.fileStats.map { fs =>
-        fs.copy(min = remap(fs.min), max = remap(fs.max),
-          blooms = fs.blooms.map(remap),
-          // physical mapping: NOT remapped — it records what is in
-          // the file, which a metadata-only rename never changes
-          colIds = fs.colIds.orElse(Some(ids0)))
-      },
-        // equality-delete KEY columns follow the rename too (they are
-        // declared-name references, resolved under the current schema
-        // on every read/compact); the file's physical names are pinned
-        // in physCols first so the delete parquet keeps resolving
-        eqDeletes = s.eqDeletes.map { d =>
-          d.copy(physCols = d.physCols.orElse(Some(d.cols)),
-            cols = d.cols.map(c => if (c == from) to else c),
-            keyMin = d.keyMin.map(remap), keyMax = d.keyMax.map(remap))
-        },
-        // heavy payload mutated -> the commit must write a FRESH
-        // manifest (the commit-reuse contract); the old file becomes
-        // an orphan the manifest sweep reaps
-        manifestPath = None)
-    }
     val props = meta.properties.get(BloomColumnsProp) match {
       case Some(cs) => meta.properties + (BloomColumnsProp ->
         cs.split(",").map(_.trim).map(c => if (c == from) to else c)
           .mkString(","))
       case None => meta.properties
     }
+    // O(1) rename (round 16): NO snapshot or manifest is touched —
+    // the rename is recorded as a [[NameLink]] in the slim versioned
+    // metadata and every manifest entry written before it remaps at
+    // LOAD ([[remapNames]]). Stats, blooms, and eq-delete key columns
+    // of a million-file history follow the new name without a byte of
+    // manifest IO.
     meta.copy(schemaJson = newSchema.json,
       fieldIds = (ids0 - from) + (to -> ids0(from)),
       lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
-      snapshots = snaps, properties = props)
-    }
+      nameLinks = meta.nameLinks :+
+        NameLink(from, Some(to), nextSeqOf(meta)),
+      activationIds =
+        if (meta.fieldIds.nonEmpty) meta.activationIds else ids0,
+      properties = props)
   }
+
+  /** The sequence number the NEXT data commit would take — the name-
+    * era boundary a [[NameLink]] records: entries strictly below it
+    * were written under the old name.
+    */
+  private def nextSeqOf(meta: TableMeta): Long =
+    meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
 
   /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: the
     * declared schema loses the field, its id is retired, and its stats/
@@ -283,25 +352,26 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           s"$ns.$name key on it; compact to fold them first")
       val ids0 = activatedIds(meta, schema)
       val newSchema = StructType(schema.fields.filterNot(_.name == colName))
-      val snaps = meta.snapshots.map { s =>
-        s.copy(fileStats = s.fileStats.map { fs =>
-          fs.copy(min = fs.min - colName, max = fs.max - colName,
-            blooms = fs.blooms.map(_ - colName),
-            colIds = fs.colIds.orElse(Some(ids0)))
-        },
-          // heavy payload mutated -> fresh manifest (commit contract)
-          manifestPath = None)
-      }
       val props = meta.properties.get(BloomColumnsProp) match {
         case Some(cs) => meta.properties + (BloomColumnsProp ->
           cs.split(",").map(_.trim).filterNot(_ == colName).mkString(","))
         case None => meta.properties
       }
+      // O(1) drop (the renameColumn discipline): a drop [[NameLink]]
+      // (to = None) removes the column's stat/bloom entries from
+      // pre-link manifest entries at LOAD — no manifest rewrite; a
+      // later re-ADD of the name gets a fresh field id and fresh
+      // entries (post-link seq), so old data/stats never resurface
       meta.copy(schemaJson = newSchema.json,
         fieldIds = ids0 - colName,
         lastFieldId = math.max(meta.lastFieldId, ids0.values.max),
-        snapshots = snaps, properties = props)
-      }
+        nameLinks = meta.nameLinks :+
+          NameLink(colName, None, nextSeqOf(meta)),
+        activationIds =
+          if (meta.fieldIds.nonEmpty) meta.activationIds else ids0,
+        properties = props)
+      }: Unit
+      describe(ns, name) // remapped (current-name) view
     }
 
   /** Drop a table (the purge form — Iceberg's `DROP TABLE … PURGE`):
@@ -3488,8 +3558,20 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     def writeManifest(sn: SnapshotMeta): String = {
       val uid = java.util.UUID.randomUUID().toString.take(8)
       val mf = dir.resolve(s"manifest-${sn.snapshotId}-$uid.json")
-      val doc = ManifestDoc(sn.files, sn.fileStats, sn.deleteFiles,
-        sn.deleteFileStats, sn.eqDeletes)
+      // name-era stamp: the in-memory stats being persisted are keyed
+      // under the CURRENT rename/drop chain (loadMeta remapped them),
+      // so entries carried from older files record the link high-water
+      // — at reload only links NEWER than it apply ([[remapNames]]),
+      // never the already-applied chain again
+      val hw = meta.nameLinks.map(_.seq).maxOption
+      val stamped =
+        if (hw.isEmpty) sn.fileStats
+        else sn.fileStats.map(fs => fs.copy(nameSeq = hw))
+      val eqStamped =
+        if (hw.isEmpty) sn.eqDeletes
+        else sn.eqDeletes.map(d => d.copy(nameSeq = hw))
+      val doc = ManifestDoc(sn.files, stamped, sn.deleteFiles,
+        sn.deleteFileStats, eqStamped)
       Files.write(mf, Mapper.writeValueAsBytes(doc),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       written += mf
@@ -3506,11 +3588,12 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // — the decision must not depend on manifestCache residency, or
         // a history longer than the LRU would rewrite the evicted tail
         // on every commit. THE CONTRACT: any mutator that changes a
-        // committed snapshot's heavy payload in memory (ALTER
-        // RENAME/DROP's stat remap/backfill) MUST clear manifestPath on
-        // the snapshots it touched; the superseded manifest files
-        // become unreferenced and removeOrphanFiles reaps them past the
-        // safety window.
+        // committed snapshot's heavy payload in memory MUST clear
+        // manifestPath on the snapshots it touched (the superseded
+        // manifest becomes an orphan removeOrphanFiles reaps).
+        // ALTER RENAME/DROP no longer do — they append a [[NameLink]]
+        // and the remap happens at LOAD ([[remapNames]]), which is
+        // exactly what makes them O(1).
         case Some(_) => stripped
         case None =>
           stripped.copy(manifestPath = Some(writeManifest(sn)))
@@ -3605,15 +3688,19 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // this parse — reload from the moved pointer (the fresh
         // version no longer references it); an unmoved pointer with a
         // missing manifest is real corruption and rethrows.
+        // the reuse entry is valid only under the SAME rename/drop
+        // chain — a DDL between loads means every payload must remap
+        // freshly ([[remapNames]]; manifestCache still makes that IO-free)
         val prev = hydratedByPath.synchronized(
           Option(hydratedByPath.get(metaDir(ns, name).toString)))
+          .filter(_._1 == slim.nameLinks).map(_._2)
           .getOrElse(Map.empty[String, SnapshotMeta])
         val m = try slim.copy(snapshots = slim.snapshots.map { sn =>
           sn.manifestPath.flatMap(prev.get) match {
             case Some(h) => sn.copy(files = h.files,
               fileStats = h.fileStats, deleteFiles = h.deleteFiles,
               deleteFileStats = h.deleteFileStats, eqDeletes = h.eqDeletes)
-            case None => hydrate(sn)
+            case None => remapNames(hydrate(sn), slim)
           }
         })
         catch {
@@ -3630,7 +3717,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // cached TableMeta — structural sharing, no copies)
         hydratedByPath.synchronized(hydratedByPath.put(
           metaDir(ns, name).toString,
-          m.snapshots.flatMap(s => s.manifestPath.map(_ -> s)).toMap)): Unit
+          (slim.nameLinks,
+            m.snapshots.flatMap(s => s.manifestPath.map(_ -> s)).toMap))): Unit
         m
     }
     (version, meta)
@@ -3652,12 +3740,66 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * tables).
     */
   private val hydratedByPath =
-    new java.util.LinkedHashMap[String, Map[String, SnapshotMeta]](
+    new java.util.LinkedHashMap[
+        String, (Seq[NameLink], Map[String, SnapshotMeta])](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[String, SnapshotMeta]]): Boolean =
+          e: java.util.Map.Entry[
+            String, (Seq[NameLink], Map[String, SnapshotMeta])]): Boolean =
         size > 64
     }
+
+  /** Apply the table's rename/drop chain to one RAW hydrated snapshot
+    * (the O(1)-rename read side): every manifest entry written before
+    * a [[NameLink]] (name-era stamp strictly below the link's seq)
+    * follows it — stat/bloom keys rename or drop, eq-delete key
+    * columns rename with their physical names pinned first, and
+    * colIds-less (pre-activation) entries get the virtual
+    * at-activation identity mapping. Entries at or above a link's seq
+    * were written under the post-link names already (including
+    * compaction-carried stats, which stamp [[FileStats.nameSeq]] at
+    * manifest write) — applying the link to them would double-rename.
+    * Identity (zero-cost) when the table never renamed or dropped.
+    */
+  private def remapNames(sn: SnapshotMeta, meta: TableMeta): SnapshotMeta = {
+    val links = meta.nameLinks
+    val act = meta.activationIds
+    if (links.isEmpty && act.isEmpty) return sn
+    def remapKeys[V](m: Map[String, V], appl: Seq[NameLink]): Map[String, V] =
+      appl.foldLeft(m) { (acc, l) =>
+        acc.get(l.from) match {
+          case None => acc
+          case Some(v) => l.to match {
+            case Some(t) => (acc - l.from) + (t -> v)
+            case None => acc - l.from
+          }
+        }
+      }
+    val fileStats = sn.fileStats.map { fs =>
+      val era = fs.nameSeq.orElse(fs.seq).getOrElse(Long.MinValue)
+      val appl = links.filter(_.seq > era)
+      val withIds = fs.copy(colIds = fs.colIds.orElse(
+        if (act.nonEmpty) Some(act) else None))
+      if (appl.isEmpty) withIds
+      else withIds.copy(min = remapKeys(fs.min, appl),
+        max = remapKeys(fs.max, appl),
+        blooms = fs.blooms.map(remapKeys(_, appl)))
+    }
+    val eqs = sn.eqDeletes.map { d =>
+      val era = d.nameSeq.getOrElse(d.seq)
+      val appl = links.filter(_.seq > era)
+      if (appl.isEmpty) d
+      else {
+        def walk(c: String): String = appl.foldLeft(c)((n, l) =>
+          if (l.from == n) l.to.getOrElse(n) else n)
+        d.copy(physCols = d.physCols.orElse(Some(d.cols)),
+          cols = d.cols.map(walk),
+          keyMin = d.keyMin.map(remapKeys(_, appl)),
+          keyMax = d.keyMax.map(remapKeys(_, appl)))
+      }
+    }
+    sn.copy(fileStats = fileStats, eqDeletes = eqs)
+  }
 }
 
 object SnapshotCatalog {
@@ -3794,7 +3936,17 @@ object SnapshotCatalog {
       // future delete (conservatively deletable). contentAs: same
       // Jackson Option-number boxing issue as SnapshotMeta.parentId.
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      seq: Option[Long] = None)
+      seq: Option[Long] = None,
+      // name-era stamp: the [[NameLink]] high-water the stat KEYS
+      // (min/max/blooms) were current at when this entry was WRITTEN
+      // into its manifest — only links with seq strictly above it
+      // apply at load. Distinct from `seq`: compaction carries an old
+      // file (old `seq`, eq-delete semantics unchanged) into a FRESH
+      // manifest written under current names; without the stamp the
+      // already-applied rename chain would re-apply and double-swap.
+      // None = keys as of `seq` (or pre-activation when that is None).
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      nameSeq: Option[Long] = None)
 
   /** One equality delete file (Iceberg v2's second delete flavor):
     * rows of `cols` values; a data row is hidden when its `cols`
@@ -3821,7 +3973,23 @@ object SnapshotCatalog {
   final case class EqDeleteMeta(path: String, cols: Seq[String],
       seq: Long, rows: Long, physCols: Option[Seq[String]] = None,
       keyMin: Option[Map[String, String]] = None,
-      keyMax: Option[Map[String, String]] = None)
+      keyMax: Option[Map[String, String]] = None,
+      // name-era stamp (the FileStats.nameSeq discipline): `cols` /
+      // key stats are current as of this link high-water; only
+      // rename/drop links NEWER than it apply at load
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      nameSeq: Option[Long] = None)
+
+  /** One `ALTER TABLE … RENAME/DROP COLUMN` recorded in the versioned
+    * metadata (round 16 — the O(1) rename): `to` = None is a drop.
+    * Applied at metadata LOAD to every manifest entry written BEFORE
+    * the link (`seq` is the snapshot-sequence high-water at DDL time;
+    * an entry remaps iff its name-era stamp is strictly below), so the
+    * DDL itself touches no manifest — on a million-file, deep-history
+    * table a rename is one slim metadata write instead of a
+    * multi-minute stop-the-world manifest rewrite.
+    */
+  final case class NameLink(from: String, to: Option[String], seq: Long)
 
   /** One snapshot's heavy payload as stored in its side manifest file
     * (see [[SnapshotMeta.manifestPath]]).
@@ -3983,7 +4151,18 @@ object SnapshotCatalog {
       // column's id is retired FOREVER (never reused), otherwise a
       // re-added same-named column would inherit the dead id and old
       // files' data would resurface under it
-      lastFieldId: Int = 0) {
+      lastFieldId: Int = 0,
+      // the RENAME/DROP chain, applied to manifest entries at LOAD
+      // ([[NameLink]]; the O(1)-rename machinery) — empty for tables
+      // that never renamed/dropped
+      nameLinks: Seq[NameLink] = Seq.empty,
+      // declared-name → field id AT ACTIVATION: the virtual colIds of
+      // files written before field ids activated (their physical names
+      // are the declared names of that instant); empty for tables
+      // whose activation predates this field (those had colIds
+      // physically backfilled)
+      @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+      activationIds: Map[String, Int] = Map.empty) {
     def currentSnapshot: Option[SnapshotMeta] =
       currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
   }

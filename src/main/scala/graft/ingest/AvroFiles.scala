@@ -88,7 +88,13 @@ object AvroFiles {
     */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.avro")
+    // pathGlobFilter on the real directory, NOT a glob in the load
+    // path: Spark's FileStreamSink.hasMetadata probes the load path as
+    // a literal file and WARN-dumps a FileNotFoundException stack
+    // trace for every glob — noise that reads like a broken fixture
+    // in bench/verify logs
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+      .load(dir)
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions { it =>

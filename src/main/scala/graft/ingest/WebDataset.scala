@@ -177,7 +177,11 @@ object WebDataset {
     */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    // pathGlobFilter, not a glob load path (the AvroFiles.read
+    // discipline): avoids FileStreamSink's literal-path probe WARN
+    // stack trace on every read
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, content) =>

@@ -2698,6 +2698,20 @@ object Relational {
       val nDel = base.filter(col("k") >= 1500 && col("k") < 1600).count()
       require(staged == base.count() + nIns - nDel,
         s"staged row count $staged != ${base.count()} + $nIns - $nDel")
+      // opt-in read redirection (round 16, Iceberg read parity): the
+      // SAME plain SELECT sees the staged branch while redirected and
+      // the published state once the flag drops
+      val ron = eng.sqlQuery("SET graft.wap.read = true")
+      require(!ron.startsWith("""{"error""""), s"SET read failed: $ron")
+      val redirected = eng.sqlDataFrame(
+        "SELECT count(*) AS n FROM db.o")._1.head().getLong(0)
+      require(redirected == staged,
+        s"redirected read $redirected != staged $staged")
+      val roff = eng.sqlQuery("SET graft.wap.read = false")
+      require(!roff.startsWith("""{"error""""), s"SET read off failed: $roff")
+      require(eng.sqlDataFrame("SELECT count(*) AS n FROM db.o")._1
+        .head().getLong(0) == base.count(),
+        "published read changed after dropping the redirect")
       // publish: one pointer move; clear the branch mode first so the
       // final read below is the published state
       val clr = eng.sqlQuery("SET graft.wap.branch = ''")
@@ -2715,6 +2729,7 @@ object Relational {
       s.createDataFrame(rows, schema)
     } finally {
       s.conf.set(graft.query.Engine.WapBranchConf, "")
+      s.conf.set(graft.query.Engine.WapReadConf, "false")
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
       try {
         import scala.jdk.CollectionConverters._
@@ -2861,6 +2876,105 @@ object Relational {
       |FROM (SELECT * FROM run0 UNION ALL SELECT * FROM run1)
       |GROUP BY 1, 2 ORDER BY run, _change_type""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  // SAFE TYPE PROMOTION through the SQL surface (round 16 — Iceberg's
+  // `ALTER TABLE … ALTER COLUMN … TYPE …` for the safe set): a table
+  // is populated under NARROW types (int / decimal(9,2) / float),
+  // promoted metadata-only to bigint / decimal(18,2) / double, then
+  // written with rows that NEED the wide types, mutated by DML that
+  // spans both file eras, and aggregated — old files cast at read
+  // (the parquet reader widens natively under the promoted declared
+  // schema), so the oracle is pure SELECT algebra applying the same
+  // casts. Decimal sums are exact; the double column only ever
+  // surfaces through order-independent min/max rounded to 2 digits,
+  // so float→double widening (IEEE-exact in both engines)
+  // hash-matches.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q64_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      import org.apache.spark.sql.types._
+      val narrow = StructType(Seq(
+        StructField("k", IntegerType), StructField("d", DecimalType(9, 2)),
+        StructField("f", FloatType)))
+      cat.createTable("db", "p", narrow)
+      def run(sql: String): Unit = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"DML failed: $out — $sql")
+      }
+      val ordersPq = s"$dir/orders.parquet"
+      // narrow era
+      run(s"""INSERT INTO db.p
+        |SELECT CAST(o_orderkey AS INT),
+        |  CAST(round(o_totalprice, 2) AS DECIMAL(9,2)),
+        |  CAST(o_totalprice AS FLOAT)
+        |FROM parquet.`$ordersPq` WHERE o_orderkey < 1500""".stripMargin)
+      val narrowFiles = cat.describe("db", "p").currentSnapshot.get.files
+      // promotion: three metadata-only commits
+      run("ALTER TABLE db.p ALTER COLUMN k TYPE BIGINT")
+      run("ALTER TABLE db.p ALTER COLUMN d TYPE DECIMAL(18,2)")
+      run("ALTER TABLE db.p ALTER COLUMN f TYPE DOUBLE")
+      require(cat.describe("db", "p").currentSnapshot.get.files == narrowFiles,
+        "promotion must not touch data files")
+      require(cat.schemaOf("db", "p")("k").dataType == LongType)
+      // wide era: values that NEED bigint range / decimal(18,2)
+      run(s"""INSERT INTO db.p
+        |SELECT o_orderkey + 5000000000,
+        |  CAST(round(o_totalprice + 10000000000, 2) AS DECIMAL(18,2)),
+        |  CAST(o_totalprice AS DOUBLE)
+        |FROM parquet.`$ordersPq`
+        |WHERE o_orderkey >= 1500 AND o_orderkey < 1600""".stripMargin)
+      // DML spanning both eras under the promoted schema
+      run("UPDATE db.p SET d = d + 0.25 WHERE k < 100")
+      run("DELETE FROM db.p WHERE k >= 500 AND k < 700")
+      val out = cat.read("db", "p")
+        .groupBy(when(col("k") >= 5000000000L, "wide")
+          .otherwise("narrow").as("era"))
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          round(sum("d").cast("double"), 2).as("sum_d"),
+          round(min("f"), 2).as("min_f"),
+          round(max("f"), 2).as("max_f"))
+        .orderBy("era")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      val schema = out.schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q64Sql =
+    """WITH narrow AS (
+      |  SELECT CAST(CAST(o_orderkey AS INTEGER) AS BIGINT) AS k,
+      |    CAST(CAST(round(o_totalprice, 2) AS DECIMAL(9,2))
+      |      AS DECIMAL(18,2)) AS d,
+      |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS f
+      |  FROM orders WHERE o_orderkey < 1500),
+      |wide AS (
+      |  SELECT o_orderkey + 5000000000 AS k,
+      |    CAST(round(o_totalprice + 10000000000, 2) AS DECIMAL(18,2)) AS d,
+      |    CAST(o_totalprice AS DOUBLE) AS f
+      |  FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 1600),
+      |st AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide),
+      |upd AS (
+      |  SELECT k, CASE WHEN k < 100 THEN d + 0.25 ELSE d END AS d, f
+      |  FROM st),
+      |fin AS (SELECT * FROM upd WHERE NOT (k >= 500 AND k < 700))
+      |SELECT CASE WHEN k >= 5000000000 THEN 'wide' ELSE 'narrow' END AS era,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(d) AS DOUBLE), 2) AS sum_d,
+      |  round(min(f), 2) AS min_f, round(max(f), 2) AS max_f
+      |FROM fin GROUP BY 1 ORDER BY era""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -2925,5 +3039,6 @@ object Relational {
     QuerySpec("q60_changelog_sql", q60, Some(q60Sql)),
     QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)),
     QuerySpec("q62_wap_branch_dml", q62, Some(q62Sql)),
-    QuerySpec("q63_changelog_across_compaction", q63, Some(q63Sql)))
+    QuerySpec("q63_changelog_across_compaction", q63, Some(q63Sql)),
+    QuerySpec("q64_type_promotion", q64, Some(q64Sql)))
 }

@@ -183,14 +183,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     // consumption reachable from the pass-through SQL surface
     val chViews = chRefs.map { case key @ (ns, t, from, to) =>
       val view = Engine.viewName(ns, s"${t}_ch${from}_${to.getOrElse(-1L)}")
-      catalog.readChangelog(ns, t, from, to).createOrReplaceTempView(view)
+      // an open-ended window follows the WAP read redirect: "changes
+      // up to now" means the staged head when reads are redirected
+      val toResolved = to.orElse(if (wapRead())
+        wapBranch().flatMap(catalog.describe(ns, t).refs.get) else None)
+      catalog.readChangelog(ns, t, from, toResolved)
+        .createOrReplaceTempView(view)
       key -> view
     }.toMap
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
       val meta = catalog.describe(ref.ns, ref.table)
-      val snap = meta.currentSnapshot
+      val snap = readSnapshot(meta) // WAP read redirect when opted in
       val (files, total) = snap match {
         case None => (Nil, 0)
         case Some(s) => (prunedFilesFor(ref.ns, ref.table, s, ref.bounds),
@@ -475,14 +480,41 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * `CALL system.fast_forward('ns.tbl', '<name>')` publishes the
     * audited result in one pointer move. The branch is auto-created at
     * the current snapshot on first use (Iceberg's branch-on-first-write
-    * behavior); clear with `SET graft.wap.branch = ''`. Reads are NOT
-    * redirected — audit the staged state explicitly via
+    * behavior); clear with `SET graft.wap.branch = ''` (quote pairs are
+    * unquoted — see [[Engine.stripQuotePair]]) or `RESET`. Reads are
+    * NOT redirected by default — audit the staged state explicitly via
     * `VERSION AS OF '<name>'`, which is what keeps the blast radius of
-    * a session-level switch write-only.
+    * a session-level switch write-only; opt in to Iceberg's
+    * read-follows-branch parity with `SET graft.wap.read = true`
+    * ([[readSnapshot]]).
     */
   private def wapBranch(): Option[String] =
     spark.conf.getOption(Engine.WapBranchConf)
       .map(v => Engine.stripQuotePair(v.trim)).filter(_.nonEmpty)
+
+  /** Opt-in WAP read redirection ([[Engine.WapReadConf]], Iceberg
+    * `spark.wap.branch` read parity): true iff the session asked for
+    * reads to follow the staged branch.
+    */
+  private def wapRead(): Boolean =
+    spark.conf.getOption(Engine.WapReadConf)
+      .map(v => Engine.stripQuotePair(v.trim))
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** The snapshot a plain SELECT resolves: the WAP branch head when
+    * read redirection is on AND the branch exists (a branch never
+    * written to yet falls back to published — Iceberg's behavior),
+    * else the published current snapshot.
+    */
+  private def readSnapshot(
+      meta: graft.catalog.SnapshotCatalog.TableMeta):
+      Option[graft.catalog.SnapshotCatalog.SnapshotMeta] = {
+    val staged =
+      if (!wapRead()) None
+      else wapBranch().flatMap(meta.refs.get)
+        .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+    staged.orElse(meta.currentSnapshot)
+  }
 
   /** The snapshot a DML statement plans against: the WAP branch head
     * (auto-created at current on first use) or the current snapshot.
@@ -778,6 +810,32 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           summary("ALTER", ns, t, 0L, 0, total)
         }
 
+      // `ALTER TABLE … ALTER COLUMN c TYPE t` — safe type promotion
+      // (metadata-only; see SnapshotCatalog.promoteColumnType). Only
+      // pure TYPE changes are claimed; comment/position/default forms
+      // fall through to Spark's own (failing) resolution.
+      case org.apache.spark.sql.catalyst.plans.logical.AlterColumns(tbl, specs)
+          if specs.forall(s => s.newDataType.isDefined &&
+            s.newNullability.isEmpty && s.newComment.isEmpty &&
+            s.newPosition.isEmpty && s.newDefaultExpression.isEmpty &&
+            !s.dropDefault) =>
+        for {
+          (ns, t) <- idOf(tbl)
+          if catalog.tableExists(ns, t)
+          names <- Some(specs.map(_.column match {
+            case org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFieldName(Seq(n)) => Some(n)
+            case _ => None // nested fields fall through
+          })).filter(_.forall(_.isDefined)).map(_.flatten)
+        } yield {
+          names.zip(specs).foreach { case (n, s) =>
+            catalog.promoteColumnType(ns, t, n, s.newDataType.get): Unit
+          }
+          val total = catalog.describe(ns, t).currentSnapshot
+            .map(_.files.size).getOrElse(0)
+          summary("ALTER", ns, t, 0L, 0, total)
+        }
+
       case RenameColumn(tbl, colF, newName) =>
         for {
           (ns, t) <- idOf(tbl)
@@ -1056,7 +1114,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *  - `maintain('ns.tbl', keep_last, target_files[, older_than])` —
     *    the composed nightly pass;
     *  - `create_tag('ns.tbl', 'name')` / `create_branch('ns.tbl', 'name')`
-    *    / `fast_forward('ns.tbl', 'branch')` (WAP publish).
+    *    / `fast_forward('ns.tbl', 'branch')` (WAP publish);
+    *  - `drop_branch('ns.tbl', 'name')` / `drop_tag('ns.tbl', 'name')` —
+    *    kind-checked removal; a dropped branch's staged snapshots
+    *    become expirable (`expire_snapshots` reclaims them and their
+    *    manifests once unpinned).
     *
     * The `system` qualifier is optional. Unknown procedures or
     * non-literal args return None → Spark's own rejection.
@@ -1174,6 +1236,27 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         for { (ns, t) <- tbl(te); n <- str(ne) } yield {
           catalog.publish(ns, t, n)
           report(ns, t, "operation" -> "fast_forward", "ref" -> n)
+        }
+      // branch/tag REMOVAL (round 16): without these, an abandoned WAP
+      // branch pins its staged snapshot chain forever (expiry retains
+      // every ref'd snapshot). Kind-checked like Iceberg's procedures:
+      // drop_branch refuses a tag and vice versa, so a typo can never
+      // silently unpin the wrong kind of ref.
+      case ("drop_branch", Seq(te, ne)) =>
+        for { (ns, t) <- tbl(te); n <- str(ne) } yield {
+          val m = catalog.describe(ns, t)
+          require(!m.tagNames.contains(n),
+            s"'$n' is a tag in $ns.$t — use drop_tag")
+          catalog.dropRef(ns, t, n)
+          report(ns, t, "operation" -> "drop_branch", "ref" -> n)
+        }
+      case ("drop_tag", Seq(te, ne)) =>
+        for { (ns, t) <- tbl(te); n <- str(ne) } yield {
+          val m = catalog.describe(ns, t)
+          require(m.tagNames.contains(n),
+            s"'$n' is not a tag in $ns.$t — use drop_branch")
+          catalog.dropRef(ns, t, n)
+          report(ns, t, "operation" -> "drop_tag", "ref" -> n)
         }
       case _ => None
     }
@@ -1705,7 +1788,9 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         case other => countName(other)
       }
       snap = snapId match {
-        case None => catalog.describe(ns, t).currentSnapshot
+        // plain-relation counts follow the WAP read redirect too —
+        // the fast path must answer exactly what the scan would
+        case None => readSnapshot(catalog.describe(ns, t))
         case Some(id) => catalog.describe(ns, t).snapshots
           .find(_.snapshotId == id)
       }

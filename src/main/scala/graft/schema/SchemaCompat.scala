@@ -58,4 +58,23 @@ object SchemaCompat {
 
   def isCompatible(current: StructType, incoming: StructType): Boolean =
     evolve(current, incoming).isRight
+
+  /** Iceberg's SAFE type-promotion set — the one evolution a long-lived
+    * v2 table eventually needs (int→long, float→double, decimal
+    * precision widen at the SAME scale). Deliberately NOT accepted by
+    * [[evolve]]'s implicit ingest gate: promotion is an explicit DDL
+    * act (`ALTER TABLE … ALTER COLUMN … TYPE …`), as in Iceberg —
+    * write-side schema drift still rejects all type changes.
+    */
+  def safePromotion(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (normalize(from), normalize(to)) match {
+      case (f, t) if f == t => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
 }

@@ -429,8 +429,43 @@ object Sinks {
               catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
                 keyCols, Map(posKey -> b.toString)): Unit
             }
-            if (!intact) applyWindow(from, upSnap)
+            // COMPOSED catch-up for a lagging follower (round 16): a
+            // backlog spanning multiple replace-separated runs used to
+            // apply one cdcUpsert PER RUN — k interleaved compactions
+            // meant k commits of trigger overhead. Instead, ONE
+            // readChangelog over the whole span (its `_change_ordinal`
+            // decomposes around the replaces) resolved to per-key
+            // FINAL state: the key's last-touching run decides, the
+            // insert (new version) wins over its paired delete inside
+            // that run. One cdcUpsert applies the lot — deletes are
+            // every touched key, inserts the surviving final versions
+            // — so catch-up is O(1) commits at any lag. Also the only
+            // CORRECT shape for the broken-chain (expired
+            // intermediates) endpoint window: a naive type-filtered
+            // apply would let a run-0 insert survive its run-1 delete
+            // (the eq-delete seq sits below the re-inserted row).
+            def applyComposed(a: Long, b: Long): Unit = {
+              val ord = "_change_ordinal"
+              val ct = "_change_type"
+              val ch = catalog.readChangelog(upNs, upTable, a, Some(b))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*)
+                .orderBy(col(ord).desc, (col(ct) === "insert").desc)
+              val ranked = ch.withColumn("__f_rk",
+                org.apache.spark.sql.functions.row_number().over(w))
+              val ins = ranked
+                .filter(col("__f_rk") === 1 && col(ct) === "insert")
+                .drop("__f_rk", ct, ord)
+              val dels = ch.select(keyCols.map(col): _*).distinct()
+              catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
+                keyCols, Map(posKey -> b.toString)): Unit
+            }
+            if (!intact) applyComposed(from, upSnap)
             else {
+              // collect the replace-separated runs first; a single run
+              // takes the direct (no window-function) apply
+              val runs = scala.collection.mutable.ListBuffer
+                .empty[(Long, Long)]
               var runFrom = from
               var prev = from
               chainBuf.foreach { s =>
@@ -438,12 +473,16 @@ object Sinks {
                 // commits) may hide row changes — never skip it
                 if (s.operation.contains("replace") &&
                     !s.stitched.contains(true)) {
-                  if (runFrom != prev) applyWindow(runFrom, prev)
+                  if (runFrom != prev) runs += ((runFrom, prev))
                   runFrom = s.snapshotId // skip the replace edge
                 }
                 prev = s.snapshotId
               }
-              if (runFrom != prev) applyWindow(runFrom, prev)
+              if (runFrom != prev) runs += ((runFrom, prev))
+              if (runs.size <= 1) runs.foreach { case (a, b) =>
+                applyWindow(a, b)
+              }
+              else applyComposed(runs.head._1, runs.last._2)
             }
             // trailing replace snapshots applied no window — advance
             // the authoritative bookmark with a metadata-only commit

@@ -70,11 +70,44 @@ object FollowScale {
     }
     val first5 = times.take(5).sum / 5
     val last5 = times.takeRight(5).sum / 5
+
+    // CATCH-UP mode (round 16): land another `windows` CDC commits
+    // (with a compaction mid-backlog, the adversarial shape) WITHOUT
+    // polling, then consume the whole backlog in one poll. The claim:
+    // the composed catch-up costs O(1) downstream commits and ~one
+    // window's wall-clock — not k× the per-window trigger overhead.
+    val downBefore = cat.describe("db", "down").snapshots.size
+    (0 until windows).foreach { w =>
+      val base = 1L + ((w + windows).toLong * 9973L) % math.max(1L, n - 100L)
+      cat.cdcUpsert("db", "up",
+        rows = spark.range(base, base + 5)
+          .select(col("id").as("o_orderkey"), lit(2L).as("price_c"),
+            lit("C").as("status")),
+        deletes = spark.range(base + 50, base + 52)
+          .select(col("id").as("o_orderkey")),
+        keyCols = Seq("o_orderkey")): Unit
+      if (w == windows / 2)
+        cat.compactFileGroups("db", "up"): Unit
+    }
+    val t2 = System.nanoTime()
+    require(f.poll(), "catch-up poll did not apply")
+    val catchupSec = (System.nanoTime() - t2) / 1e9
+    val catchupCommits = cat.describe("db", "down").snapshots.size - downBefore
+    require(!f.poll(), "catch-up must fully consume the backlog")
+    require(f.resyncCount == 0, "catch-up must not resync")
+    // converged exactly
+    val uSum = cat.read("db", "up").agg(sum("price_c")).head().getLong(0)
+    val dSum = cat.read("db", "down").agg(sum("price_c")).head().getLong(0)
+    require(uSum == dSum, s"catch-up diverged: up=$uSum down=$dSum")
+
     val line = s"""{"metric":"follow_window_sec","sf":"$sfDir",""" +
       s""""windows":${times.map(fmt).mkString("[", ",", "]")},""" +
       s""""bootstrap_sec":${fmt(bootstrapSec)},""" +
       s""""first5_avg":${fmt(first5)},"last5_avg":${fmt(last5)},""" +
       s""""last_over_first":${fmt(last5 / math.max(first5, 1e-9))},""" +
+      s""""catchup_backlog":$windows,"catchup_sec":${fmt(catchupSec)},""" +
+      s""""catchup_commits":$catchupCommits,""" +
+      s""""catchup_over_window":${fmt(catchupSec / math.max(last5, 1e-9))},""" +
       s""""table_rows":$n,"table_files":$nFiles}"""
     println(line)
     System.err.println(line)

@@ -63,12 +63,59 @@ object MetaScale {
     }
     def fmt(v: Double): String = String.format(
       java.util.Locale.ROOT, "%.5f", Double.box(v))
+
+    // RENAME cost vs width × history (round 16, the NameLink change):
+    // deepen both tables to ~50 snapshots, then time ALTER RENAME.
+    // The claim: rename appends one link to the slim metadata and
+    // touches ZERO manifests — flat in file count and history depth
+    // (the old design rewrote every historical manifest: O(history ×
+    // files) IO per rename).
+    def deepen(tbl: String, upTo: Int): Unit = {
+      var n = cat.describe("db", tbl).snapshots.size
+      while (n < upTo) {
+        cat.append("db", tbl, spark.range(n, n + 1L)
+          .select(col("id").as("k"), (col("id") * 2).as("v")).coalesce(1))
+        n += 1
+      }
+    }
+    def manifestSet(tbl: String): Set[(String, Long)] = {
+      val mdir = java.nio.file.Paths.get(wh, "db", tbl, "metadata")
+      val s = java.nio.file.Files.list(mdir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("manifest-"))
+          .map(p => p.toString -> java.nio.file.Files
+            .getLastModifiedTime(p).toMillis).toSet
+      } finally s.close()
+    }
+    def renameSec(tbl: String): (Double, Int) = {
+      val before = manifestSet(tbl)
+      val t0 = System.nanoTime()
+      cat.renameColumn("db", tbl, "v", "v2")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val touched = (manifestSet(tbl) diff before).size +
+        (before diff manifestSet(tbl)).size
+      // reads still correct under the renamed view
+      require(cat.read("db", tbl).filter(col("v2").isNotNull).count() > 0)
+      (sec, touched)
+    }
+    deepen("narrow", 50)
+    deepen("wide", 50)
+    val (renNarrow, touchedNarrow) = renameSec("narrow")
+    val (renWide, touchedWide) = renameSec("wide")
+
     val line = s"""{"metric":"meta_commit_sec","narrow_files":$narrow,""" +
       s""""wide_files":$wide,"commits":$nCommits,""" +
       s""""narrow_commit_sec":${fmt(narrowSec)},""" +
       s""""wide_commit_sec":${fmt(wideSec)},""" +
       s""""wide_over_narrow":${fmt(wideSec / math.max(narrowSec, 1e-9))},""" +
-      s""""narrow_meta_bytes":${sz("narrow")},"wide_meta_bytes":${sz("wide")}}"""
+      s""""narrow_meta_bytes":${sz("narrow")},"wide_meta_bytes":${sz("wide")},""" +
+      s""""rename_narrow_sec":${fmt(renNarrow)},""" +
+      s""""rename_wide_sec":${fmt(renWide)},""" +
+      s""""rename_wide_over_narrow":${fmt(renWide / math.max(renNarrow, 1e-9))},""" +
+      s""""rename_manifests_touched_narrow":$touchedNarrow,""" +
+      s""""rename_manifests_touched_wide":$touchedWide}"""
     println(line)
     System.err.println(line)
     spark.stop()

@@ -2114,4 +2114,191 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.read("db", "t").count() == 12)
     assert(cat.read("db", "t", Some(5L)).count() == 5)
   }
+
+  test("safe type promotion: int->long / float->double / decimal widen " +
+      "are metadata-only; mixed-era reads aggregate exactly") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType), StructField("x", FloatType),
+      StructField("d", DecimalType(6, 2))))
+    cat.createTable("db", "t", narrow)
+    cat.append("db", "t", spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1, 1.5f, BigDecimal("12.34").bigDecimal),
+        org.apache.spark.sql.Row(2, 2.5f, BigDecimal("56.78").bigDecimal)),
+      narrow))
+    val filesBefore = cat.describe("db", "t").currentSnapshot.get.files
+    val hashes = filesBefore.map(f => f -> md5Of(f)).toMap
+    cat.promoteColumnType("db", "t", "id", LongType)
+    cat.promoteColumnType("db", "t", "x", DoubleType)
+    cat.promoteColumnType("db", "t", "d", DecimalType(12, 2))
+    // metadata-only: same files, byte-identical, no new snapshot data
+    val after = cat.describe("db", "t")
+    assert(after.currentSnapshot.get.files == filesBefore)
+    filesBefore.foreach(f => assert(md5Of(f) == hashes(f),
+      "promotion rewrote a data file — must be metadata-only"))
+    val wide = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType),
+      StructField("d", DecimalType(12, 2))))
+    assert(cat.schemaOf("db", "t") == wide)
+    // wide-era rows append under the promoted schema
+    cat.append("db", "t", spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(3000000000L, 3.25,
+          BigDecimal("9999999999.99").bigDecimal)),
+      wide))
+    val got = cat.read("db", "t")
+    assert(got.schema == wide)
+    assert(got.count() == 3)
+    // exact mixed-era aggregates: old int/float/decimal values widen
+    val agg = got.agg(sum("id"), sum("x"), sum("d")).head()
+    assert(agg.getLong(0) == 3000000003L)
+    assert(agg.getDouble(1) == 1.5 + 2.5 + 3.25)
+    assert(agg.getDecimal(2) == BigDecimal("10000000069.11").bigDecimal)
+    // pruned point lookups still work across eras
+    assert(cat.readEquals("db", "t", "id", "1").count() == 1)
+    assert(cat.readEquals("db", "t", "id", "3000000000").count() == 1)
+    assert(cat.readWhere("db", "t", "id", 0.0, 2.0).count() == 2)
+  }
+
+  test("type promotion: eq-delete keys written pre-promotion keep " +
+      "hiding rows post-promotion") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType)))
+    cat.createTable("db", "t", narrow)
+    cat.append("db", "t", (0 until 20).map(i => (i, i.toDouble))
+      .toDF("id", "v").select(col("id").cast("int"), col("v")).coalesce(1))
+    // eq-delete keyed on the INT column, written pre-promotion
+    cat.addEqualityDeleteFile("db", "t",
+      Seq(3, 7).toDF("id").select(col("id").cast("int")), Seq("id"))
+    assert(cat.read("db", "t").count() == 18)
+    cat.promoteColumnType("db", "t", "id", LongType)
+    // the old delete file (int keys) still resolves under the wide type
+    assert(cat.read("db", "t").count() == 18)
+    assert(cat.read("db", "t").filter(col("id").isin(3L, 7L)).isEmpty)
+    // a post-promotion eq-delete with LONG keys composes with it
+    cat.addEqualityDeleteFile("db", "t", Seq(11L).toDF("id"), Seq("id"))
+    assert(cat.read("db", "t").count() == 17)
+    assert(cat.read("db", "t").filter(col("id") === 11L).isEmpty)
+    // compaction folds both delete eras away exactly
+    cat.compactFileGroups("db", "t")
+    assert(cat.read("db", "t").count() == 17)
+    assert(cat.read("db", "t").filter(col("id").isin(3L, 7L, 11L)).isEmpty)
+  }
+
+  test("type promotion refusals: narrowing, string casts, and " +
+      "bucket-partitioned sources are rejected loudly") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType)))
+    cat.createTable("db", "t", schema)
+    cat.append("db", "t", Seq((1, "a")).toDF("id", "s")
+      .select(col("id").cast("int"), col("s")))
+    intercept[IllegalArgumentException](
+      cat.promoteColumnType("db", "t", "id", ShortType))
+    intercept[IllegalArgumentException](
+      cat.promoteColumnType("db", "t", "s", IntegerType))
+    intercept[IllegalArgumentException](
+      cat.promoteColumnType("db", "t", "id", DoubleType))
+    intercept[IllegalArgumentException](
+      cat.promoteColumnType("db", "t", "missing", LongType))
+    // bucket pvals hash type-dependently: promotion under a live
+    // bucket era must refuse, identity stays allowed
+    val cat2 = freshCatalog()
+    cat2.createTable("db", "b", schema,
+      Map("partition.spec" -> "bucket(4, id)"))
+    cat2.append("db", "b", Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .select(col("id").cast("int"), col("s")))
+    val e = intercept[IllegalArgumentException](
+      cat2.promoteColumnType("db", "b", "id", LongType))
+    assert(e.getMessage.contains("type-dependent"))
+    val cat3 = freshCatalog()
+    cat3.createTable("db", "i", schema,
+      Map("partition.spec" -> "identity(id)"))
+    cat3.append("db", "i", Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .select(col("id").cast("int"), col("s")))
+    cat3.promoteColumnType("db", "i", "id", LongType)
+    assert(cat3.readEquals("db", "i", "id", "2").count() == 1)
+    // the write-side BACKWARD gate still rejects implicit type changes
+    val viol = SchemaCompat.evolve(
+      StructType(Seq(StructField("id", LongType))),
+      StructType(Seq(StructField("id", IntegerType))))
+    assert(viol.isLeft, "implicit narrowing must stay rejected")
+  }
+
+  test("O(1) rename: manifests stay byte-identical; a column SWAP " +
+      "chain resolves in order; compaction-carried stats never " +
+      "double-apply the chain") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val wh = tmpDir("graft-nlink")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1) // (id, v)
+    cat.append("db", "t",
+      (0L until 10L).map(i => (i, i * 10.0)).toDF("id", "v").coalesce(1))
+    val manifestsBefore = java.nio.file.Files.list(
+        java.nio.file.Paths.get(wh, "db", "t", "metadata"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.contains("manifest-")).toSet
+    // SWAP the two columns via a temp name — three renames, zero IO
+    cat.renameColumn("db", "t", "id", "tmp")
+    cat.renameColumn("db", "t", "v", "id")
+    cat.renameColumn("db", "t", "tmp", "v")
+    val manifestsAfter = java.nio.file.Files.list(
+        java.nio.file.Paths.get(wh, "db", "t", "metadata"))
+      .iterator().asScala.map(_.toString)
+      .filter(_.contains("manifest-")).toSet
+    assert(manifestsAfter == manifestsBefore,
+      "rename rewrote manifests — must be a slim metadata-only commit")
+    assert(cat.schemaOf("db", "t").fieldNames.toSeq == Seq("v", "id"))
+    // data follows the swap: new 'id' column holds the old v values
+    val r = cat.read("db", "t").orderBy("v").collect()
+    assert(r.map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(r.map(_.getDouble(1)).toSeq == (0 until 10).map(_ * 10.0))
+    // stats swapped too: range pruning on the new names is exact
+    assert(cat.readWhere("db", "t", "id", 45.0, 55.0).count() == 1)
+    val st = cat.describe("db", "t").currentSnapshot.get.fileStats.head
+    assert(st.min("id").toDouble == 0.0 && st.max("id").toDouble == 90.0)
+    // compaction persists CURRENT-named stats with a name-era stamp:
+    // a fresh instance reloading the raw manifests must not re-apply
+    // the swap chain to them (double-swap)
+    cat.append("db", "t",
+      (10L until 20L).map(i => (i, i * 10.0)).toDF("v", "id").coalesce(1))
+    cat.compactFileGroups("db", "t")
+    val cold = new SnapshotCatalog(spark, wh) // cold caches: raw parse
+    val st2 = cold.describe("db", "t").currentSnapshot.get.fileStats
+    assert(st2.forall(s => s.max("id").toDouble <= 190.0 &&
+      s.max("v").toDouble <= 19.0),
+      s"chain double-applied on reload: $st2")
+    assert(cold.read("db", "t").agg(sum("v")).head().getLong(0) ==
+      (0 until 20).sum.toLong)
+  }
+
+  test("O(1) rename: a freed name re-ADDED as a new column never " +
+      "inherits old entries; cross-instance loads see the chain") {
+    import spark.implicits._
+    val wh = tmpDir("graft-nlink2")
+    val cat = new SnapshotCatalog(spark, wh)
+    cat.createTable("db", "t", schemaV1) // (id, v)
+    cat.append("db", "t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    cat.renameColumn("db", "t", "v", "w")
+    cat.addColumns("db", "t", Seq(StructField("v", DoubleType)))
+    // new-era file writes BOTH columns; its 'v' entries are post-link
+    cat.append("db", "t", Seq((3L, 30.0, 77.0)).toDF("id", "w", "v"))
+    val got = new SnapshotCatalog(spark, wh).read("db", "t") // cold
+    assert(got.filter(col("v").isNotNull).count() == 1,
+      "old 'v' data resurfaced under the re-added name")
+    assert(got.agg(sum("w")).head().getDouble(0) == 60.0)
+    // stats: old files' entries moved to 'w'; the new file keeps both
+    val sts = new SnapshotCatalog(spark, wh)
+      .describe("db", "t").currentSnapshot.get.fileStats
+    assert(sts.forall(s => s.min.contains("w")))
+    val newEra = sts.filter(_.min.contains("v"))
+    assert(newEra.size == 1 && newEra.head.min("v").toDouble == 77.0,
+      s"re-added-name stats polluted by the old column: $sts")
+  }
 }

@@ -1712,4 +1712,133 @@ class EngineSpec extends SparkTestBase {
       assert(cat.read("db", "t").count() == 7)
     } finally spark.conf.set(Engine.WapBranchConf, "")
   }
+
+  test("SET graft.wap.read = true redirects SELECT/count/changes() at " +
+      "the staged branch; without it reads stay published-only") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapread"))
+    val eng = new Engine(spark, cat)
+    try {
+      // MoR deletes: the staged changelog below must not cross a CoW
+      // rewrite (changelog identity needs append-only data files)
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      cat.append("db", "t",
+        (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+      val published = cat.describe("db", "t").currentSnapshotId.get
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("DELETE FROM db.t WHERE id < 4")
+        .startsWith("""{"error""""))
+      // default: reads stay published
+      val pub = eng.sqlDataFrame("SELECT count(*) AS n FROM db.t")._1
+        .head().getLong(0)
+      assert(pub == 10, "un-redirected read must see published state")
+      // opt in: the SAME query sees the staged branch
+      assert(!eng.sqlQuery("SET graft.wap.read = true")
+        .startsWith("""{"error""""))
+      val staged = eng.sqlDataFrame("SELECT count(*) AS n FROM db.t")._1
+        .head().getLong(0)
+      assert(staged == 6, "redirected read must see the staged branch")
+      // full scans redirect too, not just the count fast path
+      val ids = eng.sqlDataFrame("SELECT id FROM db.t ORDER BY id")._1
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == (4L until 10L).toSeq)
+      // open-ended changes() follows the staged head
+      val ch = eng.sqlDataFrame(
+        s"SELECT _change_type, count(*) AS n FROM " +
+          s"changes('db.t', $published) GROUP BY 1")._1
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ch.getOrElse("delete", 0L) == 4)
+      // redirect off again: published view returns
+      assert(!eng.sqlQuery("SET graft.wap.read = false")
+        .startsWith("""{"error""""))
+      assert(eng.sqlDataFrame("SELECT count(*) AS n FROM db.t")._1
+        .head().getLong(0) == 10)
+    } finally {
+      spark.conf.set(Engine.WapBranchConf, "")
+      spark.conf.set(Engine.WapReadConf, "false")
+    }
+  }
+
+  test("CALL system.drop_branch unpins an abandoned WAP branch: expiry " +
+      "then reclaims its staged snapshots and manifests; published " +
+      "state unaffected; kind checks refuse tag/branch mixups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-dropbr"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.append("db", "t",
+        (0L until 10L).map(i => (i, i.toDouble)).toDF("id", "v"))
+      val published = cat.describe("db", "t").currentSnapshotId.get
+      assert(!eng.sqlQuery("CALL system.create_tag('db.t', 'keepme')")
+        .startsWith("""{"error""""))
+      // stage three commits on an audit branch, then abandon it
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      for (i <- 0 until 3)
+        assert(!eng.sqlQuery(
+          s"INSERT INTO db.t SELECT id + ${100 * (i + 1)}, " +
+            "CAST(9 AS DOUBLE) FROM range(5)")
+          .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("SET graft.wap.branch = ''")
+        .startsWith("""{"error""""))
+      val metaStaged = cat.describe("db", "t")
+      val stagedIds = metaStaged.snapshots.map(_.snapshotId)
+        .filterNot(_ == published)
+      assert(stagedIds.size == 3)
+      val publishedFiles = metaStaged.snapshots
+        .find(_.snapshotId == published).get.files.toSet
+      val stagedFiles = metaStaged.snapshots
+        .filter(s => stagedIds.contains(s.snapshotId))
+        .flatMap(_.files).distinct.filterNot(publishedFiles)
+      // while the ref pins the chain, expiry keeps the branch HEAD
+      // consistent (intermediates are expirable — re-parenting heals
+      // the chain): the full staged content must stay readable
+      assert(!eng.sqlQuery("CALL system.expire_snapshots('db.t', 1)")
+        .startsWith("""{"error""""))
+      assert(cat.describe("db", "t").refs.contains("audit"))
+      assert(cat.readRef("db", "t", "audit").count() == 25,
+        "staged content lost while the branch ref pinned it")
+      // kind checks
+      assert(eng.sqlQuery("CALL system.drop_branch('db.t', 'keepme')")
+        .startsWith("""{"error""""))
+      assert(eng.sqlQuery("CALL system.drop_tag('db.t', 'audit')")
+        .startsWith("""{"error""""))
+      // drop the abandoned branch; a later main commit + expiry then
+      // reclaims every staged file the ref was pinning
+      assert(!eng.sqlQuery("CALL system.drop_branch('db.t', 'audit')")
+        .startsWith("""{"error""""))
+      assert(!cat.describe("db", "t").refs.contains("audit"))
+      cat.append("db", "t", Seq((999L, 0.0)).toDF("id", "v"))
+      assert(!eng.sqlQuery("CALL system.expire_snapshots('db.t', 1)")
+        .startsWith("""{"error""""))
+      val after = cat.describe("db", "t")
+      // retained: the new main head (current + keep_last floor) and
+      // the tag-pinned original — the whole staged chain is gone
+      assert(after.snapshots.map(_.snapshotId).toSet ==
+        Set(published, after.currentSnapshotId.get),
+        s"unexpected retained snapshots: ${after.snapshots.map(_.snapshotId)}")
+      val keptFiles = after.snapshots.flatMap(_.files).toSet
+      val reclaimed = stagedFiles.filterNot(keptFiles)
+      assert(reclaimed.nonEmpty)
+      reclaimed.foreach(f => assert(!new java.io.File(f).exists,
+        s"unpinned staged file $f not reclaimed"))
+      // published lineage readable: original rows + the main append,
+      // none of the staged inserts
+      assert(cat.read("db", "t").count() == 11)
+      assert(cat.read("db", "t")
+        .filter(col("id") >= 100L && col("id") < 999L).isEmpty)
+      // the tag still resolves to the pre-branch state
+      assert(cat.readRef("db", "t", "keepme").count() == 10)
+      // dropping the tag with the right procedure works
+      assert(!eng.sqlQuery("CALL system.drop_tag('db.t', 'keepme')")
+        .startsWith("""{"error""""))
+      assert(!cat.describe("db", "t").refs.contains("keepme"))
+    } finally spark.conf.set(Engine.WapBranchConf, "")
+  }
 }

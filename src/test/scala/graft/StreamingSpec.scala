@@ -980,4 +980,59 @@ class StreamingSpec extends SparkTestBase {
     assert(f.resyncCount == 1,
       "an INSERT OVERWRITE must resync — content changed")
   }
+
+  test("composed catch-up: a multi-window backlog with interleaved " +
+      "compactions lands in ONE downstream commit, per-key final " +
+      "state exact (update / delete-reinsert / insert-then-delete)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-chcu-wh"))
+    cat.createTable("db", "up",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    for (b <- 0 until 3)
+      cat.append("db", "up", (b * 10L until b * 10L + 10L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    val f = Sinks.changelogFollower(cat, "db", "up", "db", "down", Seq("id"))
+    assert(f.poll()) // bootstrap
+    // the backlog: 6 CDC windows with 2 compactions interleaved, and
+    // keys exercising every cross-run composition corner:
+    //  id 3  — updated twice (last version must win)
+    //  id 5  — deleted, then RE-INSERTED in a later run (must exist)
+    //  id 300 — inserted, then DELETED in a later run (must be absent)
+    cat.cdcUpsert("db", "up", Seq((3L, 33.0)).toDF("id", "v"),
+      Seq(5L).toDF("id"), Seq("id"))
+    cat.cdcUpsert("db", "up", Seq((300L, 1.0)).toDF("id", "v"),
+      Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(cat.compactFileGroups("db", "up",
+      minFileBytes = 1L << 20).compacted)
+    cat.cdcUpsert("db", "up", Seq((5L, 555.0)).toDF("id", "v"),
+      Seq.empty[Long].toDF("id"), Seq("id"))
+    cat.cdcUpsert("db", "up", Seq.empty[(Long, Double)].toDF("id", "v"),
+      Seq(300L).toDF("id"), Seq("id"))
+    assert(cat.compactFileGroups("db", "up",
+      minFileBytes = 1L << 20).compacted)
+    cat.cdcUpsert("db", "up", Seq((3L, 333.0), (400L, 4.0)).toDF("id", "v"),
+      Seq(9L).toDF("id"), Seq("id"))
+
+    val commitsBefore = cat.describe("db", "down").snapshots.size
+    assert(f.poll())
+    assert(f.resyncCount == 0, "composed catch-up must not resync")
+    val commitsAfter = cat.describe("db", "down").snapshots.size
+    assert(commitsAfter == commitsBefore + 1,
+      s"a lagging catch-up must be ONE commit, got " +
+        s"${commitsAfter - commitsBefore}")
+    // exactness: downstream == upstream, every corner case included
+    val u = cat.read("db", "up").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val d = cat.read("db", "down").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(u == d, s"composed state diverged: missing=${u -- d} " +
+      s"extra=${d -- u}")
+    assert(d.contains((3L, 333.0)) && d.contains((5L, 555.0)))
+    assert(!d.exists(_._1 == 300L) && !d.exists(_._1 == 9L))
+    assert(!f.poll()) // caught up; steady state unchanged
+    cat.cdcUpsert("db", "up", Seq((500L, 5.0)).toDF("id", "v"),
+      Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(f.poll() && !f.poll())
+    assert(cat.read("db", "down").filter(col("id") === 500L).count() == 1)
+  }
 }
