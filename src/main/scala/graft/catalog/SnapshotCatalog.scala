@@ -490,16 +490,38 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // min/max stats tight (time-range pruning needs nothing more);
       // the value itself is recorded per file for equality pruning on
       // bucket/identity/truncate specs.
-      val specStr = describe(ns, name).properties
-        .get(PartitionSpec.PropertyKey).map(_.trim)
+      val tblProps = describe(ns, name).properties
+      val specStr = tblProps.get(PartitionSpec.PropertyKey).map(_.trim)
       val spec = specStr.map(PartitionSpec.parse)
+      // Declared clustering at WRITE time ([[WriteOrderProp]], the
+      // Iceberg write sort-order + range distribution): when the table
+      // declares `write.order`, the batch range-distributes on its
+      // Z-value (file count preserved) and locally sorts, so NEW files
+      // land with tight min/max envelopes instead of eroding the
+      // clustered layout until the next maintenance pass. Opt-in per
+      // table (one extra min/max aggregate over the batch); a batch
+      // missing a declared column (pre-evolution writer) skips the
+      // sort rather than failing — maintenance re-clusters it later.
+      val toWrite = tblProps.get(SnapshotCatalog.WriteOrderProp)
+        .flatMap(o => scala.util.Try(
+          SnapshotCatalog.parseWriteOrder(o, df.schema)).toOption)
+        .filter(_.nonEmpty) match {
+        case Some(cols) =>
+          val n = math.max(1, df.rdd.getNumPartitions)
+          df.withColumn("_graft_wz",
+              graft.functions.ZOrder.scaled(df, cols))
+            .repartitionByRange(n, col("_graft_wz"))
+            .sortWithinPartitions("_graft_wz")
+            .drop("_graft_wz")
+        case None => df
+      }
       spec match {
         case Some(p) =>
-          df.withColumn(PartitionSpec.HiddenCol,
+          toWrite.withColumn(PartitionSpec.HiddenCol,
               p.valueExprFor(df.schema.find(_.name == p.column).map(_.dataType)))
             .write.partitionBy(PartitionSpec.HiddenCol)
             .parquet(snapDir.toString)
-        case None => df.write.parquet(snapDir.toString)
+        case None => toWrite.write.parquet(snapDir.toString)
       }
       def walk(d: File): Seq[File] =
         Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -691,6 +713,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         stats.filter(s => cur(s.path))
           .map(s => (s.path, s.rows, s.pval))
           .toDF("file_path", "record_count", "partition_value")
+      case "all_files" =>
+        // every data file referenced by ANY live snapshot (Iceberg's
+        // .all_files): the reachability set expiry/orphan-sweep reason
+        // about — still metadata-only (manifests, no file IO)
+        val rows = for {
+          s <- meta.snapshots
+          byPath = s.fileStats.map(st => st.path -> st).toMap
+          f <- s.files
+        } yield (f, s.snapshotId,
+          byPath.get(f).map(_.rows).getOrElse(-1L))
+        rows.groupBy(_._1).toSeq.map { case (f, refs) =>
+          (f, refs.map(_._2).min, refs.map(_._2).max,
+            refs.head._3, refs.size.toLong)
+        }.toDF("file_path", "first_snapshot_id", "last_snapshot_id",
+          "record_count", "referencing_snapshots")
+      case "manifests" =>
+        // one row per snapshot manifest side file (the round-15
+        // manifest split); inline (pre-split) snapshots report NULL
+        // path with their entry counts, so the surface is total
+        meta.snapshots.map { s =>
+          val len = s.manifestPath.flatMap(p =>
+            scala.util.Try(Files.size(Paths.get(p))).toOption)
+          (s.manifestPath.orNull, len, s.snapshotId,
+            s.files.size.toLong,
+            (s.deleteFiles.size + s.eqDeletes.size).toLong)
+        }.toDF("path", "length", "added_snapshot_id",
+          "data_file_count", "delete_file_count")
       case "history" =>
         // ancestry chain of the current snapshot, oldest first
         val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
@@ -740,8 +789,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           .toDF("partition_value", "partition_spec", "n_files",
             "record_count")
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$other' — " +
-          "expected snapshots|files|history|refs|delete_files|partitions")
+        s"unknown metadata table '$other' — expected snapshots|files|" +
+          "all_files|manifests|history|refs|delete_files|partitions")
     }
   }
 
@@ -863,10 +912,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       require(!meta.tagNames.contains(branch), s"'$branch' is a tag")
       val head = meta.refs(branch)
       meta.currentSnapshotId.foreach { cur =>
-        val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-        val ancestors = Iterator.iterate(byId.get(head))(
-            _.flatMap(_.parentId).flatMap(byId.get))
-          .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+        val ancestors = ancestorIds(meta.snapshots, head)
         if (!ancestors.contains(cur))
           throw new java.util.ConcurrentModificationException(
             s"cannot fast-forward $ns.$name to branch '$branch': the " +
@@ -1860,6 +1906,124 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       newMeta
     }
 
+  /** Snapshot ids on the ancestor chain from `headId` to the root
+    * (inclusive), following `parentId` edges through the given
+    * snapshot list.
+    */
+  private def ancestorIds(snapshots: Seq[SnapshotMeta],
+      headId: Long): Set[Long] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(byId.get(headId))(
+        _.flatMap(_.parentId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+  }
+
+  /** True iff `snapshotId` is on the current snapshot's ancestor
+    * chain (inclusive) — the guard Iceberg's `rollback_to_snapshot`
+    * applies: rolling "back" to an abandoned fork is a different
+    * operation (`set_current_snapshot`) and must be asked for by name.
+    */
+  def isCurrentAncestor(ns: String, name: String, snapshotId: Long): Boolean = {
+    val meta = describe(ns, name)
+    meta.currentSnapshotId.exists(c =>
+      ancestorIds(meta.snapshots, c)(snapshotId))
+  }
+
+  /** Latest snapshot on the CURRENT ancestor chain created at or
+    * before `tsMs` (the `rollback_to_timestamp` resolver). Only
+    * ancestors qualify — a staged branch snapshot or an abandoned
+    * fork must never be what "the table as of 3pm" rolls back to.
+    */
+  def snapshotIdAsOf(ns: String, name: String, tsMs: Long): Option[Long] = {
+    val meta = describe(ns, name)
+    val chain = meta.currentSnapshotId
+      .map(ancestorIds(meta.snapshots, _)).getOrElse(Set.empty)
+    meta.snapshots.filter(s => chain(s.snapshotId) && s.createdAtMs <= tsMs)
+      .sortBy(s => (s.createdAtMs, s.snapshotId)).lastOption.map(_.snapshotId)
+  }
+
+  /** Cherry-pick `snapshotId` onto the CURRENT head (Iceberg's
+    * `cherrypick_snapshot` procedure): when the snapshot's parent IS
+    * the current head, this is a pure pointer move (the staged-commit
+    * fast path — the snapshot was built against exactly this state).
+    * When the table has MOVED since, the snapshot must be an `append`
+    * whose parent edge is its own commit (not stitched across expiry):
+    * its added files are re-attached to the head as a NEW snapshot —
+    * metadata-only, no data bytes move — stamped with a FRESH sequence
+    * number so the head's existing equality deletes (which apply only
+    * to strictly-smaller sequences) do not hide the re-committed rows,
+    * Iceberg's re-commit semantics. Row-CHANGING snapshots
+    * (delete/overwrite/replace) are refused on a moved head: their
+    * effect depends on the base state they were computed against, and
+    * re-applying one against different data could silently drop or
+    * resurrect rows — the failure class a table format must never
+    * have. Re-publishing an already-applied snapshot is refused (its
+    * files are present on the head already).
+    */
+  def cherrypick(ns: String, name: String, snapshotId: Long): TableMeta =
+    synchronized {
+      val (version, meta) = loadMeta(ns, name)
+      val s = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot $snapshotId in $ns.$name"))
+      if (meta.currentSnapshotId == s.parentId ||
+          meta.currentSnapshotId.contains(snapshotId)) {
+        // built against exactly the current state (or already current):
+        // publishing is one pointer move
+        val newMeta = meta.copy(currentSnapshotId = Some(snapshotId))
+        commit(ns, name, version + 1, newMeta)
+        return newMeta
+      }
+      require(s.operation.contains("append"),
+        s"cannot cherry-pick snapshot $snapshotId of $ns.$name onto a " +
+          s"moved head: its operation is " +
+          s"'${s.operation.getOrElse("unknown")}' — only append " +
+          "snapshots re-apply safely after the table advanced")
+      require(!s.stitched.contains(true),
+        s"cannot cherry-pick snapshot $snapshotId of $ns.$name: snapshot " +
+          "expiry stitched its parent edge, so its file delta spans more " +
+          "than its own commit")
+      val parent = s.parentId.flatMap(pid =>
+        meta.snapshots.find(_.snapshotId == pid))
+      require(s.parentId.isEmpty || parent.isDefined,
+        s"cannot cherry-pick snapshot $snapshotId of $ns.$name: its " +
+          "parent snapshot was expired, so its own file delta is unknowable")
+      val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
+      require(parentFiles.subsetOf(s.files.toSet) &&
+          s.deleteFiles == parent.map(_.deleteFiles).getOrElse(Seq.empty) &&
+          s.eqDeletes == parent.map(_.eqDeletes).getOrElse(Seq.empty),
+        s"snapshot $snapshotId of $ns.$name is labeled append but its " +
+          "delta is not purely additive")
+      val added = s.files.filterNot(parentFiles)
+      val head = meta.currentSnapshot
+      val headFiles = head.map(_.files).getOrElse(Seq.empty)
+      require(!added.exists(headFiles.toSet),
+        s"snapshot $snapshotId of $ns.$name was already published: its " +
+          "files are present on the current head")
+      val newSeq = meta.snapshots.map(_.sequenceNumber).max + 1
+      val newId = meta.snapshots.map(_.snapshotId).max + 1
+      val addedSet = added.toSet
+      val addedStats = s.fileStats.filter(fs => addedSet(fs.path))
+        .map(_.copy(seq = Some(newSeq)))
+      val snap = SnapshotMeta(
+        snapshotId = newId,
+        parentId = head.map(_.snapshotId),
+        sequenceNumber = newSeq,
+        files = headFiles ++ added,
+        rowCount = addedStats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = head.map(_.fileStats).getOrElse(Seq.empty) ++ addedStats,
+        deleteFiles = head.map(_.deleteFiles).getOrElse(Seq.empty),
+        deleteFileStats =
+          head.map(_.deleteFileStats).getOrElse(Seq.empty),
+        eqDeletes = head.map(_.eqDeletes).getOrElse(Seq.empty),
+        operation = Some("append"))
+      val newMeta = meta.copy(currentSnapshotId = Some(newId),
+        snapshots = meta.snapshots :+ snap)
+      commit(ns, name, version + 1, newMeta)
+      newMeta
+    }
+
   /** Delete data files under the table's data directory that no
     * snapshot references (Iceberg remove-orphan-files semantics):
     * leftovers of failed/aborted writes. Returns the deleted paths.
@@ -2439,16 +2603,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def compactFileGroups(ns: String, name: String,
       minFileBytes: Long = DefaultMinFileBytes,
       targetFileBytes: Long = DefaultTargetFileBytes,
-      clusterBy: Seq[String] = Nil): CompactReport = {
+      clusterBy: Seq[String] = Nil,
+      fullRewrite: Boolean = false): CompactReport = {
     val maxAttempts = 6
     var attempt = 0
     while (true) {
       try {
         return if (attempt >= 2)
           synchronized(compactGroupsOnce(ns, name, minFileBytes,
-            targetFileBytes, clusterBy))
+            targetFileBytes, clusterBy, fullRewrite))
         else compactGroupsOnce(ns, name, minFileBytes,
-          targetFileBytes, clusterBy)
+          targetFileBytes, clusterBy, fullRewrite)
       } catch {
         case _: java.util.ConcurrentModificationException
             if attempt < maxAttempts =>
@@ -2460,9 +2625,23 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
 
   private def compactGroupsOnce(ns: String, name: String,
       minFileBytes: Long, targetFileBytes: Long,
-      clusterBy: Seq[String]): CompactReport = {
+      clusterBy: Seq[String], fullRewrite: Boolean): CompactReport = {
       val (_, meta) = loadMeta(ns, name)
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      // the table-declared clustering ([[WriteOrderProp]]) is the
+      // default sort for every rewrite; an explicit clusterBy overrides
+      // and fails LOUD on a bad spec (the caller asked for it by name),
+      // while the property path skips silently if the declared column
+      // was since dropped/retyped — maintenance must never brick on a
+      // stale layout hint (same opportunistic contract as the write
+      // path; DDL-time validation keeps garbage from landing at all)
+      val effCluster =
+        if (clusterBy.nonEmpty)
+          SnapshotCatalog.parseWriteOrder(clusterBy.mkString(","), schema)
+        else meta.properties.get(SnapshotCatalog.WriteOrderProp)
+          .flatMap(o => scala.util.Try(
+            SnapshotCatalog.parseWriteOrder(o, schema)).toOption)
+          .getOrElse(Nil)
       val current = meta.currentSnapshot.getOrElse(
         return CompactReport(0, 0, 0, 0L, 0, 0, compacted = false))
       def sizeOf(f: String): Long =
@@ -2489,8 +2668,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         case scala.util.control.NonFatal(e) =>
           throw staleOrRethrow(ns, name, meta, e)
       }
-      val rewrite = current.files.filter(f =>
-        smallSet(f) || posTouched(f) || eqTouched(f))
+      // fullRewrite (the SQL `rewrite_data_files` sort strategy): the
+      // WHOLE current file set is the rewrite group — a deliberate
+      // one-shot re-cluster of the table, as opposed to the routine
+      // dirty-bytes pass. Only ever set by an explicit operator
+      // request; the property-driven default never forces it.
+      val rewrite =
+        if (fullRewrite && effCluster.nonEmpty) current.files
+        else current.files.filter(f =>
+          smallSet(f) || posTouched(f) || eqTouched(f))
       val dirtyDeleteSide =
         current.deleteFiles.nonEmpty || current.eqDeletes.nonEmpty
       if (rewrite.isEmpty && !dirtyDeleteSide)
@@ -2510,10 +2696,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val snapDir = dataDir(ns, name).resolve(s"binpack-$writeId")
           val df = readFilesOf(current, schema, rewrite, meta.fieldIds)
           val packed =
-            if (clusterBy.isEmpty) df.coalesce(numOut) // no shuffle
+            if (effCluster.isEmpty) df.coalesce(numOut) // no shuffle
             else df // group-local Z-order: only dirty bytes shuffle
               .withColumn("_graft_z",
-                graft.functions.ZOrder.scaled(df, clusterBy))
+                graft.functions.ZOrder.scaled(df, effCluster))
               .repartitionByRange(numOut, col("_graft_z"))
               .sortWithinPartitions("_graft_z")
               .drop("_graft_z")
@@ -3856,6 +4042,39 @@ object SnapshotCatalog {
     */
   val DefaultMinFileBytes: Long = 384L << 20
   val DefaultTargetFileBytes: Long = 512L << 20
+
+  /** Table property declaring the table's CLUSTERING columns
+    * (Iceberg's write sort-order, `ALTER TABLE … WRITE ORDERED BY`
+    * expressed as `SET TBLPROPERTIES ('write.order' = 'c1,c2')`):
+    * every maintenance rewrite without an explicit `clusterBy`
+    * Z-orders the rewritten group by these columns, so routine
+    * compaction continuously tightens per-file min/max envelopes on
+    * the declared predicate columns — at 100 TB this is what turns
+    * stats-based file pruning from "lucky" into "by construction"
+    * without a separate OPTIMIZE job. Columns must be numeric or
+    * timestamp (the Morton-scaling domain).
+    */
+  val WriteOrderProp = "write.order"
+
+  /** Parse a `write.order` property / sort-spec string into column
+    * names, validating each against `schema` (must exist, numeric or
+    * timestamp — the [[graft.functions.ZOrder.scaled]] domain).
+    */
+  def parseWriteOrder(spec: String, schema: StructType): Seq[String] = {
+    val cols = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    cols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(s"write.order column '$c' not in schema"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => ()
+        case org.apache.spark.sql.types.TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"write.order column '$c' has type ${other.simpleString} — " +
+            "clustering needs a numeric or timestamp column")
+      }
+    }
+    cols
+  }
 
   /** [[SnapshotCatalog.maintain]] delete-side triggers: compact when
     * the delete side holds this many files, or hides more than this

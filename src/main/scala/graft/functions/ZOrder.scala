@@ -45,8 +45,12 @@ object ZOrder {
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val maxV = (1L << bits) - 1
     val dims = colNames.zipWithIndex.map { case (c, i) =>
-      val lo = bounds.getDouble(2 * i)
-      val hi = bounds.getDouble(2 * i + 1)
+      // null bounds (empty frame / all-null column) collapse the
+      // dimension to 0 instead of NPEing — an empty batch must write,
+      // not crash, on the write.order append path
+      val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
+      val hi =
+        if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
       if (hi <= lo) lit(0L)
       else least(greatest(
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxV)

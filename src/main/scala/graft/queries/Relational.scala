@@ -2975,6 +2975,213 @@ object Relational {
       |  round(min(f), 2) AS min_f, round(max(f), 2) AS max_f
       |FROM fin GROUP BY 1 ORDER BY era""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  // WAP by wap.id (round 16 — Iceberg's `spark.wap.id` flavor of
+  // write-audit-publish): an INSERT staged under `SET graft.wap.id`
+  // lands on the internal `wap.id.<id>` ref while the published table
+  // stays byte-unchanged; the table then MOVES (a DELETE commits on
+  // main) — exactly the case `fast_forward` refuses — and
+  // `CALL system.publish_changes` still publishes the staged batch by
+  // CHERRY-PICKING it onto the new head: a metadata-only re-attach of
+  // the appended files under a fresh sequence number (no data bytes
+  // move), after which the staging ref is dropped so expiry can
+  // reclaim the chain. The oracle replays the lifecycle as pure
+  // SELECT algebra.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q65_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      val src = t(s, dir, "orders")
+      val base = src.filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("price_c"),
+          col("o_orderstatus").as("status"))
+      cat.createTable("db", "o", base.schema)
+      cat.append("db", "o", base)
+      val published = cat.describe("db", "o").currentSnapshotId.get
+      val ordersPq = s"$dir/orders.parquet"
+      def run(sql: String): Unit = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+      }
+      run("SET graft.wap.id = batch7")
+      run(s"""INSERT INTO db.o
+        |SELECT o_orderkey + 3000,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2, 'N'
+        |FROM parquet.`$ordersPq`
+        |WHERE o_orderkey >= 2000 AND o_orderkey < 2100""".stripMargin)
+      val metaStaged = cat.describe("db", "o")
+      require(metaStaged.currentSnapshotId.contains(published),
+        "wap.id DML must not move the published pointer")
+      require(metaStaged.refs.contains("wap.id.batch7"),
+        "the staged ref must exist after wap.id DML")
+      // audit the staged state through the read surface
+      val nIns = src.filter(col("o_orderkey") >= 2000 &&
+        col("o_orderkey") < 2100).count()
+      val staged = eng.sqlDataFrame(
+        "SELECT count(*) AS n FROM db.o VERSION AS OF 'wap.id.batch7'")._1
+        .head().getLong(0)
+      require(staged == base.count() + nIns,
+        s"staged row count $staged != ${base.count()} + $nIns")
+      run("SET graft.wap.id = ''")
+      // the table MOVES under the staged batch: a published DELETE
+      run("DELETE FROM db.o WHERE k >= 100 AND k < 300")
+      require(!cat.describe("db", "o").currentSnapshotId.contains(published),
+        "the published DELETE must have advanced main")
+      // fast_forward is now impossible (main is not an ancestor of the
+      // staged head); publish_changes cherry-picks instead
+      run("CALL system.publish_changes('db.o', 'batch7')")
+      require(!cat.describe("db", "o").refs.contains("wap.id.batch7"),
+        "publish_changes must drop the staging ref")
+      val out = cat.read("db", "o")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("status")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      val schema = out.schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      s.conf.set(graft.query.Engine.WapIdConf, "")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q65Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |ins AS (
+      |  SELECT o_orderkey + 3000 AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 AS price_c,
+      |    'N' AS status
+      |  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2100),
+      |s1 AS (
+      |  SELECT * FROM base WHERE NOT (k >= 100 AND k < 300)
+      |  UNION ALL
+      |  SELECT * FROM ins)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM s1 GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  // DECLARED CLUSTERING + SORTED REWRITE (round 16 — Iceberg's write
+  // sort-order plus the rewrite_data_files SORT strategy): a table
+  // scattered across shuffled appends declares its clustering
+  // (`write.order`) and runs ONE deliberate Z-order rewrite
+  // (`CALL system.rewrite_data_files('db.e', …, 'x,y')`). Row CONTENT
+  // is provably unchanged (the oracle is plain SELECT algebra over
+  // the inputs; the rewrite snapshot is labeled `replace` so
+  // subscribers skip it), while the per-file min/max envelopes
+  // tighten so a box predicate prunes most files from metadata alone
+  // — required IN-QUERY: the box-intersecting file fraction must
+  // strictly drop and at most half the clustered files may survive.
+  // This is the layout lever that keeps multi-predicate scans
+  // sublinear at 100 TB.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q66_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        col("l_partkey").as("x"),
+        col("l_suppkey").as("y"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"))
+      cat.createTable("db", "e", src.schema)
+      // three shuffled appends: x/y values scatter across EVERY file,
+      // so min/max envelopes are table-wide and prune nothing
+      (0 until 3).foreach(i =>
+        cat.append("db", "e", src.filter(col("k") % 3 === i)
+          .repartition(4)))
+      def run(sql: String): Unit = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+      }
+      // the table's declared clustering: routine maintenance keeps it
+      run("ALTER TABLE db.e SET TBLPROPERTIES ('write.order' = 'x,y')")
+      val bounds = src.agg(max("x"), max("y")).head()
+      val xq = bounds.getAs[Number](0).longValue / 8
+      val yq = bounds.getAs[Number](1).longValue / 8
+      // files whose envelope intersects the box x<=xq && y<=yq — the
+      // metadata-only pruning decision a reader makes
+      def boxStats(): (Int, Int) = {
+        val cur = cat.describe("db", "e").currentSnapshot.get
+        val live = cur.files.toSet
+        val sts = cur.fileStats.filter(st => live(st.path))
+        val hit = sts.count { st =>
+          val xmin = st.min.get("x").map(_.toDouble)
+            .getOrElse(Double.NegativeInfinity)
+          val ymin = st.min.get("y").map(_.toDouble)
+            .getOrElse(Double.NegativeInfinity)
+          xmin <= xq && ymin <= yq
+        }
+        (hit, sts.size)
+      }
+      val (hitBefore, nBefore) = boxStats()
+      // one deliberate full Z-order rewrite; the target size adapts to
+      // the scale factor so the clustered layout is always multi-file
+      val tblBytes = cat.describe("db", "e").currentSnapshot.get.files
+        .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+      val target = math.max(16384L, tblBytes / 8)
+      run(s"CALL system.rewrite_data_files('db.e', 1, $target, 'x,y')")
+      require(cat.describe("db", "e").currentSnapshot.get.operation
+          .contains("replace"),
+        "the sorted rewrite must be a content-preserving replace")
+      val (hitAfter, nAfter) = boxStats()
+      require(nAfter > 1,
+        s"need a multi-file clustered layout to prove pruning, got $nAfter")
+      require(hitAfter.toDouble / nAfter < hitBefore.toDouble / nBefore,
+        s"clustering must tighten pruning: $hitAfter/$nAfter hit after " +
+          s"vs $hitBefore/$nBefore before")
+      require(hitAfter * 2 <= nAfter,
+        s"at most half the clustered files may intersect the box, " +
+          s"got $hitAfter/$nAfter")
+      val out = cat.read("db", "e")
+        .filter(col("x") <= xq && col("y") <= yq)
+        .groupBy((col("k") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_price_c"),
+          min("x").as("min_x"), max("y").as("max_y"))
+        .orderBy("bucket")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      val schema = out.schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q66Sql =
+    """WITH src AS (
+      |  SELECT l_orderkey AS k, l_partkey AS x, l_suppkey AS y,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(floor(max(x) / 8.0) AS BIGINT) AS xq,
+      |    CAST(floor(max(y) / 8.0) AS BIGINT) AS yq
+      |  FROM src)
+      |SELECT k % 4 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  min(x) AS min_x, max(y) AS max_y
+      |FROM src, b WHERE x <= xq AND y <= yq
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -3040,5 +3247,7 @@ object Relational {
     QuerySpec("q61_maintenance_sql", q61, Some(q61Sql)),
     QuerySpec("q62_wap_branch_dml", q62, Some(q62Sql)),
     QuerySpec("q63_changelog_across_compaction", q63, Some(q63Sql)),
-    QuerySpec("q64_type_promotion", q64, Some(q64Sql)))
+    QuerySpec("q64_type_promotion", q64, Some(q64Sql)),
+    QuerySpec("q65_wap_id_publish", q65, Some(q65Sql)),
+    QuerySpec("q66_clustered_rewrite", q66, Some(q66Sql)))
 }

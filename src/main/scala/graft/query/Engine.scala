@@ -492,6 +492,36 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     spark.conf.getOption(Engine.WapBranchConf)
       .map(v => Engine.stripQuotePair(v.trim)).filter(_.nonEmpty)
 
+  /** The session's staged-commit id (Iceberg's `spark.wap.id` flavor
+    * of write-audit-publish): while `SET graft.wap.id = <id>` is in
+    * effect, every DML stages onto the internal ref
+    * `wap.id.<id>` instead of the published pointer — same staging
+    * machinery as the branch flavor, so expiry retains the staged
+    * chain while the ref holds. Publish with
+    * `CALL system.publish_changes('ns.tbl', '<id>')`, which
+    * cherry-picks the staged snapshot onto the CURRENT head (a pure
+    * pointer move when the table hasn't moved; a metadata-only
+    * re-attach of the appended files when it has — the case
+    * `fast_forward` refuses) and drops the ref. Unlike the branch
+    * flavor, reads are NEVER redirected under a wap.id (Iceberg
+    * parity: only `wap.branch` participates in read redirection) —
+    * audit via `VERSION AS OF 'wap.id.<id>'`.
+    */
+  private def wapId(): Option[String] =
+    spark.conf.getOption(Engine.WapIdConf)
+      .map(v => Engine.stripQuotePair(v.trim)).filter(_.nonEmpty)
+
+  /** The DML staging target: the WAP branch, or the wap.id-derived
+    * internal ref. Setting both is a contradiction (which staged
+    * lineage would the DML belong to?) and is refused, as in Iceberg.
+    */
+  private def wapTarget(): Option[String] = (wapBranch(), wapId()) match {
+    case (Some(b), Some(id)) => throw new IllegalArgumentException(
+      s"both ${Engine.WapBranchConf} ('$b') and ${Engine.WapIdConf} " +
+        s"('$id') are set — clear one before writing")
+    case (b, id) => b.orElse(id.map(Engine.WapIdRefPrefix + _))
+  }
+
   /** Opt-in WAP read redirection ([[Engine.WapReadConf]], Iceberg
     * `spark.wap.branch` read parity): true iff the session asked for
     * reads to follow the staged branch.
@@ -522,7 +552,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
   private def dmlBase(ns: String, t: String,
       meta: graft.catalog.SnapshotCatalog.TableMeta):
       Option[graft.catalog.SnapshotCatalog.SnapshotMeta] =
-    wapBranch() match {
+    wapTarget() match {
       case Some(b) =>
         val m =
           if (meta.refs.contains(b)) meta
@@ -548,7 +578,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       if (!catalog.tableExists(ns, t)) -1L
       else {
         val m = catalog.describe(ns, t)
-        wapBranch().flatMap(m.refs.get)
+        wapTarget().flatMap(m.refs.get)
           .orElse(m.currentSnapshotId).getOrElse(-1L)
       }
     val df = spark.range(1).select(
@@ -663,13 +693,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                   .select(SnapshotCatalog.RowIdFileCol,
                     SnapshotCatalog.RowIdPosCol)
                 val (_, wrote) = catalog.addDeleteFile(ns, t, positions,
-                  Some(s.snapshotId), toBranch = wapBranch())
+                  Some(s.snapshotId), toBranch = wapTarget())
                 summary("DELETE", ns, t, affected, 0, total,
                   deleteFilesWritten = if (wrote > 0) 1 else 0)
               } else {
                 catalog.rewriteFiles(ns, t, files,
                   d => d.as(t).filter(not(c)), snap.map(_.snapshotId),
-                  toBranch = wapBranch())
+                  toBranch = wapTarget())
                 summary("DELETE", ns, t, affected, files.size, total,
                   bytesRewritten = Engine.bytesOf(files))
               }
@@ -722,7 +752,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             }.toSeq: _*)
             val (_, delWrote) = catalog.addDeleteFileWithAppend(
               ns, t, positions, updated, Some(s.snapshotId),
-              toBranch = wapBranch())
+              toBranch = wapTarget())
             summary("UPDATE", ns, t, affected, 0, total,
               deleteFilesWritten = if (delWrote > 0) 1 else 0)
           } else {
@@ -740,7 +770,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                     case None => col(f.name)
                   }
                 }.toSeq: _*)
-              }, snapId, toBranch = wapBranch())
+              }, snapId, toBranch = wapTarget())
             }
             summary("UPDATE", ns, t, affected,
               if (affected > 0) files.size else 0, total,
@@ -881,6 +911,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       case SetTableProperties(tbl, props) =>
         idOf(tbl).filter { case (ns, t) => catalog.tableExists(ns, t) }
           .map { case (ns, t) =>
+            // write.order is validated at DDL time (column exists,
+            // clusterable type) — Iceberg refuses an invalid sort
+            // order at declaration, and a garbage property must never
+            // land where every later write/rewrite would trip on it
+            props.get(graft.catalog.SnapshotCatalog.WriteOrderProp)
+              .foreach(o => graft.catalog.SnapshotCatalog
+                .parseWriteOrder(o, catalog.schemaOf(ns, t)): Unit)
             catalog.updateProperties(ns, t, props)
             val total = catalog.describe(ns, t).currentSnapshot
               .map(_.files.size).getOrElse(0)
@@ -988,7 +1025,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           // one execution: the commit's snapshot records the row count
           // of exactly the files it committed (CTAS-note semantics);
           // OVERWRITE replaces the manifest in the same atomic commit
-          val wb = wapBranch()
+          val wb = wapTarget()
           // nonempty table: ensure the branch exists (auto-create at
           // current); empty table: the staged commit bootstraps the
           // ref itself with the current pointer left at None
@@ -1055,7 +1092,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
                 .localCheckpoint()
               val affected = src.count()
               val tMeta = catalog.describe(ns, t)
-              val wb = wapBranch()
+              val wb = wapTarget()
               val base = dmlBase(ns, t, tMeta)
               val totalBefore = base.map(_.files.size).getOrElse(0)
               // write.merge.mode=merge-on-read: a whole-row upsert IS
@@ -1100,9 +1137,14 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * SQL procedures (the Spark-Iceberg `system.*` convention, rebuilt
     * on the snapshot catalog):
     *
-    *  - `rewrite_data_files('ns.tbl'[, min_file_bytes[, target_file_bytes]])`
+    *  - `rewrite_data_files('ns.tbl'[, min_file_bytes[, target_file_bytes]][, 'c1,c2'])`
     *    → [[SnapshotCatalog.compactFileGroups]] (per-group, dirty-bytes
-    *    cost; the report's numbers land in the result row);
+    *    cost; the report's numbers land in the result row). A trailing
+    *    sort-spec string is Iceberg's SORT strategy: one deliberate
+    *    whole-table Z-order rewrite by the named columns; without it
+    *    the routine bin-pack still clusters its own rewritten group
+    *    when the table declares `write.order`
+    *    ([[SnapshotCatalog.WriteOrderProp]]);
     *  - `expire_snapshots('ns.tbl', keep_last[, older_than])` —
     *    `older_than` (epoch millis or a 'yyyy-MM-dd HH:mm:ss[.f]'
     *    session-timezone string) makes expiry AGE-based with
@@ -1110,7 +1152,19 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *  - `remove_orphan_files('ns.tbl'[, older_than])` — the default
     *    applies the in-flight-write safety window; an explicit
     *    `older_than` forces the sweep;
-    *  - `rollback_to_snapshot('ns.tbl', snapshot_id)`;
+    *  - `rollback_to_snapshot('ns.tbl', snapshot_id)` — the target
+    *    must be a current ANCESTOR (Iceberg's contract);
+    *    `set_current_snapshot('ns.tbl', snapshot_id)` — the deliberate
+    *    any-snapshot override; `rollback_to_timestamp('ns.tbl', ts)` —
+    *    the latest ancestor at or before the timestamp;
+    *  - `cherrypick_snapshot('ns.tbl', snapshot_id)` →
+    *    [[SnapshotCatalog.cherrypick]] (pointer move when the parent
+    *    is current; metadata-only re-attach for appends on a moved
+    *    head); `publish_changes('ns.tbl', 'wap_id')` — the wap.id
+    *    publish: cherry-pick the single staged snapshot, drop the
+    *    staging ref;
+    *  - `ancestors_of('ns.tbl'[, snapshot_id])` — multi-row lineage
+    *    report (snapshot_id, made_current_at);
     *  - `maintain('ns.tbl', keep_last, target_files[, older_than])` —
     *    the composed nightly pass;
     *  - `create_tag('ns.tbl', 'name')` / `create_branch('ns.tbl', 'name')`
@@ -1171,13 +1225,27 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     }
     (proc, args) match {
       case ("rewrite_data_files", (te +: rest))
-          if rest.size <= 2 && rest.forall(num(_).isDefined) =>
+          if rest.size <= 3 && {
+            // numeric thresholds, then an optional trailing sort spec
+            val (nums, tail) = rest.span(num(_).isDefined)
+            nums.size <= 2 && tail.size <= 1 && tail.forall(str(_).isDefined)
+          } =>
         tbl(te).map { case (ns, t) =>
+          val (nums, tail) = rest.span(num(_).isDefined)
+          // a trailing 'c1,c2' string is Iceberg's sort strategy: the
+          // WHOLE table re-clusters by the named columns (Z-order) in
+          // one deliberate pass; without it the rewrite is the routine
+          // dirty-bytes bin-pack (which still Z-orders its own group
+          // when the table declares 'write.order')
+          val sortCols = tail.headOption.flatMap(str)
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
           val r = catalog.compactFileGroups(ns, t,
-            minFileBytes = rest.lift(0).flatMap(num)
+            minFileBytes = nums.lift(0).flatMap(num)
               .getOrElse(SnapshotCatalog.DefaultMinFileBytes),
-            targetFileBytes = rest.lift(1).flatMap(num)
-              .getOrElse(SnapshotCatalog.DefaultTargetFileBytes))
+            targetFileBytes = nums.lift(1).flatMap(num)
+              .getOrElse(SnapshotCatalog.DefaultTargetFileBytes),
+            clusterBy = sortCols, fullRewrite = sortCols.nonEmpty)
           report(ns, t, "operation" -> "rewrite_data_files",
             "rewritten_files" -> r.rewrittenFiles,
             "untouched_files" -> r.untouchedFiles,
@@ -1206,8 +1274,78 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         }
       case ("rollback_to_snapshot", Seq(te, se)) =>
         for { (ns, t) <- tbl(te); id <- num(se) } yield {
+          // Iceberg contract: rollback targets an ANCESTOR of the
+          // current snapshot — pointing at an abandoned fork is
+          // set_current_snapshot, a different deliberate act
+          require(catalog.isCurrentAncestor(ns, t, id),
+            s"snapshot $id is not an ancestor of $ns.$t's current " +
+              "snapshot — use set_current_snapshot to point at an " +
+              "arbitrary snapshot")
           catalog.rollback(ns, t, id)
           report(ns, t, "operation" -> "rollback_to_snapshot")
+        }
+      case ("set_current_snapshot", Seq(te, se)) =>
+        for { (ns, t) <- tbl(te); id <- num(se) } yield {
+          catalog.rollback(ns, t, id)
+          report(ns, t, "operation" -> "set_current_snapshot")
+        }
+      case ("rollback_to_timestamp", Seq(te, tse)) =>
+        for { (ns, t) <- tbl(te)
+              ms <- num(tse).orElse(str(tse).flatMap(parseSessionTimestampMs))
+            } yield {
+          val id = catalog.snapshotIdAsOf(ns, t, ms).getOrElse(
+            throw new IllegalArgumentException(
+              s"no ancestor snapshot of $ns.$t at or before $ms"))
+          catalog.rollback(ns, t, id)
+          report(ns, t, "operation" -> "rollback_to_timestamp",
+            "rolled_back_to" -> id)
+        }
+      case ("cherrypick_snapshot", Seq(te, se)) =>
+        for { (ns, t) <- tbl(te); id <- num(se) } yield {
+          catalog.cherrypick(ns, t, id)
+          report(ns, t, "operation" -> "cherrypick_snapshot",
+            "source_snapshot_id" -> id)
+        }
+      case ("publish_changes", Seq(te, we)) =>
+        // the wap.id publish: cherry-pick the single staged snapshot
+        // onto the current head, then drop the staging ref so expiry
+        // can reclaim the chain
+        for { (ns, t) <- tbl(te); w <- str(we) } yield {
+          val ref = Engine.WapIdRefPrefix + w
+          val m = catalog.describe(ns, t)
+          val head = m.refs.getOrElse(ref,
+            throw new IllegalArgumentException(
+              s"no staged changes under wap.id '$w' in $ns.$t"))
+          val hs = m.snapshots.find(_.snapshotId == head).get
+          // ONE snapshot per wap.id (the Iceberg cherry-pick contract):
+          // everything beneath the staged head must already be
+          // published, or the publish would silently skip it
+          require(hs.parentId.forall(p =>
+              catalog.isCurrentAncestor(ns, t, p)),
+            s"wap.id '$w' staged more than one snapshot on $ns.$t — " +
+              "publish a multi-commit audit with a wap branch and " +
+              "fast_forward instead")
+          catalog.cherrypick(ns, t, head)
+          catalog.dropRef(ns, t, ref)
+          report(ns, t, "operation" -> "publish_changes",
+            "wap_id" -> w, "staged_snapshot_id" -> head)
+        }
+      case ("ancestors_of", te +: rest)
+          if rest.size <= 1 && rest.forall(num(_).isDefined) =>
+        // multi-row lineage report (Iceberg's ancestors_of): the
+        // parentId chain from the given snapshot (default current)
+        tbl(te).map { case (ns, t) =>
+          val m = catalog.describe(ns, t)
+          val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+          val start = rest.headOption.flatMap(num)
+            .orElse(m.currentSnapshotId)
+          val chain = Iterator.iterate(start.flatMap(byId.get))(
+              _.flatMap(_.parentId).flatMap(byId.get))
+            .takeWhile(_.isDefined).flatten.toSeq
+          val rows = chain.map(s =>
+            (s.snapshotId, new java.sql.Timestamp(s.createdAtMs)))
+          import spark.implicits._
+          (rows.toDF("snapshot_id", "made_current_at"), Nil)
         }
       case ("maintain", te +: ke +: fe +: rest) if rest.size <= 1 =>
         for {
@@ -1360,7 +1498,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     } yield retryConcurrent {
       val meta = catalog.describe(ns, t)
       // under a WAP branch the MERGE reads and commits the BRANCH state
-      val wb = wapBranch()
+      val wb = wapTarget()
       val current = dmlBase(ns, t, meta)
       val total = current.map(_.files.size).getOrElse(0)
       // once-materialized source (the upsert fast path's discipline)
@@ -2061,6 +2199,26 @@ object Engine {
     */
   val WapReadConf = "graft.wap.read"
 
+  /** Session conf selecting the STAGED-COMMIT id (Iceberg's
+    * `spark.wap.id` flavor, round 16): DML under `SET graft.wap.id`
+    * stages onto the internal ref [[WapIdRefPrefix]]`<id>`; publish
+    * with `CALL system.publish_changes('ns.tbl', '<id>')` — a
+    * cherry-pick onto the current head that, unlike `fast_forward`,
+    * survives the table having MOVED since staging (append snapshots
+    * re-attach metadata-only). Reads are never redirected under a
+    * wap.id, matching Iceberg.
+    */
+  val WapIdConf = "graft.wap.id"
+
+  /** Ref-name prefix for wap.id staging: the staged snapshot lives on
+    * `wap.id.<id>` — visible in the `refs` metadata table (the audit
+    * trail Iceberg keeps in the snapshot summary, kept here as a ref
+    * so snapshot expiry retains the staged chain while it is
+    * unpublished, and reclaims it once `publish_changes` drops the
+    * ref or the audit is abandoned via `drop_branch`).
+    */
+  val WapIdRefPrefix = "wap.id."
+
   /** Spark's `SET k = ''` stores the LITERAL two-character string `''`
     * (verified on the shipped 4.1.2) — without unquoting, the
     * documented clear idiom would leave every subsequent DML staging
@@ -2096,8 +2254,8 @@ object Engine {
 
   /** Metadata-table suffixes served by the SQL bridge. */
   private[query] val MetadataKinds: Set[String] =
-    Set("snapshots", "files", "history", "refs", "delete_files",
-      "partitions")
+    Set("snapshots", "files", "all_files", "manifests", "history",
+      "refs", "delete_files", "partitions")
 
   private[query] val GlobRe =
     raw"(?i)glob\(\s*'([^']+)'\s*\)".r

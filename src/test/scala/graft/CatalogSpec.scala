@@ -2301,4 +2301,82 @@ class CatalogSpec extends SparkTestBase {
     assert(newEra.size == 1 && newEra.head.min("v").toDouble == 77.0,
       s"re-added-name stats polluted by the old column: $sts")
   }
+
+  test("cherrypick re-attaches a staged append onto a MOVED head " +
+      "metadata-only, restamping sequence numbers so the head's older " +
+      "equality deletes do not hide the re-committed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-cherry"))
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 10L).map(i => (i, i.toDouble))
+      .toDF("id", "v"))
+    // stage a correction batch: id=7 re-landed with a fixed value
+    cat.createBranch("db", "t", "stage")
+    cat.appendToBranch("db", "t", "stage",
+      Seq((7L, 777.0)).toDF("id", "v"))
+    val stagedId = cat.describe("db", "t").refs("stage")
+    val stagedFiles = cat.describe("db", "t").snapshots
+      .find(_.snapshotId == stagedId).get.files.toSet
+    // main MOVES: an equality delete lands on id=7 (merge-on-read)
+    cat.cdcUpsert("db", "t",
+      rows = Seq.empty[(Long, Double)].toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    assert(cat.read("db", "t").count() == 9)
+    // cherry-pick the staged batch onto the moved head
+    val meta = cat.cherrypick("db", "t", stagedId)
+    val head = meta.currentSnapshot.get
+    // metadata-only: the staged file is re-attached byte-identical
+    val staged = head.files.toSet.intersect(stagedFiles)
+    assert(staged.nonEmpty, "staged files must be re-attached, not copied")
+    // the restamped sequence beats the eq delete: id=7 is VISIBLE with
+    // the corrected value, exactly once
+    val row7 = cat.read("db", "t").filter(col("id") === 7L).collect()
+    assert(row7.length == 1 && row7.head.getDouble(1) == 777.0,
+      s"cherry-picked row hidden or duplicated: ${row7.toSeq}")
+    assert(cat.read("db", "t").count() == 10)
+    // re-publishing the same snapshot is refused (files already live)
+    val again = intercept[IllegalArgumentException](
+      cat.cherrypick("db", "t", stagedId))
+    assert(again.getMessage.contains("already published"))
+    // a row-CHANGING snapshot cannot cherry-pick onto a moved head
+    cat.createBranch("db", "t", "risky")
+    val rmMeta = cat.cdcUpsert("db", "t",
+      rows = Seq.empty[(Long, Double)].toDF("id", "v"),
+      deletes = Seq(3L).toDF("id"), Seq("id"), toBranch = Some("risky"))
+    val riskyId = rmMeta.refs("risky")
+    cat.append("db", "t", Seq((50L, 50.0)).toDF("id", "v")) // head moves
+    val bad = intercept[IllegalArgumentException](
+      cat.cherrypick("db", "t", riskyId))
+    assert(bad.getMessage.contains("only append"))
+  }
+
+  test("write.order clusters at WRITE time: a declared-clustering " +
+      "append range-distributes on the Z-value so new files land with " +
+      "tight envelopes; batches missing the column still write") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-worder"))
+    cat.createTable("db", "t",
+      Seq.empty[(Long, Long)].toDF("id", "x").schema)
+    cat.updateProperties("db", "t",
+      Map(SnapshotCatalog.WriteOrderProp -> "x"))
+    // a 4-partition shuffled batch: without write-time clustering every
+    // file would span the whole x range
+    cat.append("db", "t", (0L until 4000L).map(i => (i, (i * 37) % 4000))
+      .toDF("id", "x").repartition(4))
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    val sts = cur.fileStats.filter(st => cur.files.contains(st.path))
+    assert(sts.size > 1, s"need multiple files, got ${sts.size}")
+    // tight envelopes: a point predicate on x hits few files
+    val hit = sts.count(st =>
+      st.min("x").toDouble <= 42 && st.max("x").toDouble >= 42)
+    assert(hit * 2 <= sts.size,
+      s"$hit of ${sts.size} write-clustered files cover x=42: " +
+        sts.map(st => st.min("x") + ".." + st.max("x")))
+    // content is exactly the batch
+    assert(cat.read("db", "t").count() == 4000)
+    // an EMPTY batch under write.order writes cleanly (null bounds)
+    cat.append("db", "t", Seq.empty[(Long, Long)].toDF("id", "x"))
+    assert(cat.read("db", "t").count() == 4000)
+  }
 }

@@ -1841,4 +1841,210 @@ class EngineSpec extends SparkTestBase {
       assert(!cat.describe("db", "t").refs.contains("keepme"))
     } finally spark.conf.set(Engine.WapBranchConf, "")
   }
+
+  test("wap.id staging: DML under SET graft.wap.id stages on the " +
+      "internal wap.id ref; publish_changes cherry-picks onto a MOVED " +
+      "head and drops the ref — the case fast_forward refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapid"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.append("db", "t",
+        (0L until 50L).map(i => (i, i.toDouble)).toDF("id", "v"))
+      val published = cat.describe("db", "t").currentSnapshotId.get
+      assert(!eng.sqlQuery("SET graft.wap.id = b1")
+        .startsWith("""{"error""""))
+      val i = eng.sqlQuery(
+        "INSERT INTO db.t SELECT id + 1000, CAST(0.5 AS DOUBLE) " +
+          "FROM range(5)")
+      assert(!i.startsWith("""{"error""""), i)
+      // published pointer and reads untouched; staged ref exists
+      val meta = cat.describe("db", "t")
+      assert(meta.currentSnapshotId.contains(published))
+      assert(cat.read("db", "t").count() == 50)
+      assert(meta.refs.contains("wap.id.b1"))
+      assert(cat.readRef("db", "t", "wap.id.b1").count() == 55)
+      // reads are NEVER redirected under wap.id, even with the read
+      // flag on (Iceberg parity: only wap.branch participates)
+      assert(!eng.sqlQuery("SET graft.wap.read = true")
+        .startsWith("""{"error""""))
+      assert(eng.sqlQuery("SELECT count(*) AS n FROM db.t")
+        .contains(""""n":50"""))
+      assert(!eng.sqlQuery("SET graft.wap.read = false")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("SET graft.wap.id = ''")
+        .startsWith("""{"error""""))
+      // main MOVES: a published delete lands after staging
+      val d = eng.sqlQuery("DELETE FROM db.t WHERE id < 10")
+      assert(d.contains(""""rows_affected":10"""), d)
+      // fast_forward refuses (stale), publish_changes cherry-picks
+      val ff = eng.sqlQuery("CALL system.fast_forward('db.t', 'wap.id.b1')")
+      assert(ff.startsWith("""{"error"""") && ff.contains("not an ancestor"),
+        ff)
+      val pub = eng.sqlQuery("CALL system.publish_changes('db.t', 'b1')")
+      assert(pub.contains(""""operation":"publish_changes""""), pub)
+      assert(!cat.describe("db", "t").refs.contains("wap.id.b1"))
+      val after = cat.read("db", "t")
+      assert(after.count() == 40 + 5)
+      assert(after.filter(col("id") >= 1000L).count() == 5)
+      assert(after.filter(col("id") < 10L).count() == 0)
+      // publishing an unknown wap.id is a clean SQL error
+      assert(eng.sqlQuery("CALL system.publish_changes('db.t', 'nope')")
+        .startsWith("""{"error""""))
+    } finally {
+      spark.conf.set(Engine.WapIdConf, "")
+      spark.conf.set(Engine.WapReadConf, "false")
+    }
+  }
+
+  test("wap.id guard rails: both wap confs set refuses DML; a wap.id " +
+      "that staged TWO snapshots refuses publish_changes (one snapshot " +
+      "per id — the cherry-pick contract)") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapid2"))
+    val eng = new Engine(spark, cat)
+    try {
+      cat.createTable("db", "t",
+        Seq.empty[(Long, Double)].toDF("id", "v").schema)
+      cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+      assert(!eng.sqlQuery("SET graft.wap.branch = audit")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("SET graft.wap.id = b1")
+        .startsWith("""{"error""""))
+      val out = eng.sqlQuery(
+        "INSERT INTO db.t SELECT CAST(2 AS BIGINT), CAST(2.0 AS DOUBLE)")
+      assert(out.startsWith("""{"error"""") && out.contains("both"), out)
+      assert(!eng.sqlQuery("SET graft.wap.branch = ''")
+        .startsWith("""{"error""""))
+      // two staged commits under one wap.id → publish refused whole
+      for (k <- 10 to 11)
+        assert(!eng.sqlQuery(
+          s"INSERT INTO db.t SELECT CAST($k AS BIGINT), CAST(0.0 AS DOUBLE)")
+          .startsWith("""{"error""""))
+      val pub = eng.sqlQuery("CALL system.publish_changes('db.t', 'b1')")
+      assert(pub.startsWith("""{"error"""") &&
+        pub.contains("more than one snapshot"), pub)
+      // nothing moved, the staged chain is intact for a branch publish
+      assert(cat.read("db", "t").count() == 1)
+      assert(cat.readRef("db", "t", "wap.id.b1").count() == 3)
+      assert(!eng.sqlQuery("SET graft.wap.id = ''")
+        .startsWith("""{"error""""))
+      assert(!eng.sqlQuery("CALL system.fast_forward('db.t', 'wap.id.b1')")
+        .startsWith("""{"error""""))
+      assert(cat.read("db", "t").count() == 3)
+    } finally {
+      spark.conf.set(Engine.WapBranchConf, "")
+      spark.conf.set(Engine.WapIdConf, "")
+    }
+  }
+
+  test("snapshot lineage procedures: rollback_to_timestamp resolves " +
+      "the latest ancestor; rollback_to_snapshot refuses a non-ancestor " +
+      "(set_current_snapshot is the deliberate override); ancestors_of " +
+      "walks the chain") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-lineage"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    val s1 = cat.describe("db", "t").currentSnapshotId.get
+    val t1 = cat.describe("db", "t").currentSnapshot.get.createdAtMs
+    Thread.sleep(5)
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    val s2 = cat.describe("db", "t").currentSnapshotId.get
+    Thread.sleep(5)
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    val s3 = cat.describe("db", "t").currentSnapshotId.get
+    // ancestors_of: multi-row chain report, newest first
+    val anc = eng.sqlQuery("CALL system.ancestors_of('db.t')")
+    assert(Seq(s1, s2, s3).forall(id => anc.contains(s""""snapshot_id":$id""")),
+      anc)
+    // timestamp BETWEEN s1 and s2 rolls back to s1
+    val roll = eng.sqlQuery(
+      s"CALL system.rollback_to_timestamp('db.t', ${t1 + 1})")
+    assert(roll.contains(""""rolled_back_to":""" + s1), roll)
+    assert(cat.read("db", "t").count() == 1)
+    // s3 is now NOT an ancestor (abandoned fork tip): rollback refuses,
+    // set_current_snapshot is the deliberate way there
+    val bad = eng.sqlQuery(s"CALL system.rollback_to_snapshot('db.t', $s3)")
+    assert(bad.startsWith("""{"error"""") && bad.contains("not an ancestor"),
+      bad)
+    assert(!eng.sqlQuery(s"CALL system.set_current_snapshot('db.t', $s3)")
+      .startsWith("""{"error""""))
+    assert(cat.read("db", "t").count() == 3)
+    // a timestamp before every snapshot is a clean error
+    assert(eng.sqlQuery("CALL system.rollback_to_timestamp('db.t', 1)")
+      .startsWith("""{"error""""))
+  }
+
+  test("rewrite_data_files with a sort spec re-clusters the WHOLE " +
+      "table (Iceberg sort strategy): content identical, per-file " +
+      "min/max envelopes disjoint along the sort column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-sortrw"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Long)].toDF("id", "x").schema)
+    // two shuffled appends: x spans the full range in every file
+    for (r <- 0 until 2)
+      cat.append("db", "t", (0L until 2000L).filter(_ % 2 == r)
+        .map(i => (i, (i * 37) % 2000)).toDF("id", "x").repartition(3))
+    val before = cat.read("db", "t").orderBy("id", "x").collect().toSeq
+    val rw = eng.sqlQuery(
+      "CALL system.rewrite_data_files('db.t', 1, 8192, 'x')")
+    assert(rw.contains(""""operation":"rewrite_data_files""""), rw)
+    val cur = cat.describe("db", "t").currentSnapshot.get
+    assert(cur.operation.contains("replace"))
+    val live = cur.files.toSet
+    val sts = cur.fileStats.filter(st => live(st.path))
+    assert(sts.size > 1, s"need multiple output files, got ${sts.size}")
+    // clustered: envelopes along x must NOT all span the full range —
+    // a point predicate prunes most files
+    val hit = sts.count(st => st.min("x").toDouble <= 42 &&
+      st.max("x").toDouble >= 42)
+    assert(hit * 2 <= sts.size, s"$hit of ${sts.size} files cover x=42")
+    val after = cat.read("db", "t").orderBy("id", "x").collect().toSeq
+    assert(after == before, "sorted rewrite must preserve content")
+    // a sort column that does not exist / wrong type is a clean error
+    assert(eng.sqlQuery("CALL system.rewrite_data_files('db.t', 'nope')")
+      .startsWith("""{"error""""))
+    // declaring a bad write.order is refused at DDL time — garbage
+    // must never land where every later rewrite would trip on it
+    assert(eng.sqlQuery(
+      "ALTER TABLE db.t SET TBLPROPERTIES ('write.order' = 'nope')")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery(
+      "ALTER TABLE db.t SET TBLPROPERTIES ('write.order' = 'x')")
+      .startsWith("""{"error""""))
+  }
+
+  test("all_files / manifests metadata tables: reachability across " +
+      "snapshots and one manifest row per snapshot — metadata-only " +
+      "introspection for expiry/orphan reasoning") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-metatbl"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v").coalesce(1))
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v").coalesce(1))
+    val meta = cat.describe("db", "t")
+    // all_files: first file referenced by BOTH snapshots, second by one
+    val af = eng.sqlDataFrame(
+      "SELECT file_path, referencing_snapshots FROM db.t.all_files " +
+        "ORDER BY referencing_snapshots DESC")._1.collect()
+    assert(af.length == 2, af.toSeq)
+    assert(af(0).getLong(1) == 2 && af(1).getLong(1) == 1, af.toSeq)
+    // manifests: one row per snapshot, each with its side file on disk
+    val mf = eng.sqlDataFrame(
+      "SELECT path, data_file_count FROM db.t.manifests " +
+        "ORDER BY added_snapshot_id")._1.collect()
+    assert(mf.length == meta.snapshots.size)
+    assert(mf.forall(r => !r.isNullAt(0) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(r.getString(0)))),
+      mf.toSeq)
+    assert(mf.map(_.getLong(1)).toSeq == Seq(1L, 2L), mf.toSeq)
+  }
 }
