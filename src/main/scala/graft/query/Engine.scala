@@ -959,6 +959,43 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             (df, Seq(Engine.PruneInfo(s"$ns.$t", 0, 0)))
           }
 
+      case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+          rel, _, _) =>
+        idOf(rel).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            // the reproducible-DDL surface (Spark's 1-row
+            // createtab_stmt shape): declared schema + every table
+            // property, so a table's layout contract (write.order,
+            // partition spec, write modes) is copy-paste recreatable
+            import spark.implicits._
+            val meta = catalog.describe(ns, t)
+            val cols = catalog.schemaOf(ns, t).fields
+              .map(f => s"  ${f.name} ${f.dataType.sql}")
+              .mkString(",\n")
+            val props = meta.properties.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n")
+            val stmt = s"CREATE TABLE $ns.$t (\n$cols)" +
+              (if (props.isEmpty) ""
+               else s"\nTBLPROPERTIES (\n$props)")
+            (Seq(stmt).toDF("createtab_stmt"),
+              Seq(Engine.PruneInfo(s"$ns.$t", 0, 0)))
+          }
+
+      case org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties(
+          rel, key, _) =>
+        idOf(rel).filter { case (ns, t) => catalog.tableExists(ns, t) }
+          .map { case (ns, t) =>
+            import spark.implicits._
+            val props = catalog.describe(ns, t).properties
+            val rows = key match {
+              case Some(k) => Seq(k -> props.getOrElse(k,
+                s"Table $ns.$t does not have property: $k"))
+              case None => props.toSeq.sortBy(_._1)
+            }
+            (rows.toDF("key", "value"),
+              Seq(Engine.PruneInfo(s"$ns.$t", 0, 0)))
+          }
+
       case ShowTables(
           org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(
             Seq(ns), _), pattern, _) if catalog.listNamespaces().contains(ns) =>

@@ -2379,4 +2379,61 @@ class CatalogSpec extends SparkTestBase {
     cat.append("db", "t", Seq.empty[(Long, Long)].toDF("id", "x"))
     assert(cat.read("db", "t").count() == 4000)
   }
+
+  test("write.order composes with hidden partitioning: files stay " +
+      "value-pure per partition AND carry tight sort-column envelopes") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    import graft.catalog.PartitionSpec
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("x", LongType)))
+    cat.createTable("db", "pw", schema,
+      Map(PartitionSpec.PropertyKey -> "bucket(2, k)",
+        SnapshotCatalog.WriteOrderProp -> "x"))
+    cat.append("db", "pw", (0L until 2000L).map(i => (i, (i * 37) % 2000))
+      .toDF("k", "x").repartition(4))
+    val snap = cat.describe("db", "pw").currentSnapshot.get
+    // every file is still value-pure under the bucket spec
+    assert(snap.fileStats.forall(_.pval.isDefined),
+      snap.fileStats.map(f => f.path -> f.pval))
+    assert(snap.fileStats.map(_.pval.get).distinct.size == 2)
+    // and the sort column's envelopes are tight: a point predicate on
+    // x hits a minority of files
+    assert(snap.files.size > 2)
+    val hit = snap.fileStats.count(st =>
+      st.min("x").toDouble <= 42 && st.max("x").toDouble >= 42)
+    assert(hit * 2 <= snap.files.size,
+      s"$hit of ${snap.files.size} files cover x=42: " +
+        snap.fileStats.map(st => st.min("x") + ".." + st.max("x")))
+    assert(cat.read("db", "pw").count() == 2000)
+  }
+
+  test("cherrypick survives a main-side COMPACTION between staging " +
+      "and publish: the replace rewrote every head file, the staged " +
+      "append still re-attaches byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    for (b <- 0 until 4)
+      cat.append("db", "t", Seq((b.toLong, b.toDouble)).toDF("id", "v")
+        .coalesce(1))
+    cat.createBranch("db", "t", "stage")
+    cat.appendToBranch("db", "t", "stage",
+      Seq((100L, 100.0)).toDF("id", "v"))
+    val stagedId = cat.describe("db", "t").refs("stage")
+    val stagedFiles = cat.describe("db", "t").snapshots
+      .find(_.snapshotId == stagedId).get.files.toSet
+    // main compacts: every pre-fork file is rewritten (replace)
+    val rep = cat.compactFileGroups("db", "t")
+    assert(rep.compacted)
+    assert(cat.describe("db", "t").currentSnapshot.get.operation
+      .contains("replace"))
+    val meta = cat.cherrypick("db", "t", stagedId)
+    val head = meta.currentSnapshot.get
+    assert(head.files.toSet.intersect(stagedFiles).nonEmpty,
+      "staged file must re-attach byte-identical across the compaction")
+    assert(cat.read("db", "t").count() == 5)
+    assert(cat.read("db", "t").filter(col("id") === 100L).count() == 1)
+  }
 }

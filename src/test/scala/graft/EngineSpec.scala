@@ -2047,4 +2047,27 @@ class EngineSpec extends SparkTestBase {
       mf.toSeq)
     assert(mf.map(_.getLong(1)).toSeq == Seq(1L, 2L), mf.toSeq)
   }
+
+  test("SHOW CREATE TABLE / SHOW TBLPROPERTIES: the reproducible-DDL " +
+      "surface — schema plus every layout property, copy-paste shaped") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-showcreate"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t",
+      Seq.empty[(Long, Long)].toDF("id", "x").schema,
+      Map("write.order" -> "x"))
+    val out = eng.sqlDataFrame("SHOW CREATE TABLE db.t")._1.head().getString(0)
+    assert(out.contains("CREATE TABLE db.t") &&
+      out.contains("id BIGINT") && out.contains("x BIGINT") &&
+      out.contains("'write.order' = 'x'"), out)
+    val props = eng.sqlDataFrame("SHOW TBLPROPERTIES db.t")._1.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.order").contains("x"), props)
+    val one = eng.sqlDataFrame(
+      "SHOW TBLPROPERTIES db.t ('write.order')")._1.collect()
+    assert(one.length == 1 && one.head.getString(1) == "x", one.toSeq)
+    val missing = eng.sqlDataFrame(
+      "SHOW TBLPROPERTIES db.t ('nope')")._1.head().getString(1)
+    assert(missing.contains("does not have property"), missing)
+  }
 }
