@@ -507,9 +507,16 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           SnapshotCatalog.parseWriteOrder(o, df.schema)).toOption)
         .filter(_.nonEmpty) match {
         case Some(cols) =>
-          val n = math.max(1, df.rdd.getNumPartitions)
-          df.withColumn("_graft_wz",
-              graft.functions.ZOrder.scaled(df, cols))
+          // ONE materialization of the batch: the Z-bounds aggregate
+          // and the write both read the checkpointed rows, so an
+          // expensive INSERT … SELECT plan is never executed twice
+          // (the MERGE path's discipline) and a non-deterministic
+          // source cannot write rows different from the ones its
+          // bounds were computed from
+          val src = df.localCheckpoint()
+          val n = math.max(1, src.rdd.getNumPartitions)
+          src.withColumn("_graft_wz",
+              graft.functions.ZOrder.scaled(src, cols))
             .repartitionByRange(n, col("_graft_wz"))
             .sortWithinPartitions("_graft_wz")
             .drop("_graft_wz")
@@ -742,10 +749,9 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           "data_file_count", "delete_file_count")
       case "history" =>
         // ancestry chain of the current snapshot, oldest first
-        val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-        val chain = Iterator.iterate(meta.currentSnapshot)(
-            _.flatMap(_.parentId).flatMap(byId.get))
-          .takeWhile(_.isDefined).flatten.toSeq.reverse
+        val chain = meta.currentSnapshotId
+          .map(ancestorChain(meta.snapshots, _)).getOrElse(Seq.empty)
+          .reverse
         val ancestors = chain.map(_.snapshotId).toSet
         meta.snapshots.map(s => (new java.sql.Timestamp(s.createdAtMs),
           s.snapshotId, s.parentId, ancestors(s.snapshotId)))
@@ -1874,7 +1880,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       }
       val newMeta = meta.copy(snapshots = healed)
       commit(ns, name, version + 1, newMeta)
-      orphaned.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      // physical reap stops at the ownership boundary: [[addFiles]]
+      // imports live OUTSIDE the table tree and are forgotten from
+      // metadata only — expiry must never destroy a source dataset
+      // the catalog merely adopted (native files all live inside, so
+      // the guard costs nothing on the normal path)
+      orphaned.filter(ownsPath(ns, name, _))
+        .foreach(f => Files.deleteIfExists(Paths.get(f)))
       // dropped snapshots' side manifests are unreferenced artifacts
       // too (per-snapshot, never shared) — reclaim them with the data
       val keptManifests = retained.flatMap(_.manifestPath).toSet
@@ -1906,16 +1918,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       newMeta
     }
 
-  /** Snapshot ids on the ancestor chain from `headId` to the root
-    * (inclusive), following `parentId` edges through the given
-    * snapshot list.
+  /** The ancestor chain from `headId` to the root (inclusive, newest
+    * first), following `parentId` edges through the given snapshot
+    * list — THE shared lineage walk (`ancestors_of`, the `history`
+    * metadata table, publish/rollback guards all consume it; chain
+    * semantics live in exactly one place).
     */
-  private def ancestorIds(snapshots: Seq[SnapshotMeta],
-      headId: Long): Set[Long] = {
+  private[graft] def ancestorChain(snapshots: Seq[SnapshotMeta],
+      headId: Long): Seq[SnapshotMeta] = {
     val byId = snapshots.map(s => s.snapshotId -> s).toMap
     Iterator.iterate(byId.get(headId))(
         _.flatMap(_.parentId).flatMap(byId.get))
-      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+      .takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  /** Snapshot ids on the ancestor chain from `headId` (inclusive). */
+  private def ancestorIds(snapshots: Seq[SnapshotMeta],
+      headId: Long): Set[Long] =
+    ancestorChain(snapshots, headId).map(_.snapshotId).toSet
+
+  /** True iff `snapshotId`'s CONTENT is already in the published
+    * lineage: the id itself is a current ancestor, or a cherry-picked
+    * re-attach of it is. This is what makes a publish retry after a
+    * crash-between-commits (cherrypick landed, ref drop didn't) safe
+    * to detect — the path-overlap heuristic alone would stop matching
+    * as soon as a compaction rewrote the re-attached files, and the
+    * retry would silently duplicate every staged row.
+    */
+  def isPublished(ns: String, name: String, snapshotId: Long): Boolean = {
+    val meta = describe(ns, name)
+    meta.currentSnapshotId.exists { cur =>
+      val chain = ancestorIds(meta.snapshots, cur)
+      chain(snapshotId) || meta.snapshots.exists(x =>
+        x.cherrypickedFrom.contains(snapshotId) && chain(x.snapshotId))
+    }
   }
 
   /** True iff `snapshotId` is on the current snapshot's ancestor
@@ -1966,10 +2002,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       val s = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
         throw new IllegalArgumentException(
           s"no snapshot $snapshotId in $ns.$name"))
-      if (meta.currentSnapshotId == s.parentId ||
-          meta.currentSnapshotId.contains(snapshotId)) {
-        // built against exactly the current state (or already current):
-        // publishing is one pointer move
+      if (meta.currentSnapshotId.contains(snapshotId)) return meta
+      // durable double-publish guard (NOT the path heuristic below —
+      // a compaction after the first publish rewrites the re-attached
+      // files, so paths stop overlapping exactly when a retry would
+      // silently duplicate the rows)
+      require(!isPublished(ns, name, snapshotId),
+        s"snapshot $snapshotId of $ns.$name was already published: it " +
+          "(or a cherry-pick of it) is an ancestor of the current head")
+      if (meta.currentSnapshotId == s.parentId) {
+        // built against exactly the current state: publishing is one
+        // pointer move
         val newMeta = meta.copy(currentSnapshotId = Some(snapshotId))
         commit(ns, name, version + 1, newMeta)
         return newMeta
@@ -2017,7 +2060,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         deleteFileStats =
           head.map(_.deleteFileStats).getOrElse(Seq.empty),
         eqDeletes = head.map(_.eqDeletes).getOrElse(Seq.empty),
-        operation = Some("append"))
+        operation = Some("append"),
+        cherrypickedFrom = Some(snapshotId))
       val newMeta = meta.copy(currentSnapshotId = Some(newId),
         snapshots = meta.snapshots :+ snap)
       commit(ns, name, version + 1, newMeta)
@@ -2697,12 +2741,37 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           val df = readFilesOf(current, schema, rewrite, meta.fieldIds)
           val packed =
             if (effCluster.isEmpty) df.coalesce(numOut) // no shuffle
-            else df // group-local Z-order: only dirty bytes shuffle
-              .withColumn("_graft_z",
-                graft.functions.ZOrder.scaled(df, effCluster))
-              .repartitionByRange(numOut, col("_graft_z"))
-              .sortWithinPartitions("_graft_z")
-              .drop("_graft_z")
+            else {
+              // Z-scaling bounds come from the manifest's per-file
+              // min/max — ZERO extra pass over the data (the aggregate
+              // overload would re-execute the whole rewrite-set scan
+              // just to learn them; on the fullRewrite path that is
+              // the entire table read twice). File-level stats may be
+              // wider than the LIVE rows (MoR deletes) — harmless, the
+              // scaling just loses a little resolution. Any file
+              // missing parseable stats for a cluster column falls
+              // back to the aggregate.
+              val stByPath = current.fileStats.map(st => st.path -> st).toMap
+              def boundsOf(c: String): Option[(Double, Double)] = {
+                val per = rewrite.map(f => stByPath.get(f).flatMap(st =>
+                  scala.util.Try((st.min(c).toDouble, st.max(c).toDouble))
+                    .toOption))
+                if (per.isEmpty || per.exists(_.isEmpty)) None
+                else Some((per.flatten.map(_._1).min,
+                  per.flatten.map(_._2).max))
+              }
+              val bounds = effCluster.map(c => c -> boundsOf(c))
+              val z =
+                if (bounds.forall(_._2.isDefined))
+                  graft.functions.ZOrder.scaledWithBounds(
+                    bounds.map { case (c, b) => c -> b.get })
+                else graft.functions.ZOrder.scaled(df, effCluster)
+              df // group-local Z-order: only dirty bytes shuffle
+                .withColumn("_graft_z", z)
+                .repartitionByRange(numOut, col("_graft_z"))
+                .sortWithinPartitions("_graft_z")
+                .drop("_graft_z")
+            }
           // partitioned tables keep their HIDDEN-PARTITION layout
           // through maintenance (the appendImpl write shape):
           // value-pure rewritten files record fresh pvals, so pval
@@ -2789,6 +2858,301 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         eqDeleteFilesFolded = current.eqDeletes.size,
         compacted = true)
     }
+
+  /** Rewrite the MERGE-ON-READ delete side WITHOUT touching a single
+    * data byte (Iceberg's `rewrite_position_delete_files`, plus the
+    * eq→pos conversion its compaction path performs): accumulated
+    * positional delete files consolidate into few range-sorted files,
+    * dangling entries (naming data files no longer live) drop, and
+    * every EQUALITY delete converts into exact positional entries —
+    * after which the snapshot's row count is metadata-only again
+    * ([[SnapshotMeta.statsRowCount]] returns None while eq entries
+    * exist) and reads take the cheap named-file/needle path instead of
+    * per-read seq-gated anti-joins.
+    *
+    * Cost posture at 100 TB: the pos-only case never scans data at
+    * all — it is O(delete side). The eq-conversion case scans only the
+    * DIRTY files once (the same candidate set every read was already
+    * paying for), and the conversion is computed as `all row ids of
+    * dirty files ANTI-JOIN ids the read path serves` — the new delete
+    * side is BY CONSTRUCTION exactly what reads were hiding, so
+    * before/after results are identical whatever the delete-side
+    * corner (seq gates, re-inserted keys, dedup). Compare with
+    * [[compactFileGroups]], which achieves the same fold by rewriting
+    * the dirty DATA bytes — this procedure is the cheap intermediate
+    * for delete-heavy windows between real compactions.
+    *
+    * Output files range-partition on `file_path`, so each consolidated
+    * delete file covers a contiguous slice of data files and per-read
+    * delete-side pruning ([[namedByFile]] memos) stays narrow. The
+    * commit is a content-preserving `replace` — table subscribers skip
+    * it like any compaction. Plan/write happens OUTSIDE the catalog
+    * lock with validate-and-commit + bounded re-plan on conflict (the
+    * [[compactFileGroups]] discipline).
+    */
+  def rewriteDeleteFiles(ns: String, name: String): DeleteRewriteReport = {
+    val maxAttempts = 6
+    var attempt = 0
+    while (true) {
+      try {
+        return if (attempt >= 2)
+          synchronized(rewriteDeleteFilesOnce(ns, name))
+        else rewriteDeleteFilesOnce(ns, name)
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < maxAttempts =>
+          attempt += 1 // a commit landed mid-rewrite: re-plan
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rewriteDeleteFilesOnce(ns: String,
+      name: String): DeleteRewriteReport = {
+    import org.apache.spark.sql.functions.col
+    val (_, meta) = loadMeta(ns, name)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val current = meta.currentSnapshot.getOrElse(
+      return DeleteRewriteReport(0, 0, 0L, 0L, 0, rewritten = false))
+    if (current.deleteFiles.isEmpty && current.eqDeletes.isEmpty)
+      return DeleteRewriteReport(0, 0, 0L, 0L, 0, rewritten = false)
+    val posBefore = current.deleteFileStats.map(_.rows).sum
+    val estEntries = posBefore + current.eqDeletes.map(_.rows).sum
+    val writeId = java.util.UUID.randomUUID().toString.take(8)
+    val outDir = dataDir(ns, name).resolve(s"delete-rw-$writeId")
+    val (newFiles, newStats) = try {
+      import spark.implicits._
+      val hidden =
+        if (current.eqDeletes.isEmpty) {
+          // pos-only: consolidate with ZERO data scan — live-file
+          // filter (drops dangling entries) + dedup over the delete
+          // side alone
+          val liveDf = current.files.toDF("file_path")
+          spark.read.schema(DeleteFileSchema)
+            .parquet(current.deleteFiles: _*)
+            .join(org.apache.spark.sql.functions.broadcast(liveDf),
+              Seq("file_path"), "left_semi")
+            .dropDuplicates("file_path", "pos")
+        } else {
+          // eq conversion: one pass over the DIRTY files only. The
+          // hidden set is defined through the read path itself
+          // ([[deletesApplied]]), so the converted side can never
+          // disagree with what reads were serving.
+          val dirty = deleteTouchedFiles(current, schema, current.files)
+          val all = baseRead(current, schema, dirty, meta.fieldIds,
+              withRowId = true)
+            .select(col(RowIdFileCol).as("file_path"),
+              col(RowIdPosCol).cast("long").as("pos"))
+          val live = deletesApplied(current, schema, dirty, meta.fieldIds)
+            .select(col(RowIdFileCol).as("file_path"),
+              col(RowIdPosCol).cast("long").as("pos"))
+          all.join(live, Seq("file_path", "pos"), "left_anti")
+        }
+      val numOut = math.max(1L, math.min(64L,
+        estEntries / DeleteRewriteRowsPerFile + 1)).toInt
+      hidden
+        .repartitionByRange(numOut, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(outDir.toString)
+      val fs0 = Option(outDir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      val st = collectFileStats(DeleteFileSchema, fs0)
+      (dropEmptyParts(fs0, st), st.filter(_.rows > 0L))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        deleteRecursively(outDir)
+        throw staleOrRethrow(ns, name, meta, e)
+    }
+    synchronized {
+      val (v2, m2) = loadMeta(ns, name)
+      def discard(): Unit = deleteRecursively(outDir)
+      if (m2.currentSnapshotId != meta.currentSnapshotId) {
+        discard()
+        throw new java.util.ConcurrentModificationException(
+          s"$ns.$name moved during the delete rewrite — re-plan and retry")
+      }
+      if (m2.schemaJson != meta.schemaJson || m2.fieldIds != meta.fieldIds) {
+        discard()
+        throw new java.util.ConcurrentModificationException(
+          s"$ns.$name schema evolved during the delete rewrite — " +
+            "re-plan and retry")
+      }
+      if (newFiles.isEmpty) deleteRecursively(outDir) // all entries dead
+      try commitReplacing(ns, name, v2, m2,
+        m2.snapshots.map(_.snapshotId).max + 1,
+        current.files, current.fileStats,
+        newFiles, newStats, Seq.empty,
+        operation = "replace") // content-preserving: consumers skip it
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          discard(); throw e
+      }
+      DeleteRewriteReport(
+        deleteFilesBefore = current.deleteFiles.size,
+        deleteFilesAfter = newFiles.size,
+        entriesBefore = posBefore,
+        entriesAfter = newStats.map(_.rows).sum,
+        eqDeleteFilesConverted = current.eqDeletes.size,
+        rewritten = true)
+    }
+  }
+
+  /** ZERO-COPY import (Iceberg's `add_files` procedure): register
+    * existing parquet files into the table as ONE append snapshot —
+    * no byte is rewritten or moved, which is the entire migration
+    * story at 100 TB (re-ingesting would cost a full copy; this costs
+    * one distributed stats pass over the imported bytes and one
+    * metadata commit). Reference scope: the playground bootstraps its
+    * tables by re-ingesting through Kafka; this is the Spark-Iceberg
+    * procedure surface for adopting data in place instead.
+    *
+    * Contract:
+    *  - `source` is a directory (recursive `*.parquet` walk), a single
+    *    parquet file, or a `*` glob in the basename;
+    *  - the imported schema must match the table's declared columns
+    *    EXACTLY by name set and type (nullability-insensitive) — an
+    *    import is not schema evolution; evolve first, then import;
+    *  - files are NAME-MAPPED to the table's stable field ids at
+    *    import (the [[FileStats.colIds]] stamp — Iceberg's name-mapping
+    *    for files without field ids), so later renames/promotions
+    *    resolve into them like any native file;
+    *  - per-file min/max/bloom stats are collected in the same pass,
+    *    so manifest pruning over imported files is exactly as sharp as
+    *    over written ones;
+    *  - imported files are registered at their EXTERNAL paths and the
+    *    catalog never takes ownership of the bytes: [[expireSnapshots]]
+    *    forgets unreferenced files from METADATA but only physically
+    *    reaps paths under the table's own data dir ([[ownsPath]]), and
+    *    [[removeOrphanFiles]] scans only the table tree — DROP/expiry/
+    *    compaction can never destroy the source dataset;
+    *  - duplicate registration (a path already live) refuses, as does
+    *    importing into a hidden-partitioned table (imported files
+    *    carry no partition values; MoR DML on top works regardless).
+    */
+  def addFiles(ns: String, name: String, source: String): AddFilesReport = {
+    require(partitionSpecOf(ns, name).isEmpty,
+      s"$ns.$name declares a partition spec — add_files imports " +
+        "unpartitioned layouts only (write through INSERT to " +
+        "partition on ingest)")
+    val resolved = resolveImportFiles(source)
+    require(resolved.nonEmpty, s"no parquet files at $source")
+    val own = dataDir(ns, name).toAbsolutePath.toString + "/"
+    resolved.find(_.startsWith(own)).foreach(f =>
+      throw new IllegalArgumentException(
+        s"$f is inside $ns.$name's own data tree — already table-managed"))
+    val declared = DataType.fromJson(describe(ns, name).schemaJson)
+      .asInstanceOf[StructType]
+    // mergeSchema: the inferred schema is the UNION across every
+    // imported footer, so a stray heterogeneous file in the source
+    // dir surfaces as an extra/conflicting column here instead of
+    // silently null-padding at read
+    val imported = spark.read.option("mergeSchema", "true")
+      .parquet(resolved: _*).schema
+    val tblT = declared.fields.map(f => f.name -> f.dataType).toMap
+    val impT = imported.fields.map(f => f.name -> f.dataType).toMap
+    val missing = tblT.keySet -- impT.keySet
+    val extra = impT.keySet -- tblT.keySet
+    require(missing.isEmpty && extra.isEmpty,
+      s"imported schema does not match $ns.$name: " +
+        (missing.map(m => s"missing $m") ++
+          extra.map(e => s"unexpected $e")).mkString(", "))
+    val mismatched = tblT.keys.filter(n => impT(n) != tblT(n)).toSeq.sorted
+      .map(n => s"$n is ${impT(n).simpleString}, declared ${tblT(n).simpleString}")
+    require(mismatched.isEmpty,
+      s"imported types do not match $ns.$name: ${mismatched.mkString("; ")}" +
+        " — ALTER COLUMN TYPE cannot retro-apply to imports; convert first")
+    // one distributed pass: rows + min/max (+ declared blooms) per
+    // file. Zero-row files simply produce no group — they register
+    // nothing and are NOT deleted (external bytes are never touched).
+    val stats = collectFileStats(declared, resolved,
+        bloomColsFor(ns, name, declared))
+      .filter(_.rows > 0L).sortBy(_.path)
+    if (stats.isEmpty) return AddFilesReport(0, 0L)
+    val files = stats.map(_.path)
+    val schemaAtPlan = declared.json
+    synchronized {
+      retryMetaCommit(ns, name) { meta =>
+        // stats were keyed under the planned schema — a concurrent
+        // evolution invalidates name-keyed min/max and the colIds
+        // stamp, so refuse rather than commit a mismatched manifest
+        require(meta.schemaJson == schemaAtPlan,
+          s"$ns.$name's schema evolved during the import — retry")
+        val base = meta.currentSnapshot
+        val live = base.map(_.files.toSet).getOrElse(Set.empty)
+        val dup = files.filter(live)
+        require(dup.isEmpty, s"already live in $ns.$name: " +
+          dup.take(3).mkString(", ") +
+          (if (dup.size > 3) s" (+${dup.size - 3} more)" else ""))
+        val snapshotId =
+          meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
+        val seqNum =
+          meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
+        val stamped = stats.map(_.copy(
+          colIds = colIdsStamp(meta.fieldIds, declared),
+          seq = Some(seqNum)))
+        val snap = SnapshotMeta(
+          snapshotId = snapshotId,
+          parentId = base.map(_.snapshotId),
+          sequenceNumber = seqNum,
+          files = base.map(_.files).getOrElse(Seq.empty) ++ files,
+          rowCount = stamped.map(_.rows).sum,
+          createdAtMs = System.currentTimeMillis(),
+          fileStats =
+            base.map(_.fileStats).getOrElse(Seq.empty) ++ stamped,
+          deleteFiles = base.map(_.deleteFiles).getOrElse(Seq.empty),
+          deleteFileStats =
+            base.map(_.deleteFileStats).getOrElse(Seq.empty),
+          eqDeletes = base.map(_.eqDeletes).getOrElse(Seq.empty),
+          operation = Some("append"))
+        meta.copy(currentSnapshotId = Some(snapshotId),
+          snapshots = meta.snapshots :+ snap)
+      }: Unit
+    }
+    AddFilesReport(files.size, stats.map(_.rows).sum)
+  }
+
+  /** `source` → absolute parquet paths: a directory walks `*.parquet`
+    * recursively, a basename `*` glob expands against its parent, a
+    * plain path must exist.
+    */
+  private def resolveImportFiles(source: String): Seq[String] = {
+    val p = Paths.get(source)
+    def walk(d: File): Seq[String] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory => walk(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f.getAbsolutePath)
+        case _ => Seq.empty
+      }
+    val base = p.getFileName.toString
+    if (Files.isDirectory(p)) walk(p.toFile).sorted
+    else if (base.contains("*")) {
+      val dir = Option(p.getParent).getOrElse(Paths.get("."))
+      val m = java.nio.file.FileSystems.getDefault
+        .getPathMatcher(s"glob:$base")
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(f => m.matches(f.getFileName) &&
+              f.toString.endsWith(".parquet"))
+            .map(_.toAbsolutePath.toString).toSeq.sorted
+        } finally s.close()
+      }
+    } else if (Files.exists(p)) Seq(p.toAbsolutePath.toString)
+    else Seq.empty
+  }
+
+  /** True iff `path` is inside this table's own data tree — the only
+    * region the catalog physically deletes from. Everything the
+    * catalog writes lands here, so the guard is a no-op for native
+    * files; for [[addFiles]] imports it is the ownership boundary that
+    * keeps expiry/DROP from destroying an external source dataset.
+    */
+  private def ownsPath(ns: String, name: String, path: String): Boolean =
+    path.startsWith(dataDir(ns, name).toAbsolutePath.toString + "/")
 
   /** One scheduled MAINTENANCE pass composing the three table-health
     * primitives in dependency order — the nightly job a 100 TB
@@ -4034,6 +4398,27 @@ object SnapshotCatalog {
       newFiles: Int, bytesRewritten: Long, posDeleteFilesFolded: Int,
       eqDeleteFilesFolded: Int, compacted: Boolean)
 
+  /** What one [[SnapshotCatalog.rewriteDeleteFiles]] pass did —
+    * entry counts are POSITIONAL entries (`entriesAfter` includes the
+    * rows converted from equality deletes; `entriesBefore` is the
+    * positional side only, so after > before is normal when eq
+    * entries converted).
+    */
+  final case class DeleteRewriteReport(deleteFilesBefore: Int,
+      deleteFilesAfter: Int, entriesBefore: Long, entriesAfter: Long,
+      eqDeleteFilesConverted: Int, rewritten: Boolean)
+
+  /** What one [[SnapshotCatalog.addFiles]] import registered. */
+  final case class AddFilesReport(addedFiles: Int, addedRows: Long)
+
+  /** Target positional entries per consolidated delete file
+    * ([[SnapshotCatalog.rewriteDeleteFiles]]): (path, pos) rows are
+    * ~tens of bytes encoded (file_path dictionary/RLE-compresses), so
+    * 8M entries keep each file well under the data-file target while
+    * bounding how many files a huge delete side consolidates into.
+    */
+  val DeleteRewriteRowsPerFile: Long = 8L * 1024 * 1024
+
   /** Bin-pack thresholds ([[SnapshotCatalog.compactFileGroups]]):
     * files under `DefaultMinFileBytes` are small enough to pack;
     * rewritten groups aim at `DefaultTargetFileBytes` per output file
@@ -4319,7 +4704,15 @@ object SnapshotCatalog {
       // `operation` (a stitched "replace" edge may hide expired ROW
       // CHANGES — skipping it would lose them; reading it as a normal
       // endpoints window is always sound).
-      stitched: Option[Boolean] = None) {
+      stitched: Option[Boolean] = None,
+      // the SOURCE snapshot a cherry-pick re-attach was built from
+      // (Iceberg records the same provenance in the snapshot summary):
+      // the durable already-published marker — without it a publish
+      // retry after the re-attached files were compacted away would
+      // pass the path-overlap guard and silently duplicate the staged
+      // rows ([[SnapshotCatalog.isPublished]]).
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      cherrypickedFrom: Option[Long] = None) {
     /** Live-row count from the manifest alone, when every data AND
       * delete file carries stats — None forces a scan, never a silent
       * undercount (the metadata-count contract). Equality deletes make

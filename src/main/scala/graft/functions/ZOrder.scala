@@ -37,20 +37,33 @@ object ZOrder {
 
   /** Z-value over arbitrary numeric columns: min/max-scale each to
     * `[0, 2^bits)` (bounds from one scalar aggregate over `df`), then
-    * interleave. Constant columns collapse to 0 harmlessly.
+    * interleave. Constant columns collapse to 0 harmlessly. Callers
+    * that already KNOW the bounds (manifest stats, a checkpointed
+    * batch) should use [[scaledWithBounds]] — this overload costs one
+    * extra execution of `df`'s plan.
     */
   def scaled(df: DataFrame, colNames: Seq[String], bits: Int = 16): Column = {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    // null bounds (empty frame / all-null column) collapse the
+    // dimension to 0 instead of NPEing — an empty batch must write,
+    // not crash, on the write.order append path
+    val lohi = colNames.indices.map { i =>
+      (if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i),
+        if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1))
+    }
+    scaledWithBounds(colNames.zip(lohi), bits)
+  }
+
+  /** [[scaled]] with caller-supplied per-column (lo, hi) bounds — the
+    * zero-extra-pass path (compaction derives bounds from manifest
+    * min/max stats; the append path from its checkpointed batch).
+    */
+  def scaledWithBounds(cols: Seq[(String, (Double, Double))],
+      bits: Int = 16): Column = {
     val maxV = (1L << bits) - 1
-    val dims = colNames.zipWithIndex.map { case (c, i) =>
-      // null bounds (empty frame / all-null column) collapse the
-      // dimension to 0 instead of NPEing — an empty batch must write,
-      // not crash, on the write.order append path
-      val lo = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
-      val hi =
-        if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
+    val dims = cols.map { case (c, (lo, hi)) =>
       if (hi <= lo) lit(0L)
       else least(greatest(
         floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * maxV)

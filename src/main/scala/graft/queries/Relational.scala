@@ -3182,6 +3182,200 @@ object Relational {
       |FROM src, b WHERE x <= xq AND y <= yq
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  // DELETE-SIDE-ONLY MAINTENANCE (round 16 — Iceberg's
+  // `rewrite_position_delete_files`, plus the eq→pos conversion its
+  // compaction performs): a merge-on-read table accumulates THREE
+  // positional delete files (three needle DELETEs) and an equality
+  // delete with a same-commit re-insert (the CDC upsert shape, which
+  // exercises the sequence gate: the eq entry hides only the OLD row).
+  // One `CALL system.rewrite_position_delete_files` then consolidates
+  // the whole delete side to a single range-sorted file and converts
+  // the equality entry to exact positions — REQUIRED in-query: zero
+  // data files touched, one delete file after, eq side empty, and the
+  // manifest row count metadata-only again. The final aggregate is
+  // oracled against pure SELECT algebra, so the rewrite is proven
+  // content-preserving. At 100 TB this is the cheap intermediate
+  // between real compactions: O(delete side), never O(table).
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q67_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      import s.implicits._
+      def run(sql: String): String = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+        out
+      }
+      val ordersPq = s"$dir/orders.parquet"
+      // TBLPROPERTIES at CREATE drives the MoR write path end to end
+      run("CREATE TABLE db.m (k BIGINT, price DOUBLE, status STRING) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      run(s"""INSERT INTO db.m
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM parquet.`$ordersPq` WHERE o_orderkey < 2000""".stripMargin)
+      val dataFiles = cat.describe("db", "m").currentSnapshot.get.files
+      // three separate MoR deletes → three positional delete files
+      run("DELETE FROM db.m WHERE k BETWEEN 100 AND 300")
+      run("DELETE FROM db.m WHERE k % 7 = 0")
+      run("DELETE FROM db.m WHERE k BETWEEN 1500 AND 1600")
+      // an equality delete + same-commit re-insert (the CDC shape)
+      cat.cdcUpsert("db", "m",
+        rows = Seq((1L, -1.0, "X")).toDF("k", "price", "status"),
+        deletes = s.read.parquet(ordersPq)
+          .filter(col("o_orderkey") < 2000 && col("o_orderkey") % 13 === 1)
+          .select(col("o_orderkey").as("k")),
+        keyCols = Seq("k"))
+      val before = cat.describe("db", "m").currentSnapshot.get
+      require(before.deleteFiles.size >= 3 && before.eqDeletes.nonEmpty,
+        s"need an accumulated delete side, got ${before.deleteFiles.size} " +
+          s"pos files / ${before.eqDeletes.size} eq entries")
+      require(before.statsRowCount.isEmpty,
+        "eq entries must force the scan-count path before the rewrite")
+      val rep = run("CALL system.rewrite_position_delete_files('db.m')")
+      require(rep.contains("\"delete_files_after\":1"), rep)
+      val after = cat.describe("db", "m").currentSnapshot.get
+      require(after.files == before.files &&
+          dataFiles.forall(after.files.contains),
+        "the delete rewrite must not touch data files")
+      require(after.eqDeletes.isEmpty && after.deleteFiles.size == 1,
+        s"expected one consolidated delete file, got " +
+          s"${after.deleteFiles.size} / ${after.eqDeletes.size} eq")
+      require(after.statsRowCount.isDefined,
+        "eq→pos conversion must restore the metadata-only row count")
+      require(after.operation.contains("replace"),
+        "the delete rewrite must be a content-preserving replace")
+      val out = cat.read("db", "m")
+        .groupBy("status")
+        // per-row integer cents, then an exact BIGINT sum — immune to
+        // float summation order (the q66 discipline)
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(round(col("price") * 100, 0).cast("long")).as("sum_price_c"))
+        .orderBy("status")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      val schema = out.schema
+      s.createDataFrame(rows, schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q67Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 2000),
+      |d1 AS (SELECT * FROM base WHERE NOT (k BETWEEN 100 AND 300)),
+      |d2 AS (SELECT * FROM d1 WHERE NOT (k % 7 = 0)),
+      |d3 AS (SELECT * FROM d2 WHERE NOT (k BETWEEN 1500 AND 1600)),
+      |cdc AS (
+      |  SELECT * FROM d3 WHERE NOT (k % 13 = 1)
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), CAST(-1.0 AS DOUBLE), 'X')
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM cdc GROUP BY status ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  // ZERO-COPY ADOPTION (round 16 — Iceberg's `add_files` procedure):
+  // an EXTERNAL parquet dataset (4 range-partitioned files staged
+  // outside any warehouse) is registered into a fresh merge-on-read
+  // table by `CALL system.add_files` — REQUIRED in-query: every
+  // registered path IS the external path (no byte copied or moved),
+  // the report's added_rows equals the staged count, and a subsequent
+  // MoR DELETE lands positional deletes NAMING the imported files
+  // while leaving them untouched on disk. A plain INSERT then mixes
+  // catalog-written files with imported ones in the same snapshot.
+  // The final aggregate is oracled against pure SELECT algebra over
+  // the same source rows, so the import + DML-on-imports read path is
+  // proven exact. At 100 TB this is the migration story: adopting a
+  // parquet lake costs one stats pass and one commit, not a copy.
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q68_wh").toString
+    val staging =
+      java.nio.file.Files.createTempDirectory("graft_q68_src").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      def run(sql: String): String = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+        out
+      }
+      val ext = s"$staging/orders_ext"
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      src.repartitionByRange(4, col("k")).write.parquet(ext)
+      val stagedRows = s.read.parquet(ext).count()
+      run("CREATE TABLE db.imp (k BIGINT, price DOUBLE, status STRING) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      val rep = run(s"CALL system.add_files('db.imp', '$ext')")
+      require(rep.contains(s""""added_rows":$stagedRows"""), rep)
+      val snap0 = cat.describe("db", "imp").currentSnapshot.get
+      require(snap0.files.nonEmpty &&
+          snap0.files.forall(_.startsWith(staging)),
+        s"import must register the EXTERNAL paths, got ${snap0.files}")
+      // MoR DELETE on top: positional deletes name the imported files;
+      // the external bytes stay untouched and fully registered
+      run("DELETE FROM db.imp WHERE k % 5 = 0")
+      val afterDel = cat.describe("db", "imp").currentSnapshot.get
+      require(snap0.files.forall(afterDel.files.contains) &&
+          afterDel.deleteFiles.nonEmpty,
+        "MoR delete over imports must keep the imported files live " +
+          "under a positional delete side")
+      run("INSERT INTO db.imp SELECT CAST(9000001 AS BIGINT), " +
+        "CAST(10.5 AS DOUBLE), 'Z'")
+      run("INSERT INTO db.imp SELECT CAST(9000002 AS BIGINT), " +
+        "CAST(20.5 AS DOUBLE), 'Z'")
+      val out = cat.read("db", "imp")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(round(col("price") * 100, 0).cast("long")).as("sum_price_c"))
+        .orderBy("status")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      Seq(wh, staging).foreach { d =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        } finally walk.close()
+      }
+    }
+  }
+
+  private val q68Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey < 4000),
+      |kept AS (
+      |  SELECT * FROM base WHERE NOT (k % 5 = 0)
+      |  UNION ALL
+      |  SELECT CAST(9000001 AS BIGINT), CAST(10.5 AS DOUBLE), 'Z'
+      |  UNION ALL
+      |  SELECT CAST(9000002 AS BIGINT), CAST(20.5 AS DOUBLE), 'Z')
+      |SELECT status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM kept GROUP BY status ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -3249,5 +3443,7 @@ object Relational {
     QuerySpec("q63_changelog_across_compaction", q63, Some(q63Sql)),
     QuerySpec("q64_type_promotion", q64, Some(q64Sql)),
     QuerySpec("q65_wap_id_publish", q65, Some(q65Sql)),
-    QuerySpec("q66_clustered_rewrite", q66, Some(q66Sql)))
+    QuerySpec("q66_clustered_rewrite", q66, Some(q66Sql)),
+    QuerySpec("q67_delete_file_rewrite", q67, Some(q67Sql)),
+    QuerySpec("q68_add_files", q68, Some(q68Sql)))
 }

@@ -779,7 +779,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           }
         }
 
-      case CreateTable(nameP, columns, partitioning, _, ignoreIfExists) =>
+      case CreateTable(nameP, columns, partitioning, tableSpec,
+          ignoreIfExists) =>
         for {
           (ns, t) <- idOf(nameP)
           // PARTITIONED BY maps to the catalog's hidden-partitioning
@@ -789,13 +790,23 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val exists = catalog.tableExists(ns, t)
           if (exists && !ignoreIfExists)
             throw new IllegalArgumentException(s"table $ns.$t already exists")
-          if (!exists)
-            catalog.createTable(ns, t,
-              org.apache.spark.sql.types.StructType(
-                columns.map(_.toV1Column)),
-              specOpt.map(s => Map(
+          if (!exists) {
+            val schema = org.apache.spark.sql.types.StructType(
+              columns.map(_.toV1Column))
+            // TBLPROPERTIES land on the table (they were silently
+            // dropped before, which made SHOW CREATE TABLE's output
+            // recreate a DIFFERENT physical layout); an explicit
+            // PARTITIONED BY clause wins over a spec property, and
+            // write.order is validated here like at ALTER time
+            val declared = tableSpec.properties
+            declared.get(graft.catalog.SnapshotCatalog.WriteOrderProp)
+              .foreach(o => graft.catalog.SnapshotCatalog
+                .parseWriteOrder(o, schema): Unit)
+            catalog.createTable(ns, t, schema,
+              declared ++ specOpt.map(s => Map(
                 graft.catalog.PartitionSpec.PropertyKey -> s))
                 .getOrElse(Map.empty))
+          }
           summary("CREATE", ns, t, 0L, 0, 0)
         }
 
@@ -1209,7 +1220,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *  - `drop_branch('ns.tbl', 'name')` / `drop_tag('ns.tbl', 'name')` —
     *    kind-checked removal; a dropped branch's staged snapshots
     *    become expirable (`expire_snapshots` reclaims them and their
-    *    manifests once unpinned).
+    *    manifests once unpinned);
+    *  - `rewrite_position_delete_files('ns.tbl')` →
+    *    [[SnapshotCatalog.rewriteDeleteFiles]] — the delete-side-only
+    *    maintenance pass (consolidate positional delete files, drop
+    *    dangling entries, convert equality deletes to exact positions;
+    *    zero data bytes moved);
+    *  - `add_files('ns.tbl', '/path | dir | glob | parquet.`/path`')`
+    *    → [[SnapshotCatalog.addFiles]] — zero-copy adoption of
+    *    existing parquet as one append snapshot (name-mapped to field
+    *    ids, stats collected; the catalog never takes ownership of the
+    *    external bytes).
     *
     * The `system` qualifier is optional. Unknown procedures or
     * non-literal args return None → Spark's own rejection.
@@ -1255,6 +1276,18 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         kvs.map { case (k, v) => lit(v).as(k) } :+ lit(snapId).as("snapshot_id")
       (spark.range(1).select(cols: _*), Nil)
     }
+    // rewrite_data_files' numeric thresholds + optional trailing sort
+    // spec — ONE parse shared by the match guard and the body, so
+    // validation and extraction can never desynchronize
+    def rewriteArgs(
+        rest: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+        Option[(Seq[Long], Option[String])] = {
+      val (nums, tail) = rest.span(num(_).isDefined)
+      if (rest.size <= 3 && nums.size <= 2 && tail.size <= 1 &&
+          tail.forall(str(_).isDefined))
+        Some((nums.flatMap(num), tail.headOption.flatMap(str)))
+      else None
+    }
     val proc = nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Seq("system", p) => p
       case Seq(p) => p
@@ -1262,25 +1295,21 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     }
     (proc, args) match {
       case ("rewrite_data_files", (te +: rest))
-          if rest.size <= 3 && {
-            // numeric thresholds, then an optional trailing sort spec
-            val (nums, tail) = rest.span(num(_).isDefined)
-            nums.size <= 2 && tail.size <= 1 && tail.forall(str(_).isDefined)
-          } =>
+          if rewriteArgs(rest).isDefined =>
         tbl(te).map { case (ns, t) =>
-          val (nums, tail) = rest.span(num(_).isDefined)
+          val (nums, sortSpec) = rewriteArgs(rest).get
           // a trailing 'c1,c2' string is Iceberg's sort strategy: the
           // WHOLE table re-clusters by the named columns (Z-order) in
           // one deliberate pass; without it the rewrite is the routine
           // dirty-bytes bin-pack (which still Z-orders its own group
           // when the table declares 'write.order')
-          val sortCols = tail.headOption.flatMap(str)
+          val sortCols = sortSpec
             .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)
           val r = catalog.compactFileGroups(ns, t,
-            minFileBytes = nums.lift(0).flatMap(num)
+            minFileBytes = nums.lift(0)
               .getOrElse(SnapshotCatalog.DefaultMinFileBytes),
-            targetFileBytes = nums.lift(1).flatMap(num)
+            targetFileBytes = nums.lift(1)
               .getOrElse(SnapshotCatalog.DefaultTargetFileBytes),
             clusterBy = sortCols, fullRewrite = sortCols.nonEmpty)
           report(ns, t, "operation" -> "rewrite_data_files",
@@ -1290,6 +1319,35 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             "bytes_rewritten" -> r.bytesRewritten,
             "delete_files_folded" ->
               (r.posDeleteFilesFolded + r.eqDeleteFilesFolded).toLong)
+        }
+      case ("add_files", Seq(te, pe)) if str(pe).isDefined =>
+        // zero-copy import of existing parquet (Iceberg's add_files):
+        // accepts a plain path/dir/glob or the Spark-procedure
+        // `parquet.`/path`` source_table form
+        tbl(te).map { case (ns, t) =>
+          val raw = str(pe).get.trim
+          val src =
+            if (raw.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("parquet.`") && raw.endsWith("`"))
+              raw.substring("parquet.`".length, raw.length - 1)
+            else raw
+          val r = catalog.addFiles(ns, t, src)
+          report(ns, t, "operation" -> "add_files",
+            "added_data_files" -> r.addedFiles.toLong,
+            "added_rows" -> r.addedRows)
+        }
+      case ("rewrite_position_delete_files", Seq(te)) =>
+        // the delete-side-only maintenance pass: consolidates
+        // positional delete files, drops dangling entries, converts
+        // equality deletes to exact positions — ZERO data bytes moved
+        tbl(te).map { case (ns, t) =>
+          val r = catalog.rewriteDeleteFiles(ns, t)
+          report(ns, t, "operation" -> "rewrite_position_delete_files",
+            "delete_files_before" -> r.deleteFilesBefore,
+            "delete_files_after" -> r.deleteFilesAfter,
+            "entries_before" -> r.entriesBefore,
+            "entries_after" -> r.entriesAfter,
+            "eq_delete_files_converted" -> r.eqDeleteFilesConverted)
         }
       case ("expire_snapshots", te +: ke +: rest) if rest.size <= 1 =>
         // older_than = Iceberg's operative retention knob; keep_last
@@ -1356,12 +1414,20 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val hs = m.snapshots.find(_.snapshotId == head).get
           // ONE snapshot per wap.id (the Iceberg cherry-pick contract):
           // everything beneath the staged head must already be
-          // published, or the publish would silently skip it
+          // published, or the publish would silently skip it. The two
+          // ways the parent stops being a current ancestor — a stacked
+          // multi-commit stage, or main rolled back below the fork —
+          // are topologically identical from here, so the message
+          // names both remedies instead of guessing a diagnosis.
           require(hs.parentId.forall(p =>
               catalog.isCurrentAncestor(ns, t, p)),
-            s"wap.id '$w' staged more than one snapshot on $ns.$t — " +
-              "publish a multi-commit audit with a wap branch and " +
-              "fast_forward instead")
+            s"cannot publish wap.id '$w' on $ns.$t: the staged " +
+              "snapshot's parent is not an ancestor of the current " +
+              "head — either more than one snapshot was staged under " +
+              "this id (publish the multi-commit audit with a wap " +
+              "branch + fast_forward) or main was rolled back below " +
+              "the fork point (re-stage, or cherrypick_snapshot " +
+              "explicitly)")
           catalog.cherrypick(ns, t, head)
           catalog.dropRef(ns, t, ref)
           report(ns, t, "operation" -> "publish_changes",
@@ -1373,12 +1439,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         // parentId chain from the given snapshot (default current)
         tbl(te).map { case (ns, t) =>
           val m = catalog.describe(ns, t)
-          val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
           val start = rest.headOption.flatMap(num)
             .orElse(m.currentSnapshotId)
-          val chain = Iterator.iterate(start.flatMap(byId.get))(
-              _.flatMap(_.parentId).flatMap(byId.get))
-            .takeWhile(_.isDefined).flatten.toSeq
+          // an unknown explicit id is an ERROR, not an empty lineage —
+          // "no ancestors" must never be how a typo reads during an
+          // expiry/rollback audit (every sibling procedure throws too)
+          start.filterNot(id => m.snapshots.exists(_.snapshotId == id))
+            .foreach(id => throw new IllegalArgumentException(
+              s"no snapshot $id in $ns.$t"))
+          val chain = start.map(id =>
+            catalog.ancestorChain(m.snapshots, id)).getOrElse(Seq.empty)
           val rows = chain.map(s =>
             (s.snapshotId, new java.sql.Timestamp(s.createdAtMs)))
           import spark.implicits._

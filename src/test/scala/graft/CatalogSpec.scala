@@ -2351,6 +2351,98 @@ class CatalogSpec extends SparkTestBase {
     assert(bad.getMessage.contains("only append"))
   }
 
+  test("publish retry across a compaction is still refused: the " +
+      "cherry-pick provenance marker outlives the rewritten files, so " +
+      "a crash-retry can never double-apply a staged batch") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-cherry-compact"))
+    cat.createTable("db", "t",
+      Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", (0L until 10L).map(i => (i, i.toDouble))
+      .toDF("id", "v"))
+    cat.createBranch("db", "t", "stage")
+    cat.appendToBranch("db", "t", "stage",
+      Seq((100L, 100.0)).toDF("id", "v"))
+    val stagedId = cat.describe("db", "t").refs("stage")
+    cat.append("db", "t", Seq((50L, 50.0)).toDF("id", "v")) // head moves
+    cat.cherrypick("db", "t", stagedId)
+    assert(cat.read("db", "t").count() == 12)
+    // a FULL rewrite replaces every live data file — a guard built on
+    // path overlap alone would now wave a retry through
+    cat.compactFileGroups("db", "t", fullRewrite = true)
+    val headFiles = cat.describe("db", "t").currentSnapshot.get.files.toSet
+    val stagedFiles = cat.describe("db", "t").snapshots
+      .find(_.snapshotId == stagedId).get.files.toSet
+    assert(stagedFiles.intersect(headFiles).isEmpty,
+      "precondition: compaction must have rewritten the re-attached files")
+    val again = intercept[IllegalArgumentException](
+      cat.cherrypick("db", "t", stagedId))
+    assert(again.getMessage.contains("already published"), again.getMessage)
+    assert(cat.read("db", "t").count() == 12)
+  }
+
+  test("rewriteDeleteFiles: the delete side consolidates WITHOUT " +
+      "touching data bytes — N positional files fold to one, equality " +
+      "deletes convert to exact positions (seq gate honored), reads " +
+      "identical, and the row count is metadata-only again") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-delrw"))
+    val schema = Seq.empty[(Long, Double)].toDF("id", "v").schema
+    cat.createTable("db", "t", schema)
+    for (lo <- Seq(0L, 10L, 20L))
+      cat.append("db", "t", (lo until lo + 10L)
+        .map(i => (i, i.toDouble)).toDF("id", "v").coalesce(1))
+    // three SEPARATE MoR deletes → three positional delete files
+    for (range <- Seq((3L, 5L), (12L, 13L), (21L, 21L))) {
+      val cur = cat.describe("db", "t").currentSnapshot.get
+      val pos = cat.readFilesWithRowId(cur, schema, cur.files)
+        .filter(col("id").between(range._1, range._2))
+        .select(SnapshotCatalog.RowIdFileCol, SnapshotCatalog.RowIdPosCol)
+      cat.addDeleteFile("db", "t", pos, None)
+    }
+    // an equality-delete + same-commit re-insert of id=7: the eq entry
+    // hides only the OLD row (strictly-lower seq), the re-landed one
+    // survives — the conversion must reproduce exactly that
+    cat.cdcUpsert("db", "t", rows = Seq((7L, 777.0)).toDF("id", "v"),
+      deletes = Seq(7L).toDF("id"), Seq("id"))
+    val before = cat.describe("db", "t").currentSnapshot.get
+    assert(before.deleteFiles.size >= 3 && before.eqDeletes.nonEmpty)
+    assert(before.statsRowCount.isEmpty,
+      "precondition: eq entries force the scan-count path")
+    val rowsBefore = cat.read("db", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(rowsBefore.size == 24 &&
+      rowsBefore.contains((7L, 777.0)) && !rowsBefore.contains((7L, 7.0)))
+    val hashes = before.files.map(f => f -> md5Of(f)).toMap
+
+    val r = cat.rewriteDeleteFiles("db", "t")
+    assert(r.rewritten && r.deleteFilesAfter == 1 &&
+      r.eqDeleteFilesConverted == before.eqDeletes.size, r.toString)
+    val after = cat.describe("db", "t").currentSnapshot.get
+    // ZERO data bytes moved: same file list, byte-identical
+    assert(after.files == before.files)
+    after.files.foreach(f => assert(md5Of(f) == hashes(f),
+      s"data file $f changed under a delete-side-only rewrite"))
+    assert(after.eqDeletes.isEmpty && after.deleteFiles.size == 1)
+    // content-preserving replace: subscribers skip it
+    assert(after.operation.contains("replace"))
+    // reads identical, including the seq-gated re-insert
+    val rowsAfter = cat.read("db", "t").collect()
+      .map(r2 => (r2.getLong(0), r2.getDouble(1))).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // eq→pos conversion restores the metadata-only count
+    assert(after.statsRowCount.contains(24L), after.statsRowCount)
+    // time travel to the pre-rewrite snapshot still serves the OLD side
+    assert(cat.read("db", "t", Some(before.snapshotId)).count() == 24)
+    // a second pass (pos-only, already consolidated) stays correct
+    val r2 = cat.rewriteDeleteFiles("db", "t")
+    assert(r2.rewritten && r2.deleteFilesAfter == 1 &&
+      r2.entriesAfter == r.entriesAfter, r2.toString)
+    assert(cat.read("db", "t").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).sorted.toSeq == rowsBefore)
+  }
+
   test("write.order clusters at WRITE time: a declared-clustering " +
       "append range-distributes on the Z-value so new files land with " +
       "tight envelopes; batches missing the column still write") {
@@ -2435,5 +2527,81 @@ class CatalogSpec extends SparkTestBase {
       "staged file must re-attach byte-identical across the compaction")
     assert(cat.read("db", "t").count() == 5)
     assert(cat.read("db", "t").filter(col("id") === 100L).count() == 1)
+  }
+
+  test("addFiles adopts external parquet ZERO-COPY: stats prune, a " +
+      "later rename resolves into imports, duplicates/schema/" +
+      "partitioned targets refuse") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val ext = tmpDir("graft-addfiles-src")
+    (0 until 4).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100)
+        .select(col("id"), (col("id") * 2).cast("double").as("v"))
+        .coalesce(1).write.parquet(s"$ext/part$b")
+    }
+    cat.createTable("db", "t", schemaV1)
+    val rep = cat.addFiles("db", "t", ext)
+    assert(rep.addedFiles == 4 && rep.addedRows == 400L)
+    val snap = cat.describe("db", "t").currentSnapshot.get
+    assert(snap.files.size == 4 &&
+      snap.files.forall(_.startsWith(ext)),
+      s"zero-copy: registered paths must be the external ones: ${snap.files}")
+    assert(cat.read("db", "t").count() == 400)
+    assert(cat.read("db", "t").agg(sum("id")).head.getLong(0) ==
+      (0L until 400L).sum)
+    // imported stats are as sharp as written ones: a range predicate
+    // prunes to the one covering file
+    assert(cat.prunedFiles(snap, "id", 150.0, 160.0).size == 1)
+    // the import's colIds name-mapping makes later renames resolve
+    // into imported files like native ones
+    cat.renameColumn("db", "t", "v", "val2")
+    assert(cat.read("db", "t").filter(col("id") === 399L)
+      .select("val2").head.getDouble(0) == 798.0)
+    // duplicate registration refuses
+    intercept[IllegalArgumentException](cat.addFiles("db", "t", ext))
+    // schema-mismatch refuses (int id vs declared long after restore)
+    val ext2 = tmpDir("graft-addfiles-bad")
+    spark.range(5).select(col("id").cast("int").as("id"),
+      lit(1.0).as("val2")).write.parquet(s"$ext2/d")
+    intercept[IllegalArgumentException](cat.addFiles("db", "t", ext2))
+    // hidden-partitioned targets refuse (imports carry no pvals)
+    cat.createTable("db", "pt", schemaV1,
+      Map(graft.catalog.PartitionSpec.PropertyKey -> "bucket(4, id)"))
+    intercept[IllegalArgumentException](cat.addFiles("db", "pt", ext))
+  }
+
+  test("addFiles ownership boundary: expiry forgets unreferenced " +
+      "imports from metadata but NEVER deletes the external bytes; " +
+      "native files still reap") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val ext = tmpDir("graft-addfiles-own")
+    spark.range(100).select(col("id"), col("id").cast("double").as("v"))
+      .coalesce(1).write.parquet(s"$ext/d")
+    cat.createTable("db", "t", schemaV1)
+    cat.addFiles("db", "t", ext)
+    // native commits around the import, then a compaction folds
+    // everything — imported AND native originals become unreferenced
+    cat.append("db", "t",
+      Seq((1000L, 1.0), (1001L, 2.0)).toDF("id", "v").coalesce(1))
+    val preCompact = cat.describe("db", "t").currentSnapshot.get.files
+    val imported = preCompact.filter(_.startsWith(ext))
+    val native = preCompact.filterNot(_.startsWith(ext))
+    assert(imported.nonEmpty && native.nonEmpty)
+    assert(cat.compactFileGroups("db", "t").compacted)
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    val after = cat.describe("db", "t")
+    assert(after.snapshots.size == 1)
+    assert(!after.currentSnapshot.get.files.exists(_.startsWith(ext)),
+      "metadata must forget the unreferenced imports")
+    imported.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+      s"expiry must never delete external bytes: $f"))
+    native.foreach(f => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+      s"unreferenced NATIVE file must still reap: $f"))
+    // content survived the whole lifecycle
+    assert(cat.read("db", "t").count() == 102)
   }
 }

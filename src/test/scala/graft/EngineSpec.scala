@@ -2070,4 +2070,89 @@ class EngineSpec extends SparkTestBase {
       "SHOW TBLPROPERTIES db.t ('nope')")._1.head().getString(1)
     assert(missing.contains("does not have property"), missing)
   }
+
+  test("CREATE TABLE honors TBLPROPERTIES and SHOW CREATE TABLE output " +
+      "replays into the SAME physical layout — the reproducibility " +
+      "contract, end to end") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-ddl-roundtrip"))
+    val eng = new Engine(spark, cat)
+    // layout properties declared AT CREATE land on the table (they
+    // were silently dropped before this pin)
+    assert(!eng.sqlQuery("CREATE TABLE db.t (id BIGINT, x BIGINT, " +
+        "v DOUBLE) TBLPROPERTIES ('write.order' = 'x', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      .startsWith("""{"error""""))
+    val props = cat.describe("db", "t").properties
+    assert(props.get("write.order").contains("x") &&
+      props.get("write.delete.mode").contains("merge-on-read"), props)
+    // an invalid write.order is refused at CREATE, exactly like ALTER
+    assert(eng.sqlQuery("CREATE TABLE db.bad (id BIGINT) " +
+        "TBLPROPERTIES ('write.order' = 'nope')")
+      .startsWith("""{"error""""))
+    assert(!cat.tableExists("db", "bad"))
+    // the declared layout properties actually BITE on the write path
+    eng.sqlQuery("INSERT INTO db.t VALUES (1, 10, 1.0), (2, 20, 2.0)")
+    val del = eng.sqlQuery("DELETE FROM db.t WHERE id = 1")
+    assert(del.contains(""""delete_files_written":1""") &&
+      del.contains(""""files_rewritten":0"""), del)
+    // replay: the emitted DDL recreates an identical layout elsewhere
+    val stmt = eng.sqlDataFrame("SHOW CREATE TABLE db.t")._1
+      .head().getString(0)
+    assert(!eng.sqlQuery(stmt.replace("CREATE TABLE db.t ",
+        "CREATE TABLE db.t2 ")).startsWith("""{"error""""), stmt)
+    assert(cat.describe("db", "t2").properties == props)
+    assert(cat.schemaOf("db", "t2") == cat.schemaOf("db", "t"))
+    // a partitioned table's spec survives the round trip too (the
+    // spec is carried as a property in the emitted TBLPROPERTIES)
+    eng.sqlQuery("CREATE TABLE db.p (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    val pStmt = eng.sqlDataFrame("SHOW CREATE TABLE db.p")._1
+      .head().getString(0)
+    assert(!eng.sqlQuery(pStmt.replace("CREATE TABLE db.p ",
+        "CREATE TABLE db.p2 ")).startsWith("""{"error""""), pStmt)
+    assert(cat.describe("db", "p2").properties ==
+      cat.describe("db", "p").properties)
+  }
+
+  test("CALL system.add_files: zero-copy adoption through SQL, both " +
+      "the plain-path and the parquet.`…` source forms; bad sources " +
+      "and unknown tables error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-addf-sql"))
+    val eng = new Engine(spark, cat)
+    val ext = tmpDir("graft-addf-ext")
+    spark.range(50).select(col("id").as("k"),
+        (col("id") % 5).cast("string").as("g"))
+      .coalesce(2).write.parquet(s"$ext/d")
+    assert(!eng.sqlQuery("CREATE TABLE db.t (k BIGINT, g STRING)")
+      .startsWith("""{"error""""))
+    val out = eng.sqlQuery(s"CALL system.add_files('db.t', '$ext/d')")
+    assert(out.contains(""""operation":"add_files"""") &&
+      out.contains(""""added_rows":50"""), out)
+    // the registered paths are the external ones; SELECT serves them
+    assert(cat.describe("db", "t").currentSnapshot.get.files
+      .forall(_.startsWith(ext)))
+    val cnt = eng.sqlQuery("SELECT count(*) AS n FROM db.t")
+    assert(cnt.contains(""""n":50"""), cnt)
+    // the Spark-procedure source_table spelling: parquet.`/path`
+    val ext2 = tmpDir("graft-addf-ext2")
+    spark.range(100, 110).select(col("id").as("k"),
+        lit("z").as("g"))
+      .coalesce(1).write.parquet(s"$ext2/d")
+    val out2 = eng.sqlQuery(
+      s"CALL system.add_files('db.t', 'parquet.`$ext2/d`')")
+    assert(out2.contains(""""added_rows":10"""), out2)
+    val cnt2 = eng.sqlQuery("SELECT count(*) AS n FROM db.t")
+    assert(cnt2.contains(""""n":60"""), cnt2)
+    // an empty/missing source errors through the SQL envelope
+    assert(eng.sqlQuery(
+        "CALL system.add_files('db.t', '/nonexistent/nowhere')")
+      .startsWith("""{"error""""))
+    // unknown table → Spark's own rejection (no report row)
+    assert(eng.sqlQuery(
+        s"CALL system.add_files('db.missing', '$ext/d')")
+      .startsWith("""{"error""""))
+  }
 }
