@@ -775,6 +775,40 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         val eqs = meta.currentSnapshot.map(_.eqDeletes.map(d =>
           (d.path, "equality", d.rows))).getOrElse(Seq.empty)
         (pos ++ eqs).toDF("file_path", "kind", "record_count")
+      case "entries" =>
+        // the current snapshot's manifest entries with ADD provenance
+        // (Iceberg's .entries, flattened): content 0 = data file,
+        // 1 = position deletes, 2 = equality deletes; status 1 = ADDED
+        // by the current snapshot, 0 = EXISTING (carried forward).
+        // The adding snapshot is the first ancestor whose manifest
+        // lists the path — one oldest-first chain walk over in-memory
+        // metadata, O(history + entries), no file IO
+        val chain = meta.currentSnapshotId
+          .map(ancestorChain(meta.snapshots, _)).getOrElse(Seq.empty)
+          .reverse
+        val firstSeen = scala.collection.mutable.HashMap.empty[String, Long]
+        chain.foreach { s =>
+          (s.files ++ s.deleteFiles ++ s.eqDeletes.map(_.path))
+            .foreach(f =>
+              if (!firstSeen.contains(f)) firstSeen(f) = s.snapshotId)
+        }
+        val curId = meta.currentSnapshotId.getOrElse(-1L)
+        val rows = meta.currentSnapshot.toSeq.flatMap { s =>
+          val byPath = s.fileStats.map(st => st.path -> st).toMap
+          val delByPath = s.deleteFileStats.map(st => st.path -> st).toMap
+          s.files.map(f => (f, 0,
+            byPath.get(f).map(_.rows).getOrElse(-1L),
+            byPath.get(f).flatMap(_.seq).getOrElse(-1L))) ++
+          s.deleteFiles.map(f => (f, 1,
+            delByPath.get(f).map(_.rows).getOrElse(-1L),
+            delByPath.get(f).flatMap(_.seq).getOrElse(-1L))) ++
+          s.eqDeletes.map(d => (d.path, 2, d.rows, d.seq))
+        }.map { case (f, content, rc, seq) =>
+          val added = firstSeen.getOrElse(f, curId)
+          (if (added == curId) 1 else 0, added, seq, content, f, rc)
+        }
+        rows.toDF("status", "snapshot_id", "sequence_number",
+          "content", "file_path", "record_count")
       case "partitions" =>
         // per-partition file/row rollup of the current snapshot
         // (Iceberg's .partitions surface): hidden-partition values

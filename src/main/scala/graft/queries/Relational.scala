@@ -3376,6 +3376,96 @@ object Relational {
       |    AS sum_price_c
       |FROM kept GROUP BY status ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  // PARTITION-SPEC EVOLUTION DDL (round 16 — Iceberg's
+  // `ALTER TABLE … ADD/REPLACE/DROP PARTITION FIELD`, extension
+  // syntax pre-parse-intercepted): a table lives through FOUR spec
+  // eras — unpartitioned → bucket(4, k) → identity(cat) → dropped —
+  // with an INSERT batch landing under each. REQUIRED in-query: every
+  // ALTER is metadata-only (the data file list is IDENTICAL across
+  // each spec commit), the manifest records three distinct pspec
+  // eras + the specless ones, and a point predicate on the identity
+  // era's column file-prunes THROUGH the mixed-era manifest (each
+  // file judged under the spec it was written with — bucket-era and
+  // specless files conservatively kept). The final aggregate is
+  // oracled against pure SELECT algebra, so four-era reads are exact.
+  // At 100 TB re-partitioning is a pointer-sized commit, never a
+  // rewrite — this query is that contract at the SQL surface.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q69_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      def run(sql: String): String = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+        out
+      }
+      def dataFiles() =
+        cat.describe("db", "pe").currentSnapshot.get.files.toSet
+      val pq = s"$dir/orders.parquet"
+      def ins(lo: Int, hi: Int) = run(
+        s"""INSERT INTO db.pe
+           |SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM parquet.`$pq`
+           |WHERE o_orderkey >= $lo AND o_orderkey < $hi""".stripMargin)
+      run("CREATE TABLE db.pe (k BIGINT, cat STRING, price DOUBLE)")
+      ins(0, 1500) // era 1: unpartitioned
+      val before1 = dataFiles()
+      run("ALTER TABLE db.pe ADD PARTITION FIELD bucket(4, k)")
+      require(dataFiles() == before1, "spec evolution must be metadata-only")
+      ins(1500, 3000) // era 2: bucket(4, k)
+      val before2 = dataFiles()
+      run("ALTER TABLE db.pe REPLACE PARTITION FIELD bucket(4, k) " +
+        "WITH identity(cat)")
+      require(dataFiles() == before2, "spec evolution must be metadata-only")
+      ins(3000, 4500) // era 3: identity(cat)
+      val before3 = dataFiles()
+      run("ALTER TABLE db.pe DROP PARTITION FIELD cat")
+      require(dataFiles() == before3, "spec evolution must be metadata-only")
+      ins(4500, 6000) // era 4: unpartitioned again
+      val snap = cat.describe("db", "pe").currentSnapshot.get
+      val eras = snap.fileStats.flatMap(_.pspec).distinct.sorted
+      require(eras == Seq("bucket(4, k)", "identity(cat)"),
+        s"expected two recorded pspec eras, got $eras")
+      require(snap.fileStats.exists(_.pspec.isEmpty),
+        "specless-era files must record no pval era")
+      // mixed-era point predicate prunes: identity-era files with the
+      // wrong cat value drop, every other era conservatively kept
+      val kept = cat.prunedFilesPvalEras(snap, "cat", "F",
+        org.apache.spark.sql.types.StringType)
+      require(kept.size < snap.files.size,
+        s"identity-era pruning must bite: ${kept.size}/${snap.files.size}")
+      val idEra = snap.fileStats
+        .filter(_.pspec.contains("identity(cat)")).map(_.path).toSet
+      require(snap.files.filterNot(idEra).forall(kept.contains),
+        "files from other eras must be conservatively kept")
+      val out = cat.read("db", "pe")
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(round(col("price") * 100, 0).cast("long")).as("sum_price_c"))
+        .orderBy("cat")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q69Sql =
+    """SELECT o_orderstatus AS cat, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM orders WHERE o_orderkey < 6000
+      |GROUP BY cat ORDER BY cat""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -3445,5 +3535,6 @@ object Relational {
     QuerySpec("q65_wap_id_publish", q65, Some(q65Sql)),
     QuerySpec("q66_clustered_rewrite", q66, Some(q66Sql)),
     QuerySpec("q67_delete_file_rewrite", q67, Some(q67Sql)),
-    QuerySpec("q68_add_files", q68, Some(q68Sql)))
+    QuerySpec("q68_add_files", q68, Some(q68Sql)),
+    QuerySpec("q69_partition_evolution_ddl", q69, Some(q69Sql)))
 }

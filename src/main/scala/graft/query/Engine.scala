@@ -137,6 +137,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
   private[graft] def sqlDataFrame(sql0: String): (DataFrame, Seq[Engine.PruneInfo]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     val sql = rewriteGlob(rewriteDialect(sql0))
+    // Iceberg partition-spec evolution DDL is extension syntax
+    // Spark's parser does not know — intercepted before parsing,
+    // like the dialect rewrite
+    partitionFieldDdl(sql) match {
+      case Some(r) => return r
+      case None => ()
+    }
     val parsed = Try(spark.sessionState.sqlParser.parsePlan(sql))
     val refs = parsed.map(catalogRefs).getOrElse(Nil)
     val metaRefs = parsed.map(metadataRefs).getOrElse(Nil)
@@ -566,6 +573,83 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         m.refs.get(b).flatMap(id => m.snapshots.find(_.snapshotId == id))
       case None => meta.currentSnapshot
     }
+
+  /** `ALTER TABLE ns.tbl ADD PARTITION FIELD <transform>` /
+    * `DROP PARTITION FIELD <transform>` /
+    * `REPLACE PARTITION FIELD <old> WITH <new>` — Iceberg's
+    * partition-spec evolution DDL. Spec evolution is METADATA-ONLY:
+    * the `partition.spec` property changes in one commit; every
+    * existing file keeps pruning under the spec it was written with
+    * (the per-file [[graft.catalog.SnapshotCatalog.FileStats.pspec]]
+    * era discipline) and only new writes partition under the new
+    * spec — no data is rewritten, which is what makes re-partitioning
+    * a 100 TB table a pointer-sized operation. A bare column is
+    * `identity(col)`; Iceberg's singular `day/month/hour` spellings
+    * normalize to the catalog grammar. The catalog supports ONE
+    * partition field, so ADD refuses on an already-partitioned table
+    * (use REPLACE) and DROP/REPLACE must name the current spec —
+    * a typo can never silently de-partition the wrong field.
+    */
+  private def partitionFieldDdl(
+      sql: String): Option[(DataFrame, Seq[Engine.PruneInfo])] = {
+    val pk = graft.catalog.PartitionSpec.PropertyKey
+    def norm(raw: String, ns: String, t: String): String = {
+      val FnRe = raw"(?s)^([A-Za-z_]+)\s*\(\s*(.*?)\s*\)$$".r
+      val s = raw.trim.replace("`", "") match {
+        case FnRe(fn, args) =>
+          val f = fn.toLowerCase(java.util.Locale.ROOT) match {
+            case "day" => "days"
+            case "month" => "months"
+            case "hour" => "hours"
+            case x => x
+          }
+          s"$f($args)"
+        case c => s"identity($c)"
+      }
+      val spec = graft.catalog.PartitionSpec.parse(s) // grammar gate
+      require(catalog.schemaOf(ns, t).fieldNames.contains(spec.column),
+        s"no column ${spec.column} in $ns.$t")
+      s
+    }
+    def cur(ns: String, t: String): Option[String] =
+      catalog.describe(ns, t).properties.get(pk)
+        .map(_.trim).filter(_.nonEmpty)
+    def same(a: String, b: String): Boolean =
+      graft.catalog.PartitionSpec.parse(a) ==
+        graft.catalog.PartitionSpec.parse(b)
+    def done(ns: String, t: String) = {
+      val total = catalog.describe(ns, t).currentSnapshot
+        .map(_.files.size).getOrElse(0)
+      Some(summary("ALTER", ns, t, 0L, 0, total))
+    }
+    sql match {
+      case Engine.ReplacePartitionFieldRe(ns, t, oldF, newF)
+          if catalog.tableExists(ns, t) =>
+        val o = norm(oldF, ns, t)
+        val n = norm(newF, ns, t)
+        require(cur(ns, t).exists(same(_, o)),
+          s"$ns.$t's current partition field is " +
+            s"${cur(ns, t).getOrElse("<none>")}, not $o")
+        catalog.updateProperties(ns, t, Map(pk -> n))
+        done(ns, t)
+      case Engine.AddDropPartitionFieldRe(ns, t, verb, f)
+          if catalog.tableExists(ns, t) =>
+        val s = norm(f, ns, t)
+        if (verb.equalsIgnoreCase("ADD")) {
+          cur(ns, t).foreach(c => throw new IllegalArgumentException(
+            s"$ns.$t already declares partition field $c — one field " +
+              "is supported; use REPLACE PARTITION FIELD"))
+          catalog.updateProperties(ns, t, Map(pk -> s))
+        } else {
+          require(cur(ns, t).exists(same(_, s)),
+            s"$ns.$t's current partition field is " +
+              s"${cur(ns, t).getOrElse("<none>")}, not $s")
+          catalog.removeProperties(ns, t, Seq(pk))
+        }
+        done(ns, t)
+      case _ => None
+    }
+  }
 
   private def summary(op: String, ns: String, t: String, affected: Long,
       rewritten: Int, total: Int, deleteFilesWritten: Long = 0L,
@@ -2362,7 +2446,15 @@ object Engine {
   /** Metadata-table suffixes served by the SQL bridge. */
   private[query] val MetadataKinds: Set[String] =
     Set("snapshots", "files", "all_files", "manifests", "history",
-      "refs", "delete_files", "partitions")
+      "refs", "delete_files", "partitions", "entries")
+
+  /** Partition-spec evolution DDL (extension syntax — pre-parse
+    * intercepts, see [[Engine.partitionFieldDdl]]).
+    */
+  private[query] val AddDropPartitionFieldRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z0-9_]+)`?\.`?([A-Za-z0-9_]+)`?\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$$".r
+  private[query] val ReplacePartitionFieldRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z0-9_]+)`?\.`?([A-Za-z0-9_]+)`?\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$$".r
 
   private[query] val GlobRe =
     raw"(?i)glob\(\s*'([^']+)'\s*\)".r

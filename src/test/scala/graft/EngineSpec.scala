@@ -2155,4 +2155,56 @@ class EngineSpec extends SparkTestBase {
         s"CALL system.add_files('db.missing', '$ext/d')")
       .startsWith("""{"error""""))
   }
+
+  test("partition-spec evolution DDL: ADD/REPLACE/DROP PARTITION " +
+      "FIELD are metadata-only commits with era-exact semantics; " +
+      "mismatches refuse; .entries reports provenance") {
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-pf-ddl"))
+    val eng = new Engine(spark, cat)
+    val pk = graft.catalog.PartitionSpec.PropertyKey
+    def props() = cat.describe("db", "t").properties
+    assert(!eng.sqlQuery("CREATE TABLE db.t (k BIGINT, g STRING)")
+      .startsWith("""{"error""""))
+    eng.sqlQuery("INSERT INTO db.t VALUES (1, 'a'), (2, 'b')")
+    val files1 = cat.describe("db", "t").currentSnapshot.get.files
+    // ADD on an unpartitioned table declares the spec, touching no data
+    assert(!eng.sqlQuery(
+        "ALTER TABLE db.t ADD PARTITION FIELD bucket(2, k)")
+      .startsWith("""{"error""""))
+    assert(props().get(pk).contains("bucket(2, k)"))
+    assert(cat.describe("db", "t").currentSnapshot.get.files == files1)
+    // a second ADD refuses (one field; REPLACE is the evolution verb)
+    assert(eng.sqlQuery("ALTER TABLE db.t ADD PARTITION FIELD g")
+      .startsWith("""{"error""""))
+    // REPLACE must name the CURRENT spec
+    assert(eng.sqlQuery(
+        "ALTER TABLE db.t REPLACE PARTITION FIELD bucket(4, k) WITH g")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery(
+        "ALTER TABLE db.t REPLACE PARTITION FIELD bucket(2, k) WITH g")
+      .startsWith("""{"error""""))
+    assert(props().get(pk).contains("identity(g)"))
+    // an unknown column refuses at DDL time
+    assert(eng.sqlQuery("ALTER TABLE db.t REPLACE PARTITION FIELD g " +
+        "WITH days(nope)").startsWith("""{"error""""))
+    // DROP must name the current spec too; bare column = identity
+    assert(eng.sqlQuery("ALTER TABLE db.t DROP PARTITION FIELD k")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery("ALTER TABLE db.t DROP PARTITION FIELD g")
+      .startsWith("""{"error""""))
+    assert(!props().contains(pk))
+    // .entries: after a MoR delete, data entries carry their adding
+    // snapshot and the delete file surfaces as content=1, status=1
+    eng.sqlQuery("ALTER TABLE db.t SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read')")
+    eng.sqlQuery("INSERT INTO db.t VALUES (3, 'c')")
+    eng.sqlQuery("DELETE FROM db.t WHERE k = 1")
+    val out = eng.sqlQuery(
+      "SELECT status, content, count(*) AS n FROM db.t.entries " +
+        "GROUP BY status, content ORDER BY status, content")
+    // carried-forward data files (status 0) + the delete file added
+    // by the current snapshot (status 1, content 1)
+    assert(out.contains("""{"status":0,"content":0"""), out)
+    assert(out.contains("""{"status":1,"content":1,"n":1}"""), out)
+  }
 }
