@@ -3146,6 +3146,64 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     AddFilesReport(files.size, stats.map(_.rows).sum)
   }
 
+  /** ZERO-COPY TABLE FORK (Iceberg's `snapshot` procedure): create
+    * `dstNs.dst` as a NEW table whose first snapshot references the
+    * source's current state in place — data files, positional delete
+    * files and equality entries included, so a merge-on-read source
+    * forks mid-lifecycle with identical read semantics. The fork is
+    * the test-in-prod primitive at 100 TB: trial a format change, a
+    * risky MERGE, or a maintenance policy against production data
+    * with ONE metadata commit, no copy, and total isolation — DML on
+    * the fork writes into the fork's own tree; the source never sees
+    * it. Ownership follows [[addFiles]]' boundary: the fork never
+    * owns the referenced source bytes ([[ownsPath]]), so expiring,
+    * compacting, or DROPping the fork can never reap a source file.
+    *
+    * The fork copies the source's declared schema, properties
+    * (write modes, partition spec, bloom columns), field ids and
+    * activation map, so colIds-resolved reads and later evolution
+    * behave exactly as they would on the source; the carried
+    * `sequenceNumber` preserves the equality-delete gate algebra.
+    * The source's HISTORY is not copied — the fork starts at one
+    * snapshot (Iceberg's contract: `snapshot` captures a state, not
+    * a lineage).
+    */
+  def snapshotTable(srcNs: String, src: String, dstNs: String,
+      dst: String): TableMeta = {
+    val sm = describe(srcNs, src) // hydrated, current-name form
+    require(!tableExists(dstNs, dst),
+      s"table $dstNs.$dst already exists")
+    val schema = DataType.fromJson(sm.schemaJson).asInstanceOf[StructType]
+    createTable(dstNs, dst, schema, sm.properties)
+    val cur = sm.currentSnapshot
+    retryMetaCommit(dstNs, dst) { meta =>
+      val snap0 = cur.map(c => SnapshotMeta(
+        snapshotId = 1L,
+        parentId = None,
+        // preserved: equality entries apply to files with seq
+        // STRICTLY BELOW theirs — renumbering would re-gate them
+        sequenceNumber = c.sequenceNumber,
+        files = c.files,
+        rowCount = c.fileStats.map(_.rows).sum,
+        createdAtMs = System.currentTimeMillis(),
+        fileStats = c.fileStats,
+        deleteFiles = c.deleteFiles,
+        deleteFileStats = c.deleteFileStats,
+        eqDeletes = c.eqDeletes,
+        operation = Some("append")))
+      meta.copy(
+        currentSnapshotId = snap0.map(_.snapshotId),
+        snapshots = snap0.toSeq,
+        // stats/colIds arrive ALREADY remapped to current names
+        // (describe hydrates through the source's rename chain), so
+        // the fork carries the id space without the links
+        fieldIds = sm.fieldIds,
+        lastFieldId = sm.lastFieldId,
+        activationIds = sm.activationIds)
+    }: Unit
+    describe(dstNs, dst)
+  }
+
   /** `source` → absolute parquet paths: a directory walks `*.parquet`
     * recursively, a basename `*` glob expands against its parent, a
     * plain path must exist.

@@ -3466,6 +3466,91 @@ object Relational {
       |FROM orders WHERE o_orderkey < 6000
       |GROUP BY cat ORDER BY cat""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // ZERO-COPY TABLE FORK (round 16 — Iceberg's `snapshot` procedure):
+  // a merge-on-read production table (insert + MoR DELETE, so a live
+  // delete side exists) is forked by `CALL system.snapshot` —
+  // REQUIRED in-query: the fork's first snapshot references the
+  // SOURCE's data AND delete files verbatim (zero bytes copied).
+  // Divergent DML then runs on both sides (more deletes + an insert
+  // on the fork; nothing on prod), and the output is BOTH tables'
+  // aggregates labeled by side — oracled against pure SELECT algebra,
+  // so the fork semantics are proven: identical at fork time, fully
+  // isolated after. At 100 TB this is test-in-prod: trialing a risky
+  // MERGE against production data costs one metadata commit.
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q70_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      def run(sql: String): String = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+        out
+      }
+      val pq = s"$dir/orders.parquet"
+      run("CREATE TABLE db.prod (k BIGINT, cat STRING, price DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      run(s"""INSERT INTO db.prod
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM parquet.`$pq` WHERE o_orderkey < 3000""".stripMargin)
+      run("DELETE FROM db.prod WHERE k % 3 = 0")
+      val prodSnap = cat.describe("db", "prod").currentSnapshot.get
+      require(prodSnap.deleteFiles.nonEmpty,
+        "need a live MoR delete side at fork time")
+      run("CALL system.snapshot('db.prod', 'db.fork')")
+      val forkSnap = cat.describe("db", "fork").currentSnapshot.get
+      require(forkSnap.files == prodSnap.files &&
+          forkSnap.deleteFiles == prodSnap.deleteFiles,
+        "the fork must reference the source's data AND delete files " +
+          "verbatim — zero copy")
+      // divergent DML: the fork moves, prod must not
+      run("DELETE FROM db.fork WHERE k % 7 = 1")
+      run("INSERT INTO db.fork SELECT CAST(9000001 AS BIGINT), 'Z', " +
+        "CAST(5.5 AS DOUBLE)")
+      require(cat.describe("db", "prod").currentSnapshot.get == prodSnap,
+        "fork DML must never move the source")
+      def side(t: String, label: String) = cat.read("db", t)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum(round(col("price") * 100, 0).cast("long")).as("sum_price_c"))
+        .withColumn("side", lit(label))
+        .select("side", "cat", "n", "sum_k", "sum_price_c")
+      val out = side("prod", "prod").unionAll(side("fork", "fork"))
+        .orderBy("side", "cat")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q70Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS cat,
+      |    o_totalprice AS price
+      |  FROM orders WHERE o_orderkey < 3000),
+      |prod AS (SELECT * FROM base WHERE NOT (k % 3 = 0)),
+      |fork AS (
+      |  SELECT * FROM prod WHERE NOT (k % 7 = 1)
+      |  UNION ALL
+      |  SELECT CAST(9000001 AS BIGINT), 'Z', CAST(5.5 AS DOUBLE)),
+      |lab AS (
+      |  SELECT 'prod' AS side, * FROM prod
+      |  UNION ALL
+      |  SELECT 'fork' AS side, * FROM fork)
+      |SELECT side, cat, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM lab GROUP BY side, cat ORDER BY side, cat""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -3536,5 +3621,6 @@ object Relational {
     QuerySpec("q66_clustered_rewrite", q66, Some(q66Sql)),
     QuerySpec("q67_delete_file_rewrite", q67, Some(q67Sql)),
     QuerySpec("q68_add_files", q68, Some(q68Sql)),
-    QuerySpec("q69_partition_evolution_ddl", q69, Some(q69Sql)))
+    QuerySpec("q69_partition_evolution_ddl", q69, Some(q69Sql)),
+    QuerySpec("q70_table_snapshot", q70, Some(q70Sql)))
 }

@@ -1314,7 +1314,12 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     *    → [[SnapshotCatalog.addFiles]] — zero-copy adoption of
     *    existing parquet as one append snapshot (name-mapped to field
     *    ids, stats collected; the catalog never takes ownership of the
-    *    external bytes).
+    *    external bytes);
+    *  - `snapshot('ns.src', 'ns.dst')` →
+    *    [[SnapshotCatalog.snapshotTable]] — zero-copy table FORK:
+    *    `dst` is created referencing `src`'s current state (delete
+    *    side included) in one metadata commit; fully isolated, never
+    *    owns the source bytes.
     *
     * The `system` qualifier is optional. Unknown procedures or
     * non-literal args return None → Spark's own rejection.
@@ -1403,6 +1408,22 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             "bytes_rewritten" -> r.bytesRewritten,
             "delete_files_folded" ->
               (r.posDeleteFilesFolded + r.eqDeleteFilesFolded).toLong)
+        }
+      case ("snapshot", Seq(se, de)) if str(de).isDefined =>
+        // zero-copy table fork (Iceberg's snapshot procedure): the
+        // destination must NOT exist — parsed by hand, tbl() requires
+        // existence
+        tbl(se).flatMap { case (sns, st) =>
+          str(de).get.split('.') match {
+            case Array(dns, dt) =>
+              catalog.snapshotTable(sns, st, dns, dt)
+              Some(report(dns, dt, "operation" -> "snapshot",
+                "source" -> s"$sns.$st",
+                "referenced_data_files" ->
+                  catalog.describe(dns, dt).currentSnapshot
+                    .map(_.files.size.toLong).getOrElse(0L)))
+            case _ => None
+          }
         }
       case ("add_files", Seq(te, pe)) if str(pe).isDefined =>
         // zero-copy import of existing parquet (Iceberg's add_files):

@@ -2604,4 +2604,50 @@ class CatalogSpec extends SparkTestBase {
     // content survived the whole lifecycle
     assert(cat.read("db", "t").count() == 102)
   }
+
+  test("snapshotTable forks a MoR table zero-copy: identical reads, " +
+      "total isolation both ways, and fork maintenance never reaps " +
+      "source bytes") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "prod", schemaV1,
+      Map("write.delete.mode" -> "merge-on-read"))
+    cat.append("db", "prod",
+      (0L until 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+        .repartition(2))
+    // a live merge-on-read delete side at fork time
+    val eng = new graft.query.Engine(spark, cat)
+    assert(!eng.sqlQuery("DELETE FROM db.prod WHERE id < 10")
+      .startsWith("""{"error""""))
+    val prodSnap = cat.describe("db", "prod").currentSnapshot.get
+    assert(prodSnap.deleteFiles.nonEmpty)
+    cat.snapshotTable("db", "prod", "db", "fork")
+    val forkSnap = cat.describe("db", "fork").currentSnapshot.get
+    // zero-copy: the fork references the SOURCE paths, delete side too
+    assert(forkSnap.files == prodSnap.files &&
+      forkSnap.deleteFiles == prodSnap.deleteFiles)
+    assert(cat.read("db", "fork").count() == 90)
+    // isolation: DML on the fork never moves the source (and vice
+    // versa); the fork's new delete file lands in the FORK's tree
+    assert(!eng.sqlQuery("DELETE FROM db.fork WHERE id < 20")
+      .startsWith("""{"error""""))
+    assert(cat.read("db", "fork").count() == 80)
+    assert(cat.read("db", "prod").count() == 90)
+    assert(cat.describe("db", "prod").currentSnapshot.get == prodSnap)
+    // fork maintenance rewrites into the fork's own tree and expiry
+    // NEVER deletes referenced-source bytes (the addFiles ownership
+    // boundary)
+    assert(cat.compactFileGroups("db", "fork").compacted)
+    cat.expireSnapshots("db", "fork", keepLast = 1)
+    prodSnap.files.foreach(f => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+      s"fork expiry must never reap a source file: $f"))
+    assert(cat.read("db", "prod").count() == 90)
+    // DROP the fork entirely — the source remains whole
+    cat.dropTable("db", "fork")
+    assert(cat.read("db", "prod").count() == 90)
+    // forking onto an existing name refuses
+    intercept[IllegalArgumentException](
+      cat.snapshotTable("db", "prod", "db", "prod"))
+  }
 }
