@@ -199,6 +199,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       key -> view
     }.toMap
 
+    // does any expression (subqueries included) reference the
+    // metadata columns?
+    val wantsMetaCols = parsed.toOption.exists(p =>
+      p.collectWithSubqueries { case n => n.expressions }.flatten
+        .exists(_.collectFirst {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if Engine.MetaColNames(
+                a.nameParts.last.toLowerCase(java.util.Locale.ROOT)) => a
+        }.isDefined))
+
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
       val meta = catalog.describe(ref.ns, ref.table)
@@ -209,10 +219,34 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           s.files.size)
       }
       val schema = catalog.schemaOf(ref.ns, ref.table)
+      // Iceberg metadata columns: when the query references `_file` /
+      // `_pos`, the view carries each row's physical provenance —
+      // served through the row-id read path, so MoR deletes still
+      // apply and a deleted row's (file, pos) never surfaces. Scoped
+      // to queries that ASK (plain reads stay on the vectorized
+      // no-row-id path); note `SELECT *` in such a query sees them
+      // too (they are real view columns, unlike Iceberg's hidden ones)
       val df = snap match {
+        case Some(s) if wantsMetaCols =>
+          import graft.catalog.SnapshotCatalog.{RowIdFileCol, RowIdPosCol}
+          val base = catalog.readFilesWithRowId(s, schema, files,
+            meta.fieldIds)
+          base.select(schema.fieldNames.map(org.apache.spark.sql
+            .functions.col(_)) ++ Seq(
+            org.apache.spark.sql.functions.col(RowIdFileCol).as("_file"),
+            org.apache.spark.sql.functions.col(RowIdPosCol)
+              .cast("long").as("_pos")): _*)
         case Some(s) => catalog.readFilesOf(s, schema, files, meta.fieldIds)
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None =>
+          val sch =
+            if (!wantsMetaCols) schema
+            else org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField("_file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("_pos",
+                org.apache.spark.sql.types.LongType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       }
       val view = Engine.viewName(ref.ns, ref.table)
       df.createOrReplaceTempView(view)
@@ -2468,6 +2502,9 @@ object Engine {
   private[query] val MetadataKinds: Set[String] =
     Set("snapshots", "files", "all_files", "manifests", "history",
       "refs", "delete_files", "partitions", "entries")
+
+  /** Iceberg metadata columns served on demand over catalog reads. */
+  private[query] val MetaColNames: Set[String] = Set("_file", "_pos")
 
   /** Partition-spec evolution DDL (extension syntax — pre-parse
     * intercepts, see [[Engine.partitionFieldDdl]]).

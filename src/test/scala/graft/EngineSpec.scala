@@ -2207,4 +2207,39 @@ class EngineSpec extends SparkTestBase {
     assert(out.contains("""{"status":0,"content":0"""), out)
     assert(out.contains("""{"status":1,"content":1,"n":1}"""), out)
   }
+
+  test("_file/_pos metadata columns: per-row physical provenance on " +
+      "demand, 0-based per-file positions, MoR deletes applied — a " +
+      "deleted row's (file, pos) never surfaces") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-metacols"))
+    val eng = new Engine(spark, cat)
+    assert(!eng.sqlQuery("CREATE TABLE db.t (k BIGINT, g STRING) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      .startsWith("""{"error""""))
+    // two single-FILE commits → two physical files, positions 0..2
+    cat.append("db", "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "g").coalesce(1))
+    cat.append("db", "t",
+      Seq((4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "g").coalesce(1))
+    val files = eng.sqlQuery(
+      "SELECT count(DISTINCT _file) AS nf, min(_pos) AS lo, " +
+        "max(_pos) AS hi, count(*) AS n FROM db.t")
+    assert(files.contains(""""nf":2""") && files.contains(""""lo":0""") &&
+      files.contains(""""hi":2""") && files.contains(""""n":6"""), files)
+    // plain reads stay metadata-column-free
+    assert(!eng.sqlQuery("SELECT * FROM db.t LIMIT 1").contains("_file"))
+    // a MoR-deleted row's (file, pos) disappears; survivors keep
+    // their ORIGINAL positions (no renumbering — the row id is
+    // physical identity, not a dense rank)
+    eng.sqlQuery("DELETE FROM db.t WHERE k = 2")
+    val after = eng.sqlQuery(
+      "SELECT count(*) AS n, count(DISTINCT _file) AS nf FROM db.t " +
+        "WHERE _pos >= 0")
+    assert(after.contains(""""n":5""") && after.contains(""""nf":2"""), after)
+    val posOfFile1 = eng.sqlQuery(
+      "SELECT _pos FROM db.t WHERE k IN (1, 3) ORDER BY _pos")
+    assert(posOfFile1.contains(""""_pos":0""") &&
+      posOfFile1.contains(""""_pos":2"""), posOfFile1)
+  }
 }
