@@ -186,33 +186,49 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * changes: promotion is an explicit DDL act, as in Iceberg.
     */
   def promoteColumnType(ns: String, name: String, colName: String,
-      newType: DataType): TableMeta = synchronized {
+      newType: DataType): TableMeta =
+    promoteColumnTypes(ns, name, Seq(colName -> newType))
+
+  /** Multi-column [[promoteColumnType]] in ONE metadata commit —
+    * `ALTER TABLE … ALTER COLUMN a TYPE t1, b TYPE t2` is atomic: if
+    * ANY promotion is unsafe, NOTHING commits (a half-altered table
+    * behind an error return would poison every later writer's evolve
+    * gate).
+    */
+  def promoteColumnTypes(ns: String, name: String,
+      changes: Seq[(String, DataType)]): TableMeta = synchronized {
     retryMetaCommit(ns, name) { meta =>
       val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      require(schema.fieldNames.contains(colName),
-        s"no column $colName in $ns.$name")
-      val from = schema(colName).dataType
-      require(SchemaCompat.safePromotion(from, newType),
-        s"unsafe type change ${from.simpleString} -> " +
-          s"${newType.simpleString} for $colName — safe promotions are " +
-          "int->bigint, float->double, decimal(P,S)->decimal(P',S) with " +
-          "P' >= P")
-      // every live spec era (current property + per-file pspec stamps)
-      // that derives a pval from this column must derive the SAME pval
-      // from the widened type, or old files would silently mis-prune
-      val eras = (meta.properties.get(PartitionSpec.PropertyKey).toSeq ++
-        meta.snapshots.flatMap(_.fileStats.flatMap(_.pspec))).distinct
-      eras.flatMap(e => scala.util.Try(PartitionSpec.parse(e)).toOption)
-        .filter(_.column == colName)
-        .foreach { p =>
-          require(pvalStableUnderPromotion(p.transform, from, newType),
-            s"cannot promote $colName under partition spec " +
-              s"'${p.transform}(${p.column})' — the transform's value " +
-              "derivation is type-dependent; evolve the spec (and let " +
-              "compaction migrate old files) first")
-        }
+      changes.foreach { case (colName, newType) =>
+        require(schema.fieldNames.contains(colName),
+          s"no column $colName in $ns.$name")
+        val from = schema(colName).dataType
+        require(SchemaCompat.safePromotion(from, newType),
+          s"unsafe type change ${from.simpleString} -> " +
+            s"${newType.simpleString} for $colName — safe promotions are " +
+            "int->bigint, float->double, decimal(P,S)->decimal(P',S) with " +
+            "P' >= P")
+        // every live spec era (current property + per-file pspec stamps)
+        // that derives a pval from this column must derive the SAME pval
+        // from the widened type, or old files would silently mis-prune
+        val eras = (meta.properties.get(PartitionSpec.PropertyKey).toSeq ++
+          meta.snapshots.flatMap(_.fileStats.flatMap(_.pspec))).distinct
+        eras.flatMap(e => scala.util.Try(PartitionSpec.parse(e)).toOption)
+          .filter(_.column == colName)
+          .foreach { p =>
+            require(pvalStableUnderPromotion(p.transform, from, newType),
+              s"cannot promote $colName under partition spec " +
+                s"'${p.transform}(${p.column})' — the transform's value " +
+                "derivation is type-dependent; evolve the spec (and let " +
+                "compaction migrate old files) first")
+          }
+      }
+      val byName = changes.toMap
       val newSchema = StructType(schema.fields.map(f =>
-        if (f.name == colName) f.copy(dataType = newType) else f))
+        byName.get(f.name) match {
+          case Some(to) => f.copy(dataType = to)
+          case None => f
+        }))
       meta.copy(schemaJson = newSchema.json)
     }
   }
@@ -3071,7 +3087,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         "partition on ingest)")
     val resolved = resolveImportFiles(source)
     require(resolved.nonEmpty, s"no parquet files at $source")
-    val own = dataDir(ns, name).toAbsolutePath.toString + "/"
+    val own = dataDir(ns, name).toAbsolutePath.normalize.toString + "/"
     resolved.find(_.startsWith(own)).foreach(f =>
       throw new IllegalArgumentException(
         s"$f is inside $ns.$name's own data tree — already table-managed"))
@@ -3209,11 +3225,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * plain path must exist.
     */
   private def resolveImportFiles(source: String): Seq[String] = {
-    val p = Paths.get(source)
+    // CANONICAL paths throughout (absolute + `.`/`..` collapsed): the
+    // own-tree refusal, the duplicate-registration check and the
+    // [[ownsPath]] expiry boundary all compare path STRINGS — an
+    // alternate `a/../a` spelling of an already-registered file must
+    // normalize to the same key, never register twice
+    val p = Paths.get(source).toAbsolutePath.normalize
     def walk(d: File): Seq[String] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
         case f if f.isDirectory => walk(f)
-        case f if f.getName.endsWith(".parquet") => Seq(f.getAbsolutePath)
+        case f if f.getName.endsWith(".parquet") =>
+          Seq(f.toPath.toAbsolutePath.normalize.toString)
         case _ => Seq.empty
       }
     val base = p.getFileName.toString
@@ -3230,10 +3252,10 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           s.iterator().asScala
             .filter(f => m.matches(f.getFileName) &&
               f.toString.endsWith(".parquet"))
-            .map(_.toAbsolutePath.toString).toSeq.sorted
+            .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
         } finally s.close()
       }
-    } else if (Files.exists(p)) Seq(p.toAbsolutePath.toString)
+    } else if (Files.exists(p)) Seq(p.toString)
     else Seq.empty
   }
 
@@ -3244,7 +3266,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     * keeps expiry/DROP from destroying an external source dataset.
     */
   private def ownsPath(ns: String, name: String, path: String): Boolean =
-    path.startsWith(dataDir(ns, name).toAbsolutePath.toString + "/")
+    Paths.get(path).toAbsolutePath.normalize.toString
+      .startsWith(dataDir(ns, name).toAbsolutePath.normalize.toString + "/")
 
   /** One scheduled MAINTENANCE pass composing the three table-health
     * primitives in dependency order — the nightly job a 100 TB

@@ -199,15 +199,37 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       key -> view
     }.toMap
 
-    // does any expression (subqueries included) reference the
-    // metadata columns?
-    val wantsMetaCols = parsed.toOption.exists(p =>
+    // `_file`/`_pos` references (subqueries included), each with its
+    // QUALIFIER, plus the alias → relation map — so only the table a
+    // qualified metadata column names pays the row-id read path and
+    // grows extra view columns; an UNQUALIFIED reference applies to
+    // every catalog relation (attribution is the analyzer's job, and
+    // ambiguity there is the user's, exactly as for any column)
+    val metaColQuals: Seq[Seq[String]] = parsed.toOption.toSeq.flatMap(p =>
       p.collectWithSubqueries { case n => n.expressions }.flatten
-        .exists(_.collectFirst {
+        .flatMap(_.collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
               if Engine.MetaColNames(
-                a.nameParts.last.toLowerCase(java.util.Locale.ROOT)) => a
-        }.isDefined))
+                a.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+            a.nameParts.dropRight(1)
+              .map(_.toLowerCase(java.util.Locale.ROOT))
+        }))
+    val aliasOf: Map[String, (String, String)] = parsed.toOption.toSeq
+      .flatMap(_.collectWithSubqueries {
+        case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id,
+            r: UnresolvedRelation) if r.multipartIdentifier.length == 2 =>
+          id.name.toLowerCase(java.util.Locale.ROOT) ->
+            (r.multipartIdentifier(0).toLowerCase(java.util.Locale.ROOT),
+              r.multipartIdentifier(1).toLowerCase(java.util.Locale.ROOT))
+      }).toMap
+    def wantsMetaColsFor(ns: String, t: String): Boolean = {
+      val nsL = ns.toLowerCase(java.util.Locale.ROOT)
+      val tL = t.toLowerCase(java.util.Locale.ROOT)
+      metaColQuals.exists { q =>
+        q.isEmpty || q == Seq(tL) || q == Seq(nsL, tL) ||
+          (q.length == 1 && aliasOf.get(q.head).contains((nsL, tL)))
+      }
+    }
 
     val views = scala.collection.mutable.Map.empty[(String, String), String]
     val infos = refs.map { ref =>
@@ -226,6 +248,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       // to queries that ASK (plain reads stay on the vectorized
       // no-row-id path); note `SELECT *` in such a query sees them
       // too (they are real view columns, unlike Iceberg's hidden ones)
+      val wantsMetaCols = wantsMetaColsFor(ref.ns, ref.table)
       val df = snap match {
         case Some(s) if wantsMetaCols =>
           import graft.catalog.SnapshotCatalog.{RowIdFileCol, RowIdPosCol}
@@ -987,9 +1010,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             case _ => None // nested fields fall through
           })).filter(_.forall(_.isDefined)).map(_.flatten)
         } yield {
-          names.zip(specs).foreach { case (n, s) =>
-            catalog.promoteColumnType(ns, t, n, s.newDataType.get): Unit
-          }
+          // ONE commit for the whole column list — a later column's
+          // unsafe promotion must not leave earlier ones durably
+          // applied behind an error return
+          catalog.promoteColumnTypes(ns, t,
+            names.zip(specs).map { case (n, s) =>
+              n -> s.newDataType.get
+            }): Unit
           val total = catalog.describe(ns, t).currentSnapshot
             .map(_.files.size).getOrElse(0)
           summary("ALTER", ns, t, 0L, 0, total)
@@ -1551,6 +1578,16 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             throw new IllegalArgumentException(
               s"no staged changes under wap.id '$w' in $ns.$t"))
           val hs = m.snapshots.find(_.snapshotId == head).get
+          // crash-retry idempotency: if the staged snapshot is ALREADY
+          // in the published lineage (a prior publish committed the
+          // cherry-pick but died before dropping the staging ref),
+          // complete the publish by finishing the ref drop instead of
+          // refusing — the exact recovery isPublished exists for
+          if (catalog.isPublished(ns, t, head)) {
+            catalog.dropRef(ns, t, ref)
+            report(ns, t, "operation" -> "publish_changes",
+              "wap_id" -> w, "published_snapshot_id" -> head)
+          } else {
           // ONE snapshot per wap.id (the Iceberg cherry-pick contract):
           // everything beneath the staged head must already be
           // published, or the publish would silently skip it. The two
@@ -1571,6 +1608,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           catalog.dropRef(ns, t, ref)
           report(ns, t, "operation" -> "publish_changes",
             "wap_id" -> w, "staged_snapshot_id" -> head)
+          }
         }
       case ("ancestors_of", te +: rest)
           if rest.size <= 1 && rest.forall(num(_).isDefined) =>

@@ -448,15 +448,29 @@ object Sinks {
               val ord = "_change_ordinal"
               val ct = "_change_type"
               val ch = catalog.readChangelog(upNs, upTable, a, Some(b))
+              // compose the runs EXACTLY as sequential application
+              // would: a pre-existing downstream row dies iff its key
+              // has a DELETE row anywhere in the span (insert-only
+              // appends never delete — keys are CDC matching columns,
+              // not a uniqueness constraint); an insert survives iff
+              // no LATER run deletes its key (same-ordinal
+              // delete+insert is an update pair — the insert wins,
+              // cdcUpsert's same-commit seq gate). All surviving
+              // inserts are kept — not a row_number()-picked single
+              // row per key — so upstreams carrying duplicate-key
+              // rows converge to the per-window path's state
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(keyCols.map(col): _*)
-                .orderBy(col(ord).desc, (col(ct) === "insert").desc)
-              val ranked = ch.withColumn("__f_rk",
-                org.apache.spark.sql.functions.row_number().over(w))
-              val ins = ranked
-                .filter(col("__f_rk") === 1 && col(ct) === "insert")
-                .drop("__f_rk", ct, ord)
-              val dels = ch.select(keyCols.map(col): _*).distinct()
+              val delOrd = org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions
+                  .when(col(ct) === "delete", col(ord))).over(w)
+              val ins = ch.withColumn("__f_delord", delOrd)
+                .filter(col(ct) === "insert" &&
+                  (col("__f_delord").isNull ||
+                    col(ord) >= col("__f_delord")))
+                .drop("__f_delord", ct, ord)
+              val dels = ch.filter(col(ct) === "delete")
+                .select(keyCols.map(col): _*).distinct()
               catalog.cdcUpsert(downNs, downTable, transform(ins), dels,
                 keyCols, Map(posKey -> b.toString)): Unit
             }

@@ -2558,8 +2558,14 @@ class CatalogSpec extends SparkTestBase {
     cat.renameColumn("db", "t", "v", "val2")
     assert(cat.read("db", "t").filter(col("id") === 399L)
       .select("val2").head.getDouble(0) == 798.0)
-    // duplicate registration refuses
+    // duplicate registration refuses — including under an alternate
+    // `..`-spelled path of the same files (guards compare CANONICAL
+    // paths, so a respelling can never double-register rows)
     intercept[IllegalArgumentException](cat.addFiles("db", "t", ext))
+    val respelled =
+      s"$ext/part0/../../${new java.io.File(ext).getName}"
+    intercept[IllegalArgumentException](
+      cat.addFiles("db", "t", respelled))
     // schema-mismatch refuses (int id vs declared long after restore)
     val ext2 = tmpDir("graft-addfiles-bad")
     spark.range(5).select(col("id").cast("int").as("id"),

@@ -2241,5 +2241,72 @@ class EngineSpec extends SparkTestBase {
       "SELECT _pos FROM db.t WHERE k IN (1, 3) ORDER BY _pos")
     assert(posOfFile1.contains(""""_pos":0""") &&
       posOfFile1.contains(""""_pos":2"""), posOfFile1)
+    // QUALIFIED references scope to their table: in a join, only the
+    // named side grows metadata columns — a.* stays clean
+    cat.createTable("db", "u",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    cat.append("db", "u", Seq(1L, 3L).toDF("k").coalesce(1))
+    val joined = eng.sqlQuery(
+      "SELECT u.*, b._file AS bf FROM db.u u JOIN db.t b ON u.k = b.k " +
+        "ORDER BY u.k")
+    assert(joined.contains(""""bf":"""), joined)
+    assert(!joined.contains(""""_file""""),
+      s"the unnamed side must not grow metadata columns: $joined")
+  }
+
+  test("publish_changes retry after a crash between cherry-pick and " +
+      "ref drop COMPLETES the publish instead of refusing") {
+    import spark.implicits._
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-wapretry"))
+    val eng = new Engine(spark, cat)
+    cat.createTable("db", "t", Seq.empty[(Long, Double)].toDF("id", "v").schema)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    eng.sqlQuery("SET graft.wap.id = batch7")
+    eng.sqlQuery("INSERT INTO db.t VALUES (2, 2.0)")
+    eng.sqlQuery("RESET graft.wap.id")
+    val m = cat.describe("db", "t")
+    val ref = m.refs.keys.find(_.contains("batch7")).get
+    val staged = m.refs(ref)
+    // simulate the crash window: the cherry-pick landed, the ref
+    // drop did not
+    cat.cherrypick("db", "t", staged)
+    assert(cat.describe("db", "t").refs.contains(ref))
+    // the retry completes the publish: ref dropped, no duplicate rows
+    val out = eng.sqlQuery("CALL system.publish_changes('db.t', 'batch7')")
+    assert(!out.startsWith("""{"error""""), out)
+    assert(!cat.describe("db", "t").refs.contains(ref))
+    assert(cat.read("db", "t").count() == 2)
+    // a third call reports the absence cleanly (no staged changes)
+    assert(eng.sqlQuery("CALL system.publish_changes('db.t', 'batch7')")
+      .startsWith("""{"error""""))
+  }
+
+  test("multi-column ALTER COLUMN TYPE is atomic: one unsafe column " +
+      "commits nothing") {
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-promo-atomic"))
+    val eng = new Engine(spark, cat)
+    assert(!eng.sqlQuery(
+        "CREATE TABLE db.t (a INT, b STRING, c FLOAT)")
+      .startsWith("""{"error""""))
+    // b STRING cannot promote — the whole statement must refuse and
+    // leave a untouched
+    assert(eng.sqlQuery(
+        "ALTER TABLE db.t ALTER COLUMN a TYPE BIGINT, b TYPE BIGINT")
+      .startsWith("""{"error""""))
+    assert(cat.schemaOf("db", "t")("a").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "a's promotion must not survive the failed statement")
+    // the all-safe form still lands both in one commit
+    val v0 = cat.describe("db", "t")
+    assert(!eng.sqlQuery(
+        "ALTER TABLE db.t ALTER COLUMN a TYPE BIGINT, c TYPE DOUBLE")
+      .startsWith("""{"error""""))
+    assert(cat.schemaOf("db", "t")("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(cat.schemaOf("db", "t")("c").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(v0.snapshots.size == cat.describe("db", "t").snapshots.size)
   }
 }
