@@ -14,14 +14,24 @@ object Bench {
   /** Quiet-box seconds for the fixed calibration aggregate (400M-row
     * in-memory `sum(id % 97)` at local[32]) — measured on this box at
     * load avg < 0.5 (round 15). The artifact stamps `load_suspect`
-    * when even the best of the three per-pass calibrations exceeds
-    * 1.3x this floor: per-query times in such a run are inflated by
-    * external load, not code (the BENCH_r14 failure mode — committed
-    * 174.5 s vs the judge's idle-box 140.1 s re-run).
+    * when even the best of the six per-pass calibrations (start AND
+    * end of each pass, round 16) exceeds 1.3x this floor: per-query
+    * times in such a run are inflated by external load, not code (the
+    * BENCH_r14 failure mode — committed 174.5 s vs the judge's
+    * idle-box 140.1 s re-run). `load_degraded` marks the softer band
+    * (best sample 1.15–1.3x): moderate sustained contention, compare
+    * with care.
     *
     * The constant is THIS box's floor; on a different machine set
     * `SPARK_GRAFT_CALIB_FLOOR` (seconds) or the suspect verdict is
     * meaningless — the flag compares load, not hardware.
+    *
+    * Round-16 note: discard-first double-run sampling (see
+    * `calibrate`) surfaced samples as low as 0.147 s — the historical
+    * 0.30 floor includes JIT/codegen tax and box baseline load, so it
+    * is CONSERVATIVE under the new sampling: degraded/suspect fire
+    * only on real, substantial contention. Re-baseline when a
+    * provably idle window exists.
     */
   val CalibrationFloorSec: Double =
     sys.env.get("SPARK_GRAFT_CALIB_FLOOR")
@@ -70,13 +80,19 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         .trim.split("\\s+").take(3).mkString("[", ",", "]")
       catch { case scala.util.control.NonFatal(_) => "[]" }
-    def calibrate(): Double = {
+    def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions.{col, sum}
       val t0 = System.nanoTime()
       spark.range(0L, 400000000L, 1L, 32)
         .select(sum(col("id") % 97L)).collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
+    // each SAMPLE is a discard-first double run: the post-pass cache
+    // hygiene evicts this query's codegen, so a single run right after
+    // a pass pays a ~0.15 s recompile that reads as phantom load
+    // (observed round 16: back-to-back samples 0.321 → 0.160 with
+    // nothing between them). The warm second run isolates the box.
+    def calibrate(): Double = { calibrateOnce(): Unit; calibrateOnce() }
     calibrate(): Unit // JIT/codegen warm-up, discarded
 
     // Optional comma-separated name filter for local iteration, e.g.
@@ -96,7 +112,7 @@ object Bench {
     val passes = (1 to 3).map { _ =>
       passLoad += loadavg()
       passCalib += calibrate()
-      specs.map { spec =>
+      val out = specs.map { spec =>
         val t = once(spec.run)
         // drop session caches (Dedup-style), query-layer persists AND
         // checkpoint blocks — no run inherits block-manager state.
@@ -107,6 +123,14 @@ object Bench {
         graft.core.CacheHygiene.releaseAll(spark, blocking = true)
         spec.name -> t
       }
+      // END-of-pass calibration too (round 16): a pass runs for
+      // minutes, so start-only samples let a mid-pass load burst
+      // inflate every query of the pass while all three calibrations
+      // read clean — doubling to six samples closes the larger half
+      // of that blind window
+      passLoad += loadavg()
+      passCalib += calibrate()
+      out
     }
     val results = specs.map { spec =>
       val runs = passes.map(_.find(_._1 == spec.name).get._2)
@@ -189,7 +213,14 @@ object Bench {
     val calibFloorSec = Bench.CalibrationFloorSec
     val minCalib = if (passCalib.isEmpty) -1.0 else passCalib.min
     val loadSuspect = minCalib > calibFloorSec * 1.3
-    // flapping = the passes DISAGREE (bursty external load): per-query
+    // DEGRADED (round 16): the band a moderate sustained load lands
+    // in — every sample inflated but under the suspect line (this
+    // round's host contention ran +25% on queries with best-of-pass
+    // calibration at 1.24x, evading the 1.3x stamp). Quiet-box
+    // best-of-samples sits at or below ~1.13x floor, so above 1.15x
+    // the numbers are comparable only with care
+    val loadDegraded = !loadSuspect && minCalib > calibFloorSec * 1.15
+    // flapping = the samples DISAGREE (bursty external load): per-query
     // minimums may still be clean, but the TOTAL mixes loaded passes —
     // compare per-query, not by total, when this is set
     val loadFlapping = passCalib.nonEmpty &&
@@ -199,6 +230,7 @@ object Bench {
         s""""calibration_sec":${passCalib.map(fmt(_)).mkString("[", ",", "]")},""" +
         s""""calibration_floor_sec":${fmt(calibFloorSec)},""" +
         s""""load_suspect":$loadSuspect,""" +
+        s""""load_degraded":$loadDegraded,""" +
         s""""load_flapping":$loadFlapping}"""
 
     val qs = results.map { case (k, (t, _)) => "\"" + k + "\":" + t }

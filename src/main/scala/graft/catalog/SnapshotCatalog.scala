@@ -1888,11 +1888,33 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     synchronized {
       require(keepLast >= 1, "must retain at least one snapshot")
       val (version, meta) = loadMeta(ns, name)
-      // The CURRENT snapshot and every ref'd (branch/tag) snapshot are
-      // always retained even when off the tail — expiring a snapshot a
-      // pointer references would corrupt the table.
+      // REF AGING (round 16, Iceberg's `history.expire.max-ref-age-ms`,
+      // opt-in): with the property set, branches and tags whose HEAD
+      // snapshot committed before the age window drop in this same
+      // expiry commit — an abandoned WAP branch or stale tag stops
+      // pinning its chain forever without a manual drop_branch. Age is
+      // the head snapshot's commit time (Iceberg's rule, zero extra
+      // metadata): an ACTIVE consumer pin keeps advancing and stays
+      // young by construction. Refs on a cold table age out too —
+      // that is the operator's declared policy, and the snapshots a
+      // dropped ref pointed at still obey keep_last/older_than below.
+      val maxRefAge = meta.properties.get(MaxRefAgeProp)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      val agedOut: Set[String] = maxRefAge match {
+        case None => Set.empty
+        case Some(a) =>
+          val cutoff = System.currentTimeMillis() - a
+          val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+          meta.refs.filter { case (_, id) =>
+            byId.get(id).exists(_.createdAtMs < cutoff)
+          }.keySet
+      }
+      val liveRefs = meta.refs -- agedOut
+      // The CURRENT snapshot and every surviving ref'd (branch/tag)
+      // snapshot are always retained even when off the tail — expiring
+      // a snapshot a pointer references would corrupt the table.
       val tail = meta.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
-      val pinned = meta.refs.values.toSet ++ meta.currentSnapshotId
+      val pinned = liveRefs.values.toSet ++ meta.currentSnapshotId
       val retained = meta.snapshots
         .filter(s => tail.exists(_.snapshotId == s.snapshotId) ||
           pinned.contains(s.snapshotId) ||
@@ -1928,7 +1950,8 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
             stitched = Some(true))
         else s
       }
-      val newMeta = meta.copy(snapshots = healed)
+      val newMeta = meta.copy(snapshots = healed, refs = liveRefs,
+        tagNames = meta.tagNames.filterNot(agedOut))
       commit(ns, name, version + 1, newMeta)
       // physical reap stops at the ownership boundary: [[addFiles]]
       // imports live OUTSIDE the table tree and are forgotten from
@@ -4555,6 +4578,12 @@ object SnapshotCatalog {
     * timestamp (the Morton-scaling domain).
     */
   val WriteOrderProp = "write.order"
+
+  /** Opt-in ref aging for [[SnapshotCatalog.expireSnapshots]]
+    * (Iceberg's knob): refs whose head snapshot committed more than
+    * this many milliseconds ago drop during expiry.
+    */
+  val MaxRefAgeProp = "history.expire.max-ref-age-ms"
 
   /** Parse a `write.order` property / sort-spec string into column
     * names, validating each against `schema` (must exist, numeric or

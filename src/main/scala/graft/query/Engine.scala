@@ -1519,11 +1519,15 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         // older_than = Iceberg's operative retention knob; keep_last
         // stays the floor
         for { (ns, t) <- tbl(te); k <- num(ke); o <- olderArg(rest) } yield {
-          val before = catalog.describe(ns, t).snapshots.size
+          val bm = catalog.describe(ns, t)
           catalog.expireSnapshots(ns, t, k.toInt, o)
-          val after = catalog.describe(ns, t).snapshots.size
+          val am = catalog.describe(ns, t)
           report(ns, t, "operation" -> "expire_snapshots",
-            "expired" -> (before - after).toLong, "retained" -> after.toLong)
+            "expired" -> (bm.snapshots.size - am.snapshots.size).toLong,
+            "retained" -> am.snapshots.size.toLong,
+            // history.expire.max-ref-age-ms at work (observable, so an
+            // operator sees WHICH expiry run dropped an aged ref)
+            "refs_aged_out" -> (bm.refs.size - am.refs.size).toLong)
         }
       case ("remove_orphan_files", te +: rest) if rest.size <= 1 =>
         // the DEFAULT applies the safety window (a fresh unreferenced

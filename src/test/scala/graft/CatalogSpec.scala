@@ -2656,4 +2656,36 @@ class CatalogSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       cat.snapshotTable("db", "prod", "db", "prod"))
   }
+
+  test("ref aging (history.expire.max-ref-age-ms): expiry drops refs " +
+      "whose head snapshot is older than the window; fresh refs and " +
+      "property-less tables keep pinning") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("db", "t", schemaV1)
+    cat.append("db", "t", Seq((1L, 1.0)).toDF("id", "v"))
+    cat.createTag("db", "t", "old-release")
+    // no property set → the tag pins its snapshot forever
+    cat.append("db", "t", Seq((2L, 2.0)).toDF("id", "v"))
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(cat.describe("db", "t").refs.contains("old-release"))
+    // opt in with a 150 ms window; age the tag's head past it, then
+    // land a FRESH branch whose head is seconds young
+    cat.updateProperties("db", "t",
+      Map(SnapshotCatalog.MaxRefAgeProp -> "150"))
+    Thread.sleep(250)
+    cat.append("db", "t", Seq((3L, 3.0)).toDF("id", "v"))
+    cat.createBranch("db", "t", "young")
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    val m = cat.describe("db", "t")
+    assert(!m.refs.contains("old-release"),
+      "an aged-out tag must drop during expiry")
+    assert(!m.tagNames.contains("old-release"))
+    assert(m.refs.contains("young"),
+      "a fresh ref must survive the same expiry")
+    // with the pin gone, the old snapshot obeyed keep_last
+    assert(m.snapshots.map(_.snapshotId).min ==
+      m.currentSnapshotId.get - 1 || m.snapshots.size <= 2)
+    assert(cat.read("db", "t").count() == 3)
+  }
 }
