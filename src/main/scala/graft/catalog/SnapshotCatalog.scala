@@ -484,10 +484,28 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     appendImpl(ns, name, df, toBranch, extraProperties,
       replaceManifest = true)
 
+  /** `CREATE OR REPLACE TABLE … AS SELECT` (RTAS): one atomic commit
+    * that replaces BOTH the content (an overwrite — empty manifest of
+    * old files, delete side dies) and the DECLARED SCHEMA, which may
+    * change arbitrarily (the BACKWARD evolve gate is write-path
+    * protection for appends; a replace is a new declaration). History
+    * is retained — pre-replace snapshots stay time-travelable, and the
+    * RTAS field-id rule keeps that read MEANINGFUL: a column keeps its
+    * stable id only when name AND type survive the replace, so time
+    * travel reads preserved columns exactly and NULL-pads changed/new
+    * ones (a retired id resolves to no physical column) instead of
+    * casting garbage.
+    */
+  def replaceTable(ns: String, name: String, df: DataFrame,
+      extraProperties: Map[String, String] = Map.empty): TableMeta =
+    appendImpl(ns, name, df, toBranch = None, extraProperties,
+      replaceManifest = true, replaceSchema = true)
+
   private def appendImpl(ns: String, name: String, df: DataFrame,
       toBranch: Option[String],
       extraProperties: Map[String, String] = Map.empty,
-      replaceManifest: Boolean = false): TableMeta =
+      replaceManifest: Boolean = false,
+      replaceSchema: Boolean = false): TableMeta =
     {
       // Data files are written once, into a dir keyed by a unique
       // write id; the commit loop below re-reads table state on each
@@ -590,13 +608,15 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           case None => meta.currentSnapshot
         }
         val current = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-        val evolved = SchemaCompat.evolve(current, df.schema) match {
-          case Right(s) => s
-          case Left(violations) =>
-            throw new IllegalArgumentException(
-              "schema not BACKWARD-compatible: " +
-                violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
-        }
+        val evolved =
+          if (replaceSchema) df.schema // RTAS: the query's schema WINS
+          else SchemaCompat.evolve(current, df.schema) match {
+            case Right(s) => s
+            case Left(violations) =>
+              throw new IllegalArgumentException(
+                "schema not BACKWARD-compatible: " +
+                  violations.map(v => s"${v.field}: ${v.reason}").mkString("; "))
+          }
         val snapshotId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1
         val seqNum = meta.snapshots.map(_.sequenceNumber).maxOption.getOrElse(0L) + 1
         // once field ids are active, evolution-added columns get fresh
@@ -604,7 +624,31 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // every new file also records its commit sequence (the gate
         // equality deletes apply under)
         val (newIds, newLast) =
-          extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
+          if (!replaceSchema)
+            extendFieldIds(meta.fieldIds, meta.lastFieldId, evolved)
+          else {
+            // RTAS field-id discipline: a column keeps its id only
+            // when BOTH name and type survive the replace — time
+            // travel to pre-replace snapshots then reads preserved
+            // columns correctly and NULL-pads changed/new ones
+            // (retired ids resolve to nothing), never casts garbage.
+            // Activation is forced ([[TableMeta.activationIds]]) so
+            // colIds-less old files resolve through the OLD era map.
+            val ids0 = activatedIds(meta, current)
+            val oldTypes = current.fields.map(f => f.name -> f.dataType).toMap
+            var next = math.max(meta.lastFieldId,
+              ids0.values.maxOption.getOrElse(0))
+            val fresh = evolved.fields.map { f =>
+              if (oldTypes.get(f.name).contains(f.dataType) &&
+                  ids0.contains(f.name)) f.name -> ids0(f.name)
+              else { next += 1; f.name -> next }
+            }.toMap
+            (fresh, next)
+          }
+        val rtasActivation =
+          if (replaceSchema && meta.fieldIds.isEmpty)
+            activatedIds(meta, current)
+          else meta.activationIds
         val stamped = stats.map(_.copy(
           colIds = colIdsStamp(newIds, df.schema), seq = Some(seqNum)))
         val snap = SnapshotMeta(
@@ -636,12 +680,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           case Some(b) => meta.copy(
             schemaJson = evolved.json,
             fieldIds = newIds, lastFieldId = newLast,
+            activationIds = rtasActivation,
             snapshots = meta.snapshots :+ snap,
             refs = meta.refs + (b -> snapshotId),
             properties = meta.properties ++ extraProperties)
           case None => meta.copy(
             schemaJson = evolved.json,
             fieldIds = newIds, lastFieldId = newLast,
+            activationIds = rtasActivation,
             currentSnapshotId = Some(snapshotId),
             snapshots = meta.snapshots :+ snap,
             properties = meta.properties ++ extraProperties)
@@ -4377,11 +4423,17 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // version no longer references it); an unmoved pointer with a
         // missing manifest is real corruption and rethrows.
         // the reuse entry is valid only under the SAME rename/drop
-        // chain — a DDL between loads means every payload must remap
-        // freshly ([[remapNames]]; manifestCache still makes that IO-free)
+        // chain AND activation map — a DDL between loads means every
+        // payload must remap freshly ([[remapNames]]; manifestCache
+        // still makes that IO-free). activationIds is part of the key
+        // because RTAS activates field ids WITHOUT adding a link: a
+        // reuse keyed on links alone would serve pre-replace snapshots
+        // without their virtual old-era colIds, and a changed-type
+        // column would resolve BY NAME into garbage reads
         val prev = hydratedByPath.synchronized(
           Option(hydratedByPath.get(metaDir(ns, name).toString)))
-          .filter(_._1 == slim.nameLinks).map(_._2)
+          .filter(_._1 == ((slim.nameLinks, slim.activationIds)))
+          .map(_._2)
           .getOrElse(Map.empty[String, SnapshotMeta])
         val m = try slim.copy(snapshots = slim.snapshots.map { sn =>
           sn.manifestPath.flatMap(prev.get) match {
@@ -4405,7 +4457,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         // cached TableMeta — structural sharing, no copies)
         hydratedByPath.synchronized(hydratedByPath.put(
           metaDir(ns, name).toString,
-          (slim.nameLinks,
+          ((slim.nameLinks, slim.activationIds),
             m.snapshots.flatMap(s => s.manifestPath.map(_ -> s)).toMap))): Unit
         m
     }
@@ -4429,11 +4481,14 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
     */
   private val hydratedByPath =
     new java.util.LinkedHashMap[
-        String, (Seq[NameLink], Map[String, SnapshotMeta])](
+        String,
+        ((Seq[NameLink], Map[String, Int]), Map[String, SnapshotMeta])](
         16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
-            String, (Seq[NameLink], Map[String, SnapshotMeta])]): Boolean =
+            String,
+            ((Seq[NameLink], Map[String, Int]),
+              Map[String, SnapshotMeta])]): Boolean =
         size > 64
     }
 

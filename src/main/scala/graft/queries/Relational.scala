@@ -3551,6 +3551,90 @@ object Relational {
       |    AS sum_price_c
       |FROM lab GROUP BY side, cat ORDER BY side, cat""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  // RTAS (round 16 — `CREATE OR REPLACE TABLE … AS SELECT`): a
+  // merge-on-read table with a live delete side is REPLACED in one
+  // commit — new content AND a new declared schema (one column
+  // preserved by name+type, the rest dropped/new). REQUIRED in-query:
+  // history is retained (the pre-replace snapshot stays readable),
+  // time travel under the NEW schema reads the PRESERVED column's old
+  // values exactly (stable field id) while new columns null-pad, and
+  // the delete side died with the replace. The post-replace aggregate
+  // is oracled against pure SELECT algebra. At 100 TB RTAS is the
+  // rebuild-a-derived-table primitive: atomic cutover, old version
+  // still auditable until expiry.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_q71_wh").toString
+    val cat = new graft.catalog.SnapshotCatalog(s, wh)
+    val eng = new graft.query.Engine(s, cat)
+    try {
+      def run(sql: String): String = {
+        val out = eng.sqlQuery(sql)
+        require(!out.startsWith("""{"error""""), s"failed: $out — $sql")
+        out
+      }
+      val pq = s"$dir/orders.parquet"
+      run("CREATE TABLE db.r (k BIGINT, cat STRING, price DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+      run(s"""INSERT INTO db.r
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM parquet.`$pq` WHERE o_orderkey < 2000""".stripMargin)
+      run("DELETE FROM db.r WHERE k % 4 = 0")
+      val before = cat.describe("db", "r").currentSnapshot.get
+      require(before.deleteFiles.nonEmpty, "need a live MoR delete side")
+      val v1 = before.snapshotId
+      val preCount = cat.read("db", "r").count()
+      val preSumK = cat.read("db", "r")
+        .agg(sum("k")).head.getLong(0)
+      // the replace: k survives (name+type), price becomes price_c
+      // BIGINT (new column), cat is dropped, status is new
+      run(s"""CREATE OR REPLACE TABLE db.r AS
+        |SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+        |  o_orderstatus AS status
+        |FROM parquet.`$pq`
+        |WHERE o_orderkey >= 2000 AND o_orderkey < 5000""".stripMargin)
+      val after = cat.describe("db", "r")
+      require(after.snapshots.exists(_.snapshotId == v1),
+        "RTAS must retain history")
+      require(after.currentSnapshot.get.deleteFiles.isEmpty &&
+          after.currentSnapshot.get.eqDeletes.isEmpty,
+        "the delete side must die with the replace")
+      // pre-replace snapshot under the NEW schema: preserved k reads
+      // its old values (incl. the MoR deletes), new columns null-pad
+      val tt = cat.read("db", "r", snapshotId = Some(v1))
+      require(tt.count() == preCount &&
+          tt.agg(sum("k")).head.getLong(0) == preSumK,
+        "preserved-column time travel must read the old values exactly")
+      require(tt.filter(col("price_c").isNotNull ||
+          col("status").isNotNull).count() == 0,
+        "new columns must null-pad in pre-replace snapshots")
+      val out = cat.read("db", "r")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          sum("price_c").as("sum_price_c"))
+        .orderBy("status")
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      out.collect().foreach(rows.add)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally walk.close()
+    }
+  }
+
+  private val q71Sql =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000
+      |GROUP BY status ORDER BY status""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q00_scan_limit", q00, Some(q00Sql)),
     QuerySpec("q01_agg_fullscan", q01, Some(q01Sql)),
@@ -3622,5 +3706,6 @@ object Relational {
     QuerySpec("q67_delete_file_rewrite", q67, Some(q67Sql)),
     QuerySpec("q68_add_files", q68, Some(q68Sql)),
     QuerySpec("q69_partition_evolution_ddl", q69, Some(q69Sql)),
-    QuerySpec("q70_table_snapshot", q70, Some(q70Sql)))
+    QuerySpec("q70_table_snapshot", q70, Some(q70Sql)),
+    QuerySpec("q71_rtas", q71, Some(q71Sql)))
 }

@@ -977,6 +977,42 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           }
         }
 
+      // `[CREATE OR] REPLACE TABLE … AS SELECT` — RTAS: content AND
+      // declared schema replace in one commit, history retained (see
+      // SnapshotCatalog.replaceTable for the field-id discipline that
+      // keeps pre-replace time travel meaningful). Declared layout
+      // properties / PARTITIONED BY land first as a metadata commit,
+      // so the replace itself writes under the NEW spec era.
+      case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTableAsSelect =>
+        for {
+          (ns, t) <- idOf(r.name)
+          specOpt <- Engine.partitionSpecString(r.partitioning)
+        } yield {
+          val exists = catalog.tableExists(ns, t)
+          if (!exists && !r.orCreate)
+            throw new IllegalArgumentException(
+              s"table $ns.$t does not exist — use CREATE OR REPLACE TABLE")
+          val src = PlanExec.ofRows(spark, r.query)
+          val declared = r.tableSpec.properties
+          declared.get(graft.catalog.SnapshotCatalog.WriteOrderProp)
+            .foreach(o => graft.catalog.SnapshotCatalog
+              .parseWriteOrder(o, src.schema): Unit)
+          val layout = declared ++ specOpt.map(s => Map(
+            graft.catalog.PartitionSpec.PropertyKey -> s))
+            .getOrElse(Map.empty)
+          if (!exists) {
+            catalog.createTable(ns, t, src.schema, layout)
+            val snap = catalog.append(ns, t, src).currentSnapshot
+            summary("CTAS", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
+              snap.map(_.files.size).getOrElse(0))
+          } else {
+            if (layout.nonEmpty) catalog.updateProperties(ns, t, layout)
+            val snap = catalog.replaceTable(ns, t, src).currentSnapshot
+            summary("RTAS", ns, t, snap.map(_.rowCount).getOrElse(0L), 0,
+              snap.map(_.files.size).getOrElse(0))
+          }
+        }
+
       case AddColumns(tbl, cols)
           if cols.forall(c => c.path.isEmpty && c.position.isEmpty &&
             c.default.isEmpty) =>

@@ -2283,6 +2283,47 @@ class EngineSpec extends SparkTestBase {
       .startsWith("""{"error""""))
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT: content and schema replace " +
+      "in one commit, history stays time-travelable with the RTAS " +
+      "field-id rule (preserved columns read, changed ones null-pad)") {
+    import org.apache.spark.sql.functions.col
+    val cat = new SnapshotCatalog(spark, tmpDir("graft-rtas"))
+    val eng = new Engine(spark, cat)
+    // plain REPLACE on a missing table refuses; OR REPLACE creates
+    assert(eng.sqlQuery(
+        "REPLACE TABLE db.t AS SELECT CAST(1 AS BIGINT) AS k")
+      .startsWith("""{"error""""))
+    assert(!eng.sqlQuery("CREATE OR REPLACE TABLE db.t AS " +
+        "SELECT CAST(id AS BIGINT) AS k, CAST(id AS INT) AS old_i, " +
+        "CAST('x' AS STRING) AS s FROM range(5)")
+      .startsWith("""{"error""""))
+    val v1 = cat.describe("db", "t").currentSnapshotId.get
+    // the replace: k survives (same name+type), old_i's TYPE changes
+    // (int -> string), s is dropped, n is new
+    assert(!eng.sqlQuery("CREATE OR REPLACE TABLE db.t AS " +
+        "SELECT CAST(id + 10 AS BIGINT) AS k, " +
+        "CAST('w' AS STRING) AS old_i, CAST(id AS DOUBLE) AS n " +
+        "FROM range(3)")
+      .startsWith("""{"error""""))
+    val m = cat.describe("db", "t")
+    assert(m.snapshots.size == 2, "history must be retained")
+    assert(cat.schemaOf("db", "t").fieldNames.toSeq ==
+      Seq("k", "old_i", "n"))
+    assert(cat.read("db", "t").count() == 3)
+    val cur = eng.sqlQuery(
+      "SELECT min(k) AS lo, max(old_i) AS oi FROM db.t")
+    assert(cur.contains(""""lo":10""") && cur.contains(""""oi":"w""""), cur)
+    // time travel to the pre-replace snapshot under the NEW schema:
+    // k (preserved id) reads the old values; old_i (retired id — the
+    // type changed) null-pads instead of casting garbage
+    val tt = cat.read("db", "t", snapshotId = Some(v1))
+    assert(tt.count() == 5)
+    assert(tt.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0)
+      == 10L) // 0+1+2+3+4
+    assert(tt.filter(col("old_i").isNotNull).count() == 0,
+      "a changed-type column must null-pad in pre-replace snapshots")
+  }
+
   test("multi-column ALTER COLUMN TYPE is atomic: one unsafe column " +
       "commits nothing") {
     val cat = new SnapshotCatalog(spark, tmpDir("graft-promo-atomic"))
