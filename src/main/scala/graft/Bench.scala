@@ -48,6 +48,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // nanos-generation parquet readable (set at build, never per-call)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros timestamps (GraftSession rationale: footer stats
+      // + Iceberg's required physical type; INT96 has no usable stats)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // nanos-generation parquet readable (set at build, never per-call)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64-micros timestamps (GraftSession rationale); also keeps
+      // the driver's DuckDB oracle reading result dumps the modern way
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1112,12 +1112,192 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
       // empty set and resurrect its deleted rows
       .getOrElse("/" + raw.stripPrefix("file:").dropWhile(_ == '/'))
 
+  /** Footer-derived per-file stats — the round-16 commit-overhead cut:
+    * every parquet footer already carries exact row counts and per-
+    * column min/max, so reading them on the driver (O(files) metadata
+    * IO, microseconds per file) replaces the full Spark read-back job
+    * the old path launched per commit. At 100 TB this is the
+    * difference between "commit cost ∝ manifest" and "commit re-scans
+    * every byte it just wrote" — the Iceberg discipline (stats come
+    * from the writer, never a second pass).
+    *
+    * Exactness contract (value-equal to the Spark aggregate path —
+    * FooterStatsSpec pins it type by type): numeric/timestamp min/max
+    * are monotone double conversions, so min-then-convert equals
+    * convert-then-min; string stats are unsigned-byte-lexicographic in
+    * BOTH parquet footers and Spark's UTF8String ordering. Rendering
+    * goes through the same `Double.toString` / raw-string forms the
+    * old `cast(... as string)` produced; every consumer parses values
+    * back (`.toDouble`) or compares strings, so equal values ⇒ equal
+    * pruning decisions and equal metadata-table outputs.
+    *
+    * Returns None — caller falls back to the Spark job — on anything
+    * outside the proven envelope: INT96 timestamps, NaN float/double
+    * bounds (Spark orders NaN above all values, parquet drops it),
+    * unsigned int logical types, missing/dropped chunk statistics,
+    * unreadable footers.
+    */
+  private[graft] def footerFileStats(schema: StructType,
+      files: Seq[String]): Option[Seq[FileStats]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    // the same column set the Spark path aggregates
+    val wanted = schema.fields.filter(f =>
+      f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == TimestampType || f.dataType == StringType)
+    final class Unprovable extends RuntimeException
+    def bail(): Nothing = throw new Unprovable
+    // unsigned byte-wise compare = parquet UTF8 stat order = Spark's
+    // UTF8String ordering
+    def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length < b.length
+    }
+    def statsOf(path: String): Option[FileStats] = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // zero-row file: the Spark groupBy path yields no stats row —
+        // mirror that (dropEmptyParts reaps the file)
+        if (rows == 0L) return None
+        val mins = Map.newBuilder[String, String]
+        val maxs = Map.newBuilder[String, String]
+        for (f <- wanted) {
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == f.name))
+          if (chunks.exists(_.isDefined)) {
+            if (chunks.exists(_.isEmpty)) bail() // inconsistent row groups
+            val cds = chunks.map(_.get)
+            // chunks that provably hold only nulls contribute nothing;
+            // a chunk with values but no usable stats is unprovable
+            val valued = cds.filter { cd =>
+              val st = cd.getStatistics
+              if (st == null) bail()
+              if (st.hasNonNullValue) true
+              else if (st.isNumNullsSet && st.getNumNulls == cd.getValueCount)
+                false
+              else bail()
+            }
+            if (valued.nonEmpty) {
+              val prim = valued.head.getPrimitiveType
+              f.dataType match {
+                case StringType =>
+                  if (prim.getPrimitiveTypeName != BINARY ||
+                      !prim.getLogicalTypeAnnotation.isInstanceOf[
+                        LogicalTypeAnnotation.StringLogicalTypeAnnotation]) bail()
+                  val lo = valued.map(_.getStatistics.getMinBytes)
+                    .reduce((a, b) => if (byteLt(a, b)) a else b)
+                  val hi = valued.map(_.getStatistics.getMaxBytes)
+                    .reduce((a, b) => if (byteLt(a, b)) b else a)
+                  mins += f.name -> truncLower(
+                    new String(lo, StandardCharsets.UTF_8))
+                  maxs += f.name -> truncUpper(
+                    new String(hi, StandardCharsets.UTF_8))
+                case dt =>
+                  // numeric/timestamp → the double the Spark path's
+                  // cast-to-double aggregate produced; conversions are
+                  // monotone, so per-chunk convert-then-merge is exact
+                  def asDouble(st: org.apache.parquet.column.statistics.Statistics[_],
+                      takeMin: Boolean): Double = {
+                    def raw: Any =
+                      if (takeMin) st.genericGetMin else st.genericGetMax
+                    (prim.getPrimitiveTypeName, dt) match {
+                      case (INT32, d: DecimalType) =>
+                        java.math.BigDecimal.valueOf(
+                          raw.asInstanceOf[java.lang.Integer].longValue,
+                          d.scale).doubleValue
+                      case (INT64, d: DecimalType) =>
+                        java.math.BigDecimal.valueOf(
+                          raw.asInstanceOf[java.lang.Long].longValue,
+                          d.scale).doubleValue
+                      case (FIXED_LEN_BYTE_ARRAY | BINARY, d: DecimalType) =>
+                        new java.math.BigDecimal(
+                          new java.math.BigInteger((if (takeMin)
+                            st.getMinBytes else st.getMaxBytes)),
+                          d.scale).doubleValue
+                      case (INT32, ByteType | ShortType | IntegerType) =>
+                        prim.getLogicalTypeAnnotation match {
+                          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                              if !i.isSigned => bail()
+                          case _ => ()
+                        }
+                        raw.asInstanceOf[java.lang.Integer].doubleValue
+                      case (INT64, LongType) =>
+                        prim.getLogicalTypeAnnotation match {
+                          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                              if !i.isSigned => bail()
+                          // TIMESTAMP(NANOS/MICROS)-as-long (the legacy
+                          // nanosAsLong read path) reads the raw int64 —
+                          // so does this
+                          case _ => ()
+                        }
+                        raw.asInstanceOf[java.lang.Long].doubleValue
+                      case (INT64, TimestampType) =>
+                        val unit = prim.getLogicalTypeAnnotation match {
+                          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                            t.getUnit
+                          case _ => bail()
+                        }
+                        val v = raw.asInstanceOf[java.lang.Long].longValue
+                        unit match {
+                          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                            v / 1000000.0
+                          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                            v / 1000.0
+                          case _ => bail() // NANOS as TimestampType: not our writer
+                        }
+                      case (FLOAT, FloatType) =>
+                        val v = raw.asInstanceOf[java.lang.Float].floatValue
+                        if (java.lang.Float.isNaN(v)) bail()
+                        v.toDouble
+                      case (DOUBLE, DoubleType) =>
+                        val v = raw.asInstanceOf[java.lang.Double].doubleValue
+                        if (java.lang.Double.isNaN(v)) bail()
+                        v
+                      case _ => bail() // INT96 timestamps and anything else
+                    }
+                  }
+                  val lo = valued.map(cd => asDouble(cd.getStatistics,
+                    takeMin = true)).min
+                  val hi = valued.map(cd => asDouble(cd.getStatistics,
+                    takeMin = false)).max
+                  mins += f.name -> java.lang.Double.toString(lo)
+                  maxs += f.name -> java.lang.Double.toString(hi)
+              }
+            }
+          } // column absent from the file: null-padded read ⇒ no stats
+        }
+        Some(FileStats(path = path, rows = rows,
+          min = mins.result(), max = maxs.result()))
+      } finally reader.close()
+    }
+    try Some(files.flatMap(statsOf))
+    catch { case _: Unprovable | scala.util.control.NonFatal(_) => None }
+  }
+
   private def collectFileStats(schema: StructType,
       files: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[FileStats] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     if (files.isEmpty) return Seq.empty
     val blooms = collectFileBlooms(schema, files, bloomCols)
+    footerFileStats(schema, files) match {
+      case Some(stats) =>
+        return stats.map(s => s.copy(blooms = blooms.get(s.path)))
+      case None => () // fall through to the Spark read-back job
+    }
     val statCols = schema.fields.collect {
       case f if f.dataType.isInstanceOf[NumericType] => f.name -> col(f.name).cast("double")
       case f if f.dataType == TimestampType => f.name -> col(f.name).cast("double")
@@ -1322,7 +1502,7 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
   def pvalOfLiteral(spec: PartitionSpec, value: String,
       dt: DataType): String = {
     import org.apache.spark.sql.functions.lit
-    val row = spark.range(1).toDF()
+    val row = spark.range(0L, 1L, 1L, 1).toDF()
       .select(lit(value).cast(dt).as(spec.column))
       .select(spec.valueExprFor(Some(dt)).cast("string"))
       .head()

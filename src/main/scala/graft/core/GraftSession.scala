@@ -55,5 +55,11 @@ object GraftSession {
       // per-call inside query/load paths mutates the shared session
       // under concurrent queries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Iceberg's required timestamp physical type (int64 micros, not
+      // the deprecated INT96 Spark still defaults to). INT96 carries
+      // NO usable footer statistics, so committing a timestamp column
+      // would knock every such commit off the footer-stats fast path
+      // (SnapshotCatalog.footerFileStats) AND leave ts files unprunable
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 }

@@ -105,7 +105,13 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     * tables (`ns.tbl`) with manifest pruning — see [[sqlDataFrame]].
     */
   def sqlQuery(sql: String, limit: Int = 1000): String =
-    served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
+    if (Engine.SqlTiming) {
+      val t0 = System.nanoTime()
+      val out = served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
+      System.err.println(f"[sqltime] ${(System.nanoTime() - t0) / 1e9}%8.3f s  ${
+        sql.linesIterator.next().take(90)}")
+      out
+    } else served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
 
   /** The SQL → snapshot-catalog bridge. Parses the query with
     * Catalyst's parser (no regex SQL surgery for table detection),
@@ -722,7 +728,11 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         wapTarget().flatMap(m.refs.get)
           .orElse(m.currentSnapshotId).getOrElse(-1L)
       }
-    val df = spark.range(1).select(
+    // single row, SINGLE partition: bare range(1) inherits
+    // defaultParallelism partitions, so every DML summary paid a
+    // 32-task job at local[32] just to render one JSON row (round-16
+    // JobProfile: 8 × ~50 ms per lifecycle query)
+    val df = spark.range(0L, 1L, 1L, 1).select(
       lit(op).as("operation"), lit(s"$ns.$t").as("target"),
       lit(affected).as("rows_affected"),
       lit(rewritten).as("files_rewritten"), lit(total).as("files_total"),
@@ -1460,7 +1470,8 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
       val snapId = catalog.describe(ns, t).currentSnapshotId.getOrElse(-1L)
       val cols = lit(s"$ns.$t").as("target") +:
         kvs.map { case (k, v) => lit(v).as(k) } :+ lit(snapId).as("snapshot_id")
-      (spark.range(1).select(cols: _*), Nil)
+      // 1 partition: see summary() — a 1-row report must not fan out
+      (spark.range(0L, 1L, 1L, 1).select(cols: _*), Nil)
     }
     // rewrite_data_files' numeric thresholds + optional trailing sort
     // spec — ONE parse shared by the match guard and the body, so
@@ -2270,7 +2281,7 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
         case Some(s) => s.statsRowCount
       }
     } yield {
-      val df = spark.range(1).select(
+      val df = spark.range(0L, 1L, 1L, 1).select(
         org.apache.spark.sql.functions.lit(n).as(name))
       (df, Seq(Engine.PruneInfo(s"$ns.$t", 0,
         snap.map(_.files.size).getOrElse(0))))
@@ -2511,6 +2522,12 @@ object Engine {
     * that branch (see [[Engine.wapBranch]]'s scaladoc for the full
     * contract; Iceberg's `spark.wap.branch` analog).
     */
+  /** Dev-only per-statement wall timing on stderr (the driver never
+    * sets it): `GRAFT_SQL_TIMING=1` — the guide-§1 loop for the DML
+    * lifecycle queries whose cost is many statements, not one plan.
+    */
+  private[query] val SqlTiming = sys.env.contains("GRAFT_SQL_TIMING")
+
   val WapBranchConf = "graft.wap.branch"
 
   /** Session conf redirecting READS at the WAP branch (opt-in Iceberg
