@@ -46,6 +46,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-based AQE coalescing (GraftSession rationale): partition
+      // count follows bytes, not the core count
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // nanos-generation parquet readable (set at build, never per-call)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // int64-micros timestamps (GraftSession rationale: footer stats

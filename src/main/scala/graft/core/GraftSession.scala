@@ -48,6 +48,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // SIZE-based AQE coalescing (guide §2.2): the parallelismFirst
+      // default refuses to coalesce below defaultParallelism, so every
+      // tiny post-shuffle stage still schedules `cores` tasks — at
+      // local[32] a deep chain of model-table aggregations (t48/t55)
+      // paid ~0.3 s of pure scheduling per stage. Size-first is the
+      // scale-ADAPTIVE posture: partition count follows bytes
+      // (advisoryPartitionSizeInBytes — default 64 MB here; a 100 TB
+      // deployment raises it to the guide's 256 MB), so small stages
+      // collapse to one task and big stages keep full parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
       // footer (one testdata generation shipped events.ts that way —

@@ -811,49 +811,64 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
             // and not count it in rows_affected. Coalescing BOTH sides
             // keeps delete-set and count provably the same rows.
             val c = coalesce(PlanExec.columnOf(cond), lit(false))
-            val (files, total, df, snap) = candidates(ns, t, cond)
-            val affected = df.filter(c).count()
-            if (affected == 0) summary("DELETE", ns, t, 0L, 0, total)
-            else {
-              // Write-path choice (Iceberg v2's write.delete.mode):
-              // merge-on-read commits a positional delete file and
-              // leaves every data file byte-identical — O(matched)
-              // write IO; copy-on-write rewrites the candidate files.
-              // Unset = auto by matched fraction of the CANDIDATE
-              // files' rows (from the manifest, no extra scan): small
-              // deletes shouldn't rewrite whole files, big ones
-              // shouldn't accrete a delete side larger than the
-              // rewrite it avoids.
-              val mode = catalog.describe(ns, t).properties
-                .get(SnapshotCatalog.DeleteModeProp)
-              val candRows = snap.map(s =>
-                files.flatMap(f => s.fileStats.find(_.path == f))
-                  .map(_.rows).sum).getOrElse(0L)
-              val useMor = mode match {
-                case Some("merge-on-read") => true
-                case Some("copy-on-write") => false
-                case _ => candRows > 0 &&
-                  affected <= (SnapshotCatalog.MorAutoFraction * candRows).toLong
-              }
-              if (useMor) {
-                val s = snap.get // affected > 0 ⇒ a snapshot exists
-                val positions = catalog
+            val (files, total, _, snap) = candidates(ns, t, cond)
+            snap match {
+              case None => summary("DELETE", ns, t, 0L, 0, total)
+              case Some(s) =>
+                // ONE scan of the candidate files serves both the
+                // matched count and the delete-file write (round 16):
+                // the matched row identities persist as a tiny
+                // (file, pos) frame, so the count's job caches them
+                // and addDeleteFile writes from the cache instead of
+                // re-scanning the candidates — the old shape paid the
+                // filter scan twice per MoR DELETE. `matched` reads
+                // through readFilesWithRowId, i.e. LIVE rows only, so
+                // its count equals the old readFilesOf-based count.
+                val matched = catalog
                   .readFilesWithRowId(s, catalog.schemaOf(ns, t), files,
                     catalog.describe(ns, t).fieldIds)
                   .as(t).filter(c)
                   .select(SnapshotCatalog.RowIdFileCol,
                     SnapshotCatalog.RowIdPosCol)
-                val (_, wrote) = catalog.addDeleteFile(ns, t, positions,
-                  Some(s.snapshotId), toBranch = wapTarget())
-                summary("DELETE", ns, t, affected, 0, total,
-                  deleteFilesWritten = if (wrote > 0) 1 else 0)
-              } else {
-                catalog.rewriteFiles(ns, t, files,
-                  d => d.as(t).filter(not(c)), snap.map(_.snapshotId),
-                  toBranch = wapTarget())
-                summary("DELETE", ns, t, affected, files.size, total,
-                  bytesRewritten = Engine.bytesOf(files))
-              }
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                try {
+                  val affected = matched.count()
+                  if (affected == 0) summary("DELETE", ns, t, 0L, 0, total)
+                  else {
+                    // Write-path choice (Iceberg v2's write.delete.mode):
+                    // merge-on-read commits a positional delete file and
+                    // leaves every data file byte-identical — O(matched)
+                    // write IO; copy-on-write rewrites the candidate files.
+                    // Unset = auto by matched fraction of the CANDIDATE
+                    // files' rows (from the manifest, no extra scan): small
+                    // deletes shouldn't rewrite whole files, big ones
+                    // shouldn't accrete a delete side larger than the
+                    // rewrite it avoids.
+                    val mode = catalog.describe(ns, t).properties
+                      .get(SnapshotCatalog.DeleteModeProp)
+                    val candRows =
+                      files.flatMap(f => s.fileStats.find(_.path == f))
+                        .map(_.rows).sum
+                    val useMor = mode match {
+                      case Some("merge-on-read") => true
+                      case Some("copy-on-write") => false
+                      case _ => candRows > 0 && affected <=
+                        (SnapshotCatalog.MorAutoFraction * candRows).toLong
+                    }
+                    if (useMor) {
+                      val (_, wrote) = catalog.addDeleteFile(ns, t, matched,
+                        Some(s.snapshotId), toBranch = wapTarget())
+                      summary("DELETE", ns, t, affected, 0, total,
+                        deleteFilesWritten = if (wrote > 0) 1 else 0)
+                    } else {
+                      catalog.rewriteFiles(ns, t, files,
+                        d => d.as(t).filter(not(c)), Some(s.snapshotId),
+                        toBranch = wapTarget())
+                      summary("DELETE", ns, t, affected, files.size, total,
+                        bytesRewritten = Engine.bytesOf(files))
+                    }
+                  }
+                } finally matched.unpersist()
             }
           }
         }
@@ -878,7 +893,6 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           val c = PlanExec.columnOf(cond)
           val (files, total, df, snap) = candidates(ns, t, cond)
           val snapId = snap.map(_.snapshotId)
-          val affected = df.filter(c).count()
           val byName = names.zip(
             assignments.map(a => PlanExec.columnOf(a.value))).toMap
           // write.update.mode = merge-on-read: ONE atomic commit hides
@@ -887,26 +901,38 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
           // Default (unset / copy-on-write): rewrite candidate files.
           val mor = catalog.describe(ns, t).properties
             .get("write.update.mode").contains("merge-on-read")
-          if (affected > 0 && mor) {
+          if (mor && snap.isDefined) {
             val s = snap.get
+            // ONE scan serves the matched count, the positional delete
+            // write AND the updated-rows write (round 16): the matched
+            // rows persist once; the old shape scanned the candidates
+            // three times per MoR UPDATE (count, positions, updates)
             val withId = catalog.readFilesWithRowId(s, schema, files,
               catalog.describe(ns, t).fieldIds).as(t)
             val matched = withId.filter(c)
-            val positions = matched.select(SnapshotCatalog.RowIdFileCol,
-              SnapshotCatalog.RowIdPosCol)
-            // all assignments against the PRE-update row, one projection
-            val updated = matched.select(schema.fields.map { f =>
-              byName.get(f.name) match {
-                case Some(v) => v.cast(f.dataType).as(f.name)
-                case None => col(f.name)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val affected = matched.count()
+              if (affected == 0) summary("UPDATE", ns, t, 0L, 0, total)
+              else {
+                val positions = matched.select(SnapshotCatalog.RowIdFileCol,
+                  SnapshotCatalog.RowIdPosCol)
+                // all assignments against the PRE-update row, one projection
+                val updated = matched.select(schema.fields.map { f =>
+                  byName.get(f.name) match {
+                    case Some(v) => v.cast(f.dataType).as(f.name)
+                    case None => col(f.name)
+                  }
+                }.toSeq: _*)
+                val (_, delWrote) = catalog.addDeleteFileWithAppend(
+                  ns, t, positions, updated, Some(s.snapshotId),
+                  toBranch = wapTarget())
+                summary("UPDATE", ns, t, affected, 0, total,
+                  deleteFilesWritten = if (delWrote > 0) 1 else 0)
               }
-            }.toSeq: _*)
-            val (_, delWrote) = catalog.addDeleteFileWithAppend(
-              ns, t, positions, updated, Some(s.snapshotId),
-              toBranch = wapTarget())
-            summary("UPDATE", ns, t, affected, 0, total,
-              deleteFilesWritten = if (delWrote > 0) 1 else 0)
+            } finally matched.unpersist()
           } else {
+            val affected = df.filter(c).count()
             if (affected > 0) {
               catalog.rewriteFiles(ns, t, files, { d0 =>
                 val d = d0.as(t)
