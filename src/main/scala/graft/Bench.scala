@@ -46,9 +46,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // size-based AQE coalescing (GraftSession rationale): partition
-      // count follows bytes, not the core count
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Spark-default AQE coalescing (GraftSession rationale: the
+      // round-17 quiet-box A/B, VERDICT r16 item 1, measured r16's
+      // size-based `false` as a net loss at bench SF — it serializes
+      // CPU-dense small-byte stages). SPARK_GRAFT_PARALLELISM_FIRST
+      // exists ONLY to reproduce that A/B on one binary; the driver
+      // never sets it, so driver runs measure the engine as shipped.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // nanos-generation parquet readable (set at build, never per-call)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // int64-micros timestamps (GraftSession rationale: footer stats
@@ -231,9 +236,14 @@ object Bench {
     // compare per-query, not by total, when this is set
     val loadFlapping = passCalib.nonEmpty &&
       passCalib.max > math.max(minCalib, 1e-9) * 1.5
+    // best/worst stated explicitly (VERDICT r16 item 7): the judge
+    // gates on these without re-deriving them from the sample array
     val loadJson =
       s"""{"loadavg":${passLoad.mkString("[", ",", "]")},""" +
         s""""calibration_sec":${passCalib.map(fmt(_)).mkString("[", ",", "]")},""" +
+        s""""calibration_best_sec":${fmt(minCalib)},""" +
+        s""""calibration_worst_sec":${fmt(
+          if (passCalib.isEmpty) -1.0 else passCalib.max)},""" +
         s""""calibration_floor_sec":${fmt(calibFloorSec)},""" +
         s""""load_suspect":$loadSuspect,""" +
         s""""load_degraded":$loadDegraded,""" +

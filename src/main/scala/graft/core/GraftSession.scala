@@ -48,16 +48,22 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // SIZE-based AQE coalescing (guide §2.2): the parallelismFirst
-      // default refuses to coalesce below defaultParallelism, so every
-      // tiny post-shuffle stage still schedules `cores` tasks — at
-      // local[32] a deep chain of model-table aggregations (t48/t55)
-      // paid ~0.3 s of pure scheduling per stage. Size-first is the
-      // scale-ADAPTIVE posture: partition count follows bytes
-      // (advisoryPartitionSizeInBytes — default 64 MB here; a 100 TB
-      // deployment raises it to the guide's 256 MB), so small stages
-      // collapse to one task and big stages keep full parallelism.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // AQE coalescing at Spark's DEFAULT parallelismFirst=true. Round
+      // 16 shipped `false` (size-based coalescing) without a quiet-box
+      // 32-core validation; the round-17 full-suite A/B (VERDICT r16
+      // item 1; artifacts plans/r17/BENCH_base_pf_off.json vs
+      // BENCH_pf_on.json, calibration-verified quiet) measured `false`
+      // as a NET LOSS: every per-query shuffle at bench SF is ≤ 30 MB,
+      // so the 64 MB advisory collapses every post-shuffle stage to
+      // ONE task and serializes the CPU-dense stages — t38 0.58×,
+      // t55 0.68×, t51 0.75×, t54 0.77× — while the only wins were
+      // ≤ 70 ms scheduling savings on sub-second queries (plus two
+      // write-path queries whose file counts, not compute, moved).
+      // Bytes are a bad proxy for compute density at small SF. At
+      // 100 TB the two settings coincide on data-sized stages (bytes ≫
+      // advisory × parallelism never coalesces below the core count);
+      // the production lever for shuffle-bound jobs remains
+      // advisoryPartitionSizeInBytes per the guide (§2.2).
       .config("spark.sql.parquet.compression.codec", "snappy")
       // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
       // footer (one testdata generation shipped events.ts that way —

@@ -55,6 +55,13 @@ object Doremi {
     // docs too short to score (< 2 tokens) keep their token share but
     // contribute nothing to either nll — the left joins' null terms
     // drop out of the sums on both engines identically
+    // dom is |D| rows (one per domain) but its subtree is the WHOLE
+    // double-LM scoring pipeline; the two scalar cross joins below
+    // consume it four times (raw, totals, z's raw, the final select),
+    // and without a persist Catalyst re-ran the entire 242-node
+    // scoring plan per consumption — 127 Exchanges in the r16 t55
+    // before-plan. Persisting the |D|-row frame runs the scoring once
+    // (released by CacheHygiene, same contract as `db` above).
     val dom = base
       .join(proxy, Seq(idCol), "left")
       .join(ref, Seq(idCol), "left")
@@ -65,6 +72,7 @@ object Doremi {
         (sum(col("kr") * col("nr")) / sum("kr")).as("ref_nll"))
       .withColumn("excess",
         greatest(col("proxy_nll") - col("ref_nll"), lit(0.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = dom.agg(sum("n_tokens").as("_t"),
       count(lit(1)).as("_d"))
     val raw = dom.crossJoin(broadcast(totals))

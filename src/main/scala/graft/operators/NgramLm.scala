@@ -115,7 +115,12 @@ object NgramLm {
     // see perplexityScores: caller-supplied frame shares the tokenize
     val db = bigrams.getOrElse(docBigrams(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // n12 is the distinct-bigram model table consumed FOUR times (n1,
+    // cont, btypes, the scoring join's model base); unpersisted, each
+    // consumer re-ran the doc-grain→model aggregation over db.
+    // Persist the B-row table once (released by CacheHygiene).
     val n12 = db.groupBy("w1", "w2").agg(sum("k").as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = n12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("t1"))
     val cont = n12.groupBy("w2").agg(count(lit(1)).as("t2"))
@@ -175,7 +180,13 @@ object NgramLm {
         col("t.w3").as("w3"))
       .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c123 is the model table every marginal (c12/c23/c2/c3/total) and
+    // the scoring join re-derive; unpersisted, each of the six
+    // consumers re-aggregated the doc-grain dt (46 Exchanges in the
+    // r16 t48 before-plan). Persist the distinct-trigram table once
+    // (released by CacheHygiene).
     val c123 = dt.groupBy("w1", "w2", "w3").agg(sum("k").as("c123"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
     val c23 = c123.groupBy("w2", "w3").agg(sum("c123").as("c23"))
     val c2 = c123.groupBy("w2").agg(sum("c123").as("c2"))
