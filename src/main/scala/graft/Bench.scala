@@ -56,6 +56,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       // nanos-generation parquet readable (set at build, never per-call)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // janino class cache sized for multi-statement queries
+      // (GraftSession rationale; default 100 wraps within one DML
+      // lifecycle so min-of-3 re-runs recompiled everything)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // int64-micros timestamps (GraftSession rationale: footer stats
       // + Iceberg's required physical type; INT96 has no usable stats)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -16,6 +16,9 @@ object Verify {
       // int64-micros timestamps (GraftSession rationale); also keeps
       // the driver's DuckDB oracle reading result dumps the modern way
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // janino class cache sized for multi-statement queries
+      // (GraftSession rationale)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1177,6 +1177,13 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
         for (f <- wanted) {
           val chunks = blocks.map(_.getColumns.asScala
             .find(_.getPath.toDotString == f.name))
+          // a column matching only case-insensitively would be resolved
+          // by the Spark read path (caseSensitive=false) but missed by
+          // the exact match above — silently weaker stats. Bail so the
+          // batch falls back to the Spark job (round-16 ADVICE).
+          if (chunks.exists(_.isEmpty) && blocks.exists(_.getColumns.asScala
+              .exists(_.getPath.toDotString.equalsIgnoreCase(f.name))))
+            bail()
           if (chunks.exists(_.isDefined)) {
             if (chunks.exists(_.isEmpty)) bail() // inconsistent row groups
             val cds = chunks.map(_.get)
@@ -1283,8 +1290,32 @@ class SnapshotCatalog(spark: SparkSession, val warehouse: String) {
           min = mins.result(), max = maxs.result()))
       } finally reader.close()
     }
-    try Some(files.flatMap(statsOf))
-    catch { case _: Unprovable | scala.util.control.NonFatal(_) => None }
+    // footer IO parallelized on a small driver pool (guide §1.2): each
+    // statsOf is an independent open + footer read (~ms local, tens of
+    // ms on an object store) and the serial loop was the largest single
+    // identifiable driver-side cost of a MERGE commit (DriverProfile,
+    // round 17). Results keep `files` order; any Unprovable/IO failure
+    // surfaces on this thread and falls back to the Spark job exactly
+    // as the serial form did.
+    try {
+      if (files.sizeIs <= 1) Some(files.flatMap(statsOf))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, files.size))
+        val tries =
+          try {
+            val futs = files.map { f =>
+              pool.submit(new java.util.concurrent.Callable[
+                scala.util.Try[Option[FileStats]]] {
+                def call(): scala.util.Try[Option[FileStats]] =
+                  scala.util.Try(statsOf(f))
+              })
+            }
+            futs.map(_.get())
+          } finally pool.shutdown()
+        Some(tries.flatMap(_.get))
+      }
+    } catch { case _: Unprovable | scala.util.control.NonFatal(_) => None }
   }
 
   private def collectFileStats(schema: StructType,

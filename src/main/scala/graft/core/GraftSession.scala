@@ -65,6 +65,15 @@ object GraftSession {
       // the production lever for shuffle-bound jobs remains
       // advisoryPartitionSizeInBytes per the guide (§2.2).
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // The janino class cache holds 100 entries by default; one DML
+      // lifecycle query alone compiles ~80-120 generated classes, so
+      // the LRU wraps within a single execution and every re-run
+      // recompiles from scratch (DriverProfile r17: CodeGenerator
+      // .doCompile among the hottest driver frames on q67/q59). 2000
+      // entries ≈ tens of MB of class metadata on a long-lived
+      // driver — the standard production trade for multi-query
+      // sessions. Static conf: applies to the first session of the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
       // footer (one testdata generation shipped events.ts that way —
       // Tables.load rebuilds the column). Set ONCE here: flipping it

@@ -146,9 +146,10 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eS = eBase.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eD = eBase.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    val hubs = eS.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val nHubs = hubs.count()
+    // |hubs| is the only use of the hub SET before round 1 collapses
+    // into a pure aggregation (below) — one countDistinct job instead
+    // of a checkpointed distinct frame + a join (round 17, §1.2)
+    val nHubs = eS.agg(countDistinct(col("src"))).head.getLong(0)
     require(nHubs > 0, "HITS: empty graph")
 
     def normalized(raw: DataFrame): DataFrame = {
@@ -161,11 +162,20 @@ object PageRank {
             .as("score"))
     }
 
-    var h = hubs.select(col("node"), lit(scale / nHubs).as("score"))
+    var h: DataFrame = null
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      val araw = eS.join(h.select(col("node").as("src"), col("score")), "src")
-        .groupBy(col("dst").as("node")).agg(sum("score").as("raw"))
+    for (i <- 1 to iters) {
+      // round 1: h0 is the constant scale/|hubs| over EVERY distinct
+      // src, so Σ_{(s,d)∈E} h0(s) = u · indeg(d) — a pure aggregation
+      // of the cached edge list, no score join and no h0 frame at all
+      // (bit-identical: integer count × u = Σ of u over the same rows)
+      val araw =
+        if (i == 1)
+          eS.groupBy(col("dst").as("node"))
+            .agg((count(lit(1)) * lit(scale / nHubs)).as("raw"))
+        else
+          eS.join(h.select(col("node").as("src"), col("score")), "src")
+            .groupBy(col("dst").as("node")).agg(sum("score").as("raw"))
       a = normalized(araw).localCheckpoint(true)
       val hraw = eD.join(a.select(col("node").as("dst"), col("score")), "dst")
         .groupBy(col("src").as("node")).agg(sum("score").as("raw"))
@@ -240,10 +250,17 @@ object PageRank {
 
     var ranks = nodes.select(col("node"),
       (col("is_seed") * lit(u)).as("rank"))
-    for (_ <- 1 to iters) {
-      val sums = adj
+    for (i <- 1 to iters) {
+      // round 1 of CLASSIC PageRank (every node a seed): rank is the
+      // constant u on every src, so the contribution is the pure
+      // column u DIV deg — skip the rank join outright (bit-identical;
+      // TrustRank keeps the join, its round-1 ranks are 0 off-seed)
+      val sums = (if (i == 1 && seeds.isEmpty)
+        adj.select(col("dst").as("node"),
+          expr(s"CAST($u AS BIGINT) DIV deg").as("c"))
+      else adj
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c")))
         .groupBy("node").agg(sum("c").as("m"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),

@@ -161,6 +161,16 @@ class FooterStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     writeAndCompare(df, expectFooter = false)
   }
 
+  test("multi-file batch with ONE unprovable file bails whole (pool path)") {
+    // round 17: footer reads run on a driver pool for files.size > 1 —
+    // an Unprovable thrown on a worker thread must still collapse the
+    // WHOLE batch to the Spark fallback, exactly as the serial loop did
+    val df = spark.range(0, 90, 1, 3).select(
+      when(col("id") === 70, lit(Double.NaN)) // NaN lands in one file only
+        .otherwise(col("id").cast("double")).as("d"))
+    writeAndCompare(df, expectFooter = false)
+  }
+
   test("schema wider than the file (evolution null-pad)") {
     val base = spark.range(0, 50, 1, 1).select(col("id").as("k"))
     val dir = Files.createTempDirectory(
