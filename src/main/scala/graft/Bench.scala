@@ -26,17 +26,19 @@ object Bench {
     * `SPARK_GRAFT_CALIB_FLOOR` (seconds) or the suspect verdict is
     * meaningless — the flag compares load, not hardware.
     *
-    * Round-16 note: discard-first double-run sampling (see
-    * `calibrate`) surfaced samples as low as 0.147 s — the historical
-    * 0.30 floor includes JIT/codegen tax and box baseline load, so it
-    * is CONSERVATIVE under the new sampling: degraded/suspect fire
-    * only on real, substantial contention. Re-baseline when a
-    * provably idle window exists.
+    * Round-17 re-baseline (VERDICT r16 item 7): measured on a provably
+    * idle window (loadavg < 1.4 at start, external-quiet confirmed by
+    * the runs themselves) across two FULL 162-query runs and six
+    * filtered runs — best-of-run calibration 0.107–0.155 s under the
+    * discard-first sampling. Floor 0.15 puts `load_degraded` at
+    * > 0.173 s and `load_suspect` at > 0.195 s: the r16 flapping run
+    * (best 0.131) would still read clean, a genuinely loaded run
+    * (r16 baseline's 0.25+ bests) now stamps itself.
     */
   val CalibrationFloorSec: Double =
     sys.env.get("SPARK_GRAFT_CALIB_FLOOR")
       .flatMap(v => scala.util.Try(v.toDouble).toOption)
-      .getOrElse(0.30)
+      .getOrElse(0.15)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +61,7 @@ object Bench {
       // janino class cache sized for multi-statement queries
       // (GraftSession rationale; default 100 wraps within one DML
       // lifecycle so min-of-3 re-runs recompiled everything)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // int64-micros timestamps (GraftSession rationale: footer stats
       // + Iceberg's required physical type; INT96 has no usable stats)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -66,14 +66,16 @@ object GraftSession {
       // advisoryPartitionSizeInBytes per the guide (§2.2).
       .config("spark.sql.parquet.compression.codec", "snappy")
       // The janino class cache holds 100 entries by default; one DML
-      // lifecycle query alone compiles ~80-120 generated classes, so
-      // the LRU wraps within a single execution and every re-run
-      // recompiles from scratch (DriverProfile r17: CodeGenerator
-      // .doCompile among the hottest driver frames on q67/q59). 2000
-      // entries ≈ tens of MB of class metadata on a long-lived
-      // driver — the standard production trade for multi-query
-      // sessions. Static conf: applies to the first session of the JVM.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // lifecycle query alone compiles ~80-120 generated classes and a
+      // full engine sweep ≈5-8k, so the LRU wraps within a single
+      // multi-query workload and every re-run recompiles from scratch
+      // (DriverProfile r17: CodeGenerator.doCompile among the hottest
+      // driver frames on q67/q59; measured full-suite A/B 100 → 2000 →
+      // 10000 entries = 213 → 184 → 159 s). 10000 entries ≈ a few
+      // hundred MB of class metadata on a long-lived driver — the
+      // standard production trade for a multi-query session server.
+      // Static conf: applies to the first session of the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
       // footer (one testdata generation shipped events.ts that way —
       // Tables.load rebuilds the column). Set ONCE here: flipping it
