@@ -108,8 +108,10 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
     if (Engine.SqlTiming) {
       val t0 = System.nanoTime()
       val out = served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
+      // nextOption: a blank SQL string has no lines — the timing line
+      // must never be the thing that throws (round-16 ADVICE)
       System.err.println(f"[sqltime] ${(System.nanoTime() - t0) / 1e9}%8.3f s  ${
-        sql.linesIterator.next().take(90)}")
+        sql.linesIterator.nextOption().getOrElse("").take(90)}")
       out
     } else served(envelope(Try(sqlDataFrame(sql)._1.limit(limit))))
 
@@ -2543,17 +2545,17 @@ class Engine(val spark: SparkSession, val catalog: SnapshotCatalog,
 
 object Engine {
 
-  /** Session conf selecting the DML write-audit-publish branch —
-    * `SET graft.wap.branch = audit` stages every subsequent DML on
-    * that branch (see [[Engine.wapBranch]]'s scaladoc for the full
-    * contract; Iceberg's `spark.wap.branch` analog).
-    */
   /** Dev-only per-statement wall timing on stderr (the driver never
     * sets it): `GRAFT_SQL_TIMING=1` — the guide-§1 loop for the DML
     * lifecycle queries whose cost is many statements, not one plan.
     */
   private[query] val SqlTiming = sys.env.contains("GRAFT_SQL_TIMING")
 
+  /** Session conf selecting the DML write-audit-publish branch —
+    * `SET graft.wap.branch = audit` stages every subsequent DML on
+    * that branch (see [[Engine.wapBranch]]'s scaladoc for the full
+    * contract; Iceberg's `spark.wap.branch` analog).
+    */
   val WapBranchConf = "graft.wap.branch"
 
   /** Session conf redirecting READS at the WAP branch (opt-in Iceberg

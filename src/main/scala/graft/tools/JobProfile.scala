@@ -26,6 +26,10 @@ object JobProfile {
       var startMs: Long = 0L, var endMs: Long = 0L, var stages: Int = 0,
       var tasks: Int = 0)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
+    // stageId → jobId from JobStart.stageIds, so overlapping jobs and
+    // stages finishing after a newer job starts credit the OWNING job
+    // (round-16 ADVICE)
+    val stageOwner = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val j = Job(e.jobId)
@@ -37,6 +41,7 @@ object JobProfile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         j.stages = e.stageIds.size
+        e.stageIds.foreach(sid => stageOwner(sid) = e.jobId)
         jobs(e.jobId) = j
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -44,17 +49,19 @@ object JobProfile {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          jobs.values.lastOption.foreach(_.tasks += e.stageInfo.numTasks)
+          stageOwner.get(e.stageInfo.stageId).flatMap(jobs.get)
+            .orElse(jobs.values.lastOption)
+            .foreach(_.tasks += e.stageInfo.numTasks)
         }
     }
     spark.sparkContext.addSparkListener(listener)
 
     names.foreach { n =>
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageOwner.clear() }
       // warm run first: JIT/codegen, matching the bench's min-of-3 view
       graft.SparkEntry.queries(n)(spark, dir).count(): Unit
       graft.core.CacheHygiene.releaseAll(spark, blocking = true)
-      jobs.synchronized(jobs.clear())
+      jobs.synchronized { jobs.clear(); stageOwner.clear() }
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count(): Unit
       val total = (System.nanoTime() - t0) / 1e9
