@@ -62,6 +62,10 @@ object Bench {
       // (GraftSession rationale; default 100 wraps within one DML
       // lifecycle so min-of-3 re-runs recompiled everything)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // binary-stat truncation pinned off (GraftSession rationale:
+      // footer-stats exactness contract enforced, not incidental)
+      .config("spark.hadoop.parquet.statistics.truncate.length",
+        String.valueOf(Int.MaxValue))
       // int64-micros timestamps (GraftSession rationale: footer stats
       // + Iceberg's required physical type; INT96 has no usable stats)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -19,6 +19,9 @@ object Verify {
       // janino class cache sized for multi-statement queries
       // (GraftSession rationale)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // binary-stat truncation pinned off (GraftSession rationale)
+      .config("spark.hadoop.parquet.statistics.truncate.length",
+        String.valueOf(Int.MaxValue))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

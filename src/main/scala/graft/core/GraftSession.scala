@@ -76,6 +76,14 @@ object GraftSession {
       // standard production trade for a multi-query session server.
       // Static conf: applies to the first session of the JVM.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Pin parquet's binary-stat truncation OFF (its default) so the
+      // footer-stats exactness contract (SnapshotCatalog
+      // .footerFileStats: footer bounds ARE the exact values) is
+      // enforced rather than incidental — a writer config drifting to
+      // truncated stats would be valid-but-inexact and undetectable
+      // from the footer alone (round-16 ADVICE).
+      .config("spark.hadoop.parquet.statistics.truncate.length",
+        String.valueOf(Int.MaxValue))
       // Read parquet TIMESTAMP(NANOS) as long instead of rejecting the
       // footer (one testdata generation shipped events.ts that way —
       // Tables.load rebuilds the column). Set ONCE here: flipping it
